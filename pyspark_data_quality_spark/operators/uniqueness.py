@@ -1,0 +1,126 @@
+"""Uniqueness rules: distinct-ratio metric, dedup valid set, duplicate-group
+diagnostics.
+
+Parity target: reference ``checks/uniqueness/unique_chek.py:78-127``:
+- ``valid`` = ``dropDuplicates(cols)`` within scope (:meth:`deduplicated`);
+- ``invalid`` = duplicate key groups with multiplicities
+  (schema-changing: ``cols + count``) (:meth:`group_diagnostics`);
+- ``metric_results`` was *broken* in the reference (copy-pasted completeness
+  math then ``Row.filter`` AttributeError at ``unique_chek.py:96``, dimension
+  mislabeled "completeness" at ``unique_chek.py:52-53``). Implemented here as
+  intended: distinct ratio = distinct(keys)/count per scope, dimension
+  UNIQUENESS.
+
+Scale: distinct counting defaults to ``approx_count_distinct`` (HLL++,
+single-pass, fixed memory — correct choice at 100 TB where exact
+count_distinct triggers an Expand + giant shuffle). ``exact=True`` opts
+into exact counting (used by the DuckDB-oracle queries at test scale).
+
+The row-level notion of uniqueness ("this row's key appears exactly once")
+cannot ride a plain filter — it needs a per-key count. ``row_predicate``
+therefore returns None; the valid/invalid split treats uniqueness via
+:meth:`deduplicated` / :meth:`group_diagnostics`, keeping row classification
+separate from group diagnostics (SURVEY.md §7 hard-part (b)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.enums import Dimension
+from ..core.models import MetricResult
+from .base import Rule, RunContext
+
+
+class UniqueRule(Rule):
+    """Distinct-ratio uniqueness over key columns."""
+
+    dimension = Dimension.UNIQUENESS
+    metric_name = "unique_ratio"
+
+    def __init__(self, *, exact: bool = False, rsd: float = 0.01, **kw):
+        super().__init__(**kw)
+        self.exact = exact
+        self.rsd = rsd
+
+    def aggregates(self, df: DataFrame) -> dict[str, Column]:
+        scope = self.scope(df)
+        keys = [F.when(scope, F.col(c)) for c in self.columns]
+        if self.exact:
+            distinct = F.count_distinct(*keys)
+        else:
+            # HLL++: mergeable sketch, no Expand, bounded memory at any scale.
+            distinct = F.approx_count_distinct(
+                F.struct(*keys) if len(keys) > 1 else keys[0], self.rsd
+            )
+        total = F.count(F.when(scope, F.lit(1)))
+        return {"distinct": distinct, "total": total}
+
+    def metrics(self, slots: dict[str, object], ctx: RunContext) -> list[MetricResult]:
+        distinct = slots.get("distinct")
+        total = slots.get("total")
+        ratio = None
+        if distinct is not None and total:
+            ratio = min(float(distinct) / float(total), 1.0)
+        status = self._status(ratio)
+        return [
+            self._metric(
+                ctx,
+                column=",".join(self.columns),
+                value=ratio,
+                status=status,
+                message=(
+                    f"{status.value}: distinct ratio "
+                    f"{'n/a' if ratio is None else f'{ratio:.6f}'} "
+                    f"vs threshold {self.threshold}"
+                ),
+                extra={
+                    "distinct": str(distinct),
+                    "total": str(total),
+                    "estimator": "exact" if self.exact else f"hll(rsd={self.rsd})",
+                },
+            )
+        ]
+
+    # -- row-set surfaces (reference `valid` / `invalid`) -------------------
+
+    def row_violation(self, df: DataFrame) -> Column:
+        """A row violates uniqueness iff it is in scope and its key occurs
+        more than once among in-scope rows. One window count = one hash
+        shuffle on the key columns (shared by all rows, AQE-skew-aware);
+        this is the unavoidable cost of row-level uniqueness classification."""
+        from pyspark.sql.window import Window
+
+        scope = self.scope(df)
+        w = Window.partitionBy(*[F.col(c) for c in self.columns])
+        in_scope_multiplicity = F.sum(scope.cast("long")).over(w)
+        return scope & (in_scope_multiplicity > 1)
+
+    def transform_valid(self, df: DataFrame) -> DataFrame:
+        """Reference-style dedup for `get_deduplicated_df`: keep one survivor
+        per key among in-scope rows; out-of-scope rows pass through."""
+        if self.condition is None:
+            return df.dropDuplicates(self.columns)
+        scope = self.scope(df)
+        return df.filter(~scope).unionByName(
+            df.filter(scope).dropDuplicates(self.columns)
+        )
+
+    def deduplicated(self, df: DataFrame) -> DataFrame:
+        """One surviving row per key within scope (reference `valid`,
+        ``unique_chek.py:78-82``). Hash-aggregate dedup: one shuffle on the
+        key columns; AQE handles skewed keys."""
+        scoped = df.filter(self.scope(df))
+        return scoped.dropDuplicates(self.columns)
+
+    def group_diagnostics(self, df: DataFrame) -> DataFrame:
+        """Duplicate key groups with multiplicities (reference `invalid`,
+        ``unique_chek.py:84-87``): ``cols + count`` where count > 1.
+        Partial (map-side) aggregation shrinks the shuffle to distinct keys."""
+        scoped = df.filter(self.scope(df))
+        return (
+            scoped.groupBy(*self.columns)
+            .agg(F.count(F.lit(1)).alias("count"))
+            .filter(F.col("count") > 1)
+        )

@@ -1,0 +1,139 @@
+"""Core framework tests: parity semantics from the reference's own tests
+(SURVEY.md §5 / FIXTURES.md §A) plus the fused-analysis rebuild semantics."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pyspark_data_quality_spark import (
+    ColumnNotFoundError,
+    DQManager,
+    METRIC_SCHEMA,
+    NoDataError,
+)
+from pyspark_data_quality_spark.operators import (
+    CompletenessColRatioRule,
+    CompletenessRawRatioRule,
+    UniqueRule,
+)
+
+
+@pytest.fixture
+def people(spark):
+    # FIXTURES.md A1 shape with injected nulls to exercise the failure path.
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("name_id"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.concat(F.lit("name_"), F.col("id")))
+        .alias("name"),
+        F.floor(F.rand(42) * 11).cast("int").alias("age"),
+        F.concat(F.lit("city_"), F.col("id")).alias("city"),
+    )
+    return df
+
+
+def test_completeness_col_ratio_metrics(spark, people):
+    mgr = DQManager(spark, dataset="people")
+    mgr.set_data(people)
+    mgr.add_check(CompletenessColRatioRule(columns=["name", "age", "city"], threshold=0.95))
+    res = mgr.run()
+    metrics = res.get_metric_results()
+    assert metrics.schema == METRIC_SCHEMA
+    rows = {r["column"]: r for r in metrics.collect()}
+    assert rows["name"]["value_double"] == pytest.approx(0.9)
+    assert rows["name"]["value_string"].startswith("FAILURE")
+    assert rows["age"]["value_double"] == 1.0
+    assert rows["age"]["value_string"].startswith("SUCCESS")
+    assert rows["city"]["threshold"] == 0.95
+
+
+def test_valid_invalid_partition(spark, people):
+    mgr = DQManager(spark).set_data(people)
+    mgr.add_rule(CompletenessColRatioRule(columns=["name"], threshold=0.5, name="name_nn"))
+    res = mgr.run()
+    valid = res.get_valid_df()
+    invalid = res.get_invalid_df()
+    assert valid.count() == 90
+    assert invalid.count() == 10
+    assert valid.columns == people.columns
+    reasons = invalid.select("failed_rules").distinct().collect()
+    assert reasons == [Row(failed_rules=["name_nn"])]
+
+
+def test_scope_condition(spark, people):
+    # Only rows with name_id < 50 are in scope; nulls at ids 0,10,20,30,40.
+    rule = CompletenessColRatioRule(
+        columns=["name"], threshold=1.0, condition="name_id < 50", name="scoped"
+    )
+    res = DQManager(spark).set_data(people).add_rule(rule).run()
+    m = res.get_metric_results().collect()[0]
+    assert m["value_double"] == pytest.approx(0.9)  # 45/50
+    # Out-of-scope null rows (ids 50..90 step 10) are NOT invalid.
+    assert res.get_invalid_df().count() == 5
+
+
+def test_raw_ratio_threshold_respected(spark, people):
+    # Reference bug (completeness_raw_check.py:96): status ignored threshold.
+    rule = CompletenessRawRatioRule(columns=["name", "city"], threshold=0.95)
+    res = DQManager(spark).set_data(people).add_rule(rule).run()
+    m = res.get_metric_results().collect()[0]
+    assert m["value_double"] == pytest.approx(0.9)
+    assert m["value_string"].startswith("FAILURE")
+    assert m["column"] == ""
+
+
+def test_unique_rule_reference_fixture(spark):
+    # FIXTURES.md A2: (1,a),(1,a),(2,b),(2,c) on id.
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "c")], ["id", "name"]
+    )
+    rule = UniqueRule(columns=["id"], threshold=1.0, exact=True, name="uniq_id")
+    res = DQManager(spark).set_data(df).add_rule(rule).run()
+
+    dedup = res.get_deduplicated_df()
+    assert sorted(r["id"] for r in dedup.collect()) == [1, 2]
+
+    groups = res.get_group_diagnostics()["uniq_id"]
+    assert {(r["id"], r["count"]) for r in groups.collect()} == {(1, 2), (2, 2)}
+
+    m = res.get_metric_results().collect()[0]
+    assert m["value_double"] == pytest.approx(0.5)
+    assert m["dimension"] == "uniqueness"  # reference mislabeled completeness
+    assert m["value_string"].startswith("FAILURE")
+
+    # Row-level: all 4 rows sit in duplicate groups -> all invalid.
+    assert res.get_invalid_df().count() == 4
+    assert res.get_valid_df().count() == 0
+
+
+def test_missing_column_raises(spark):
+    df = spark.createDataFrame([Row(id=1)])
+    rule = UniqueRule(columns=["id", "missing_col"])
+    with pytest.raises(ColumnNotFoundError):
+        DQManager(spark).set_data(df).add_rule(rule).run()
+
+
+def test_run_before_set_data_raises(spark):
+    with pytest.raises(NoDataError):
+        DQManager(spark).run()
+
+
+def test_fused_single_job(spark, people):
+    """All rules' metrics must compile into ONE agg (one expression list)."""
+    from pyspark_data_quality_spark.plans import AnalysisRunner
+
+    rules = [
+        CompletenessColRatioRule(columns=["name", "age"]),
+        CompletenessRawRatioRule(columns=["name", "city"]),
+        UniqueRule(columns=["name_id"]),
+    ]
+    exprs = AnalysisRunner.compile_aggregates(people, rules)
+    # 2 (per-col) + 1 (raw ratio) + 2 (distinct+total) slots, one agg call.
+    assert len(exprs) == 5
+
+
+def test_empty_rules_metrics_empty(spark, people):
+    res = DQManager(spark).set_data(people).run()
+    metrics = res.get_metric_results()
+    assert metrics.count() == 0
+    assert metrics.schema == METRIC_SCHEMA
