@@ -19,13 +19,18 @@ from typing import Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .core.enums import Dimension
 from .manager import DQManager
 from .operators import (
     CompletenessColRatioRule,
     CompletenessRawRatioRule,
+    FreshnessRule,
+    PredicateRule,
+    RangeRule,
+    RegexMatchRule,
+    SetMembershipRule,
     UniqueRule,
 )
-from .operators.base import RunContext
 from .sources.tables import load_table
 
 ENTRY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -150,27 +155,11 @@ def _split_rules():
         CompletenessColRatioRule(columns=["l_quantity", "l_shipdate"], name="nn"),
         # accuracy: discount within [0, 0.08] — deliberately tight so some
         # real rows fail and the invalid path is exercised on clean data.
-        _accuracy_discount_rule(),
+        RangeRule(
+            column="l_discount", min_value=0.0, max_value=0.08,
+            threshold=0.8, name="disc_range",
+        ),
     ]
-
-
-def _accuracy_discount_rule():
-    from .operators.base import Rule
-    from .core.enums import Dimension
-
-    class _DiscountRule(Rule):
-        dimension = Dimension.ACCURACY
-        metric_name = "accuracy_range"
-
-        def row_predicate(self, df):
-            return (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.08)
-
-        def aggregates(self, df):
-            from .plans.compile import ratio_agg
-
-            return {"ratio": ratio_agg(self.scope(df), self.row_predicate(df), "ratio")}
-
-    return _DiscountRule(columns=["l_discount"], threshold=0.8, name="disc_range")
 
 
 @query(
@@ -276,6 +265,110 @@ def dq_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Scoped completeness on orders (F11 condition pushdown).
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Validity / accuracy / consistency / freshness report (roadmap dimensions
+# the reference declared but never built — core/_enums.py:11-25).
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ["AUTOMOBILE", "FURNITURE", "BUILDING", "MACHINERY", "HOUSEHOLD"]
+_FRESHNESS_NOW = __import__("datetime").datetime(2026, 1, 1)
+
+
+def _metrics_projection(metrics: DataFrame) -> DataFrame:
+    return metrics.select(
+        F.col("metric_name"),
+        F.col("column"),
+        F.col("dimension"),
+        F.round(F.col("value_double"), 6).alias("value"),
+        F.round(F.col("threshold"), 6).alias("threshold"),
+        F.split(F.col("value_string"), ":").getItem(0).alias("status"),
+    )
+
+
+@query(
+    "dq_validity_report",
+    """
+    WITH c AS (
+      SELECT
+        CAST(round(avg(CASE WHEN c_mktsegment IN ('AUTOMOBILE','FURNITURE','BUILDING','MACHINERY','HOUSEHOLD')
+                       THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS seg_ratio,
+        CAST(round(avg(CASE WHEN regexp_full_match(c_name, 'Customer#[0-9]{9}')
+                       THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS name_ratio,
+        CAST(round(avg(CASE WHEN c_acctbal >= 0.0 AND c_acctbal <= 10000.0
+                       THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS bal_ratio
+      FROM customer
+    ), p AS (
+      SELECT
+        CAST(round(avg(CASE WHEN coalesce(p_size > 0 AND p_retailprice >= 500.0, FALSE)
+                       THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS part_ratio
+      FROM part
+    )
+    SELECT 'validity_set' AS metric_name, 'c_mktsegment' AS "column", 'validity' AS dimension,
+           seg_ratio AS value, CAST(1.0 AS DOUBLE) AS threshold,
+           CASE WHEN seg_ratio >= 1.0 THEN 'SUCCESS' ELSE 'FAILURE' END AS status FROM c
+    UNION ALL
+    SELECT 'validity_regex', 'c_name', 'validity', name_ratio, CAST(1.0 AS DOUBLE),
+           CASE WHEN name_ratio >= 1.0 THEN 'SUCCESS' ELSE 'FAILURE' END FROM c
+    UNION ALL
+    SELECT 'validity_range', 'c_acctbal', 'validity', bal_ratio, CAST(0.9 AS DOUBLE),
+           CASE WHEN bal_ratio >= 0.9 THEN 'SUCCESS' ELSE 'FAILURE' END FROM c
+    UNION ALL
+    SELECT 'predicate_ratio', 'p_size,p_retailprice', 'accuracy', part_ratio, CAST(0.95 AS DOUBLE),
+           CASE WHEN part_ratio >= 0.95 THEN 'SUCCESS' ELSE 'FAILURE' END FROM p
+    """,
+)
+def dq_validity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    cust_rules = [
+        SetMembershipRule(column="c_mktsegment", allowed=_SEGMENTS, threshold=1.0),
+        RegexMatchRule(column="c_name", pattern="Customer#[0-9]{9}", threshold=1.0),
+        RangeRule(column="c_acctbal", min_value=0.0, max_value=10000.0, threshold=0.9),
+    ]
+    part_rules = [
+        PredicateRule(
+            predicate="p_size > 0 AND p_retailprice >= 500.0",
+            columns=["p_size", "p_retailprice"],
+            threshold=0.95,
+            dimension=Dimension.ACCURACY,
+        ),
+    ]
+    m1 = DQManager(spark).set_data(customer)
+    for r in cust_rules:
+        m1.add_rule(r)
+    m2 = DQManager(spark).set_data(part)
+    for r in part_rules:
+        m2.add_rule(r)
+    out = _metrics_projection(m1.run().get_metric_results()).unionByName(
+        _metrics_projection(m2.run().get_metric_results())
+    )
+    return out
+
+
+@query(
+    "dq_freshness",
+    """
+    SELECT 'o_orderdate' AS "column", 'freshness' AS dimension,
+           CAST(round((epoch(TIMESTAMP '2026-01-01 00:00:00') - epoch(max(o_orderdate))) / 86400.0, 6) AS DOUBLE) AS age_days,
+           CASE WHEN (epoch(TIMESTAMP '2026-01-01 00:00:00') - epoch(max(o_orderdate))) / 86400.0 <= 10000.0
+                THEN 'SUCCESS' ELSE 'FAILURE' END AS status
+    FROM orders
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    rule = FreshnessRule(
+        column="o_orderdate", max_age=10000.0, now=_FRESHNESS_NOW, dataset="orders"
+    )
+    res = DQManager(spark).set_data(orders).add_rule(rule).run()
+    return res.get_metric_results().select(
+        F.col("column"),
+        F.col("dimension"),
+        F.round(F.col("value_double"), 6).alias("age_days"),
+        F.split(F.col("value_string"), ":").getItem(0).alias("status"),
+    )
+
 
 @query(
     "dq_scoped_completeness",
