@@ -1,0 +1,165 @@
+"""Column-level text functions: tokenization, shingles, fingerprints,
+quality signals, language ID.
+
+Everything here returns ``Column`` expressions built from
+``pyspark.sql.functions`` — JVM-side, whole-stage-codegen friendly, no
+Python UDFs in any hot path. These are the building blocks for the
+text-analysis and near-dedup operators (north-star extensions; the
+reference had no text processing at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small multilingual stopword lists for the n-gram language-ID heuristic
+#: and quality scoring. Deliberately tiny and deterministic (public common
+#: words), so the same heuristic is expressible in the DuckDB oracle.
+STOPWORDS_EN = [
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "this", "by", "an", "be", "are", "was", "or",
+]
+
+#: Language marker words -> language code, for the marker-count heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "with", "for"],
+    "es": ["el", "la", "de", "que", "y", "los", "las", "por"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "et", "une", "dans"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, collapse whitespace, trim — canonical form for hashing."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization -> array<string> (empty array for empty text)."""
+    c = normalize_text(col)
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Cheap BPE-like token estimate: count word pieces + digits + punct
+    (regex segmentation, the standard pre-tokenizer shape) entirely JVM-side.
+
+    regexp_count(text, pattern) counts contiguous letter runs, digit runs,
+    and single non-space punctuation — a deterministic stand-in for a real
+    tokenizer's token count, good enough for length filtering at scale.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")).cast("long")
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Array of character n-grams (shingles) of the normalized text.
+
+    Built with sequence+transform (JVM-side, no UDF): shingle i =
+    substring(text, i, n). Used for n-gram Jaccard similarity and as
+    MinHash input. Texts shorter than n yield an empty array (guarded:
+    ``sequence(1, 0)`` would descend, not stop).
+    """
+    c = normalize_text(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
+        lambda i: F.substring(c, i, F.lit(n)),
+    )
+    return F.when(F.length(c) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined) — MinHash/Jaccard input unit.
+
+    JVM-side: tokenize -> transform over start indices -> slice+join.
+    """
+    toks = tokenize(col)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.when(F.size(toks) >= k, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords (quality signal; ~0 for
+    gibberish/boilerplate, higher for natural prose)."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    toks = tokenize(col)
+    in_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, in_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars of normalized text."""
+    c = normalize_text(col)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    toks = tokenize(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] doc-quality heuristic (Gopher/C4-style signals,
+    all vectorized): token count in range, stopword presence, sane mean
+    word length, low punctuation density."""
+    tc = token_count(col)
+    score = (
+        F.when((tc >= 10) & (tc <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stopword_ratio(col) >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(
+            (mean_word_length(col) >= 2.0) & (mean_word_length(col) <= 12.0),
+            F.lit(0.25),
+        ).otherwise(F.lit(0.0))
+        + F.when(punct_ratio(col) <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return score
+
+
+def lang_id(col: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """Marker-word language ID: pick the language whose marker words hit the
+    most tokens; ties and zero-hit rows -> 'und'. Pure expressions: one
+    array_intersect-style count per language, then greatest-of struct.
+    """
+    marks = markers or LANG_MARKERS
+    toks = tokenize(col)
+    # struct(hits, lang) per language, pick max by (hits, lang desc) ordering
+    candidates = [
+        F.struct(
+            F.size(
+                F.filter(toks, lambda t, ws=words: t.isin(*ws))
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in marks.items()
+    ]
+    best = F.array_max(F.array(*candidates))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic 64-bit content fingerprint of normalized text
+    (xxhash64 — JVM intrinsic, no UDF). Equal fingerprints = exact dup
+    (modulo normalization)."""
+    return F.xxhash64(normalize_text(col))
+
+
+def doc_md5(col: Column | str) -> Column:
+    """MD5 hex of normalized text — cross-engine-stable fingerprint
+    (DuckDB md5() produces the identical hex, so oracles can verify)."""
+    return F.md5(normalize_text(col))

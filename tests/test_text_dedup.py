@@ -1,0 +1,198 @@
+"""Text functions, dedup, and similarity-search operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_quality_spark.functions.text import (
+    char_ngrams,
+    lang_id,
+    normalize_text,
+    token_count,
+    word_shingles,
+)
+from pyspark_data_quality_spark.functions.vectors import cosine_similarity, dot, norm
+from pyspark_data_quality_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    jaccard,
+    minhash_near_dup_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from pyspark_data_quality_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    self_topk,
+)
+from pyspark_data_quality_spark.operators.text import text_profile
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the quick  brown fox jumps over the lazy dog"),  # exact dup after norm
+        (3, "The quick brown fox jumps over the lazy cat"),   # near dup
+        (4, "Completely different content about spark engines and shuffles"),
+        (5, ""),                                              # empty text
+        (6, "el la de que y los datos son grandes aqui"),     # spanish-ish
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_text_functions_basics(spark, docs):
+    out = docs.select(
+        "doc_id",
+        normalize_text("text").alias("norm"),
+        token_count("text").alias("tc"),
+        F.size(char_ngrams("text", 3)).alias("n3"),
+        F.size(word_shingles("text", 3)).alias("ws"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["norm"] == by_id[2]["norm"]
+    assert by_id[1]["tc"] == 9
+    assert by_id[5]["tc"] == 0
+    assert by_id[5]["n3"] == 0  # no descending-sequence blowup on empty
+    assert by_id[5]["ws"] == 0
+    assert by_id[1]["n3"] == len(by_id[1]["norm"]) - 2
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", lang_id("text").alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[6] == "es"
+    assert out[5] == "und"
+
+
+def test_text_profile_schema(spark, docs):
+    prof = text_profile(docs)
+    cols = set(prof.columns)
+    assert {"token_count", "quality_score", "lang_pred", "fingerprint", "fingerprint_md5"} <= cols
+    r = {x["doc_id"]: x for x in prof.collect()}
+    assert r[1]["fingerprint"] == r[2]["fingerprint"]  # normalized exact dups
+    assert r[1]["fingerprint_md5"] == r[2]["fingerprint_md5"]
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "text", "doc_id", keep="min")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5, 6]  # doc 2 deduped into doc 1
+
+    groups = exact_dup_groups(docs, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["ids"] == [1, 2]
+
+
+def test_minhash_near_dup(spark, docs):
+    pairs = minhash_near_dup_pairs(
+        docs, "text", "doc_id", num_hashes=64, num_bands=16, threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got          # exact dup
+    assert (1, 3) in got or (2, 3) in got  # near dup (one word differs)
+    assert all(4 not in p for p in got)    # distinct doc never pairs
+
+    kept = sorted(r["doc_id"] for r in minhash_dedup(
+        docs, "text", "doc_id", num_hashes=64, num_bands=16, threshold=0.5
+    ).collect())
+    assert 1 in kept and 2 not in kept and 4 in kept
+
+
+def test_ngram_jaccard_bruteforce_matches_lsh(spark, docs):
+    bf = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5, use_lsh_blocking=False
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5,
+            use_lsh_blocking=True, num_hashes=128, num_bands=64,
+        ).collect()
+    }
+    # LSH with aggressive banding should recover every bruteforce pair here.
+    assert set(lsh) == set(bf)
+    for p in bf:
+        assert lsh[p] == pytest.approx(bf[p])
+
+
+def test_simhash(spark, docs):
+    sh = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", simhash("text").alias("sh")).collect()}
+    assert sh[1] == sh[2]  # same tokens after normalization
+    assert sh[5] is None   # empty text -> NULL
+    pairs = simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_vector_functions(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, [1.0, 0.0], [0.0, 1.0]), (3, [0.0, 0.0], [1.0, 1.0])],
+        ["id", "a", "b"],
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id", dot("a", "b").alias("d"), cosine_similarity("a", "b").alias("c")
+    ).collect()}
+    assert rows[1]["d"] == 1.0 and rows[1]["c"] == pytest.approx(1.0)
+    assert rows[2]["c"] == pytest.approx(0.0)
+    assert rows[3]["c"] is None  # zero-norm -> NULL, no div-0
+
+
+@pytest.fixture
+def vecs(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [rnd.gauss(0, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base]))
+        # make 30+i a near-copy of i for i<5
+        if i < 5:
+            rows.append((100 + i, [float(x + rnd.gauss(0, 0.01)) for x in base]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk(spark, vecs):
+    out = self_topk(vecs, k=3, query_ids=[0, 1, 2])
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda x: x["rank"])] == [1, 2, 3]
+        top = min(rs, key=lambda x: x["rank"])
+        assert top["neighbor_id"] == 100 + q  # the planted near-copy wins
+
+
+def test_embedding_near_dup_lsh_vs_bruteforce(spark, vecs):
+    bf = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(
+        vecs, "embedding", "vec_id", threshold=0.999, brute_force=True
+    ).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(
+        vecs, "embedding", "vec_id", threshold=0.999, num_planes=8, num_tables=8
+    ).collect()}
+    planted = {(i, 100 + i) for i in range(5)}
+    assert planted <= bf
+    assert lsh <= bf            # LSH never invents pairs (verify step)
+    assert planted <= lsh       # and finds the planted near-copies
+
+
+def test_lsh_topk_recall(spark, vecs):
+    queries = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(vecs, queries, k=3)
+    approx = lsh_topk(vecs, queries, k=3, num_planes=6, num_tables=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # top-1 (self) and the planted near-copy must be recalled
+    for q in range(3):
+        assert (q, q) in a and (q, 100 + q) in a
+    assert len(a & e) / len(e) >= 0.5
