@@ -1,0 +1,81 @@
+"""Bench harness: time every registered entry query at a given scale factor.
+
+Usage::
+
+    python bench.py                     # sf0.1 (driver default), local[32]
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
+    SPARK_GRAFT_CPUS=8 python bench.py
+
+Prints ONE JSON line on stdout::
+
+    {"metric": "dq_suite_seconds", "value": <total>, "unit": "sec",
+     "queries": {"dq_metrics_report": 1.23, ...}, "sf": 0.1}
+
+Each query's plan is executed end-to-end with a ``noop``-format write —
+full physical execution (scans, shuffles, joins) with zero driver-side
+collection, so the timing measures the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pyspark-data-quality-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on a trivial plan so the first query isn't
+    # charged for session startup.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "dq_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -138,14 +138,17 @@ def lang_id(col: Column | str, markers: dict[str, list[str]] | None = None) -> C
     """
     marks = markers or LANG_MARKERS
     toks = tokenize(col)
+
+    def _hits(words: list[str]) -> Column:
+        # Marker set as an array literal OUTSIDE the lambda: a default-arg
+        # would make the lambda binary and F.filter would bind the element
+        # index to it (the round-1 NOT_ITERABLE crash).
+        ws = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(ws, t)))
+
     # struct(hits, lang) per language, pick max by (hits, lang desc) ordering
     candidates = [
-        F.struct(
-            F.size(
-                F.filter(toks, lambda t, ws=words: t.isin(*ws))
-            ).alias("hits"),
-            F.lit(lang).alias("lang"),
-        )
+        F.struct(_hits(words).alias("hits"), F.lit(lang).alias("lang"))
         for lang, words in marks.items()
     ]
     best = F.array_max(F.array(*candidates))

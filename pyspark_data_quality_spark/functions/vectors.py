@@ -2,16 +2,26 @@
 
 All JVM-side higher-order functions (``zip_with`` / ``aggregate``) — no
 Python UDF, no Arrow hop — so similarity math stays inside whole-stage
-codegen and scales linearly with rows. For very wide vectors where the
-expression tree gets heavy, :mod:`..operators.similarity` offers a
-Pandas-UDF path; benchmarks at 64-dim showed the pure-expression path
-faster, so it is the default.
+codegen and scales linearly with rows.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def vector_dim(df: DataFrame, vec_col: str, dim: int | None = None) -> int | None:
+    """Resolve the embedding dimensionality WITHOUT a Spark job when the
+    caller supplies ``dim`` (the scale path — plan construction must not
+    fire actions). Fallback: probe one non-null row (one small Spark job,
+    documented); returns None on an empty/all-null column so callers can
+    short-circuit to an empty result instead of crashing on ``len(None)``.
+    """
+    if dim is not None:
+        return int(dim)
+    row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    return None if row is None else len(row[0])
 
 
 def dot(a: Column | str, b: Column | str) -> Column:

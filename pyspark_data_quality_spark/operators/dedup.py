@@ -21,8 +21,32 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import char_ngrams, doc_fingerprint, normalize_text, tokenize
+
+
+def cap_buckets(
+    buckets: DataFrame, key_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` before a self-join.
+
+    Guard against the hot-bucket quadratic blowup: a large exact-duplicate
+    cluster (the norm in web-scale corpora) lands entirely in one bucket,
+    turning the candidate self-join into O(cluster²) pairs on ONE reducer.
+    The window count shuffles on the same keys the candidate join uses, so
+    the partitioning is reused. Dropped pairs may still surface via another
+    band; for exact-dup clusters run :func:`exact_dedup` first (recommended
+    pipeline order) so near-dup only sees distinct texts.
+    """
+    if max_bucket_size is None:
+        return buckets
+    w = Window.partitionBy(*key_cols)
+    return (
+        buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -127,6 +151,7 @@ def minhash_near_dup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact jaccard >= threshold) via
     MinHash banding.
@@ -136,6 +161,9 @@ def minhash_near_dup_pairs(
     band-bucket, NOT all-pairs) -> distinct pairs -> exact-Jaccard verify
     join. With b bands of r rows the candidate recall at similarity s is
     1-(1-s^r)^b — 32 bands x 4 rows catches s>=0.7 with >99.9% probability.
+    Buckets larger than ``max_bucket_size`` are dropped (see
+    :func:`cap_buckets`) — run :func:`exact_dedup` first so identical-text
+    clusters never reach the LSH stage.
     """
     rows_per_band = num_hashes // num_bands
     base = df.select(
@@ -147,6 +175,7 @@ def minhash_near_dup_pairs(
     buckets = base.select(
         "_id", F.explode(_bands(F.col("_sig"), num_bands, rows_per_band)).alias("_b")
     ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+    buckets = cap_buckets(buckets, ["_band", "_key"], max_bucket_size)
 
     left = buckets.alias("l")
     right = buckets.alias("r")
@@ -207,12 +236,20 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _signed64(v: int) -> int:
+    """Two's-complement view of an unsigned 64-bit value (bit 63 -> sign)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def simhash(col: Column | str, bits: int = 64, seed: int = 42) -> Column:
     """SimHash of the token multiset as a BIGINT: bit j set iff the sum of
     (+1/-1) over tokens' hash-bit-j is positive.
 
     Implementation: per bit j, aggregate tokens with
-    sign = 2*((xxhash64(tok,seed) >> j) & 1) - 1; pack sign sums into bits.
+    sign = 2*getbit(xxhash64(tok,seed), j) - 1 (``getbit`` accepts a Column
+    bit position, unlike shiftright's int-only numBits — the round-1 crash);
+    pack sign sums into bits via a literal mask array (mask[63] is the
+    two's-complement sign bit, so no shiftleft-by-Column is needed).
     Pure expressions; ~bits x tokens ops per row, all codegen.
     """
     toks = tokenize(col)
@@ -222,20 +259,15 @@ def simhash(col: Column | str, bits: int = 64, seed: int = 42) -> Column:
             toks,
             F.lit(0).cast("long"),
             lambda acc, t: acc
-            + (
-                F.shiftright(F.xxhash64(t, F.lit(seed)), j).bitwiseAND(F.lit(1))
-                * 2
-                - 1
-            ).cast("long"),
+            + (F.getbit(F.xxhash64(t, F.lit(seed)), j) * 2 - 1).cast("long"),
         ),
     )
+    masks = F.array(*[F.lit(_signed64(1 << j)).cast("long") for j in range(bits)])
     packed = F.aggregate(
         F.zip_with(
             bit_votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, j: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            ),
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
@@ -256,10 +288,12 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     num_bands: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates from 16-bit band buckets
     (a pair within hamming<=3 of 64 bits shares at least one of 4 bands by
-    pigeonhole), verified by exact hamming distance."""
+    pigeonhole), verified by exact hamming distance. Oversized buckets are
+    dropped per :func:`cap_buckets`."""
     bits_per_band = 64 // num_bands
     base = df.select(
         F.col(id_col).alias("_id"), simhash(text_col, seed=seed).alias("_sh")
@@ -270,17 +304,22 @@ def simhash_near_dup_pairs(
         "_id",
         "_sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.struct(
-                    b.cast("int").alias("band"),
-                    F.shiftrightunsigned(F.col("_sh"), b * bits_per_band)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("key"),
-                ),
+            # Python loop over band indices: shiftrightunsigned's numBits is
+            # int-only, so the shift amount must be a plan-time constant.
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.shiftrightunsigned(F.col("_sh"), b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(num_bands)
+                ]
             )
         ).alias("_b"),
     ).select("_id", "_sh", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+    buckets = cap_buckets(buckets, ["_band", "_key"], max_bucket_size)
 
     l, r = buckets.alias("l"), buckets.alias("r")
     return (
@@ -356,6 +395,8 @@ def embedding_near_dup_pairs(
     num_tables: int = 4,
     seed: int = 42,
     brute_force: bool = False,
+    dim: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold.
 
@@ -364,8 +405,11 @@ def embedding_near_dup_pairs(
     cosine verification. High-cosine pairs collide with probability
     (1 - theta/pi)^planes per table. ``brute_force=True`` is the O(n²)
     oracle path for small inputs.
+
+    Pass ``dim`` (embedding width) so plan construction stays action-free;
+    without it a one-row probe job runs (:func:`..functions.vectors.vector_dim`).
     """
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import cosine_similarity, vector_dim
 
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
 
@@ -383,7 +427,13 @@ def embedding_near_dup_pairs(
             .filter(F.col("cosine") >= threshold)
         )
 
-    dim = len(df.select(vec_col).first()[0])
+    dim = vector_dim(df, vec_col, dim)
+    if dim is None:  # empty / all-null input: empty result, same schema
+        return base.limit(0).select(
+            F.col("_id").alias("id_a"),
+            F.col("_id").alias("id_b"),
+            F.lit(0.0).alias("cosine"),
+        )
     import random
 
     rnd = random.Random(seed)
@@ -430,6 +480,7 @@ def embedding_near_dup_pairs(
             )
         ).alias("_b"),
     ).select("_id", "_v", F.col("_b.table").alias("_t"), F.col("_b.key").alias("_k"))
+    buckets = cap_buckets(buckets, ["_t", "_k"], max_bucket_size)
 
     l, r = buckets.alias("l"), buckets.alias("r")
     return (

@@ -46,16 +46,27 @@ class FreshnessRule(Rule):
         self.column = column
         self.max_age = float(max_age)
         self.period = period
-        self.now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        # Normalize `now` to an aware-UTC instant ONCE: a naive datetime is
+        # declared to mean UTC. Both the row predicate and the metric compare
+        # epochs derived from this single value, so valid/invalid
+        # classification and the freshness metric agree in any session tz.
+        now = now or datetime.now(timezone.utc)
+        if now.tzinfo is None:
+            now = now.replace(tzinfo=timezone.utc)
+        self.now = now
+        self._now_epoch = now.timestamp()
         self.name = kw.get("name") or f"{self.metric_name}({column})"
 
     def row_predicate(self, df: DataFrame) -> Column:
         # A row is "fresh" iff its timestamp is within the age bound.
+        # Epoch comparison (timestamp -> double = epoch seconds, an absolute
+        # instant) — independent of spark.sql.session.timeZone, unlike
+        # F.lit(naive datetime) which Spark reads in the session tz.
         bound_sec = self.max_age * FRESHNESS_PERIOD_SECONDS[self.period]
-        cutoff = F.lit(self.now).cast("timestamp") - F.expr(
-            f"INTERVAL {int(bound_sec)} SECONDS"
+        cutoff_epoch = self._now_epoch - bound_sec
+        return F.col(self.column).cast("timestamp").cast("double") >= F.lit(
+            cutoff_epoch
         )
-        return F.col(self.column).cast("timestamp") >= cutoff
 
     def aggregates(self, df: DataFrame) -> dict[str, Column]:
         scope = self.scope(df)
@@ -77,10 +88,7 @@ class FreshnessRule(Rule):
                     message="FAILURE: no in-scope rows / all-null timestamps",
                 )
             ]
-        now_epoch = self.now.timestamp() if self.now.tzinfo else (
-            self.now.replace(tzinfo=timezone.utc).timestamp()
-        )
-        age_sec = now_epoch - float(max_epoch)
+        age_sec = self._now_epoch - float(max_epoch)
         age = age_sec / FRESHNESS_PERIOD_SECONDS[self.period]
         status = (
             CheckStatus.SUCCESS if age <= self.max_age else CheckStatus.FAILURE

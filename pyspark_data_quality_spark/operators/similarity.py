@@ -105,6 +105,8 @@ def lsh_topk(
     num_planes: int = 12,
     num_tables: int = 6,
     seed: int = 42,
+    dim: int | None = None,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing at least one
     hyperplane-LSH bucket with the query (any of ``num_tables`` tables).
@@ -114,10 +116,25 @@ def lsh_topk(
     :func:`brute_force_topk` (fewer than k rows possible when buckets are
     sparse — callers needing exactly k should fall back to brute force for
     starved queries).
+
+    Pass ``dim`` (embedding width) so plan construction stays action-free;
+    without it a one-row probe job runs. Corpus buckets larger than
+    ``max_bucket_size`` are dropped (hot-bucket guard — a giant
+    near-identical cluster would otherwise explode the candidate join).
     """
     import random
 
-    dim = len(corpus.select(vec_col).first()[0])
+    from ..functions.vectors import vector_dim
+    from .dedup import cap_buckets
+
+    dim = vector_dim(corpus, vec_col, dim)
+    if dim is None:  # empty corpus: empty result with the contract schema
+        return corpus.limit(0).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0).alias("rank"),
+            F.lit(0.0).alias("cosine"),
+        )
     rnd = random.Random(seed)
     tables = [
         [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
@@ -147,6 +164,7 @@ def lsh_topk(
         F.col(vec_col).alias("_cv"),
         F.explode(keys(F.col(vec_col))).alias("_b"),
     ).select("neighbor_id", "_cv", F.col("_b.t").alias("_t"), F.col("_b.k").alias("_k"))
+    cb = cap_buckets(cb, ["_t", "_k"], max_bucket_size)
 
     qb = queries.select(
         F.col(query_id_col).alias("query_id"),

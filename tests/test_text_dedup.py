@@ -196,3 +196,44 @@ def test_lsh_topk_recall(spark, vecs):
     for q in range(3):
         assert (q, q) in a and (q, 100 + q) in a
     assert len(a & e) / len(e) >= 0.5
+
+
+def test_hot_bucket_cap(spark):
+    # 300 identical docs (one giant exact-dup cluster) + 2 near-dups.
+    # With the cap, the cluster's oversized buckets are dropped instead of
+    # generating O(cluster^2) candidate pairs; the small near-dup pair in
+    # its own buckets is still found.
+    rows = [(i, "all work and no play makes jack a dull boy") for i in range(300)]
+    rows += [
+        (1000, "spark shuffles hash partitions across the executor fleet"),
+        (1001, "spark shuffles hash partitions across the executor crew"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_near_dup_pairs(
+        df, "text", "doc_id", num_hashes=64, num_bands=16,
+        threshold=0.5, max_bucket_size=50,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1000, 1001) in got
+    # no pair from the giant cluster survives (its buckets exceed the cap)
+    assert all(a >= 1000 for a, _ in got)
+
+
+def test_embedding_pairs_dim_param_and_empty(spark, vecs):
+    with_dim = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(
+        vecs, "embedding", "vec_id", threshold=0.999, num_planes=8,
+        num_tables=8, dim=8,
+    ).collect()}
+    probed = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(
+        vecs, "embedding", "vec_id", threshold=0.999, num_planes=8, num_tables=8,
+    ).collect()}
+    assert with_dim == probed  # explicit dim produces the identical result
+
+    empty = vecs.limit(0)
+    assert embedding_near_dup_pairs(empty, "embedding", "vec_id").count() == 0
+    assert lsh_topk(
+        empty,
+        empty.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ),
+    ).count() == 0

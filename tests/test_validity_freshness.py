@@ -1,6 +1,6 @@
 """Validity / accuracy / consistency / freshness rule tests."""
 
-from datetime import datetime
+from datetime import datetime, timezone
 
 import pytest
 from pyspark.sql import functions as F
@@ -107,3 +107,25 @@ def test_freshness_row_predicate(spark, items):
     res = DQManager(spark).set_data(items).add_rule(rule).run()
     # id=4 (2025-01-01) and id=5 (null) are stale rows.
     assert {r["id"] for r in res.get_invalid_df().collect()} == {4, 5}
+
+
+def test_freshness_tz_independent(spark, items):
+    # Row classification and the metric must agree in a NON-UTC session tz:
+    # both paths compare absolute epochs derived from the same normalized
+    # `now` (a naive datetime is declared to mean UTC).
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        rule = FreshnessRule(
+            column="updated", max_age=3.0, period=FreshnessPeriod.DAY,
+            now=datetime(2026, 1, 5),
+        )
+        n_fresh = items.filter(rule.row_predicate(items)).count()
+        utc_rule = FreshnessRule(
+            column="updated", max_age=3.0, period=FreshnessPeriod.DAY,
+            now=datetime(2026, 1, 5, tzinfo=timezone.utc),
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        assert items.filter(utc_rule.row_predicate(items)).count() == n_fresh
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
