@@ -31,6 +31,8 @@ from .operators import (
     SetMembershipRule,
     UniqueRule,
 )
+from .operators.dedup import exact_dedup
+from .operators.text import quality_summary, text_profile
 from .sources.tables import load_table
 
 ENTRY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -388,3 +390,258 @@ def dq_scoped_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
         F.count(F.when(scope, F.lit(1))).alias("in_scope_rows"),
     ).select(F.lit("o_totalprice").alias("column"), "value", "in_scope_rows")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis + dedup over `documents` (north-star training-data ops).
+# The DuckDB oracles re-express the same vectorized expressions in SQL:
+# identical normalization (lower, collapse whitespace, trim), identical
+# tokenization (split on ' ', drop empties), md5 of the normalized text as
+# the cross-engine fingerprint (functions/text.py doc_md5 exists for this).
+# ---------------------------------------------------------------------------
+
+#: Shared SQL fragments for the documents oracles.
+_SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_SQL_STOPWORDS = (
+    "['the','a','of','and','to','in','is','it','that','for',"
+    "'on','with','as','this','by','an','be','are','was','or']"
+)
+# Language marker lists (functions/text.py LANG_MARKERS) with the same
+# tie-break as the Spark array_max over struct(hits, lang): highest hits,
+# ties -> lexicographically greatest language code.
+_SQL_LANG_HITS = """
+  len(list_filter(toks, t -> list_contains(['the','and','of','to','is','that','with','for'], t))) AS h_en,
+  len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los','las','por'], t))) AS h_es,
+  len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], t))) AS h_de,
+  len(list_filter(toks, t -> list_contains(['le','la','les','des','est','et','une','dans'], t))) AS h_fr,
+  len(list_filter(toks, t -> list_contains(['的','是','了','在','我','有','和','不'], t))) AS h_zh
+"""
+_SQL_LANG_PRED = """
+  CASE WHEN greatest(h_en, h_es, h_de, h_fr, h_zh) = 0 THEN 'und'
+       WHEN h_zh = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'zh'
+       WHEN h_fr = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'fr'
+       WHEN h_es = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'es'
+       WHEN h_en = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'en'
+       ELSE 'de' END
+"""
+
+_SQL_PROFILE_CTE = f"""
+WITH base AS (
+  SELECT doc_id, source, text, {_SQL_NORM} AS norm FROM documents
+), tok AS (
+  SELECT doc_id, source, text, norm,
+         list_filter(string_split(norm, ' '), x -> x != '') AS toks
+  FROM base
+), hits AS (
+  SELECT *, {_SQL_LANG_HITS} FROM tok
+), prof AS (
+  SELECT doc_id, source,
+    CAST(len(toks) AS BIGINT) AS token_count,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT) AS bpe_token_count,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, t -> list_contains({_SQL_STOPWORDS}, t))) * 1.0 / len(toks)
+         ELSE 0.0 END AS sw_raw,
+    CASE WHEN len(norm) > 0
+         THEN (len(norm) - len(regexp_replace(norm, '[^\\w\\s]', '', 'g'))) * 1.0 / len(norm)
+         ELSE 0.0 END AS punct_raw,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, t -> len(t))) * 1.0 / len(toks)
+         ELSE 0.0 END AS mwl_raw,
+    {_SQL_LANG_PRED} AS lang_pred,
+    md5(norm) AS fingerprint_md5
+  FROM hits
+), scored AS (
+  SELECT *,
+    CAST(round(sw_raw, 6) AS DOUBLE) AS stopword_ratio,
+    CAST(round(punct_raw, 6) AS DOUBLE) AS punct_ratio,
+    CAST(round(mwl_raw, 6) AS DOUBLE) AS mean_word_len,
+    CAST(
+      (CASE WHEN token_count >= 10 AND token_count <= 100000 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN sw_raw >= 0.05 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN mwl_raw >= 2.0 AND mwl_raw <= 12.0 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN punct_raw <= 0.2 THEN 0.25 ELSE 0.0 END)
+    AS DOUBLE) AS quality_score
+  FROM prof
+)
+"""
+
+_PROFILE_COLS = [
+    "doc_id", "token_count", "bpe_token_count", "stopword_ratio",
+    "punct_ratio", "mean_word_len", "quality_score", "lang_pred",
+    "fingerprint_md5",
+]
+
+
+@query(
+    "dq_text_profile",
+    _SQL_PROFILE_CTE
+    + """
+    SELECT doc_id, token_count, bpe_token_count, stopword_ratio, punct_ratio,
+           mean_word_len, quality_score, lang_pred, fingerprint_md5
+    FROM scored
+    """,
+)
+def dq_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return text_profile(docs).select(*_PROFILE_COLS)
+
+
+@query(
+    "dq_lang_dist",
+    _SQL_PROFILE_CTE
+    + """
+    SELECT lang_pred, count(*) AS n_docs FROM scored GROUP BY lang_pred
+    """,
+)
+def dq_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return text_profile(docs).groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "dq_quality_summary",
+    _SQL_PROFILE_CTE
+    + """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(token_count) AS BIGINT) AS total_tokens,
+           CAST(round(avg(token_count), 6) AS DOUBLE) AS avg_tokens,
+           CAST(round(avg(quality_score), 6) AS DOUBLE) AS avg_quality,
+           CAST(round(avg(CASE WHEN quality_score < 0.75 THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS low_quality_share,
+           CAST(round(avg(stopword_ratio), 6) AS DOUBLE) AS avg_stopword_ratio
+    FROM scored GROUP BY source
+    """,
+)
+def dq_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_summary(docs, "text", group_col="source")
+
+
+@query(
+    "dq_exact_dedup",
+    f"""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id IN (
+      SELECT min(doc_id) FROM documents GROUP BY {_SQL_NORM}
+    )
+    """,
+)
+def dq_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup survivors (min doc_id per normalized text). The Spark
+    side groups on xxhash64(norm) — same grouping as the oracle's GROUP BY
+    norm text, but the shuffle carries 8-byte fingerprints, not bodies."""
+    docs = load_table(spark, "documents", sf_dir)
+    return exact_dedup(docs, "text", "doc_id", keep="min").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings` (north-star). The exact paths get full
+# DuckDB oracles (list_cosine_similarity over DOUBLE[] matches the Spark
+# zip_with/aggregate dot product after round(,6)); the LSH paths are
+# approximate by design -> rows-only entries (no oracle_sql), with recall
+# asserted in unit tests instead.
+# ---------------------------------------------------------------------------
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # float32 -> double on BOTH engines before any arithmetic, so the dot
+    # products accumulate identically and round(,6) is stable.
+    return load_table(spark, "embeddings", sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+@query(
+    "dq_topk_bruteforce",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos_raw
+      FROM embeddings e CROSS JOIN q
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(round(cos_raw, 6) AS DOUBLE) AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY round(cos_raw, 6) DESC, neighbor_id
+             ) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def dq_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    emb = _emb_double(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, queries_df, k=10)
+
+
+@query(
+    "dq_embedding_pairs_exact",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS DOUBLE) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 500 AND b.vec_id < 500
+      AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+)
+def dq_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact high-cosine pairs on a FIXED 500-vector subset — the O(n²)
+    brute-force oracle baseline the LSH path is measured against. Bounded
+    deliberately: the quadratic plan is the point of comparison, not a
+    scale path, so its cost must not grow with sf."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    emb = _emb_double(spark, sf_dir).filter(F.col("vec_id") < 500)
+    return embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, brute_force=True
+    )
+
+
+@query("dq_embedding_pairs_lsh")  # rows-only: approximate op, no SQL oracle
+def dq_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_near_dup_pairs
+
+    emb = _emb_double(spark, sf_dir)
+    return embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, dim=64,
+        num_planes=8, num_tables=8,
+    )
+
+
+@query("dq_lsh_topk")  # rows-only: approximate op, no SQL oracle
+def dq_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    emb = _emb_double(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, queries_df, k=10, dim=64)
+
+
+@query("dq_minhash_pairs")  # rows-only: approximate op, no SQL oracle
+def dq_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at word-shingle jaccard>=0.8. Word shingles (Broder)
+    rather than char 3-grams: the fixture corpus shares one vocabulary, so
+    char-gram similarity degenerates toward all-pairs (37k pairs at 0.5 on
+    500 docs), while 3-word shingles are discriminative AND ~6x cheaper to
+    hash. 16 bands x 4 rows catches s>=0.8 with ~99.98% probability."""
+    from .operators.dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_near_dup_pairs(
+        docs, "text", "doc_id", num_hashes=64, num_bands=16,
+        shingle="word", shingle_n=3, threshold=0.8,
+    )

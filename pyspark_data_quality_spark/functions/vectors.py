@@ -24,6 +24,50 @@ def vector_dim(df: DataFrame, vec_col: str, dim: int | None = None) -> int | Non
     return None if row is None else len(row[0])
 
 
+def hyperplane_bucket_keys(vec: Column, tables: list[list[list[float]]]) -> Column:
+    """Random-hyperplane LSH bucket keys: ``array<struct<t:int, k:bigint>>``,
+    one entry per table; key bit i = sign of dot(vec, plane_i).
+
+    The hyperplanes are ONE nested array literal (constant-folded by
+    Catalyst) traversed with zip_with/aggregate lambdas — a single folded
+    expression regardless of tables x planes, instead of one aggregate tree
+    per plane (72 trees at 6x12 made codegen the bottleneck, not the math).
+    """
+    tbls = F.array(
+        *[
+            F.array(
+                *[F.array(*[F.lit(float(w)) for w in plane]) for plane in planes]
+            )
+            for planes in tables
+        ]
+    )
+    return F.zip_with(
+        tbls,
+        F.sequence(F.lit(0), F.lit(len(tables) - 1)),
+        lambda planes, t: F.struct(
+            t.cast("int").alias("t"),
+            F.aggregate(
+                planes,
+                F.lit(0).cast("long"),
+                # MSB-first bit packing: acc*2 + sign-bit. num_planes <= 62
+                # so the long never overflows.
+                lambda acc, plane: acc * 2
+                + F.when(
+                    F.aggregate(
+                        F.zip_with(vec, plane, lambda x, w: x * w),
+                        F.lit(0.0).cast("double"),
+                        lambda a, v: a + v,
+                    )
+                    > 0,
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .cast("long"),
+            ).alias("k"),
+        ),
+    )
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b

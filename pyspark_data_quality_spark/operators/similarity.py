@@ -124,7 +124,7 @@ def lsh_topk(
     """
     import random
 
-    from ..functions.vectors import vector_dim
+    from ..functions.vectors import hyperplane_bucket_keys, vector_dim
     from .dedup import cap_buckets
 
     dim = vector_dim(corpus, vec_col, dim)
@@ -141,35 +141,17 @@ def lsh_topk(
         for _ in range(num_tables)
     ]
 
-    def keys(vec) -> F.Column:
-        entries = []
-        for t, planes in enumerate(tables):
-            key = F.lit(0).cast("long")
-            for i, plane in enumerate(planes):
-                dot = F.aggregate(
-                    F.zip_with(
-                        vec, F.array(*[F.lit(w) for w in plane]), lambda x, p: x * p
-                    ),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, v: acc + v,
-                )
-                key = key.bitwiseOR(
-                    F.shiftleft(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
-                )
-            entries.append(F.struct(F.lit(t).alias("t"), key.alias("k")))
-        return F.array(*entries)
-
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        F.explode(keys(F.col(vec_col))).alias("_b"),
+        F.explode(hyperplane_bucket_keys(F.col(vec_col), tables)).alias("_b"),
     ).select("neighbor_id", "_cv", F.col("_b.t").alias("_t"), F.col("_b.k").alias("_k"))
     cb = cap_buckets(cb, ["_t", "_k"], max_bucket_size)
 
     qb = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qv"),
-        F.explode(keys(F.col(query_vec_col))).alias("_b"),
+        F.explode(hyperplane_bucket_keys(F.col(query_vec_col), tables)).alias("_b"),
     ).select("query_id", "_qv", F.col("_b.t").alias("_t"), F.col("_b.k").alias("_k"))
 
     candidates = (
