@@ -645,3 +645,63 @@ def dq_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", num_hashes=64, num_bands=16,
         shingle="word", shingle_n=3, threshold=0.8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming checks over `events` (SURVEY §7.5) — the entry queries run the
+# SAME plan in batch mode (Structured Streaming's unified model; the
+# streaming path with watermark + availableNow is covered by
+# tests/test_streaming.py, including batch==stream parity).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_event_windows",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(avg(value), 6) AS DOUBLE) AS avg_value,
+           CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def dq_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import windowed_counts
+
+    events = load_table(spark, "events", sf_dir)
+    out = windowed_counts(
+        events, ts_col="ts", duration="1 hour",
+        group_cols=["event_type"], value_col="value",
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "event_type", "n_events", "avg_value", "sum_value",
+    )
+
+
+@query(
+    "dq_event_quality_windows",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
+           count(*) AS n_rows,
+           CAST(round(avg(CASE WHEN props IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS props_nn_ratio,
+           CAST(round(avg(CASE WHEN coalesce(value >= 0.0 AND value <= 10.0, FALSE) THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS val_range_ratio
+    FROM events GROUP BY 1
+    """,
+)
+def dq_event_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour DQ pass ratios — the declarative rules' streaming surface
+    (windowed_pass_ratios), run here in batch mode for the oracle."""
+    from .streaming import windowed_pass_ratios
+
+    events = load_table(spark, "events", sf_dir)
+    rules = [
+        CompletenessColRatioRule(columns=["props"], name="props_nn"),
+        RangeRule(column="value", min_value=0.0, max_value=10.0, name="val_range"),
+    ]
+    out = windowed_pass_ratios(events, rules, ts_col="ts", duration="1 hour")
+    return out.select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "n_rows", "props_nn_ratio", "val_range_ratio",
+    )

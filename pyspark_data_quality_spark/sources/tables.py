@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: All driver-provided tables (TESTDATA.md).
 TABLES = (
@@ -30,9 +31,35 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Read one fixture table as a DataFrame (lazy parquet scan)."""
+    """Read one fixture table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects outright ([PARQUET_TYPE_ILLEGAL]); the supported route
+    is the ``nanosAsLong`` legacy conf (read as bigint nanos) plus an
+    explicit conversion to a microsecond timestamp. The conf stays set for
+    the session — it only affects nanos-typed parquet columns, of which the
+    fixtures have exactly this one.
+    """
     base = sf_dir or DEFAULT_SF_DIR
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{base}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{base}/{name}.parquet")
+
+
+def load_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming source over a directory of events parquet files (same
+    nanos handling as :func:`load_table`; schema pinned from a batch footer
+    read, as readStream requires an explicit schema)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_dir).schema
+    df = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(

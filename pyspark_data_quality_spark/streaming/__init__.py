@@ -1,0 +1,5 @@
+"""Streaming DQ checks (Structured Streaming) — see :mod:`.windows`."""
+
+from .windows import dedup_within_watermark, windowed_counts, windowed_pass_ratios
+
+__all__ = ["dedup_within_watermark", "windowed_counts", "windowed_pass_ratios"]

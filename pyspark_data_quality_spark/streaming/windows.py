@@ -1,0 +1,142 @@
+"""Streaming data-quality operators: watermarked windows, within-watermark
+dedup, and per-window rule pass-ratios.
+
+Every function here takes EITHER a batch or a streaming DataFrame and
+builds the same logical plan for both — Structured Streaming's unified
+model (SURVEY §7.5: the reference had no streaming at all; the `events`
+fixture is the target workload). On a stream, Spark turns the windowed
+aggregations into incremental stateful operators with watermark-based
+state eviction; on a batch frame the identical code is a plain groupBy.
+
+Scale notes:
+- Watermarks bound state: without one, windowed aggregation state grows
+  forever. Every streaming entry point REQUIRES a watermark argument.
+- ``dropDuplicatesWithinWatermark`` keeps only ~watermark-width of key
+  state, vs ``dropDuplicates`` on a stream which retains all keys ever
+  seen — the only sane dedup at 100 TB/day event rates.
+- Per-window aggregates are hash aggs with map-side partials; the shuffle
+  key is (window, group) so skew mirrors event-time/key skew — salt the
+  group key upstream if one entity dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.base import Rule
+from ..plans.compile import null_safe
+
+
+def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    """Apply the watermark on a stream; no-op on a batch frame (where
+    `withWatermark` would be rejected or meaningless)."""
+    if df.isStreaming and watermark:
+        return df.withWatermark(ts_col, watermark)
+    return df
+
+
+def windowed_counts(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str | None = None,
+    group_cols: list[str] | None = None,
+    value_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (default) or sliding (``slide`` set) window counts, plus
+    value stats when ``value_col`` is given.
+
+    Output: window_start/window_end (timestamps), the group columns,
+    ``n_events`` and (optionally) ``avg_value``/``sum_value`` rounded to 6.
+    """
+    src = _with_watermark(df, ts_col, watermark)
+    win = F.window(F.col(ts_col), duration, slide) if slide else F.window(
+        F.col(ts_col), duration
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs += [
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        ]
+    return (
+        src.groupBy(win.alias("_w"), *(group_cols or []))
+        .agg(*aggs)
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            *(group_cols or []),
+            *[c for c in ("n_events", "avg_value", "sum_value") if value_col or c == "n_events"],
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Drop duplicate events by ``keys``.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — state is bounded to the
+    watermark horizon (duplicates arriving within the lateness bound are
+    caught; older re-sends age out of state by design). Batch: plain
+    ``dropDuplicates`` over the same keys, so one code path serves both.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def windowed_pass_ratios(
+    df: DataFrame,
+    rules: list[Rule],
+    *,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-window DQ report: for every rule, the fraction of rows passing
+    its row predicate — the declarative rules' streaming surface.
+
+    ONE fused windowed aggregation (same design as the batch
+    AnalysisRunner): each rule contributes ``avg(predicate)`` into a single
+    groupBy(window), so N rules still cost one stateful operator.
+    Output: window_start, window_end, n_rows, then one ``<rule.name>_ratio``
+    column per rule (rounded to 6).
+    """
+    src = _with_watermark(df, ts_col, watermark)
+    for r in rules:
+        r.validate(df)
+    win = F.window(F.col(ts_col), duration, slide) if slide else F.window(
+        F.col(ts_col), duration
+    )
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for r in rules:
+        pred = r.row_predicate(df)
+        if pred is None:
+            continue
+        scoped = r.scope(df)
+        # Same null semantics as the batch ratio_agg: NULL-evaluating
+        # predicates count as failures, out-of-scope rows don't contribute.
+        aggs.append(
+            F.round(
+                F.avg(F.when(scoped, null_safe(pred).cast("double"))), 6
+            ).alias(f"{r.name}_ratio")
+        )
+    return (
+        src.groupBy(win.alias("_w"))
+        .agg(*aggs)
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "*",
+        )
+        .drop("_w")
+    )

@@ -1,0 +1,148 @@
+"""Streaming DQ operator tests: batch/stream parity over the same plans.
+
+Streams are driven from parquet directories with trigger(availableNow) into
+memory sinks — fully deterministic, no timers.
+"""
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_quality_spark.operators.completeness import (
+    CompletenessColRatioRule,
+)
+from pyspark_data_quality_spark.operators.validity import RangeRule
+from pyspark_data_quality_spark.sources.tables import (
+    load_events_stream,
+    load_table,
+)
+from pyspark_data_quality_spark.streaming import (
+    dedup_within_watermark,
+    windowed_counts,
+    windowed_pass_ratios,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    # readStream needs a directory of parquet files; the fixture table is a
+    # single file inside the sf dir, so copy it into its own directory.
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _run_stream(spark, stream_df, name=None, output_mode="complete"):
+    """availableNow -> memory sink -> return the sink contents as a df."""
+    name = name or f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_counts_batch(spark):
+    rows = [
+        (1, "2024-01-01 00:05:00", "click", 1.0),
+        (2, "2024-01-01 00:55:00", "click", 3.0),
+        (3, "2024-01-01 01:05:00", "view", 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windowed_counts(
+        df, ts_col="ts", duration="1 hour", group_cols=["event_type"],
+        value_col="value",
+    ).collect()
+    got = {(r["window_start"].hour, r["event_type"]): (r["n_events"], r["avg_value"]) for r in out}
+    assert got[(0, "click")] == (2, 2.0)
+    assert got[(1, "view")] == (1, 5.0)
+
+
+def test_windowed_counts_stream_matches_batch(spark, sf_dir, events_dir):
+    batch = load_table(spark, "events", sf_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in windowed_counts(
+            batch, duration="1 hour", group_cols=["event_type"]
+        ).collect()
+    }
+    stream = load_events_stream(spark, events_dir)
+    sdf = windowed_counts(stream, duration="1 hour", group_cols=["event_type"])
+    assert sdf.isStreaming
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in _run_stream(spark, sdf).collect()
+    }
+    assert got == expected  # identical plan, batch == stream at availableNow
+
+
+def test_sliding_windows(spark):
+    rows = [(1, "2024-01-01 00:10:00", "a", 1.0)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windowed_counts(df, duration="1 hour", slide="30 minutes").collect()
+    # one event falls into two sliding windows
+    assert len(out) == 2 and all(r["n_events"] == 1 for r in out)
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 00:00:01", "click", 1.0),
+        (1, "2024-01-01 00:00:05", "click", 1.0),   # dup key within watermark
+        (2, "2024-01-01 00:01:00", "view", 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "dups")
+    df.coalesce(1).write.parquet(d)
+
+    # batch path
+    assert dedup_within_watermark(df, ["event_id"]).count() == 2
+
+    # streaming path: dropDuplicatesWithinWatermark keeps the first arrival
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    out = _run_stream(
+        spark,
+        dedup_within_watermark(stream, ["event_id"], watermark="10 minutes"),
+        output_mode="append",
+    )
+    assert out.count() == 2
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
+
+
+def test_windowed_pass_ratios_batch_and_stream(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 00:05:00", "click", 5.0),
+        (2, "2024-01-01 00:15:00", "click", 50.0),   # out of range
+        (3, "2024-01-01 00:25:00", None, 5.0),       # null event_type
+        (4, "2024-01-01 01:05:00", "view", 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    rules = [
+        CompletenessColRatioRule(columns=["event_type"], name="et_nn"),
+        RangeRule(column="value", min_value=0.0, max_value=10.0, name="val_range"),
+    ]
+    out = windowed_pass_ratios(df, rules, duration="1 hour")
+    rows_out = {r["window_start"].hour: r for r in out.collect()}
+    assert rows_out[0]["n_rows"] == 3
+    assert rows_out[0]["et_nn_ratio"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows_out[0]["val_range_ratio"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows_out[1]["et_nn_ratio"] == 1.0
+
+    d = str(tmp_path / "ratios")
+    df.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    sout = _run_stream(
+        spark, windowed_pass_ratios(stream, rules, duration="1 hour")
+    )
+    srows = {r["window_start"].hour: r for r in sout.collect()}
+    assert srows[0]["et_nn_ratio"] == rows_out[0]["et_nn_ratio"]
+    assert srows[1]["val_range_ratio"] == rows_out[1]["val_range_ratio"]
