@@ -705,3 +705,94 @@ def dq_event_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").cast("long").alias("window_epoch"),
         "n_rows", "props_nn_ratio", "val_range_ratio",
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential consistency (FK membership) — FIXTURES.md §B names this as the
+# primary DQ use of region/nation. The fixture FKs are clean, so the second
+# rule checks against a deliberately RESTRICTED reference (nations of
+# regions 0-2) to exercise the violation path on real data.
+# ---------------------------------------------------------------------------
+
+
+def _fk_rules(spark: SparkSession, sf_dir: str):
+    from .operators.consistency import ReferentialIntegrityRule
+
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    r1 = ReferentialIntegrityRule(
+        columns=["n_regionkey"], ref_df=region, ref_columns=["r_regionkey"],
+        name="nation_region_fk",
+    )
+    r2 = ReferentialIntegrityRule(
+        columns=["c_nationkey"],
+        ref_df=nation.filter(F.col("n_regionkey") <= 2),
+        ref_columns=["n_nationkey"],
+        threshold=0.5,
+        name="customer_nation_fk",
+    )
+    return nation, customer, r1, r2
+
+
+@query(
+    "dq_fk_report",
+    """
+    SELECT 'referential_integrity' AS metric_name, 'n_regionkey' AS "column",
+           'consistency' AS dimension,
+           CAST(round(avg(CASE WHEN EXISTS (
+             SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey
+           ) THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS value,
+           CAST(1.0 AS DOUBLE) AS threshold,
+           CASE WHEN avg(CASE WHEN EXISTS (
+             SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey
+           ) THEN 1.0 ELSE 0.0 END) >= 1.0 THEN 'SUCCESS' ELSE 'FAILURE' END AS status
+    FROM nation n
+    UNION ALL
+    SELECT 'referential_integrity', 'c_nationkey', 'consistency',
+           CAST(round(avg(CASE WHEN EXISTS (
+             SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey <= 2
+           ) THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE),
+           CAST(0.5 AS DOUBLE),
+           CASE WHEN avg(CASE WHEN EXISTS (
+             SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey <= 2
+           ) THEN 1.0 ELSE 0.0 END) >= 0.5 THEN 'SUCCESS' ELSE 'FAILURE' END
+    FROM customer c
+    """,
+)
+def dq_fk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, customer, r1, r2 = _fk_rules(spark, sf_dir)
+    m1 = DQManager(spark).set_data(nation).add_rule(r1).run()
+    m2 = DQManager(spark).set_data(customer).add_rule(r2).run()
+    proj = lambda m: m.select(  # noqa: E731
+        "metric_name",
+        "column",
+        "dimension",
+        F.round(F.col("value_double"), 6).alias("value"),
+        F.round(F.col("threshold"), 6).alias("threshold"),
+        F.split(F.col("value_string"), ":").getItem(0).alias("status"),
+    )
+    return proj(m1.get_metric_results()).unionByName(
+        proj(m2.get_metric_results())
+    )
+
+
+@query(
+    "dq_fk_violations",
+    """
+    SELECT c_custkey, c_nationkey, 'customer_nation_fk' AS failed_rules
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM nation n
+      WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey <= 2
+    )
+    """,
+)
+def dq_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, customer, _, r2 = _fk_rules(spark, sf_dir)
+    res = DQManager(spark).set_data(customer).add_rule(r2).run()
+    return res.get_invalid_df().select(
+        "c_custkey",
+        "c_nationkey",
+        F.concat_ws(",", F.array_sort("failed_rules")).alias("failed_rules"),
+    )

@@ -1,5 +1,6 @@
 from .base import Rule, RunContext
 from .completeness import CompletenessColRatioRule, CompletenessRawRatioRule
+from .consistency import ReferentialIntegrityRule
 from .freshness import FreshnessRule
 from .uniqueness import UniqueRule
 from .validity import PredicateRule, RangeRule, RegexMatchRule, SetMembershipRule
@@ -10,6 +11,7 @@ __all__ = [
     "FreshnessRule",
     "PredicateRule",
     "RangeRule",
+    "ReferentialIntegrityRule",
     "RegexMatchRule",
     "Rule",
     "RunContext",

@@ -29,6 +29,11 @@ from ..plans.compile import ConditionLike, require_columns, to_condition
 
 _rule_counter = itertools.count()
 
+#: Prefix for internal helper columns a rule's ``prepare`` may add to the
+#: input frame (e.g. FK-membership markers). ResultObj strips them from
+#: every user-facing output.
+MARKER_PREFIX = "_dq_"
+
 
 class Rule:
     """Base declarative rule.
@@ -75,11 +80,21 @@ class Rule:
     def scope(self, df: DataFrame) -> Column:
         return to_condition(self.condition, df)
 
+    def prepare(self, df: DataFrame) -> DataFrame:
+        """Optional plan transform applied to the input BEFORE predicates
+        and the fused agg are compiled — the hook for rules whose check
+        requires more than a scalar expression (e.g. referential integrity
+        adds a membership marker via one broadcast left join). Helper
+        columns must be prefixed with :data:`MARKER_PREFIX` so ResultObj
+        can strip them. Default: identity. Still zero Spark actions."""
+        return df
+
     def row_predicate(self, df: DataFrame) -> Optional[Column]:
         """Boolean Column: True iff the row passes this rule.
 
         Out-of-scope rows must evaluate True (they are not judged).
         Return None for rules with no row-level notion (dataset-level only).
+        ``df`` is the output of every rule's ``prepare`` fold.
         """
         return None
 

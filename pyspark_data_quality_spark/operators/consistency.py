@@ -1,0 +1,133 @@
+"""Referential-consistency rule: FK membership against a reference table.
+
+The reference framework had no cross-table rule at all (every check was
+single-table, ``checks/base_check.py``); FIXTURES.md §B names FK checks as
+the primary DQ use of the ``region``/``nation`` dims. Semantics follow SQL
+``EXISTS``: a row passes iff its FK tuple appears in the reference's key
+set (NULL FK fails by default — no three-valued NOT IN surprises;
+``ignore_nulls=True`` treats NULL FKs as out of scope, i.e. passing, with
+completeness left to a completeness rule).
+
+Scale design: the reference key set is deduplicated and (by default)
+broadcast, so the membership test is a broadcast LEFT join — zero shuffle
+of the fact table, stacked into the same stage as the scan and the fused
+aggregate. For reference tables too big to broadcast, pass
+``broadcast=False`` to let AQE pick a shuffle join. The join adds ONE
+boolean marker column consumed by the standard predicate machinery, so FK
+rules compose with every other rule in the single fused pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.enums import Dimension
+from ..core.errors import RuleConfigurationError
+from ..core.models import MetricResult
+from ..plans.compile import and_fold, or_fold, ratio_agg, require_columns
+from .base import Rule, RunContext
+
+
+class ReferentialIntegrityRule(Rule):
+    dimension = Dimension.CONSISTENCY
+    metric_name = "referential_integrity"
+
+    def __init__(
+        self,
+        *,
+        columns: list[str],
+        ref_df: DataFrame,
+        ref_columns: list[str] | None = None,
+        ignore_nulls: bool = False,
+        broadcast: bool = True,
+        **kw,
+    ):
+        kw.setdefault("threshold", 1.0)
+        super().__init__(columns=columns, **kw)
+        if not self.columns:
+            raise RuleConfigurationError(
+                "ReferentialIntegrityRule requires FK columns"
+            )
+        self.ref_columns = list(ref_columns or self.columns)
+        if len(self.ref_columns) != len(self.columns):
+            raise RuleConfigurationError(
+                "columns and ref_columns must have equal length"
+            )
+        require_columns(ref_df, self.ref_columns)
+        self.ref_df = ref_df
+        self.ignore_nulls = ignore_nulls
+        self.broadcast = broadcast
+        self.name = kw.get("name") or f"fk({','.join(self.columns)})"
+        self._marker = f"_dq_{self.rule_id}_ok"
+        self._key_alias = [f"_dq_{self.rule_id}_k{i}" for i in range(len(self.columns))]
+
+    # -- spec surface ------------------------------------------------------
+
+    def prepare(self, df: DataFrame) -> DataFrame:
+        """LEFT-join the deduplicated reference key set, leaving one
+        boolean marker column. Dedup on the keys makes the join
+        multiplicity-safe (a non-unique reference key must not fan out
+        fact rows)."""
+        keys = self.ref_df.select(
+            *[
+                F.col(rc).alias(alias)
+                for rc, alias in zip(self.ref_columns, self._key_alias)
+            ]
+        ).dropDuplicates()
+        keys = keys.withColumn(self._marker, F.lit(True))
+        if self.broadcast:
+            keys = F.broadcast(keys)
+        cond = and_fold(
+            [
+                F.col(fk) == F.col(alias)
+                for fk, alias in zip(self.columns, self._key_alias)
+            ]
+        )
+        return df.join(keys, cond, "left").drop(*self._key_alias)
+
+    def row_predicate(self, df: DataFrame) -> Column:
+        ok = F.coalesce(F.col(self._marker), F.lit(False))
+        if self.ignore_nulls:
+            any_null = or_fold([F.col(c).isNull() for c in self.columns])
+            return F.when(any_null, F.lit(True)).otherwise(ok)
+        return ok
+
+    def aggregates(self, df: DataFrame) -> dict[str, Column]:
+        return {"ratio": ratio_agg(self.scope(df), self.row_predicate(df), "ratio")}
+
+    def metrics(self, slots: dict[str, object], ctx: RunContext) -> list[MetricResult]:
+        v = slots.get("ratio")
+        ratio = None if v is None else float(v)
+        status = self._status(ratio)
+        return [
+            self._metric(
+                ctx,
+                column=",".join(self.columns),
+                value=ratio,
+                status=status,
+                message=(
+                    f"{status.value}: FK match ratio "
+                    f"{'n/a' if ratio is None else f'{ratio:.6f}'} "
+                    f"vs threshold {self.threshold}"
+                ),
+                extra={
+                    "ref_columns": ",".join(self.ref_columns),
+                    "ignore_nulls": str(self.ignore_nulls),
+                },
+            )
+        ]
+
+    # -- diagnostics -------------------------------------------------------
+
+    def orphan_keys(self, df: DataFrame) -> DataFrame:
+        """Distinct violating FK tuples with multiplicities (group-level
+        diagnostic, one extra job when asked for)."""
+        prepared = self.prepare(df)
+        return (
+            prepared.filter(
+                self.scope(prepared) & ~F.coalesce(F.col(self._marker), F.lit(False))
+            )
+            .groupBy(*self.columns)
+            .agg(F.count(F.lit(1)).alias("count"))
+        )

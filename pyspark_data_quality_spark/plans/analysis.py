@@ -49,6 +49,11 @@ class AnalysisRunner:
     def run(df: DataFrame, rules: list["Rule"], ctx: "RunContext") -> list[MetricResult]:
         for rule in rules:
             rule.validate(df)
+        # Rules with join-shaped checks (FK membership) transform the frame
+        # first; the fused agg then runs over the prepared plan — broadcast
+        # joins stack into the same stage, so this stays ONE job.
+        for rule in rules:
+            df = rule.prepare(df)
         exprs = AnalysisRunner.compile_aggregates(df, rules)
         slots_by_rule: dict[str, dict[str, object]] = {r.rule_id: {} for r in rules}
         if exprs:

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .core.models import METRIC_SCHEMA
-from .operators.base import Rule, RunContext
+from .operators.base import MARKER_PREFIX, Rule, RunContext
 from .plans.analysis import AnalysisRunner
 
 FAILED_RULES_COL = "failed_rules"
@@ -52,19 +52,34 @@ class ResultObj:
 
     # -- row classification --------------------------------------------------
 
+    def _prepared_df(self) -> DataFrame:
+        """Fold the input through every rule's ``prepare`` (identity for
+        most rules; FK rules chain broadcast joins here — N FK rules are
+        still one scan of the fact table, joins stacked in one stage)."""
+        df = self.df
+        for rule in self.rules:
+            df = rule.prepare(df)
+        return df
+
+    @staticmethod
+    def _strip_markers(df: DataFrame) -> DataFrame:
+        helpers = [c for c in df.columns if c.startswith(MARKER_PREFIX)]
+        return df.drop(*helpers) if helpers else df
+
     def annotated_df(self) -> DataFrame:
         """Input df + ``failed_rules: array<string>`` (empty = all pass)."""
+        prepared = self._prepared_df()
         entries = []
         for rule in self.rules:
-            violation = rule.row_violation(self.df)
+            violation = rule.row_violation(prepared)
             if violation is not None:
                 entries.append(F.when(violation, F.lit(rule.name)))
         if not entries:
-            return self.df.withColumn(
-                FAILED_RULES_COL, F.array().cast("array<string>")
+            return self._strip_markers(
+                prepared.withColumn(FAILED_RULES_COL, F.array().cast("array<string>"))
             )
-        return self.df.withColumn(
-            FAILED_RULES_COL, F.array_compact(F.array(*entries))
+        return self._strip_markers(
+            prepared.withColumn(FAILED_RULES_COL, F.array_compact(F.array(*entries)))
         )
 
     def get_valid_df(self) -> DataFrame:
@@ -96,12 +111,14 @@ class ResultObj:
         rule's dedup transform."""
         from .plans.compile import and_fold
 
+        prepared = self._prepared_df()
         preds = [
             p
-            for p in (r.scoped_pass_predicate(self.df) for r in self.rules)
+            for p in (r.scoped_pass_predicate(prepared) for r in self.rules)
             if p is not None
         ]
-        out = self.df.filter(and_fold(preds)) if preds else self.df
+        out = prepared.filter(and_fold(preds)) if preds else prepared
+        out = self._strip_markers(out)
         for rule in self.rules:
             transform = getattr(rule, "transform_valid", None)
             if transform is not None:

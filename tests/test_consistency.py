@@ -1,0 +1,107 @@
+"""ReferentialIntegrityRule tests: metrics, valid/invalid split, null FK
+semantics, orphan diagnostics, and composition with other rules in the
+fused pass."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_quality_spark import DQManager
+from pyspark_data_quality_spark.core.errors import RuleConfigurationError
+from pyspark_data_quality_spark.operators import (
+    CompletenessColRatioRule,
+    ReferentialIntegrityRule,
+)
+
+
+@pytest.fixture
+def facts(spark):
+    rows = [
+        (1, 10, "a"),
+        (2, 20, "b"),
+        (3, 99, "c"),     # orphan FK
+        (4, None, "d"),   # NULL FK
+        (5, 20, None),    # valid FK, null payload
+    ]
+    return spark.createDataFrame(rows, ["id", "dim_id", "payload"])
+
+
+@pytest.fixture
+def dim(spark):
+    # duplicate key on purpose: the rule must not fan out fact rows
+    return spark.createDataFrame(
+        [(10, "x"), (20, "y"), (20, "y2"), (30, "z")], ["dim_key", "name"]
+    )
+
+
+def test_fk_metrics_and_split(spark, facts, dim):
+    rule = ReferentialIntegrityRule(
+        columns=["dim_id"], ref_df=dim, ref_columns=["dim_key"], name="fk_dim"
+    )
+    res = DQManager(spark).set_data(facts).add_rule(rule).run()
+
+    m = res.get_metric_results().collect()[0]
+    assert m["metric_name"] == "referential_integrity"
+    assert m["dimension"] == "consistency"
+    assert m["value_double"] == pytest.approx(3 / 5)
+    assert m["value_string"].startswith("FAILURE")
+
+    valid_ids = sorted(r["id"] for r in res.get_valid_df().collect())
+    assert valid_ids == [1, 2, 5]  # join must not duplicate id=2/5 (dup ref key)
+    invalid = {r["id"]: r["failed_rules"] for r in res.get_invalid_df().collect()}
+    assert set(invalid) == {3, 4}
+    assert invalid[3] == ["fk_dim"]
+    # no helper/marker columns leak into outputs
+    assert set(res.get_valid_df().columns) == {"id", "dim_id", "payload"}
+
+
+def test_fk_ignore_nulls(spark, facts, dim):
+    rule = ReferentialIntegrityRule(
+        columns=["dim_id"], ref_df=dim, ref_columns=["dim_key"],
+        ignore_nulls=True,
+    )
+    res = DQManager(spark).set_data(facts).add_rule(rule).run()
+    assert res.get_metric_results().collect()[0]["value_double"] == pytest.approx(4 / 5)
+    assert sorted(r["id"] for r in res.get_valid_df().collect()) == [1, 2, 4, 5]
+
+
+def test_fk_composes_with_other_rules(spark, facts, dim):
+    rules = [
+        ReferentialIntegrityRule(
+            columns=["dim_id"], ref_df=dim, ref_columns=["dim_key"], name="fk"
+        ),
+        CompletenessColRatioRule(columns=["payload"], name="nn"),
+    ]
+    mgr = DQManager(spark).set_data(facts)
+    for r in rules:
+        mgr.add_rule(r)
+    res = mgr.run()
+    metrics = {m["metric_name"]: m["value_double"] for m in res.get_metric_results().collect()}
+    assert metrics["referential_integrity"] == pytest.approx(3 / 5)
+    assert metrics["completeness_col_ratio"] == pytest.approx(4 / 5)
+    inv = {r["id"]: sorted(r["failed_rules"]) for r in res.get_invalid_df().collect()}
+    assert inv == {3: ["fk"], 4: ["fk"], 5: ["nn"]}
+
+
+def test_fk_orphan_keys(spark, facts, dim):
+    rule = ReferentialIntegrityRule(
+        columns=["dim_id"], ref_df=dim, ref_columns=["dim_key"]
+    )
+    orphans = {(r["dim_id"], r["count"]) for r in rule.orphan_keys(facts).collect()}
+    assert orphans == {(99, 1), (None, 1)}
+
+
+def test_fk_config_errors(spark, dim):
+    with pytest.raises(RuleConfigurationError):
+        ReferentialIntegrityRule(columns=[], ref_df=dim)
+    with pytest.raises(RuleConfigurationError):
+        ReferentialIntegrityRule(
+            columns=["a", "b"], ref_df=dim, ref_columns=["dim_key"]
+        )
+
+
+def test_fk_broadcast_plan(spark, facts, dim):
+    rule = ReferentialIntegrityRule(
+        columns=["dim_id"], ref_df=dim, ref_columns=["dim_key"]
+    )
+    plan = rule.prepare(facts)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # zero fact-side shuffle
