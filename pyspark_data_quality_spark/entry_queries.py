@@ -796,3 +796,31 @@ def dq_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.concat_ws(",", F.array_sort("failed_rules")).alias("failed_rules"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing over `documents`-as-media: the byte-level audit path
+# (size + md5 via Arrow-batched mapInPandas) is exact and oracle-checkable;
+# decode-level ops (resize/frames/audio) run the deterministic fake decoder
+# and are certified by unit tests (tests/test_multimodal.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_media_stats",
+    """
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum_md5
+    FROM documents
+    """,
+)
+def dq_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload integrity audit via mapInPandas (the fixture text is
+    ASCII, so octet length == strlen and DuckDB's md5(text) equals the
+    Spark-side md5 of the UTF-8 payload bytes)."""
+    from .multimodal import media_stats, text_as_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = text_as_media(docs)
+    return media_stats(media).select("media_id", "n_bytes", "checksum_md5")

@@ -1,0 +1,335 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata,
+processed with Arrow-batched ``mapInPandas`` pipelines.
+
+Model (the standard large-scale layout — media rides WITH the row):
+- payload: a ``binary`` column (encoded image/audio/video bytes);
+- metadata: a typed struct column (:data:`MEDIA_META_SCHEMA`) carrying
+  what the pipeline needs WITHOUT decoding (width/height/channels,
+  sample rate, duration, container format).
+
+Execution shape: every operator here is ``mapInPandas`` — one Python
+worker per partition, Arrow-batched transfer (no per-row pickling), batch
+size governed by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (tune it
+DOWN for large payloads: 10k rows x 1 MB images = 10 GB per batch is an
+OOM, ~256 rows is sane). Operators preserve partitioning — no shuffle is
+introduced; co-locate upstream (e.g. repartition by storage key) before
+heavy decode so workers stream sequential bytes.
+
+Decode stubs: this container has no image/audio codec libraries, so the
+REAL decoders raise ``NotImplementedError`` by design; ``decoder='fake'``
+yields a deterministic array derived from the payload bytes (tiled, not
+random), so every downstream computation — pooling resize, pixel stats,
+frame sampling, RMS/zero-crossings — is real, tested math on stable
+inputs. Swapping in pillow/ffmpeg later only replaces ``_decode_*``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Typed metadata struct carried next to every binary payload.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),          # image|audio|video
+        T.StructField("format", T.StringType()),        # png|wav|mp4|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),  # audio/video
+        T.StructField("duration_ms", T.LongType()),     # audio/video
+    ]
+)
+
+
+def text_as_media(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kind: str = "image",
+    width: int = 32,
+    height: int = 32,
+    channels: int = 3,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Deterministic media table from a text fixture: payload = UTF-8 bytes
+    of the text, metadata typed per ``kind``. This is the test/bench stand-in
+    for real object-store payloads — byte-level ops (stats, checksums) are
+    exact; decode-level ops run through the fake decoder."""
+    dur = (F.length(text_col).cast("long") * 10).alias("duration_ms")
+    meta = F.struct(
+        F.lit(kind).alias("kind"),
+        F.lit("raw").alias("format"),
+        F.lit(width).cast("int").alias("width"),
+        F.lit(height).cast("int").alias("height"),
+        F.lit(channels).cast("int").alias("channels"),
+        F.lit(sample_rate).cast("int").alias("sample_rate"),
+        dur,
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("data"),
+        meta.alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level stats (no decode needed — always real)
+# ---------------------------------------------------------------------------
+
+_STATS_SCHEMA = (
+    "media_id long, n_bytes long, checksum_md5 string, entropy double"
+)
+
+
+def media_stats(df: DataFrame, *, id_col: str = "media_id", data_col: str = "data") -> DataFrame:
+    """Per-payload byte statistics: size, md5, Shannon entropy (bits/byte).
+
+    Pure ``mapInPandas``: the binary column arrives as one Arrow buffer per
+    batch; nothing is decoded, so this runs at I/O speed and is the standard
+    first-pass integrity/size audit over a 100 TB media corpus.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[data_col]
+            ent = []
+            md5s = []
+            sizes = []
+            for b in payloads:
+                b = bytes(b) if b is not None else b""
+                sizes.append(len(b))
+                md5s.append(hashlib.md5(b).hexdigest())
+                if b:
+                    counts = np.bincount(
+                        np.frombuffer(b, dtype=np.uint8), minlength=256
+                    )
+                    p = counts[counts > 0] / len(b)
+                    ent.append(float(-(p * np.log2(p)).sum()))
+                else:
+                    ent.append(0.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "checksum_md5": md5s,
+                    "entropy": pd.Series(ent, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(gen, schema=_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Decoders (real = stubbed; fake = deterministic bytes->array)
+# ---------------------------------------------------------------------------
+
+
+def _fake_pixels(data: bytes, height: int, width: int, channels: int) -> np.ndarray:
+    """Deterministic uint8 (h, w, c) array: payload bytes tiled to size.
+    Same payload + shape -> identical pixels, so tests are exact."""
+    if not data:
+        return np.zeros((height, width, channels), dtype=np.uint8)
+    flat = np.frombuffer(data, dtype=np.uint8)
+    return np.resize(flat, (height, width, channels))
+
+
+def decode_image(data: bytes, *, height: int, width: int, channels: int, decoder: str = "real") -> np.ndarray:
+    """Decode an image payload to an (h, w, c) uint8 array.
+
+    ``decoder='real'`` requires an image codec library (pillow / opencv),
+    which is NOT available in this environment — it raises
+    ``NotImplementedError`` by design; plug the library in here when
+    deploying. ``decoder='fake'`` is the deterministic test decoder.
+    """
+    if decoder == "fake":
+        return _fake_pixels(data, height, width, channels)
+    raise NotImplementedError(
+        "real image decoding requires pillow/opencv (not installed in this "
+        "environment); use decoder='fake' for the deterministic test path"
+    )
+
+
+def _fake_pcm(data: bytes, n_samples: int) -> np.ndarray:
+    """Deterministic int16 PCM: payload bytes tiled and centered."""
+    if not data:
+        return np.zeros(n_samples, dtype=np.int16)
+    flat = np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+    return (np.resize(flat, n_samples) - 128) * 256
+
+
+# ---------------------------------------------------------------------------
+# Image ops
+# ---------------------------------------------------------------------------
+
+_IMG_FEATURES_SCHEMA = (
+    "media_id long, mean_pixel double, std_pixel double, "
+    "width int, height int, channels int"
+)
+
+
+def image_features(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    meta_col: str = "meta",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Decode (fake by default — see :func:`decode_image`) and emit basic
+    pixel statistics. Vectorized numpy per Arrow batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data, meta in zip(pdf[id_col], pdf[data_col], pdf[meta_col]):
+                h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
+                px = decode_image(
+                    bytes(data), height=h, width=w, channels=c, decoder=decoder
+                ).astype(np.float64)
+                rows.append((int(mid), float(px.mean()), float(px.std()), w, h, c))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "mean_pixel", "std_pixel",
+                    "width", "height", "channels",
+                ],
+            )
+
+    return df.mapInPandas(gen, schema=_IMG_FEATURES_SCHEMA)
+
+
+_RESIZE_SCHEMA = "media_id long, data binary, width int, height int, channels int"
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    out_width: int,
+    out_height: int,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    meta_col: str = "meta",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Mean-pool resize to (out_height, out_width); output payload is the
+    raw resized pixel buffer. The pooling itself is real math (block mean
+    over integer-ratio grids, nearest-neighbor sampling otherwise)."""
+
+    def _resize(px: np.ndarray) -> np.ndarray:
+        h, w, c = px.shape
+        if h % out_height == 0 and w % out_width == 0:
+            bh, bw = h // out_height, w // out_width
+            return (
+                px.reshape(out_height, bh, out_width, bw, c)
+                .mean(axis=(1, 3))
+                .astype(np.uint8)
+            )
+        yi = (np.arange(out_height) * h // out_height).clip(0, h - 1)
+        xi = (np.arange(out_width) * w // out_width).clip(0, w - 1)
+        return px[yi][:, xi]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data, meta in zip(pdf[id_col], pdf[data_col], pdf[meta_col]):
+                h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
+                px = decode_image(
+                    bytes(data), height=h, width=w, channels=c, decoder=decoder
+                )
+                out = _resize(px)
+                rows.append((int(mid), out.tobytes(), out_width, out_height, c))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "data", "width", "height", "channels"]
+            )
+
+    return df.mapInPandas(gen, schema=_RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video / audio ops
+# ---------------------------------------------------------------------------
+
+_FRAME_SCHEMA = "media_id long, frame_idx int, frame_data binary"
+
+
+def frame_sample(
+    df: DataFrame,
+    *,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    meta_col: str = "meta",
+    decoder: str = "fake",
+    max_frames: int = 64,
+) -> DataFrame:
+    """Sample one frame every ``every_ms`` of duration — one OUTPUT ROW PER
+    FRAME (mapInPandas yields more rows than it consumes; no explode needed).
+    ``max_frames`` caps per-asset fan-out so one pathological 10-hour video
+    cannot blow up a partition."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data, meta in zip(pdf[id_col], pdf[data_col], pdf[meta_col]):
+                h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
+                dur = int(meta["duration_ms"])
+                n = min(max(dur // every_ms, 1), max_frames)
+                for i in range(n):
+                    # fake per-frame payload: frame index salted into bytes
+                    frame = decode_image(
+                        bytes(data) + i.to_bytes(4, "little"),
+                        height=h, width=w, channels=c, decoder=decoder,
+                    )
+                    rows.append((int(mid), i, frame.tobytes()))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_data"])
+
+    return df.mapInPandas(gen, schema=_FRAME_SCHEMA)
+
+
+_AUDIO_SCHEMA = (
+    "media_id long, n_samples long, rms double, zero_crossing_rate double"
+)
+
+
+def audio_features(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    meta_col: str = "meta",
+    decoder: str = "fake",
+) -> DataFrame:
+    """PCM-level features (RMS, zero-crossing rate) over fake-decoded audio;
+    real DSP math on deterministic samples."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data, meta in zip(pdf[id_col], pdf[data_col], pdf[meta_col]):
+                sr = int(meta["sample_rate"])
+                dur = int(meta["duration_ms"])
+                n = max(int(sr * dur / 1000), 1)
+                if decoder != "fake":
+                    raise NotImplementedError(
+                        "real audio decoding requires soundfile/ffmpeg "
+                        "(not installed); use decoder='fake'"
+                    )
+                pcm = _fake_pcm(bytes(data), n).astype(np.float64)
+                rms = float(math.sqrt((pcm**2).mean()))
+                zc = float((np.diff(np.signbit(pcm)) != 0).mean()) if n > 1 else 0.0
+                rows.append((int(mid), n, rms, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "rms", "zero_crossing_rate"],
+            )
+
+    return df.mapInPandas(gen, schema=_AUDIO_SCHEMA)

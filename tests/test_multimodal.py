@@ -1,0 +1,109 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, partition
+preservation, determinism of the fake decoder, and the stubbed real path."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_quality_spark.multimodal import (
+    audio_features,
+    decode_image,
+    frame_sample,
+    image_features,
+    media_stats,
+    resize_images,
+    text_as_media,
+)
+
+
+@pytest.fixture
+def media(spark):
+    rows = [(i, f"payload number {i} " * (i + 1)) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return text_as_media(df, width=8, height=8, channels=3)
+
+
+def test_media_schema(media):
+    assert dict(media.dtypes)["data"] == "binary"
+    meta_fields = {
+        f.name: f.dataType.simpleString()
+        for f in media.schema["meta"].dataType.fields
+    }
+    assert meta_fields["width"] == "int"
+    assert meta_fields["duration_ms"] == "bigint"
+
+
+def test_media_stats_exact(spark, media):
+    out = {r["media_id"]: r for r in media_stats(media).collect()}
+    raw = {r["doc_id"]: r["text"] for r in spark.createDataFrame(
+        [(i, f"payload number {i} " * (i + 1)) for i in range(6)], ["doc_id", "text"]
+    ).collect()}
+    for mid, text in raw.items():
+        b = text.encode("utf-8")
+        assert out[mid]["n_bytes"] == len(b)
+        assert out[mid]["checksum_md5"] == hashlib.md5(b).hexdigest()
+        assert 0.0 < out[mid]["entropy"] < 8.0
+
+
+def test_media_stats_batch_shape(spark, media):
+    # Force tiny Arrow batches: the op must produce identical results
+    # regardless of batch partitioning (no cross-row state).
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        small = {tuple(r) for r in media_stats(media).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    big = {tuple(r) for r in media_stats(media).collect()}
+    assert small == big
+
+
+def test_partitioning_preserved(media):
+    df4 = media.repartition(4)
+    assert media_stats(df4).rdd.getNumPartitions() == 4  # no shuffle added
+
+
+def test_image_features_deterministic(media):
+    a = {tuple(r) for r in image_features(media).collect()}
+    b = {tuple(r) for r in image_features(media).collect()}
+    assert a == b and len(a) == 6
+    for r in a:
+        assert 0.0 <= r[1] <= 255.0  # mean_pixel
+
+
+def test_resize_images(media):
+    out = resize_images(media, out_width=4, out_height=4).collect()
+    for r in out:
+        assert r["width"] == 4 and r["height"] == 4
+        assert len(r["data"]) == 4 * 4 * 3  # exact resized buffer size
+
+
+def test_frame_sample_fanout(media):
+    frames = frame_sample(media, every_ms=100, max_frames=5).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # duration_ms = 10 * n_chars, capped at 5 frames
+    assert all(1 <= len(v) <= 5 for v in by_id.values())
+    # distinct frames per asset (index salts the fake payload)
+    f0 = sorted(by_id[5], key=lambda r: r["frame_idx"])
+    assert len({bytes(r["frame_data"]) for r in f0}) == len(f0)
+
+
+def test_audio_features(spark):
+    rows = [(1, "some audio-ish payload content")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    media = text_as_media(df, kind="audio", sample_rate=8000)
+    r = audio_features(media).collect()[0]
+    assert r["n_samples"] == 8000 * (len(rows[0][1]) * 10) // 1000
+    assert r["rms"] > 0.0
+    assert 0.0 <= r["zero_crossing_rate"] <= 1.0
+
+
+def test_real_decoder_is_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc", height=2, width=2, channels=1, decoder="real")
+    with pytest.raises(Exception):
+        # Spark wraps the NotImplementedError raised inside the UDF
+        image_features(media, decoder="real").collect()
