@@ -24,6 +24,132 @@ def vector_dim(df: DataFrame, vec_col: str, dim: int | None = None) -> int | Non
     return None if row is None else len(row[0])
 
 
+def hyperplane_keys_np(tables: list[list[list[float]]]):
+    """Arrow-vectorized hyperplane LSH keys: a pandas_udf mapping a vector
+    column to ``array<long>`` (one bucket key per table).
+
+    Why a UDF here: higher-order-function expressions (zip_with/aggregate)
+    are evaluated per-element INTERPRETED — tables x planes x dim ops/row
+    (4608 at 6x12x64) made key computation the measured bottleneck of the
+    LSH operators. One batched matrix multiply (rows x dim @ dim x T*P)
+    replaces all of it; the Arrow hop transfers only the vector column.
+    The expression path (:func:`hyperplane_bucket_keys`) remains for
+    UDF-free deployments.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    num_tables = len(tables)
+    num_planes = len(tables[0])
+    planes = np.asarray(tables, dtype=np.float64).reshape(
+        num_tables * num_planes, -1
+    )
+    weights = (1 << np.arange(num_planes, dtype=np.int64))
+
+    def keys(v):
+        out = [None] * len(v)
+        valid = [i for i, x in enumerate(v) if x is not None and len(x) > 0]
+        if valid:
+            mat = np.vstack([np.asarray(v.iloc[i], dtype=np.float64) for i in valid])
+            bits = (mat @ planes.T) > 0  # (n, tables*planes)
+            bits = bits.reshape(len(valid), num_tables, num_planes)
+            ks = (bits * weights).sum(axis=2).astype(np.int64)  # (n, tables)
+            for row, i in enumerate(valid):
+                out[i] = ks[row].tolist()
+        return pd.Series(out)
+
+    # Real annotation objects (this module uses `from __future__ import
+    # annotations`, which would stringify inline hints and break pyspark's
+    # pandas_udf signature inspection).
+    keys.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(keys, "array<long>")
+
+
+def shingle_hashes_np(shingle: str = "word", n: int = 3, seed: int = 42):
+    """Arrow-vectorized shingling: a pandas_udf mapping a text column to
+    the DISTINCT 64-bit shingle hashes (``array<long>``; NULL when the text
+    yields no shingles).
+
+    Normalization matches :func:`..functions.text.normalize_text` (lower,
+    collapse whitespace, trim); shingles are ``n``-word joins or char
+    n-grams. Hash = salted blake2b-8 (deterministic across workers, unlike
+    Python's ``hash``). Why a UDF: building shingle STRINGS with
+    slice/array_join expressions is interpreted per element and dominated
+    the MinHash pipeline; here the strings never materialize in the plan —
+    downstream MinHash and Jaccard verification run on the hash arrays.
+    """
+    import hashlib
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+")
+    salt = seed.to_bytes(8, "little", signed=True)
+
+    def f(texts):
+        out = [None] * len(texts)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            norm = ws.sub(" ", t.lower()).strip()
+            if shingle == "word":
+                toks = [x for x in norm.split(" ") if x]
+                if len(toks) < n:
+                    continue
+                items = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+            else:
+                if len(norm) < n:
+                    continue
+                items = {norm[j : j + n] for j in range(len(norm) - n + 1)}
+            out[i] = [
+                int.from_bytes(
+                    hashlib.blake2b(salt + s.encode("utf-8"), digest_size=8).digest(),
+                    "little",
+                    signed=True,
+                )
+                for s in items
+            ]
+        return pd.Series(out)
+
+    f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "array<long>")
+
+
+def minhash_rehash_np(num_hashes: int = 64, seed: int = 42):
+    """Arrow-vectorized MinHash from pre-hashed shingles: a pandas_udf
+    mapping ``array<bigint>`` (one xxhash64 per shingle, computed JVM-side
+    where string hashing is cheap) to the ``array<bigint>`` signature.
+
+    Hash family: h_i = a_i * h + b_i over Z_2^64 (odd a_i), the standard
+    multiply-shift rehash — one hash of the string, num_hashes integer
+    mixes, all in one numpy broadcast per row instead of num_hashes
+    interpreted tree-walks per shingle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(0, 2**63, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 2**63, size=num_hashes).astype(np.uint64)
+
+    def sig(hashes):
+        out = [None] * len(hashes)
+        with np.errstate(over="ignore"):
+            for i, h in enumerate(hashes):
+                if h is None or len(h) == 0:
+                    continue
+                hh = np.asarray(h, dtype=np.int64).astype(np.uint64)
+                mixed = a[:, None] * hh[None, :] + b[:, None]  # wraps mod 2^64
+                out[i] = mixed.min(axis=1).astype(np.int64).tolist()
+        return pd.Series(out)
+
+    sig.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
+    return pandas_udf(sig, "array<long>")
+
+
 def hyperplane_bucket_keys(vec: Column, tables: list[list[list[float]]]) -> Column:
     """Random-hyperplane LSH bucket keys: ``array<struct<t:int, k:bigint>>``,
     one entry per table; key bit i = sign of dot(vec, plane_i).

@@ -107,6 +107,7 @@ def lsh_topk(
     seed: int = 42,
     dim: int | None = None,
     max_bucket_size: int | None = 10000,
+    impl: str = "np",
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing at least one
     hyperplane-LSH bucket with the query (any of ``num_tables`` tables).
@@ -124,8 +125,8 @@ def lsh_topk(
     """
     import random
 
-    from ..functions.vectors import hyperplane_bucket_keys, vector_dim
-    from .dedup import cap_buckets
+    from ..functions.vectors import vector_dim
+    from .dedup import _explode_hyperplane_buckets, cap_buckets
 
     dim = vector_dim(corpus, vec_col, dim)
     if dim is None:  # empty corpus: empty result with the contract schema
@@ -141,18 +142,21 @@ def lsh_topk(
         for _ in range(num_tables)
     ]
 
-    cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        F.explode(hyperplane_bucket_keys(F.col(vec_col), tables)).alias("_b"),
-    ).select("neighbor_id", "_cv", F.col("_b.t").alias("_t"), F.col("_b.k").alias("_k"))
+    cb = _explode_hyperplane_buckets(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        ),
+        "_cv", tables, impl, ["neighbor_id", "_cv"],
+    )
     cb = cap_buckets(cb, ["_t", "_k"], max_bucket_size)
 
-    qb = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("_qv"),
-        F.explode(hyperplane_bucket_keys(F.col(query_vec_col), tables)).alias("_b"),
-    ).select("query_id", "_qv", F.col("_b.t").alias("_t"), F.col("_b.k").alias("_k"))
+    qb = _explode_hyperplane_buckets(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_qv"),
+        ),
+        "_qv", tables, impl, ["query_id", "_qv"],
+    )
 
     candidates = (
         cb.join(F.broadcast(qb), on=["_t", "_k"])
