@@ -53,9 +53,24 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warm-up on a trivial plan so the first query isn't
-    # charged for session startup.
+    # Warm-up: JVM/codegen, the parquet datasource, and the Python UDF
+    # workers + Arrow channel, so the first measured query isn't charged
+    # for one-time session startup.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import col, pandas_udf
+
+    def _identity(s):
+        return s
+
+    _identity.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    warm_udf = pandas_udf(_identity, "long")
+    spark.range(1000).select(warm_udf(col("id"))).write.format("noop").mode(
         "overwrite"
     ).save()
 

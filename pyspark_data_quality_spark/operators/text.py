@@ -25,19 +25,116 @@ from ..functions.text import (
 )
 
 
-def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append the standard text-analysis columns to ``df``."""
+def text_profile(df: DataFrame, text_col: str = "text", impl: str = "np") -> DataFrame:
+    """Append the standard text-analysis columns to ``df``.
+
+    ``impl='np'`` (default) computes the token-level signals in ONE
+    Arrow-batched ``mapInPandas`` pass: the expression path builds every
+    signal from higher-order functions (filter/aggregate/transform over
+    the token array), which Spark evaluates INTERPRETED per element — the
+    measured bottleneck at fixture scale. Hashing (xxhash64/md5 of the
+    normalized text) and the round(,6) stay JVM-side: native string
+    expressions are codegen-fast, and Spark's HALF_UP rounding must not be
+    replaced by Python's banker's rounding (oracle parity). Both impls
+    produce identical values; ``impl='expr'`` keeps the UDF-free plan.
+    """
+    if impl == "expr":
+        return (
+            df.withColumn("token_count", token_count(text_col))
+            .withColumn("bpe_token_count", bpe_ish_token_count(text_col))
+            .withColumn("stopword_ratio", F.round(stopword_ratio(text_col), 6))
+            .withColumn("punct_ratio", F.round(punct_ratio(text_col), 6))
+            .withColumn("mean_word_len", F.round(mean_word_length(text_col), 6))
+            .withColumn("quality_score", quality_score(text_col))
+            .withColumn("lang_pred", lang_id(text_col))
+            .withColumn("fingerprint", doc_fingerprint(text_col))
+            .withColumn("fingerprint_md5", doc_md5(text_col))
+        )
     return (
-        df.withColumn("token_count", token_count(text_col))
-        .withColumn("bpe_token_count", bpe_ish_token_count(text_col))
-        .withColumn("stopword_ratio", F.round(stopword_ratio(text_col), 6))
-        .withColumn("punct_ratio", F.round(punct_ratio(text_col), 6))
-        .withColumn("mean_word_len", F.round(mean_word_length(text_col), 6))
-        .withColumn("quality_score", quality_score(text_col))
-        .withColumn("lang_pred", lang_id(text_col))
+        _profile_signals_np(df, text_col)
+        .withColumn("stopword_ratio", F.round(F.col("_sw_raw"), 6))
+        .withColumn("punct_ratio", F.round(F.col("_punct_raw"), 6))
+        .withColumn("mean_word_len", F.round(F.col("_mwl_raw"), 6))
+        .drop("_sw_raw", "_punct_raw", "_mwl_raw")
         .withColumn("fingerprint", doc_fingerprint(text_col))
         .withColumn("fingerprint_md5", doc_md5(text_col))
     )
+
+
+def _profile_signals_np(df: DataFrame, text_col: str) -> DataFrame:
+    """mapInPandas pass computing the token-level profile signals with the
+    SAME semantics as the expression builders in :mod:`..functions.text`:
+    ASCII regex classes (Java regex \\s and \\w are ASCII; Python's default
+    is unicode, hence ``re.ASCII``), float division of exact integer
+    counts (IEEE-identical across engines), raw un-rounded ratios."""
+    import re
+
+    from pyspark.sql import types as T
+
+    from ..functions.text import LANG_MARKERS, STOPWORDS_EN
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("token_count", T.LongType()),
+            T.StructField("bpe_token_count", T.LongType()),
+            T.StructField("_sw_raw", T.DoubleType()),
+            T.StructField("_punct_raw", T.DoubleType()),
+            T.StructField("_mwl_raw", T.DoubleType()),
+            T.StructField("quality_score", T.DoubleType()),
+            T.StructField("lang_pred", T.StringType()),
+        ]
+    )
+    ws_re = re.compile(r"\s+", re.ASCII)
+    bpe_re = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]", re.ASCII)
+    punct_re = re.compile(r"[^\w\s]", re.ASCII)
+    stop = frozenset(STOPWORDS_EN)
+    markers = {lang: frozenset(ws) for lang, ws in LANG_MARKERS.items()}
+
+    def gen(batches):
+        for pdf in batches:
+            tc, bpe, sw, punct, mwl, qual, lang = [], [], [], [], [], [], []
+            for text in pdf[text_col]:
+                raw = text if text is not None else ""
+                norm = ws_re.sub(" ", raw.lower()).strip()
+                toks = [t for t in norm.split(" ") if t] if norm else []
+                n = len(toks)
+                tc.append(n)
+                bpe.append(len(bpe_re.findall(raw)))
+                sw_r = (sum(1 for t in toks if t in stop) / n) if n else 0.0
+                mwl_r = (sum(len(t) for t in toks) / n) if n else 0.0
+                p_r = (
+                    (len(norm) - len(punct_re.sub("", norm))) / len(norm)
+                    if norm
+                    else 0.0
+                )
+                sw.append(sw_r)
+                mwl.append(mwl_r)
+                punct.append(p_r)
+                qual.append(
+                    (0.25 if 10 <= n <= 100000 else 0.0)
+                    + (0.25 if sw_r >= 0.05 else 0.0)
+                    + (0.25 if 2.0 <= mwl_r <= 12.0 else 0.0)
+                    + (0.25 if p_r <= 0.2 else 0.0)
+                )
+                # same tie-break as lang_id: max (hits, lang) — highest
+                # hit count, ties to the lexicographically greatest code
+                best = max(
+                    (sum(1 for t in toks if t in ws), lg)
+                    for lg, ws in markers.items()
+                )
+                lang.append(best[1] if best[0] > 0 else "und")
+            out = pdf.copy()
+            out["token_count"] = tc
+            out["bpe_token_count"] = bpe
+            out["_sw_raw"] = sw
+            out["_punct_raw"] = punct
+            out["_mwl_raw"] = mwl
+            out["quality_score"] = qual
+            out["lang_pred"] = lang
+            yield out
+
+    return df.mapInPandas(gen, out_schema)
 
 
 def quality_summary(df: DataFrame, text_col: str = "text", group_col: str | None = None) -> DataFrame:

@@ -237,3 +237,12 @@ def test_embedding_pairs_dim_param_and_empty(spark, vecs):
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         ),
     ).count() == 0
+
+
+def test_text_profile_np_matches_expr(spark, docs):
+    cols = ["doc_id", "token_count", "bpe_token_count", "stopword_ratio",
+            "punct_ratio", "mean_word_len", "quality_score", "lang_pred",
+            "fingerprint", "fingerprint_md5"]
+    a = {tuple(r) for r in text_profile(docs, impl="np").select(*cols).collect()}
+    b = {tuple(r) for r in text_profile(docs, impl="expr").select(*cols).collect()}
+    assert a == b  # the Arrow path must be value-identical to expressions
