@@ -239,28 +239,42 @@ def dq_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rule.group_diagnostics(li)
 
 
+_DEDUP_ORDER = [
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate", "l_partkey", "l_suppkey",
+]
+
+
 @query(
     "dq_dedup_survivors",
     """
-    SELECT l_orderkey, l_linenumber,
-           min(l_quantity) AS quantity,
-           round(min(l_extendedprice), 2) AS price
-    FROM lineitem
-    GROUP BY l_orderkey, l_linenumber
+    SELECT l_orderkey, l_linenumber, l_quantity AS quantity,
+           round(l_extendedprice, 2) AS price
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY l_orderkey, l_linenumber
+        ORDER BY l_quantity NULLS FIRST, l_extendedprice NULLS FIRST,
+                 l_discount NULLS FIRST, l_tax NULLS FIRST,
+                 l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+                 l_shipdate NULLS FIRST, l_partkey NULLS FIRST,
+                 l_suppkey NULLS FIRST
+      ) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
     """,
 )
 def dq_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic dedup: one survivor per key. `dropDuplicates` picks an
-    arbitrary row (reference `unique_chek.py:82` inherits that); for an
-    oracle-comparable result we take per-key minima — same shuffle shape
-    (hash partial-agg on the key) as dropDuplicates at scale."""
+    """Reference `valid` (unique_chek.py:78-82) with a DETERMINISTIC
+    survivor: UniqueRule.deduplicated(order_by=...) keeps the first row
+    per key under a total ordering, so the oracle can reproduce the exact
+    surviving rows (dropDuplicates' pick is arbitrary and un-oracle-able)."""
     li = load_table(spark, "lineitem", sf_dir)
-    return (
-        li.groupBy("l_orderkey", "l_linenumber")
-        .agg(
-            F.min("l_quantity").alias("quantity"),
-            F.round(F.min("l_extendedprice"), 2).alias("price"),
-        )
+    rule = UniqueRule(columns=["l_orderkey", "l_linenumber"], name="pk")
+    return rule.deduplicated(li, order_by=_DEDUP_ORDER).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        F.round("l_extendedprice", 2).alias("price"),
     )
 
 

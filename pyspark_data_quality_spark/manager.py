@@ -19,6 +19,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .core.config import Config
 from .core.errors import NoDataError
 from .operators.base import Rule, RunContext
 from .result import ResultObj
@@ -28,9 +29,16 @@ class DQManager:
     """Register rules against a DataFrame; ``run()`` returns a lazy
     :class:`~pyspark_data_quality_spark.result.ResultObj`."""
 
-    def __init__(self, spark: SparkSession, dataset: str = "", run_id: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        dataset: str = "",
+        run_id: str | None = None,
+        config: Config | None = None,
+    ):
         self.spark = spark
-        self.dataset = dataset
+        self.config = config or Config()
+        self.dataset = dataset or self.config.dataset
         self.run_id = run_id or uuid.uuid4().hex
         self._df: DataFrame | None = None
         self._rules: list[Rule] = []

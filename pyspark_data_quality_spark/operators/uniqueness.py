@@ -107,12 +107,32 @@ class UniqueRule(Rule):
             df.filter(scope).dropDuplicates(self.columns)
         )
 
-    def deduplicated(self, df: DataFrame) -> DataFrame:
+    def deduplicated(
+        self, df: DataFrame, order_by: list[str] | None = None
+    ) -> DataFrame:
         """One surviving row per key within scope (reference `valid`,
-        ``unique_chek.py:78-82``). Hash-aggregate dedup: one shuffle on the
-        key columns; AQE handles skewed keys."""
+        ``unique_chek.py:78-82``).
+
+        Default: ``dropDuplicates`` — hash-aggregate dedup, one shuffle on
+        the key columns, AQE handles skew, but the survivor is whichever
+        row the aggregate sees first (nondeterministic across runs, as in
+        the reference). Pass ``order_by`` for a DETERMINISTIC survivor: the
+        first row per key under that ordering (nulls first), via one
+        row_number window — same single shuffle on the keys, plus a
+        partition sort."""
         scoped = df.filter(self.scope(df))
-        return scoped.dropDuplicates(self.columns)
+        if order_by is None:
+            return scoped.dropDuplicates(self.columns)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*[F.col(c) for c in self.columns]).orderBy(
+            *[F.col(c).asc_nulls_first() for c in order_by]
+        )
+        return (
+            scoped.withColumn("_dq_rn", F.row_number().over(w))
+            .filter(F.col("_dq_rn") == 1)
+            .drop("_dq_rn")
+        )
 
     def group_diagnostics(self, df: DataFrame) -> DataFrame:
         """Duplicate key groups with multiplicities (reference `invalid`,

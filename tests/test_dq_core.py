@@ -137,3 +137,18 @@ def test_empty_rules_metrics_empty(spark, people):
     metrics = res.get_metric_results()
     assert metrics.count() == 0
     assert metrics.schema == METRIC_SCHEMA
+
+
+def test_env_config(spark, monkeypatch):
+    from pyspark_data_quality_spark import DQManager
+    from pyspark_data_quality_spark.core.config import Config
+
+    monkeypatch.setenv("DQ_DATASET", "from_env")
+    monkeypatch.setenv("DQ_APPROX_RSD", "0.05")
+    cfg = Config()
+    assert cfg.dataset == "from_env"
+    assert cfg.approx_rsd == 0.05
+    mgr = DQManager(spark)
+    assert mgr.dataset == "from_env"
+    # explicit arg wins over env
+    assert DQManager(spark, dataset="explicit").dataset == "explicit"
