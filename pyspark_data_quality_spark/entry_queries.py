@@ -838,3 +838,51 @@ def dq_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     media = text_as_media(docs)
     return media_stats(media).select("media_id", "n_bytes", "checksum_md5")
+
+
+# ---------------------------------------------------------------------------
+# Remaining dedup surfaces: SimHash (approximate -> rows-only) and exact
+# n-gram Jaccard on a bounded subset (full O(n²) oracle).
+# ---------------------------------------------------------------------------
+
+
+@query("dq_simhash_pairs")  # rows-only: banded SimHash is approximate
+def dq_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+@query(
+    "dq_ngram_jaccard",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct([substr(norm, i, 3) FOR i IN range(1, len(norm) - 1)]) AS grams
+      FROM (SELECT doc_id, {_SQL_NORM} AS norm FROM documents WHERE doc_id < 100)
+      WHERE len(norm) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(round(
+             len(list_intersect(a.grams, b.grams)) * 1.0 /
+             len(list_distinct(list_concat(a.grams, b.grams))), 6
+           ) AS DOUBLE) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+          len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+    """,
+)
+def dq_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-3-gram Jaccard pairs on a FIXED 100-doc subset — the
+    brute-force path (use_lsh_blocking=False) whose O(n²) plan is the
+    oracle baseline; the scale path is dq_minhash_pairs."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.5,
+        use_lsh_blocking=False,
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("jaccard").cast("double").alias("jaccard")
+    )

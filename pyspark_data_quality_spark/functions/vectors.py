@@ -117,6 +117,56 @@ def shingle_hashes_np(shingle: str = "word", n: int = 3, seed: int = 42):
     return pandas_udf(f, "array<long>")
 
 
+def simhash_np(seed: int = 42):
+    """Arrow-vectorized 64-bit SimHash of the token multiset: a pandas_udf
+    mapping text to BIGINT (NULL for token-less text).
+
+    Same construction as :func:`..operators.dedup.simhash` (bit j set iff
+    the +1/-1 vote sum over token-hash bit j is positive) with a salted
+    blake2b-8 token hash; the 64 x tokens vote matrix is one numpy
+    broadcast instead of 64 interpreted aggregate passes per row.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+", re.ASCII)
+    salt = seed.to_bytes(8, "little", signed=True)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << bit_idx
+
+    def f(texts):
+        out = [None] * len(texts)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            norm = ws.sub(" ", t.lower()).strip()
+            toks = [x for x in norm.split(" ") if x]
+            if not toks:
+                continue
+            hs = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(salt + x.encode("utf-8"), digest_size=8).digest(),
+                        "little",
+                    )
+                    for x in toks
+                ],
+                dtype=np.uint64,
+            )
+            bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            packed = (weights * (votes > 0)).sum(dtype=np.uint64)
+            out[i] = int(packed.astype(np.int64))
+        return pd.Series(out)
+
+    f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "long")
+
+
 def minhash_rehash_np(num_hashes: int = 64, seed: int = 42):
     """Arrow-vectorized MinHash from pre-hashed shingles: a pandas_udf
     mapping ``array<bigint>`` (one xxhash64 per shingle, computed JVM-side

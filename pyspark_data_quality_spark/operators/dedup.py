@@ -382,14 +382,23 @@ def simhash_near_dup_pairs(
     num_bands: int = 4,
     seed: int = 42,
     max_bucket_size: int | None = 1000,
+    impl: str = "np",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates from 16-bit band buckets
     (a pair within hamming<=3 of 64 bits shares at least one of 4 bands by
     pigeonhole), verified by exact hamming distance. Oversized buckets are
-    dropped per :func:`cap_buckets`."""
+    dropped per :func:`_bucket_pairs`. ``impl='np'`` computes the simhash
+    with one Arrow pass (:func:`..functions.vectors.simhash_np`);
+    ``'expr'`` keeps the UDF-free expression simhash."""
     bits_per_band = 64 // num_bands
+    if impl == "np":
+        from ..functions.vectors import simhash_np
+
+        sh_col = simhash_np(seed)(F.col(text_col))
+    else:
+        sh_col = simhash(text_col, seed=seed)
     base = df.select(
-        F.col(id_col).alias("_id"), simhash(text_col, seed=seed).alias("_sh")
+        F.col(id_col).alias("_id"), sh_col.alias("_sh")
     ).filter(F.col("_sh").isNotNull())
 
     mask = (1 << bits_per_band) - 1
