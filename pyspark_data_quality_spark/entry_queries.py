@@ -886,3 +886,55 @@ def dq_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("id_a"), F.col("id_b"), F.col("jaccard").cast("double").alias("jaccard")
     )
+
+
+@query(
+    "dq_event_sessions",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), g AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sess_id
+      FROM s
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+           count(*) AS n_events,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS last_event_epoch
+    FROM g GROUP BY user_id, sess_id
+    """,
+)
+def dq_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (session_window, 30-min gap). The oracle is the
+    classic gap-and-islands rewrite; the boundary uses >= because Spark
+    merges an event into a session only while the gap is STRICTLY below
+    the threshold."""
+    from .streaming import session_counts
+
+    events = load_table(spark, "events", sf_dir)
+    out = session_counts(events, ts_col="ts", gap="30 minutes", group_cols=["user_id"])
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start_epoch"),
+        "n_events",
+        F.col("last_event").cast("long").alias("last_event_epoch"),
+    )
+
+
+@query("dq_ivf_topk")  # rows-only: approximate op, no SQL oracle
+def dq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic spherical-k-means quantizer (one tiny
+    training action), then an action-free inverted-file probe query."""
+    from .operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _emb_double(spark, sf_dir)
+    cents = train_ivf_centroids(emb, num_centroids=32, sample_size=2048)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries_df, centroids=cents, k=10, nprobe=8)

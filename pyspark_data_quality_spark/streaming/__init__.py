@@ -1,5 +1,15 @@
 """Streaming DQ checks (Structured Streaming) — see :mod:`.windows`."""
 
-from .windows import dedup_within_watermark, windowed_counts, windowed_pass_ratios
+from .windows import (
+    dedup_within_watermark,
+    session_counts,
+    windowed_counts,
+    windowed_pass_ratios,
+)
 
-__all__ = ["dedup_within_watermark", "windowed_counts", "windowed_pass_ratios"]
+__all__ = [
+    "dedup_within_watermark",
+    "session_counts",
+    "windowed_counts",
+    "windowed_pass_ratios",
+]

@@ -74,6 +74,44 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    group_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sessionization via ``session_window``: events of a group belong to
+    one session while each gap is strictly less than ``gap``.
+
+    Output: group cols, session_start/session_end (the window; end = last
+    event + gap by Spark's definition), n_events, last_event. Batch and
+    streaming share the plan; on a stream this is Spark's dedicated
+    session-window state store (merging windows, watermark eviction) — the
+    custom-stateful-operator escape hatch (applyInPandasWithState) is not
+    needed for gap sessions.
+    """
+    src = _with_watermark(df, ts_col, watermark)
+    return (
+        src.groupBy(
+            *(group_cols or []),
+            F.session_window(F.col(ts_col), gap).alias("_w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(ts_col).alias("last_event"),
+        )
+        .select(
+            *(group_cols or []),
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+            "last_event",
+        )
+    )
+
+
 def dedup_within_watermark(
     df: DataFrame,
     keys: list[str],

@@ -146,3 +146,42 @@ def test_windowed_pass_ratios_batch_and_stream(spark, tmp_path):
     srows = {r["window_start"].hour: r for r in sout.collect()}
     assert srows[0]["et_nn_ratio"] == rows_out[0]["et_nn_ratio"]
     assert srows[1]["val_range_ratio"] == rows_out[1]["val_range_ratio"]
+
+
+def test_session_counts_batch(spark):
+    from pyspark_data_quality_spark.streaming import session_counts
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "a", 1.0),
+        (2, "2024-01-01 00:10:00", 7, "a", 1.0),   # same session (10m gap)
+        (3, "2024-01-01 01:00:00", 7, "a", 1.0),   # new session (50m gap)
+        (4, "2024-01-01 00:05:00", 9, "a", 1.0),   # other user
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = session_counts(df, gap="30 minutes", group_cols=["user_id"]).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[7]) == 2 and len(by_user[9]) == 1
+    first = min(by_user[7], key=lambda r: r["session_start"])
+    assert first["n_events"] == 2
+    # session end = last event + gap (Spark's session_window definition)
+    assert (first["session_end"] - first["last_event"]).total_seconds() == 1800
+
+
+def test_session_counts_stream_smoke(spark, events_dir):
+    from pyspark_data_quality_spark.streaming import session_counts
+
+    stream = load_events_stream(spark, events_dir)
+    sdf = session_counts(
+        stream, gap="30 minutes", group_cols=["user_id"], watermark="1 hour"
+    )
+    assert sdf.isStreaming
+    out = _run_stream(spark, sdf, output_mode="complete")
+    batch_src = spark.read.parquet(events_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    batch = session_counts(batch_src, gap="30 minutes", group_cols=["user_id"])
+    assert out.count() == batch.count()  # availableNow: stream == batch

@@ -246,3 +246,29 @@ def test_text_profile_np_matches_expr(spark, docs):
     a = {tuple(r) for r in text_profile(docs, impl="np").select(*cols).collect()}
     b = {tuple(r) for r in text_profile(docs, impl="expr").select(*cols).collect()}
     assert a == b  # the Arrow path must be value-identical to expressions
+
+
+def test_ivf_topk_recall(spark, vecs):
+    from pyspark_data_quality_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(
+        vecs, num_centroids=8, sample_size=100, seed=42
+    )
+    assert len(cents) == 8 and len(cents[0]) == 8
+    # deterministic training: same corpus -> identical centroids
+    assert cents == train_ivf_centroids(vecs, num_centroids=8, sample_size=100, seed=42)
+
+    queries = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(vecs, queries, k=3)
+    approx = ivf_topk(vecs, queries, centroids=cents, k=3, nprobe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    for q in range(3):
+        assert (q, q) in a          # self always recalled
+        assert (q, 100 + q) in a    # planted near-copy lands in same list
+    assert len(a & e) / len(e) >= 0.5
