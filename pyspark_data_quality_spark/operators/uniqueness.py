@@ -38,6 +38,10 @@ class UniqueRule(Rule):
 
     dimension = Dimension.UNIQUENESS
     metric_name = "unique_ratio"
+    #: row_violation is a window expression over the FULL frame — it can't
+    #: be a WHERE predicate and must not see a pre-filtered input
+    #: (ResultObj dispatches on this).
+    violation_is_analytic = True
 
     def __init__(self, *, exact: bool = False, rsd: float = 0.01, **kw):
         super().__init__(**kw)

@@ -83,9 +83,39 @@ class ResultObj:
         )
 
     def get_valid_df(self) -> DataFrame:
-        """Rows passing every rule (original schema)."""
-        ann = self.annotated_df()
-        return ann.filter(F.size(FAILED_RULES_COL) == 0).drop(FAILED_RULES_COL)
+        """Rows passing every rule (original schema).
+
+        When every rule's violation is a plain row predicate, this is a
+        PLAIN CONJUNCTION filter rather than ``size(failed_rules) == 0``
+        over the annotation array: the array expression is opaque to
+        Catalyst, while the conjunction decomposes into scan-level
+        predicates (IsNotNull, range bounds) that push down to the parquet
+        reader — at 100 TB the difference between scanning everything and
+        skipping row groups. NULL-valued violations count as passes,
+        matching ``array_compact``'s drop of NULL entries.
+
+        Rules with ANALYTIC violations (``violation_is_analytic`` — e.g.
+        uniqueness, whose violation is a window count over the FULL frame)
+        cannot sit in a WHERE clause and must not see a pre-filtered
+        frame, so their presence falls back to the annotation path (their
+        per-key shuffle dominates that plan anyway).
+        """
+        from .plans.compile import and_fold
+
+        if any(getattr(r, "violation_is_analytic", False) for r in self.rules):
+            ann = self.annotated_df()
+            return ann.filter(F.size(FAILED_RULES_COL) == 0).drop(FAILED_RULES_COL)
+
+        prepared = self._prepared_df()
+        violations = [
+            v
+            for v in (r.row_violation(prepared) for r in self.rules)
+            if v is not None
+        ]
+        if not violations:
+            return self.df
+        keep = and_fold([F.coalesce(~v, F.lit(True)) for v in violations])
+        return self._strip_markers(prepared.filter(keep))
 
     def get_invalid_df(self, with_reasons: bool = True) -> DataFrame:
         """Rows failing at least one rule; keeps ``failed_rules`` unless
