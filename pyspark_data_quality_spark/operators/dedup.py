@@ -540,14 +540,24 @@ def embedding_near_dup_pairs(
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
 
     if brute_force:
-        l, r = base.alias("l"), base.alias("r")
+        from ..functions.vectors import dot, norm
+
+        # norms once per vector, not per pair — identical IEEE expression,
+        # one interpreted array-aggregate per pair instead of three
+        nb = base.withColumn("_n", norm(F.col("_v")))
+        l, r = nb.alias("l"), nb.alias("r")
         return (
             l.join(r, F.col("l._id") < F.col("r._id"))
             .select(
                 F.col("l._id").alias("id_a"),
                 F.col("r._id").alias("id_b"),
                 F.round(
-                    cosine_similarity(F.col("l._v"), F.col("r._v")), 6
+                    F.when(
+                        F.col("l._n") * F.col("r._n") > 0,
+                        dot(F.col("l._v"), F.col("r._v"))
+                        / (F.col("l._n") * F.col("r._n")),
+                    ),
+                    6,
                 ).alias("cosine"),
             )
             .filter(F.col("cosine") >= threshold)

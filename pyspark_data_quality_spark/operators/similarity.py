@@ -49,19 +49,33 @@ def brute_force_topk(
     shuffle; the only shuffle is the per-query top-k window over scored
     rows.
     """
+    from ..functions.vectors import dot, norm
+
+    # Norms precomputed ONCE per vector (not per pair): cosine becomes
+    # dot/(_cn*_qn) — the identical IEEE expression with 1 array-aggregate
+    # per pair instead of 3 (the interpreted HOF evals are the cost).
     scored = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
     ).crossJoin(
         F.broadcast(
             queries.select(
                 F.col(query_id_col).alias("query_id"),
                 F.col(query_vec_col).alias("_qv"),
+                norm(F.col(query_vec_col)).alias("_qn"),
             )
         )
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("_cv"), F.col("_qv")), 6).alias("cosine"),
+        F.round(
+            F.when(
+                F.col("_cn") * F.col("_qn") > 0,
+                dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
