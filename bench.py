@@ -75,11 +75,15 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one broken query must not kill the bench
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     out = {
         "metric": "dq_suite_seconds",
@@ -88,6 +92,8 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 

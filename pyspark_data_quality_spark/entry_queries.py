@@ -938,3 +938,35 @@ def dq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_topk(emb, queries_df, centroids=cents, k=10, nprobe=8)
+
+
+@query(
+    "dq_quality_cube",
+    _SQL_PROFILE_CTE
+    + """
+    SELECT coalesce(source, 'ALL') AS source_grp,
+           coalesce(lang_pred, 'ALL') AS lang_grp,
+           count(*) AS n_docs,
+           CAST(round(avg(quality_score), 6) AS DOUBLE) AS avg_quality
+    FROM scored GROUP BY CUBE(source, lang_pred)
+    """,
+)
+def dq_quality_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality rollup over ALL grouping-set combinations of (source,
+    lang_pred) — one cube aggregation (Expand + single hash agg), the
+    standard shape for multi-dimensional DQ dashboards."""
+    docs = load_table(spark, "documents", sf_dir)
+    prof = text_profile(docs)
+    return (
+        prof.cube("source", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source_grp"),
+            F.coalesce(F.col("lang_pred"), F.lit("ALL")).alias("lang_grp"),
+            "n_docs",
+            "avg_quality",
+        )
+    )

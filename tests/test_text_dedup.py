@@ -272,3 +272,36 @@ def test_ivf_topk_recall(spark, vecs):
         assert (q, q) in a          # self always recalled
         assert (q, 100 + q) in a    # planted near-copy lands in same list
     assert len(a & e) / len(e) >= 0.5
+
+
+def test_dedup_components(spark):
+    from pyspark_data_quality_spark.operators.dedup import dedup_components
+
+    # chain 1-2-3, star {10,11}~12, singleton pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 12), (11, 12), (20, 21)], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["component"] for r in dedup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_minhash_dedup_connected_vs_greedy(spark):
+    from pyspark_data_quality_spark.operators.dedup import minhash_dedup
+
+    # star shape: docs 1 and 2 are both near-dups of 3 (and of each other
+    # weakly) — transitive clustering must keep ONE of the cluster.
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [
+        (1, base + " extra one"),
+        (2, base + " extra two"),
+        (3, base),
+        (9, "completely different text about distributed shuffle engines ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(num_hashes=64, num_bands=32, threshold=0.5)
+    greedy = sorted(r["doc_id"] for r in minhash_dedup(df, "text", "doc_id", **kw).collect())
+    conn = sorted(r["doc_id"] for r in minhash_dedup(
+        df, "text", "doc_id", connected=True, **kw
+    ).collect())
+    assert conn == [1, 9]          # one survivor per component
+    assert set(conn) <= set(greedy)  # greedy keeps a superset
