@@ -150,14 +150,37 @@ def exact_dedup(
     return df.join(survivors, on=id_col, how="semi")
 
 
-def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Groups of exact duplicates: fingerprint, multiplicity, member ids."""
+def exact_dup_groups(
+    df: DataFrame, text_col: str, id_col: str, *, max_ids: int = 1000
+) -> DataFrame:
+    """Groups of exact duplicates: fingerprint, multiplicity, member ids.
+
+    ``ids`` keeps only the ``max_ids`` smallest members: a web-scale corpus
+    has million-row duplicate clusters, and an unbounded ``collect_list``
+    would concentrate a whole cluster's ids in one aggregation buffer. The
+    cap is enforced BEFORE collection (row_number over the fingerprint,
+    same key as the groupBy, so the aggregation reuses the window's
+    partitioning — one shuffle total) and ``count`` is always the TRUE
+    multiplicity."""
+    ranked = df.select(
+        F.col(id_col), doc_fingerprint(text_col).alias("fingerprint")
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+        ),
+    )
     return (
-        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
-        .groupBy("fingerprint")
+        ranked.groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("count"),
-            F.sort_array(F.collect_list(id_col)).alias("ids"),
+            F.sort_array(
+                F.array_compact(
+                    F.collect_list(
+                        F.when(F.col("_rn") <= max_ids, F.col(id_col))
+                    )
+                )
+            ).alias("ids"),
         )
         .filter(F.col("count") > 1)
     )

@@ -2,6 +2,7 @@
 
 from .windows import (
     dedup_within_watermark,
+    running_totals,
     session_counts,
     windowed_counts,
     windowed_pass_ratios,
@@ -9,6 +10,7 @@ from .windows import (
 
 __all__ = [
     "dedup_within_watermark",
+    "running_totals",
     "session_counts",
     "windowed_counts",
     "windowed_pass_ratios",

@@ -178,3 +178,64 @@ def windowed_pass_ratios(
         )
         .drop("_w")
     )
+
+
+def running_totals(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    value_col: str | None = None,
+    watermark_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-key RUNNING totals across micro-batches — the custom-stateful-
+    operator surface (``applyInPandasWithState``): arbitrary user state
+    (here: lifetime event count + value sum per key) maintained by an
+    Arrow-batched Python function, emitted as an update row per key per
+    batch.
+
+    Use this shape when windows/sessions can't express the state machine
+    (running aggregates, per-entity counters, custom sequence detectors).
+    State is one tiny tuple per key; pair with a key-space bound or TTL
+    timeout in production (timeouts omitted here for determinism). On a
+    batch frame this degrades to the equivalent groupBy aggregate, so one
+    code path serves both.
+    """
+    import pandas as pd
+
+    agg_value = value_col is not None
+    if not df.isStreaming:
+        aggs = [F.count(F.lit(1)).alias("n_events")]
+        if agg_value:
+            aggs.append(F.sum(value_col).alias("total_value"))
+        return df.groupBy(*keys).agg(*aggs)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    )
+    out_schema = key_fields + ", n_events long"
+    state_schema = "n long, total double"
+    if agg_value:
+        out_schema += ", total_value double"
+
+    def fn(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if agg_value:
+                total += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, total))
+        row = dict(zip(keys, key))
+        row["n_events"] = n
+        if agg_value:
+            row["total_value"] = total
+        yield pd.DataFrame([row])
+
+    src = df.withWatermark(watermark_col, watermark) if watermark_col else df
+    return src.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

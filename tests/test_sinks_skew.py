@@ -1,0 +1,48 @@
+"""Metrics sink and skew-salting helper tests."""
+
+from pyspark.sql import functions as F
+
+from pyspark_data_quality_spark import DQManager
+from pyspark_data_quality_spark.operators import CompletenessColRatioRule
+from pyspark_data_quality_spark.plans.skew import salted_agg_counts
+from pyspark_data_quality_spark.sinks import read_metrics, write_metrics
+
+
+def test_metrics_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["id", "name"])
+    path = str(tmp_path / "metrics")
+    for run in range(2):
+        res = (
+            DQManager(spark, dataset="t1", run_id=f"r{run}")
+            .set_data(df)
+            .add_rule(CompletenessColRatioRule(columns=["name"]))
+            .run()
+        )
+        write_metrics(res.get_metric_results(), path)
+
+    hist = read_metrics(spark, path, dataset="t1")
+    assert hist.count() == 2
+    assert {r["run_id"] for r in hist.collect()} == {"r0", "r1"}
+    assert hist.filter(F.col("value_double") == 0.5).count() == 2
+    # partition layout: dataset=... directories exist (pruned reads)
+    assert (tmp_path / "metrics" / "dataset=t1").exists()
+
+
+def test_salted_agg_matches_direct(spark):
+    rows = [(i % 3, float(i)) for i in range(300)]  # key 0/1/2, skewless base
+    rows += [(0, 1.0)] * 200                        # make key 0 hot
+    df = spark.createDataFrame(rows, ["k", "v"])
+    direct = {
+        (r["k"]): (r["count"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        ).collect()
+    }
+    salted = {
+        (r["k"]): (r["count"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in salted_agg_counts(df, ["k"], salt=8, value_col="v").collect()
+    }
+    assert salted == direct

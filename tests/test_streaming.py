@@ -185,3 +185,25 @@ def test_session_counts_stream_smoke(spark, events_dir):
     )
     batch = session_counts(batch_src, gap="30 minutes", group_cols=["user_id"])
     assert out.count() == batch.count()  # availableNow: stream == batch
+
+
+def test_running_totals_stateful(spark, events_dir):
+    from pyspark_data_quality_spark.streaming import running_totals
+
+    batch_src = spark.read.parquet(events_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    expected = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in running_totals(batch_src, ["user_id"], value_col="value").collect()
+    }
+
+    stream = load_events_stream(spark, events_dir)
+    sdf = running_totals(stream, ["user_id"], value_col="value")
+    assert sdf.isStreaming
+    out = _run_stream(spark, sdf, output_mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in out.collect()
+    }
+    assert got == expected  # single availableNow batch == batch totals
