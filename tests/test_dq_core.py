@@ -152,3 +152,25 @@ def test_env_config(spark, monkeypatch):
     assert mgr.dataset == "from_env"
     # explicit arg wins over env
     assert DQManager(spark, dataset="explicit").dataset == "explicit"
+
+
+def test_unique_rule_hll_default(spark):
+    # default estimator is HLL (approx_count_distinct): scale-safe, no
+    # Expand; value must land within the configured rsd of the exact ratio
+    from pyspark_data_quality_spark.operators import UniqueRule
+
+    df = spark.range(20000).selectExpr("id % 5000 AS k")
+    approx_rule = UniqueRule(columns=["k"], rsd=0.02)
+    exact_rule = UniqueRule(columns=["k"], exact=True)
+    res = DQManager(spark).set_data(df)
+    m_approx = (
+        res.add_rule(approx_rule).run().get_metric_results().collect()[0]
+    )
+    exact = 5000 / 20000
+    assert m_approx["value_double"] == pytest.approx(exact, rel=0.06)  # 3x rsd
+    assert "hll" in m_approx["extra_info"]["estimator"]
+    m_exact = (
+        DQManager(spark).set_data(df).add_rule(exact_rule).run()
+        .get_metric_results().collect()[0]
+    )
+    assert m_exact["value_double"] == exact
