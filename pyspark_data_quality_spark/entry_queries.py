@@ -970,3 +970,31 @@ def dq_quality_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_quality",
         )
     )
+
+
+@query(
+    "dq_winnow_fingerprints",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_NORM} AS norm FROM documents WHERE doc_id < 100
+    ), g AS (
+      SELECT doc_id, [md5(substr(norm, i, 5)) FOR i IN range(1, len(norm) - 3)] AS hs
+      FROM base WHERE len(norm) >= 5
+    ), fp AS (
+      SELECT doc_id,
+             list_distinct([list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)]) AS fps
+      FROM g WHERE len(hs) >= 4
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM fp
+    """,
+)
+def dq_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints, exploded to rows, on a fixed
+    100-doc subset (the set is ~0.5/w of chars per doc — bounded work)."""
+    from .functions.text import winnow_fingerprints
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.explode(winnow_fingerprints("text", k=5, w=4)).alias("fingerprint"),
+    )

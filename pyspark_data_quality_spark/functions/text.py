@@ -31,6 +31,17 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for expression trees: evaluate ``value`` once per row
+    and pass it to ``body`` as a lambda variable (O(1) lookup per
+    reference). Spark's interpreted expression evaluation has no
+    common-subexpression elimination inside higher-order-function
+    lambdas, so an expression referenced N times is computed N times —
+    binding via a single-element ``transform`` caps that at once.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def normalize_text(col: Column | str) -> Column:
     """Lowercase, collapse whitespace, trim — canonical form for hashing."""
     c = F.col(col) if isinstance(col, str) else col
@@ -166,3 +177,50 @@ def doc_md5(col: Column | str) -> Column:
     """MD5 hex of normalized text — cross-engine-stable fingerprint
     (DuckDB md5() produces the identical hex, so oracles can verify)."""
     return F.md5(normalize_text(col))
+
+
+def winnow_fingerprints(
+    col: Column | str, k: int = 5, w: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken — the
+    rolling-hash fingerprint scheme): hash every k-gram of the normalized
+    text, slide a window of ``w`` consecutive hashes, keep each window's
+    minimum; the sorted distinct minima are the document's fingerprint
+    set. Guarantees any shared substring of length >= k+w-1 contributes a
+    shared fingerprint — the standard local-similarity/plagiarism signal.
+
+    md5-hex as the rolling hash value (lexicographic min): cross-engine
+    stable so a DuckDB oracle reproduces the exact set. Pure expressions;
+    texts shorter than k+w-1 yield an empty array.
+
+    Window minima are computed as an elementwise ``least`` over ``w``
+    shifted copies of the gram-hash array via nested ``zip_with`` — each
+    array argument is evaluated once per row. The naive
+    ``slice(grams, i, w)`` inside a ``transform`` lambda re-evaluates the
+    entire gram/md5 subtree once per window (interpreted HOF, no CSE),
+    which is O(len^2) md5 calls per document (~90s for 100 docs vs <1s).
+    ``_let`` binds the normalized text and the gram array to lambda
+    variables so each is computed exactly once per row regardless of how
+    many times the downstream expression references it.
+    """
+    from functools import reduce
+
+    def mins_of(grams: Column) -> Column:
+        n_windows = F.size(grams) - F.lit(w - 1)
+        shifted = [F.slice(grams, j + 1, n_windows) for j in range(w)]
+        return F.when(
+            F.size(grams) >= w,
+            reduce(lambda a, b: F.zip_with(a, b, lambda x, y: F.least(x, y)), shifted),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def grams_of(c: Column) -> Column:
+        return F.when(
+            F.length(c) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - F.lit(k - 1)),
+                lambda i: F.md5(F.substring(c, i, F.lit(k))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    mins = _let(normalize_text(col), lambda c: _let(grams_of(c), mins_of))
+    return F.array_sort(F.array_distinct(mins))

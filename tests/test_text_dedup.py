@@ -305,3 +305,31 @@ def test_minhash_dedup_connected_vs_greedy(spark):
     ).collect())
     assert conn == [1, 9]          # one survivor per component
     assert set(conn) <= set(greedy)  # greedy keeps a superset
+
+
+def test_winnow_fingerprints(spark):
+    from pyspark_data_quality_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),
+            (2, "abcdefghij"),          # identical -> identical fingerprint set
+            (3, "XYZabcdefghijXYZ"),    # shares a long substring with 1
+            (4, "zz"),                  # shorter than k -> empty
+            (5, "abcdefg"),             # k-grams exist but < w windows -> empty
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["fps"]
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text", k=5, w=4).alias("fps")
+        ).collect()
+    }
+    assert out[1] == out[2] and len(out[1]) > 0
+    # winnowing guarantee: any shared substring of length >= k+w-1 (=8)
+    # contributes at least one shared fingerprint
+    assert set(out[1]) & set(out[3])
+    assert out[4] == [] and out[5] == []
+    # sorted distinct
+    assert out[1] == sorted(set(out[1]))
