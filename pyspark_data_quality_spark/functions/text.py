@@ -31,15 +31,7 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def _let(value: Column, body) -> Column:
-    """Let-binding for expression trees: evaluate ``value`` once per row
-    and pass it to ``body`` as a lambda variable (O(1) lookup per
-    reference). Spark's interpreted expression evaluation has no
-    common-subexpression elimination inside higher-order-function
-    lambdas, so an expression referenced N times is computed N times —
-    binding via a single-element ``transform`` caps that at once.
-    """
-    return F.element_at(F.transform(F.array(value), body), 1)
+from .expr import let_bind as _let
 
 
 def normalize_text(col: Column | str) -> Column:

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.expr import let_bind as _let
 from ..functions.text import (
     char_ngrams,
     doc_fingerprint,
@@ -226,11 +227,26 @@ def _bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two string arrays (as sets)."""
-    da, db = F.array_distinct(a), F.array_distinct(b)
-    inter = F.size(F.array_intersect(da, db))
-    union = F.size(F.array_union(da, db))
-    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    """Exact Jaccard similarity of two arrays (as sets).
+
+    Each distinct-set and the intersection size are let-bound so they are
+    evaluated once per row (|A∪B| = |A|+|B|−|A∩B|, no separate
+    array_union set-build) — interpreted expression evaluation would
+    otherwise recompute each per reference, which dominates pair-verify
+    loops."""
+    return _let(
+        F.array_distinct(a),
+        lambda da: _let(
+            F.array_distinct(b),
+            lambda db: _let(
+                F.size(F.array_intersect(da, db)),
+                lambda i: F.when(
+                    F.size(da) + F.size(db) - i > 0,
+                    i.cast("double") / (F.size(da) + F.size(db) - i),
+                ).otherwise(F.lit(0.0)),
+            ),
+        ),
+    )
 
 
 def minhash_near_dup_pairs(
@@ -256,9 +272,11 @@ def minhash_near_dup_pairs(
     fewer hash ops on prose, the scale default for document dedup).
 
     Plan shape: project shingles+signature (no shuffle) -> explode bands ->
-    groupBy/self-join on (band, key) for candidates (shuffle keyed by
-    band-bucket, NOT all-pairs) -> distinct pairs -> exact-Jaccard verify
-    join. With b bands of r rows the candidate recall at similarity s is
+    groupBy on (band, key) with the hash set riding along as bucket payload
+    (shuffle keyed by band-bucket, NOT all-pairs) -> distinct pairs ->
+    exact-Jaccard verify on the payloads — no join back to the corpus, so
+    the shingle/signature computation executes exactly once.
+    With b bands of r rows the candidate recall at similarity s is
     1-(1-s^r)^b — 32 bands x 4 rows catches s>=0.7 with >99.9% probability.
     Buckets larger than ``max_bucket_size`` are dropped (see
     :func:`cap_buckets`) — run :func:`exact_dedup` first so identical-text
@@ -287,45 +305,43 @@ def minhash_near_dup_pairs(
         base = hash_base.withColumn(
             "_sig", minhash_rehash_np(num_hashes, seed)(F.col("_h"))
         )
-        verify_base, verify_col = hash_base, "_h"
+        verify_col = "_h"
     else:
         shingle_expr = (
             word_shingles(text_col, shingle_n)
             if shingle == "word"
             else char_ngrams(text_col, shingle_n)
         )
-        # verify branches must NOT reference _sig, or the signature would
-        # be recomputed per join side just to evaluate the not-null filter
-        shingle_base = df.select(
+        base = df.select(
             F.col(id_col).alias("_id"), shingle_expr.alias("_shingles")
-        )
-        base = shingle_base.withColumn(
+        ).withColumn(
             "_sig", minhash_signature(F.col("_shingles"), num_hashes, seed)
         ).filter(F.col("_sig").isNotNull())
-        verify_base, verify_col = shingle_base, "_shingles"
+        verify_col = "_shingles"
 
+    # The shingle/hash sets ride along as bucket payloads: one extra
+    # ~num_shingles×8B per (doc, band) through the ONE bucket shuffle,
+    # in exchange for dropping two verify joins that would each re-scan
+    # the corpus and re-run the shingle/signature computation (the
+    # upstream plan executes once per DataFrame branch — three full
+    # passes in the join formulation, one here).
     buckets = base.select(
-        "_id", F.explode(_bands(F.col("_sig"), num_bands, rows_per_band)).alias("_b")
-    ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+        "_id",
+        F.col(verify_col).alias("_vp"),
+        F.explode(_bands(F.col("_sig"), num_bands, rows_per_band)).alias("_b"),
+    ).select(
+        "_id", "_vp", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key")
+    )
     candidates = _bucket_pairs(
-        buckets, ["_band", "_key"], max_bucket_size=max_bucket_size
+        buckets,
+        ["_band", "_key"],
+        payload_col="_vp",
+        max_bucket_size=max_bucket_size,
     )
 
     verified = (
-        candidates.join(
-            verify_base.select(
-                F.col("_id").alias("id_a"), F.col(verify_col).alias("_sh_a")
-            ),
-            "id_a",
-        )
-        .join(
-            verify_base.select(
-                F.col("_id").alias("id_b"), F.col(verify_col).alias("_sh_b")
-            ),
-            "id_b",
-        )
-        .withColumn(
-            "jaccard", F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 6)
+        candidates.withColumn(
+            "jaccard", F.round(jaccard(F.col("_pa"), F.col("_pb")), 6)
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -500,16 +516,26 @@ def ngram_jaccard_pairs(
         return minhash_near_dup_pairs(
             df, text_col, id_col, shingle_n=shingle_n, threshold=threshold, **lsh_kwargs
         )
+    # Distinct sets and their sizes are computed once per DOC in the
+    # projection below the join; the per-PAIR work is then exactly one
+    # array_intersect (|A∪B| = |A|+|B|−|A∩B|).
     sh = df.select(
-        F.col(id_col).alias("_id"), char_ngrams(text_col, shingle_n).alias("_sh")
-    )
+        F.col(id_col).alias("_id"),
+        F.array_distinct(char_ngrams(text_col, shingle_n)).alias("_sh"),
+    ).withColumn("_n", F.size("_sh"))
     l, r = sh.alias("l"), sh.alias("r")
+    jac = _let(
+        F.size(F.array_intersect(F.col("l._sh"), F.col("r._sh"))),
+        lambda i: F.try_divide(
+            i.cast("double"), F.col("l._n") + F.col("r._n") - i
+        ),
+    )
     return (
         l.join(r, F.col("l._id") < F.col("r._id"))
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.round(jaccard(F.col("l._sh"), F.col("r._sh")), 6).alias("jaccard"),
+            F.round(jac, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
