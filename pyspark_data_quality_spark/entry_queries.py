@@ -998,3 +998,144 @@ def dq_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(winnow_fingerprints("text", k=5, w=4)).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiler + value histograms (operators/profile.py) — the
+# Deequ-style profiling pass; stats and quantiles are exact here so the
+# DuckDB oracle can verify them (the scale default is HLL/approx).
+# ---------------------------------------------------------------------------
+
+_PROFILE_NUMERIC = ["l_quantity", "l_discount"]
+_PROFILE_STRING = ["l_returnflag"]
+
+
+def _profile_oracle() -> str:
+    """Long-format UNION ALL oracle mirroring profile_columns exactly."""
+    parts: list[str] = []
+
+    def row(col: str, stat: str, expr: str) -> None:
+        parts.append(
+            f"SELECT '{col}' AS \"column\", '{stat}' AS stat, "
+            f"CAST(round({expr}, 6) AS DOUBLE) AS value FROM lineitem"
+        )
+
+    for c in _PROFILE_NUMERIC + _PROFILE_STRING:
+        row(c, "completeness", f"count({c}) * 1.0 / count(*)")
+        row(c, "distinct_count", f"count(DISTINCT {c})")
+    for c in _PROFILE_NUMERIC:
+        row(c, "min", f"min({c})")
+        row(c, "max", f"max({c})")
+        row(c, "mean", f"avg({c})")
+        row(c, "stddev", f"stddev_samp({c})")
+        row(c, "sum", f"sum({c})")
+        for q in (0.25, 0.5, 0.75):
+            row(c, f"q{q}", f"quantile_cont({c}, {q})")
+    for c in _PROFILE_STRING:
+        row(c, "min_length", f"min(len({c}))")
+        row(c, "max_length", f"max(len({c}))")
+        row(c, "avg_length", f"avg(len({c}))")
+    return " UNION ALL ".join(parts)
+
+
+@query("dq_column_profile", _profile_oracle())
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile over lineitem: ONE fused agg computes
+    completeness, exact distinct counts, numeric moments, and exact
+    quantiles for every profiled column, then unpivots to long format
+    with pure expressions (operators/profile.py)."""
+    from .operators.profile import profile_columns
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return profile_columns(
+        li,
+        _PROFILE_NUMERIC + _PROFILE_STRING,
+        exact_distinct=True,
+        exact_quantiles=True,
+    )
+
+
+@query(
+    "dq_top_values",
+    """
+    WITH p AS (
+      SELECT 'o_orderpriority' AS "column",
+             coalesce(CAST(o_orderpriority AS VARCHAR), 'NULL') AS value
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', coalesce(CAST(o_orderstatus AS VARCHAR), 'NULL')
+      FROM orders
+    ), c AS (
+      SELECT "column", value, count(*) AS n FROM p GROUP BY 1, 2
+    )
+    SELECT "column", value, n,
+           CAST(row_number() OVER (
+             PARTITION BY "column" ORDER BY n DESC, value ASC
+           ) AS INT) AS rank
+    FROM c QUALIFY rank <= 5
+    """,
+)
+def dq_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 value histogram for two orders columns with ONE shuffle
+    (exploded column->value map, operators/profile.py)."""
+    from .operators.profile import top_values
+
+    orders = load_table(spark, "orders", sf_dir)
+    return top_values(orders, ["o_orderpriority", "o_orderstatus"], k=5).select(
+        "column", "value", F.col("count").alias("n"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anomaly detection over metric history (operators/anomaly.py): the
+# windowed event metrics become a per-type daily series; each day is
+# judged against its own trailing week.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_metric_anomalies",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS metric
+      FROM events GROUP BY 1, 2
+    ), z AS (
+      SELECT event_type, day, metric,
+             avg(metric) OVER w AS m,
+             stddev_samp(metric) OVER w AS sd,
+             count(metric) OVER w AS n
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, metric,
+           CAST(round(m, 6) AS DOUBLE) AS baseline_mean,
+           CAST(round(sd, 6) AS DOUBLE) AS baseline_stddev,
+           CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                ELSE CAST(round((metric - m) / sd, 6) AS DOUBLE) END AS zscore,
+           coalesce(n >= 3 AND sd > 0
+                    AND abs((metric - m) / sd) > 2.0, false) AS is_anomaly
+    FROM z
+    """,
+)
+def dq_metric_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-count series per event_type, each day z-scored against
+    its trailing 7 days (operators/anomaly.py, zscore_anomalies)."""
+    from .operators.anomaly import zscore_anomalies
+
+    events = load_table(spark, "events", sf_dir)
+    series = (
+        events.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("metric"))
+    )
+    return zscore_anomalies(
+        series, "metric", ["day"], partition_cols=["event_type"],
+        lookback=7, threshold=2.0, min_periods=3,
+    ).select(
+        "event_type", "day", "metric",
+        "baseline_mean", "baseline_stddev", "zscore", "is_anomaly",
+    )

@@ -1,0 +1,139 @@
+"""Anomaly detection over metric time series.
+
+Completes the DQ loop the reference left open: its checks produced
+point-in-time metrics with static thresholds; real monitoring compares
+each new metric value against its own history. These operators take ANY
+metric DataFrame (one row per period, e.g. the output of the windowed
+event checks or a metrics-sink history) and flag anomalous periods.
+
+All three detectors are pure window expressions — one shuffle keyed by
+the series (partition columns), then a per-partition sort; no UDFs, no
+driver-side state. At scale the partition key is the series id, so a
+billion-period history shards by series and each series' window scan is
+linear.
+
+- :func:`zscore_anomalies` — rolling mean/stddev over the TRAILING
+  ``lookback`` periods (current excluded, so an anomaly can't mask
+  itself); flags |x - mean| > threshold * stddev.
+- :func:`iqr_anomalies` — Tukey fences from the trailing window's exact
+  quartiles; robust to outliers in the history itself.
+- :func:`rate_of_change_anomalies` — |x / lag(x) - 1| > max_change;
+  catches cliffs that a wide z-score window smooths over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Minimum trailing points before a verdict is attempted; earlier rows
+#: get is_anomaly = false (not enough history to judge).
+DEFAULT_MIN_PERIODS = 3
+
+
+def _trailing(
+    partition_cols: list[str] | None, order_cols: list[str], lookback: int
+):
+    w = Window.partitionBy(*(partition_cols or [])).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return w.rowsBetween(-lookback, -1)
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    *,
+    partition_cols: list[str] | None = None,
+    lookback: int = 7,
+    threshold: float = 3.0,
+    min_periods: int = DEFAULT_MIN_PERIODS,
+    round_to: int = 6,
+) -> DataFrame:
+    """Flag values more than ``threshold`` trailing standard deviations
+    from the trailing mean. Adds columns: baseline_mean, baseline_stddev,
+    zscore, is_anomaly. A zero/undefined stddev yields a null zscore and
+    no flag (a flat history then any value is "infinitely" surprising —
+    callers wanting that use rate_of_change)."""
+    tw = _trailing(partition_cols, order_cols, lookback)
+    x = F.col(value_col)
+    mean = F.avg(x).over(tw)
+    std = F.stddev_samp(x).over(tw)
+    n = F.count(x).over(tw)
+    z = F.try_divide(x - mean, std)
+    return (
+        df.withColumn("baseline_mean", F.round(mean, round_to))
+        .withColumn("baseline_stddev", F.round(std, round_to))
+        .withColumn("zscore", F.round(z, round_to))
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(
+                (n >= min_periods) & (F.abs(z) > threshold), F.lit(False)
+            ),
+        )
+    )
+
+
+def iqr_anomalies(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    *,
+    partition_cols: list[str] | None = None,
+    lookback: int = 14,
+    k: float = 1.5,
+    min_periods: int = DEFAULT_MIN_PERIODS,
+    round_to: int = 6,
+) -> DataFrame:
+    """Tukey-fence outliers: x outside [q1 - k*iqr, q3 + k*iqr] of the
+    trailing window's exact quartiles. Adds fence_lo, fence_hi,
+    is_anomaly."""
+    tw = _trailing(partition_cols, order_cols, lookback)
+    x = F.col(value_col)
+    q1 = F.percentile(x, F.lit(0.25)).over(tw)
+    q3 = F.percentile(x, F.lit(0.75)).over(tw)
+    iqr = q3 - q1
+    lo, hi = q1 - F.lit(k) * iqr, q3 + F.lit(k) * iqr
+    n = F.count(x).over(tw)
+    return (
+        df.withColumn("fence_lo", F.round(lo, round_to))
+        .withColumn("fence_hi", F.round(hi, round_to))
+        .withColumn(
+            "is_anomaly",
+            F.coalesce((n >= min_periods) & ((x < lo) | (x > hi)), F.lit(False)),
+        )
+    )
+
+
+def rate_of_change_anomalies(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    *,
+    partition_cols: list[str] | None = None,
+    max_change: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Flag period-over-period changes beyond ``max_change`` (fractional:
+    0.5 = ±50%). Adds prev_value, change_ratio, is_anomaly. The first
+    period of a series (no prev) is never flagged; a zero previous value
+    with a nonzero current one is always flagged (undefined ratio =
+    infinite change)."""
+    w = Window.partitionBy(*(partition_cols or [])).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    x = F.col(value_col)
+    prev = F.lag(x).over(w)
+    ratio = F.try_divide(x - prev, prev)
+    return (
+        df.withColumn("prev_value", prev)
+        .withColumn("change_ratio", F.round(ratio, round_to))
+        .withColumn(
+            "is_anomaly",
+            F.when(prev.isNull(), F.lit(False))
+            .when(prev == 0, x != 0)
+            .otherwise(F.abs(ratio) > max_change),
+        )
+    )

@@ -1,0 +1,154 @@
+"""Column profiler: per-column statistics and value histograms.
+
+The Deequ-style profiling pass the reference never had (its only
+statistics were the completeness/uniqueness ratios). Two operators:
+
+- :func:`profile_columns` — ONE fused ``df.agg`` computes every stat for
+  every profiled column (completeness, distinct, numeric moments,
+  quantiles) in a single pass over the data; the 1-row result is
+  unpivoted to long format with pure expressions. Map-side partial
+  aggregation, one reduce of a single row — the same shape as the DQ
+  engine's fused metrics pass (plans/analysis.py).
+- :func:`top_values` — value histograms for MANY columns with ONE
+  shuffle: explode a column->value map, count (column, value) groups,
+  rank within column. The naive per-column ``groupBy`` is one shuffle
+  per column.
+
+Scale notes (100 TB): exact distinct counts over many columns expand the
+input once per distinct aggregate (Catalyst's Expand), so the default is
+HLL ``approx_count_distinct`` (one pass, mergeable sketches, ~2% error);
+pass ``exact_distinct=True`` when the oracle-grade exact answer is worth
+the expansion. Quantiles default to the mergeable t-digest-style
+``approx_percentile``; ``exact_quantiles=True`` switches to the exact
+sort-based ``percentile`` (matches DuckDB ``quantile_cont``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+from pyspark.sql.window import Window
+
+#: Stats emitted for every profiled column.
+_COMMON_STATS = ("completeness", "distinct_count")
+#: Extra stats for numeric columns.
+_NUMERIC_STATS = ("min", "max", "mean", "stddev", "sum")
+#: Extra stats for string columns.
+_STRING_STATS = ("min_length", "max_length", "avg_length")
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    exact_distinct: bool = False,
+    exact_quantiles: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """Profile ``columns`` (default: all leaf columns) in ONE aggregation
+    pass. Returns long format ``(column, stat, value)`` sorted by
+    (column, stat); every value is a double.
+
+    Numeric columns get min/max/mean/stddev/sum and the requested
+    ``quantiles`` (stat name ``q0.25`` etc.); string columns get
+    min/max/avg length; every column gets completeness (non-null ratio)
+    and a distinct count.
+    """
+    cols = columns if columns is not None else df.columns
+    types = dict(df.dtypes)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+
+    aggs: list = []
+    stats_per_col: dict[str, list[str]] = {}
+
+    def add(col: str, stat: str, expr) -> None:
+        aggs.append(expr.cast("double").alias(f"{col} {stat}"))
+        stats_per_col.setdefault(col, []).append(stat)
+
+    total = F.count(F.lit(1))
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"profile_columns: no such column {c!r}")
+        col = F.col(c)
+        add(c, "completeness", F.try_divide(F.count(col), total))
+        if exact_distinct:
+            add(c, "distinct_count", F.count_distinct(col))
+        else:
+            add(c, "distinct_count", F.approx_count_distinct(col))
+        if isinstance(fields[c], NumericType):
+            add(c, "min", F.min(col))
+            add(c, "max", F.max(col))
+            add(c, "mean", F.avg(col))
+            add(c, "stddev", F.stddev_samp(col))
+            add(c, "sum", F.sum(col))
+            for q in quantiles:
+                if exact_quantiles:
+                    add(c, f"q{q}", F.percentile(col, F.lit(q)))
+                else:
+                    add(c, f"q{q}", F.expr(f"approx_percentile({c}, {q})"))
+        elif types[c] == "string":
+            add(c, "min_length", F.min(F.length(col)))
+            add(c, "max_length", F.max(F.length(col)))
+            add(c, "avg_length", F.avg(F.length(col)))
+
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(s).alias("stat"),
+                F.round(F.col(f"`{c} {s}`"), round_to).alias("value"),
+            )
+            for c, stats in stats_per_col.items()
+            for s in stats
+        ]
+    )
+    return (
+        row.select(F.explode(entries).alias("e"))
+        .select("e.column", "e.stat", "e.value")
+        .orderBy("column", "stat")
+    )
+
+
+def top_values(
+    df: DataFrame,
+    columns: list[str],
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` most frequent values per column (ties broken by value)
+    for MANY columns with ONE shuffle.
+
+    Each row contributes one (column, value) pair per profiled column via
+    an exploded map — the shuffle is keyed by (column, value), so the
+    combined cardinality of all histograms shards evenly; no per-column
+    jobs. Values are stringified (display form); nulls are counted under
+    the value ``NULL``.
+
+    Output: (column, value, count, rank), rank 1..k by descending count.
+    """
+    pairs = df.select(
+        F.explode(
+            F.create_map(
+                *[
+                    x
+                    for c in columns
+                    for x in (
+                        F.lit(c),
+                        F.coalesce(F.col(c).cast("string"), F.lit("NULL")),
+                    )
+                ]
+            )
+        ).alias("column", "value")
+    )
+    counted = pairs.groupBy("column", "value").agg(F.count(F.lit(1)).alias("count"))
+    w = Window.partitionBy("column").orderBy(
+        F.col("count").desc(), F.col("value").asc()
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("column", "rank")
+    )

@@ -100,8 +100,16 @@ def main():
             # driver sorts columns by name before hashing
             s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
             d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
-            s_sorted = sorted(tuple(r[i] for i in s_idx) for r in spark_rows)
-            d_sorted = sorted(tuple(r[i] for i in d_idx) for r in duck_rows)
+            # None-safe sort key: nulls first within each column
+            def _key(row):
+                return tuple((v is not None, v) for v in row)
+
+            s_sorted = sorted(
+                (tuple(r[i] for i in s_idx) for r in spark_rows), key=_key
+            )
+            d_sorted = sorted(
+                (tuple(r[i] for i in d_idx) for r in duck_rows), key=_key
+            )
             if s_sorted != d_sorted:
                 diff = next(
                     (a, b) for a, b in zip(s_sorted, d_sorted) if a != b

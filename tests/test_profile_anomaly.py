@@ -1,0 +1,145 @@
+"""Column profiler and metric anomaly-detection operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_quality_spark.operators.anomaly import (
+    iqr_anomalies,
+    rate_of_change_anomalies,
+    zscore_anomalies,
+)
+from pyspark_data_quality_spark.operators.profile import (
+    profile_columns,
+    top_values,
+)
+
+
+@pytest.fixture
+def sample(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "a"),
+            (2, 20.0, "bb"),
+            (3, 30.0, "bb"),
+            (4, None, "ccc"),
+            (5, 40.0, None),
+        ],
+        "id int, x double, s string",
+    )
+
+
+def test_profile_columns_exact(spark, sample):
+    out = {
+        (r["column"], r["stat"]): r["value"]
+        for r in profile_columns(
+            sample, ["x", "s"], exact_distinct=True, exact_quantiles=True
+        ).collect()
+    }
+    assert out[("x", "completeness")] == 0.8
+    assert out[("x", "distinct_count")] == 4.0
+    assert out[("x", "min")] == 10.0
+    assert out[("x", "max")] == 40.0
+    assert out[("x", "mean")] == 25.0
+    assert out[("x", "sum")] == 100.0
+    assert out[("x", "q0.5")] == 25.0  # interpolated median of 10,20,30,40
+    assert out[("s", "completeness")] == 0.8
+    assert out[("s", "distinct_count")] == 3.0
+    assert out[("s", "min_length")] == 1.0
+    assert out[("s", "max_length")] == 3.0
+    assert out[("s", "avg_length")] == 2.0
+
+
+def test_profile_columns_single_job(spark, sample):
+    """The whole profile is ONE aggregation: exactly one Spark job."""
+    sc = spark.sparkContext
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    profile_columns(sample, ["x", "s"]).collect()
+    after = sc.statusTracker().getJobIdsForGroup(None)
+    assert len(after) - len(before) <= 2  # agg job (+ AQE final stage)
+
+
+def test_profile_unknown_column_raises(spark, sample):
+    with pytest.raises(ValueError, match="no such column"):
+        profile_columns(sample, ["nope"])
+
+
+def test_top_values_ties_and_null(spark, sample):
+    rows = top_values(sample, ["s"], k=2).collect()
+    # bb:2 then three singletons (NULL, a, ccc) tie-broken by value asc
+    assert [(r["value"], r["count"], r["rank"]) for r in rows] == [
+        ("bb", 2, 1),
+        ("NULL", 1, 2),
+    ]
+
+
+def test_zscore_spike_flagged(spark):
+    vals = [10.0, 11.0, 9.0, 10.0, 100.0, 10.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t int, v double"
+    )
+    rows = {
+        r["t"]: r
+        for r in zscore_anomalies(
+            df, "v", ["t"], lookback=4, threshold=3.0, min_periods=3
+        ).collect()
+    }
+    assert rows[4]["is_anomaly"] is True  # 100 vs trailing ~10
+    assert rows[0]["is_anomaly"] is False  # no history
+    assert rows[1]["is_anomaly"] is False  # < min_periods
+    assert rows[2]["is_anomaly"] is False
+    # t=5: the spike is IN the trailing window, inflating stddev -> calm
+    assert rows[5]["is_anomaly"] is False
+
+
+def test_zscore_flat_history_no_flag(spark):
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(4)] + [(4, 7.0)], "t int, v double"
+    )
+    rows = {r["t"]: r for r in zscore_anomalies(df, "v", ["t"]).collect()}
+    # stddev of flat history is 0 -> zscore null -> not flagged
+    assert rows[4]["zscore"] is None
+    assert rows[4]["is_anomaly"] is False
+
+
+def test_zscore_partitioned_series_independent(spark):
+    data = [("a", i, 10.0) for i in range(4)] + [("a", 4, 50.0)] + [
+        ("b", i, 50.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(data, "k string, t int, v double")
+    rows = zscore_anomalies(
+        df, "v", ["t"], partition_cols=["k"], lookback=4, threshold=2.0
+    ).collect()
+    flagged = {(r["k"], r["t"]) for r in rows if r["is_anomaly"]}
+    assert flagged == set()  # a's history is flat -> stddev 0 -> no flag
+    # but rate-of-change catches it
+    roc = rate_of_change_anomalies(
+        df, "v", ["t"], partition_cols=["k"], max_change=0.5
+    ).collect()
+    assert {(r["k"], r["t"]) for r in roc if r["is_anomaly"]} == {("a", 4)}
+
+
+def test_iqr_fences(spark):
+    vals = [10.0, 12.0, 11.0, 13.0, 10.0, 12.0, 11.0, 60.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t int, v double"
+    )
+    rows = {
+        r["t"]: r
+        for r in iqr_anomalies(df, "v", ["t"], lookback=7, k=1.5).collect()
+    }
+    assert rows[7]["is_anomaly"] is True
+    assert not any(rows[t]["is_anomaly"] for t in range(7))
+
+
+def test_rate_of_change_zero_prev(spark):
+    df = spark.createDataFrame(
+        [(0, 0.0), (1, 5.0), (2, 5.1), (3, 0.0)], "t int, v double"
+    )
+    rows = {
+        r["t"]: r
+        for r in rate_of_change_anomalies(df, "v", ["t"], max_change=0.5).collect()
+    }
+    assert rows[0]["is_anomaly"] is False  # no prev
+    assert rows[1]["is_anomaly"] is True  # 0 -> 5: infinite change
+    assert rows[2]["is_anomaly"] is False  # +2%
+    assert rows[3]["is_anomaly"] is True  # -100%
