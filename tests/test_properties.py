@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis): invariants a Python reference
+implementation can certify for the Spark expression trees.
+
+Each property collects all hypothesis examples into ONE DataFrame and
+runs ONE Spark job, comparing against a pure-Python model — Spark's
+per-query latency makes per-example jobs impractical.
+"""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from pyspark_data_quality_spark.functions.text import (
+    normalize_text,
+    winnow_fingerprints,
+)
+from pyspark_data_quality_spark.operators.dedup import jaccard
+
+TEXT = st.text(alphabet=string.ascii_lowercase + " ", min_size=0, max_size=60)
+
+
+def _norm(s: str) -> str:
+    return " ".join(s.lower().split())
+
+
+def _py_winnow(s: str, k: int = 5, w: int = 4) -> list[str]:
+    import hashlib
+
+    s = _norm(s)
+    if len(s) < k:
+        return []
+    grams = [
+        hashlib.md5(s[i : i + k].encode()).hexdigest()
+        for i in range(len(s) - k + 1)
+    ]
+    if len(grams) < w:
+        return []
+    mins = [min(grams[i : i + w]) for i in range(len(grams) - w + 1)]
+    return sorted(set(mins))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=30))
+def test_winnow_matches_python_model(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    )
+    got = {
+        r["i"]: r["fps"]
+        for r in df.select("i", winnow_fingerprints("t").alias("fps")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_winnow(t), f"mismatch for {t!r}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(TEXT, max_size=8), st.lists(TEXT, max_size=8)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_jaccard_matches_set_model(spark, pairs):
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i int, a array<string>, b array<string>",
+    )
+    got = {
+        r["i"]: r["j"]
+        for r in df.select(
+            "i", jaccard(F.col("a"), F.col("b")).alias("j")
+        ).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        sa, sb = set(a), set(b)
+        expected = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+        assert abs(got[i] - expected) < 1e-12
+        assert 0.0 <= got[i] <= 1.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=30))
+def test_normalize_matches_python_model(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_text("t").alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _norm(t)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    base=st.text(alphabet=string.ascii_lowercase, min_size=8, max_size=8),
+    pre_a=TEXT,
+    post_a=TEXT,
+    pre_b=TEXT,
+    post_b=TEXT,
+)
+def test_winnow_shared_substring_guarantee(spark, base, pre_a, post_a, pre_b, post_b):
+    """Winnowing guarantee: any shared substring of length >= k+w-1 (=8)
+    yields at least one shared fingerprint. Collapsing whitespace must not
+    shorten the shared run, so the probe substring is letters-only and
+    padded with sentinels to survive normalization boundaries."""
+    a = _norm(f"{pre_a}x{base}x{post_a}")
+    b = _norm(f"{pre_b}x{base}x{post_b}")
+    df = spark.createDataFrame([(0, a), (1, b)], "i int, t string")
+    got = {
+        r["i"]: set(r["fps"])
+        for r in df.select("i", winnow_fingerprints("t").alias("fps")).collect()
+    }
+    assert got[0] & got[1], f"no shared fingerprint for {a!r} / {b!r}"
