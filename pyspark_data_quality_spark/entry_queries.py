@@ -1139,3 +1139,144 @@ def dq_metric_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day", "metric",
         "baseline_mean", "baseline_stddev", "zscore", "is_anomaly",
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema contract + distribution drift (operators/schema.py, drift.py)
+# ---------------------------------------------------------------------------
+
+#: lineitem contract with three deliberate violations: l_quantity declared
+#: decimal (type_mismatch), phantom l_comment (missing), l_tax undeclared
+#: (unexpected) — so every status value is exercised.
+_LINEITEM_CONTRACT = {
+    "l_orderkey": "bigint",
+    "l_partkey": "bigint",
+    "l_suppkey": "bigint",
+    "l_linenumber": "int",
+    "l_quantity": "decimal(12,2)",
+    "l_extendedprice": "double",
+    "l_discount": "double",
+    "l_returnflag": "string",
+    "l_linestatus": "string",
+    "l_shipdate": "timestamp_ntz",
+    "l_comment": "string",
+}
+
+
+@query(
+    "dq_schema_report",
+    """
+    WITH actual AS (
+      SELECT column_name AS "column",
+             CASE column_type
+               WHEN 'BIGINT' THEN 'bigint'
+               WHEN 'INTEGER' THEN 'int'
+               WHEN 'DOUBLE' THEN 'double'
+               WHEN 'VARCHAR' THEN 'string'
+               WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+               ELSE lower(column_type) END AS actual_type
+      FROM (DESCRIBE SELECT * FROM lineitem)
+    ), expected("column", expected_type) AS (
+      VALUES ('l_orderkey','bigint'), ('l_partkey','bigint'),
+             ('l_suppkey','bigint'), ('l_linenumber','int'),
+             ('l_quantity','decimal(12,2)'), ('l_extendedprice','double'),
+             ('l_discount','double'), ('l_returnflag','string'),
+             ('l_linestatus','string'), ('l_shipdate','timestamp_ntz'),
+             ('l_comment','string')
+    )
+    SELECT coalesce(e."column", a."column") AS "column",
+           e.expected_type, a.actual_type,
+           CASE WHEN a."column" IS NULL THEN 'missing'
+                WHEN e."column" IS NULL THEN 'unexpected'
+                WHEN e.expected_type = a.actual_type THEN 'ok'
+                ELSE 'type_mismatch' END AS status
+    FROM expected e FULL OUTER JOIN actual a ON e."column" = a."column"
+    """,
+)
+def dq_schema_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema contract report (operators/schema.py): driver-side
+    metadata comparison, no data read; the oracle rebuilds the same
+    report from DuckDB's DESCRIBE."""
+    from .operators.schema import schema_report
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return schema_report(li, _LINEITEM_CONTRACT)
+
+
+_DRIFT_COLS = ["o_orderpriority", "o_orderstatus"]
+_DRIFT_SPLIT = "1995-01-01"
+
+
+def _drift_pairs_sql(side: str) -> str:
+    op = ">=" if side == "cur" else "<"
+    return " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", coalesce(CAST({c} AS VARCHAR), 'NULL') AS value "
+        f"FROM orders WHERE o_orderdate {op} TIMESTAMP '{_DRIFT_SPLIT}'"
+        for c in _DRIFT_COLS
+    )
+
+
+def _drift_detail_sql(nd: int) -> str:
+    return f"""
+    WITH pc AS ({_drift_pairs_sql('cur')}),
+    pr AS ({_drift_pairs_sql('ref')}),
+    c AS (
+      SELECT "column", value,
+             count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY "column") AS p_cur
+      FROM pc GROUP BY "column", value
+    ), r AS (
+      SELECT "column", value,
+             count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY "column") AS p_ref
+      FROM pr GROUP BY "column", value
+    ), j AS (
+      SELECT coalesce(c."column", r."column") AS "column",
+             coalesce(c.value, r.value) AS value,
+             coalesce(p_cur, 0.0) AS p_cur, coalesce(p_ref, 0.0) AS p_ref
+      FROM c FULL OUTER JOIN r ON c."column" = r."column" AND c.value = r.value
+    )
+    SELECT "column", value,
+           CAST(round(p_cur, {nd}) AS DOUBLE) AS p_cur,
+           CAST(round(p_ref, {nd}) AS DOUBLE) AS p_ref,
+           CAST(round((greatest(p_cur, 1e-6) - greatest(p_ref, 1e-6))
+                      * ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6)),
+                {nd}) AS DOUBLE) AS psi_term
+    FROM j
+"""
+
+
+@query("dq_categorical_drift", _drift_detail_sql(6))
+def dq_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(column,value) PSI drift detail between post- and pre-1995
+    orders (operators/drift.py categorical_drift)."""
+    from .operators.drift import categorical_drift
+
+    orders = load_table(spark, "orders", sf_dir)
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    return categorical_drift(
+        orders.filter(F.col("o_orderdate") >= split),
+        orders.filter(F.col("o_orderdate") < split),
+        _DRIFT_COLS,
+    )
+
+
+@query(
+    "dq_psi",
+    f"""
+    SELECT "column",
+           CAST(round(sum(psi_term), 6) AS DOUBLE) AS psi,
+           round(sum(psi_term), 6) > 0.25 AS drifted
+    FROM ({_drift_detail_sql(12)}) GROUP BY "column"
+    """,
+)
+def dq_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Population Stability Index between post- and pre-1995
+    orders (operators/drift.py psi_summary)."""
+    from .operators.drift import psi_summary
+
+    orders = load_table(spark, "orders", sf_dir)
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    return psi_summary(
+        orders.filter(F.col("o_orderdate") >= split),
+        orders.filter(F.col("o_orderdate") < split),
+        _DRIFT_COLS,
+    )

@@ -1,0 +1,106 @@
+"""Distribution-drift detection between two table snapshots.
+
+The standard training-pipeline question the reference had no answer to:
+"does this batch look like the data the model saw last time?" Two
+operators over a *current* and a *reference* DataFrame:
+
+- :func:`categorical_drift` — per-(column, value) frequency comparison
+  with the PSI contribution of each value; many columns in ONE shuffle
+  per side via the exploded column->value map (same trick as
+  profile.top_values).
+- :func:`psi_summary` — one row per column with the total Population
+  Stability Index (rule of thumb: <0.1 stable, 0.1-0.25 moderate shift,
+  >0.25 action).
+
+Scale shape: each side aggregates to (column, value, ratio) — tiny after
+aggregation regardless of input size — then a full outer join on the
+histogram keys. No UDFs; ``ln`` and the smoothing clamp are expressions.
+Zero-frequency bins are clamped to ``eps`` (the standard PSI smoothing)
+so a value present on only one side contributes a finite term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_EPS = 1e-6
+
+
+def _value_ratios(df: DataFrame, columns: list[str], side: str) -> DataFrame:
+    pairs = df.select(
+        F.explode(
+            F.create_map(
+                *[
+                    x
+                    for c in columns
+                    for x in (
+                        F.lit(c),
+                        F.coalesce(F.col(c).cast("string"), F.lit("NULL")),
+                    )
+                ]
+            )
+        ).alias("column", "value")
+    )
+    w_total = F.sum("n").over(Window.partitionBy("column"))
+    return (
+        pairs.groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(side, F.col("n") / w_total)
+        .drop("n")
+    )
+
+
+def categorical_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    columns: list[str],
+    *,
+    eps: float = DEFAULT_EPS,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-(column, value) drift detail:
+    ``(column, value, p_cur, p_ref, psi_term)`` where ``psi_term =
+    (p_cur - p_ref) * ln(p_cur / p_ref)`` with both ratios clamped to at
+    least ``eps``. Values absent on a side get ratio 0 (clamped)."""
+    c = _value_ratios(cur, columns, "p_cur")
+    r = _value_ratios(ref, columns, "p_ref")
+    joined = c.join(r, ["column", "value"], "full_outer").select(
+        "column",
+        "value",
+        F.coalesce("p_cur", F.lit(0.0)).alias("p_cur"),
+        F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
+    )
+    pc = F.greatest(F.col("p_cur"), F.lit(eps))
+    pr = F.greatest(F.col("p_ref"), F.lit(eps))
+    return joined.select(
+        "column",
+        "value",
+        F.round("p_cur", round_to).alias("p_cur"),
+        F.round("p_ref", round_to).alias("p_ref"),
+        F.round((pc - pr) * F.log(pc / pr), round_to).alias("psi_term"),
+    )
+
+
+def psi_summary(
+    cur: DataFrame,
+    ref: DataFrame,
+    columns: list[str],
+    *,
+    eps: float = DEFAULT_EPS,
+    threshold: float = 0.25,
+    round_to: int = 6,
+) -> DataFrame:
+    """One row per column: total PSI and a drifted flag at ``threshold``.
+
+    The unrounded per-value terms are re-derived and summed so the total
+    doesn't accumulate per-term rounding."""
+    detail = categorical_drift(
+        cur, ref, columns, eps=eps, round_to=12  # keep precision for the sum
+    )
+    return (
+        detail.groupBy("column")
+        .agg(F.round(F.sum("psi_term"), round_to).alias("psi"))
+        .withColumn("drifted", F.col("psi") > threshold)
+    )

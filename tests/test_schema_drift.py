@@ -1,0 +1,92 @@
+"""Schema contract and distribution-drift operator tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_quality_spark.operators.drift import (
+    categorical_drift,
+    psi_summary,
+)
+from pyspark_data_quality_spark.operators.schema import (
+    schema_ok,
+    schema_report,
+)
+
+
+@pytest.fixture
+def typed(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5)], "id bigint, name string, score double"
+    )
+
+
+def test_schema_report_statuses(spark, typed):
+    report = {
+        r["column"]: r
+        for r in schema_report(
+            typed,
+            {"id": "bigint", "name": "int", "missing_col": "string"},
+        ).collect()
+    }
+    assert report["id"]["status"] == "ok"
+    assert report["name"]["status"] == "type_mismatch"
+    assert report["name"]["actual_type"] == "string"
+    assert report["missing_col"]["status"] == "missing"
+    assert report["missing_col"]["actual_type"] is None
+    assert report["score"]["status"] == "unexpected"
+    assert report["score"]["expected_type"] is None
+
+
+def test_schema_ok_and_allow_unexpected(spark, typed):
+    contract = {"id": "bigint", "name": "string", "score": "double"}
+    assert schema_ok(typed, contract)
+    assert not schema_ok(typed, {"id": "bigint"})
+    assert schema_ok(typed, {"id": "bigint"}, allow_unexpected=True)
+
+
+def test_categorical_drift_psi_terms(spark):
+    cur = spark.createDataFrame(
+        [("a",)] * 9 + [("b",)] * 1, "k string"
+    )
+    ref = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 5, "k string"
+    )
+    rows = {
+        r["value"]: r for r in categorical_drift(cur, ref, ["k"]).collect()
+    }
+    assert rows["a"]["p_cur"] == 0.9 and rows["a"]["p_ref"] == 0.5
+    expected_a = (0.9 - 0.5) * math.log(0.9 / 0.5)
+    assert abs(rows["a"]["psi_term"] - expected_a) < 1e-6
+    # PSI terms are non-negative by construction ((p-q) and ln(p/q) share sign)
+    assert all(r["psi_term"] >= 0 for r in rows.values())
+
+
+def test_drift_value_absent_on_one_side(spark):
+    cur = spark.createDataFrame([("a",), ("c",)], "k string")
+    ref = spark.createDataFrame([("a",), ("b",)], "k string")
+    rows = {
+        r["value"]: r for r in categorical_drift(cur, ref, ["k"]).collect()
+    }
+    assert rows["c"]["p_ref"] == 0.0 and rows["c"]["psi_term"] > 0
+    assert rows["b"]["p_cur"] == 0.0 and rows["b"]["psi_term"] > 0
+    assert math.isfinite(rows["c"]["psi_term"])  # eps clamp, no inf/nan
+
+
+def test_psi_summary_flags_drift(spark):
+    cur = spark.createDataFrame([("x",)] * 99 + [("y",)], "k string")
+    ref = spark.createDataFrame([("x",)] * 50 + [("y",)] * 50, "k string")
+    same = psi_summary(cur, cur, ["k"]).collect()[0]
+    assert same["psi"] == 0.0 and same["drifted"] is False
+    moved = psi_summary(cur, ref, ["k"]).collect()[0]
+    assert moved["psi"] > 0.25 and moved["drifted"] is True
+
+
+def test_drift_null_bucket(spark):
+    cur = spark.createDataFrame([(None,), ("a",)], "k string")
+    ref = spark.createDataFrame([("a",), ("a",)], "k string")
+    rows = {
+        r["value"]: r for r in categorical_drift(cur, ref, ["k"]).collect()
+    }
+    assert rows["NULL"]["p_cur"] == 0.5 and rows["NULL"]["p_ref"] == 0.0
