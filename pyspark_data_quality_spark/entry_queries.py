@@ -1204,7 +1204,7 @@ def dq_schema_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIFT_COLS = ["o_orderpriority", "o_orderstatus"]
-_DRIFT_SPLIT = "1995-01-01"
+_DRIFT_SPLIT = "1998-07-01"
 
 
 def _drift_pairs_sql(side: str) -> str:
@@ -1246,7 +1246,7 @@ def _drift_detail_sql(nd: int) -> str:
 
 @query("dq_categorical_drift", _drift_detail_sql(6))
 def dq_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(column,value) PSI drift detail between post- and pre-1995
+    """Per-(column,value) PSI drift detail between post- and pre-1998H2
     orders (operators/drift.py categorical_drift)."""
     from .operators.drift import categorical_drift
 
@@ -1269,7 +1269,7 @@ def dq_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dq_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column Population Stability Index between post- and pre-1995
+    """Per-column Population Stability Index between post- and pre-1998H2
     orders (operators/drift.py psi_summary)."""
     from .operators.drift import psi_summary
 
@@ -1279,4 +1279,93 @@ def dq_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderdate") >= split),
         orders.filter(F.col("o_orderdate") < split),
         _DRIFT_COLS,
+    )
+
+
+_HIST_BIN_SQL = (
+    "CAST(least({b1}, greatest(0, CASE WHEN hi = lo THEN 0 "
+    "ELSE floor(({x} - lo) / ((hi - lo) / {bins}.0)) END)) AS INT)"
+)
+
+
+@query(
+    "dq_histogram",
+    f"""
+    WITH b AS (
+      SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+             CAST(max(l_extendedprice) AS DOUBLE) AS hi
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), bi AS (
+      SELECT {_HIST_BIN_SQL.format(b1=9, x='l_extendedprice', bins=10)} AS bin,
+             lo, hi
+      FROM lineitem, b WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT bin,
+           CAST(lo + bin * ((hi - lo) / 10.0) AS DOUBLE) AS bin_lo,
+           CAST(lo + (bin + 1) * ((hi - lo) / 10.0) AS DOUBLE) AS bin_hi,
+           count(*) AS count
+    FROM bi GROUP BY bin, lo, hi
+    """,
+)
+def dq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice with data-derived bounds —
+    the bounds ride from a 1-row min/max agg via broadcast join, no
+    driver-side action (operators/profile.py histogram)."""
+    from .operators.profile import histogram
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return histogram(li, "l_extendedprice", bins=10)
+
+
+@query(
+    "dq_numeric_drift",
+    f"""
+    WITH b AS (
+      SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+             CAST(max(o_totalprice) AS DOUBLE) AS hi
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}' AND o_totalprice IS NOT NULL
+    ), hc AS (
+      SELECT bin, count(*) AS n FROM (
+        SELECT {_HIST_BIN_SQL.format(b1=9, x='o_totalprice', bins=10)} AS bin
+        FROM orders, b
+        WHERE o_orderdate >= TIMESTAMP '{_DRIFT_SPLIT}'
+          AND o_totalprice IS NOT NULL
+      ) GROUP BY bin
+    ), hr AS (
+      SELECT bin, count(*) AS n FROM (
+        SELECT {_HIST_BIN_SQL.format(b1=9, x='o_totalprice', bins=10)} AS bin
+        FROM orders, b
+        WHERE o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}'
+          AND o_totalprice IS NOT NULL
+      ) GROUP BY bin
+    ), c AS (
+      SELECT bin, n * 1.0 / sum(n) OVER () AS p_cur FROM hc
+    ), r AS (
+      SELECT bin, n * 1.0 / sum(n) OVER () AS p_ref FROM hr
+    ), j AS (
+      SELECT coalesce(c.bin, r.bin) AS bin,
+             coalesce(p_cur, 0.0) AS p_cur, coalesce(p_ref, 0.0) AS p_ref
+      FROM c FULL OUTER JOIN r ON c.bin = r.bin
+    )
+    SELECT bin,
+           CAST(round(p_cur, 6) AS DOUBLE) AS p_cur,
+           CAST(round(p_ref, 6) AS DOUBLE) AS p_ref,
+           CAST(round((greatest(p_cur, 1e-6) - greatest(p_ref, 1e-6))
+                      * ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6)),
+                6) AS DOUBLE) AS psi_term
+    FROM j
+    """,
+)
+def dq_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned PSI of o_totalprice, post- vs pre-1998H2, bounds from the
+    reference side (operators/drift.py numeric_drift)."""
+    from .operators.drift import numeric_drift
+
+    orders = load_table(spark, "orders", sf_dir)
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    return numeric_drift(
+        orders.filter(F.col("o_orderdate") >= split),
+        orders.filter(F.col("o_orderdate") < split),
+        "o_totalprice", bins=10,
     )

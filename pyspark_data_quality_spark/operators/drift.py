@@ -83,6 +83,72 @@ def categorical_drift(
     )
 
 
+def numeric_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    col: str,
+    *,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    eps: float = DEFAULT_EPS,
+    round_to: int = 6,
+) -> DataFrame:
+    """Binned PSI for a numeric column: both sides histogrammed with the
+    SAME bounds (explicit ``lo``/``hi``, else the REFERENCE side's
+    min/max — the convention that makes "new data escaped the old range"
+    show up as mass in the clamped edge bins), then the categorical PSI
+    formula per bin. Output: ``(bin, p_cur, p_ref, psi_term)``.
+    """
+    from .profile import histogram
+
+    if lo is None or hi is None:
+        # bounds ride from a 1-row agg via broadcast — no driver action
+        b = ref.agg(
+            F.min(F.col(col)).cast("double").alias("_blo"),
+            F.max(F.col(col)).cast("double").alias("_bhi"),
+        )
+        h_ref = _hist_with_bounds(ref, col, bins, b)
+        h_cur = _hist_with_bounds(cur, col, bins, b)
+    else:
+        h_ref = histogram(ref, col, bins=bins, lo=lo, hi=hi)
+        h_cur = histogram(cur, col, bins=bins, lo=lo, hi=hi)
+    tot = Window.partitionBy()
+    c = h_cur.select(
+        "bin", (F.col("count") / F.sum("count").over(tot)).alias("p_cur")
+    )
+    r = h_ref.select(
+        "bin", (F.col("count") / F.sum("count").over(tot)).alias("p_ref")
+    )
+    joined = c.join(r, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("p_cur", F.lit(0.0)).alias("p_cur"),
+        F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
+    )
+    pc = F.greatest(F.col("p_cur"), F.lit(eps))
+    pr = F.greatest(F.col("p_ref"), F.lit(eps))
+    return joined.select(
+        "bin",
+        F.round("p_cur", round_to).alias("p_cur"),
+        F.round("p_ref", round_to).alias("p_ref"),
+        F.round((pc - pr) * F.log(pc / pr), round_to).alias("psi_term"),
+    ).orderBy("bin")
+
+
+def _hist_with_bounds(df: DataFrame, col: str, bins: int, bounds: DataFrame):
+    x = F.col(col)
+    base = df.filter(x.isNotNull()).join(F.broadcast(bounds))
+    width = (F.col("_bhi") - F.col("_blo")) / F.lit(float(bins))
+    raw = F.floor(F.try_divide(x.cast("double") - F.col("_blo"), width))
+    bin_c = (
+        F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.coalesce(raw, F.lit(0))))
+        .cast("int")
+    )
+    return base.select(bin_c.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
 def psi_summary(
     cur: DataFrame,
     ref: DataFrame,

@@ -112,6 +112,52 @@ def profile_columns(
     )
 
 
+def histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram: ``(bin, bin_lo, bin_hi, count)``, bin 0..bins-1.
+
+    With explicit ``lo``/``hi`` the plan is a pure projection + groupBy
+    (one shuffle). Without them, the bounds come from a 1-row min/max
+    aggregate joined back by broadcast — two jobs, still no driver-side
+    action in plan construction. Values outside [lo, hi) clamp into the
+    edge bins (standard monitoring semantics: a runaway tail still
+    lands in the histogram rather than disappearing).
+    """
+    x = F.col(col)
+    base = df.filter(x.isNotNull())
+    if lo is None or hi is None:
+        bounds = base.agg(
+            F.min(x).cast("double").alias("_lo"), F.max(x).cast("double").alias("_hi")
+        )
+        base = base.join(F.broadcast(bounds))
+        lo_c, hi_c = F.col("_lo"), F.col("_hi")
+    else:
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    width = (hi_c - lo_c) / F.lit(float(bins))
+    # try_divide: a degenerate lo==hi range (constant column) bins to 0
+    raw = F.floor(F.try_divide(x.cast("double") - lo_c, width))
+    bin_c = (
+        F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.coalesce(raw, F.lit(0))))
+        .cast("int")
+    )
+    return (
+        base.select(
+            bin_c.alias("bin"),
+            (lo_c + bin_c * width).alias("bin_lo"),
+            (lo_c + (bin_c + 1) * width).alias("bin_hi"),
+        )
+        .groupBy("bin", "bin_lo", "bin_hi")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("bin")
+    )
+
+
 def top_values(
     df: DataFrame,
     columns: list[str],

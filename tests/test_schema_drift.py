@@ -90,3 +90,45 @@ def test_drift_null_bucket(spark):
         r["value"]: r for r in categorical_drift(cur, ref, ["k"]).collect()
     }
     assert rows["NULL"]["p_cur"] == 0.5 and rows["NULL"]["p_ref"] == 0.0
+
+
+def test_histogram_explicit_bounds(spark):
+    from pyspark_data_quality_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 2, 5, 9, 10, 15, -3]] + [(None,)],
+        "x double",
+    )
+    rows = {r["bin"]: r for r in histogram(df, "x", bins=5, lo=0.0, hi=10.0).collect()}
+    # width 2: [-3->clamp 0] [0,1->0] [2->1] [5->2] [9->4] [10,15->clamp 4]
+    assert rows[0]["count"] == 3
+    assert rows[1]["count"] == 1
+    assert rows[2]["count"] == 1
+    assert rows[4]["count"] == 3
+    assert rows[0]["bin_lo"] == 0.0 and rows[0]["bin_hi"] == 2.0
+    assert sum(r["count"] for r in rows.values()) == 8  # null excluded
+
+
+def test_histogram_derived_bounds_and_constant(spark):
+    from pyspark_data_quality_spark.operators.profile import histogram
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    rows = histogram(df, "x", bins=2).collect()
+    assert sum(r["count"] for r in rows) == 3
+    # constant column: degenerate range -> everything in bin 0
+    const = spark.createDataFrame([(7.0,)] * 4, "x double")
+    crows = histogram(const, "x", bins=3).collect()
+    assert len(crows) == 1 and crows[0]["bin"] == 0 and crows[0]["count"] == 4
+
+
+def test_numeric_drift_shift_detected(spark):
+    from pyspark_data_quality_spark.operators.drift import numeric_drift
+
+    ref = spark.createDataFrame([(float(i % 10),) for i in range(100)], "x double")
+    cur_same = numeric_drift(ref, ref, "x", bins=5).collect()
+    assert all(r["psi_term"] == 0.0 for r in cur_same)
+    # shifted distribution: mass beyond ref's max clamps into the top bin
+    cur = spark.createDataFrame([(float(20 + i % 3),) for i in range(100)], "x double")
+    rows = {r["bin"]: r for r in numeric_drift(cur, ref, "x", bins=5).collect()}
+    assert rows[4]["p_cur"] == 1.0  # clamped tail visible, not dropped
+    assert sum(r["psi_term"] for r in rows.values()) > 0.25
