@@ -1369,3 +1369,36 @@ def dq_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderdate") < split),
         "o_totalprice", bins=10,
     )
+
+
+@query(
+    "dq_embedding_quality",
+    """
+    WITH v AS (
+      SELECT embedding,
+             CAST(embedding AS DOUBLE[]) AS ed,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(len(embedding) AS INT) AS dim,
+           count(*) AS n,
+           CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_vec,
+           CAST(sum(CASE WHEN coalesce(len(list_filter(ed, x -> isnan(x))) > 0,
+                                       FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           CAST(round(avg(CASE WHEN isnan(nrm) THEN NULL ELSE nrm END), 6) AS DOUBLE) AS avg_norm
+    FROM v GROUP BY 1
+    """,
+)
+def dq_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column validity report over embeddings: dim consistency,
+    null/NaN/zero-norm counts, mean norm (operators/profile.py
+    vector_profile)."""
+    from .operators.profile import vector_profile
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return vector_profile(emb, "embedding")

@@ -158,6 +158,40 @@ def histogram(
     )
 
 
+def vector_profile(df: DataFrame, vec_col: str, *, round_to: int = 6) -> DataFrame:
+    """Embedding-column quality report, grouped by vector dimensionality:
+    ``(dim, n, n_null_vec, n_nan, n_zero_norm, avg_norm)``.
+
+    One fused groupBy over ``size(vec)`` — a healthy corpus yields ONE
+    row; extra rows (mixed dims, a -1/null bucket) are themselves the
+    quality finding. Norms are computed on ``array<double>`` so the same
+    arithmetic is reproducible in the oracle (float32 summation is not).
+    """
+    from ..functions.vectors import norm
+
+    v = F.col(vec_col).cast("array<double>")
+    nrm = norm(v)
+    return (
+        df.groupBy(F.size(F.col(vec_col)).alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col(vec_col).isNull(), 1).otherwise(0)).alias(
+                "n_null_vec"
+            ),
+            F.sum(
+                F.when(F.exists(v, lambda x: F.isnan(x)), 1).otherwise(0)
+            ).alias("n_nan"),
+            F.sum(F.when(nrm == 0.0, 1).otherwise(0)).alias("n_zero_norm"),
+            # NaN norms are excluded (reported via n_nan) so one corrupt
+            # vector can't poison the corpus-level mean
+            F.round(
+                F.avg(F.when(~F.isnan(nrm), nrm)), round_to
+            ).alias("avg_norm"),
+        )
+        .orderBy("dim")
+    )
+
+
 def top_values(
     df: DataFrame,
     columns: list[str],

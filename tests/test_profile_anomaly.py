@@ -143,3 +143,23 @@ def test_rate_of_change_zero_prev(spark):
     assert rows[1]["is_anomaly"] is True  # 0 -> 5: infinite change
     assert rows[2]["is_anomaly"] is False  # +2%
     assert rows[3]["is_anomaly"] is True  # -100%
+
+
+def test_vector_profile_findings(spark):
+    from pyspark_data_quality_spark.operators.profile import vector_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0]),        # zero norm
+            (3, [1.0, float("nan"), 0.0]),  # NaN element
+            (4, [1.0, 2.0]),             # wrong dim
+            (5, None),                   # null vector
+        ],
+        "id int, v array<double>",
+    )
+    rows = {r["dim"]: r for r in vector_profile(df, "v").collect()}
+    assert rows[3]["n"] == 3 and rows[3]["n_nan"] == 1 and rows[3]["n_zero_norm"] == 1
+    assert rows[2]["n"] == 1
+    assert rows[None]["n_null_vec"] == 1
+    assert rows[3]["avg_norm"] == 0.5  # NaN norm excluded: avg(1.0, 0.0)
