@@ -1,0 +1,111 @@
+"""Streaming anomaly detection: per-key online z-score with
+``applyInPandasWithState``.
+
+The batch detectors (operators/anomaly.py) window over a static metric
+history; this operator scores events AS THEY ARRIVE against running
+per-key statistics. State per key is three numbers — count, sum, sum of
+squares of every value seen so far — so a billion-key stream holds 24
+bytes of state per key, mergeable and restart-safe via the state store.
+
+Each value is scored against the statistics of the values BEFORE it
+(trailing semantics, matching the batch detectors: an anomaly cannot
+inflate the baseline that judges it), then folded into the state. The
+per-batch math is vectorized numpy over the Arrow batch (prefix sums),
+not a per-row Python loop.
+
+On a non-streaming frame the same call degrades to an expanding-window
+expression plan ordered by the timestamp — one code path, batch/stream
+parity testable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_MIN_PERIODS = 5
+
+
+def streaming_zscore(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ts_col: str,
+    *,
+    threshold: float = 3.0,
+    min_periods: int = DEFAULT_MIN_PERIODS,
+    watermark: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Score every event's ``value_col`` against the running mean/stddev
+    of its key's PRIOR events. Output: the key columns + ``ts_col`` +
+    ``value_col`` + ``zscore`` + ``is_anomaly``. Null values pass
+    through unscored and don't touch the statistics."""
+    x = F.col(value_col)
+    if not df.isStreaming:
+        tw = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        mean = F.avg(x).over(tw)
+        std = F.stddev_samp(x).over(tw)
+        n = F.count(x).over(tw)
+        z = F.try_divide(x - mean, std)
+        return df.select(
+            *keys,
+            ts_col,
+            value_col,
+            F.round(z, round_to).alias("zscore"),
+            F.coalesce(
+                (n >= min_periods) & (F.abs(z) > threshold), F.lit(False)
+            ).alias("is_anomaly"),
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (
+        ", ".join(f"{c} {fields[c]}" for c in [*keys, ts_col, value_col])
+        + ", zscore double, is_anomaly boolean"
+    )
+    state_schema = "n long, s double, q double"
+
+    def fn(key, pdfs, state):
+        n0, s0, q0 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            v = pdf[value_col].to_numpy(dtype=float, na_value=math.nan)
+            valid = ~np.isnan(v)
+            vz = np.where(valid, v, 0.0)
+            # stats of the values BEFORE each row (prefix, state-seeded)
+            pn = n0 + np.concatenate(([0], np.cumsum(valid)[:-1]))
+            ps = s0 + np.concatenate(([0.0], np.cumsum(vz)[:-1]))
+            pq = q0 + np.concatenate(([0.0], np.cumsum(vz * vz)[:-1]))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean = ps / pn
+                var = (pq - ps * ps / pn) / (pn - 1)
+                std = np.sqrt(np.maximum(var, 0.0))
+                z = (v - mean) / std
+            ok = valid & (pn >= 2) & (std > 0)
+            flag = ok & (pn >= min_periods) & (np.abs(z) > threshold)
+            out = pdf[[*keys, ts_col, value_col]].copy()
+            zr = pd.array(np.round(z, round_to), dtype="Float64")
+            zr[~ok] = pd.NA
+            out["zscore"] = zr
+            out["is_anomaly"] = flag
+            n0 += int(valid.sum())
+            s0 += float(vz.sum())
+            q0 += float((vz * vz).sum())
+            yield out
+        state.update((n0, s0, q0))
+
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    return src.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

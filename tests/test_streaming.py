@@ -207,3 +207,47 @@ def test_running_totals_stateful(spark, events_dir):
         for r in out.collect()
     }
     assert got == expected  # single availableNow batch == batch totals
+
+
+def test_streaming_zscore_parity(spark, tmp_path):
+    from pyspark_data_quality_spark.streaming import streaming_zscore
+
+    rows = []
+    # key "a": stable ~10 then a spike; key "b": stable, plus a null value
+    for i in range(8):
+        rows.append(("a", f"2024-01-01 00:0{i}:00", [10.0, 11.0, 9.0, 10.0, 10.5, 9.5, 10.0, 95.0][i]))
+    for i in range(6):
+        rows.append(("b", f"2024-01-01 00:0{i}:00", 50.0 + (i % 2)))
+    rows.append(("b", "2024-01-01 00:06:00", None))
+    df = spark.createDataFrame(rows, "k string, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    d = str(tmp_path / "zs_stream")
+    df.coalesce(1).write.parquet(d)
+
+    batch_src = spark.read.parquet(d)
+    expected = {
+        (r["k"], str(r["ts"])): (r["zscore"], r["is_anomaly"])
+        for r in streaming_zscore(batch_src, ["k"], "v", "ts").collect()
+    }
+    spike = expected[("a", "2024-01-01 00:07:00")]
+    assert spike[1] is True  # 95 vs trailing ~10
+    assert expected[("b", "2024-01-01 00:06:00")] == (None, False)  # null value
+
+    stream = spark.readStream.schema(batch_src.schema).parquet(d)
+    sdf = streaming_zscore(stream, ["k"], "v", "ts")
+    assert sdf.isStreaming
+    out = _run_stream(spark, sdf, output_mode="update")
+    got = {
+        (r["k"], str(r["ts"])): (r["zscore"], r["is_anomaly"])
+        for r in out.collect()
+    }
+    assert set(got) == set(expected)
+    for key in expected:
+        ez, ef = expected[key]
+        gz, gf = got[key]
+        assert gf == ef, key
+        if ez is None:
+            assert gz is None, key
+        else:
+            assert abs(gz - ez) < 1e-6, key
