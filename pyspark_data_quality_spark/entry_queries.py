@@ -1402,3 +1402,30 @@ def dq_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     return vector_profile(emb, "embedding")
+
+
+@query(
+    "dq_train_split",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def dq_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split of documents by md5 hash-bucket —
+    reproducible across runs, engines, retries (operators/split.py)."""
+    from .operators.split import deterministic_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    return deterministic_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")

@@ -1,5 +1,12 @@
-"""Metric sinks — see :mod:`.metrics`."""
+"""Sinks — metric history (:mod:`.metrics`) and valid/invalid routing
+(:mod:`.quarantine`)."""
 
 from .metrics import read_metrics, write_metrics
+from .quarantine import quarantine_route, read_quarantine
 
-__all__ = ["read_metrics", "write_metrics"]
+__all__ = [
+    "quarantine_route",
+    "read_metrics",
+    "read_quarantine",
+    "write_metrics",
+]

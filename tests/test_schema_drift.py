@@ -132,3 +132,39 @@ def test_numeric_drift_shift_detected(spark):
     rows = {r["bin"]: r for r in numeric_drift(cur, ref, "x", bins=5).collect()}
     assert rows[4]["p_cur"] == 1.0  # clamped tail visible, not dropped
     assert sum(r["psi_term"] for r in rows.values()) > 0.25
+
+
+def test_deterministic_split_stable_and_proportional(spark):
+    from pyspark_data_quality_spark.operators.split import deterministic_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id bigint")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = deterministic_split(df, "id", w).groupBy("split").count().collect()
+    b = deterministic_split(df.repartition(7), "id", w).collect()
+    counts = {r["split"]: r["count"] for r in a}
+    # hash buckets approximate the weights (binomial tolerance)
+    assert abs(counts["train"] - 1600) < 120
+    assert abs(counts["val"] - 200) < 80
+    assert set(counts) == {"train", "val", "test"}
+    # stable under repartition: same id -> same split, run to run
+    m = {r["id"]: r["split"] for r in b}
+    c = {
+        r["id"]: r["split"]
+        for r in deterministic_split(df, "id", w).collect()
+    }
+    assert m == c
+    # salt re-rolls the assignment
+    salted = {
+        r["id"]: r["split"]
+        for r in deterministic_split(df, "id", w, salt="v2").collect()
+    }
+    assert salted != c
+
+
+def test_split_weights_validation(spark):
+    from pyspark_data_quality_spark.operators.split import split_assignment
+
+    with pytest.raises(ValueError):
+        split_assignment("id", {})
+    with pytest.raises(ValueError):
+        split_assignment("id", {"a": 0.0})

@@ -46,3 +46,27 @@ def test_salted_agg_matches_direct(spark):
         for r in salted_agg_counts(df, ["k"], salt=8, value_col="v").collect()
     }
     assert salted == direct
+
+
+def test_quarantine_route(spark, tmp_path):
+    from pyspark_data_quality_spark.sinks import quarantine_route, read_quarantine
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], ["id", "name"]
+    )
+    res = (
+        DQManager(spark, dataset="q1", run_id="r0")
+        .set_data(df)
+        .add_rule(CompletenessColRatioRule(columns=["name"]))
+        .run()
+    )
+    base = str(tmp_path / "routed")
+    paths = quarantine_route(res, base)
+    valid = spark.read.parquet(paths["valid"])
+    invalid = read_quarantine(spark, base)
+    assert {r["id"] for r in valid.collect()} == {1, 3}
+    assert {r["id"] for r in invalid.collect()} == {2, 4}
+    assert valid.columns == ["id", "name"]  # original schema, no DQ columns
+    assert "failed_rules" in invalid.columns
+    bad = invalid.filter(F.col("id") == 2).first()
+    assert len(bad["failed_rules"]) == 1  # the completeness rule name
