@@ -1429,3 +1429,47 @@ def dq_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "split")
+
+
+@query(
+    "dq_asof_orders",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch,
+           CAST(floor(epoch(r.o_orderdate)) AS BIGINT) AS order_epoch,
+           r.o_orderkey AS o_orderkey_matched
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def dq_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each event matched to the user's most recent
+    order at event time (operators/asof.py — union + last-over-window,
+    ONE shuffle, no range join). The oracle is DuckDB's NATIVE ASOF
+    JOIN: two independent formulations, one answer. The right side is
+    deduplicated to one row per (custkey, orderdate) so ties are
+    deterministic in both engines."""
+    from .operators.asof import asof_join
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join(
+        events, right, on="ts", by=["user_id"],
+        right_on="o_orderdate", right_by=["o_custkey"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        F.col("ts_matched").cast("timestamp").cast("long").alias("order_epoch"),
+        "o_orderkey_matched",
+    )

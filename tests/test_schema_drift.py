@@ -168,3 +168,61 @@ def test_split_weights_validation(spark):
         split_assignment("id", {})
     with pytest.raises(ValueError):
         split_assignment("id", {"a": 0.0})
+
+
+@pytest.fixture
+def asof_frames(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 10:00:05", 1),
+            ("A", "2024-01-01 10:00:10", 2),
+            ("A", "2024-01-01 10:02:00", 3),
+            ("B", "2024-01-01 10:00:07", 4),
+            ("C", "2024-01-01 10:00:01", 5),  # no quotes for C
+        ],
+        "sym string, ts string, trade_id int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 10:00:00", 100.0),
+            ("A", "2024-01-01 10:00:10", 101.0),  # equal-ts case vs trade 2
+            ("B", "2024-01-01 10:00:06", 200.0),
+        ],
+        "sym string, qts string, px double",
+    ).withColumn("qts", F.col("qts").cast("timestamp"))
+    return trades, quotes
+
+
+def test_asof_join_backward_inclusive(spark, asof_frames):
+    from pyspark_data_quality_spark.operators.asof import asof_join
+
+    trades, quotes = asof_frames
+    out = {
+        r["trade_id"]: r["px_matched"]
+        for r in asof_join(
+            trades, quotes, on="ts", by=["sym"], right_on="qts"
+        ).collect()
+    }
+    assert out == {1: 100.0, 2: 101.0, 3: 101.0, 4: 200.0, 5: None}
+
+
+def test_asof_join_strict_and_tolerance(spark, asof_frames):
+    from pyspark_data_quality_spark.operators.asof import asof_join
+
+    trades, quotes = asof_frames
+    strict = {
+        r["trade_id"]: r["px_matched"]
+        for r in asof_join(
+            trades, quotes, on="ts", by=["sym"], right_on="qts", strict=True
+        ).collect()
+    }
+    assert strict[2] == 100.0  # equal-ts quote excluded under strict
+    tol = {
+        r["trade_id"]: r["px_matched"]
+        for r in asof_join(
+            trades, quotes, on="ts", by=["sym"], right_on="qts",
+            tolerance_seconds=30,
+        ).collect()
+    }
+    assert tol[1] == 100.0
+    assert tol[3] is None  # quote 110s stale, beyond the 30s horizon
