@@ -1473,3 +1473,70 @@ def dq_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_matched").cast("timestamp").cast("long").alias("order_epoch"),
         "o_orderkey_matched",
     )
+
+
+@query(
+    "dq_time_rollup",
+    """
+    SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                WHEN GROUPING(d) = 0 THEN 'day'
+                ELSE 'month' END AS level,
+           CAST(floor(epoch(coalesce(h, d, m))) AS BIGINT) AS window_epoch,
+           count(*) AS n,
+           CAST(round(avg(value), 6) AS DOUBLE) AS avg_value
+    FROM (
+      SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+             date_trunc('month', ts) AS m, value
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((h), (d), (m))
+    """,
+)
+def dq_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour/day/month event rollups in ONE grouping-sets aggregation
+    (operators/rollup.py) — one scan + one shuffle for all three
+    resolutions."""
+    from .operators.rollup import time_rollup
+
+    events = load_table(spark, "events", sf_dir)
+    out = time_rollup(
+        events, "ts",
+        levels=("hour", "day", "month"),
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        ],
+    )
+    return out.select(
+        "level",
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "n", "avg_value",
+    )
+
+
+@query(
+    "dq_value_bands",
+    """
+    SELECT e.event_id, b.band
+    FROM events e
+    JOIN (VALUES (0.0, 2.0, 'low'), (2.0, 5.0, 'mid'), (5.0, 10.5, 'high'))
+         AS b(lo, hi, band)
+      ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def dq_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join of event values into bands via bucketed blocking
+    (operators/range_join.py) — hash join on manufactured bucket keys
+    plus exact re-check, not Spark's nested-loop non-equi plan. The
+    oracle is DuckDB's plain inequality join."""
+    from .operators.range_join import range_join
+
+    events = load_table(spark, "events", sf_dir).select("event_id", "value")
+    bands = spark.createDataFrame(
+        [(0.0, 2.0, "low"), (2.0, 5.0, "mid"), (5.0, 10.5, "high")],
+        "lo double, hi double, band string",
+    )
+    return range_join(
+        events, bands, value_col="value", lo_col="lo", hi_col="hi",
+        bucket_width=2.0,
+    ).select("event_id", "band")

@@ -1,0 +1,67 @@
+"""Multi-resolution time rollups (hypertable-style continuous aggregates).
+
+One pass produces the SAME aggregate at several time granularities
+(hour/day/month/...) via GROUPING SETS: Catalyst's Expand emits one row
+per (input row × grouping set) into a single hash aggregation — one
+shuffle for every resolution, vs one full job per granularity when
+naively looping. At 100 TB the Expand multiplies map-side rows by
+len(levels), but partial aggregation collapses them before the exchange,
+so the shuffle carries |distinct windows| rows per level — the same as
+the loop, minus the repeated scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: granularities accepted by date_trunc in both Spark and DuckDB
+SUPPORTED_LEVELS = ("minute", "hour", "day", "week", "month", "quarter", "year")
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    levels: tuple[str, ...] = ("hour", "day", "month"),
+    group_cols: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Aggregate ``df`` at every granularity in ``levels`` in ONE job.
+
+    Output: ``level`` (granularity name), ``window_start`` (truncated
+    timestamp), the ``group_cols``, then the aggregates (default:
+    ``count(1) as n``). Uses GROUPING SETS — the ``grouping()`` bit, not
+    value-nullness, identifies each row's level, so null timestamps
+    don't misattribute rows.
+    """
+    for lvl in levels:
+        if lvl not in SUPPORTED_LEVELS:
+            raise ValueError(f"time_rollup: unsupported level {lvl!r}")
+    gcols = group_cols or []
+    aggs = aggs if aggs is not None else [F.count(F.lit(1)).alias("n")]
+
+    trunc_names = [f"_{lvl}" for lvl in levels]
+    base = df.select(
+        *[
+            F.date_trunc(lvl, F.col(ts_col)).alias(name)
+            for lvl, name in zip(levels, trunc_names)
+        ],
+        *[c for c in df.columns],
+    )
+    sets = [[name, *gcols] for name in trunc_names]
+    level = None
+    for lvl, name in zip(levels, trunc_names):
+        cond = F.grouping(name) == 0
+        level = F.when(cond, lvl) if level is None else level.when(cond, lvl)
+    agged = base.groupingSets(sets, *trunc_names, *gcols).agg(
+        level.alias("level"),
+        F.coalesce(*[F.col(n) for n in trunc_names]).alias("window_start"),
+        *aggs,
+    )
+    out_aggs = [
+        c
+        for c in agged.columns
+        if c not in (*trunc_names, *gcols, "level", "window_start")
+    ]
+    return agged.select("level", "window_start", *gcols, *out_aggs)

@@ -1,0 +1,109 @@
+"""Range-join and time-rollup operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_quality_spark.operators.range_join import range_join
+from pyspark_data_quality_spark.operators.rollup import time_rollup
+
+
+@pytest.fixture
+def bands(spark):
+    return spark.createDataFrame(
+        [(0.0, 3.0, "low"), (3.0, 5.0, "mid"), (5.0, 99.0, "high")],
+        "lo double, hi double, band string",
+    )
+
+
+def test_range_join_inner_and_bounds(spark, bands):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 2.9), (3, 3.0), (4, 98.9), (5, 99.0), (6, -1.0)],
+        "id int, v double",
+    )
+    got = {
+        r["id"]: r["band"]
+        for r in range_join(
+            df, bands, value_col="v", lo_col="lo", hi_col="hi", bucket_width=2.0
+        ).collect()
+    }
+    # half-open [lo, hi): 3.0 goes to mid, 99.0 and -1.0 match nothing
+    assert got == {1: "low", 2: "low", 3: "mid", 4: "high"}
+    both = {
+        r["id"]: r["band"]
+        for r in range_join(
+            df, bands, value_col="v", lo_col="lo", hi_col="hi",
+            bucket_width=2.0, inclusive="both",
+        ).collect()
+    }
+    assert both[5] == "high"  # closed upper bound
+    # 3.0 now matches BOTH low's hi and mid's lo -> two rows; dict kept one
+    assert len(
+        range_join(
+            df, bands, value_col="v", lo_col="lo", hi_col="hi",
+            bucket_width=2.0, inclusive="both",
+        ).filter(F.col("id") == 3).collect()
+    ) == 2
+
+
+def test_range_join_left_keeps_unmatched(spark, bands):
+    df = spark.createDataFrame([(1, 2.0), (2, -5.0), (3, 2.0)], "id int, v double")
+    rows = range_join(
+        df, bands, value_col="v", lo_col="lo", hi_col="hi",
+        bucket_width=2.0, how="left",
+    ).collect()
+    assert len(rows) == 3
+    got = {r["id"]: r["band"] for r in rows}
+    assert got == {1: "low", 2: None, 3: "low"}
+
+
+def test_range_join_by_keys_and_width_independence(spark):
+    left = spark.createDataFrame(
+        [("a", 1, 5.0), ("b", 2, 5.0)], "k string, id int, v double"
+    )
+    right = spark.createDataFrame(
+        [("a", 0.0, 10.0, "ra"), ("b", 6.0, 10.0, "rb")],
+        "k string, lo double, hi double, tag string",
+    )
+    for w in (0.5, 3.0, 100.0):
+        got = {
+            r["id"]: r["tag"]
+            for r in range_join(
+                left, right, value_col="v", lo_col="lo", hi_col="hi",
+                by=["k"], bucket_width=w,
+            ).collect()
+        }
+        assert got == {1: "ra"}, f"width {w}"
+
+
+def test_time_rollup_levels(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:30:00", 2.0),
+            (2, "2024-01-01 11:15:00", 4.0),
+            (3, "2024-02-03 00:00:00", 6.0),
+        ],
+        "id int, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = time_rollup(
+        df, "ts",
+        aggs=[F.count(F.lit(1)).alias("n"), F.round(F.avg("v"), 6).alias("avg_v")],
+    ).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r["level"], []).append(r)
+    assert len(by_level["hour"]) == 3
+    assert len(by_level["day"]) == 2
+    assert len(by_level["month"]) == 2
+    jan = next(r for r in by_level["month"] if "2024-01" in str(r["window_start"]))
+    assert jan["n"] == 2 and jan["avg_v"] == 3.0
+
+
+def test_time_rollup_group_cols_and_validation(spark):
+    df = spark.createDataFrame(
+        [("x", "2024-01-01 10:00:00"), ("y", "2024-01-01 10:30:00")],
+        "k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = time_rollup(df, "ts", levels=("hour",), group_cols=["k"]).collect()
+    assert {(r["k"], r["n"]) for r in out} == {("x", 1), ("y", 1)}
+    with pytest.raises(ValueError, match="unsupported level"):
+        time_rollup(df, "ts", levels=("fortnight",))
