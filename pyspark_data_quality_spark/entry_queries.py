@@ -1540,3 +1540,92 @@ def dq_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, bands, value_col="value", lo_col="lo", hi_col="hi",
         bucket_width=2.0,
     ).select("event_id", "band")
+
+
+def _pii_oracle() -> str:
+    """Same PII_PATTERNS drive the operator AND the oracle — Java regex
+    (Spark) and RE2 (DuckDB) agree on this restricted syntax."""
+    from .functions.text import PII_PATTERNS
+
+    parts = []
+    for t, pat in PII_PATTERNS.items():
+        p = pat.replace("'", "''")
+        parts.append(
+            f"SELECT '{t}' AS pii_type, "
+            f"CAST(sum(CASE WHEN len(regexp_extract_all(text, '{p}')) > 0 "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected, "
+            f"CAST(sum(len(regexp_extract_all(text, '{p}'))) AS BIGINT) "
+            f"AS total_matches FROM documents"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("dq_pii_scan", _pii_oracle())
+def dq_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII exposure: email/url/phone/ipv4 detector summary in one
+    fused pass (operators/text.py pii_summary)."""
+    from .operators.text import pii_summary
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pii_summary(docs, "text")
+
+
+@query(
+    "dq_contamination",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct([substr(norm, i, 8) FOR i IN range(1, len(norm) - 6)])
+               AS grams
+      FROM (SELECT doc_id, {_SQL_NORM} AS norm FROM documents)
+      WHERE len(norm) >= 8
+    ), d AS (
+      SELECT * FROM g WHERE doc_id >= 5
+    ), p AS (
+      SELECT doc_id AS probe_id, grams AS pg, len(grams) AS pn
+      FROM g WHERE doc_id < 5
+    )
+    SELECT d.doc_id, p.probe_id,
+           CAST(round(len(list_intersect(d.grams, p.pg)) * 1.0 / p.pn, 6)
+                AS DOUBLE) AS containment
+    FROM d, p
+    WHERE round(len(list_intersect(d.grams, p.pg)) * 1.0 / p.pn, 6) >= 0.2
+    """,
+)
+def dq_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: char-8-gram containment of the 5
+    'benchmark' probe docs inside every other corpus doc; probes are
+    broadcast with precomputed gram sets (operators/text.py
+    contamination_pairs)."""
+    from .operators.text import contamination_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return contamination_pairs(
+        docs.filter(F.col("doc_id") >= 5),
+        docs.filter(F.col("doc_id") < 5),
+        "text", "doc_id", n=8, threshold=0.2,
+    )
+
+
+@query(
+    "dq_vocab",
+    f"""
+    WITH t AS (
+      SELECT unnest(list_filter(string_split({_SQL_NORM}, ' '), x -> x != ''))
+        AS token
+      FROM documents
+    ), c AS (
+      SELECT token, count(*) AS n FROM t GROUP BY token
+    )
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS rank
+    FROM c QUALIFY rank <= 50
+    """,
+)
+def dq_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 tokens by frequency
+    (operators/text.py vocab_top_k)."""
+    from .operators.text import vocab_top_k
+
+    docs = load_table(spark, "documents", sf_dir)
+    return vocab_top_k(docs, "text", k=50)

@@ -216,3 +216,23 @@ def winnow_fingerprints(
 
     mins = _let(normalize_text(col), lambda c: _let(grams_of(c), mins_of))
     return F.array_sort(F.array_distinct(mins))
+
+
+#: PII detectors (training-data curation): regexes restricted to syntax
+#: that Java regex (Spark) and RE2 (DuckDB) interpret identically, so the
+#: SAME pattern string drives both the operator and its oracle. Matched
+#: on RAW text — normalization lowercases and would mangle URLs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_count(col: Column | str, pii_type: str) -> Column:
+    """Number of matches of one PII pattern in the raw text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(c, F.lit(PII_PATTERNS[pii_type]), F.lit(0))
+    )

@@ -155,3 +155,103 @@ def quality_summary(df: DataFrame, text_col: str = "text", group_col: str | None
     if group_col:
         return profiled.groupBy(group_col).agg(*aggs)
     return profiled.agg(*aggs)
+
+
+def pii_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus PII exposure report: one row per detector in
+    :data:`..functions.text.PII_PATTERNS` with the number of documents
+    containing at least one match and the total match count. ONE fused
+    aggregation pass (all regex counts in a single projection), long
+    format so new detectors never change the schema."""
+    from ..functions.text import PII_PATTERNS, pii_count
+
+    counts = df.select(
+        *[pii_count(text_col, t).alias(t) for t in PII_PATTERNS]
+    )
+    aggs = []
+    for t in PII_PATTERNS:
+        aggs.append(
+            F.sum(F.when(F.col(t) > 0, 1).otherwise(0)).alias(f"{t}__docs")
+        )
+        aggs.append(F.sum(t).cast("bigint").alias(f"{t}__total"))
+    row = counts.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("pii_type"),
+                F.col(f"{t}__docs").alias("docs_affected"),
+                F.col(f"{t}__total").alias("total_matches"),
+            )
+            for t in PII_PATTERNS
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select(
+        "e.pii_type", "e.docs_affected", "e.total_matches"
+    )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 8,
+    threshold: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Benchmark-contamination check: fraction of each PROBE document's
+    char ``n``-gram set found inside each corpus document (containment
+    |D∩P| / |P|) — the standard decontamination signal for training data
+    vs eval sets.
+
+    Scale shape: the probe set (eval benchmarks — small by construction)
+    is broadcast with its gram sets precomputed; the corpus streams
+    through once, one containment expression per (doc, probe), no
+    shuffle of the corpus. Output: (doc_id, probe_id, containment >=
+    threshold).
+    """
+    from ..functions.expr import let_bind as _let
+    from ..functions.text import char_ngrams
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(char_ngrams(text_col, n)).alias("_dg"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.array_distinct(char_ngrams(text_col, n)).alias("_pg"),
+    ).withColumn("_pn", F.size("_pg"))
+    jac = _let(
+        F.size(F.array_intersect(F.col("_dg"), F.col("_pg"))),
+        lambda i: F.try_divide(i.cast("double"), F.col("_pn")),
+    )
+    return (
+        d.crossJoin(F.broadcast(p))
+        .select(
+            "doc_id",
+            "probe_id",
+            F.round(jac, round_to).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def vocab_top_k(
+    df: DataFrame, text_col: str = "text", *, k: int = 50
+) -> DataFrame:
+    """Corpus vocabulary head: top-``k`` tokens by frequency (ties broken
+    by token). One explode + one (token) shuffle + rank — the vocabulary
+    builder's first pass. Output: (token, n, rank)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokenize
+
+    toks = df.select(F.explode(tokenize(text_col)).alias("token"))
+    counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("rank")
+    )

@@ -333,3 +333,55 @@ def test_winnow_fingerprints(spark):
     assert out[4] == [] and out[5] == []
     # sorted distinct
     assert out[1] == sorted(set(out[1]))
+
+
+def test_pii_summary_crafted(spark):
+    from pyspark_data_quality_spark.operators.text import pii_summary
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at alice@example.com or bob@test.org"),
+            (2, "visit https://example.com/x and http://a.b/c now"),
+            (3, "server at 10.0.0.1 and 192.168.1.255"),
+            (4, "call +1 555-123-4567 today"),
+            (5, "nothing sensitive here"),
+            (6, None),
+        ],
+        "id int, text string",
+    )
+    out = {r["pii_type"]: r for r in pii_summary(df, "text").collect()}
+    assert out["email"]["docs_affected"] == 1 and out["email"]["total_matches"] == 2
+    assert out["url"]["docs_affected"] == 1 and out["url"]["total_matches"] == 2
+    assert out["ipv4"]["docs_affected"] == 1 and out["ipv4"]["total_matches"] == 2
+    assert out["phone"]["docs_affected"] == 1
+    assert set(out) == {"email", "url", "phone", "ipv4"}
+
+
+def test_contamination_pairs(spark):
+    from pyspark_data_quality_spark.operators.text import contamination_pairs
+
+    probe = spark.createDataFrame(
+        [(100, "the secret benchmark question about spark shuffles")],
+        "doc_id int, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix text THE SECRET BENCHMARK QUESTION ABOUT SPARK SHUFFLES suffix"),
+            (2, "completely unrelated document content here"),
+            (3, "short"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = contamination_pairs(docs, probe, "text", "doc_id", n=8, threshold=0.5).collect()
+    assert {r["doc_id"] for r in rows} == {1}  # full probe containment
+    assert rows[0]["probe_id"] == 100 and rows[0]["containment"] > 0.9
+
+
+def test_vocab_top_k(spark):
+    from pyspark_data_quality_spark.operators.text import vocab_top_k
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b z")], "id int, text string"
+    )
+    rows = vocab_top_k(df, "text", k=2).collect()
+    assert [(r["token"], r["n"], r["rank"]) for r in rows] == [("a", 4, 1), ("b", 3, 2)]
