@@ -1604,6 +1604,9 @@ def dq_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") >= 5),
         docs.filter(F.col("doc_id") < 5),
         "text", "doc_id", n=8, threshold=0.2,
+        # np impl: containment is hash-invariant (set sizes), and the
+        # kernel's re.ASCII normalization matches the oracle's RE2 \s+
+        impl="np",
     )
 
 

@@ -85,7 +85,10 @@ def shingle_hashes_np(shingle: str = "word", n: int = 3, seed: int = 42):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    ws = re.compile(r"\s+")
+    # re.ASCII: Java regex \s (Spark normalize_text) and RE2 \s (DuckDB
+    # oracles) are ASCII-only; Python's default unicode \s would collapse
+    # NBSP/ideographic spaces they don't, skewing gram sets on CJK text
+    ws = re.compile(r"\s+", re.ASCII)
     salt = seed.to_bytes(8, "little", signed=True)
 
     def f(texts):

@@ -199,6 +199,7 @@ def contamination_pairs(
     n: int = 8,
     threshold: float = 0.2,
     round_to: int = 6,
+    impl: str = "np",
 ) -> DataFrame:
     """Benchmark-contamination check: fraction of each PROBE document's
     char ``n``-gram set found inside each corpus document (containment
@@ -207,32 +208,77 @@ def contamination_pairs(
 
     Scale shape: the probe set (eval benchmarks — small by construction)
     is broadcast with its gram sets precomputed; the corpus streams
-    through once, one containment expression per (doc, probe), no
-    shuffle of the corpus. Output: (doc_id, probe_id, containment >=
-    threshold).
+    through once, no shuffle of the corpus. Grams are 64-bit hashes in
+    BOTH impls — set sizes (hence containment) are hash-invariant, and
+    intersecting raw 8-char string arrays was the whole cost (~15s at
+    sf0.1 vs ~1s hashed). ``impl='np'`` (default): one Arrow pass builds
+    the hash sets (:func:`..functions.vectors.shingle_hashes_np`) and a
+    numpy kernel scores pairs. ``impl='expr'``: xxhash64'd grams +
+    array_intersect — UDF-free and Java-regex-normalized, but Catalyst
+    inlines the single-referenced gram expression into the per-pair
+    projection (CollapseProject treats once-referenced exprs as free),
+    recomputing it per probe — use it only when UDFs are banned.
+
+    Output: (doc_id, probe_id, containment >= threshold).
     """
     from ..functions.expr import let_bind as _let
     from ..functions.text import char_ngrams
 
-    d = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(char_ngrams(text_col, n)).alias("_dg"),
-    )
-    p = probes.select(
-        F.col(id_col).alias("probe_id"),
-        F.array_distinct(char_ngrams(text_col, n)).alias("_pg"),
-    ).withColumn("_pn", F.size("_pg"))
-    jac = _let(
-        F.size(F.array_intersect(F.col("_dg"), F.col("_pg"))),
-        lambda i: F.try_divide(i.cast("double"), F.col("_pn")),
-    )
+    if impl == "np":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from ..functions.vectors import shingle_hashes_np
+
+        h = shingle_hashes_np("char", n, seed=77)
+        d = docs.select(
+            F.col(id_col).alias("doc_id"), h(F.col(text_col)).alias("_dg")
+        ).filter(F.col("_dg").isNotNull())
+        p = probes.select(
+            F.col(id_col).alias("probe_id"), h(F.col(text_col)).alias("_pg")
+        ).filter(F.col("_pg").isNotNull())
+
+        def score(dgs, pgs):
+            out = np.empty(len(dgs))
+            for i in range(len(dgs)):
+                dg, pg = dgs.iloc[i], pgs.iloc[i]
+                if dg is None or pg is None or len(pg) == 0:
+                    out[i] = -1.0  # undefined -> below any threshold
+                    continue
+                out[i] = np.intersect1d(dg, pg, assume_unique=True).size / len(pg)
+            return pd.Series(out)
+
+        score.__annotations__ = {
+            "dgs": pd.Series, "pgs": pd.Series, "return": pd.Series
+        }
+        cont = F.round(
+            pandas_udf(score, "double")(F.col("_dg"), F.col("_pg")), round_to
+        )
+    else:
+        def hashed_grams(col: str) -> F.Column:
+            return F.transform(
+                F.array_distinct(char_ngrams(col, n)), lambda s: F.xxhash64(s)
+            )
+
+        d = docs.select(
+            F.col(id_col).alias("doc_id"), hashed_grams(text_col).alias("_dg")
+        )
+        p = probes.select(
+            F.col(id_col).alias("probe_id"), hashed_grams(text_col).alias("_pg")
+        )
+        cont = F.round(
+            _let(
+                F.size(F.array_intersect(F.col("_dg"), F.col("_pg"))),
+                lambda i: F.try_divide(
+                    i.cast("double"), F.size(F.col("_pg"))
+                ),
+            ),
+            round_to,
+        )
     return (
         d.crossJoin(F.broadcast(p))
-        .select(
-            "doc_id",
-            "probe_id",
-            F.round(jac, round_to).alias("containment"),
-        )
+        .select("doc_id", "probe_id", cont.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
 
