@@ -74,16 +74,26 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # min-of-N passes: the first execution of each plan pays Catalyst
+    # analysis + codegen + Python-worker spin-up, which measured ±2x
+    # run-to-run — the min is the stable engine number the round-over-
+    # round comparison needs.
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in entry_mod.queries().items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # one broken query must not kill the bench
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
+    for i in range(passes):
+        for name, fn in entry_mod.queries().items():
+            if name in errors:
+                continue
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                t = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, t), t)
+            except Exception as e:  # one broken query must not kill the bench
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                timings.pop(name, None)
 
     out = {
         "metric": "dq_suite_seconds",
