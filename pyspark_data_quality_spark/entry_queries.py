@@ -1632,3 +1632,23 @@ def dq_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return vocab_top_k(docs, "text", k=50)
+
+
+@query(
+    "dq_sample",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 AS b
+      FROM documents
+    ) WHERE b < 2500
+    """,
+)
+def dq_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% hash-bucket sample of documents
+    (operators/split.py deterministic_sample)."""
+    from .operators.split import deterministic_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return deterministic_sample(docs, "doc_id", 0.25).select("doc_id")

@@ -66,3 +66,52 @@ def deterministic_split(
     return df.withColumn(
         split_col, split_assignment(id_col, weights, salt=salt)
     )
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, *, salt: str = ""
+) -> DataFrame:
+    """Hash-bucket sample of ~``fraction`` of rows — same stability
+    contract as :func:`deterministic_split` (a row is in or out as a pure
+    function of its id + salt; re-running, repartitioning, or another
+    engine reproduces the identical sample). Unlike ``df.sample``, which
+    draws per task attempt."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError("deterministic_sample: fraction must be in [0, 1]")
+    c = F.col(id_col)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _BUCKETS
+    )
+    return df.filter(bucket < int(round(fraction * _BUCKETS)))
+
+
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    id_col: str,
+    *,
+    salt: str = "",
+    source_col: str = "mix_source",
+) -> DataFrame:
+    """Deterministic training-mix assembly: for each named source, keep a
+    hash-stable ``fraction`` of its rows, tag provenance, and union —
+    the standard "X% of web, Y% of code, Z% of books" recipe, fully
+    reproducible (the mix is a pure function of ids + salt, no RNG).
+    Schemas are aligned by name (``unionByName``)."""
+    if not sources:
+        raise ValueError("mix_corpora: sources must be non-empty")
+    parts = []
+    for name, (df, fraction) in sources.items():
+        parts.append(
+            deterministic_sample(df, id_col, fraction, salt=salt).withColumn(
+                source_col, F.lit(name)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -226,3 +226,27 @@ def test_asof_join_strict_and_tolerance(spark, asof_frames):
     }
     assert tol[1] == 100.0
     assert tol[3] is None  # quote 110s stale, beyond the 30s horizon
+
+
+def test_deterministic_sample_and_mix(spark):
+    from pyspark_data_quality_spark.operators.split import (
+        deterministic_sample,
+        mix_corpora,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id bigint")
+    s = deterministic_sample(df, "id", 0.25)
+    n = s.count()
+    assert abs(n - 500) < 80
+    # subset property: a smaller fraction's sample nests inside a larger's
+    small = {r["id"] for r in deterministic_sample(df, "id", 0.1).collect()}
+    big = {r["id"] for r in s.collect()}
+    assert small <= big
+    assert deterministic_sample(df, "id", 0.0).count() == 0
+    assert deterministic_sample(df, "id", 1.0).count() == 2000
+
+    web = spark.createDataFrame([(i, "w") for i in range(1000)], "id bigint, t string")
+    code = spark.createDataFrame([(i + 10000, "c") for i in range(1000)], "id bigint, t string")
+    mix = mix_corpora({"web": (web, 0.5), "code": (code, 0.1)}, "id")
+    by_src = {r["mix_source"]: r["count"] for r in mix.groupBy("mix_source").count().collect()}
+    assert abs(by_src["web"] - 500) < 80 and abs(by_src["code"] - 100) < 60
