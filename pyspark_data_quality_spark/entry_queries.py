@@ -1652,3 +1652,65 @@ def dq_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return deterministic_sample(docs, "doc_id", 0.25).select("doc_id")
+
+
+@query(
+    "dq_fd_check",
+    """
+    SELECT c_nationkey,
+           count(*) AS n_rows,
+           count(DISTINCT c_mktsegment) AS n_distinct,
+           array_to_string(
+             list_sort(list_distinct(list(c_mktsegment)
+                       FILTER (WHERE c_mktsegment IS NOT NULL)))[1:5], ','
+           ) AS examples
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING count(DISTINCT c_mktsegment) > 1
+    """,
+)
+def dq_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: nations whose customers span >1
+    market segment, i.e. c_nationkey -/-> c_mktsegment
+    (operators/consistency.py fd_violations)."""
+    from .operators.consistency import fd_violations
+
+    cust = load_table(spark, "customer", sf_dir)
+    out = fd_violations(cust, ["c_nationkey"], "c_mktsegment", max_examples=5)
+    return out.select(
+        "c_nationkey", "n_rows", "n_distinct",
+        F.array_join("examples", ",").alias("examples"),
+    )
+
+
+@query(
+    "dq_entropy",
+    """
+    WITH p AS (
+      SELECT 'o_orderpriority' AS "column",
+             coalesce(CAST(o_orderpriority AS VARCHAR), 'NULL') AS value
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', coalesce(CAST(o_orderstatus AS VARCHAR), 'NULL')
+      FROM orders
+    ), c AS (
+      SELECT "column", value, count(*) AS n FROM p GROUP BY 1, 2
+    ), t AS (
+      SELECT "column", value, n,
+             sum(n) OVER (PARTITION BY "column") AS tot
+      FROM c
+    )
+    SELECT "column",
+           CAST(round(sum(-(n * 1.0 / tot) * log2(n * 1.0 / tot)), 6)
+                AS DOUBLE) AS entropy,
+           count(*) AS n_distinct
+    FROM t GROUP BY "column"
+    """,
+)
+def dq_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of two orders columns in one shuffle
+    (operators/profile.py column_entropy)."""
+    from .operators.profile import column_entropy
+
+    orders = load_table(spark, "orders", sf_dir)
+    return column_entropy(orders, ["o_orderpriority", "o_orderstatus"])

@@ -131,3 +131,30 @@ class ReferentialIntegrityRule(Rule):
             .groupBy(*self.columns)
             .agg(F.count(F.lit(1)).alias("count"))
         )
+
+
+def fd_violations(
+    df, determinant: list[str], dependent: str, *, max_examples: int = 5
+):
+    """Functional-dependency check: groups where ``determinant -> dependent``
+    is violated (one determinant value maps to >1 distinct dependent
+    values) — schema-discovery-style consistency auditing (e.g. "zip ->
+    city", "order -> customer"). One groupBy on the determinant; example
+    values are capped via slice so a pathological group can't balloon
+    the report row. Output: determinant cols, n_rows, n_distinct,
+    examples (sorted, capped)."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(*determinant)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col(dependent)).alias("n_distinct"),
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list(dependent))),
+                1,
+                max_examples,
+            ).alias("examples"),
+        )
+        .filter(F.col("n_distinct") > 1)
+    )

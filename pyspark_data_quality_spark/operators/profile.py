@@ -232,3 +232,39 @@ def top_values(
         .filter(F.col("rank") <= k)
         .orderBy("column", "rank")
     )
+
+
+def column_entropy(
+    df: DataFrame, columns: list[str], *, round_to: int = 6
+) -> DataFrame:
+    """Shannon entropy (bits) of each column's value distribution — the
+    profiler's uniformity/informativeness signal (0 = constant column,
+    log2(n) = uniform). Same one-shuffle exploded-map shape as
+    :func:`top_values`; nulls count as a regular value. Output:
+    (column, entropy, n_distinct)."""
+    pairs = df.select(
+        F.explode(
+            F.create_map(
+                *[
+                    x
+                    for c in columns
+                    for x in (
+                        F.lit(c),
+                        F.coalesce(F.col(c).cast("string"), F.lit("NULL")),
+                    )
+                ]
+            )
+        ).alias("column", "value")
+    )
+    counted = pairs.groupBy("column", "value").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy("column"))
+    p = F.col("n") / total
+    return (
+        counted.withColumn("_plogp", -p * F.log2(p))
+        .groupBy("column")
+        .agg(
+            F.round(F.sum("_plogp"), round_to).alias("entropy"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .orderBy("column")
+    )

@@ -105,3 +105,26 @@ def test_fk_broadcast_plan(spark, facts, dim):
     )
     plan = rule.prepare(facts)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # zero fact-side shuffle
+
+
+def test_fd_violations(spark):
+    from pyspark_data_quality_spark.operators.consistency import fd_violations
+
+    df = spark.createDataFrame(
+        [
+            ("10001", "Springfield"),
+            ("10001", "Springfield"),
+            ("10002", "Shelbyville"),
+            ("10002", "Ogdenville"),   # zip -> city violated
+            ("10003", None),           # null dependent: not a violation alone
+            ("10003", "CapitalCity"),
+        ],
+        "zip string, city string",
+    )
+    rows = {
+        r["zip"]: r
+        for r in fd_violations(df, ["zip"], "city", max_examples=2).collect()
+    }
+    assert set(rows) == {"10002"}
+    assert rows["10002"]["n_distinct"] == 2
+    assert rows["10002"]["examples"] == ["Ogdenville", "Shelbyville"]

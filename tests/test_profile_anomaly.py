@@ -163,3 +163,21 @@ def test_vector_profile_findings(spark):
     assert rows[2]["n"] == 1
     assert rows[None]["n_null_vec"] == 1
     assert rows[3]["avg_norm"] == 0.5  # NaN norm excluded: avg(1.0, 0.0)
+
+
+def test_column_entropy(spark):
+    import math
+
+    from pyspark_data_quality_spark.operators.profile import column_entropy
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")], "u string, c string"
+    )
+    rows = {r["column"]: r for r in column_entropy(df, ["u", "c"]).collect()}
+    assert rows["u"]["entropy"] == 1.0 and rows["u"]["n_distinct"] == 2
+    const = spark.createDataFrame([("k",)] * 5, "z string")
+    assert column_entropy(const, ["z"]).collect()[0]["entropy"] == 0.0
+    tri = spark.createDataFrame([("a",), ("b",), ("c",), (None,)], "z string")
+    r = column_entropy(tri, ["z"]).collect()[0]
+    assert abs(r["entropy"] - math.log2(4)) < 1e-9  # NULL is a value
+    assert r["n_distinct"] == 4
