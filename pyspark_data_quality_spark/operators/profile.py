@@ -205,7 +205,11 @@ def top_values(
     an exploded map — the shuffle is keyed by (column, value), so the
     combined cardinality of all histograms shards evenly; no per-column
     jobs. Values are stringified (display form); nulls are counted under
-    the value ``NULL``.
+    the value ``NULL``. The per-column rank window funnels each column's
+    FULL histogram through one task — fine for the categorical columns
+    this profiles (bounded cardinality); for id-like columns with
+    billions of distinct values, take the global head with
+    ``orderBy().limit()`` per column instead (cf. text.vocab_top_k).
 
     Output: (column, value, count, rank), rank 1..k by descending count.
     """

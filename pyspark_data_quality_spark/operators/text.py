@@ -287,17 +287,19 @@ def vocab_top_k(
     df: DataFrame, text_col: str = "text", *, k: int = 50
 ) -> DataFrame:
     """Corpus vocabulary head: top-``k`` tokens by frequency (ties broken
-    by token). One explode + one (token) shuffle + rank — the vocabulary
-    builder's first pass. Output: (token, n, rank)."""
+    by token). One explode + one (token) shuffle, then the global top-k
+    via ``orderBy().limit(k)`` — Spark compiles that to TakeOrdered
+    (per-partition heaps merged on the driver), NOT a single-task sort
+    of the whole vocabulary; an unpartitioned rank window here would
+    funnel billions of distinct tokens through one reducer. The rank
+    column is attached after the k survivors are known (k rows, trivial).
+    Output: (token, n, rank)."""
     from pyspark.sql.window import Window
 
     from ..functions.text import tokenize
 
     toks = df.select(F.explode(tokenize(text_col)).alias("token"))
     counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    head = counted.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return (
-        counted.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("rank")
-    )
+    return head.withColumn("rank", F.row_number().over(w)).orderBy("rank")
