@@ -1714,3 +1714,41 @@ def dq_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, "orders", sf_dir)
     return column_entropy(orders, ["o_orderpriority", "o_orderstatus"])
+
+
+@query(
+    "dq_impute",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS a
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(round(coalesce(a, avg(a) OVER (PARTITION BY c_nationkey)), 6)
+                AS DOUBLE) AS c_acctbal,
+           a IS NULL AS was_imputed
+    FROM base
+    """,
+)
+def dq_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation (operators/repair.py): account balances are
+    deterministically nulled (custkey % 7 — the fixtures ship null-free)
+    then repaired from the customer's nation-group mean."""
+    from .operators.repair import impute
+
+    cust = load_table(spark, "customer", sf_dir).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 7 == 0, None).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    out = impute(
+        cust, ["c_acctbal"], strategy="mean",
+        group_by=["c_nationkey"], flag_col="was_imputed",
+    )
+    return out.select(
+        "c_custkey",
+        F.round("c_acctbal", 6).alias("c_acctbal"),
+        "was_imputed",
+    )

@@ -250,3 +250,45 @@ def test_deterministic_sample_and_mix(spark):
     mix = mix_corpora({"web": (web, 0.5), "code": (code, 0.1)}, "id")
     by_src = {r["mix_source"]: r["count"] for r in mix.groupBy("mix_source").count().collect()}
     assert abs(by_src["web"] - 500) < 80 and abs(by_src["code"] - 100) < 60
+
+
+def test_impute_strategies(spark):
+    from pyspark_data_quality_spark.operators.repair import impute
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1.0, "x"),
+            ("a", 3.0, "x"),
+            ("a", None, None),
+            ("b", 10.0, "y"),
+            ("b", None, "z"),
+            ("c", None, None),  # all-null group
+        ],
+        "g string, v double, s string",
+    )
+    mean = {  # per-group mean
+        (r["g"], r["v"]) for r in impute(df, ["v"], group_by=["g"]).collect()
+    }
+    assert ("a", 2.0) in mean and ("b", 10.0) in mean and ("c", None) in mean
+
+    med = impute(df, ["v"], strategy="median").collect()  # global median of 1,3,10
+    assert {r["v"] for r in med} == {1.0, 3.0, 10.0}
+
+    mode = {
+        (r["g"], r["s"])
+        for r in impute(df, ["s"], strategy="mode", group_by=["g"]).collect()
+    }
+    assert ("a", "x") in mode
+    # b's values tie 1-1: smallest value wins deterministically
+    assert ("b", "y") in mode and ("b", "z") in mode
+
+    const = impute(df, ["v"], strategy="constant", fill_value=0.0,
+                   flag_col="fixed")
+    got = {(r["g"], r["v"], r["fixed"]) for r in const.collect()}
+    assert ("c", 0.0, True) in got and ("a", 1.0, False) in got
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        impute(df, ["v"], strategy="nope")
+    with _pt.raises(ValueError):
+        impute(df, ["v"], strategy="constant")
