@@ -170,10 +170,15 @@ def pii_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     aggs = []
     for t in PII_PATTERNS:
+        # coalesce: an EMPTY corpus reports zeros, not null sums
         aggs.append(
-            F.sum(F.when(F.col(t) > 0, 1).otherwise(0)).alias(f"{t}__docs")
+            F.coalesce(
+                F.sum(F.when(F.col(t) > 0, 1).otherwise(0)), F.lit(0)
+            ).alias(f"{t}__docs")
         )
-        aggs.append(F.sum(t).cast("bigint").alias(f"{t}__total"))
+        aggs.append(
+            F.coalesce(F.sum(t), F.lit(0)).cast("bigint").alias(f"{t}__total")
+        )
     row = counts.agg(*aggs)
     entries = F.array(
         *[

@@ -1,0 +1,127 @@
+"""Empty-input robustness: every operator must plan AND execute on an
+empty frame without raising (the `.first()`-returns-None / divide-by-
+zero class of failure), returning empty or null-stat results."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id bigint, text string")
+
+
+@pytest.fixture
+def empty_vecs(spark):
+    return spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+
+
+def test_text_and_dedup_ops_empty(spark, empty_docs):
+    from pyspark_data_quality_spark.operators.dedup import (
+        exact_dedup,
+        exact_dup_groups,
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+    from pyspark_data_quality_spark.operators.text import (
+        contamination_pairs,
+        pii_summary,
+        text_profile,
+        vocab_top_k,
+    )
+
+    assert text_profile(empty_docs, "text").count() == 0
+    assert exact_dedup(empty_docs, "text", "doc_id").count() == 0
+    assert exact_dup_groups(empty_docs, "text", "doc_id").count() == 0
+    assert minhash_near_dup_pairs(empty_docs, "text", "doc_id").count() == 0
+    assert simhash_near_dup_pairs(empty_docs, "text", "doc_id").count() == 0
+    assert ngram_jaccard_pairs(
+        empty_docs, "text", "doc_id", use_lsh_blocking=False
+    ).count() == 0
+    assert vocab_top_k(empty_docs, "text").count() == 0
+    assert contamination_pairs(
+        empty_docs, empty_docs, "text", "doc_id"
+    ).count() == 0
+    pii = pii_summary(empty_docs, "text").collect()
+    assert len(pii) == 4 and all(r["docs_affected"] == 0 for r in pii)
+
+
+def test_similarity_ops_empty(spark, empty_vecs):
+    from pyspark_data_quality_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from pyspark_data_quality_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    q = empty_vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    assert embedding_near_dup_pairs(
+        empty_vecs, "embedding", "vec_id", dim=8
+    ).count() == 0
+    assert brute_force_topk(empty_vecs, q, k=5).count() == 0
+    assert lsh_topk(empty_vecs, q, k=5, dim=8).count() == 0
+
+
+def test_profile_and_drift_empty(spark, empty_docs):
+    from pyspark_data_quality_spark.operators.anomaly import zscore_anomalies
+    from pyspark_data_quality_spark.operators.drift import (
+        categorical_drift,
+        numeric_drift,
+        psi_summary,
+    )
+    from pyspark_data_quality_spark.operators.profile import (
+        column_entropy,
+        histogram,
+        profile_columns,
+        top_values,
+        vector_profile,
+    )
+
+    e = spark.createDataFrame([], "g string, v double, t int")
+    stats = profile_columns(e, ["v", "g"]).collect()
+    assert len(stats) > 0  # one row per stat, null values
+    assert all(
+        r["value"] is None or r["value"] == 0.0
+        for r in stats
+        if r["stat"] != "distinct_count"
+    )
+    assert top_values(e, ["g"]).count() == 0
+    assert histogram(e, "v").count() == 0  # derived bounds on empty input
+    assert histogram(e, "v", lo=0.0, hi=1.0).count() == 0
+    assert column_entropy(e, ["g"]).count() == 0
+    assert zscore_anomalies(e, "v", ["t"]).count() == 0
+    assert categorical_drift(e, e, ["g"]).count() == 0
+    assert psi_summary(e, e, ["g"]).count() == 0
+    assert numeric_drift(e, e, "v").count() == 0
+    ev = spark.createDataFrame([], "vec_id bigint, v array<double>")
+    assert vector_profile(ev, "v").count() == 0
+
+
+def test_joins_splits_repair_empty(spark):
+    from pyspark_data_quality_spark.operators.asof import asof_join
+    from pyspark_data_quality_spark.operators.range_join import range_join
+    from pyspark_data_quality_spark.operators.repair import impute
+    from pyspark_data_quality_spark.operators.rollup import time_rollup
+    from pyspark_data_quality_spark.operators.split import (
+        deterministic_sample,
+        deterministic_split,
+    )
+
+    left = spark.createDataFrame([], "k string, ts timestamp, x double")
+    right = spark.createDataFrame([], "k string, ts timestamp, px double")
+    assert asof_join(left, right, on="ts", by=["k"]).count() == 0
+    bands = spark.createDataFrame([], "lo double, hi double, b string")
+    assert range_join(
+        left, bands, value_col="x", lo_col="lo", hi_col="hi", bucket_width=1.0
+    ).count() == 0
+    assert time_rollup(left, "ts").count() == 0
+    assert deterministic_split(left, "k", {"a": 1.0}).count() == 0
+    assert deterministic_sample(left, "k", 0.5).count() == 0
+    assert impute(left, ["x"], group_by=["k"]).count() == 0
+    assert impute(left, ["x"], strategy="median").count() == 0
+    assert impute(left, ["x"], strategy="mode", group_by=["k"]).count() == 0
