@@ -132,8 +132,11 @@ def rate_of_change_anomalies(
         .withColumn("change_ratio", F.round(ratio, round_to))
         .withColumn(
             "is_anomaly",
-            F.when(prev.isNull(), F.lit(False))
-            .when(prev == 0, x != 0)
-            .otherwise(F.abs(ratio) > max_change),
+            F.coalesce(
+                F.when(prev.isNull(), F.lit(False))
+                .when(prev == 0, x != 0)
+                .otherwise(F.abs(ratio) > max_change),
+                F.lit(False),  # null current value: unscored, not null flag
+            ),
         )
     )

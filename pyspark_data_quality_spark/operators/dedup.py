@@ -712,4 +712,15 @@ def dedup_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"dedup_components: label propagation did not converge in "
+            f"{max_iter} rounds ({changed} labels still changing) — a "
+            f"cluster with diameter > max_iter is reported as multiple "
+            f"components; raise max_iter for chain-shaped duplicates",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("v").alias("id"), F.col("lbl").alias("component"))

@@ -87,7 +87,7 @@ def profile_columns(
                 if exact_quantiles:
                     add(c, f"q{q}", F.percentile(col, F.lit(q)))
                 else:
-                    add(c, f"q{q}", F.expr(f"approx_percentile({c}, {q})"))
+                    add(c, f"q{q}", F.percentile_approx(col, F.lit(q)))
         elif types[c] == "string":
             add(c, "min_length", F.min(F.length(col)))
             add(c, "max_length", F.max(F.length(col)))

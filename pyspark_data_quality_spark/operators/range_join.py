@@ -52,30 +52,30 @@ def range_join(
     lo, hi = F.col(lo_col), F.col(hi_col)
     upper_ok = v <= hi if inclusive == "both" else v < hi
 
-    r_exploded = right.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(lo / F.lit(w)),
-                F.floor(hi / F.lit(w)),
-            )
-        ),
-    )
-    l_keyed = left.withColumn("_bucket", F.floor(v / F.lit(w)))
-    matched = l_keyed.join(r_exploded, [*keys, "_bucket"]).filter(
-        (v >= lo) & upper_ok
-    )
-    if how == "inner":
-        return matched.drop("_bucket")
-    if how != "left":
+    if how not in ("inner", "left"):
         raise ValueError("range_join: how must be 'inner' or 'left'")
-    # outer variant: a transient row id distinguishes duplicate left rows
-    # (both join branches re-derive it from the same scan layout)
+    # ONE join for both variants: the interval predicate rides IN the
+    # join condition next to the equi keys (Spark hashes on the equi
+    # part and applies the rest as a join residual), so the left-outer
+    # case keeps unmatched rows with nulls natively — no transient row
+    # id (monotonically_increasing_id diverges across join branches).
+    l = left.alias("l").withColumn("_bucket", F.floor(v / F.lit(w)))
+    r = right.alias("r").withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.floor(lo / F.lit(w)), F.floor(hi / F.lit(w)))),
+    )
+    cond = l["_bucket"] == r["_bucket"]
+    for k in keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    lv = F.col(f"l.{value_col}")
+    cond = cond & (lv >= F.col(f"r.{lo_col}"))
+    cond = cond & (
+        lv <= F.col(f"r.{hi_col}")
+        if inclusive == "both"
+        else lv < F.col(f"r.{hi_col}")
+    )
     right_payload = [c for c in right.columns if c not in keys]
-    l_id = left.withColumn("_rid", F.monotonically_increasing_id())
-    lk = l_id.withColumn("_bucket", F.floor(v / F.lit(w)))
-    m = lk.join(r_exploded, [*keys, "_bucket"]).filter((v >= lo) & upper_ok)
-    return (
-        l_id.join(m.select("_rid", *right_payload), "_rid", "left")
-        .drop("_rid")
+    return l.join(r, cond, how).select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}").alias(c) for c in right_payload],
     )

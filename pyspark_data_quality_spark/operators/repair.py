@@ -64,19 +64,26 @@ def impute(
                 .groupBy(*keys, F.col(c).alias("_v"))
                 .agg(F.count(F.lit(1)).alias("_n"))
             )
-            w = Window.partitionBy(*keys).orderBy(
-                F.col("_n").desc(), F.col("_v").asc()
-            )
-            modes = (
-                counts.withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") == 1)
-                .select(*keys, F.col("_v").alias(f"_mode_{c}"))
-            )
-            joined = (
-                out.join(F.broadcast(modes), keys, "left")
-                if keys
-                else out.crossJoin(F.broadcast(modes))
-            )
+            if keys:
+                w = Window.partitionBy(*keys).orderBy(
+                    F.col("_n").desc(), F.col("_v").asc()
+                )
+                modes = (
+                    counts.withColumn("_rk", F.row_number().over(w))
+                    .filter(F.col("_rk") == 1)
+                    .select(*keys, F.col("_v").alias(f"_mode_{c}"))
+                )
+                joined = out.join(F.broadcast(modes), keys, "left")
+            else:
+                # 1-row AGGREGATE, not filter+limit: an all-null column
+                # must yield a null-mode row — a 0-row frame crossJoined
+                # in would silently drop the whole dataset
+                modes = counts.agg(
+                    F.min(
+                        F.struct((-F.col("_n")).alias("a"), F.col("_v").alias("v"))
+                    )["v"].alias(f"_mode_{c}")
+                )
+                joined = out.crossJoin(F.broadcast(modes))
             out = joined.withColumn(
                 c, F.coalesce(F.col(c), F.col(f"_mode_{c}"))
             ).drop(f"_mode_{c}")

@@ -150,8 +150,10 @@ def lsh_topk(
 
     dim = vector_dim(corpus, vec_col, dim)
     if dim is None:  # empty corpus: empty result with the contract schema
-        return corpus.limit(0).select(
-            F.col(id_col).alias("query_id"),
+        # query_id keeps the QUERIES frame's id type (the corpus id may
+        # differ — the schema must match the non-empty path's output)
+        return queries.limit(0).crossJoin(corpus.limit(0)).select(
+            F.col(query_id_col).alias("query_id"),
             F.col(id_col).alias("neighbor_id"),
             F.lit(0).alias("rank"),
             F.lit(0.0).alias("cosine"),

@@ -95,12 +95,14 @@ def _profile_signals_np(df: DataFrame, text_col: str) -> DataFrame:
         for pdf in batches:
             tc, bpe, sw, punct, mwl, qual, lang = [], [], [], [], [], [], []
             for text in pdf[text_col]:
+                # null text: counts stay NULL (expr path: size(null)=null),
+                # ratio/quality/lang fall through the same as empty text
                 raw = text if text is not None else ""
                 norm = ws_re.sub(" ", raw.lower()).strip()
                 toks = [t for t in norm.split(" ") if t] if norm else []
                 n = len(toks)
-                tc.append(n)
-                bpe.append(len(bpe_re.findall(raw)))
+                tc.append(n if text is not None else None)
+                bpe.append(len(bpe_re.findall(raw)) if text is not None else None)
                 sw_r = (sum(1 for t in toks if t in stop) / n) if n else 0.0
                 mwl_r = (sum(len(t) for t in toks) / n) if n else 0.0
                 p_r = (

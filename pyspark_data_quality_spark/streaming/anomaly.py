@@ -78,7 +78,12 @@ def streaming_zscore(
 
     def fn(key, pdfs, state):
         n0, s0, q0 = state.get if state.exists else (0, 0.0, 0.0)
-        for pdf in pdfs:
+        # one global sort per key per micro-batch: Arrow hands the group
+        # over as MULTIPLE chunks with no cross-chunk time order, and
+        # prefix statistics computed chunk-by-chunk would score early
+        # events against later ones' baselines
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        for pdf in [batch]:
             pdf = pdf.sort_values(ts_col, kind="stable")
             v = pdf[value_col].to_numpy(dtype=float, na_value=math.nan)
             valid = ~np.isnan(v)

@@ -152,15 +152,20 @@ def windowed_pass_ratios(
     src = _with_watermark(df, ts_col, watermark)
     for r in rules:
         r.validate(df)
+    # fold every rule's prepare transform first (same contract as
+    # AnalysisRunner.run): join-shaped rules like ReferentialIntegrityRule
+    # add their marker columns here, and their predicates reference them
+    for r in rules:
+        src = r.prepare(src)
     win = F.window(F.col(ts_col), duration, slide) if slide else F.window(
         F.col(ts_col), duration
     )
     aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
     for r in rules:
-        pred = r.row_predicate(df)
+        pred = r.row_predicate(src)
         if pred is None:
             continue
-        scoped = r.scope(df)
+        scoped = r.scope(src)
         # Same null semantics as the batch ratio_agg: NULL-evaluating
         # predicates count as failures, out-of-scope rows don't contribute.
         aggs.append(

@@ -292,3 +292,28 @@ def test_impute_strategies(spark):
         impute(df, ["v"], strategy="nope")
     with _pt.raises(ValueError):
         impute(df, ["v"], strategy="constant")
+
+
+def test_impute_mode_all_null_global(spark):
+    """Regression: global mode on an all-null column must keep every row
+    (the 0-row crossJoin dropped the dataset)."""
+    from pyspark_data_quality_spark.operators.repair import impute
+
+    df = spark.createDataFrame([(1, None), (2, None)], "id int, s string")
+    rows = impute(df, ["s"], strategy="mode").collect()
+    assert len(rows) == 2 and all(r["s"] is None for r in rows)
+
+
+def test_rate_of_change_null_value_not_null_flag(spark):
+    from pyspark_data_quality_spark.operators.anomaly import (
+        rate_of_change_anomalies,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 5.0), (1, None), (2, 5.0)], "t int, v double"
+    )
+    rows = {
+        r["t"]: r["is_anomaly"]
+        for r in rate_of_change_anomalies(df, "v", ["t"]).collect()
+    }
+    assert rows[1] is False  # null value: unscored, never a null flag

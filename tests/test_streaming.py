@@ -251,3 +251,33 @@ def test_streaming_zscore_parity(spark, tmp_path):
             assert gz is None, key
         else:
             assert abs(gz - ez) < 1e-6, key
+
+
+def test_windowed_pass_ratios_with_fk_rule(spark):
+    """prepare() must be folded: join-shaped rules add marker columns the
+    predicates reference (regression: UNRESOLVED_COLUMN without the fold)."""
+    from pyspark_data_quality_spark.operators.consistency import (
+        ReferentialIntegrityRule,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:05:00", 10),
+        (2, "2024-01-01 00:10:00", 11),
+        (3, "2024-01-01 00:15:00", 99),  # FK violation
+        (4, "2024-01-01 01:05:00", 10),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "ref_id"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ref = spark.createDataFrame([(10,), (11,)], ["k"])
+    rule = ReferentialIntegrityRule(
+        columns=["ref_id"], ref_df=ref, ref_columns=["k"], name="fk"
+    )
+    out = {
+        str(r["window_start"]): r["fk_ratio"]
+        for r in windowed_pass_ratios(
+            df, rules=[rule], ts_col="ts", duration="1 hour"
+        ).collect()
+    }
+    assert out["2024-01-01 00:00:00"] == round(2 / 3, 6)
+    assert out["2024-01-01 01:00:00"] == 1.0

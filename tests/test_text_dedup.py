@@ -243,9 +243,14 @@ def test_text_profile_np_matches_expr(spark, docs):
     cols = ["doc_id", "token_count", "bpe_token_count", "stopword_ratio",
             "punct_ratio", "mean_word_len", "quality_score", "lang_pred",
             "fingerprint", "fingerprint_md5"]
+    docs = docs.union(
+        spark.createDataFrame([(99, None)], docs.schema)  # null text row
+    )
     a = {tuple(r) for r in text_profile(docs, impl="np").select(*cols).collect()}
     b = {tuple(r) for r in text_profile(docs, impl="expr").select(*cols).collect()}
     assert a == b  # the Arrow path must be value-identical to expressions
+    null_row = next(r for r in a if r[0] == 99)
+    assert null_row[1] is None  # null text -> NULL count, not 0
 
 
 def test_ivf_topk_recall(spark, vecs):
@@ -385,3 +390,24 @@ def test_vocab_top_k(spark):
     )
     rows = vocab_top_k(df, "text", k=2).collect()
     assert [(r["token"], r["n"], r["rank"]) for r in rows] == [("a", 4, 1), ("b", 3, 2)]
+
+
+def test_dedup_components_nonconvergence_warns(spark):
+    import warnings
+
+    from pyspark_data_quality_spark.operators.dedup import dedup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a bigint, id_b bigint"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dedup_components(chain, max_iter=2)  # diameter 6 >> 2
+        out.collect()
+        assert any("did not converge" in str(x.message) for x in w)
+    # with enough rounds: one component, no warning
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        full = dedup_components(chain, max_iter=10).collect()
+        assert {r["component"] for r in full} == {0}
+        assert not any("did not converge" in str(x.message) for x in w2)
