@@ -1752,3 +1752,46 @@ def dq_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 6).alias("c_acctbal"),
         "was_imputed",
     )
+
+
+@query(
+    "dq_ks",
+    f"""
+    WITH a AS (
+      SELECT round(o_totalprice, -2) AS x, count(*) AS n_a FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{_DRIFT_SPLIT}'
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ), b AS (
+      SELECT round(o_totalprice, -2) AS x, count(*) AS n_b FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}'
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ), j AS (
+      SELECT coalesce(a.x, b.x) AS x,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+      FROM a FULL OUTER JOIN b ON a.x = b.x
+    ), c AS (
+      SELECT abs(sum(n_a) OVER w * 1.0 / sum(n_a) OVER ()
+                 - sum(n_b) OVER w * 1.0 / sum(n_b) OVER ()) AS d,
+             n_a, n_b
+      FROM j WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)
+    )
+    SELECT CAST(round(max(d), 6) AS DOUBLE) AS ks,
+           sum(n_a) AS n_cur, sum(n_b) AS n_ref
+    FROM c
+    """,
+)
+def dq_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic of o_totalprice (quantized to hundreds),
+    post- vs pre-1998H2 (operators/drift.py ks_statistic)."""
+    from .operators.drift import ks_statistic
+
+    orders = load_table(spark, "orders", sf_dir)
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    return ks_statistic(
+        orders.filter(F.col("o_orderdate") >= split),
+        orders.filter(F.col("o_orderdate") < split),
+        "o_totalprice", quantize=-2,
+    )

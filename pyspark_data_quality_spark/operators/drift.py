@@ -149,6 +149,58 @@ def _hist_with_bounds(df: DataFrame, col: str, bins: int, bounds: DataFrame):
     )
 
 
+def ks_statistic(
+    cur: DataFrame,
+    ref: DataFrame,
+    col: str,
+    *,
+    quantize: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic: max |ECDF_cur - ECDF_ref|
+    over the combined support. One row: (ks, n_cur, n_ref).
+
+    Each side collapses to (value, count) first, so the ordered cumulative
+    pass runs over DISTINCT values only. That pass is an unpartitioned
+    window — a single task — which is exact and fine for bounded-
+    cardinality supports; for high-cardinality doubles at scale pass
+    ``quantize`` (decimal places) to bound the support first, trading
+    resolution for distribution (the PSI detectors are the fully
+    distributed alternative)."""
+    x = F.col(col)
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        v = F.round(x, quantize) if quantize is not None else x
+        return (
+            df.filter(x.isNotNull())
+            .select(v.alias("x"))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    j = side(cur, "n_a").join(side(ref, "n_b"), "x", "full_outer").select(
+        "x",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cdf_a = F.try_divide(F.sum("n_a").over(cum), F.sum("n_a").over(tot))
+    cdf_b = F.try_divide(F.sum("n_b").over(cum), F.sum("n_b").over(tot))
+    return (
+        j.select(
+            F.abs(cdf_a - cdf_b).alias("_d"),
+            F.col("n_a").alias("_na"),
+            F.col("n_b").alias("_nb"),
+        )
+        .agg(
+            F.round(F.max("_d"), round_to).alias("ks"),
+            F.sum("_na").alias("n_cur"),
+            F.sum("_nb").alias("n_ref"),
+        )
+    )
+
+
 def psi_summary(
     cur: DataFrame,
     ref: DataFrame,

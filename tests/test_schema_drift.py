@@ -317,3 +317,20 @@ def test_rate_of_change_null_value_not_null_flag(spark):
         for r in rate_of_change_anomalies(df, "v", ["t"]).collect()
     }
     assert rows[1] is False  # null value: unscored, never a null flag
+
+
+def test_ks_statistic(spark):
+    from pyspark_data_quality_spark.operators.drift import ks_statistic
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)], "x double")
+    same = ks_statistic(a, a, "x").collect()[0]
+    assert same["ks"] == 0.0 and same["n_cur"] == 100 and same["n_ref"] == 100
+    # disjoint supports: KS = 1
+    b = spark.createDataFrame([(float(100 + i),) for i in range(50)], "x double")
+    assert ks_statistic(a, b, "x").collect()[0]["ks"] == 1.0
+    # half-shifted: uniform{0..9} vs uniform{5..14} -> KS = 0.5
+    c = spark.createDataFrame([(float(5 + i % 10),) for i in range(100)], "x double")
+    assert ks_statistic(a, c, "x").collect()[0]["ks"] == 0.5
+    # quantize collapses jitter
+    d = spark.createDataFrame([(i % 10 + 0.001,) for i in range(100)], "x double")
+    assert ks_statistic(a, d, "x", quantize=0).collect()[0]["ks"] == 0.0
