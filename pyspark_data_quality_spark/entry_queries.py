@@ -1795,3 +1795,34 @@ def dq_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderdate") < split),
         "o_totalprice", quantize=-2,
     )
+
+
+@query(
+    "dq_mix",
+    """
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, 'head' AS mix_source FROM b
+    WHERE doc_id < 250 AND bucket < 6000
+    UNION ALL
+    SELECT doc_id, 'tail' FROM b WHERE doc_id >= 250 AND bucket < 2000
+    """,
+)
+def dq_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mix: 60% of the head half + 20% of the tail half
+    of documents, provenance-tagged (operators/split.py mix_corpora)."""
+    from .operators.split import mix_corpora
+
+    docs = load_table(spark, "documents", sf_dir)
+    mix = mix_corpora(
+        {
+            "head": (docs.filter(F.col("doc_id") < 250), 0.6),
+            "tail": (docs.filter(F.col("doc_id") >= 250), 0.2),
+        },
+        "doc_id",
+    )
+    return mix.select("doc_id", "mix_source")

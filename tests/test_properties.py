@@ -117,3 +117,40 @@ def test_winnow_shared_substring_guarantee(spark, base, pre_a, post_a, pre_b, po
         for r in df.select("i", winnow_fingerprints("t").alias("fps")).collect()
     }
     assert got[0] & got[1], f"no shared fingerprint for {a!r} / {b!r}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    trades=st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=20,
+    ),
+    quotes=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]), st.integers(0, 50), st.integers(0, 999)
+        ),
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),  # one quote per (key, ts): tie-free
+    ),
+)
+def test_asof_join_matches_pandas_model(spark, trades, quotes):
+    """asof_join == merge_asof semantics (backward, inclusive)."""
+    from pyspark_data_quality_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(trades)],
+        "k string, ts long, row_id int",
+    )
+    rdf = spark.createDataFrame(quotes, "k string, qts long, px int")
+    got = {
+        r["row_id"]: r["px_matched"]
+        for r in asof_join(ldf, rdf, on="ts", by=["k"], right_on="qts").collect()
+    }
+    lookup = {}
+    for k, qt, px in quotes:
+        lookup.setdefault(k, []).append((qt, px))
+    for i, (k, t) in enumerate(trades):
+        eligible = [(qt, px) for qt, px in lookup.get(k, []) if qt <= t]
+        expected = max(eligible)[1] if eligible else None
+        assert got[i] == expected, (i, k, t)
