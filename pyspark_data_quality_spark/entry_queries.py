@@ -1826,3 +1826,44 @@ def dq_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return mix.select("doc_id", "mix_source")
+
+
+@query(
+    "dq_repetition",
+    f"""
+    WITH lines AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls
+      FROM documents
+    ), base AS (
+      SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
+             CAST(round(coalesce(
+               (len(ls) - len(list_distinct(ls))) * 1.0 / nullif(len(ls), 0),
+               0.0), 6) AS DOUBLE) AS dup_line_frac
+      FROM lines
+    ), toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split({_SQL_NORM}, ' '), x -> x != ''))
+               AS t
+      FROM documents
+    ), tc AS (
+      SELECT doc_id, t, count(*) AS n FROM toks GROUP BY 1, 2
+    ), ts AS (
+      SELECT doc_id, sum(n) AS n_tokens,
+             CAST(round(max(n) * 1.0 / sum(n), 6) AS DOUBLE) AS top_token_frac
+      FROM tc GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_lines, b.dup_line_frac,
+           CAST(coalesce(ts.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(ts.top_token_frac, 0.0) AS top_token_frac
+    FROM base b LEFT JOIN ts ON b.doc_id = ts.doc_id
+    """,
+)
+def dq_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-line
+    fraction and most-frequent-token share (operators/text.py
+    repetition_signals)."""
+    from .operators.text import repetition_signals
+
+    docs = load_table(spark, "documents", sf_dir)
+    return repetition_signals(docs, "text", "doc_id")

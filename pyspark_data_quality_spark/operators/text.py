@@ -310,3 +310,61 @@ def vocab_top_k(
     head = counted.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return head.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``n_lines`` / ``dup_line_frac`` — fraction of non-blank lines that
+      are duplicates of an earlier line (boilerplate/template smell);
+    - ``n_tokens`` / ``top_token_frac`` — share of the most frequent
+      token (degenerate/keyword-stuffed text scores high).
+
+    Line stats are pure expressions on the RAW text (normalization
+    collapses newlines); the token mode runs as explode -> (doc, token)
+    count -> per-doc max/sum — two keyed aggregations, exact, joined
+    back per id. Empty docs report 0 fractions.
+    """
+    from ..functions.text import tokenize
+
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != ""
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.round(
+            F.coalesce(
+                F.try_divide(
+                    F.size(lines) - F.size(F.array_distinct(lines)),
+                    F.size(lines),
+                ),
+                F.lit(0.0),
+            ),
+            round_to,
+        ).alias("dup_line_frac"),
+    )
+    tok_counts = (
+        df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    tok_stats = tok_counts.groupBy(id_col).agg(
+        F.sum("_n").alias("n_tokens"),
+        F.round(F.try_divide(F.max("_n"), F.sum("_n")), round_to).alias(
+            "top_token_frac"
+        ),
+    )
+    return (
+        base.join(tok_stats, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            "dup_line_frac",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("top_token_frac", F.lit(0.0)).alias("top_token_frac"),
+        )
+    )

@@ -411,3 +411,24 @@ def test_dedup_components_nonconvergence_warns(spark):
         full = dedup_components(chain, max_iter=10).collect()
         assert {r["component"] for r in full} == {0}
         assert not any("did not converge" in str(x.message) for x in w2)
+
+
+def test_repetition_signals(spark):
+    from pyspark_data_quality_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique line one\nunique line two\nunique line one"),
+            (2, "spam spam spam spam ham"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert rows[1]["n_lines"] == 3
+    assert rows[1]["dup_line_frac"] == round(1 / 3, 6)
+    assert rows[2]["top_token_frac"] == 0.8  # 4 of 5 tokens are 'spam'
+    assert rows[2]["n_tokens"] == 5
+    assert rows[3]["n_lines"] == 0 and rows[3]["dup_line_frac"] == 0.0
+    assert rows[3]["n_tokens"] == 0 and rows[3]["top_token_frac"] == 0.0
