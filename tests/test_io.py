@@ -1,0 +1,62 @@
+"""Schema-first readers (JSONL/CSV with corrupt capture) and the
+partitioned dataset writer."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from pyspark_data_quality_spark.sinks.dataset import read_dataset, write_dataset
+from pyspark_data_quality_spark.sources.readers import (
+    corrupt_stats,
+    read_csv,
+    read_jsonl,
+)
+
+
+def test_read_jsonl_corrupt_capture(spark, tmp_path):
+    p = tmp_path / "data.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a"}\n'
+        'NOT JSON AT ALL\n'
+        '{"id": 3, "name": "c"}\n'
+    )
+    df = read_jsonl(spark, str(p), "id bigint, name string")
+    rows = df.collect()
+    assert len(rows) == 3
+    good = {r["id"] for r in rows if r["_corrupt_record"] is None}
+    assert good == {1, 3}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and "NOT JSON" in bad[0]["_corrupt_record"]
+    cr = corrupt_stats(df)
+    assert cr["n_rows"] == 3 and cr["n_corrupt"] == 1
+    assert cr["corrupt_ratio"] == round(1 / 3, 6)
+
+
+def test_read_csv_schema_and_corrupt(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("id,score\n1,2.5\n2,not_a_number\n3,9.0\n")
+    df = read_csv(spark, str(p), "id bigint, score double")
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] == 2.5
+    assert rows[2]["score"] is None  # unparseable cell
+    assert rows[2]["_corrupt_record"] is not None
+    assert corrupt_stats(df)["n_corrupt"] == 1
+
+
+def test_write_dataset_partitioned_and_bounded(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(100)],
+        "id bigint, src string, v double",
+    ).repartition(1)
+    out = str(tmp_path / "ds")
+    write_dataset(
+        df, out, partition_by=["src"], max_records_per_file=20,
+        sort_within=["id"],
+    )
+    assert (tmp_path / "ds" / "src=a").is_dir()
+    assert (tmp_path / "ds" / "src=b").is_dir()
+    files_a = glob.glob(f"{out}/src=a/*.parquet")
+    assert len(files_a) >= 3  # 50 rows / 20 per file
+    back = read_dataset(spark, out)
+    assert back.count() == 100
+    assert back.filter(F.col("src") == "a").count() == 50
