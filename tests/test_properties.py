@@ -154,3 +154,37 @@ def test_asof_join_matches_pandas_model(spark, trades, quotes):
         eligible = [(qt, px) for qt, px in lookup.get(k, []) if qt <= t]
         expected = max(eligible)[1] if eligible else None
         assert got[i] == expected, (i, k, t)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    cur=st.lists(st.sampled_from("abcd"), min_size=1, max_size=40),
+    ref=st.lists(st.sampled_from("abcd"), min_size=1, max_size=40),
+)
+def test_psi_properties(spark, cur, ref):
+    """PSI is non-negative, zero iff distributions match, symmetric-ish
+    in its zero point."""
+    from pyspark_data_quality_spark.operators.drift import psi_summary
+
+    c = spark.createDataFrame([(v,) for v in cur], "k string")
+    r = spark.createDataFrame([(v,) for v in ref], "k string")
+    psi = psi_summary(c, r, ["k"]).collect()[0]["psi"]
+    assert psi >= 0.0
+    self_psi = psi_summary(c, c, ["k"]).collect()[0]["psi"]
+    assert self_psi == 0.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(0, 10_000_000), min_size=1, max_size=60, unique=True))
+def test_split_partitions_ids(spark, ids):
+    """Every id lands in exactly one split; assignment is a pure function
+    of the id (stable across calls)."""
+    from pyspark_data_quality_spark.operators.split import deterministic_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+    w = {"train": 0.7, "val": 0.2, "test": 0.1}
+    a = {r["id"]: r["split"] for r in deterministic_split(df, "id", w).collect()}
+    b = {r["id"]: r["split"] for r in deterministic_split(df, "id", w).collect()}
+    assert a == b
+    assert set(a) == set(ids)
+    assert set(a.values()) <= {"train", "val", "test"}
