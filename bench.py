@@ -38,6 +38,32 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def _prev_bench(repo_dir: str, sf: float) -> tuple[str, dict] | None:
+    """Latest prior BENCH_r{N}.json with parseable per-query timings at the
+    same sf — the regression baseline (VERDICT r2 item 6)."""
+    import glob
+    import re
+
+    best: tuple[int, str, dict] | None = None
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                raw = json.load(f)
+            data = raw.get("parsed", raw) or {}
+            queries = data.get("queries")
+            if not queries or data.get("sf") != sf:
+                continue
+        except Exception:
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, os.path.basename(path), queries)
+    return (best[1], best[2]) if best else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -95,15 +121,35 @@ def main() -> None:
                 errors[name] = f"{type(e).__name__}: {e}"[:200]
                 timings.pop(name, None)
 
+    sf = _sf_from_dir(sf_dir)
     out = {
         "metric": "dq_suite_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": _sf_from_dir(sf_dir),
+        "sf": sf,
     }
     if errors:
         out["errors"] = errors
+
+    # Regression gate: compare per-query against the latest recorded round
+    # bench at the same sf; flag anything >1.5x slower (machine noise on
+    # sub-second queries is excluded via a 0.5 s floor).
+    prev = _prev_bench(os.path.dirname(os.path.abspath(__file__)), sf)
+    if prev:
+        prev_file, prev_q = prev
+        regressions = {
+            name: {"prev": prev_q[name], "now": t,
+                   "ratio": round(t / prev_q[name], 2)}
+            for name, t in timings.items()
+            if name in prev_q and prev_q[name] > 0
+            and t > 1.5 * prev_q[name] and t - prev_q[name] > 0.5
+        }
+        out["vs_prev"] = {
+            "baseline": prev_file,
+            "suite_prev": round(sum(prev_q.values()), 3),
+            "regressions": regressions,
+        }
     print(json.dumps(out))
     spark.stop()
 

@@ -1779,7 +1779,8 @@ def dq_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AND CURRENT ROW)
     )
     SELECT CAST(round(max(d), 6) AS DOUBLE) AS ks,
-           sum(n_a) AS n_cur, sum(n_b) AS n_ref
+           CAST(sum(n_a) AS BIGINT) AS n_cur,
+           CAST(sum(n_b) AS BIGINT) AS n_ref
     FROM c
     """,
 )
@@ -1826,6 +1827,173 @@ def dq_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return mix.select("doc_id", "mix_source")
+
+
+# Synthetic CDC mutation of orders, shared by the diff entries: drop every
+# 13th key, bump totalprice on every 7th, add negated copies of every 17th
+# (keys that cannot collide with the originals).
+_DIFF_CUR_REF_SQL = """
+    ref AS (
+      SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+      FROM orders
+    ), cur AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS p,
+             o_orderstatus AS s
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT -o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 17 = 0
+    )
+"""
+
+
+def _diff_cur_ref(spark: SparkSession, sf_dir: str):
+    o = load_table(spark, "orders", sf_dir)
+    ref = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderstatus").alias("s"),
+    )
+    cur = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("p"),
+            F.col("o_orderstatus").alias("s"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 17 == 0).select(
+                (-F.col("o_orderkey")).alias("k"),
+                F.col("o_totalprice").alias("p"),
+                F.col("o_orderstatus").alias("s"),
+            )
+        )
+    )
+    return cur, ref
+
+
+@query(
+    "dq_table_diff",
+    f"""
+    WITH {_DIFF_CUR_REF_SQL}, j AS (
+      SELECT cur.k IS NOT NULL AS in_c, ref.k IS NOT NULL AS in_r,
+             ((cur.p IS DISTINCT FROM ref.p)
+              OR (cur.s IS DISTINCT FROM ref.s)) AS ch
+      FROM cur FULL OUTER JOIN ref ON cur.k = ref.k
+    )
+    SELECT CASE WHEN NOT in_r THEN 'added'
+                WHEN NOT in_c THEN 'removed'
+                WHEN ch THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n
+    FROM j GROUP BY 1
+    """,
+)
+def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation summary: added/removed/changed/unchanged
+    counts between orders and a synthetic CDC mutation of it
+    (operators/diff.py table_diff — one keyed full-outer shuffle)."""
+    from .operators.diff import table_diff
+
+    cur, ref = _diff_cur_ref(spark, sf_dir)
+    return table_diff(cur, ref, ["k"])
+
+
+@query(
+    "dq_diff_columns",
+    f"""
+    WITH {_DIFF_CUR_REF_SQL}, both_sides AS (
+      SELECT cur.p AS cp, ref.p AS rp, cur.s AS cs, ref.s AS rs
+      FROM cur JOIN ref ON cur.k = ref.k
+    ), w AS (
+      SELECT count(*) AS n_both,
+             CAST(sum(CASE WHEN cp IS DISTINCT FROM rp THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ch_p,
+             CAST(sum(CASE WHEN cs IS DISTINCT FROM rs THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ch_s
+      FROM both_sides
+    )
+    SELECT 'p' AS "column", ch_p AS n_changed,
+           CAST(round(ch_p * 1.0 / n_both, 6) AS DOUBLE) AS change_ratio
+    FROM w
+    UNION ALL
+    SELECT 's', ch_s, CAST(round(ch_s * 1.0 / n_both, 6) AS DOUBLE)
+    FROM w
+    """,
+)
+def dq_diff_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column change profile of the same synthetic CDC diff: which
+    columns drive the changed rows (operators/diff.py
+    table_diff_columns — conditional sums fused into one aggregate)."""
+    from .operators.diff import table_diff_columns
+
+    cur, ref = _diff_cur_ref(spark, sf_dir)
+    return table_diff_columns(cur, ref, ["k"])
+
+
+@query(
+    "dq_wasserstein",
+    f"""
+    WITH b AS (
+      SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+             CAST(max(o_totalprice) AS DOUBLE) AS hi
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}'
+        AND o_totalprice IS NOT NULL
+    ), hc AS (
+      SELECT bin, count(*) AS n FROM (
+        SELECT {_HIST_BIN_SQL.format(b1=9, x='o_totalprice', bins=10)} AS bin
+        FROM orders, b
+        WHERE o_orderdate >= TIMESTAMP '{_DRIFT_SPLIT}'
+          AND o_totalprice IS NOT NULL
+      ) GROUP BY bin
+    ), hr AS (
+      SELECT bin, count(*) AS n FROM (
+        SELECT {_HIST_BIN_SQL.format(b1=9, x='o_totalprice', bins=10)} AS bin
+        FROM orders, b
+        WHERE o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}'
+          AND o_totalprice IS NOT NULL
+      ) GROUP BY bin
+    ), j AS (
+      SELECT s.bin, coalesce(hc.n, 0) AS n_a, coalesce(hr.n, 0) AS n_b,
+             b.lo, b.hi
+      FROM range(10) AS s(bin)
+      LEFT JOIN hc ON hc.bin = s.bin
+      LEFT JOIN hr ON hr.bin = s.bin
+      CROSS JOIN b
+    ), c AS (
+      SELECT abs(sum(n_a) OVER w * 1.0 / sum(n_a) OVER ()
+                 - sum(n_b) OVER w * 1.0 / sum(n_b) OVER ())
+               * ((hi - lo) / 10.0) AS dw,
+             n_a, n_b
+      FROM j WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)
+    )
+    SELECT CAST(round(sum(dw), 6) AS DOUBLE) AS w1,
+           CAST(sum(n_a) AS BIGINT) AS n_cur,
+           CAST(sum(n_b) AS BIGINT) AS n_ref
+    FROM c
+    """,
+)
+def dq_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Wasserstein-1 distance of o_totalprice, post- vs
+    pre-1998H2, bounds from the reference side (operators/drift.py
+    wasserstein_1d — bounded cumulative window over 10 bins)."""
+    from .operators.drift import wasserstein_1d
+
+    orders = load_table(spark, "orders", sf_dir)
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    return wasserstein_1d(
+        orders.filter(F.col("o_orderdate") >= split),
+        orders.filter(F.col("o_orderdate") < split),
+        "o_totalprice", bins=10,
+    )
 
 
 @query(

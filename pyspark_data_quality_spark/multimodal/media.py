@@ -145,13 +145,30 @@ def _fake_pixels(data: bytes, height: int, width: int, channels: int) -> np.ndar
 def decode_image(data: bytes, *, height: int, width: int, channels: int, decoder: str = "real") -> np.ndarray:
     """Decode an image payload to an (h, w, c) uint8 array.
 
-    ``decoder='real'`` requires an image codec library (pillow / opencv),
-    which is NOT available in this environment — it raises
-    ``NotImplementedError`` by design; plug the library in here when
-    deploying. ``decoder='fake'`` is the deterministic test decoder.
+    ``decoder='real'`` uses pillow when it is importable (resized to the
+    requested shape, channel-converted to L/RGB/RGBA); in environments
+    without an image codec library — this container — it raises
+    ``NotImplementedError`` by design. ``decoder='fake'`` is the
+    deterministic test decoder, so all downstream math stays testable
+    either way.
     """
     if decoder == "fake":
         return _fake_pixels(data, height, width, channels)
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        import io
+
+        from PIL import Image
+
+        mode = {1: "L", 3: "RGB", 4: "RGBA"}.get(channels)
+        if mode is None:
+            raise ValueError(f"decode_image: unsupported channel count {channels}")
+        img = Image.open(io.BytesIO(data)).convert(mode)
+        if img.size != (width, height):
+            img = img.resize((width, height))
+        px = np.asarray(img, dtype=np.uint8)
+        return px.reshape(height, width, channels)
     raise NotImplementedError(
         "real image decoding requires pillow/opencv (not installed in this "
         "environment); use decoder='fake' for the deterministic test path"

@@ -156,17 +156,32 @@ def ks_statistic(
     *,
     quantize: int | None = None,
     round_to: int = 6,
+    method: str = "partitioned",
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic: max |ECDF_cur - ECDF_ref|
     over the combined support. One row: (ks, n_cur, n_ref).
 
-    Each side collapses to (value, count) first, so the ordered cumulative
-    pass runs over DISTINCT values only. That pass is an unpartitioned
-    window — a single task — which is exact and fine for bounded-
-    cardinality supports; for high-cardinality doubles at scale pass
-    ``quantize`` (decimal places) to bound the support first, trading
-    resolution for distribution (the PSI detectors are the fully
-    distributed alternative)."""
+    Each side collapses to (value, count) first, so the cumulative pass
+    runs over DISTINCT values only. Two exact strategies:
+
+    - ``method='partitioned'`` (default): distributed prefix sum. The
+      (value, count) rows are range-partitioned on the value, each
+      partition computes its LOCAL cumulative sums with a window keyed by
+      the partition id, and the global offset each partition must add is
+      derived from the tiny per-partition totals table (one row per
+      partition) via a broadcast triangular self-join — no unpartitioned
+      window anywhere, so no single task ever sees the full support. This
+      is the shape that survives a high-cardinality double column at
+      100x scale.
+    - ``method='single_task'``: the classic one-window formulation
+      (``Window.orderBy(x)``, unpartitioned). Fewer stages; fine — and
+      slightly cheaper — when the support is known to be bounded (an
+      enum-ish column, or ``quantize`` aggressively coarse), pathological
+      otherwise. Kept as the small-support escape hatch.
+
+    Both produce identical values (the prefix sum is exact, not binned);
+    ``quantize`` (decimal places) optionally coarsens the support first.
+    """
     x = F.col(col)
 
     def side(df: DataFrame, name: str) -> DataFrame:
@@ -183,18 +198,157 @@ def ks_statistic(
         F.coalesce("n_a", F.lit(0)).alias("n_a"),
         F.coalesce("n_b", F.lit(0)).alias("n_b"),
     )
-    cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.partitionBy()
-    cdf_a = F.try_divide(F.sum("n_a").over(cum), F.sum("n_a").over(tot))
-    cdf_b = F.try_divide(F.sum("n_b").over(cum), F.sum("n_b").over(tot))
+
+    if method == "single_task":
+        cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+        tot = Window.partitionBy()
+        cdf_a = F.try_divide(F.sum("n_a").over(cum), F.sum("n_a").over(tot))
+        cdf_b = F.try_divide(F.sum("n_b").over(cum), F.sum("n_b").over(tot))
+        return (
+            j.select(
+                F.abs(cdf_a - cdf_b).alias("_d"),
+                F.col("n_a").alias("_na"),
+                F.col("n_b").alias("_nb"),
+            )
+            .agg(
+                F.round(F.max("_d"), round_to).alias("ks"),
+                F.sum("_na").alias("n_cur"),
+                F.sum("_nb").alias("n_ref"),
+            )
+        )
+    if method != "partitioned":
+        raise ValueError(f"ks_statistic: unknown method {method!r}")
+
+    # --- distributed prefix sum -------------------------------------------
+    # Range partitioning orders partitions by x (RangePartitioner's sample
+    # sketch is seeded per-partition-index, so both uses of this exchange
+    # see identical boundaries; AQE reuses the exchange anyway).
+    ranged = j.repartitionByRange(F.col("x").asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.select(
+        "x",
+        "n_a",
+        "n_b",
+        "_pid",
+        F.sum("n_a").over(w_local).alias("_ca_loc"),
+        F.sum("n_b").over(w_local).alias("_cb_loc"),
+    )
+    totals = ranged.groupBy("_pid").agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    # offset for partition p = sum of totals of partitions < p; the totals
+    # table has one row per shuffle partition, so the triangular join is
+    # O(P^2) on a broadcast-tiny side — windows never enter the picture
+    prior = totals.select(
+        F.col("_pid").alias("_q"),
+        F.col("_ta").alias("_pa"),
+        F.col("_tb").alias("_pb"),
+    )
+    offsets = (
+        totals.join(F.broadcast(prior), F.col("_q") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(
+            F.coalesce(F.sum("_pa"), F.lit(0)).alias("_oa"),
+            F.coalesce(F.sum("_pb"), F.lit(0)).alias("_ob"),
+        )
+    )
+    grand = totals.agg(
+        F.sum("_ta").alias("_ga"), F.sum("_tb").alias("_gb")
+    )
+    cdf_a = F.try_divide(F.col("_ca_loc") + F.col("_oa"), F.col("_ga"))
+    cdf_b = F.try_divide(F.col("_cb_loc") + F.col("_ob"), F.col("_gb"))
     return (
-        j.select(
+        local.join(F.broadcast(offsets), "_pid")
+        .join(F.broadcast(grand))
+        .select(
             F.abs(cdf_a - cdf_b).alias("_d"),
             F.col("n_a").alias("_na"),
             F.col("n_b").alias("_nb"),
         )
         .agg(
             F.round(F.max("_d"), round_to).alias("ks"),
+            F.sum("_na").alias("n_cur"),
+            F.sum("_nb").alias("n_ref"),
+        )
+    )
+
+
+def wasserstein_1d(
+    cur: DataFrame,
+    ref: DataFrame,
+    col: str,
+    *,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Binned 1-D Wasserstein-1 (earth-mover) distance between the two
+    distributions of ``col``: W1 = bin_width * sum_b |CDF_cur(b) -
+    CDF_ref(b)| over the shared histogram. One row: (w1, n_cur, n_ref).
+
+    Complements KS (max CDF gap, scale-free) with the integrated gap in
+    the column's units — the drift metric that distinguishes "one bin is
+    off" from "the whole distribution slid sideways". Exact on the binned
+    support; bounds default to the REFERENCE side's min/max (same
+    convention as :func:`numeric_drift`, so escaped mass clamps into the
+    edge bins).
+
+    Scale shape: both sides collapse to ``bins`` rows before anything
+    ordered happens; the cumulative window runs over at most ``bins``
+    rows (bounded by the parameter, not the data), so unlike the naive
+    per-value ECDF there is no high-cardinality single task — at any data
+    scale this is two histogram aggregates plus O(bins) of driver-free
+    window work.
+    """
+    if lo is None or hi is None:
+        b = ref.agg(
+            F.min(F.col(col)).cast("double").alias("_blo"),
+            F.max(F.col(col)).cast("double").alias("_bhi"),
+        )
+    else:
+        from pyspark.sql import Row
+
+        b = cur.sparkSession.createDataFrame(
+            [Row(_blo=float(lo), _bhi=float(hi))]
+        )
+    h_cur = _hist_with_bounds(cur, col, bins, b)
+    h_ref = _hist_with_bounds(ref, col, bins, b)
+    # dense bin spine: a bin empty on BOTH sides still carries the CDF gap
+    # across it (the gap is flat, not zero, over empty bins), so it must
+    # contribute a W1 term — a histogram-only outer join would drop it
+    spine = cur.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    j = (
+        spine.join(h_cur.withColumnRenamed("count", "n_a"), "bin", "left")
+        .join(h_ref.withColumnRenamed("count", "n_b"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cdf_a = F.try_divide(F.sum("n_a").over(cum), F.sum("n_a").over(tot))
+    cdf_b = F.try_divide(F.sum("n_b").over(cum), F.sum("n_b").over(tot))
+    width = (F.col("_bhi") - F.col("_blo")) / F.lit(float(bins))
+    return (
+        j.select(
+            F.abs(cdf_a - cdf_b).alias("_d"),
+            F.col("n_a").alias("_na"),
+            F.col("n_b").alias("_nb"),
+        )
+        .join(F.broadcast(b))
+        .agg(
+            F.round(F.sum(F.col("_d") * width), round_to).alias("w1"),
             F.sum("_na").alias("n_cur"),
             F.sum("_nb").alias("n_ref"),
         )

@@ -227,10 +227,16 @@ def train_ivf_centroids(
 
     rows = (
         corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
         .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
         .limit(sample_size)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "train_ivf_centroids: empty corpus (no non-null, non-empty "
+            f"'{vec_col}' vectors) — nothing to train a quantizer on"
+        )
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     k = min(num_centroids, len(X))
@@ -272,6 +278,34 @@ def _nearest_centroids_np(centroids: list[list[float]], nprobe: int):
     return pandas_udf(f, "array<int>")
 
 
+def assign_ivf_lists(
+    corpus: DataFrame,
+    *,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    list_col: str = "ivf_list",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid's inverted list
+    ONCE, and repartition so each list is co-located.
+
+    This is the "partition the corpus by list and reuse it" step that
+    :func:`ivf_topk`'s docstring promises: run it once per corpus (then
+    optionally persist / write out partitioned by ``list_col``), and pass
+    the result to ``ivf_topk(..., list_col=...)`` for every query batch —
+    the per-batch plan then contains NO corpus-side assignment UDF, only
+    the broadcast-query candidate join. At 100 TB this turns centroid
+    assignment from a per-query-batch scan into a one-time materialization,
+    and the repartition means a probe touches only nprobe/num_centroids of
+    the data.
+    """
+    assign1 = _nearest_centroids_np(centroids, 1)
+    out = corpus.withColumn(
+        list_col, F.element_at(assign1(F.col(vec_col)), 1)
+    )
+    return out.repartition(num_partitions or min(len(centroids), 200), list_col)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -283,26 +317,40 @@ def ivf_topk(
     query_vec_col: str = "query_vec",
     k: int = 10,
     nprobe: int = 8,
+    list_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via an inverted file: every corpus vector belongs
     to its nearest centroid's list; a query scans only its ``nprobe``
     nearest lists.
 
-    Scale shape: corpus assignment is one narrow projection (in a real
-    deployment you PARTITION the corpus by ``_c`` once and reuse it across
-    query batches — the scan then prunes to nprobe/num_centroids of the
-    data); queries are broadcast, so the candidate join never shuffles the
+    Scale shape: corpus assignment is one narrow projection — or zero
+    work when the corpus was pre-assigned with :func:`assign_ivf_lists`
+    (pass its column via ``list_col``; the per-batch plan then has no
+    corpus-side UDF and prunes to nprobe/num_centroids of the data).
+    Queries are broadcast, so the candidate join never shuffles the
     corpus. Recall rises with nprobe (nprobe == num_centroids degrades to
     brute force). Output schema matches :func:`brute_force_topk`.
     """
-    assign1 = _nearest_centroids_np(centroids, 1)
     probe_n = _nearest_centroids_np(centroids, nprobe)
 
-    cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        F.element_at(assign1(F.col(vec_col)), 1).alias("_c"),
-    )
+    if list_col is not None:
+        if list_col not in corpus.columns:
+            raise ValueError(
+                f"ivf_topk: list_col '{list_col}' not in corpus columns "
+                f"{corpus.columns}; run assign_ivf_lists first"
+            )
+        cb = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            F.col(list_col).alias("_c"),
+        )
+    else:
+        assign1 = _nearest_centroids_np(centroids, 1)
+        cb = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            F.element_at(assign1(F.col(vec_col)), 1).alias("_c"),
+        )
     qb = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qv"),

@@ -207,24 +207,37 @@ def contamination_pairs(
     threshold: float = 0.2,
     round_to: int = 6,
     impl: str = "np",
+    prefilter: str = "auto",
 ) -> DataFrame:
     """Benchmark-contamination check: fraction of each PROBE document's
     char ``n``-gram set found inside each corpus document (containment
     |D∩P| / |P|) — the standard decontamination signal for training data
     vs eval sets.
 
-    Scale shape: the probe set (eval benchmarks — small by construction)
-    is broadcast with its gram sets precomputed; the corpus streams
-    through once, no shuffle of the corpus. Grams are 64-bit hashes in
-    BOTH impls — set sizes (hence containment) are hash-invariant, and
-    intersecting raw 8-char string arrays was the whole cost (~15s at
-    sf0.1 vs ~1s hashed). ``impl='np'`` (default): one Arrow pass builds
-    the hash sets (:func:`..functions.vectors.shingle_hashes_np`) and a
-    numpy kernel scores pairs. ``impl='expr'``: xxhash64'd grams +
-    array_intersect — UDF-free and Java-regex-normalized, but Catalyst
-    inlines the single-referenced gram expression into the per-pair
-    projection (CollapseProject treats once-referenced exprs as free),
-    recomputing it per probe — use it only when UDFs are banned.
+    Scale shape, ``prefilter='index'`` (the default via ``'auto'`` when
+    ``threshold > 0``): an inverted-index join. Doc gram hashes explode
+    into (doc_id, gram) rows that broadcast-hash-join the exploded probe
+    index — grams shared with no probe drop immediately — and
+    ``count(*)`` per (doc_id, probe_id) IS |D∩P| (both gram arrays are
+    distinct), so containment needs no per-pair array intersection at
+    all. Cost: linear in corpus grams, shuffles only (doc, probe, gram)
+    matches; a doc sharing zero grams with every probe costs one hash
+    lookup per gram instead of n_probes set-intersections. This is the
+    shape that survives thousands of probes.
+
+    ``prefilter='cross'`` keeps the round-2 broadcast crossJoin + per-pair
+    scoring — marginally cheaper for a handful of probes (no explode), and
+    the only exact path when ``threshold <= 0`` (a zero-overlap pair then
+    belongs in the output, which the index join cannot produce).
+
+    Grams are 64-bit hashes in BOTH impls — set sizes (hence containment)
+    are hash-invariant. ``impl='np'`` (default): one Arrow pass builds the
+    hash sets (:func:`..functions.vectors.shingle_hashes_np`); with
+    ``prefilter='cross'`` a numpy kernel scores pairs. ``impl='expr'``:
+    xxhash64'd grams + array ops — UDF-free and Java-regex-normalized, but
+    the crossJoin variant recomputes the inlined gram expression per probe
+    (CollapseProject treats once-referenced exprs as free) — use it only
+    when UDFs are banned.
 
     Output: (doc_id, probe_id, containment >= threshold).
     """
@@ -282,6 +295,37 @@ def contamination_pairs(
                 ),
             ),
             round_to,
+        )
+    if prefilter not in ("auto", "index", "cross"):
+        raise ValueError(f"contamination_pairs: unknown prefilter {prefilter!r}")
+    use_index = prefilter == "index" or (prefilter == "auto" and threshold > 0)
+    if use_index and threshold <= 0:
+        raise ValueError(
+            "contamination_pairs: prefilter='index' cannot emit zero-overlap "
+            "pairs — use prefilter='cross' when threshold <= 0"
+        )
+    if use_index:
+        p_idx = p.select(
+            "probe_id",
+            F.size("_pg").alias("_psz"),
+            F.explode("_pg").alias("_g"),
+        )
+        return (
+            d.select("doc_id", F.explode("_dg").alias("_g"))
+            .join(F.broadcast(p_idx), "_g")
+            .groupBy("doc_id", "probe_id", "_psz")
+            .agg(F.count(F.lit(1)).alias("_shared"))
+            .select(
+                "doc_id",
+                "probe_id",
+                F.round(
+                    F.try_divide(
+                        F.col("_shared").cast("double"), F.col("_psz")
+                    ),
+                    round_to,
+                ).alias("containment"),
+            )
+            .filter(F.col("containment") >= threshold)
         )
     return (
         d.crossJoin(F.broadcast(p))

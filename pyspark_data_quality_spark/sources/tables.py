@@ -8,10 +8,32 @@ Spark's. Nothing here collects or caches eagerly.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of the block, then restore the
+    prior value (or unset). Safe for parquet schema-conversion confs: the
+    conversion happens when ``spark.read.parquet`` resolves the schema, so
+    restoring immediately afterwards does not affect later actions on the
+    returned DataFrame (verified empirically — see tests/test_io.py)."""
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 #: All driver-provided tables (TESTDATA.md).
 TABLES = (
@@ -36,14 +58,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     reader rejects outright ([PARQUET_TYPE_ILLEGAL]); the supported route
     is the ``nanosAsLong`` legacy conf (read as bigint nanos) plus an
-    explicit conversion to a microsecond timestamp. The conf stays set for
-    the session — it only affects nanos-typed parquet columns, of which the
-    fixtures have exactly this one.
+    explicit conversion to a microsecond timestamp. The conf is scoped to
+    the read (set, then restored), so other nanos-typed parquet reads in
+    the same session still fail loudly rather than silently coming back
+    as bigint.
     """
     base = sf_dir or DEFAULT_SF_DIR
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{base}/{name}.parquet")
+        with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+            df = spark.read.parquet(f"{base}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
@@ -53,7 +76,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
 def load_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """Streaming source over a directory of events parquet files (same
     nanos handling as :func:`load_table`; schema pinned from a batch footer
-    read, as readStream requires an explicit schema)."""
+    read, as readStream requires an explicit schema).
+
+    Unlike :func:`load_table`, the ``nanosAsLong`` conf deliberately stays
+    set on the session: Structured Streaming captures session confs when
+    the query *starts*, and each microbatch re-reads parquet footers, so
+    restoring the conf here would crash the stream at runtime. This is the
+    one documented session-wide side effect of the streaming path.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_dir).schema
     df = spark.readStream.schema(schema).parquet(events_dir)

@@ -101,9 +101,31 @@ def test_audio_features(spark):
     assert 0.0 <= r["zero_crossing_rate"] <= 1.0
 
 
-def test_real_decoder_is_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        decode_image(b"abc", height=2, width=2, channels=1, decoder="real")
-    with pytest.raises(Exception):
-        # Spark wraps the NotImplementedError raised inside the UDF
-        image_features(media, decoder="real").collect()
+def test_real_decoder_gated_on_pillow(media):
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        # this container has no codec libs: the real path must fail loudly
+        with pytest.raises(NotImplementedError):
+            decode_image(b"abc", height=2, width=2, channels=1, decoder="real")
+        with pytest.raises(Exception):
+            # Spark wraps the NotImplementedError raised inside the UDF
+            image_features(media, decoder="real").collect()
+    else:
+        # environments with pillow exercise a REAL decode round-trip
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 2), (10, 20, 30)).save(buf, "PNG")
+        px = decode_image(
+            buf.getvalue(), height=2, width=4, channels=3, decoder="real"
+        )
+        assert px.shape == (2, 4, 3)
+        assert tuple(px[0, 0]) == (10, 20, 30)
+        # resize + grayscale conversion paths
+        g = decode_image(
+            buf.getvalue(), height=3, width=3, channels=1, decoder="real"
+        )
+        assert g.shape == (3, 3, 1)

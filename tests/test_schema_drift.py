@@ -334,3 +334,31 @@ def test_ks_statistic(spark):
     # quantize collapses jitter
     d = spark.createDataFrame([(i % 10 + 0.001,) for i in range(100)], "x double")
     assert ks_statistic(a, d, "x", quantize=0).collect()[0]["ks"] == 0.0
+
+
+def test_ks_partitioned_matches_single_task_and_distributes(spark):
+    from pyspark_data_quality_spark.operators.drift import ks_statistic
+
+    # high-cardinality support (every value distinct) across many partitions
+    a = spark.range(0, 5000).select((F.col("id") * 1.0).alias("x"))
+    b = spark.range(0, 5000).select((F.col("id") * 1.0 + 1500.0).alias("x"))
+
+    part = ks_statistic(a, b, "x").collect()[0]
+    single = ks_statistic(a, b, "x", method="single_task").collect()[0]
+    assert part == single  # the prefix sum is exact, not an approximation
+    assert part["ks"] == 0.3 and part["n_cur"] == 5000 and part["n_ref"] == 5000
+
+    # the distributed plan must contain NO unpartitioned window: every
+    # Window node's spec must be keyed by the range-partition id
+    plan = (
+        ks_statistic(a, b, "x")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    windows = [
+        ln for ln in plan.splitlines() if ln.lstrip(" +-:").startswith("Window ")
+    ]
+    assert windows, "expected a per-partition cumulative window"
+    assert all("_pid" in ln for ln in windows), plan
+
+    with pytest.raises(ValueError, match="unknown method"):
+        ks_statistic(a, b, "x", method="bogus")

@@ -129,6 +129,33 @@ def test_simhash(spark, docs):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got
 
+    # numeric recall floor vs the exact all-pairs hamming twin (the driver
+    # entry is rows-only, so this assertion keeps the approximation honest).
+    # 4 x 16-bit bands pigeonhole-guarantee recall 1.0 for hamming <= 3;
+    # measure there (above 3 the banding is honestly approximate).
+    hams = {k: v for k, v in sh.items() if v is not None}
+    ids = sorted(hams)
+
+    def exact_pairs(h):
+        return {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin((hams[a] ^ hams[b]) & ((1 << 64) - 1)).count("1") <= h
+        }
+
+    exact3 = exact_pairs(3)
+    got3 = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(
+            docs, "text", "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert exact3, "fixture must contain at least one true near-dup pair"
+    assert got3 <= exact3  # candidates are hamming-verified: no false positives
+    assert len(got3 & exact3) / len(exact3) >= 1.0  # pigeonhole regime
+    assert got <= exact_pairs(16)  # no false positives at 16 either
+
 
 def test_vector_functions(spark):
     df = spark.createDataFrame(
@@ -182,6 +209,9 @@ def test_embedding_near_dup_lsh_vs_bruteforce(spark, vecs):
     assert planted <= bf
     assert lsh <= bf            # LSH never invents pairs (verify step)
     assert planted <= lsh       # and finds the planted near-copies
+    # numeric recall floor vs the exact twin (driver entry is rows-only,
+    # so this assertion is what keeps the approximation honest)
+    assert len(lsh & bf) / len(bf) >= 0.8
 
 
 def test_lsh_topk_recall(spark, vecs):
@@ -277,6 +307,58 @@ def test_ivf_topk_recall(spark, vecs):
         assert (q, q) in a          # self always recalled
         assert (q, 100 + q) in a    # planted near-copy lands in same list
     assert len(a & e) / len(e) >= 0.5
+
+
+def test_ivf_preassigned_lists(spark, vecs, tmp_path):
+    from pyspark_data_quality_spark.operators.similarity import (
+        assign_ivf_lists,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(vecs, num_centroids=8, sample_size=100, seed=42)
+    queries = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assigned = assign_ivf_lists(vecs, centroids=cents)
+    assert "ivf_list" in assigned.columns
+
+    # materialize once (the deployment pattern: write the assigned corpus,
+    # reuse it across query batches), then query against the stored copy
+    d = tmp_path / "ivf_corpus"
+    assigned.write.mode("overwrite").parquet(str(d))
+    stored = spark.read.parquet(str(d))
+
+    fresh = ivf_topk(vecs, queries, centroids=cents, k=3, nprobe=4)
+    reused = ivf_topk(
+        stored, queries, centroids=cents, k=3, nprobe=4, list_col="ivf_list"
+    )
+    assert sorted(map(tuple, fresh.collect())) == sorted(map(tuple, reused.collect()))
+
+    # the reused per-batch plan fires NO corpus-side assignment UDF (the
+    # only Python eval left is the broadcast query-probe UDF) and reads
+    # the stored list id straight off the parquet scan
+    def n_udf_evals(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+
+    assert n_udf_evals(reused) < n_udf_evals(fresh)
+    reused_plan = reused._jdf.queryExecution().executedPlan().toString()
+    assert "ivf_list" in reused_plan and "ReadSchema" in reused_plan
+
+    with pytest.raises(ValueError, match="list_col"):
+        ivf_topk(vecs, queries, centroids=cents, list_col="nope")
+
+
+def test_train_ivf_centroids_empty_corpus(spark, vecs):
+    from pyspark_data_quality_spark.operators.similarity import train_ivf_centroids
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_ivf_centroids(vecs.limit(0))
+    # all-null vectors are equally empty
+    nulls = vecs.withColumn("embedding", F.lit(None).cast("array<float>"))
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_ivf_centroids(nulls)
 
 
 def test_dedup_components(spark):
@@ -380,6 +462,39 @@ def test_contamination_pairs(spark):
     rows = contamination_pairs(docs, probe, "text", "doc_id", n=8, threshold=0.5).collect()
     assert {r["doc_id"] for r in rows} == {1}  # full probe containment
     assert rows[0]["probe_id"] == 100 and rows[0]["containment"] > 0.9
+
+
+def test_contamination_index_matches_cross(spark, docs):
+    from pyspark_data_quality_spark.operators.text import contamination_pairs
+
+    # real-ish corpus: reuse the docs fixture as both corpus and probes
+    # (every doc fully contains itself; near-dups partially overlap), so
+    # the candidate structure is non-trivial
+    probes = docs.limit(6)
+    kw = dict(n=8, threshold=0.1)
+    for impl in ("np", "expr"):
+        idx = contamination_pairs(
+            docs, probes, "text", "doc_id", impl=impl, prefilter="index", **kw
+        )
+        cross = contamination_pairs(
+            docs, probes, "text", "doc_id", impl=impl, prefilter="cross", **kw
+        )
+        assert sorted(map(tuple, idx.collect())) == sorted(
+            map(tuple, cross.collect())
+        ), impl
+
+    # the index path never crossJoins: its plan joins on the gram hash
+    plan = contamination_pairs(
+        docs, probes, "text", "doc_id", **kw
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+    with pytest.raises(ValueError, match="zero-overlap"):
+        contamination_pairs(
+            docs, probes, "text", "doc_id", threshold=0.0, prefilter="index"
+        )
+    with pytest.raises(ValueError, match="unknown prefilter"):
+        contamination_pairs(docs, probes, "text", "doc_id", prefilter="nope")
 
 
 def test_vocab_top_k(spark):
