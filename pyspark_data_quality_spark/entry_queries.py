@@ -1996,6 +1996,153 @@ def dq_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSI_REF = {
+    "click": 0.2, "error": 0.2, "purchase": 0.2, "signup": 0.2, "view": 0.2
+}
+
+
+def _windowed_psi_sql() -> str:
+    cats = sorted(_PSI_REF)
+    counts = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n{i}"
+        for i, c in enumerate(cats)
+    )
+    terms = " + ".join(
+        f"(greatest(n{i} * 1.0 / n_events, 1e-6) - {_PSI_REF[c]}) "
+        f"* ln(greatest(n{i} * 1.0 / n_events, 1e-6) / {_PSI_REF[c]})"
+        for i, c in enumerate(cats)
+    )
+    known = " - ".join([f"n_events"] + [f"n{i}" for i in range(len(cats))])
+    other = (
+        f"(greatest(({known}) * 1.0 / n_events, 1e-6) - 1e-6) "
+        f"* ln(greatest(({known}) * 1.0 / n_events, 1e-6) / 1e-6)"
+    )
+    return f"""
+    WITH w AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
+             {counts},
+             count(*) AS n_events
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT window_epoch, n_events,
+             CAST(round({terms} + {other}, 6) AS DOUBLE) AS psi
+      FROM w
+    )
+    SELECT window_epoch, n_events, psi, psi > 0.25 AS drifted FROM t
+    """
+
+
+@query("dq_windowed_psi", _windowed_psi_sql())
+def dq_windowed_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly PSI of the event-type mix vs a uniform reference — the
+    batch face of the streaming drift monitor (streaming/windows.py
+    windowed_psi; identical plan on a stream, one state row per window)."""
+    from .streaming.windows import windowed_psi
+
+    events = load_table(spark, "events", sf_dir)
+    out = windowed_psi(
+        events, "event_type", _PSI_REF, ts_col="ts", duration="1 hour"
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "n_events", "psi", "drifted",
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "dq_corr_matrix",
+    " UNION ALL ".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+            CAST(round(corr(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), 6)
+                 AS DOUBLE) AS corr FROM lineitem"""
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ),
+)
+def dq_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numeric columns in
+    one fused aggregate (operators/profile.py correlation_matrix)."""
+    from .operators.profile import correlation_matrix
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return correlation_matrix(li, _CORR_COLS)
+
+
+@query(
+    "dq_benford",
+    """
+    WITH v AS (
+      SELECT least(9, greatest(1, CAST(floor(
+               abs(CAST(l_extendedprice AS DOUBLE))
+               / power(10.0, floor(log10(abs(CAST(l_extendedprice AS DOUBLE)))))
+             ) AS INT))) AS digit
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND abs(CAST(l_extendedprice AS DOUBLE)) > 0
+        AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+    ), counts AS (
+      SELECT digit, count(*) AS n FROM v GROUP BY digit
+    ), dense AS (
+      SELECT s.digit, coalesce(counts.n, 0) AS n
+      FROM range(1, 10) AS s(digit)
+      LEFT JOIN counts ON counts.digit = s.digit
+    )
+    SELECT CAST(digit AS INT) AS digit, n,
+           CAST(round(n * 1.0 / sum(n) OVER (), 6) AS DOUBLE) AS p_obs,
+           CAST(round(log10(1 + 1.0 / digit), 6) AS DOUBLE) AS p_exp,
+           CAST(round(n * 1.0 / sum(n) OVER ()
+                      - log10(1 + 1.0 / digit), 6) AS DOUBLE) AS deviation
+    FROM dense
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit distribution of l_extendedprice with the
+    log10(1+1/d) expectation and per-digit deviation
+    (operators/profile.py benford_profile)."""
+    from .operators.profile import benford_profile
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return benford_profile(li, "l_extendedprice")
+
+
+@query(
+    "dq_stratified_sample",
+    """
+    WITH b AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 AS bucket
+      FROM customer
+    )
+    SELECT c_custkey, c_mktsegment FROM b
+    WHERE bucket < CASE c_mktsegment
+                     WHEN 'BUILDING' THEN 5000
+                     WHEN 'AUTOMOBILE' THEN 2000
+                     ELSE 500
+                   END
+    """,
+)
+def dq_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sample of customers by market segment:
+    50% of BUILDING, 20% of AUTOMOBILE, 5% of everything else — stable
+    md5-bucket membership (operators/split.py stratified_sample)."""
+    from .operators.split import stratified_sample
+
+    cust = load_table(spark, "customer", sf_dir)
+    out = stratified_sample(
+        cust,
+        "c_custkey",
+        "c_mktsegment",
+        {"BUILDING": 0.5, "AUTOMOBILE": 0.2},
+        default_fraction=0.05,
+    )
+    return out.select("c_custkey", "c_mktsegment")
+
+
 @query(
     "dq_repetition",
     f"""

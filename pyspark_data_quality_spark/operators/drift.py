@@ -242,30 +242,30 @@ def ks_statistic(
     totals = ranged.groupBy("_pid").agg(
         F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
     )
-    # offset for partition p = sum of totals of partitions < p; the totals
-    # table has one row per shuffle partition, so the triangular join is
-    # O(P^2) on a broadcast-tiny side — windows never enter the picture
-    prior = totals.select(
-        F.col("_pid").alias("_q"),
-        F.col("_ta").alias("_pa"),
-        F.col("_tb").alias("_pb"),
+    # offsets + grand totals in ONE pass over the totals table, which has
+    # one row per shuffle partition — both windows below run over <= P
+    # rows (bounded by spark.sql.shuffle.partitions, NOT by the data), so
+    # no task ever materializes the full support; consuming `totals` once
+    # keeps the expensive support aggregation a single shared subtree
+    w_prior = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        totals.join(F.broadcast(prior), F.col("_q") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(
-            F.coalesce(F.sum("_pa"), F.lit(0)).alias("_oa"),
-            F.coalesce(F.sum("_pb"), F.lit(0)).alias("_ob"),
-        )
+    w_all = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    grand = totals.agg(
-        F.sum("_ta").alias("_ga"), F.sum("_tb").alias("_gb")
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_ta").over(w_prior), F.lit(0)).alias("_oa"),
+        F.coalesce(F.sum("_tb").over(w_prior), F.lit(0)).alias("_ob"),
+        F.sum("_ta").over(w_all).alias("_ga"),
+        F.sum("_tb").over(w_all).alias("_gb"),
     )
     cdf_a = F.try_divide(F.col("_ca_loc") + F.col("_oa"), F.col("_ga"))
     cdf_b = F.try_divide(F.col("_cb_loc") + F.col("_ob"), F.col("_gb"))
     return (
         local.join(F.broadcast(offsets), "_pid")
-        .join(F.broadcast(grand))
         .select(
             F.abs(cdf_a - cdf_b).alias("_d"),
             F.col("n_a").alias("_na"),

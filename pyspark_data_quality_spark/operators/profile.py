@@ -272,3 +272,85 @@ def column_entropy(
         )
         .orderBy("column")
     )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], *, round_to: int = 6
+) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns, long format:
+    ``(col_a, col_b, corr)`` for every i < j pair.
+
+    All C(n,2) correlations are computed in ONE fused aggregate (each
+    pair keeps its own co-moment state, merged map-side), then the
+    1-row wide result is unpivoted with ``stack`` — a projection, not a
+    shuffle. One pass over the data regardless of how many pairs; at
+    100 TB this is a single scan + one tiny final reduce.
+
+    Built as ``try_divide(covar_samp, stddev*stddev)`` rather than
+    ``corr()``: under ANSI mode ``corr`` THROWS on a zero-variance
+    column, where a profiling operator must return NULL.
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix: need at least two columns")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+
+    def _corr(a: str, b: str):
+        ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+        return F.try_divide(
+            F.covar_samp(ca, cb), F.stddev_samp(ca) * F.stddev_samp(cb)
+        )
+
+    wide = df.agg(
+        *[_corr(a, b).alias(f"_c_{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stacked = ", ".join(
+        f"'{a}', '{b}', _c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stacked}) as (col_a, col_b, corr)"
+    ).select("col_a", "col_b", F.round("corr", round_to).alias("corr"))
+
+
+def benford_profile(
+    df: DataFrame, col: str, *, round_to: int = 6
+) -> DataFrame:
+    """First-digit (Benford's-law) distribution of ``|col|``: one row per
+    digit 1-9 with observed count/ratio, the Benford expectation
+    ``log10(1 + 1/d)``, and the deviation — the classic fabricated-data /
+    unit-mixing smell test for financial-style columns.
+
+    The leading digit is pure expression math (``floor(x / 10^floor(
+    log10 x))``, clamped to [1, 9] against FP edge cases), so the whole
+    check is one scan + one 9-group aggregate; a dense digit spine keeps
+    absent digits present with n = 0.
+    """
+    x = F.abs(F.col(col).cast("double"))
+    digit = F.least(
+        F.lit(9),
+        F.greatest(
+            F.lit(1),
+            F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int"),
+        ),
+    )
+    counts = (
+        df.filter(F.col(col).isNotNull() & (x > 0) & ~F.isnan(x))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    dense = spine.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    tot = Window.partitionBy()  # 9 rows — bounded by construction
+    p_obs = F.try_divide(F.col("n"), F.sum("n").over(tot))
+    p_exp = F.log10(1 + 1 / F.col("digit"))
+    return dense.select(
+        "digit",
+        "n",
+        F.round(p_obs, round_to).alias("p_obs"),
+        F.round(p_exp, round_to).alias("p_exp"),
+        F.round(p_obs - p_exp, round_to).alias("deviation"),
+    ).orderBy("digit")

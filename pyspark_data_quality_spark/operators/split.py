@@ -90,6 +90,49 @@ def deterministic_sample(
     return df.filter(bucket < int(round(fraction * _BUCKETS)))
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sample: each row's keep-fraction is looked
+    up by its (stringified) ``strata_col`` value — the standard rebalancing
+    move ("keep 5% of web, 50% of books") with the same stability contract
+    as :func:`deterministic_sample` (membership is a pure function of
+    id + salt, so re-runs, retries, and other engines reproduce it).
+    Strata absent from ``fractions`` fall back to ``default_fraction``.
+
+    Pure expressions — the per-stratum threshold is a CASE over the
+    broadcast-free literal map; no shuffle, no RNG, no join.
+    """
+    for k, f in list(fractions.items()) + [("default", default_fraction)]:
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(
+                f"stratified_sample: fraction for {k!r} must be in [0, 1]"
+            )
+    c = F.col(id_col)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _BUCKETS
+    )
+    thr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col).cast("string").eqNullSafe(F.lit(value))
+        bound = F.lit(int(round(frac * _BUCKETS)))
+        thr = F.when(cond, bound) if thr is None else thr.when(cond, bound)
+    default_bound = F.lit(int(round(default_fraction * _BUCKETS)))
+    thr = default_bound if thr is None else thr.otherwise(default_bound)
+    return df.filter(bucket < thr)
+
+
 def mix_corpora(
     sources: dict[str, tuple[DataFrame, float]],
     id_col: str,

@@ -112,6 +112,75 @@ def session_counts(
     )
 
 
+def windowed_psi(
+    df: DataFrame,
+    value_col: str,
+    ref_probs: dict[str, float],
+    *,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    watermark: str = "10 minutes",
+    eps: float = 1e-6,
+    threshold: float = 0.25,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-window Population Stability Index of a categorical column
+    against a FIXED reference distribution — the streaming drift monitor:
+    "is this hour's traffic mix still shaped like the training data?"
+
+    ``ref_probs`` maps category -> reference probability (normalized here;
+    it is driver-side config like IVF centroids — typically the output of
+    a batch ``categorical_drift`` run over the reference corpus). Mass in
+    categories NOT in ``ref_probs`` accumulates into one "other" bucket
+    whose reference probability is the ``eps`` clamp, so novel categories
+    show up as drift instead of vanishing.
+
+    Streaming-legal by construction: Structured Streaming forbids chained
+    aggregations, so the per-category counts are CONDITIONAL SUMS inside
+    the single windowed aggregate (one state row per window), and the PSI
+    formula is a pure projection on top. Works identically on a batch
+    frame (same plan, plain groupBy).
+
+    Output: window_start/window_end, n_events, psi, drifted.
+    """
+    if not ref_probs:
+        raise ValueError("windowed_psi: ref_probs must be non-empty")
+    total = sum(ref_probs.values())
+    if total <= 0:
+        raise ValueError("windowed_psi: ref_probs must sum > 0")
+    cats = sorted(ref_probs)
+    src = _with_watermark(df, ts_col, watermark)
+    v = F.col(value_col).cast("string")
+    aggs = [
+        F.sum(v.eqNullSafe(F.lit(c)).cast("long")).alias(f"_n_{i}")
+        for i, c in enumerate(cats)
+    ] + [F.count(F.lit(1)).alias("n_events")]
+    agged = src.groupBy(F.window(F.col(ts_col), duration).alias("_w")).agg(*aggs)
+
+    terms = []
+    known = F.lit(0)
+    for i, c in enumerate(cats):
+        p_cur = F.greatest(
+            F.try_divide(F.col(f"_n_{i}"), F.col("n_events")), F.lit(eps)
+        )
+        p_ref = F.greatest(F.lit(ref_probs[c] / total), F.lit(eps))
+        terms.append((p_cur - p_ref) * F.log(p_cur / p_ref))
+        known = known + F.col(f"_n_{i}")
+    # everything outside the reference categories: ref mass = eps clamp
+    p_other = F.greatest(
+        F.try_divide(F.col("n_events") - known, F.col("n_events")), F.lit(eps)
+    )
+    terms.append((p_other - F.lit(eps)) * F.log(p_other / F.lit(eps)))
+    psi = F.round(sum(terms[1:], terms[0]), round_to)
+    return agged.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        "n_events",
+        psi.alias("psi"),
+        (psi > F.lit(threshold)).alias("drifted"),
+    )
+
+
 def dedup_within_watermark(
     df: DataFrame,
     keys: list[str],

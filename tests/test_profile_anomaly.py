@@ -181,3 +181,87 @@ def test_column_entropy(spark):
     r = column_entropy(tri, ["z"]).collect()[0]
     assert abs(r["entropy"] - math.log2(4)) < 1e-9  # NULL is a value
     assert r["n_distinct"] == 4
+
+
+def test_correlation_matrix(spark):
+    from pyspark_data_quality_spark.operators.profile import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i), float(-i), 5.0) for i in range(20)],
+        "a double, b double, c double, d double",
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in correlation_matrix(df, ["a", "b", "c", "d"]).collect()
+    }
+    assert len(got) == 6  # C(4,2) pairs, one fused agg
+    assert got[("a", "b")] == pytest.approx(1.0)
+    assert got[("a", "c")] == pytest.approx(-1.0)
+    assert got[("a", "d")] is None  # zero-variance column -> NULL, no crash
+
+    with pytest.raises(ValueError, match="two columns"):
+        correlation_matrix(df, ["a"])
+
+
+def test_correlation_matrix_single_job(spark):
+    from pyspark_data_quality_spark.operators.profile import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(10)], "a double, b double"
+    )
+    plan = (
+        correlation_matrix(df, ["a", "b"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # a fused aggregate: exactly one final HashAggregate pair, no join
+    assert "Join" not in plan
+
+
+def test_benford_profile(spark):
+    from pyspark_data_quality_spark.operators.profile import benford_profile
+
+    # 19, 1.5, 0.12 all lead with 1; 900 leads with 9; 0/null/NaN excluded
+    df = spark.createDataFrame(
+        [(19.0,), (1.5,), (0.12,), (900.0,), (0.0,), (None,), (float("nan"),)],
+        "x double",
+    )
+    rows = {r["digit"]: r for r in benford_profile(df, "x").collect()}
+    assert sorted(rows) == list(range(1, 10))  # dense spine: all 9 digits
+    assert rows[1]["n"] == 3 and rows[9]["n"] == 1
+    assert rows[2]["n"] == 0
+    assert rows[1]["p_obs"] == pytest.approx(0.75)
+    assert rows[1]["p_exp"] == pytest.approx(0.30103, abs=1e-5)
+    total_exp = sum(rows[d]["p_exp"] for d in range(1, 10))
+    assert total_exp == pytest.approx(1.0, abs=1e-5)
+
+
+def test_stratified_sample(spark):
+    from pyspark_data_quality_spark.operators.split import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i % 2 == 0 else "small") for i in range(2000)],
+        "id int, grp string",
+    )
+    out = stratified_sample(
+        df, "id", "grp", {"big": 0.5, "small": 0.1}, default_fraction=0.0
+    )
+    by_grp = {
+        r["grp"]: r["n"]
+        for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_grp["big"] == pytest.approx(500, rel=0.15)
+    assert by_grp["small"] == pytest.approx(100, rel=0.3)
+
+    # deterministic: identical membership across runs
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in out.collect())
+    assert a == b
+
+    # stratum not in the map -> default fraction (0 -> dropped entirely)
+    other = df.withColumn("grp", F.lit("unknown"))
+    assert stratified_sample(
+        other, "id", "grp", {"big": 0.5}, default_fraction=0.0
+    ).count() == 0
+
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(df, "id", "grp", {"big": 1.5})

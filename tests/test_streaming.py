@@ -281,3 +281,61 @@ def test_windowed_pass_ratios_with_fk_rule(spark):
     }
     assert out["2024-01-01 00:00:00"] == round(2 / 3, 6)
     assert out["2024-01-01 01:00:00"] == 1.0
+
+
+def test_windowed_psi_batch_values(spark):
+    from pyspark_data_quality_spark.streaming.windows import windowed_psi
+
+    import math
+
+    # hour 0: uniform over a/b (matches ref) -> psi ~ 0
+    # hour 1: all a -> heavy drift; hour 2: novel category -> other bucket
+    rows = (
+        [(i, "2024-01-01 00:0%d:00" % i, "a") for i in range(3)]
+        + [(i + 10, "2024-01-01 00:1%d:00" % i, "b") for i in range(3)]
+        + [(i + 20, "2024-01-01 01:0%d:00" % i, "a") for i in range(4)]
+        + [(30, "2024-01-01 02:00:00", "zzz")]
+    )
+    df = spark.createDataFrame(rows, "event_id long, ts string, event_type string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["window_start"].hour: r
+        for r in windowed_psi(
+            df, "event_type", {"a": 0.5, "b": 0.5}, duration="1 hour"
+        ).collect()
+    }
+    assert out[0]["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert out[0]["drifted"] is False
+    # hour 1: p_a=1 (clamped vs 0.5), p_b=eps vs 0.5 -> the closed form
+    eps = 1e-6
+    expected = (1.0 - 0.5) * math.log(1.0 / 0.5) + (eps - 0.5) * math.log(eps / 0.5)
+    assert out[1]["psi"] == pytest.approx(round(expected, 6), abs=1e-6)
+    assert out[1]["drifted"] is True
+    # hour 2: all mass in the "other" bucket — PSI adds the novel-mass
+    # term AND both reference categories' mass-went-to-zero terms
+    gone = (eps - 0.5) * math.log(eps / 0.5)
+    other = (1.0 - eps) * math.log(1.0 / eps) + 2 * gone
+    assert out[2]["psi"] == pytest.approx(round(other, 6), abs=1e-6)
+
+    with pytest.raises(ValueError, match="non-empty"):
+        windowed_psi(df, "event_type", {})
+
+
+def test_windowed_psi_stream_matches_batch(spark, sf_dir, events_dir):
+    from pyspark_data_quality_spark.streaming.windows import windowed_psi
+
+    ref = {"click": 0.2, "error": 0.2, "purchase": 0.2, "signup": 0.2,
+           "view": 0.2}
+    batch = load_table(spark, "events", sf_dir)
+    expected = {
+        r["window_start"]: (r["n_events"], r["psi"], r["drifted"])
+        for r in windowed_psi(batch, "event_type", ref, duration="1 hour").collect()
+    }
+    stream = load_events_stream(spark, events_dir)
+    sdf = windowed_psi(stream, "event_type", ref, duration="1 hour")
+    assert sdf.isStreaming  # single aggregation: streaming-legal
+    got = {
+        r["window_start"]: (r["n_events"], r["psi"], r["drifted"])
+        for r in _run_stream(spark, sdf).collect()
+    }
+    assert got == expected

@@ -350,6 +350,34 @@ def test_ivf_preassigned_lists(spark, vecs, tmp_path):
         ivf_topk(vecs, queries, centroids=cents, list_col="nope")
 
 
+def test_ivf_partitioned_store_prunes(spark, vecs, tmp_path):
+    # the full 100-TB shape: corpus written partitioned BY list id, so a
+    # query batch's nprobe lists prune at the FILE level (dynamic
+    # partition pruning from the broadcast probe side)
+    from pyspark_data_quality_spark.operators.similarity import (
+        assign_ivf_lists,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(vecs, num_centroids=8, sample_size=100, seed=42)
+    d = str(tmp_path / "ivf_store")
+    assign_ivf_lists(vecs, centroids=cents).write.partitionBy(
+        "ivf_list"
+    ).parquet(d)
+    stored = spark.read.parquet(d)
+    queries = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(
+        stored, queries, centroids=cents, k=3, nprobe=4, list_col="ivf_list"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    fresh = ivf_topk(vecs, queries, centroids=cents, k=3, nprobe=4)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, fresh.collect()))
+
+
 def test_train_ivf_centroids_empty_corpus(spark, vecs):
     from pyspark_data_quality_spark.operators.similarity import train_ivf_centroids
 
