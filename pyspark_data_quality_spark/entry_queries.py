@@ -1996,6 +1996,205 @@ def dq_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_outliers",
+    """
+    WITH s AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             avg(c_acctbal) OVER (PARTITION BY c_mktsegment) AS m,
+             stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment) AS sd
+      FROM customer
+    )
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(abs(c_acctbal - m) / sd, 6) AS DOUBLE) AS z
+    FROM s WHERE abs(c_acctbal - m) / sd > 1.6
+    """,
+)
+def dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment z-score outliers in customer balances, flagged rows
+    only (operators/repair.py flag_outliers — keyed window stats, never
+    an unpartitioned window)."""
+    from .operators.repair import flag_outliers
+
+    cust = load_table(spark, "customer", sf_dir)
+    out = flag_outliers(
+        cust, "c_acctbal", method="zscore", threshold=1.6,
+        group_by=["c_mktsegment"], score_col="z",
+    )
+    return out.filter(F.col("is_outlier")).select(
+        "c_custkey", "c_mktsegment", "z"
+    )
+
+
+@query(
+    "dq_json_fields",
+    """
+    WITH src AS (
+      SELECT CASE WHEN event_id % 10 = 0 THEN '{broken'
+                  WHEN event_id % 7 = 0 THEN '{"k": "oops"}'
+                  ELSE props END AS props
+      FROM events
+    ), e AS (
+      SELECT props,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS k_raw,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN json_extract_string(props, '$.u') END AS u_raw
+      FROM src
+    ), w AS (
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_json_null,
+             CAST(sum(CASE WHEN k_raw IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p_k,
+             CAST(sum(CASE WHEN TRY_CAST(k_raw AS BIGINT) IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS t_k,
+             CAST(sum(CASE WHEN u_raw IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p_u,
+             CAST(sum(CASE WHEN TRY_CAST(u_raw AS DOUBLE) IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS t_u
+      FROM e
+    )
+    SELECT 'k' AS field, n_rows, n_json_null, p_k AS n_present,
+           t_k AS n_typed,
+           CAST(round(p_k * 1.0 / (n_rows - n_json_null), 6) AS DOUBLE)
+             AS present_ratio,
+           CAST(round(t_k * 1.0 / (n_rows - n_json_null), 6) AS DOUBLE)
+             AS typed_ratio
+    FROM w
+    UNION ALL
+    SELECT 'u', n_rows, n_json_null, p_u, t_u,
+           CAST(round(p_u * 1.0 / (n_rows - n_json_null), 6) AS DOUBLE),
+           CAST(round(t_u * 1.0 / (n_rows - n_json_null), 6) AS DOUBLE)
+    FROM w
+    """,
+)
+def dq_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field quality over events.props with synthetic corruption
+    (10% malformed, ~14% wrong-typed): presence + castability per field
+    (operators/semistructured.py json_field_profile — one fused agg)."""
+    from .operators.semistructured import json_field_profile
+
+    ev = load_table(spark, "events", sf_dir)
+    corrupted = ev.withColumn(
+        "props",
+        F.when(F.col("event_id") % 10 == 0, F.lit("{broken"))
+        .when(F.col("event_id") % 7 == 0, F.lit('{"k": "oops"}'))
+        .otherwise(F.col("props")),
+    )
+    return json_field_profile(
+        corrupted, "props", {"k": "bigint", "u": "double"}
+    )
+
+
+@query(
+    "dq_sequence_gaps",
+    """
+    WITH holed AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE NOT (l_linenumber = 2 AND l_orderkey % 3 = 0)
+    ), lagged AS (
+      SELECT l_orderkey, l_linenumber AS v,
+             lag(l_linenumber) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber) AS prev
+      FROM holed
+    )
+    SELECT l_orderkey, prev AS gap_after, v AS gap_before,
+           CAST(v - prev - 1 AS BIGINT) AS n_missing
+    FROM lagged WHERE prev IS NOT NULL AND v - prev > 1
+    """,
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holes in per-order line numbers after synthetically dropping line 2
+    of every 3rd order (operators/consistency.py sequence_gaps — lag over
+    a window partitioned by the order key)."""
+    from .operators.consistency import sequence_gaps
+
+    li = load_table(spark, "lineitem", sf_dir)
+    holed = li.filter(
+        ~((F.col("l_linenumber") == 2) & (F.col("l_orderkey") % 3 == 0))
+    )
+    return sequence_gaps(holed, "l_linenumber", ["l_orderkey"])
+
+
+@query(
+    "dq_sequence_completeness",
+    """
+    WITH holed AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE NOT (l_linenumber = 2 AND l_orderkey % 3 = 0)
+    ), g AS (
+      SELECT l_orderkey,
+             CAST(max(l_linenumber) - min(l_linenumber) + 1 AS BIGINT)
+               AS n_expected,
+             CAST(count(DISTINCT l_linenumber) AS BIGINT) AS n_actual
+      FROM holed GROUP BY 1
+    )
+    SELECT l_orderkey, n_expected, n_actual,
+           n_expected - n_actual AS n_missing
+    FROM g WHERE n_expected <> n_actual
+    """,
+)
+def dq_sequence_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order sequence coverage over the same synthetic holes, gappy
+    orders only (operators/consistency.py sequence_completeness — one
+    groupBy, no window)."""
+    from .operators.consistency import sequence_completeness
+
+    li = load_table(spark, "lineitem", sf_dir)
+    holed = li.filter(
+        ~((F.col("l_linenumber") == 2) & (F.col("l_orderkey") % 3 == 0))
+    )
+    out = sequence_completeness(holed, "l_linenumber", ["l_orderkey"])
+    return out.filter(F.col("n_missing") != 0)
+
+
+_SKEW_COLS = ["l_orderkey", "l_suppkey", "l_returnflag"]
+
+
+def _skew_report_sql() -> str:
+    parts = []
+    for c in _SKEW_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS "column",
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE value IS NOT NULL) AS BIGINT)
+                 AS n_keys,
+               CAST(max(n) FILTER (WHERE value IS NOT NULL) AS BIGINT)
+                 AS max_count,
+               CAST(round(sum(n) FILTER (WHERE value IS NOT NULL) * 1.0
+                          / count(*) FILTER (WHERE value IS NOT NULL), 6)
+                    AS DOUBLE) AS avg_count,
+               CAST(round(max(n) FILTER (WHERE value IS NOT NULL)
+                          / (sum(n) FILTER (WHERE value IS NOT NULL) * 1.0
+                             / count(*) FILTER (WHERE value IS NOT NULL)), 6)
+                    AS DOUBLE) AS skew_ratio,
+               (SELECT value FROM (
+                  SELECT CAST({c} AS VARCHAR) AS value, count(*) AS n
+                  FROM lineitem GROUP BY 1
+                ) WHERE value IS NOT NULL
+                ORDER BY n DESC, value DESC LIMIT 1) AS top_key,
+               CAST(coalesce(sum(n) FILTER (WHERE value IS NULL), 0)
+                    AS BIGINT) AS null_count
+        FROM (
+          SELECT CAST({c} AS VARCHAR) AS value, count(*) AS n
+          FROM lineitem GROUP BY 1
+        )""")
+    return " UNION ALL ".join(parts)
+
+
+@query("dq_skew_report", _skew_report_sql())
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis of candidate lineitem join/group keys: distinct
+    keys, heaviest key, max/avg ratio (plans/skew.py skew_report — one
+    exploded-map shuffle for all columns, max_by instead of a rank
+    window)."""
+    from .plans.skew import skew_report
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return skew_report(li, _SKEW_COLS)
+
+
 _PSI_REF = {
     "click": 0.2, "error": 0.2, "purchase": 0.2, "signup": 0.2, "view": 0.2
 }

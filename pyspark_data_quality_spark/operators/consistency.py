@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..core.enums import Dimension
 from ..core.errors import RuleConfigurationError
@@ -157,4 +158,76 @@ def fd_violations(
             ).alias("examples"),
         )
         .filter(F.col("n_distinct") > 1)
+    )
+
+
+def sequence_gaps(
+    df: DataFrame,
+    seq_col: str,
+    group_cols: list[str] | None = None,
+    *,
+    step: int = 1,
+) -> DataFrame:
+    """Find holes in a sequence column that should advance by ``step``
+    within each group — missing line numbers, skipped event ids, dropped
+    file parts. Output one row per hole: the group columns,
+    ``gap_after`` (last value before the hole), ``gap_before`` (next
+    value present) and ``n_missing``.
+
+    Scale shape: ``lag`` over a window PARTITIONED by the group columns —
+    state per task is one row, the shuffle is the one keyed exchange any
+    per-group scan needs. With no ``group_cols`` the window degenerates to
+    a single task; pass a grouping (or shard the id space into one) for
+    global sequences at scale.
+    """
+    gs = group_cols or []
+    w = Window.partitionBy(*gs).orderBy(F.col("_v").asc())
+    return (
+        df.filter(F.col(seq_col).isNotNull())
+        .select(*gs, F.col(seq_col).alias("_v"))
+        .withColumn("_prev", F.lag("_v").over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("_v") - F.col("_prev") > step))
+        .select(
+            *gs,
+            F.col("_prev").alias("gap_after"),
+            F.col("_v").alias("gap_before"),
+            ((F.col("_v") - F.col("_prev")) / step - 1)
+            .cast("long")
+            .alias("n_missing"),
+        )
+    )
+
+
+def sequence_completeness(
+    df: DataFrame,
+    seq_col: str,
+    group_cols: list[str] | None = None,
+    *,
+    step: int = 1,
+) -> DataFrame:
+    """Per-group sequence coverage without any window: ``n_expected`` =
+    (max - min) / step + 1 from the group's own bounds, ``n_actual`` =
+    distinct values present, ``n_missing`` = the difference. One groupBy
+    — the cheap first-pass screen before :func:`sequence_gaps` pinpoints
+    the holes.
+    """
+    gs = group_cols or []
+    v = F.col(seq_col)
+    agged = (
+        df.filter(v.isNotNull())
+        .groupBy(*gs)
+        .agg(
+            F.min(v).alias("_mn"),
+            F.max(v).alias("_mx"),
+            F.count_distinct(v).alias("n_actual"),
+        )
+    )
+    n_expected = (
+        ((F.col("_mx") - F.col("_mn")) / F.lit(step) + 1).cast("long")
+    )
+    return agged.select(
+        *gs,
+        n_expected.alias("n_expected"),
+        F.col("n_actual"),
+        (n_expected - F.col("n_actual")).alias("n_missing"),
     )

@@ -103,3 +103,60 @@ def impute(
             c, F.coalesce(F.col(c), F.col(f"_stat_{c}"))
         ).drop(f"_stat_{c}")
     return out
+
+
+def flag_outliers(
+    df: DataFrame,
+    col: str,
+    *,
+    method: str = "zscore",
+    threshold: float = 3.0,
+    group_by: list[str] | None = None,
+    flag_col: str = "is_outlier",
+    score_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Row-level outlier annotation: adds ``flag_col`` (boolean; NULL
+    values are never flagged) and optionally ``score_col``.
+
+    - ``method='zscore'``: |x - mean| / stddev > threshold.
+    - ``method='iqr'``: outside [q1 - t*IQR, q3 + t*IQR] (t = threshold,
+      conventionally 1.5). Quartiles are EXACT percentiles — right for the
+      oracle-checked path; swap in approx_percentile for loose fences over
+      very large groups.
+
+    Scale shape mirrors :func:`impute`: per-group statistics via a keyed
+    window (one hash shuffle); global statistics via a 1-row aggregate
+    broadcast back — never an unpartitioned window over data rows.
+    """
+    if method not in ("zscore", "iqr"):
+        raise ValueError(f"flag_outliers: unknown method {method!r}")
+    x = F.col(col)
+    if method == "zscore":
+        stat_exprs = {"_m": F.avg(x), "_s": F.stddev_samp(x)}
+        score = F.try_divide(F.abs(x - F.col("_m")), F.col("_s"))
+        flag = F.when(x.isNotNull(), F.coalesce(score > threshold, F.lit(False)))
+    else:
+        stat_exprs = {
+            "_q1": F.percentile(x, F.lit(0.25)),
+            "_q3": F.percentile(x, F.lit(0.75)),
+        }
+        iqr = F.col("_q3") - F.col("_q1")
+        lo = F.col("_q1") - threshold * iqr
+        hi = F.col("_q3") + threshold * iqr
+        score = F.greatest(lo - x, x - hi)  # distance outside the fence
+        flag = F.when(x.isNotNull(), F.coalesce((x < lo) | (x > hi), F.lit(False)))
+
+    keys = group_by or []
+    if keys:
+        w = Window.partitionBy(*keys)
+        out = df
+        for name, expr in stat_exprs.items():
+            out = out.withColumn(name, expr.over(w))
+    else:
+        agg = df.agg(*[e.alias(n) for n, e in stat_exprs.items()])
+        out = df.crossJoin(F.broadcast(agg))
+    out = out.withColumn(flag_col, flag)
+    if score_col is not None:
+        out = out.withColumn(score_col, F.round(score, round_to))
+    return out.drop(*stat_exprs)

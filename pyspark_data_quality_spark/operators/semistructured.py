@@ -1,0 +1,91 @@
+"""Semi-structured column quality: JSON string fields.
+
+Event pipelines carry loosely-typed JSON payloads next to the typed
+columns (the ``events.props`` fixture); the recurring questions are
+"is it still valid JSON", "which fields are actually populated", and
+"do the values still cast to the type downstream assumes". This module
+answers all three in ONE fused aggregate.
+
+Reference parity: the reference validates flat columns only
+(`/root/reference/src/pyspark_data_quality/checks/` — no JSON or nested
+support); this extends its validity dimension to semi-structured data.
+
+Scale shape: ``get_json_object`` is a JVM-side expression (Jackson
+parse per row, no UDF); all per-field counters are conditional sums in
+one ``df.agg`` — a single scan regardless of field count — and the
+1-row wide result is unpivoted with ``stack`` (a projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Types accepted in a field spec (value of the ``fields`` dict).
+CASTABLE_TYPES = ("bigint", "double", "boolean", "string", "timestamp")
+
+
+def json_field_profile(
+    df: DataFrame,
+    json_col: str,
+    fields: dict[str, str],
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-field quality report over a JSON string column.
+
+    ``fields`` maps a top-level field name to the type its consumers
+    expect (one of :data:`CASTABLE_TYPES`). Output one row per field:
+
+    - ``n_rows``: total rows;
+    - ``n_json_null``: rows where the JSON column itself is NULL;
+    - ``n_present``: rows where the field extracts non-null (valid JSON,
+      key present, value not JSON null);
+    - ``n_typed``: rows where the extracted value also casts to the
+      expected type (``try_cast`` — a failed cast counts, never throws);
+    - ``present_ratio`` / ``typed_ratio``: the two ratios over non-null
+      JSON rows.
+
+    A malformed JSON document reads as "field absent" for every field
+    (``get_json_object`` returns NULL), which is exactly how downstream
+    consumers would experience it.
+    """
+    bad = [t for t in fields.values() if t not in CASTABLE_TYPES]
+    if bad:
+        raise ValueError(
+            f"json_field_profile: unsupported types {bad}; use {CASTABLE_TYPES}"
+        )
+    j = F.col(json_col)
+    names = sorted(fields)
+    aggs = [
+        F.count(F.lit(1)).alias("_n_rows"),
+        F.sum(j.isNull().cast("long")).alias("_n_json_null"),
+    ]
+    for i, name in enumerate(names):
+        raw = F.get_json_object(j, f"$.{name}")
+        aggs.append(F.sum(raw.isNotNull().cast("long")).alias(f"_p_{i}"))
+        aggs.append(
+            F.sum(raw.try_cast(fields[name]).isNotNull().cast("long")).alias(
+                f"_t_{i}"
+            )
+        )
+    wide = df.agg(*aggs)
+    stacked = ", ".join(f"'{n}', _p_{i}, _t_{i}" for i, n in enumerate(names))
+    denom = F.col("_n_rows") - F.col("_n_json_null")
+    return wide.selectExpr(
+        f"stack({len(names)}, {stacked}) as (field, n_present, n_typed)",
+        "_n_rows",
+        "_n_json_null",
+    ).select(
+        "field",
+        F.col("_n_rows").alias("n_rows"),
+        F.col("_n_json_null").alias("n_json_null"),
+        "n_present",
+        "n_typed",
+        F.round(F.try_divide(F.col("n_present"), denom), round_to).alias(
+            "present_ratio"
+        ),
+        F.round(F.try_divide(F.col("n_typed"), denom), round_to).alias(
+            "typed_ratio"
+        ),
+    )

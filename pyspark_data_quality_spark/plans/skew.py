@@ -48,3 +48,72 @@ def salted_agg_counts(
         ]
     partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def skew_report(
+    df: DataFrame, columns: list[str], *, round_to: int = 6
+) -> DataFrame:
+    """Key-skew diagnosis for shuffle planning: for each candidate
+    join/group key column, how lopsided is its value distribution?
+
+    Output one row per column: ``n_rows``, ``n_keys`` (distinct values),
+    ``max_count`` (heaviest key), ``avg_count``, ``skew_ratio``
+    (max/avg — 1.0 is uniform; >>1 means one reducer eats the key),
+    ``top_key`` (the heaviest value, ties broken by value), and
+    ``null_count``. This is the number you look at BEFORE choosing
+    broadcast/salting/AQE-skew settings for a 100 TB join.
+
+    Scale shape: all columns ride ONE exploded-map shuffle to per-value
+    counts (same trick as profile.top_values), then a per-column
+    aggregate over the counts — work after the first agg is proportional
+    to distinct values, not rows. The heaviest key is picked with
+    ``max_by`` inside the same aggregate: no rank window, no second
+    shuffle over values.
+    """
+    pairs = df.select(
+        F.explode(
+            F.create_map(
+                *[
+                    x
+                    for c in columns
+                    for x in (
+                        F.lit(c),
+                        F.col(c).cast("string"),
+                    )
+                ]
+            )
+        ).alias("column", "value")
+    )
+    counts = pairs.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_col = counts.groupBy("column").agg(
+        F.sum(F.when(F.col("value").isNotNull(), F.col("n")).otherwise(0)).alias(
+            "_n_rows_nn"
+        ),
+        F.sum(F.when(F.col("value").isNull(), F.col("n")).otherwise(0)).alias(
+            "null_count"
+        ),
+        F.count(F.when(F.col("value").isNotNull(), F.lit(1))).alias("n_keys"),
+        F.max(F.when(F.col("value").isNotNull(), F.col("n"))).alias("max_count"),
+        F.max_by(
+            "value",
+            F.when(
+                F.col("value").isNotNull(),
+                F.struct(F.col("n"), F.col("value")),
+            ),
+        ).alias("top_key"),
+    )
+    avg = F.try_divide(F.col("_n_rows_nn"), F.col("n_keys"))
+    return per_col.select(
+        "column",
+        (F.col("_n_rows_nn") + F.col("null_count")).alias("n_rows"),
+        "n_keys",
+        "max_count",
+        F.round(avg, round_to).alias("avg_count"),
+        F.round(F.try_divide(F.col("max_count"), avg), round_to).alias(
+            "skew_ratio"
+        ),
+        "top_key",
+        "null_count",
+    )

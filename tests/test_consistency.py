@@ -128,3 +128,40 @@ def test_fd_violations(spark):
     assert set(rows) == {"10002"}
     assert rows["10002"]["n_distinct"] == 2
     assert rows["10002"]["examples"] == ["Ogdenville", "Shelbyville"]
+
+
+def test_sequence_gaps(spark):
+    from pyspark_data_quality_spark.operators.consistency import sequence_gaps
+
+    rows = [("a", 1), ("a", 2), ("a", 5), ("a", 6), ("b", 10), ("b", 14), ("c", 3)]
+    df = spark.createDataFrame(rows, "grp string, seq int")
+    got = {
+        (r["grp"], r["gap_after"], r["gap_before"]): r["n_missing"]
+        for r in sequence_gaps(df, "seq", ["grp"]).collect()
+    }
+    assert got == {("a", 2, 5): 2, ("b", 10, 14): 3}
+
+    # step > 1: even ids, one missing
+    evens = spark.createDataFrame([("x", 0), ("x", 2), ("x", 6)], "grp string, seq int")
+    g = sequence_gaps(evens, "seq", ["grp"], step=2).collect()
+    assert len(g) == 1 and g[0]["n_missing"] == 1
+
+    # the window must be partitioned by the group columns (no global sort)
+    plan = sequence_gaps(df, "seq", ["grp"])._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if ln.lstrip(" +-:").startswith("Window ")]
+    assert win_lines and all("grp" in ln for ln in win_lines)
+
+
+def test_sequence_completeness(spark):
+    from pyspark_data_quality_spark.operators.consistency import (
+        sequence_completeness,
+    )
+
+    rows = [("a", 1), ("a", 2), ("a", 5), ("b", 7), ("b", 7)]
+    df = spark.createDataFrame(rows, "grp string, seq int")
+    got = {
+        r["grp"]: (r["n_expected"], r["n_actual"], r["n_missing"])
+        for r in sequence_completeness(df, "seq", ["grp"]).collect()
+    }
+    assert got["a"] == (5, 3, 2)   # 1..5 expected, {1,2,5} present
+    assert got["b"] == (1, 1, 0)   # duplicates don't inflate n_actual

@@ -265,3 +265,74 @@ def test_stratified_sample(spark):
 
     with pytest.raises(ValueError, match="fraction"):
         stratified_sample(df, "id", "grp", {"big": 1.5})
+
+
+def test_flag_outliers_zscore(spark):
+    from pyspark_data_quality_spark.operators.repair import flag_outliers
+
+    rows = [(float(v),) for v in [10, 11, 9, 10, 10, 11, 9, 10, 100]]
+    df = spark.createDataFrame(rows, "x double").union(
+        spark.createDataFrame([(None,)], "x double")
+    )
+    out = flag_outliers(df, "x", method="zscore", threshold=2.0,
+                        score_col="z").collect()
+    flagged = {r["x"] for r in out if r["is_outlier"]}
+    assert flagged == {100.0}
+    null_row = next(r for r in out if r["x"] is None)
+    assert null_row["is_outlier"] is None  # nulls are unscored, not False
+    assert all(r["z"] is not None for r in out if r["x"] is not None)
+
+
+def test_flag_outliers_iqr_grouped(spark):
+    from pyspark_data_quality_spark.operators.repair import flag_outliers
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5, 50]]
+    rows += [("b", float(v)) for v in [100, 101, 102, 103]]  # 50 is normal here
+    rows += [("b", 50.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = flag_outliers(
+        df, "x", method="iqr", threshold=1.5, group_by=["g"]
+    ).collect()
+    got = {(r["g"], r["x"]): r["is_outlier"] for r in out}
+    assert got[("a", 50.0)] is True     # far fence breach in group a
+    assert got[("b", 50.0)] is True     # and an outlier among the 100s
+    assert got[("a", 3.0)] is False
+    assert got[("b", 101.0)] is False
+
+    with pytest.raises(ValueError, match="unknown method"):
+        flag_outliers(df, "x", method="nope")
+
+    # constant column: stddev 0 -> zscore undefined -> nothing flagged
+    const = spark.createDataFrame([(5.0,)] * 4, "x double")
+    flags = flag_outliers(const, "x").select("is_outlier").collect()
+    assert all(r["is_outlier"] is False for r in flags)
+
+
+def test_json_field_profile(spark):
+    from pyspark_data_quality_spark.operators.semistructured import (
+        json_field_profile,
+    )
+
+    rows = [
+        ('{"k": 1, "s": "x"}',),
+        ('{"k": "oops", "s": "y"}',),   # k present but not castable
+        ('{"s": "z"}',),               # k absent
+        ("{broken",),                  # malformed JSON
+        (None,),                       # null column
+    ]
+    df = spark.createDataFrame(rows, "props string")
+    got = {
+        r["field"]: r
+        for r in json_field_profile(
+            df, "props", {"k": "bigint", "s": "string", "nope": "double"}
+        ).collect()
+    }
+    k = got["k"]
+    assert (k["n_rows"], k["n_json_null"]) == (5, 1)
+    assert (k["n_present"], k["n_typed"]) == (2, 1)
+    assert k["present_ratio"] == 0.5 and k["typed_ratio"] == 0.25
+    assert got["s"]["n_present"] == 3 and got["s"]["n_typed"] == 3
+    assert got["nope"]["n_present"] == 0
+
+    with pytest.raises(ValueError, match="unsupported types"):
+        json_field_profile(df, "props", {"k": "decimal(10,2)"})

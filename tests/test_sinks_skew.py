@@ -70,3 +70,27 @@ def test_quarantine_route(spark, tmp_path):
     assert "failed_rules" in invalid.columns
     bad = invalid.filter(F.col("id") == 2).first()
     assert len(bad["failed_rules"]) == 1  # the completeness rule name
+
+
+def test_skew_report(spark):
+    from pyspark_data_quality_spark.plans.skew import skew_report
+
+    rows = [("hot", i % 3, None if i % 5 == 0 else "x") for i in range(8)]
+    rows += [("k%d" % i, i, "x") for i in range(4)]
+    df = spark.createDataFrame(rows, "a string, b int, c string")
+    got = {r["column"]: r for r in skew_report(df, ["a", "b", "c"]).collect()}
+
+    ra = got["a"]
+    assert ra["n_rows"] == 12 and ra["n_keys"] == 5 and ra["max_count"] == 8
+    assert ra["top_key"] == "hot"
+    assert ra["skew_ratio"] == round(8 / (12 / 5), 6)
+    assert ra["null_count"] == 0
+
+    rc = got["c"]
+    assert rc["null_count"] == 2        # the i%5==0 rows
+    assert rc["n_keys"] == 1 and rc["top_key"] == "x"
+
+    # flatter key: counts are {0: 4, 1: 4, 2: 3, 3: 1}; ties on the max
+    # count break toward the larger value (max_by over (n, value))
+    rb = got["b"]
+    assert rb["max_count"] == 4 and rb["top_key"] == "1"
