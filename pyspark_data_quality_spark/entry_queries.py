@@ -1997,6 +1997,51 @@ def dq_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_reconcile",
+    """
+    WITH d AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS DOUBLE) AS dv
+      FROM lineitem GROUP BY 1
+    ), s AS (
+      SELECT l_orderkey,
+             CAST(sum(l_quantity)
+                  + CASE WHEN l_orderkey % 100 = 0 THEN 5 ELSE 0 END
+                  AS DOUBLE) AS sv
+      FROM lineitem GROUP BY 1
+    )
+    SELECT d.l_orderkey, 'l_quantity' AS measure,
+           CAST(round(dv, 6) AS DOUBLE) AS detail_value,
+           CAST(round(sv, 6) AS DOUBLE) AS summary_value,
+           CAST(round(dv - sv, 6) AS DOUBLE) AS diff,
+           FALSE AS matched
+    FROM d JOIN s ON d.l_orderkey = s.l_orderkey
+    WHERE dv <> sv
+    """,
+)
+def dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-vs-rollup reconciliation: per-order lineitem quantity sums
+    against a summary table with seeded corruption (+5 on every 100th
+    order); mismatching keys only (operators/diff.py
+    reconcile_aggregates — one keyed agg + one keyed join)."""
+    from .operators.diff import reconcile_aggregates
+
+    li = load_table(spark, "lineitem", sf_dir)
+    summary = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .withColumn(
+            "total_qty",
+            F.col("total_qty")
+            + F.when(F.col("l_orderkey") % 100 == 0, 5).otherwise(0),
+        )
+    )
+    return reconcile_aggregates(
+        li, summary, ["l_orderkey"], {"l_quantity": "total_qty"},
+        only_mismatches=True,
+    )
+
+
+@query(
     "dq_outliers",
     """
     WITH s AS (

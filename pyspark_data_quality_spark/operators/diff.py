@@ -74,6 +74,79 @@ def table_diff(
     return j.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
 
 
+_RECON_AGGS = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+
+
+def reconcile_aggregates(
+    detail: DataFrame,
+    summary: DataFrame,
+    keys: list[str],
+    measures: dict[str, str],
+    *,
+    agg: str = "sum",
+    tolerance: float = 0.0,
+    round_to: int = 6,
+    only_mismatches: bool = False,
+) -> DataFrame:
+    """Hierarchical-consistency check: does a summary table still equal
+    the aggregate of its detail table? (fact vs rollup, ledger vs
+    statement, shard counts vs manifest.)
+
+    ``measures`` maps detail column -> summary column; every measure is
+    aggregated with ``agg`` (sum/count/min/max) per ``keys`` and compared
+    against the summary side. Output one row per (key, measure):
+    ``(keys..., measure, detail_value, summary_value, diff, matched)``;
+    a key missing on either side yields NULL on that side and
+    ``matched = false``. ``matched`` is ``|diff| <= tolerance``.
+
+    Scale shape: ONE keyed aggregation of the detail side (the minimum —
+    map-side partials do the heavy lifting) and ONE keyed join against
+    the summary; the per-measure unpivot is a ``stack`` projection.
+    """
+    if agg not in _RECON_AGGS:
+        raise ValueError(f"reconcile_aggregates: unknown agg {agg!r}")
+    if not measures:
+        raise ValueError("reconcile_aggregates: measures must be non-empty")
+    fn = _RECON_AGGS[agg]
+    items = sorted(measures.items())
+    d = detail.groupBy(*keys).agg(
+        *[
+            fn(F.col(dc).cast("double")).alias(f"_d_{i}")
+            for i, (dc, _) in enumerate(items)
+        ]
+    )
+    s = summary.select(
+        *keys,
+        *[
+            F.col(sc).cast("double").alias(f"_s_{i}")
+            for i, (_, sc) in enumerate(items)
+        ],
+    )
+    j = d.join(s, keys, "full_outer")
+    stacked = ", ".join(
+        f"'{dc}', _d_{i}, _s_{i}" for i, (dc, _) in enumerate(items)
+    )
+    out = j.selectExpr(
+        *keys,
+        f"stack({len(items)}, {stacked}) as (measure, detail_value, "
+        "summary_value)",
+    ).select(
+        *keys,
+        "measure",
+        F.round("detail_value", round_to).alias("detail_value"),
+        F.round("summary_value", round_to).alias("summary_value"),
+        F.round(F.col("detail_value") - F.col("summary_value"), round_to).alias(
+            "diff"
+        ),
+        F.coalesce(
+            F.abs(F.col("detail_value") - F.col("summary_value"))
+            <= tolerance,
+            F.lit(False),
+        ).alias("matched"),
+    )
+    return out.filter(~F.col("matched")) if only_mismatches else out
+
+
 def table_diff_columns(
     cur: DataFrame,
     ref: DataFrame,

@@ -99,3 +99,37 @@ def test_wasserstein_empty_middle_bins(spark):
     ref = spark.createDataFrame([(9.5,)] * 10, "x double")
     r = wasserstein_1d(cur, ref, "x", bins=10, lo=0.0, hi=10.0).collect()[0]
     assert r["w1"] == pytest.approx(9.0)
+
+
+def test_reconcile_aggregates(spark):
+    from pyspark_data_quality_spark.operators.diff import reconcile_aggregates
+
+    detail = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (3, 7.0)], "k int, v double"
+    )
+    summary = spark.createDataFrame(
+        [(1, 30.0), (2, 99.0), (4, 1.0)], "k int, total double"
+    )
+    rows = {
+        r["k"]: r
+        for r in reconcile_aggregates(
+            detail, summary, ["k"], {"v": "total"}
+        ).collect()
+    }
+    assert rows[1]["matched"] is True and rows[1]["diff"] == 0.0
+    assert rows[2]["matched"] is False and rows[2]["diff"] == -94.0
+    assert rows[3]["matched"] is False and rows[3]["summary_value"] is None
+    assert rows[4]["matched"] is False and rows[4]["detail_value"] is None
+
+    # tolerance + only_mismatches
+    close = spark.createDataFrame([(1, 30.05)], "k int, total double")
+    out = reconcile_aggregates(
+        detail.filter(F.col("k") == 1), close, ["k"], {"v": "total"},
+        tolerance=0.1, only_mismatches=True,
+    )
+    assert out.count() == 0
+
+    with pytest.raises(ValueError, match="unknown agg"):
+        reconcile_aggregates(detail, summary, ["k"], {"v": "total"}, agg="avg")
+    with pytest.raises(ValueError, match="non-empty"):
+        reconcile_aggregates(detail, summary, ["k"], {})
