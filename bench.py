@@ -120,6 +120,14 @@ def main() -> None:
             except Exception as e:  # one broken query must not kill the bench
                 errors[name] = f"{type(e).__name__}: {e}"[:200]
                 timings.pop(name, None)
+            finally:
+                # isolate queries: a pipeline entry that persists (e.g.
+                # dq_curation) must not leave cache pressure that inflates
+                # every subsequent measurement
+                try:
+                    spark.catalog.clearCache()
+                except Exception:
+                    pass
 
     sf = _sf_from_dir(sf_dir)
     out = {

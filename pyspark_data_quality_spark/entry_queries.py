@@ -1996,6 +1996,25 @@ def dq_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dq_curation")
+def dq_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation pipeline over documents (profile -> quality/lang
+    gates -> exact + MinHash dedup -> decontamination vs the first three
+    docs as probes -> split), summarized per (status, split)
+    (pipelines/curation.py). Rows-only: the MinHash stage is approximate
+    by design; every component operator is oracle-certified separately."""
+    from .pipelines import curate_corpus, curation_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    probes = docs.filter(F.col("doc_id") < 3)
+    out = curate_corpus(
+        docs, min_quality=0.3, languages=("en",),
+        near_dup_threshold=0.6, probes=probes,
+        contamination_threshold=0.5,
+    )
+    return curation_stats(out)
+
+
 @query(
     "dq_reconcile",
     """

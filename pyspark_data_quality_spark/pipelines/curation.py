@@ -1,0 +1,182 @@
+"""End-to-end corpus curation: the operators composed the way a training
+data pipeline actually runs them.
+
+Stage order (the cheap filters run before the expensive candidate
+generation, so dedup never shingles a document that quality filtering
+already rejected):
+
+1. profile — ONE Arrow pass appends quality/language signals
+   (:func:`..operators.text.text_profile`);
+2. gate — null text / language / quality-score row filters (pure
+   expressions);
+3. exact dedup — fingerprint groupBy, min-id survivor;
+4. near dedup — banded MinHash pairs over WORD shingles by default
+   (char n-grams degenerate toward all-pairs on shared-vocabulary
+   corpora — candidate explosion, not just waste), greedy min-id
+   survivor (documents pairing with a smaller-id near-duplicate drop);
+5. decontamination (optional) — inverted-index probe containment;
+6. split — deterministic md5-bucket train/val/test assignment.
+
+Nothing is filtered destructively: every input row comes back with a
+``curation_status`` explaining where it fell out (``kept`` rows also get
+the ``split`` column), so the stats are ONE groupBy over the result
+instead of a count-action per stage, and the dropped rows remain
+available for quarantine. Statuses: kept, null_text, wrong_lang,
+low_quality, exact_dup, near_dup, contaminated.
+
+Scale shape: signals ride a single mapInPandas pass; every drop-list is
+a keyed join on the id (the lists hold only dropped ids, not payloads);
+split assignment is a projection. No collects, no unpartitioned windows,
+no cross joins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class CurationStats:
+    """Column names of the curation annotations."""
+
+    status_col: str = "curation_status"
+    split_col: str = "split"
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    languages: tuple[str, ...] | None = ("en",),
+    near_dup_threshold: float = 0.8,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle: str = "word",
+    shingle_n: int = 3,
+    probes: DataFrame | None = None,
+    contamination_threshold: float = 0.5,
+    split_weights: dict[str, float] | None = None,
+    salt: str = "",
+    status_col: str = "curation_status",
+    split_col: str = "split",
+    persist: bool = True,
+) -> DataFrame:
+    """Run the full curation pipeline; returns EVERY input row annotated
+    with ``status_col`` (and ``split_col`` for kept rows) plus the
+    text-profile signal columns. ``curation_stats`` summarizes the result.
+
+    ``persist`` (default on) caches the profiled frame: the dedup and
+    contamination stages are separate consumers of the same expensive
+    mapInPandas profile pass, and without a persist Spark recomputes it
+    once per branch (measured: 8 MapInPandas nodes in the unpersisted
+    plan). MEMORY_AND_DISK, so an executor under memory pressure spills
+    instead of failing; call ``.unpersist()`` on the returned frame's
+    source when the downstream actions are done, or pass
+    ``persist=False`` to keep the plan fully lazy.
+    """
+    from pyspark import StorageLevel
+
+    from ..operators.dedup import exact_dup_groups, minhash_near_dup_pairs
+    from ..operators.split import split_assignment
+    from ..operators.text import contamination_pairs, text_profile
+
+    prof = text_profile(docs, text_col)
+    if persist:
+        prof = prof.persist(StorageLevel.MEMORY_AND_DISK)
+    # quality gates BEFORE language: junk text language-IDs as 'und', and
+    # "low_quality" is the actionable status for it, not "wrong_lang"
+    gate = (
+        F.when(F.col(text_col).isNull(), F.lit("null_text"))
+        .when(F.col("quality_score") < min_quality, F.lit("low_quality"))
+        .when(
+            F.lit(languages is not None)
+            & ~F.col("lang_pred").isin(*(languages or ("",))),
+            F.lit("wrong_lang"),
+        )
+    )
+    annotated = prof.withColumn(status_col, gate)
+    passed = annotated.filter(F.col(status_col).isNull())
+
+    # exact dups: every id in a fingerprint group except the min drops
+    groups = exact_dup_groups(passed, text_col, id_col)
+    exact_drops = groups.select(
+        F.explode(F.expr("slice(ids, 2, size(ids) - 1)")).alias(id_col)
+    ).withColumn("_exact_dup", F.lit(True))
+    annotated = annotated.join(exact_drops, id_col, "left")
+    passed = annotated.filter(
+        F.col(status_col).isNull() & F.col("_exact_dup").isNull()
+    )
+
+    # near dups: greedy min-id survivor over banded MinHash pairs
+    pairs = minhash_near_dup_pairs(
+        passed, text_col, id_col,
+        num_hashes=num_hashes, num_bands=num_bands,
+        shingle=shingle, shingle_n=shingle_n,
+        threshold=near_dup_threshold,
+    )
+    near_drops = (
+        pairs.select(F.greatest("id_a", "id_b").alias(id_col))
+        .distinct()
+        .withColumn("_near_dup", F.lit(True))
+    )
+    annotated = annotated.join(near_drops, id_col, "left")
+    passed = annotated.filter(
+        F.col(status_col).isNull()
+        & F.col("_exact_dup").isNull()
+        & F.col("_near_dup").isNull()
+    )
+
+    if probes is not None:
+        cont = contamination_pairs(
+            passed, probes, text_col, id_col,
+            threshold=contamination_threshold,
+        )
+        cont_drops = (
+            cont.select(F.col("doc_id").alias(id_col))
+            .distinct()
+            .withColumn("_contaminated", F.lit(True))
+        )
+        annotated = annotated.join(cont_drops, id_col, "left")
+    else:
+        annotated = annotated.withColumn("_contaminated", F.lit(None).cast("boolean"))
+
+    status = F.coalesce(
+        F.col(status_col),
+        F.when(F.col("_exact_dup"), F.lit("exact_dup")),
+        F.when(F.col("_near_dup"), F.lit("near_dup")),
+        F.when(F.col("_contaminated"), F.lit("contaminated")),
+        F.lit("kept"),
+    )
+    weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    return (
+        annotated.withColumn(status_col, status)
+        .withColumn(
+            split_col,
+            F.when(
+                F.col(status_col) == "kept",
+                split_assignment(id_col, weights, salt=salt),
+            ),
+        )
+        .drop("_exact_dup", "_near_dup", "_contaminated")
+    )
+
+
+def curation_stats(
+    curated: DataFrame,
+    *,
+    status_col: str = "curation_status",
+    split_col: str = "split",
+) -> DataFrame:
+    """One-shuffle summary of a :func:`curate_corpus` result:
+    ``(curation_status, split, n)`` — kept rows broken out per split,
+    dropped rows per reason (split NULL)."""
+    return (
+        curated.groupBy(status_col, split_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(status_col, split_col)
+    )

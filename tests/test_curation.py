@@ -1,0 +1,73 @@
+"""End-to-end curation pipeline (pipelines/curation.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_quality_spark.pipelines import curate_corpus, curation_stats
+
+
+@pytest.fixture
+def corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs away "
+        "to the forest where it hides from the hunter all day long"
+    )
+    rows = [
+        (1, base),                       # kept (survivor of 1/2/3)
+        (2, base),                       # exact dup of 1
+        (3, base.replace("hunter", "farmer")),  # near dup of 1
+        (4, "el perro corre por la calle y el gato duerme en la casa "
+            "mientras los ninos juegan en el parque con la pelota"),  # spanish
+        (5, None),                       # null text
+        (6, "aaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbb"),  # low quality
+        # (2 giant tokens: bad count, no stopwords, mean word length > 12)
+        (7, "this document is about the secret benchmark question that "
+            "should never appear in the training data at all ever"),  # contaminated
+        (8, "a completely ordinary english document about cooking rice "
+            "with onions and garlic in a large pot over the stove at home"),  # kept
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_corpus_statuses(spark, corpus):
+    probes = spark.createDataFrame(
+        [(100, "the secret benchmark question that should never appear")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        corpus,
+        min_quality=0.3,
+        languages=("en",),
+        near_dup_threshold=0.5,
+        probes=probes,
+        contamination_threshold=0.3,
+    )
+    got = {r["doc_id"]: r["curation_status"] for r in out.collect()}
+    assert got[5] == "null_text"
+    assert got[4] == "wrong_lang"
+    assert got[6] == "low_quality"
+    assert got[2] == "exact_dup"
+    assert got[3] == "near_dup"
+    assert got[7] == "contaminated"
+    assert got[1] == "kept" and got[8] == "kept"
+
+    # kept rows carry a split; dropped rows do not
+    splits = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert splits[1] in {"train", "val", "test"} and splits[8] is not None
+    assert all(splits[i] is None for i in (2, 3, 4, 5, 6, 7))
+
+    # every input row comes back exactly once (annotate, never filter)
+    assert out.count() == corpus.count()
+
+    stats = {
+        (r["curation_status"], r["split"]): r["n"]
+        for r in curation_stats(out).collect()
+    }
+    assert sum(n for (s, _), n in stats.items() if s == "kept") == 2
+    assert sum(stats.values()) == 8
+
+
+def test_curate_corpus_no_probes_deterministic(spark, corpus):
+    a = curate_corpus(corpus).collect()
+    b = curate_corpus(corpus).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

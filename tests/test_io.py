@@ -60,3 +60,17 @@ def test_write_dataset_partitioned_and_bounded(spark, tmp_path):
     back = read_dataset(spark, out)
     assert back.count() == 100
     assert back.filter(F.col("src") == "a").count() == 50
+
+
+def test_build_session_reuses_active(spark):
+    from pyspark_data_quality_spark.sources.session import (
+        RECOMMENDED_CONFS,
+        build_session,
+    )
+
+    # with a session already active, getOrCreate returns it untouched
+    s = build_session("test-app")
+    assert s is spark
+    # every recommended conf carries a rationale
+    for key, (value, why) in RECOMMENDED_CONFS.items():
+        assert key.startswith("spark.") and value and len(why) > 20

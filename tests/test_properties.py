@@ -188,3 +188,52 @@ def test_split_partitions_ids(spark, ids):
     assert a == b
     assert set(a) == set(ids)
     assert set(a.values()) <= {"train", "val", "test"}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 30), st.floats(-100, 100)), min_size=1,
+             max_size=40),
+    st.lists(st.tuples(st.integers(0, 30), st.floats(-100, 100)), min_size=1,
+             max_size=40),
+)
+def test_table_diff_partition_property(spark, cur_rows, ref_rows):
+    """The four statuses partition the key universe: added + removed +
+    changed + unchanged == |keys(cur) U keys(ref)| (after per-side key
+    dedup, which table_diff callers are responsible for — here we dedup
+    in the model AND the input)."""
+    from pyspark_data_quality_spark.operators.diff import table_diff
+
+    cur_m = {k: round(v, 3) for k, v in cur_rows}
+    ref_m = {k: round(v, 3) for k, v in ref_rows}
+    cur = spark.createDataFrame(list(cur_m.items()), "k int, v double")
+    ref = spark.createDataFrame(list(ref_m.items()), "k int, v double")
+    got = {r["status"]: r["n"] for r in table_diff(cur, ref, ["k"]).collect()}
+    assert sum(got.values()) == len(set(cur_m) | set(ref_m))
+    assert got.get("added", 0) == len(set(cur_m) - set(ref_m))
+    assert got.get("removed", 0) == len(set(ref_m) - set(cur_m))
+    both = set(cur_m) & set(ref_m)
+    assert got.get("changed", 0) == sum(
+        1 for k in both if cur_m[k] != ref_m[k]
+    )
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(st.floats(0, 1000, allow_nan=False), min_size=2, max_size=200),
+    st.lists(st.floats(0, 1000, allow_nan=False), min_size=2, max_size=200),
+)
+def test_ks_partitioned_equals_single_task_property(spark, xs, ys):
+    """The distributed prefix-sum KS is EXACT: identical to the one-window
+    formulation on arbitrary doubles."""
+    from pyspark_data_quality_spark.operators.drift import ks_statistic
+
+    a = spark.createDataFrame([(x,) for x in xs], "x double")
+    b = spark.createDataFrame([(y,) for y in ys], "x double")
+    part = ks_statistic(a, b, "x").collect()[0]
+    single = ks_statistic(a, b, "x", method="single_task").collect()[0]
+    assert part == single
+    assert 0.0 <= part["ks"] <= 1.0
+    # identical distributions -> 0
+    zero = ks_statistic(a, a, "x").collect()[0]
+    assert zero["ks"] == 0.0
