@@ -293,6 +293,9 @@ def minhash_near_dup_pairs(
     expression trees dominated the whole pipeline.
     """
     rows_per_band = num_hashes // num_bands
+    from ..plans.parallelism import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     if impl == "np":
         from ..functions.vectors import minhash_rehash_np, shingle_hashes_np
 
@@ -447,6 +450,9 @@ def simhash_near_dup_pairs(
     with one Arrow pass (:func:`..functions.vectors.simhash_np`);
     ``'expr'`` keeps the UDF-free expression simhash."""
     bits_per_band = 64 // num_bands
+    from ..plans.parallelism import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     if impl == "np":
         from ..functions.vectors import simhash_np
 
@@ -645,6 +651,9 @@ def embedding_near_dup_pairs(
         for _ in range(num_tables)
     ]
 
+    # no ensure_min_partitions here: the hyperplane kernel is one batched
+    # matmul per Arrow batch — measured cheaper to run on few partitions
+    # than to pay the repartition shuffle of the vectors
     buckets = _explode_hyperplane_buckets(base, "_v", tables, impl, ["_id", "_v"])
     # vectors ride through the pair expansion as payloads (dim*8 bytes per
     # member, bounded by max_bucket_size) — exact-cosine verify without a

@@ -38,6 +38,9 @@ def text_profile(df: DataFrame, text_col: str = "text", impl: str = "np") -> Dat
     replaced by Python's banker's rounding (oracle parity). Both impls
     produce identical values; ``impl='expr'`` keeps the UDF-free plan.
     """
+    from ..plans.parallelism import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     if impl == "expr":
         return (
             df.withColumn("token_count", token_count(text_col))
@@ -243,7 +246,9 @@ def contamination_pairs(
     """
     from ..functions.expr import let_bind as _let
     from ..functions.text import char_ngrams
+    from ..plans.parallelism import ensure_min_partitions
 
+    docs = ensure_min_partitions(docs)
     if impl == "np":
         import numpy as np
         import pandas as pd

@@ -94,3 +94,19 @@ def test_skew_report(spark):
     # count break toward the larger value (max_by over (n, value))
     rb = got["b"]
     assert rb["max_count"] == 4 and rb["top_key"] == "1"
+
+
+def test_ensure_min_partitions(spark):
+    from pyspark_data_quality_spark.plans.parallelism import (
+        ensure_min_partitions,
+    )
+
+    one = spark.createDataFrame([(i,) for i in range(100)], "x int").coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    boosted = ensure_min_partitions(one, 8)
+    assert boosted.rdd.getNumPartitions() == 8
+    assert boosted.count() == 100
+
+    # already-parallel input is untouched (no shuffle added)
+    wide = spark.createDataFrame([(i,) for i in range(100)], "x int").repartition(8)
+    assert ensure_min_partitions(wide, 8) is wide
