@@ -52,24 +52,42 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Bring ``ts`` to a session-timezone TIMESTAMP whatever the fixture's
+    physical parquet type was:
+
+    - TIMESTAMP(NANOS) read under ``nanosAsLong`` -> bigint nanos, which
+      become a microsecond timestamp;
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) -> TIMESTAMP_NTZ under
+      Spark's default ``inferTimestampNTZ``, cast to TIMESTAMP (the
+      session zone is UTC throughout this engine, so the instant is
+      preserved). NTZ matters: watermarks/windows on streams REQUIRE the
+      zoned type ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]).
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Read one fixture table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects outright ([PARQUET_TYPE_ILLEGAL]); the supported route
-    is the ``nanosAsLong`` legacy conf (read as bigint nanos) plus an
-    explicit conversion to a microsecond timestamp. The conf is scoped to
-    the read (set, then restored), so other nanos-typed parquet reads in
-    the same session still fail loudly rather than silently coming back
-    as bigint.
+    ``events.ts`` has shipped as TIMESTAMP(NANOS) parquet — which Spark's
+    vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]) unless the
+    ``nanosAsLong`` legacy conf reads it as bigint nanos — and as plain
+    TIMESTAMP(MICROS) NTZ. :func:`normalize_event_ts` folds both to a
+    session-zone TIMESTAMP. The conf is scoped to the read (set, then
+    restored), so other nanos-typed parquet reads in the same session
+    still fail loudly rather than silently coming back as bigint.
     """
     base = sf_dir or DEFAULT_SF_DIR
     if name == "events":
         with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
             df = spark.read.parquet(f"{base}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{base}/{name}.parquet")
 
 
@@ -87,9 +105,7 @@ def load_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_dir).schema
     df = spark.readStream.schema(schema).parquet(events_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_event_ts(df)
 
 
 def load_tables(
