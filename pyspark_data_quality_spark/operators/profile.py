@@ -45,6 +45,7 @@ def profile_columns(
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
     exact_distinct: bool = False,
     exact_quantiles: bool = False,
+    strategy: str = "fused",
     round_to: int = 6,
 ) -> DataFrame:
     """Profile ``columns`` (default: all leaf columns) in ONE aggregation
@@ -55,7 +56,24 @@ def profile_columns(
     ``quantiles`` (stat name ``q0.25`` etc.); string columns get
     min/max/avg length; every column gets completeness (non-null ratio)
     and a distinct count.
+
+    ``strategy="pairs"`` computes EXACT distinct counts and EXACT
+    interpolated quantiles without Catalyst's Expand (which duplicates
+    the input once per distinct aggregate) and without ``percentile``'s
+    per-partition full value buffering: moments come from one fused
+    distinct-free agg; distinct counts and quantiles come from one
+    shuffle over exploded ``(column, value)`` pairs whose map-side
+    partial aggregation compresses to the per-column value histogram.
+    Memory is bounded by distinct values per column, not rows — the
+    scalable exact plan (``exact_distinct``/``exact_quantiles`` are
+    implied and ignored).
     """
+    if strategy == "pairs":
+        return _profile_columns_pairs(
+            df, columns, quantiles=quantiles, round_to=round_to
+        )
+    if strategy != "fused":
+        raise ValueError(f"profile_columns: unknown strategy {strategy!r}")
     cols = columns if columns is not None else df.columns
     types = dict(df.dtypes)
     fields = {f.name: f.dataType for f in df.schema.fields}
@@ -110,6 +128,162 @@ def profile_columns(
         .select("e.column", "e.stat", "e.value")
         .orderBy("column", "stat")
     )
+
+
+def _profile_columns_pairs(
+    df: DataFrame,
+    columns: list[str] | None,
+    *,
+    quantiles: tuple[float, ...],
+    round_to: int,
+) -> DataFrame:
+    """Exact profile via the pairs shape (see :func:`profile_columns`).
+
+    Branch A: one fused agg (no distinct aggregates, no Expand) for
+    completeness / moments / lengths.
+
+    Branch B: ``explode`` to ``(column, string repr, double repr)``
+    pairs -> ``groupBy(column, value)`` histogram (map-side combine
+    compresses duplicates before the shuffle) -> per-column cumulative
+    counts give BOTH the exact distinct count (rows per column) and
+    exact type-7 interpolated quantiles (value at 0-based sorted rank
+    ``r`` is the first histogram value whose cumulative count exceeds
+    ``r``). The per-column window funnels one column's HISTOGRAM (not
+    its rows) through a task — bounded by distinct values, the same
+    documented shape as the KS ECDF prefix-sum (operators/drift.py).
+    """
+    cols = columns if columns is not None else df.columns
+    types = dict(df.dtypes)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"profile_columns: no such column {c!r}")
+    numeric = [c for c in cols if isinstance(fields[c], NumericType)]
+
+    # --- branch A: fused distinct-free agg, unpivoted to long format ----
+    aggs: list = []
+    stats_per_col: dict[str, list[str]] = {}
+
+    def add(col: str, stat: str, expr) -> None:
+        aggs.append(expr.cast("double").alias(f"{col} {stat}"))
+        stats_per_col.setdefault(col, []).append(stat)
+
+    total = F.count(F.lit(1))
+    for c in cols:
+        col = F.col(c)
+        add(c, "completeness", F.try_divide(F.count(col), total))
+        if c in numeric:
+            add(c, "min", F.min(col))
+            add(c, "max", F.max(col))
+            add(c, "mean", F.avg(col))
+            add(c, "stddev", F.stddev_samp(col))
+            add(c, "sum", F.sum(col))
+        elif types[c] == "string":
+            add(c, "min_length", F.min(F.length(col)))
+            add(c, "max_length", F.max(F.length(col)))
+            add(c, "avg_length", F.avg(F.length(col)))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(s).alias("stat"),
+                F.round(F.col(f"`{c} {s}`"), round_to).alias("value"),
+            )
+            for c, stats in stats_per_col.items()
+            for s in stats
+        ]
+    )
+    moments = (
+        df.agg(*aggs)
+        .select(F.explode(entries).alias("e"))
+        .select("e.column", "e.stat", "e.value")
+    )
+
+    # --- branch B: exploded pairs -> per-column value histogram --------
+    pair = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast("string").alias("s"),
+                    (
+                        F.col(c).cast("double")
+                        if c in numeric
+                        else F.lit(None).cast("double")
+                    ).alias("d"),
+                )
+                for c in cols
+            ]
+        )
+    )
+    hist = (
+        df.select(pair.alias("p"))
+        .select("p.column", "p.s", "p.d")
+        .where(F.col("s").isNotNull())
+        .groupBy("column", "s")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("d").alias("d"))
+    )
+    w_cum = (
+        Window.partitionBy("column")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("column")
+    h = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    q_aggs = [F.count(F.lit(1)).cast("double").alias("distinct_count")]
+    for i, q in enumerate(quantiles):
+        # 0-based fractional rank p = q*(n-1); interpolate between the
+        # values at ranks floor(p) and ceil(p).
+        p = F.lit(float(q)) * (F.col("n") - 1)
+        lo, hi = F.floor(p), F.ceiling(p)
+        q_aggs.append(
+            F.min(F.when(F.col("cum") > lo, F.col("d"))).alias(f"vlo_{i}")
+        )
+        q_aggs.append(
+            F.min(F.when(F.col("cum") > hi, F.col("d"))).alias(f"vhi_{i}")
+        )
+        q_aggs.append(F.min(p - lo).alias(f"frac_{i}"))
+    # Spine join: a column whose values are ALL null (or an empty input)
+    # has no histogram rows at all — it must still report
+    # distinct_count=0 (+ null quantiles), like the fused plan does.
+    spine = df.sparkSession.createDataFrame(
+        [(c,) for c in cols], "column string"
+    )
+    per_col = spine.join(h.groupBy("column").agg(*q_aggs), "column", "left")
+
+    stat_structs = [
+        F.struct(
+            F.lit("distinct_count").alias("stat"),
+            F.round(F.coalesce(F.col("distinct_count"), F.lit(0.0)), round_to).alias(
+                "value"
+            ),
+        )
+    ]
+    for i, q in enumerate(quantiles):
+        v = F.col(f"vlo_{i}") + F.col(f"frac_{i}") * (
+            F.col(f"vhi_{i}") - F.col(f"vlo_{i}")
+        )
+        stat_structs.append(
+            F.struct(
+                F.lit(f"q{q}").alias("stat"),
+                F.round(v, round_to).alias("value"),
+            )
+        )
+    pairs_stats = (
+        per_col.select(
+            "column", F.explode(F.array(*stat_structs)).alias("e")
+        )
+        .select("column", "e.stat", "e.value")
+        # quantile rows exist only for numeric columns
+        .where(
+            (F.col("stat") == "distinct_count")
+            | (F.col("column").isin(numeric) if numeric else F.lit(False))
+        )
+    )
+
+    return moments.unionByName(pairs_stats).orderBy("column", "stat")
 
 
 def histogram(

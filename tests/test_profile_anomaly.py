@@ -49,6 +49,50 @@ def test_profile_columns_exact(spark, sample):
     assert out[("s", "avg_length")] == 2.0
 
 
+def test_profile_pairs_matches_fused_exact(spark, sample):
+    """strategy='pairs' (no-Expand exact plan) must agree stat-for-stat
+    with the fused exact plan, including interpolated quantiles."""
+    fused = {
+        (r["column"], r["stat"]): r["value"]
+        for r in profile_columns(
+            sample, ["x", "s"], exact_distinct=True, exact_quantiles=True
+        ).collect()
+    }
+    pairs = {
+        (r["column"], r["stat"]): r["value"]
+        for r in profile_columns(sample, ["x", "s"], strategy="pairs").collect()
+    }
+    assert set(fused) == set(pairs)
+    for k, v in fused.items():
+        if v is None:
+            assert pairs[k] is None, k
+        else:
+            assert pairs[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_profile_pairs_empty_and_all_null(spark, sample):
+    """Empty input and all-null columns still yield the full stat grid
+    with distinct_count=0 and null quantiles (spine join)."""
+    out = profile_columns(sample.limit(0), ["x", "s"], strategy="pairs").collect()
+    got = {(r["column"], r["stat"]): r["value"] for r in out}
+    assert got[("x", "distinct_count")] == 0.0
+    assert got[("s", "distinct_count")] == 0.0
+    assert got[("x", "q0.5")] is None
+
+    allnull = sample.select(F.lit(None).cast("double").alias("x"))
+    got2 = {
+        (r["column"], r["stat"]): r["value"]
+        for r in profile_columns(allnull, ["x"], strategy="pairs").collect()
+    }
+    assert got2[("x", "distinct_count")] == 0.0
+    assert got2[("x", "completeness")] == 0.0
+
+
+def test_profile_unknown_strategy_raises(spark, sample):
+    with pytest.raises(ValueError, match="unknown strategy"):
+        profile_columns(sample, ["x"], strategy="bogus")
+
+
 def test_profile_columns_single_job(spark, sample):
     """The whole profile is ONE aggregation: exactly one Spark job."""
     sc = spark.sparkContext
