@@ -80,10 +80,20 @@ def curate_corpus(
     ``persist=False`` to keep the plan fully lazy.
     """
     from pyspark import StorageLevel
+    from pyspark.sql.window import Window
 
-    from ..operators.dedup import exact_dup_groups, minhash_near_dup_pairs
+    from ..operators.dedup import minhash_near_dup_pairs
     from ..operators.split import split_assignment
     from ..operators.text import contamination_pairs, text_profile
+
+    def _pin(small: DataFrame) -> DataFrame:
+        # Drop-lists are tiny (ids only) but their plans embed the
+        # expensive candidate-generation subtrees; later stages join
+        # against them AND filter their own inputs through them, so an
+        # unpersisted list re-runs its whole subtree once per consumer
+        # (measured: the MinHash stage executed twice — once for the
+        # near-dup join, once inside contamination's input plan).
+        return small.persist(StorageLevel.MEMORY_AND_DISK) if persist else small
 
     prof = text_profile(docs, text_col)
     if persist:
@@ -102,11 +112,18 @@ def curate_corpus(
     annotated = prof.withColumn(status_col, gate)
     passed = annotated.filter(F.col(status_col).isNull())
 
-    # exact dups: every id in a fingerprint group except the min drops
-    groups = exact_dup_groups(passed, text_col, id_col)
-    exact_drops = groups.select(
-        F.explode(F.expr("slice(ids, 2, size(ids) - 1)")).alias(id_col)
-    ).withColumn("_exact_dup", F.lit(True))
+    # exact dups: every id in a fingerprint group except the min drops.
+    # Reuses the profile pass's fingerprint column (text_profile already
+    # computed it) — a window-min per fingerprint, one shuffle, no
+    # re-hash of the raw text and no collect_list buffers.
+    w_fp = Window.partitionBy("fingerprint")
+    exact_drops = _pin(
+        passed.select(F.col(id_col), "fingerprint")
+        .withColumn("_keep", F.min(id_col).over(w_fp))
+        .filter(F.col(id_col) != F.col("_keep"))
+        .select(id_col)
+        .withColumn("_exact_dup", F.lit(True))
+    )
     annotated = annotated.join(exact_drops, id_col, "left")
     passed = annotated.filter(
         F.col(status_col).isNull() & F.col("_exact_dup").isNull()
@@ -119,7 +136,7 @@ def curate_corpus(
         shingle=shingle, shingle_n=shingle_n,
         threshold=near_dup_threshold,
     )
-    near_drops = (
+    near_drops = _pin(
         pairs.select(F.greatest("id_a", "id_b").alias(id_col))
         .distinct()
         .withColumn("_near_dup", F.lit(True))
@@ -136,7 +153,7 @@ def curate_corpus(
             passed, probes, text_col, id_col,
             threshold=contamination_threshold,
         )
-        cont_drops = (
+        cont_drops = _pin(
             cont.select(F.col("doc_id").alias(id_col))
             .distinct()
             .withColumn("_contaminated", F.lit(True))
