@@ -52,22 +52,52 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def normalize_event_ts(df: DataFrame) -> DataFrame:
+#: Divisor bringing a bigint in the given unit down to microseconds.
+_BIGINT_TS_UNITS = {"ns": 1000, "us": 1, "ms": None, "s": None}
+
+
+def normalize_event_ts(df: DataFrame, *, bigint_unit: str = "ns") -> DataFrame:
     """Bring ``ts`` to a session-timezone TIMESTAMP whatever the fixture's
     physical parquet type was:
 
-    - TIMESTAMP(NANOS) read under ``nanosAsLong`` -> bigint nanos, which
-      become a microsecond timestamp;
+    - a bigint ``ts`` is interpreted per ``bigint_unit`` — default ``"ns"``
+      because the only sanctioned way a bigint ts reaches this helper is a
+      TIMESTAMP(NANOS) parquet read under ``nanosAsLong`` (see
+      :func:`load_table`). A fixture shipping ts as plain INT64 epoch
+      micros/millis/seconds must pass ``bigint_unit="us"|"ms"|"s"``
+      explicitly, or the values would be silently divided by 1000;
     - TIMESTAMP(MICROS, isAdjustedToUTC=false) -> TIMESTAMP_NTZ under
-      Spark's default ``inferTimestampNTZ``, cast to TIMESTAMP (the
-      session zone is UTC throughout this engine, so the instant is
-      preserved). NTZ matters: watermarks/windows on streams REQUIRE the
-      zoned type ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]).
+      Spark's default ``inferTimestampNTZ``, cast to TIMESTAMP. The cast
+      interprets the NTZ wall-clock in the SESSION timezone, so it
+      preserves the instant only under the engine's pinned UTC session —
+      asserted here, because a caller mirroring a tz-flipping test would
+      otherwise silently shift every instant. NTZ matters: watermarks/
+      windows on streams REQUIRE the zoned type
+      ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]).
     """
     dt = dict(df.dtypes).get("ts")
     if dt == "bigint":
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if bigint_unit not in _BIGINT_TS_UNITS:
+            raise ValueError(
+                f"normalize_event_ts: bigint_unit must be one of "
+                f"{sorted(_BIGINT_TS_UNITS)}, got {bigint_unit!r}"
+            )
+        if bigint_unit == "ms":
+            return df.withColumn("ts", F.timestamp_millis(F.col("ts")))
+        if bigint_unit == "s":
+            return df.withColumn("ts", F.timestamp_seconds(F.col("ts")))
+        div = _BIGINT_TS_UNITS[bigint_unit]
+        expr = F.expr(f"ts div {div}") if div != 1 else F.col("ts")
+        return df.withColumn("ts", F.timestamp_micros(expr))
     if dt == "timestamp_ntz":
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z"):
+            raise ValueError(
+                "normalize_event_ts: casting TIMESTAMP_NTZ to TIMESTAMP is "
+                f"session-timezone-dependent and the session is {tz!r}, not "
+                "UTC. Set spark.sql.session.timeZone=UTC (the engine-wide "
+                "contract) before loading events."
+            )
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
@@ -89,6 +119,17 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             df = spark.read.parquet(f"{base}/{name}.parquet")
         return normalize_event_ts(df)
     return spark.read.parquet(f"{base}/{name}.parquet")
+
+
+def load_events_batch(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Batch read of an events directory with the same nanos handling and
+    ts normalization as :func:`load_table` — the order-independent way for
+    a test (or a stream-vs-batch parity check) to read the comparison
+    side, instead of a raw ``spark.read.parquet`` that only works if an
+    earlier streaming load happened to leave ``nanosAsLong`` set."""
+    with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        df = spark.read.parquet(events_dir)
+    return normalize_event_ts(df)
 
 
 def load_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:

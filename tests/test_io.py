@@ -74,3 +74,36 @@ def test_build_session_reuses_active(spark):
     # every recommended conf carries a rationale
     for key, (value, why) in RECOMMENDED_CONFS.items():
         assert key.startswith("spark.") and value and len(why) > 20
+
+
+def test_normalize_event_ts_tz_guard_and_units(spark):
+    from pyspark_data_quality_spark.sources.tables import normalize_event_ts
+
+    import pytest
+
+    # bigint branch: explicit unit contract (default ns per nanosAsLong)
+    ns = spark.createDataFrame([(1_700_000_000_000_000_000,)], "ts bigint")
+    got = normalize_event_ts(ns).selectExpr("cast(ts as long) e").first()["e"]
+    assert got == 1_700_000_000
+    ms = spark.createDataFrame([(1_700_000_000_000,)], "ts bigint")
+    got = (
+        normalize_event_ts(ms, bigint_unit="ms")
+        .selectExpr("cast(ts as long) e")
+        .first()["e"]
+    )
+    assert got == 1_700_000_000
+    with pytest.raises(ValueError, match="bigint_unit"):
+        normalize_event_ts(ns, bigint_unit="days")
+
+    # NTZ branch: refuses to cast under a non-UTC session timezone
+    ntz = spark.createDataFrame(
+        [("2024-01-01 00:00:00",)], "s string"
+    ).select(F.col("s").cast("timestamp_ntz").alias("ts"))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        with pytest.raises(ValueError, match="session-timezone-dependent"):
+            normalize_event_ts(ntz)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert dict(normalize_event_ts(ntz).dtypes)["ts"] == "timestamp"

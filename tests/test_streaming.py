@@ -15,9 +15,9 @@ from pyspark_data_quality_spark.operators.completeness import (
 )
 from pyspark_data_quality_spark.operators.validity import RangeRule
 from pyspark_data_quality_spark.sources.tables import (
+    load_events_batch,
     load_events_stream,
     load_table,
-    normalize_event_ts,
 )
 from pyspark_data_quality_spark.streaming import (
     dedup_within_watermark,
@@ -181,7 +181,7 @@ def test_session_counts_stream_smoke(spark, events_dir):
     )
     assert sdf.isStreaming
     out = _run_stream(spark, sdf, output_mode="complete")
-    batch_src = normalize_event_ts(spark.read.parquet(events_dir))
+    batch_src = load_events_batch(spark, events_dir)
     batch = session_counts(batch_src, gap="30 minutes", group_cols=["user_id"])
     assert out.count() == batch.count()  # availableNow: stream == batch
 
@@ -189,7 +189,7 @@ def test_session_counts_stream_smoke(spark, events_dir):
 def test_running_totals_stateful(spark, events_dir):
     from pyspark_data_quality_spark.streaming import running_totals
 
-    batch_src = normalize_event_ts(spark.read.parquet(events_dir))
+    batch_src = load_events_batch(spark, events_dir)
     expected = {
         r["user_id"]: (r["n_events"], round(r["total_value"], 6))
         for r in running_totals(batch_src, ["user_id"], value_col="value").collect()
