@@ -211,6 +211,7 @@ def contamination_pairs(
     round_to: int = 6,
     impl: str = "np",
     prefilter: str = "auto",
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Benchmark-contamination check: fraction of each PROBE document's
     char ``n``-gram set found inside each corpus document (containment
@@ -241,6 +242,13 @@ def contamination_pairs(
     the crossJoin variant recomputes the inlined gram expression per probe
     (CollapseProject treats once-referenced exprs as free) — use it only
     when UDFs are banned.
+
+    ``broadcast`` controls how the probe side reaches the join. Default
+    (``None``): broadcast — right for benchmark eval sets (thousands of
+    probes; the exploded gram index is a few MB). ``broadcast=False``
+    switches to a plain shuffle hash join on the gram key, the path for
+    probe sets too large to ship to every executor (millions of probes —
+    e.g. decontaminating against another corpus); output is identical.
 
     Output: (doc_id, probe_id, containment >= threshold).
     """
@@ -309,15 +317,27 @@ def contamination_pairs(
             "contamination_pairs: prefilter='index' cannot emit zero-overlap "
             "pairs — use prefilter='cross' when threshold <= 0"
         )
+    if broadcast is False and not use_index:
+        raise ValueError(
+            "contamination_pairs: broadcast=False requires the index join "
+            "(prefilter='index'); the crossJoin path is broadcast-only"
+        )
     if use_index:
         p_idx = p.select(
             "probe_id",
             F.size("_pg").alias("_psz"),
             F.explode("_pg").alias("_g"),
         )
+        if broadcast is None or broadcast:
+            p_idx = F.broadcast(p_idx)
+        else:
+            # shuffle path: pin a hash join (and keep AQE from demoting it
+            # back to broadcast on fixture-sized inputs) so huge probe
+            # sets never ship driver->executors whole
+            p_idx = p_idx.hint("shuffle_hash")
         return (
             d.select("doc_id", F.explode("_dg").alias("_g"))
-            .join(F.broadcast(p_idx), "_g")
+            .join(p_idx, "_g")
             .groupBy("doc_id", "probe_id", "_psz")
             .agg(F.count(F.lit(1)).alias("_shared"))
             .select(

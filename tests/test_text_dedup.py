@@ -525,6 +525,31 @@ def test_contamination_index_matches_cross(spark, docs):
         contamination_pairs(docs, probes, "text", "doc_id", prefilter="nope")
 
 
+def test_contamination_shuffle_join_matches_broadcast(spark, docs):
+    """broadcast=False (huge-probe-set path) swaps the broadcast for a
+    shuffle hash join on the gram key: same output, no broadcast of the
+    probe index in the plan."""
+    from pyspark_data_quality_spark.operators.text import contamination_pairs
+
+    probes = docs.limit(6)
+    kw = dict(n=8, threshold=0.1, prefilter="index")
+    bcast = contamination_pairs(docs, probes, "text", "doc_id", **kw)
+    shuf = contamination_pairs(
+        docs, probes, "text", "doc_id", broadcast=False, **kw
+    )
+    assert sorted(map(tuple, shuf.collect())) == sorted(
+        map(tuple, bcast.collect())
+    )
+    plan = shuf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan and "ShuffledHashJoin" in plan
+
+    with pytest.raises(ValueError, match="broadcast-only"):
+        contamination_pairs(
+            docs, probes, "text", "doc_id",
+            threshold=0.0, prefilter="cross", broadcast=False,
+        )
+
+
 def test_vocab_top_k(spark):
     from pyspark_data_quality_spark.operators.text import vocab_top_k
 
