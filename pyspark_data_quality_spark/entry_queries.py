@@ -2451,6 +2451,144 @@ def dq_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(docs, "text", "doc_id")
 
 
+@query(
+    "dq_join_diagnosis",
+    """
+    WITH lk AS (
+      SELECT o_custkey AS k, count(*) AS c FROM orders
+      WHERE o_custkey IS NOT NULL GROUP BY 1
+    ), rk AS (
+      SELECT c_custkey AS k, count(*) AS c FROM customer
+      WHERE c_custkey IS NOT NULL GROUP BY 1
+    ), m AS (
+      SELECT lk.c AS lc, rk.c AS rc
+      FROM lk FULL JOIN rk ON lk.k = rk.k
+    ), ks AS (
+      SELECT
+        CAST(count(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL THEN 1 END) AS DOUBLE) AS matched_keys,
+        CAST(count(lc) AS DOUBLE) AS left_distinct_keys,
+        CAST(count(rc) AS DOUBLE) AS right_distinct_keys,
+        CAST(coalesce(sum(CASE WHEN rc IS NOT NULL THEN lc END), 0) AS DOUBLE) AS left_matched_rows,
+        CAST(coalesce(sum(CASE WHEN lc IS NOT NULL THEN rc END), 0) AS DOUBLE) AS right_matched_rows,
+        CAST(coalesce(sum(lc * rc), 0) AS DOUBLE) AS inner_join_rows,
+        CAST(coalesce(max(lc), 0) AS DOUBLE) AS left_max_key_rows,
+        CAST(coalesce(max(rc), 0) AS DOUBLE) AS right_max_key_rows,
+        count(*) AS union_keys
+      FROM m
+    ), ls AS (
+      SELECT CAST(count(*) AS DOUBLE) AS left_rows,
+             CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS DOUBLE)
+               AS left_null_keys
+      FROM orders
+    ), rs AS (
+      SELECT CAST(count(*) AS DOUBLE) AS right_rows,
+             CAST(count(CASE WHEN c_custkey IS NULL THEN 1 END) AS DOUBLE)
+               AS right_null_keys
+      FROM customer
+    )
+    SELECT metric, value FROM ks, ls, rs, LATERAL (VALUES
+      ('left_rows', left_rows),
+      ('right_rows', right_rows),
+      ('left_null_keys', left_null_keys),
+      ('right_null_keys', right_null_keys),
+      ('left_distinct_keys', left_distinct_keys),
+      ('right_distinct_keys', right_distinct_keys),
+      ('matched_keys', matched_keys),
+      ('left_matched_rows', left_matched_rows),
+      ('right_matched_rows', right_matched_rows),
+      ('inner_join_rows', inner_join_rows),
+      ('left_max_key_rows', left_max_key_rows),
+      ('right_max_key_rows', right_max_key_rows),
+      ('key_overlap_ratio',
+       CAST(round(matched_keys / union_keys, 6) AS DOUBLE))
+    ) AS t(metric, value)
+    ORDER BY metric
+    """,
+)
+def dq_join_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join key diagnostics for orders JOIN customer ON custkey:
+    per-side rows / null keys / distinct keys, matched keys and rows,
+    exact inner-join output size, and per-side max key multiplicity
+    (operators/join_audit.py — two key-count aggs merged co-partitioned,
+    one global fold)."""
+    from .operators.join_audit import join_diagnosis
+
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    return join_diagnosis(orders, customer, "o_custkey", "c_custkey")
+
+
+@query(
+    "dq_dedup_against",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE doc_id >= 250
+      AND {_SQL_NORM} NOT IN (
+        SELECT {_SQL_NORM} FROM documents WHERE doc_id < 250
+      )
+    ORDER BY doc_id
+    """,
+)
+def dq_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch (doc_id >= 250) against a
+    reference corpus (doc_id < 250): survivors are batch docs whose
+    normalized-text fingerprint is absent from the reference fingerprint
+    set — hash-only anti join, no document bodies in the shuffle
+    (operators/dedup.py dedup_against)."""
+    from .operators.dedup import dedup_against
+
+    docs = load_table(spark, "documents", sf_dir)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    ref = docs.filter(F.col("doc_id") < 250)
+    return (
+        dedup_against(batch, ref, "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dq_winsorize",
+    """
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem
+    ), w AS (
+      SELECT least(greatest(l_extendedprice, lo), hi) AS v,
+             (l_extendedprice < lo OR l_extendedprice > hi) AS clipped
+      FROM lineitem, b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN clipped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped,
+           CAST(round(min(v), 6) AS DOUBLE) AS min_w,
+           CAST(round(max(v), 6) AS DOUBLE) AS max_w,
+           CAST(round(avg(v), 6) AS DOUBLE) AS mean_w
+    FROM w
+    """,
+)
+def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize l_extendedprice to its exact [0.05, 0.95] quantile band
+    (bounds from ONE agg broadcast back, operators/repair.py winsorize)
+    and certify the clamp with a one-row summary: row/clip counts and
+    min/max/mean of the clamped column."""
+    from .operators.repair import winsorize
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_extendedprice")
+    w = winsorize(
+        li, ["l_extendedprice"], lower=0.05, upper=0.95,
+        exact=True, suffix="_w", flag_col="_clipped",
+    )
+    return w.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_clipped").cast("bigint").alias("n_clipped"),
+        F.round(F.min("l_extendedprice_w"), 6).alias("min_w"),
+        F.round(F.max("l_extendedprice_w"), 6).alias("max_w"),
+        F.round(F.avg("l_extendedprice_w"), 6).alias("mean_w"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -2472,6 +2610,10 @@ def dq_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CERT_PRIORITY = [
+    # new in round 4
+    "dq_join_diagnosis",
+    "dq_dedup_against",
+    "dq_winsorize",
     # never certified (registered after slot 50 in rounds 2-3)
     "dq_table_diff",
     "dq_diff_columns",
@@ -2492,6 +2634,9 @@ _CERT_PRIORITY = [
 
 _CERT_ROTATED = [
     # double-green in r02+r03 on code paths not touched this round
+    "dq_topk_bruteforce",
+    "dq_event_windows",
+    "dq_event_sessions",
     "dq_valid_rows",
     "dq_invalid_rows",
     "dq_dup_groups",

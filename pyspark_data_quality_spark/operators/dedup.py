@@ -151,6 +151,45 @@ def exact_dedup(
     return df.join(survivors, on=id_col, how="semi")
 
 
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    *,
+    ref_text_col: str | None = None,
+    mode: str = "survivors",
+) -> DataFrame:
+    """Incremental dedup: drop rows of ``df`` whose (normalized) text
+    already exists in ``reference`` — the daily-batch-vs-historical-corpus
+    shape, where re-deduplicating the whole corpus per batch is a non-
+    starter and the reference side is only its fingerprint set.
+
+    ``mode='survivors'`` (default) returns the new rows (anti join);
+    ``mode='dups'`` returns the rows already present (semi join).
+
+    Scale shape: both sides reduce to 64-bit fingerprints before the
+    join, so the shuffle carries hashes, not document bodies, and the
+    reference projection is a single column (column pruning reaches the
+    reference scan). In production the reference fingerprint set is the
+    thing to persist between batches; AQE broadcasts it when it is small
+    enough.
+    """
+    if mode not in ("survivors", "dups"):
+        raise ValueError(f"dedup_against: unknown mode {mode!r}")
+    ref_fp = (
+        reference.select(
+            doc_fingerprint(ref_text_col or text_col).alias("_fp")
+        )
+        .distinct()
+    )
+    how = "anti" if mode == "survivors" else "semi"
+    return (
+        df.withColumn("_fp", doc_fingerprint(text_col))
+        .join(ref_fp, "_fp", how)
+        .drop("_fp")
+    )
+
+
 def exact_dup_groups(
     df: DataFrame, text_col: str, id_col: str, *, max_ids: int = 1000
 ) -> DataFrame:

@@ -160,3 +160,71 @@ def flag_outliers(
     if score_col is not None:
         out = out.withColumn(score_col, F.round(score, round_to))
     return out.drop(*stat_exprs)
+
+
+def winsorize(
+    df: DataFrame,
+    columns: list[str],
+    *,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    exact: bool = False,
+    suffix: str = "",
+    flag_col: str | None = None,
+) -> DataFrame:
+    """Clamp each column to its [``lower``, ``upper``] quantile band —
+    the standard heavy-tail repair before a numeric column feeds a model
+    or a drift statistic.
+
+    Bounds come from ONE aggregation over all columns, broadcast back via
+    a 1x1 crossJoin (an unpartitioned window would funnel the table
+    through one task). ``exact=False`` (default, the 100 TB path) uses
+    mergeable ``percentile_approx`` sketches; ``exact=True`` uses
+    interpolated ``percentile`` (matches DuckDB ``quantile_cont``) — full
+    per-partition value buffering, for oracle-grade runs at bounded
+    scale.
+
+    ``suffix`` writes clamped values to ``f"{c}{suffix}"`` instead of
+    overwriting; ``flag_col`` counts how many of the row's values were
+    clamped.
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(
+            f"winsorize: need 0 <= lower < upper <= 1, got ({lower}, {upper})"
+        )
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"winsorize: no such columns {missing}")
+
+    pct = F.percentile if exact else F.percentile_approx
+    bounds = df.agg(
+        *[
+            e
+            for c in columns
+            for e in (
+                pct(F.col(c), F.lit(float(lower))).alias(f"_lo_{c}"),
+                pct(F.col(c), F.lit(float(upper))).alias(f"_hi_{c}"),
+            )
+        ]
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+
+    def clamp(c: str):
+        lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
+        # all-null column -> null bounds -> leave values untouched
+        return F.when(
+            lo.isNotNull() & hi.isNotNull(),
+            F.least(F.greatest(F.col(c), lo), hi),
+        ).otherwise(F.col(c))
+
+    if flag_col is not None:
+        # flag BEFORE overwriting: F.col is late-bound by name, so this
+        # expression must be attached while the originals are still there
+        total = None
+        for c in columns:
+            f = (F.col(c).isNotNull() & (clamp(c) != F.col(c))).cast("int")
+            total = f if total is None else total + f
+        out = out.withColumn(flag_col, total)
+    for c in columns:
+        out = out.withColumn(f"{c}{suffix}", clamp(c))
+    return out.drop(*[f"_{b}_{c}" for c in columns for b in ("lo", "hi")])

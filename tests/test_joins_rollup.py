@@ -107,3 +107,44 @@ def test_time_rollup_group_cols_and_validation(spark):
     assert {(r["k"], r["n"]) for r in out} == {("x", 1), ("y", 1)}
     with pytest.raises(ValueError, match="unsupported level"):
         time_rollup(df, "ts", levels=("fortnight",))
+
+
+def test_join_diagnosis_exact_counts(spark):
+    from pyspark_data_quality_spark.operators.join_audit import join_diagnosis
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k int"
+    )
+    right = spark.createDataFrame(
+        [(1,), (2,), (2,), (4,), (None,), (None,)], "k int"
+    )
+    got = {r["metric"]: r["value"] for r in join_diagnosis(left, right, "k").collect()}
+    assert got["left_rows"] == 5.0
+    assert got["right_rows"] == 6.0
+    assert got["left_null_keys"] == 1.0
+    assert got["right_null_keys"] == 2.0
+    assert got["left_distinct_keys"] == 3.0  # 1,2,3
+    assert got["right_distinct_keys"] == 3.0  # 1,2,4
+    assert got["matched_keys"] == 2.0  # 1,2
+    assert got["left_matched_rows"] == 3.0  # two 1s + one 2
+    assert got["right_matched_rows"] == 3.0  # one 1 + two 2s
+    # key 1: 2*1, key 2: 1*2 -> 4 rows out of an inner join
+    assert got["inner_join_rows"] == 4.0
+    assert got["left_max_key_rows"] == 2.0
+    assert got["right_max_key_rows"] == 2.0
+    assert got["key_overlap_ratio"] == 0.5  # 2 matched / 4 union keys
+
+
+def test_join_diagnosis_disjoint_and_empty(spark):
+    from pyspark_data_quality_spark.operators.join_audit import join_diagnosis
+
+    left = spark.createDataFrame([(1,)], "k int")
+    right = spark.createDataFrame([(2,)], "k int")
+    got = {r["metric"]: r["value"] for r in join_diagnosis(left, right, "k").collect()}
+    assert got["matched_keys"] == 0.0
+    assert got["inner_join_rows"] == 0.0
+    assert got["key_overlap_ratio"] == 0.0
+
+    empty = left.limit(0)
+    got = {r["metric"]: r["value"] for r in join_diagnosis(empty, right, "k").collect()}
+    assert got["left_rows"] == 0.0 and got["right_distinct_keys"] == 1.0

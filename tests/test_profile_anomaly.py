@@ -380,3 +380,42 @@ def test_json_field_profile(spark):
 
     with pytest.raises(ValueError, match="unsupported types"):
         json_field_profile(df, "props", {"k": "decimal(10,2)"})
+
+
+def test_winsorize_exact_bounds_and_flags(spark):
+    from pyspark_data_quality_spark.operators.repair import winsorize
+
+    vals = [float(v) for v in range(1, 11)]  # 1..10
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = winsorize(
+        df, ["x"], lower=0.1, upper=0.9, exact=True,
+        suffix="_w", flag_col="nclip",
+    ).collect()
+    # type-7 quantiles of 1..10 at 0.1/0.9 are 1.9 and 9.1
+    by_x = {r["x"]: r for r in out}
+    assert by_x[1.0]["x_w"] == pytest.approx(1.9)
+    assert by_x[10.0]["x_w"] == pytest.approx(9.1)
+    assert by_x[5.0]["x_w"] == 5.0
+    assert by_x[1.0]["nclip"] == 1 and by_x[5.0]["nclip"] == 0
+    assert sum(r["nclip"] for r in out) == 2
+
+
+def test_winsorize_overwrite_nulls_and_validation(spark):
+    from pyspark_data_quality_spark.operators.repair import winsorize
+
+    df = spark.createDataFrame(
+        [(1.0, None), (100.0, None), (2.0, None), (3.0, None)],
+        "x double, y double",
+    )
+    # overwrite in place (no suffix); all-null column passes through
+    out = winsorize(df, ["x", "y"], lower=0.0, upper=0.5, exact=True,
+                    flag_col="nclip").collect()
+    xs = sorted(r["x"] for r in out)
+    assert max(xs) == pytest.approx(2.5)  # q0.5 of 1,2,3,100
+    assert all(r["y"] is None for r in out)
+    assert sum(r["nclip"] for r in out) == 2  # 3.0 and 100.0 clipped
+
+    with pytest.raises(ValueError, match="lower < upper"):
+        winsorize(df, ["x"], lower=0.9, upper=0.1)
+    with pytest.raises(ValueError, match="no such columns"):
+        winsorize(df, ["zz"])

@@ -600,3 +600,32 @@ def test_repetition_signals(spark):
     assert rows[2]["n_tokens"] == 5
     assert rows[3]["n_lines"] == 0 and rows[3]["dup_line_frac"] == 0.0
     assert rows[3]["n_tokens"] == 0 and rows[3]["top_token_frac"] == 0.0
+
+
+def test_dedup_against_reference(spark):
+    from pyspark_data_quality_spark.operators.dedup import dedup_against
+
+    ref = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "foo bar")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "hello world"),   # dup of ref 1 modulo normalization
+            (11, "foo bar"),       # dup of ref 2
+            (12, "brand new doc"),
+            (13, None),            # null text: fingerprint null, survives
+        ],
+        ["doc_id", "text"],
+    )
+    surv = sorted(r["doc_id"] for r in dedup_against(batch, ref, "text").collect())
+    assert surv == [12, 13]
+    dups = sorted(
+        r["doc_id"]
+        for r in dedup_against(batch, ref, "text", mode="dups").collect()
+    )
+    assert dups == [10, 11]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        dedup_against(batch, ref, "text", mode="nope")
