@@ -2589,6 +2589,38 @@ def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_fuzzy_pairs",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(lower(a.c_name), lower(b.c_name)) AS INT)
+             AS distance
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE a.c_custkey <= 2000 AND b.c_custkey <= 2000
+      AND levenshtein(lower(a.c_name), lower(b.c_name)) <= 1
+    """,
+)
+def dq_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join: all customer-name pairs within
+    Levenshtein distance 1, via q-gram prefix blocking (rarest q*k+1
+    grams per string index the join; count-filter theorem guarantees no
+    true pair is lost) + thresholded levenshtein verify — the oracle is
+    the O(n²) form, the Spark plan is the blocked one
+    (operators/fuzzy.py). Pinned to a FIXED 2000-customer subset:
+    TPC-H's `Customer#%09d` names are the blocking-hostile extreme
+    (every name shares every non-digit gram, and the true pair count
+    itself grows superlinearly), so like the other pairwise oracle
+    baselines this entry's cost must not grow with sf."""
+    from .operators.fuzzy import fuzzy_match_pairs
+
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_custkey") <= 2000
+    )
+    return fuzzy_match_pairs(
+        cust, "c_name", "c_custkey", max_distance=1, q=2
+    ).select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -2614,6 +2646,7 @@ _CERT_PRIORITY = [
     "dq_join_diagnosis",
     "dq_dedup_against",
     "dq_winsorize",
+    "dq_fuzzy_pairs",
     # never certified (registered after slot 50 in rounds 2-3)
     "dq_table_diff",
     "dq_diff_columns",
@@ -2634,6 +2667,7 @@ _CERT_PRIORITY = [
 
 _CERT_ROTATED = [
     # double-green in r02+r03 on code paths not touched this round
+    "dq_event_quality_windows",
     "dq_topk_bruteforce",
     "dq_event_windows",
     "dq_event_sessions",

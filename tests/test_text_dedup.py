@@ -629,3 +629,42 @@ def test_dedup_against_reference(spark):
 
     with pytest.raises(ValueError, match="unknown mode"):
         dedup_against(batch, ref, "text", mode="nope")
+
+
+def test_fuzzy_match_pairs_exact_vs_bruteforce(spark):
+    """The blocked plan must return EXACTLY the brute-force pair set —
+    including empty strings, single chars, and whitespace (the count-
+    filter + shorts-crossJoin completeness argument, operators/fuzzy.py)."""
+    import random
+
+    from pyspark_data_quality_spark.operators.fuzzy import fuzzy_match_pairs
+
+    rnd = random.Random(11)
+    alphabet = "abcdefg "
+    rows = [
+        (i, "".join(rnd.choice(alphabet) for _ in range(rnd.randint(0, 10))))
+        for i in range(120)
+    ]
+    rows += [(1000, None), (1001, ""), (1002, "a"), (1003, "b"), (1004, "ab")]
+    df = spark.createDataFrame(rows, ["id", "s"])
+
+    nn = df.filter(F.col("s").isNotNull())
+    for k in (0, 1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in fuzzy_match_pairs(df, "s", "id", max_distance=k).collect()
+        }
+        bf = (
+            nn.select(F.col("id").alias("id_a"), F.lower("s").alias("sa"))
+            .join(
+                nn.select(F.col("id").alias("id_b"), F.lower("s").alias("sb")),
+                F.col("id_a") < F.col("id_b"),
+            )
+            .select("id_a", "id_b", F.levenshtein("sa", "sb").alias("d"))
+            .filter(F.col("d") <= k)
+        )
+        exp = {(r["id_a"], r["id_b"], r["d"]) for r in bf.collect()}
+        assert got == exp, f"k={k}: {len(got)} vs {len(exp)}"
+
+    with pytest.raises(ValueError, match="max_distance"):
+        fuzzy_match_pairs(df, "s", "id", max_distance=-1)
