@@ -2621,6 +2621,24 @@ def dq_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))
 
 
+@query("dq_semantic_dedup")  # rows-only: k-means quantizer, no SQL oracle
+def dq_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table: k-means
+    cluster assignment (deterministic seeded quantizer), within-cluster
+    high-cosine pairs via the capped bucket expansion, exact cosine
+    verify (operators/dedup.py semantic_dedup). Rows-only: approximate
+    by design (cross-cluster pairs are deliberately out of scope); the
+    exact all-pairs twin dq_embedding_pairs_exact is the oracle-certified
+    baseline, and the unit test asserts planted-duplicate recall."""
+    from .operators.dedup import semantic_dedup
+
+    emb = _emb_double(spark, sf_dir)
+    return semantic_dedup(
+        emb, "embedding", "vec_id",
+        threshold=0.4, num_clusters=16, sample_size=512,
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -2647,6 +2665,7 @@ _CERT_PRIORITY = [
     "dq_dedup_against",
     "dq_winsorize",
     "dq_fuzzy_pairs",
+    "dq_semantic_dedup",
     # never certified (registered after slot 50 in rounds 2-3)
     "dq_table_diff",
     "dq_diff_columns",
@@ -2667,6 +2686,7 @@ _CERT_PRIORITY = [
 
 _CERT_ROTATED = [
     # double-green in r02+r03 on code paths not touched this round
+    "dq_winnow_fingerprints",
     "dq_event_quality_windows",
     "dq_topk_bruteforce",
     "dq_event_windows",

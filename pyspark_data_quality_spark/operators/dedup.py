@@ -772,3 +772,84 @@ def dedup_components(
             stacklevel=2,
         )
     return labels.select(F.col("v").alias("id"), F.col("lbl").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster embeddings, dedup within clusters
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.95,
+    num_clusters: int = 64,
+    sample_size: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+    max_cluster_size: int | None = 1000,
+    mode: str = "pairs",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every embedding to its nearest k-means centroid, then find high-cosine
+    pairs WITHIN each cluster only — the quadratic work shrinks from n²
+    to sum(cluster²), and clusters are sized by ``num_clusters``.
+
+    Deliberately approximate the same way SemDeDup is: near-duplicates
+    that straddle a cluster boundary are missed (raise ``num_clusters``
+    with corpus size to keep clusters small; the paper uses 50k clusters
+    for LAION). Rows with null/empty vectors are never paired and always
+    survive.
+
+    Plan: one tiny driver action trains the quantizer on a deterministic
+    hash-ordered sample (:func:`..operators.similarity.train_ivf_centroids`
+    — the centroids become plan literals); assignment is one batched-
+    matmul Arrow pass; within-cluster pairs expand via the capped
+    one-groupBy bucket expansion (:func:`_bucket_pairs`) with vectors as
+    payloads; exact cosine verifies every candidate.
+
+    ``mode='pairs'``: (id_a, id_b, cosine). ``mode='survivors'``: the
+    input rows minus the greater id of every qualifying pair (greedy
+    min-id survivor, matching the curation pipeline's near-dup rule).
+    """
+    from ..functions.vectors import cosine_similarity
+    from .similarity import _nearest_centroids_np, train_ivf_centroids
+
+    if mode not in ("pairs", "survivors"):
+        raise ValueError(f"semantic_dedup: unknown mode {mode!r}")
+    centroids = train_ivf_centroids(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_centroids=num_clusters,
+        sample_size=sample_size,
+        iters=iters,
+        seed=seed,
+    )
+    assign1 = _nearest_centroids_np(centroids, 1)
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    clustered = base.filter(
+        F.col("_v").isNotNull() & (F.size("_v") > 0)
+    ).withColumn("_c", F.element_at(assign1(F.col("_v")), 1))
+
+    pairs = (
+        _bucket_pairs(
+            clustered,
+            ["_c"],
+            payload_col="_v",
+            max_bucket_size=max_cluster_size,
+        )
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("_pa"), F.col("_pb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    if mode == "pairs":
+        return pairs.select("id_a", "id_b", "cosine")
+    drops = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(drops, id_col, "anti")

@@ -668,3 +668,38 @@ def test_fuzzy_match_pairs_exact_vs_bruteforce(spark):
 
     with pytest.raises(ValueError, match="max_distance"):
         fuzzy_match_pairs(df, "s", "id", max_distance=-1)
+
+
+def test_semantic_dedup_planted_duplicates(spark, vecs):
+    """The vecs fixture plants 100+i as a near-copy of i for i<5; with
+    enough clusters to keep groups small, semantic dedup must pair each
+    planted copy with its source (same-cluster by construction: cosine
+    ~0.9999) and survivors must drop exactly the greater ids."""
+    from pyspark_data_quality_spark.operators.dedup import semantic_dedup
+
+    pairs = semantic_dedup(
+        vecs, "embedding", "vec_id",
+        threshold=0.999, num_clusters=8, sample_size=64, seed=3,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(i, 100 + i) for i in range(5)}
+    # every pair found must be a real high-cosine pair; the planted pairs
+    # are only guaranteed when source and copy share a cluster, so assert
+    # a recall floor rather than exact equality
+    assert len(got & planted) >= 3
+    for r in pairs:
+        assert r["cosine"] >= 0.999
+
+    surv = semantic_dedup(
+        vecs, "embedding", "vec_id",
+        threshold=0.999, num_clusters=8, sample_size=64, seed=3,
+        mode="survivors",
+    )
+    surv_ids = {r["vec_id"] for r in surv.collect()}
+    for a, b in got:
+        assert a in surv_ids and b not in surv_ids
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        semantic_dedup(vecs, "embedding", "vec_id", mode="nope")
