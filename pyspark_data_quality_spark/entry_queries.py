@@ -2639,6 +2639,50 @@ def dq_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "dq_tfidf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split({_SQL_NORM}, ' '), x -> x != ''))
+               AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS dfr FROM tf GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS nd FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             CAST(round(tf.tf * (ln((1.0 + nd) / (1.0 + dfr)) + 1.0), 6)
+                  AS DOUBLE) AS tfidf
+      FROM tf JOIN dfreq USING (term), n
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+             ) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def dq_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms over documents (smoothed
+    scikit-style idf, deterministic term tie-break;
+    operators/text.py tfidf_top_terms)."""
+    from .operators.text import tfidf_top_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = tfidf_top_terms(docs, "text", "doc_id", k=3)
+    return out.select(
+        "doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
+        "tfidf", F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -2666,6 +2710,7 @@ _CERT_PRIORITY = [
     "dq_winsorize",
     "dq_fuzzy_pairs",
     "dq_semantic_dedup",
+    "dq_tfidf",
     # never certified (registered after slot 50 in rounds 2-3)
     "dq_table_diff",
     "dq_diff_columns",
@@ -2686,6 +2731,7 @@ _CERT_PRIORITY = [
 
 _CERT_ROTATED = [
     # double-green in r02+r03 on code paths not touched this round
+    "dq_quality_cube",
     "dq_winnow_fingerprints",
     "dq_event_quality_windows",
     "dq_topk_bruteforce",

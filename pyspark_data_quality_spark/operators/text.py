@@ -381,6 +381,67 @@ def vocab_top_k(
     return head.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF — the keyword-extraction
+    signal for search indexing, near-dup triage, and topic drift.
+
+    ``tfidf = tf * (ln((1 + N) / (1 + df_t)) + 1)`` (scikit-style
+    smoothed idf: terms in every document still score, nothing divides
+    by zero); ``tf`` is the raw in-document count over normalized
+    whitespace tokens.
+
+    Shape: one explode + (doc, term) count shuffle; document frequencies
+    reduce the SAME counted frame by term (a second small shuffle over
+    distinct pairs, not raw tokens); N broadcasts from a 1-row agg; the
+    top-k window partitions BY DOCUMENT (keyed, scalable — never a
+    global sort). Ties break by term asc so the rank is total and
+    engine-stable.
+
+    Output: (doc_id, term, tf, tfidf, rank), rank 1..k per document.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokenize
+
+    pairs = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("term")
+    )
+    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((1 + F.col("_n")) / (1 + F.col("_df")))
+                    + F.lit(1.0)
+                ),
+                round_to,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+        .orderBy(id_col, "rank")
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *,
     round_to: int = 6,

@@ -703,3 +703,34 @@ def test_semantic_dedup_planted_duplicates(spark, vecs):
 
     with pytest.raises(ValueError, match="unknown mode"):
         semantic_dedup(vecs, "embedding", "vec_id", mode="nope")
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from pyspark_data_quality_spark.operators.text import tfidf_top_terms
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = tfidf_top_terms(corpus, "text", "doc_id", k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["tfidf"]) for r in rows}
+
+    def idf(df_t, n=3):
+        return math.log((1 + n) / (1 + df_t)) + 1.0
+
+    # doc 1: apple tf=2 df=1 -> 2*idf(1); banana tf=1 df=2 -> idf(2)
+    assert got[(1, 1)][0] == "apple"
+    assert got[(1, 1)][2] == pytest.approx(round(2 * idf(1), 6))
+    assert got[(1, 2)][0] == "banana"
+    # doc 3: cherry tf=3 dominates; durian (df=1) beats nothing else
+    assert got[(3, 1)][0] == "cherry"
+    assert got[(3, 1)][2] == pytest.approx(round(3 * idf(2), 6))
+    assert got[(3, 2)][0] == "durian"
+    # every doc contributes at most k rows
+    assert len(rows) == 6
