@@ -200,6 +200,48 @@ def _profile_columns_pairs(
     )
 
     # --- branch B: exploded pairs -> per-column value histogram --------
+    pairs_stats = value_histogram_stats(
+        df, cols, quantiles=quantiles, round_to=round_to
+    )
+
+    return moments.unionByName(pairs_stats).orderBy("column", "stat")
+
+
+def value_histogram_stats(
+    df: DataFrame,
+    columns: list[str],
+    *,
+    quantiles: tuple[float, ...] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact distinct counts AND exact type-7 interpolated quantiles for
+    ``columns`` from ONE exploded-pairs shuffle — no Catalyst Expand, no
+    per-partition full-value percentile buffers.
+
+    ``explode`` to ``(column, string repr, double repr)`` pairs ->
+    ``groupBy(column, value)`` histogram (map-side combine compresses
+    duplicates before the shuffle) -> per-column cumulative counts give
+    both the distinct count (rows per column) and the quantiles (the
+    value at 0-based sorted rank ``r`` is the first histogram value
+    whose cumulative count exceeds ``r``). The per-column window funnels
+    one column's HISTOGRAM (not its rows) through a task — bounded by
+    distinct values, the same documented shape as the KS ECDF prefix-sum
+    (operators/drift.py). Quantile rows are emitted for numeric columns
+    only; all-null columns and empty inputs still report
+    ``distinct_count=0`` with null quantiles (spine join).
+
+    Output: long format ``(column, stat, value)`` with stat in
+    ``distinct_count`` + ``q{q}``. Shared by ``profile_columns(
+    strategy='pairs')`` and ``repair.winsorize(exact=True)``.
+    """
+    types = dict(df.dtypes)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for c in columns:
+        if c not in types:
+            raise ValueError(f"value_histogram_stats: no such column {c!r}")
+    numeric = [c for c in columns if isinstance(fields[c], NumericType)]
+    cols = columns
+
     pair = F.explode(
         F.array(
             *[
@@ -253,12 +295,15 @@ def _profile_columns_pairs(
     )
     per_col = spine.join(h.groupBy("column").agg(*q_aggs), "column", "left")
 
+    def rnd(expr):
+        # round_to=None: full precision (callers like winsorize re-round
+        # downstream; double rounding would drift off the oracle)
+        return expr if round_to is None else F.round(expr, round_to)
+
     stat_structs = [
         F.struct(
             F.lit("distinct_count").alias("stat"),
-            F.round(F.coalesce(F.col("distinct_count"), F.lit(0.0)), round_to).alias(
-                "value"
-            ),
+            rnd(F.coalesce(F.col("distinct_count"), F.lit(0.0))).alias("value"),
         )
     ]
     for i, q in enumerate(quantiles):
@@ -268,10 +313,10 @@ def _profile_columns_pairs(
         stat_structs.append(
             F.struct(
                 F.lit(f"q{q}").alias("stat"),
-                F.round(v, round_to).alias("value"),
+                rnd(v).alias("value"),
             )
         )
-    pairs_stats = (
+    return (
         per_col.select(
             "column", F.explode(F.array(*stat_structs)).alias("e")
         )
@@ -282,8 +327,6 @@ def _profile_columns_pairs(
             | (F.col("column").isin(numeric) if numeric else F.lit(False))
         )
     )
-
-    return moments.unionByName(pairs_stats).orderBy("column", "stat")
 
 
 def histogram(

@@ -176,13 +176,15 @@ def winsorize(
     the standard heavy-tail repair before a numeric column feeds a model
     or a drift statistic.
 
-    Bounds come from ONE aggregation over all columns, broadcast back via
-    a 1x1 crossJoin (an unpartitioned window would funnel the table
-    through one task). ``exact=False`` (default, the 100 TB path) uses
-    mergeable ``percentile_approx`` sketches; ``exact=True`` uses
-    interpolated ``percentile`` (matches DuckDB ``quantile_cont``) — full
-    per-partition value buffering, for oracle-grade runs at bounded
-    scale.
+    Bounds come from ONE pass over all columns, broadcast back via a 1x1
+    crossJoin (an unpartitioned window would funnel the table through
+    one task). ``exact=False`` (default) uses mergeable
+    ``percentile_approx`` sketches. ``exact=True`` computes exact
+    interpolated quantiles (matches DuckDB ``quantile_cont``) from the
+    per-column value histogram (:func:`..operators.profile.
+    value_histogram_stats`) — memory bounded by DISTINCT values per
+    column, never the ``percentile`` aggregate's full per-partition
+    value buffers, so even the exact path survives high row counts.
 
     ``suffix`` writes clamped values to ``f"{c}{suffix}"`` instead of
     overwriting; ``flag_col`` counts how many of the row's values were
@@ -196,17 +198,39 @@ def winsorize(
     if missing:
         raise ValueError(f"winsorize: no such columns {missing}")
 
-    pct = F.percentile if exact else F.percentile_approx
-    bounds = df.agg(
-        *[
-            e
-            for c in columns
-            for e in (
-                pct(F.col(c), F.lit(float(lower))).alias(f"_lo_{c}"),
-                pct(F.col(c), F.lit(float(upper))).alias(f"_hi_{c}"),
-            )
-        ]
-    )
+    if exact:
+        from .profile import value_histogram_stats
+
+        stats = value_histogram_stats(
+            df, columns, quantiles=(float(lower), float(upper)), round_to=None
+        )
+        bounds = stats.groupBy().agg(
+            *[
+                F.min(
+                    F.when(
+                        (F.col("column") == c) & (F.col("stat") == f"q{float(b)}"),
+                        F.col("value"),
+                    )
+                ).alias(f"_{tag}_{c}")
+                for c in columns
+                for tag, b in (("lo", float(lower)), ("hi", float(upper)))
+            ]
+        )
+    else:
+        bounds = df.agg(
+            *[
+                e
+                for c in columns
+                for e in (
+                    F.percentile_approx(
+                        F.col(c), F.lit(float(lower))
+                    ).alias(f"_lo_{c}"),
+                    F.percentile_approx(
+                        F.col(c), F.lit(float(upper))
+                    ).alias(f"_hi_{c}"),
+                )
+            ]
+        )
     out = df.crossJoin(F.broadcast(bounds))
 
     def clamp(c: str):
