@@ -2683,6 +2683,118 @@ def dq_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_rolling_stats",
+    """
+    SELECT user_id, CAST(ts AS DATE) AS event_date,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, value,
+           CAST(count(value) OVER w AS BIGINT) AS n_window,
+           CAST(round(avg(value) OVER w, 6) AS DOUBLE) AS mean_window,
+           CAST(round(stddev_samp(value) OVER w, 6) AS DOUBLE)
+             AS stddev_window
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (
+      -- floor to whole seconds: Spark's cast(ts as long) truncates, and
+      -- the RANGE frame must agree on the ordering value exactly
+      PARTITION BY user_id ORDER BY floor(epoch(ts))
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def dq_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling count/mean/stddev of event values per
+    user (keyed RANGE window over epoch seconds,
+    operators/rollup.py rolling_stats). user_id < 50 bounds the output
+    row count, not the plan shape."""
+    from .operators.rollup import rolling_stats
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 50)
+    out = rolling_stats(
+        ev, "ts", "value", group_cols=["user_id"], window="1 hour"
+    )
+    return out.select(
+        "user_id",
+        F.col("ts").cast("date").alias("event_date"),
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "value",
+        "n_window",
+        "mean_window",
+        "stddev_window",
+    )
+
+
+@query(
+    "dq_split_leakage",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_SQL_NORM} AS nt,
+             CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'holdout' END AS part
+      FROM documents
+    ), tr AS (SELECT nt FROM norm WHERE part = 'train'),
+    ho AS (SELECT doc_id, nt FROM norm WHERE part = 'holdout'),
+    g AS (
+      SELECT doc_id, part,
+             list_distinct([substr(nt, i, 8) FOR i IN range(1, len(nt) - 6)])
+               AS grams
+      FROM norm WHERE len(nt) >= 8
+    ), near AS (
+      SELECT DISTINCT hg.doc_id
+      FROM (SELECT doc_id, grams, len(grams) AS pn FROM g
+            WHERE part = 'holdout') hg,
+           (SELECT grams FROM g WHERE part = 'train') tg
+      WHERE round(len(list_intersect(tg.grams, hg.grams)) * 1.0 / hg.pn, 6)
+            >= 0.5
+    )
+    SELECT CAST((SELECT count(*) FROM ho) AS BIGINT) AS n_holdout,
+           CAST((SELECT count(*) FROM ho WHERE nt IN (SELECT nt FROM tr))
+                AS BIGINT) AS n_exact_leaked,
+           CAST((SELECT count(*) FROM near) AS BIGINT) AS n_near_leaked,
+           CAST(round((SELECT count(*) FROM ho WHERE nt IN (SELECT nt FROM tr))
+                * 1.0 / (SELECT count(*) FROM ho), 6) AS DOUBLE)
+             AS exact_leak_rate,
+           CAST(round((SELECT count(*) FROM near)
+                * 1.0 / (SELECT count(*) FROM ho), 6) AS DOUBLE)
+             AS near_leak_rate
+    """,
+)
+def dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout leakage audit over a deterministic 80/20 split of
+    documents: exact fingerprint leaks (hash semi join) + near-verbatim
+    leaks (char-8-gram containment >= 0.5 via the inverted-index
+    contamination join) as ONE summary row (operators/text.py
+    split_leakage)."""
+    from .operators.text import split_leakage
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    holdout = docs.filter(F.col("doc_id") % 10 >= 8)
+    return split_leakage(train, holdout, "text", "doc_id",
+                         n=8, threshold=0.5)
+
+
+@query(
+    "dq_dup_clusters",
+    f"""
+    WITH sizes AS (
+      SELECT count(*) AS cluster_size
+      FROM documents GROUP BY {_SQL_NORM}
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1 ORDER BY 1
+    """,
+)
+def dq_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster size distribution over documents — the
+    dedup planning view (operators/dedup.py dup_cluster_profile)."""
+    from .operators.dedup import dup_cluster_profile
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dup_cluster_profile(docs, "text")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -2711,6 +2823,9 @@ _CERT_PRIORITY = [
     "dq_fuzzy_pairs",
     "dq_semantic_dedup",
     "dq_tfidf",
+    "dq_rolling_stats",
+    "dq_split_leakage",
+    "dq_dup_clusters",
     # never certified (registered after slot 50 in rounds 2-3)
     "dq_table_diff",
     "dq_diff_columns",
@@ -2731,6 +2846,9 @@ _CERT_PRIORITY = [
 
 _CERT_ROTATED = [
     # double-green in r02+r03 on code paths not touched this round
+    "dq_text_profile",
+    "dq_validity_report",
+    "dq_embedding_pairs_exact",
     "dq_quality_cube",
     "dq_winnow_fingerprints",
     "dq_event_quality_windows",

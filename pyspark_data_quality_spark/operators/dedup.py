@@ -190,6 +190,31 @@ def dedup_against(
     )
 
 
+def dup_cluster_profile(df: DataFrame, text_col: str) -> DataFrame:
+    """Size distribution of exact-duplicate clusters — the planning view
+    before a dedup run: how much of the corpus is duplicated, and whether
+    duplication is a long tail of pairs or a few massive clusters (which
+    decide the ``max_bucket_size`` / salting strategy downstream).
+
+    Two cheap aggregations over fingerprints (the second over |distinct
+    texts| rows): ``(cluster_size, n_clusters, n_docs)``, one row per
+    distinct cluster size including the singletons row (cluster_size=1).
+    """
+    sizes = (
+        df.select(doc_fingerprint(text_col).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def exact_dup_groups(
     df: DataFrame, text_col: str, id_col: str, *, max_ids: int = 1000
 ) -> DataFrame:
@@ -819,15 +844,26 @@ def semantic_dedup(
 
     if mode not in ("pairs", "survivors"):
         raise ValueError(f"semantic_dedup: unknown mode {mode!r}")
-    centroids = train_ivf_centroids(
-        df,
-        id_col=id_col,
-        vec_col=vec_col,
-        num_centroids=num_clusters,
-        sample_size=sample_size,
-        iters=iters,
-        seed=seed,
-    )
+    try:
+        centroids = train_ivf_centroids(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            num_centroids=num_clusters,
+            sample_size=sample_size,
+            iters=iters,
+            seed=seed,
+        )
+    except ValueError:
+        # empty / all-null corpus: nothing to cluster, nothing deduped
+        if mode == "survivors":
+            return df
+        base = df.select(F.col(id_col).alias("_id"))
+        return base.limit(0).select(
+            F.col("_id").alias("id_a"),
+            F.col("_id").alias("id_b"),
+            F.lit(0.0).alias("cosine"),
+        )
     assign1 = _nearest_centroids_np(centroids, 1)
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     clustered = base.filter(

@@ -65,3 +65,65 @@ def time_rollup(
         if c not in (*trunc_names, *gcols, "level", "window_start")
     ]
     return agged.select("level", "window_start", *gcols, *out_aggs)
+
+
+def rolling_stats(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    window: str = "1 hour",
+    round_to: int = 6,
+) -> DataFrame:
+    """Time-based trailing-window statistics per row: count / mean /
+    stddev of ``value_col`` over the last ``window`` of event time within
+    each group — the moving-baseline every streaming-metric alert
+    compares against, computed batch-side with a RANGE frame.
+
+    The window partitions by ``group_cols`` (keyed — state per task is
+    one group's rows inside one frame, never the table; an unpartitioned
+    rolling window would funnel everything through one task, so
+    ``group_cols=None`` is rejected rather than silently funneling).
+    The RANGE frame orders by epoch seconds, so rows with equal
+    timestamps share a frame (deterministic, engine-stable — matches SQL
+    ``RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW``).
+
+    Output: input columns + ``n_window`` / ``mean_window`` /
+    ``stddev_window``.
+    """
+    from pyspark.sql.window import Window
+
+    if not group_cols:
+        raise ValueError(
+            "rolling_stats: group_cols is required — an unpartitioned "
+            "rolling window funnels the whole table through one task"
+        )
+    parts = window.split()
+    if len(parts) != 2 or not parts[0].isdigit():
+        raise ValueError(
+            f"rolling_stats: window must look like '15 minutes', got {window!r}"
+        )
+    unit_seconds = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }
+    if parts[1] not in unit_seconds:
+        raise ValueError(f"rolling_stats: unsupported unit {parts[1]!r}")
+    span = int(parts[0]) * unit_seconds[parts[1]]
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(ts_col).cast("timestamp").cast("long"))
+        .rangeBetween(-span, 0)
+    )
+    return (
+        df.withColumn("n_window", F.count(value_col).over(w))
+        .withColumn("mean_window", F.round(F.avg(value_col).over(w), round_to))
+        .withColumn(
+            "stddev_window",
+            F.round(F.stddev_samp(value_col).over(w), round_to),
+        )
+    )

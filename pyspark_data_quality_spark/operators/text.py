@@ -381,6 +381,74 @@ def vocab_top_k(
     return head.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
+def split_leakage(
+    train: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 8,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Train/holdout leakage audit — THE pre-training split check: how
+    much of the eval set is already in the training set, exactly or
+    near-verbatim.
+
+    - ``exact``: holdout docs whose normalized-text fingerprint exists in
+      train (hash semi join, :func:`..operators.dedup.dedup_against`);
+    - ``near``: holdout docs whose char ``n``-gram containment inside
+      some train doc reaches ``threshold``
+      (:func:`contamination_pairs` with holdout as probes — inverted
+      index, cost scales with gram matches).
+
+    Output: ONE row — (n_holdout, n_exact_leaked, n_near_leaked,
+    exact_leak_rate, near_leak_rate). ``near`` counts exact leaks too
+    (an identical doc has containment 1.0): report both, gate on either.
+    """
+    from .dedup import dedup_against
+
+    exact_ids = dedup_against(
+        holdout, train, text_col, mode="dups"
+    ).select(F.col(id_col).alias("_id"))
+    near_ids = (
+        contamination_pairs(
+            train, holdout, text_col, id_col, n=n, threshold=threshold
+        )
+        .select(F.col("probe_id").alias("_id"))
+        .distinct()
+    )
+    counts = (
+        holdout.select(F.col(id_col).alias("_id"))
+        .join(exact_ids.withColumn("_e", F.lit(1)), "_id", "left")
+        .join(near_ids.withColumn("_n", F.lit(1)), "_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_holdout"),
+            F.sum(F.coalesce(F.col("_e"), F.lit(0))).alias("n_exact_leaked"),
+            F.sum(F.coalesce(F.col("_n"), F.lit(0))).alias("n_near_leaked"),
+        )
+    )
+    return counts.select(
+        F.col("n_holdout").cast("bigint").alias("n_holdout"),
+        F.col("n_exact_leaked").cast("bigint").alias("n_exact_leaked"),
+        F.col("n_near_leaked").cast("bigint").alias("n_near_leaked"),
+        F.round(
+            F.coalesce(
+                F.try_divide(F.col("n_exact_leaked"), F.col("n_holdout")),
+                F.lit(0.0),
+            ),
+            round_to,
+        ).alias("exact_leak_rate"),
+        F.round(
+            F.coalesce(
+                F.try_divide(F.col("n_near_leaked"), F.col("n_holdout")),
+                F.lit(0.0),
+            ),
+            round_to,
+        ).alias("near_leak_rate"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

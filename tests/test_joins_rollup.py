@@ -148,3 +148,36 @@ def test_join_diagnosis_disjoint_and_empty(spark):
     empty = left.limit(0)
     got = {r["metric"]: r["value"] for r in join_diagnosis(empty, right, "k").collect()}
     assert got["left_rows"] == 0.0 and got["right_distinct_keys"] == 1.0
+
+
+def test_rolling_stats_hand_computed(spark):
+    from pyspark_data_quality_spark.operators.rollup import rolling_stats
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 10.0),
+        ("a", "2024-01-01 00:30:00", 20.0),
+        ("a", "2024-01-01 01:00:00", 30.0),  # frame: all three (1h incl.)
+        ("a", "2024-01-01 02:30:00", 40.0),  # frame: itself only
+        ("b", "2024-01-01 00:45:00", 5.0),   # other key: independent
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (r["k"], str(r["ts"])): (r["n_window"], r["mean_window"])
+        for r in rolling_stats(
+            df, "ts", "value", group_cols=["k"], window="1 hour"
+        ).collect()
+    }
+    assert out[("a", "2024-01-01 00:00:00")] == (1, 10.0)
+    assert out[("a", "2024-01-01 00:30:00")] == (2, 15.0)
+    assert out[("a", "2024-01-01 01:00:00")] == (3, 20.0)
+    assert out[("a", "2024-01-01 02:30:00")] == (1, 40.0)
+    assert out[("b", "2024-01-01 00:45:00")] == (1, 5.0)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="group_cols"):
+        rolling_stats(df, "ts", "value", group_cols=None)
+    with pytest.raises(ValueError, match="unsupported unit"):
+        rolling_stats(df, "ts", "value", group_cols=["k"], window="1 fortnight")

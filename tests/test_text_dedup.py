@@ -734,3 +734,52 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert got[(3, 2)][0] == "durian"
     # every doc contributes at most k rows
     assert len(rows) == 6
+
+
+def test_split_leakage_counts(spark):
+    from pyspark_data_quality_spark.operators.text import split_leakage
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated training document about engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    holdout = spark.createDataFrame(
+        [
+            (10, "The quick  brown fox jumps over the lazy dog today"),  # exact (norm)
+            (11, "the quick brown fox jumps over the lazy cat today"),   # near
+            (12, "entirely novel holdout content nothing shared here"),
+        ],
+        ["doc_id", "text"],
+    )
+    r = split_leakage(train, holdout, "text", "doc_id", n=8, threshold=0.5).first()
+    assert r["n_holdout"] == 3
+    assert r["n_exact_leaked"] == 1
+    assert r["n_near_leaked"] == 2  # exact doc also has containment 1.0
+    assert r["exact_leak_rate"] == pytest.approx(round(1 / 3, 6))
+    assert r["near_leak_rate"] == pytest.approx(round(2 / 3, 6))
+
+
+def test_dup_cluster_profile(spark):
+    from pyspark_data_quality_spark.operators.dedup import dup_cluster_profile
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "AA"), (3, "aa "), (4, "bb"), (5, "cc"), (6, "bb")],
+        ["doc_id", "text"],
+    )
+    rows = {r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+            for r in dup_cluster_profile(df, "text").collect()}
+    # "aa" x3 (normalization), "bb" x2, "cc" x1
+    assert rows == {1: (1, 1), 2: (1, 2), 3: (1, 3)}
+
+
+def test_semantic_dedup_empty_input(spark):
+    from pyspark_data_quality_spark.operators.dedup import semantic_dedup
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert semantic_dedup(empty, "embedding", "vec_id").count() == 0
+    assert semantic_dedup(
+        empty, "embedding", "vec_id", mode="survivors"
+    ).count() == 0
