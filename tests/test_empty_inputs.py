@@ -125,3 +125,39 @@ def test_joins_splits_repair_empty(spark):
     assert impute(left, ["x"], group_by=["k"]).count() == 0
     assert impute(left, ["x"], strategy="median").count() == 0
     assert impute(left, ["x"], strategy="mode", group_by=["k"]).count() == 0
+
+
+def test_round4_operators_empty(spark, empty_docs):
+    from pyspark_data_quality_spark.operators.dedup import (
+        dedup_against,
+        dup_cluster_profile,
+    )
+    from pyspark_data_quality_spark.operators.fuzzy import fuzzy_match_pairs
+    from pyspark_data_quality_spark.operators.join_audit import join_diagnosis
+    from pyspark_data_quality_spark.operators.repair import winsorize
+    from pyspark_data_quality_spark.operators.rollup import rolling_stats
+    from pyspark_data_quality_spark.operators.text import (
+        split_leakage,
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame([(1, "some text")], ["doc_id", "text"])
+    # empty batch vs non-empty reference and vice versa
+    assert dedup_against(empty_docs, docs, "text").count() == 0
+    assert dedup_against(docs, empty_docs, "text").count() == 1
+    assert dup_cluster_profile(empty_docs, "text").count() == 0
+    assert fuzzy_match_pairs(empty_docs, "text", "doc_id").count() == 0
+    # join diagnosis on two empty sides: full metric grid, all zeros
+    e = spark.createDataFrame([], "k int")
+    got = {r["metric"]: r["value"] for r in join_diagnosis(e, e, "k").collect()}
+    assert len(got) == 13 and got["inner_join_rows"] == 0.0
+    # winsorize empty: null bounds leave the (zero) rows untouched
+    nums = spark.createDataFrame([], "x double")
+    assert winsorize(nums, ["x"], exact=True).count() == 0
+    assert winsorize(nums, ["x"]).count() == 0
+    ev = spark.createDataFrame([], "k string, ts timestamp, value double")
+    assert rolling_stats(ev, "ts", "value", group_cols=["k"]).count() == 0
+    # leakage with an empty holdout: one row of zeros, no div-by-zero
+    r = split_leakage(docs, empty_docs, "text", "doc_id").first()
+    assert r["n_holdout"] == 0 and r["exact_leak_rate"] == 0.0
+    assert tfidf_top_terms(empty_docs, "text", "doc_id").count() == 0
