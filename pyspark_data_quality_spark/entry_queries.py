@@ -2795,6 +2795,20 @@ def dq_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_cluster_profile(docs, "text")
 
 
+@query("dq_sketch_rollup")  # rows-only: HLL/KLL estimates are engine-specific
+def dq_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch profile of l_extendedprice per l_returnflag plus
+    the merged __total__ row — per-group HLL distinct + KLL quantile
+    sketches, grand total from UNIONING the sketches rather than
+    rescanning (operators/profile.py sketch_rollup). Rows-only: sketch
+    estimates are engine-specific; the tolerance-vs-exact assertion
+    lives in the unit test."""
+    from .operators.profile import sketch_rollup
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return sketch_rollup(li, "l_extendedprice", group_by=["l_returnflag"])
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -2826,6 +2840,7 @@ _CERT_PRIORITY = [
     "dq_rolling_stats",
     "dq_split_leakage",
     "dq_dup_clusters",
+    "dq_sketch_rollup",
     # never certified (registered after slot 50 in rounds 2-3)
     "dq_table_diff",
     "dq_diff_columns",
@@ -2846,6 +2861,7 @@ _CERT_PRIORITY = [
 
 _CERT_ROTATED = [
     # double-green in r02+r03 on code paths not touched this round
+    "dq_asof_orders",
     "dq_text_profile",
     "dq_validity_report",
     "dq_embedding_pairs_exact",

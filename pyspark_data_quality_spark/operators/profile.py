@@ -571,3 +571,80 @@ def benford_profile(
         F.round(p_exp, round_to).alias("p_exp"),
         F.round(p_obs - p_exp, round_to).alias("deviation"),
     ).orderBy("digit")
+
+
+def sketch_rollup(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_by: list[str],
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    round_to: int = 6,
+) -> DataFrame:
+    """Mergeable-sketch profile per group PLUS the merged grand total —
+    the incremental shape for 100 TB statistics: per-partition (per-day,
+    per-source) HLL and KLL sketches are small, exact-to-merge objects,
+    so the total row comes from UNIONING the group sketches, never from
+    rescanning the data. Persist the per-group sketch frame between runs
+    and the next increment only scans the new partition.
+
+    Per group: row count, HLL distinct estimate (~1-2% error), KLL
+    quantile estimates. The ``__total__`` row merges the group sketches:
+    ``hll_union_agg`` for cardinality, a fold of
+    ``kll_sketch_merge_double`` for quantiles (each group sketch merged
+    exactly once — the fold seeds with the first sketch and merges the
+    rest, because seeding with ``any_value`` and merging the full list
+    would double-insert one group). The fold runs in the final 1-row
+    aggregate over |groups| sketches — fine for grouping columns with
+    bounded cardinality, which is what a rollup is for.
+
+    Output: (group key cols as strings, n, distinct_est, q{q}...);
+    group cols are NULL on the total row.
+    """
+    if not group_by:
+        raise ValueError("sketch_rollup: group_by is required")
+    v = F.col(value_col)
+    per = df.groupBy(*group_by).agg(
+        F.count(v).alias("n"),
+        F.hll_sketch_agg(v.cast("string")).alias("_hs"),
+        F.kll_sketch_agg_double(v.cast("double")).alias("_ks"),
+    )
+    q_cols = [
+        F.round(
+            F.kll_sketch_get_quantile_double("_ks", F.lit(float(q))), round_to
+        ).alias(f"q{q}")
+        for q in quantiles
+    ]
+    groups = per.select(
+        *[F.col(c).cast("string").alias(c) for c in group_by],
+        F.col("n"),
+        F.hll_sketch_estimate("_hs").alias("distinct_est"),
+        *q_cols,
+    )
+    merged_ks = F.reduce(
+        F.slice(F.collect_list("_ks"), 2, F.greatest(
+            F.size(F.collect_list("_ks")) - 1, F.lit(0))),
+        F.element_at(F.collect_list("_ks"), 1),
+        lambda acc, s: F.kll_sketch_merge_double(acc, s),
+    )
+    total = per.agg(
+        F.sum("n").alias("n"),
+        F.hll_sketch_estimate(F.hll_union_agg("_hs")).alias("distinct_est"),
+        *[
+            F.round(
+                F.kll_sketch_get_quantile_double(merged_ks, F.lit(float(q))),
+                round_to,
+            ).alias(f"q{q}")
+            for q in quantiles
+        ],
+    ).select(
+        *[F.lit(None).cast("string").alias(c) for c in group_by],
+        "n",
+        "distinct_est",
+        # quantile column names contain dots — backtick so they resolve
+        # as whole names, not nested fields
+        *[F.col(f"`q{q}`") for q in quantiles],
+    )
+    return groups.unionByName(total).orderBy(
+        *[F.col(c).asc_nulls_last() for c in group_by]
+    )

@@ -419,3 +419,30 @@ def test_winsorize_overwrite_nulls_and_validation(spark):
         winsorize(df, ["x"], lower=0.9, upper=0.1)
     with pytest.raises(ValueError, match="no such columns"):
         winsorize(df, ["zz"])
+
+
+def test_sketch_rollup_tolerance_and_merge(spark):
+    """HLL/KLL sketch estimates must land within tolerance of exact, and
+    the __total__ row (merged group sketches, never a rescan) must agree
+    with a direct whole-table computation."""
+    from pyspark_data_quality_spark.operators.profile import sketch_rollup
+
+    df = spark.range(30000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 1000).cast("double").alias("x"),
+    )
+    rows = sketch_rollup(df, "x", group_by=["g"], quantiles=(0.5,)).collect()
+    by_g = {r["g"]: r for r in rows}
+    assert set(by_g) == {"0", "1", "2", None}
+    for g in ("0", "1", "2"):
+        assert by_g[g]["n"] == 10000
+        # gcd(3,1000)=1: every residue class mod 3 covers all 1000 values
+        assert by_g[g]["distinct_est"] == pytest.approx(1000, rel=0.05)
+        assert by_g[g]["q0.5"] == pytest.approx(500, rel=0.05)
+    total = by_g[None]
+    assert total["n"] == 30000
+    assert total["distinct_est"] == pytest.approx(1000, rel=0.05)
+    assert total["q0.5"] == pytest.approx(500, rel=0.05)
+
+    with pytest.raises(ValueError, match="group_by"):
+        sketch_rollup(df, "x", group_by=[])
