@@ -2809,6 +2809,61 @@ def dq_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_rollup(li, "l_extendedprice", group_by=["l_returnflag"])
 
 
+@query(
+    "dq_cusum",
+    """
+    WITH base AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, value,
+             CASE WHEN value IS NOT NULL THEN value - 50.0 - 5.0
+                  ELSE 0.0 END AS du,
+             CASE WHEN value IS NOT NULL THEN 50.0 - 5.0 - value
+                  ELSE 0.0 END AS dn
+      FROM events WHERE user_id < 20
+    ), c AS (
+      SELECT user_id, ts_epoch, value,
+             sum(du) OVER w AS cu, sum(dn) OVER w AS cn
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT user_id, ts_epoch, value,
+             cu - least(0.0, min(cu) OVER w) AS sp,
+             cn - least(0.0, min(cn) OVER w) AS sn
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts_epoch, value,
+           CAST(round(sp, 6) AS DOUBLE) AS s_pos,
+           CAST(round(sn, 6) AS DOUBLE) AS s_neg,
+           (value IS NOT NULL AND (sp > 200.0 OR sn > 200.0)) AS is_alarm
+    FROM s
+    """,
+)
+def dq_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM mean-shift sums over event values (target 50,
+    slack 5, threshold 200) — the batch face of the streaming detector,
+    pure keyed cumsum + running-min windows, certified exactly
+    (streaming/anomaly.py streaming_cusum; stream/batch parity is the
+    unit test). (user_id, epoch second) is unique in the fixture, so the
+    window order is deterministic in both engines."""
+    from .streaming.anomaly import streaming_cusum
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            F.col("ts").cast("long").alias("ts_epoch"),
+            "value",
+        )
+    )
+    return streaming_cusum(
+        ev, ["user_id"], "value", "ts_epoch",
+        target=50.0, slack=5.0, threshold=200.0,
+    ).select("user_id", "ts_epoch", "value", "s_pos", "s_neg", "is_alarm")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -2841,6 +2896,7 @@ _CERT_PRIORITY = [
     "dq_split_leakage",
     "dq_dup_clusters",
     "dq_sketch_rollup",
+    "dq_cusum",
     # never certified (registered after slot 50 in rounds 2-3)
     "dq_table_diff",
     "dq_diff_columns",
@@ -2861,6 +2917,7 @@ _CERT_PRIORITY = [
 
 _CERT_ROTATED = [
     # double-green in r02+r03 on code paths not touched this round
+    "dq_time_rollup",
     "dq_asof_orders",
     "dq_text_profile",
     "dq_validity_report",

@@ -1,7 +1,7 @@
 """Streaming DQ checks (Structured Streaming) — see :mod:`.windows`
 and :mod:`.anomaly`."""
 
-from .anomaly import streaming_zscore
+from .anomaly import streaming_cusum, streaming_zscore
 from .windows import (
     dedup_within_watermark,
     running_totals,
@@ -14,6 +14,7 @@ __all__ = [
     "dedup_within_watermark",
     "running_totals",
     "session_counts",
+    "streaming_cusum",
     "streaming_zscore",
     "windowed_counts",
     "windowed_pass_ratios",

@@ -114,3 +114,106 @@ def streaming_zscore(
     return src.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_cusum(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ts_col: str,
+    *,
+    target: float,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    watermark: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key CUSUM mean-shift detector (Page 1954): cumulative upper/
+    lower sums of deviations from ``target`` with ``slack`` allowance;
+    ``s_pos > threshold`` flags an upward shift, ``s_neg`` a downward
+    one. CUSUM accumulates many SMALL deviations, catching drifts a
+    per-point z-score never fires on.
+
+    Both faces use the same identity — the ``max(0, prev + d)``
+    recurrence equals ``C_t - min(0, running_min(C_t))`` over the
+    deviation cumsum ``C`` — so the batch face is PURE keyed window
+    expressions (cumsum + running min: no UDF, SQL-expressible, which is
+    what lets the oracle certify it exactly), and the streaming face is
+    two ``np.minimum.accumulate`` passes per Arrow batch seeded from 16
+    bytes of state per key (the pair of current sums). This is the
+    continuous (non-resetting) CUSUM: sums stay elevated after an alarm
+    rather than re-arming, because a reset breaks the closed form —
+    downstream dedup of contiguous alarm runs is a filter, not state.
+
+    Null values pass through unflagged and leave both sums unchanged.
+
+    Output: keys + ts + value + ``s_pos`` + ``s_neg`` + ``is_alarm``.
+    """
+    x = F.col(value_col)
+    d_up = F.when(x.isNotNull(), x - F.lit(target) - F.lit(slack)).otherwise(
+        F.lit(0.0)
+    )
+    d_dn = F.when(x.isNotNull(), F.lit(target) - F.lit(slack) - x).otherwise(
+        F.lit(0.0)
+    )
+    if not df.isStreaming:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        c_up = F.sum(d_up).over(w)
+        c_dn = F.sum(d_dn).over(w)
+        s_pos = c_up - F.least(F.lit(0.0), F.min(c_up).over(w))
+        s_neg = c_dn - F.least(F.lit(0.0), F.min(c_dn).over(w))
+        return df.select(
+            *keys,
+            ts_col,
+            value_col,
+            F.round(s_pos, round_to).alias("s_pos"),
+            F.round(s_neg, round_to).alias("s_neg"),
+            (
+                x.isNotNull()
+                & (
+                    (s_pos > F.lit(threshold))
+                    | (s_neg > F.lit(threshold))
+                )
+            ).alias("is_alarm"),
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (
+        ", ".join(f"{c} {fields[c]}" for c in [*keys, ts_col, value_col])
+        + ", s_pos double, s_neg double, is_alarm boolean"
+    )
+    state_schema = "sp double, sn double"
+
+    def fn(key, pdfs, state):
+        sp0, sn0 = state.get if state.exists else (0.0, 0.0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        pdf = batch.sort_values(ts_col, kind="stable")
+        v = pdf[value_col].to_numpy(dtype=float, na_value=math.nan)
+        valid = ~np.isnan(v)
+        du = np.where(valid, v - target - slack, 0.0)
+        dn = np.where(valid, target - slack - v, 0.0)
+        # seeded cumsum + running min: S_t = C_t - min(0, min_{j<=t} C_j)
+        cu = sp0 + np.cumsum(du)
+        cn = sn0 + np.cumsum(dn)
+        sp = cu - np.minimum(np.minimum.accumulate(cu), 0.0)
+        sn = cn - np.minimum(np.minimum.accumulate(cn), 0.0)
+        out = pdf[[*keys, ts_col, value_col]].copy()
+        out["s_pos"] = np.round(sp, round_to)
+        out["s_neg"] = np.round(sn, round_to)
+        out["is_alarm"] = valid & ((sp > threshold) | (sn > threshold))
+        state.update((float(sp[-1]) if len(sp) else sp0,
+                      float(sn[-1]) if len(sn) else sn0))
+        yield out
+
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    return src.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

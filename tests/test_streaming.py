@@ -336,3 +336,64 @@ def test_windowed_psi_stream_matches_batch(spark, sf_dir, events_dir):
         for r in _run_stream(spark, sdf).collect()
     }
     assert got == expected
+
+
+def test_cusum_batch_hand_computed(spark):
+    from pyspark_data_quality_spark.streaming import streaming_cusum
+
+    # target 10, slack 1: values drift up by 3 each step from t=3
+    rows = [("a", f"2024-01-01 00:0{i}:00", v) for i, v in enumerate(
+        [10.0, 9.0, 10.0, 13.0, 13.0, 13.0]
+    )] + [("a", "2024-01-01 00:06:00", None)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = streaming_cusum(
+        df, ["k"], "v", "ts", target=10.0, slack=1.0, threshold=4.0
+    ).collect()
+    by_ts = {str(r["ts"])[14:16]: r for r in out}
+    # d_up = v - 11: -1, -2, -1, 2, 2, 2 -> s_pos: 0,0,0,2,4,6
+    assert [by_ts[m]["s_pos"] for m in ("00", "01", "02", "03", "04", "05")] \
+        == [0.0, 0.0, 0.0, 2.0, 4.0, 6.0]
+    assert [by_ts[m]["is_alarm"] for m in ("03", "04", "05")] == [
+        False, False, True
+    ]
+    # null row: sums unchanged, never alarms
+    assert by_ts["06"]["s_pos"] == 6.0 and by_ts["06"]["is_alarm"] is False
+
+
+def test_cusum_stream_batch_parity(spark, tmp_path):
+    from pyspark_data_quality_spark.streaming import streaming_cusum
+
+    rows = []
+    for i in range(30):
+        rows.append(("a", f"2024-01-01 00:{i:02d}:00",
+                     10.0 + (3.0 if i >= 20 else 0.0)))
+        rows.append(("b", f"2024-01-01 00:{i:02d}:00", 5.0))
+    src = spark.createDataFrame(rows, ["k", "ts", "v"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    path = str(tmp_path / "cusum_src")
+    src.write.parquet(path)
+
+    kw = dict(target=10.0, slack=0.5, threshold=5.0)
+    batch = {
+        (r["k"], str(r["ts"])): (r["s_pos"], r["s_neg"], r["is_alarm"])
+        for r in streaming_cusum(
+            spark.read.parquet(path), ["k"], "v", "ts", **kw
+        ).collect()
+    }
+    stream_df = streaming_cusum(
+        spark.readStream.schema(src.schema).parquet(path),
+        ["k"], "v", "ts", **kw,
+    )
+    assert stream_df.isStreaming
+    out = _run_stream(spark, stream_df, output_mode="update")
+    got = {
+        (r["k"], str(r["ts"])): (r["s_pos"], r["s_neg"], r["is_alarm"])
+        for r in out.collect()
+    }
+    assert got == batch
+    # key a actually alarms after the shift; key b's s_neg climbs
+    assert any(v[2] for k, v in batch.items() if k[0] == "a")
+    assert all(v[1] > 0 for k, v in batch.items() if k[0] == "b")
