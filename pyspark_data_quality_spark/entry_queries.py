@@ -2864,6 +2864,51 @@ def dq_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "ts_epoch", "value", "s_pos", "s_neg", "is_alarm")
 
 
+@query(
+    "dq_unigram_nll",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split({_SQL_NORM}, ' '), x -> x != ''))
+               AS term
+      FROM documents
+    ), vocab AS (
+      SELECT term, count(*) AS rc FROM toks GROUP BY 1
+    ), totals AS (
+      SELECT sum(rc) AS n_ref, count(*) AS v FROM vocab
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), scored AS (
+      SELECT tf.doc_id, tf.tf,
+             -ln((coalesce(vocab.rc, 0) + 1) * 1.0 / (n_ref + v)) AS nll
+      FROM tf LEFT JOIN vocab USING (term), totals
+    ), per_doc AS (
+      SELECT doc_id, sum(tf) AS n_tokens,
+             CAST(round(sum(nll * tf) / sum(tf), 6) AS DOUBLE) AS nll
+      FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(per_doc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           per_doc.nll
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per_doc USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dq_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram negative log-probability against the
+    corpus's own token distribution (add-one smoothing) — the
+    perplexity-style quality filter signal (operators/text.py
+    unigram_logprob)."""
+    from .operators.text import unigram_logprob
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = unigram_logprob(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "nll"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -2897,6 +2942,7 @@ _CERT_PRIORITY = [
     "dq_dup_clusters",
     "dq_sketch_rollup",
     "dq_cusum",
+    "dq_unigram_nll",
     # never certified (registered after slot 50 in rounds 2-3)
     "dq_table_diff",
     "dq_diff_columns",
@@ -2917,6 +2963,7 @@ _CERT_PRIORITY = [
 
 _CERT_ROTATED = [
     # double-green in r02+r03 on code paths not touched this round
+    "dq_value_bands",
     "dq_time_rollup",
     "dq_asof_orders",
     "dq_text_profile",

@@ -510,6 +510,75 @@ def tfidf_top_terms(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    reference: DataFrame | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean unigram negative log-probability — the
+    perplexity-style quality signal (CCNet-lineage): documents whose
+    tokens are improbable under the corpus (or a held-out ``reference``
+    corpus) language model score HIGH and are filter candidates; add-one
+    smoothing keeps unseen tokens finite.
+
+    ``nll = avg over tokens t of -ln((count_ref(t) + 1) / (N_ref + V))``
+    where ``N_ref`` is the reference token count and ``V`` its distinct
+    vocabulary (+1 for the unseen mass). With ``reference=None`` the
+    corpus scores against itself (self-perplexity: flags outlier docs).
+
+    Shape: reference token counts are one (term) shuffle compressed to
+    |vocab| rows; scoring joins doc (doc,term,tf) counts against that
+    vocab (AQE broadcasts a small vocab) and folds in one keyed agg.
+    Output: (id_col, n_tokens, nll) — NULL nll for empty/null docs.
+    """
+    from ..functions.text import tokenize
+
+    ref = reference if reference is not None else df
+    ref_toks = ref.select(F.explode(tokenize(text_col)).alias("term"))
+    vocab = ref_toks.groupBy("term").agg(F.count(F.lit(1)).alias("_rc"))
+    totals = vocab.agg(
+        F.sum("_rc").alias("_n_ref"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+
+    doc_tf = (
+        df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    scored = (
+        doc_tf.join(vocab, "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_nll",
+            -F.log(
+                (F.coalesce(F.col("_rc"), F.lit(0)) + 1)
+                / (F.col("_n_ref") + F.col("_v"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("_tf").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("_nll") * F.col("_tf")) / F.sum("_tf"), round_to
+        ).alias("nll"),
+    )
+    # empty/null-text docs have no token rows: spine them back with NULLs
+    spine = df.select(F.col(id_col)).distinct()
+    return (
+        spine.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "nll",
+        )
+        .orderBy(id_col)
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *,
     round_to: int = 6,

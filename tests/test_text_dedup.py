@@ -783,3 +783,34 @@ def test_semantic_dedup_empty_input(spark):
     assert semantic_dedup(
         empty, "embedding", "vec_id", mode="survivors"
     ).count() == 0
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from pyspark_data_quality_spark.operators.text import unigram_logprob
+
+    corpus = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, None)], ["doc_id", "text"]
+    )
+    # corpus LM: counts a=3, b=1, c=1; N=5, V=3
+    rows = {r["doc_id"]: r for r in unigram_logprob(corpus, "text", "doc_id").collect()}
+
+    def nll(c):
+        return -math.log((c + 1) / (5 + 3))
+
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["nll"] == pytest.approx(
+        round((2 * nll(3) + nll(1)) / 3, 6)
+    )
+    assert rows[2]["nll"] == pytest.approx(round((nll(3) + nll(1)) / 2, 6))
+    assert rows[3]["n_tokens"] == 0 and rows[3]["nll"] is None
+
+    # held-out reference: unseen token priced at the +1 floor
+    ref = spark.createDataFrame([(9, "x x x")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["nll"]
+        for r in unigram_logprob(corpus, "text", "doc_id", reference=ref).collect()
+    }
+    floor = -math.log(1 / (3 + 1))  # rc=0, N_ref=3, V=1
+    assert got[2] == pytest.approx(round(floor, 6))
