@@ -237,3 +237,41 @@ def test_ks_partitioned_equals_single_task_property(spark, xs, ys):
     # identical distributions -> 0
     zero = ks_statistic(a, a, "x").collect()[0]
     assert zero["ks"] == 0.0
+
+
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(st.lists(TEXT, min_size=2, max_size=40))
+@settings(max_examples=5, deadline=None)
+def test_fuzzy_match_pairs_property(spark, corpus):
+    """For ANY corpus (including empties, spaces, duplicates), the
+    blocked fuzzy join equals the brute-force Levenshtein pair set."""
+    from pyspark_data_quality_spark.operators.fuzzy import fuzzy_match_pairs
+
+    rows = [(i, s) for i, s in enumerate(corpus)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    for k in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in fuzzy_match_pairs(
+                df, "s", "id", max_distance=k, lowercase=False
+            ).collect()
+        }
+        exp = {
+            (i, j, _py_lev(a, b))
+            for i, a in rows
+            for j, b in rows
+            if i < j and _py_lev(a, b) <= k
+        }
+        assert got == exp, f"k={k}"
