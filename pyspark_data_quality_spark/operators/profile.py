@@ -265,14 +265,43 @@ def value_histogram_stats(
         .groupBy("column", "s")
         .agg(F.count(F.lit(1)).alias("cnt"), F.max("d").alias("d"))
     )
-    w_cum = (
-        Window.partitionBy("column")
+    # Distributed per-column prefix sum (the KS shape, operators/
+    # drift.py): range-partition the histogram on (column, d), compute
+    # LOCAL cumulative counts per (partition, column), and derive each
+    # partition's global offset from the tiny per-(partition, column)
+    # totals table — no task ever windows a whole column's histogram, so
+    # even ONE high-cardinality column (prices: |distinct| ~ |rows|)
+    # never funnels through a single reducer.
+    ranged = hist.repartitionByRange(
+        F.col("column").asc(), F.col("d").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_pid", "column")
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy("column")
-    h = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
-        "n", F.sum("cnt").over(w_all)
+    local = ranged.withColumn("_c_loc", F.sum("cnt").over(w_local))
+    totals = ranged.groupBy("_pid", "column").agg(F.sum("cnt").alias("_t"))
+    w_prior = (
+        Window.partitionBy("column")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_allp = (
+        Window.partitionBy("column")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offsets = totals.select(
+        "_pid",
+        "column",
+        F.coalesce(F.sum("_t").over(w_prior), F.lit(0)).alias("_off"),
+        F.sum("_t").over(w_allp).alias("_n"),
+    )
+    h = (
+        local.join(F.broadcast(offsets), ["_pid", "column"])
+        .withColumn("cum", F.col("_c_loc") + F.col("_off"))
+        .withColumn("n", F.col("_n"))
     )
     q_aggs = [F.count(F.lit(1)).cast("double").alias("distinct_count")]
     for i, q in enumerate(quantiles):
