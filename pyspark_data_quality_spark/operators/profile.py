@@ -148,9 +148,9 @@ def _profile_columns_pairs(
     counts give BOTH the exact distinct count (rows per column) and
     exact type-7 interpolated quantiles (value at 0-based sorted rank
     ``r`` is the first histogram value whose cumulative count exceeds
-    ``r``). The per-column window funnels one column's HISTOGRAM (not
-    its rows) through a task — bounded by distinct values, the same
-    documented shape as the KS ECDF prefix-sum (operators/drift.py).
+    ``r``). Cumulative counts run as a DISTRIBUTED range-partitioned
+    prefix sum (the KS ECDF shape, operators/drift.py) — no task ever
+    windows a whole column's histogram.
     """
     cols = columns if columns is not None else df.columns
     types = dict(df.dtypes)
@@ -223,12 +223,14 @@ def value_histogram_stats(
     duplicates before the shuffle) -> per-column cumulative counts give
     both the distinct count (rows per column) and the quantiles (the
     value at 0-based sorted rank ``r`` is the first histogram value
-    whose cumulative count exceeds ``r``). The per-column window funnels
-    one column's HISTOGRAM (not its rows) through a task — bounded by
-    distinct values, the same documented shape as the KS ECDF prefix-sum
-    (operators/drift.py). Quantile rows are emitted for numeric columns
-    only; all-null columns and empty inputs still report
-    ``distinct_count=0`` with null quantiles (spine join).
+    whose cumulative count exceeds ``r``). Cumulative counts run as a
+    DISTRIBUTED range-partitioned prefix sum (the KS ECDF shape,
+    operators/drift.py): local per-(partition, column) windows plus
+    offsets from the tiny totals table, so even one high-cardinality
+    column never funnels its histogram through a single task. Quantile
+    rows are emitted for numeric columns only; all-null columns and
+    empty inputs still report ``distinct_count=0`` with null quantiles
+    (spine join).
 
     Output: long format ``(column, stat, value)`` with stat in
     ``distinct_count`` + ``q{q}``. Shared by ``profile_columns(
