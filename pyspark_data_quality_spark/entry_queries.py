@@ -2909,6 +2909,34 @@ def dq_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_windowed_cardinality",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY 1
+    """,
+)
+def dq_windowed_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users per hourly window — exact on the batch
+    face (certified here); the streaming face swaps in HLL
+    approx_count_distinct because exact distinct state is unbounded
+    (streaming/windows.py windowed_cardinality; tolerance parity in the
+    unit test)."""
+    from .streaming import windowed_cardinality
+
+    events = load_table(spark, "events", sf_dir)
+    out = windowed_cardinality(
+        events, ts_col="ts", distinct_col="user_id", duration="1 hour"
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "n_events",
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -2943,6 +2971,7 @@ _CERT_PRIORITY = [
     "dq_sketch_rollup",
     "dq_cusum",
     "dq_unigram_nll",
+    "dq_windowed_cardinality",
     # never certified (registered after slot 50 in rounds 2-3)
     "dq_table_diff",
     "dq_diff_columns",
@@ -2963,6 +2992,7 @@ _CERT_PRIORITY = [
 
 _CERT_ROTATED = [
     # double-green in r02+r03 on code paths not touched this round
+    "dq_train_split",
     "dq_value_bands",
     "dq_time_rollup",
     "dq_asof_orders",

@@ -6,6 +6,7 @@ from .windows import (
     dedup_within_watermark,
     running_totals,
     session_counts,
+    windowed_cardinality,
     windowed_counts,
     windowed_pass_ratios,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "session_counts",
     "streaming_cusum",
     "streaming_zscore",
+    "windowed_cardinality",
     "windowed_counts",
     "windowed_pass_ratios",
 ]

@@ -74,6 +74,61 @@ def windowed_counts(
     )
 
 
+def windowed_cardinality(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    distinct_col: str = "user_id",
+    duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    exact: bool | None = None,
+) -> DataFrame:
+    """Distinct entities per time window (active users, unique sources) —
+    the stream-health cardinality monitor.
+
+    ``exact=None`` picks per face: EXACT ``count_distinct`` on a batch
+    frame (oracle-certifiable), HLL ``approx_count_distinct`` on a
+    stream — Structured Streaming forbids distinct aggregates because
+    exact distinct state is unbounded, while the HLL register array is
+    fixed-size, mergeable state per window. Forcing ``exact=True`` on a
+    stream raises rather than letting Spark fail at analysis with a
+    cryptic error; ``exact=False`` on batch previews the stream's
+    estimate error offline (the parity test's tolerance check).
+
+    Output: window_start/window_end, ``n_events``, ``n_distinct``.
+    """
+    if exact is None:
+        exact = not df.isStreaming
+    if exact and df.isStreaming:
+        raise ValueError(
+            "windowed_cardinality: exact distinct counts are not "
+            "streamable (unbounded state) — use exact=False (HLL)"
+        )
+    src = _with_watermark(df, ts_col, watermark)
+    win = F.window(F.col(ts_col), duration, slide) if slide else F.window(
+        F.col(ts_col), duration
+    )
+    d = (
+        F.count_distinct(F.col(distinct_col))
+        if exact
+        else F.approx_count_distinct(distinct_col)
+    )
+    return (
+        src.groupBy(win.alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            d.alias("n_distinct"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "n_events",
+            "n_distinct",
+        )
+    )
+
+
 def session_counts(
     df: DataFrame,
     *,

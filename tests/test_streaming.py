@@ -397,3 +397,32 @@ def test_cusum_stream_batch_parity(spark, tmp_path):
     # key a actually alarms after the shift; key b's s_neg climbs
     assert any(v[2] for k, v in batch.items() if k[0] == "a")
     assert all(v[1] > 0 for k, v in batch.items() if k[0] == "b")
+
+
+def test_windowed_cardinality_batch_exact_and_stream_hll(spark, events_dir):
+    from pyspark_data_quality_spark.streaming import windowed_cardinality
+
+    batch_src = load_events_batch(spark, events_dir)
+    exact = {
+        str(r["window_start"]): (r["n_events"], r["n_distinct"])
+        for r in windowed_cardinality(batch_src, duration="1 hour").collect()
+    }
+    assert exact and all(d <= n for n, d in exact.values())
+
+    # exact on a stream must refuse loudly
+    stream = load_events_stream(spark, events_dir)
+    with pytest.raises(ValueError, match="not streamable"):
+        windowed_cardinality(stream, duration="1 hour", exact=True)
+
+    sdf = windowed_cardinality(stream, duration="1 hour")
+    assert sdf.isStreaming
+    out = _run_stream(spark, sdf, output_mode="complete")
+    got = {
+        str(r["window_start"]): (r["n_events"], r["n_distinct"])
+        for r in out.collect()
+    }
+    assert set(got) == set(exact)
+    for w, (n, d_est) in got.items():
+        n_exact, d_exact = exact[w]
+        assert n == n_exact  # event counts are exact on both faces
+        assert d_est == pytest.approx(d_exact, rel=0.1)  # HLL tolerance
