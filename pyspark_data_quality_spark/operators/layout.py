@@ -1,0 +1,83 @@
+"""Storage-layout diagnostics: the small-files / skewed-files report.
+
+At 100 TB the dominant silent performance killer is layout, not logic:
+a table written by an over-parallel job becomes millions of KB-sized
+files (per-file open/footer overhead swamps scan time, listing slows
+planning), and a skew-written table hides one 50 GB file that pins a
+task for an hour. This report prices both BEFORE a backfill/compaction
+decision:
+
+- rows per physical file come from ONE distributed pass
+  (``groupBy(input_file_name())`` — map-side combined, |files| rows);
+- bytes per file come from the driver-side filesystem listing via
+  Hadoop's FileSystem API (storage-agnostic: works for file://, hdfs://,
+  s3a://). Listing is metadata-scale — the same work every query's
+  planner already does — but it IS proportional to file count, which is
+  exactly what this report exists to bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(absolute uri, bytes) for every data file under ``path``,
+    recursively, via Hadoop FileSystem (py4j — no Python fs assumption)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        name = p.rsplit("/", 1)[-1]
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, checksums, hidden
+        out.append((p, int(st.getLen())))
+    return out
+
+
+def file_layout_report(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    small_file_bytes: int = 32 * 1024 * 1024,
+) -> DataFrame:
+    """Per-file layout report for a dataset directory: ``(file, n_rows,
+    bytes, avg_row_bytes, is_small)`` ordered by bytes ascending —
+    the compaction worklist. ``file`` is the basename (stable across
+    filesystems/mounts; full URIs stay joinable driver-side if needed).
+    """
+    df = spark.read.format(fmt).load(path)
+    rows = (
+        df.groupBy(F.input_file_name().alias("_uri"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn(
+            "file", F.element_at(F.split(F.col("_uri"), "/"), -1)
+        )
+    )
+    listing = _list_files(spark, path)
+    sizes = spark.createDataFrame(
+        [(uri.rsplit("/", 1)[-1], b) for uri, b in listing],
+        "file string, bytes bigint",
+    )
+    return (
+        rows.join(sizes, "file", "full")
+        .select(
+            "file",
+            F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+            F.coalesce(F.col("bytes"), F.lit(0)).alias("bytes"),
+            F.round(
+                F.try_divide(F.col("bytes"), F.col("n_rows")), 2
+            ).alias("avg_row_bytes"),
+            (F.coalesce(F.col("bytes"), F.lit(0)) < small_file_bytes).alias(
+                "is_small"
+            ),
+        )
+        .orderBy("bytes", "file")
+    )

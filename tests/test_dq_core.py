@@ -174,3 +174,50 @@ def test_unique_rule_hll_default(spark):
         .get_metric_results().collect()[0]
     )
     assert m_exact["value_double"] == exact
+
+
+def test_rules_from_config_end_to_end(spark):
+    """A JSON-shaped suite compiles to rules and runs through the fused
+    manager exactly like fluent-API rules."""
+    import pytest
+
+    from pyspark_data_quality_spark import DQManager
+    from pyspark_data_quality_spark.core.errors import RuleConfigurationError
+    from pyspark_data_quality_spark.plans.config import rules_from_config
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "US"), (2, -5.0, "DE"), (3, None, "US"), (3, 7.0, "XX")],
+        "id int, amount double, country string",
+    )
+    ref = spark.createDataFrame([("US",), ("DE",)], ["code"])
+    suite = [
+        {"type": "completeness", "columns": ["amount"], "threshold": 0.9},
+        {"type": "range", "column": "amount", "min_value": 0.0,
+         "severity_level": "high"},
+        {"type": "unique", "columns": ["id"], "exact": True},
+        {"type": "predicate", "predicate": "id > 0", "columns": ["id"]},
+        {"type": "fk", "columns": ["country"], "ref_table": "codes",
+         "ref_columns": ["code"]},
+    ]
+    rules = rules_from_config(suite, tables={"codes": ref})
+    mgr = DQManager(spark, dataset="t", run_id="r").set_data(df)
+    for r in rules:
+        mgr.add_rule(r)
+    res = mgr.run()
+    metrics = {r["metric_name"]: r for r in res.get_metric_results().collect()}
+    assert metrics["completeness_col_ratio"]["value_double"] == 0.75
+    assert metrics["validity_range"]["severity_level"] == "high"
+    # invalid split catches the negative amount, the null, the dup id,
+    # and the non-FK country
+    assert res.get_invalid_df().count() == 3
+
+    with pytest.raises(RuleConfigurationError, match="unknown rule type"):
+        rules_from_config([{"type": "nope"}])
+    with pytest.raises(RuleConfigurationError, match="bad severity_level"):
+        rules_from_config([{"type": "unique", "columns": ["id"],
+                            "severity_level": "extreme"}])
+    with pytest.raises(RuleConfigurationError, match="ref_table"):
+        rules_from_config([{"type": "fk", "columns": ["country"]}])
+    with pytest.raises(RuleConfigurationError, match="bad parameters"):
+        rules_from_config([{"type": "range", "column": "x",
+                            "min_value": 0, "bogus_param": 1}])

@@ -107,3 +107,19 @@ def test_normalize_event_ts_tz_guard_and_units(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert dict(normalize_event_ts(ntz).dtypes)["ts"] == "timestamp"
+
+
+def test_file_layout_report(spark, tmp_path):
+    from pyspark_data_quality_spark.operators.layout import file_layout_report
+
+    path = str(tmp_path / "layout")
+    # deliberately fragmented: 4 small files
+    spark.range(1000).repartition(4).write.parquet(path)
+    rows = file_layout_report(spark, path).collect()
+    assert len(rows) == 4
+    assert sum(r["n_rows"] for r in rows) == 1000
+    assert all(r["bytes"] > 0 and r["is_small"] for r in rows)
+    assert all(r["avg_row_bytes"] > 0 for r in rows)
+    # raising the threshold above any file size flips the flag
+    ok = file_layout_report(spark, path, small_file_bytes=1).collect()
+    assert not any(r["is_small"] for r in ok)
