@@ -2937,6 +2937,50 @@ def dq_windowed_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_set_jaccard",
+    f"""
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split({_SQL_NORM}, ' '),
+                                       x -> x != '')) AS s
+      FROM documents
+    ), nz AS (
+      SELECT doc_id, s, len(s) AS sz FROM sets
+      WHERE len(s) > 0 AND doc_id < 500
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(round(len(list_intersect(a.s, b.s)) * 1.0
+                / (a.sz + b.sz - len(list_intersect(a.s, b.s))), 6)
+                AS DOUBLE) AS jaccard
+    FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.s, b.s)) * 1.0
+          / (a.sz + b.sz - len(list_intersect(a.s, b.s))), 6) >= 0.9
+    """,
+)
+def dq_set_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-set Jaccard pairs at threshold 0.9 via AllPairs/PPJoin
+    prefix filtering (each set posts only its rarest |S|-ceil(t|S|)+1
+    tokens to the index) — the exact counterpart to dq_minhash_pairs'
+    approximate recall. Pinned to a FIXED 500-doc subset: the fixture
+    corpus is template-generated with near-dup density so high that the
+    TRUE pair set grows quadratically with corpus size (5.1M pairs at
+    t=0.7 on sf0.1) — like the other pairwise oracle baselines, the
+    entry's cost must not grow with sf (operators/dedup.py
+    set_similarity_join; the algorithm's scale behavior is the prefix
+    filter, exercised identically on the subset)."""
+    from .functions.text import tokenize
+    from .operators.dedup import set_similarity_join
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < 500
+    )
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokenize("text")).alias("toks")
+    )
+    return set_similarity_join(toks, "toks", "doc_id", threshold=0.9)
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -2972,6 +3016,7 @@ _CERT_PRIORITY = [
     "dq_cusum",
     "dq_unigram_nll",
     "dq_windowed_cardinality",
+    "dq_set_jaccard",
     # never certified (registered after slot 50 in rounds 2-3)
     "dq_table_diff",
     "dq_diff_columns",
@@ -2992,6 +3037,7 @@ _CERT_PRIORITY = [
 
 _CERT_ROTATED = [
     # double-green in r02+r03 on code paths not touched this round
+    "dq_embedding_quality",
     "dq_train_split",
     "dq_value_bands",
     "dq_time_rollup",

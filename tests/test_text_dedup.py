@@ -814,3 +814,45 @@ def test_unigram_logprob_hand_computed(spark):
     }
     floor = -math.log(1 / (3 + 1))  # rc=0, N_ref=3, V=1
     assert got[2] == pytest.approx(round(floor, 6))
+
+
+def test_set_similarity_join_exact_vs_bruteforce(spark):
+    """PPJoin prefix filtering must return EXACTLY the brute-force
+    Jaccard pair set at every threshold (completeness: size filter +
+    rarest-token prefix intersection lemma)."""
+    import random
+
+    from pyspark_data_quality_spark.operators.dedup import (
+        jaccard,
+        set_similarity_join,
+    )
+
+    rnd = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, rnd.sample(vocab, rnd.randint(0, 12))) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id int, s array<string>")
+    nz = df.filter(F.size("s") > 0)
+    for t in (0.5, 0.8, 1.0):
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in set_similarity_join(df, "s", "id", threshold=t).collect()
+        }
+        bf = (
+            nz.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+            .join(
+                nz.select(F.col("id").alias("id_b"), F.col("s").alias("sb")),
+                F.col("id_a") < F.col("id_b"),
+            )
+            .select(
+                "id_a", "id_b",
+                F.round(jaccard(F.col("sa"), F.col("sb")), 6).alias("j"),
+            )
+            .filter(F.col("j") >= t)
+        )
+        exp = {(r["id_a"], r["id_b"], r["j"]) for r in bf.collect()}
+        assert got == exp, f"t={t}"
+
+    with pytest.raises(ValueError, match="threshold"):
+        set_similarity_join(df, "s", "id", threshold=0.0)
