@@ -2981,6 +2981,108 @@ def dq_set_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_similarity_join(toks, "toks", "doc_id", threshold=0.9)
 
 
+@query(
+    "dq_quantile_drift",
+    f"""
+    WITH r AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}' AND o_totalprice IS NOT NULL
+    ), c AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{_DRIFT_SPLIT}' AND o_totalprice IS NOT NULL
+    )
+    SELECT * FROM (
+      SELECT 0.1 AS q,
+             CAST(round(rq, 6) AS DOUBLE) AS ref_q,
+             CAST(round(cq, 6) AS DOUBLE) AS cur_q,
+             CAST(round(cq - rq, 6) AS DOUBLE) AS shift,
+             CAST(round((cq - rq) / abs(rq), 6) AS DOUBLE) AS rel_shift
+      FROM (SELECT quantile_cont(v, 0.1) AS rq FROM r),
+           (SELECT quantile_cont(v, 0.1) AS cq FROM c)
+      UNION ALL
+      SELECT 0.25 AS q,
+             CAST(round(rq, 6) AS DOUBLE) AS ref_q,
+             CAST(round(cq, 6) AS DOUBLE) AS cur_q,
+             CAST(round(cq - rq, 6) AS DOUBLE) AS shift,
+             CAST(round((cq - rq) / abs(rq), 6) AS DOUBLE) AS rel_shift
+      FROM (SELECT quantile_cont(v, 0.25) AS rq FROM r),
+           (SELECT quantile_cont(v, 0.25) AS cq FROM c)
+      UNION ALL
+      SELECT 0.5 AS q,
+             CAST(round(rq, 6) AS DOUBLE) AS ref_q,
+             CAST(round(cq, 6) AS DOUBLE) AS cur_q,
+             CAST(round(cq - rq, 6) AS DOUBLE) AS shift,
+             CAST(round((cq - rq) / abs(rq), 6) AS DOUBLE) AS rel_shift
+      FROM (SELECT quantile_cont(v, 0.5) AS rq FROM r),
+           (SELECT quantile_cont(v, 0.5) AS cq FROM c)
+      UNION ALL
+      SELECT 0.75 AS q,
+             CAST(round(rq, 6) AS DOUBLE) AS ref_q,
+             CAST(round(cq, 6) AS DOUBLE) AS cur_q,
+             CAST(round(cq - rq, 6) AS DOUBLE) AS shift,
+             CAST(round((cq - rq) / abs(rq), 6) AS DOUBLE) AS rel_shift
+      FROM (SELECT quantile_cont(v, 0.75) AS rq FROM r),
+           (SELECT quantile_cont(v, 0.75) AS cq FROM c)
+      UNION ALL
+      SELECT 0.9 AS q,
+             CAST(round(rq, 6) AS DOUBLE) AS ref_q,
+             CAST(round(cq, 6) AS DOUBLE) AS cur_q,
+             CAST(round(cq - rq, 6) AS DOUBLE) AS shift,
+             CAST(round((cq - rq) / abs(rq), 6) AS DOUBLE) AS rel_shift
+      FROM (SELECT quantile_cont(v, 0.9) AS rq FROM r),
+           (SELECT quantile_cont(v, 0.9) AS cq FROM c)
+    ) ORDER BY q
+    """,
+)
+def dq_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-shift drift of o_totalprice across the same temporal
+    split the PSI/KS entries use: exact interpolated quantiles per side
+    from the distributed value-histogram prefix sum, absolute + relative
+    shift per level (operators/drift.py quantile_drift)."""
+    from .operators.drift import quantile_drift
+
+    orders = load_table(spark, "orders", sf_dir)
+    split = _DRIFT_SPLIT
+    return quantile_drift(
+        orders.filter(F.col("o_orderdate") >= split),
+        orders.filter(F.col("o_orderdate") < split),
+        "o_totalprice",
+    )
+
+
+@query(
+    "dq_monotonicity",
+    """
+    WITH flagged AS (
+      SELECT l_orderkey,
+             CASE WHEN lag(l_extendedprice) OVER w IS NOT NULL
+                       AND l_extendedprice < lag(l_extendedprice) OVER w
+                  THEN 1 ELSE 0 END AS viol
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_extendedprice)
+    )
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(viol) AS BIGINT) AS n_violations,
+           CAST(round(sum(viol) * 1.0 / nullif(count(*) - 1, 0), 6)
+                AS DOUBLE) AS violation_rate,
+           (sum(viol) = 0) AS is_monotonic
+    FROM flagged GROUP BY 1
+    """,
+)
+def dq_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order monotonicity audit: is l_extendedprice nondecreasing in
+    line-number order? One keyed lag window + one keyed agg
+    (operators/consistency.py monotonicity_report)."""
+    from .operators.consistency import monotonicity_report
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return monotonicity_report(
+        li, "l_linenumber", "l_extendedprice", group_cols=["l_orderkey"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -3017,6 +3119,8 @@ _CERT_PRIORITY = [
     "dq_unigram_nll",
     "dq_windowed_cardinality",
     "dq_set_jaccard",
+    "dq_quantile_drift",
+    "dq_monotonicity",
     # never certified (registered after slot 50 in rounds 2-3)
     "dq_table_diff",
     "dq_diff_columns",
@@ -3037,6 +3141,8 @@ _CERT_PRIORITY = [
 
 _CERT_ROTATED = [
     # double-green in r02+r03 on code paths not touched this round
+    "dq_top_values",
+    "dq_schema_report",
     "dq_embedding_quality",
     "dq_train_split",
     "dq_value_bands",

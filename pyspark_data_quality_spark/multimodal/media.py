@@ -350,3 +350,30 @@ def audio_features(
             )
 
     return df.mapInPandas(gen, schema=_AUDIO_SCHEMA)
+
+
+def media_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    mode: str = "survivors",
+) -> DataFrame:
+    """Exact binary-payload dedup: one survivor (min id) per distinct
+    payload — scraped image/audio corpora are full of byte-identical
+    files under different URLs, and this is the first pass before any
+    perceptual/near-dup stage. Grouping key is the JVM-side md5 of the
+    payload bytes (the shuffle carries 32-char digests, never payloads).
+    ``mode='dups'`` returns the dropped rows instead.
+    """
+    if mode not in ("survivors", "dups"):
+        raise ValueError(f"media_dedup: unknown mode {mode!r}")
+    digest = F.md5(F.col(data_col))
+    keep = (
+        df.select(F.col(id_col), digest.alias("_d"))
+        .groupBy("_d")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_d")
+    )
+    how = "semi" if mode == "survivors" else "anti"
+    return df.join(keep, id_col, how)

@@ -231,3 +231,72 @@ def sequence_completeness(
         F.col("n_actual"),
         (n_expected - F.col("n_actual")).alias("n_missing"),
     )
+
+
+def monotonicity_report(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    group_cols: list[str],
+    direction: str = "nondecreasing",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group order audit: does ``value_col`` move monotonically when
+    the group's rows are sorted by ``order_col``? The consistency check
+    for sequence-shaped data (balances over time, cumulative counters,
+    versioned snapshots) where a single out-of-order value means lost or
+    duplicated updates upstream.
+
+    One keyed lag window (state = one previous row per group) + one
+    keyed agg. Ties in ``order_col`` within a group would make lag
+    nondeterministic, so ties break on ``value_col`` — a group with
+    equal order keys is audited in its most favorable arrangement,
+    which only UNDER-counts violations for exact ties. NULL values
+    never count as violations.
+
+    Output: group cols + (n_rows, n_violations, violation_rate,
+    is_monotonic), sorted by group.
+    """
+    if direction not in ("nondecreasing", "nonincreasing"):
+        raise ValueError(
+            f"monotonicity_report: unknown direction {direction!r}"
+        )
+    if not group_cols:
+        raise ValueError(
+            "monotonicity_report: group_cols is required — an "
+            "unpartitioned lag window funnels the table through one task"
+        )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(order_col), F.col(value_col)
+    )
+    prev = F.lag(value_col).over(w)
+    viol = (
+        (F.col(value_col) < prev)
+        if direction == "nondecreasing"
+        else (F.col(value_col) > prev)
+    )
+    flagged = df.withColumn(
+        "_viol",
+        F.when(
+            prev.isNotNull() & F.col(value_col).isNotNull(), viol
+        ).otherwise(F.lit(False)),
+    )
+    return (
+        flagged.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_viol").cast("int")).alias("n_violations"),
+        )
+        .select(
+            *group_cols,
+            "n_rows",
+            "n_violations",
+            F.round(
+                F.try_divide(F.col("n_violations"), F.col("n_rows") - 1),
+                round_to,
+            ).alias("violation_rate"),
+            (F.col("n_violations") == 0).alias("is_monotonic"),
+        )
+        .orderBy(*group_cols)
+    )

@@ -376,3 +376,49 @@ def psi_summary(
         .agg(F.round(F.sum("psi_term"), round_to).alias("psi"))
         .withColumn("drifted", F.col("psi") > threshold)
     )
+
+
+def quantile_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    col: str,
+    *,
+    quantiles: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    round_to: int = 6,
+) -> DataFrame:
+    """Quantile-shift drift report: EXACT interpolated quantiles of both
+    sides at each requested level, with absolute and relative shifts —
+    the distribution-shape complement to PSI (bin mix) and KS (max ECDF
+    gap): it answers WHERE the distribution moved ("p90 latency grew
+    18%"), which the scalar statistics cannot.
+
+    Each side's quantiles come from the distributed value-histogram
+    prefix sum (:func:`..operators.profile.value_histogram_stats` — no
+    Expand, no percentile buffers, no single-task window), so the exact
+    answer survives high-cardinality columns. Output: one row per
+    level — (q, ref_q, cur_q, shift, rel_shift), rel_shift NULL when
+    ref_q is 0.
+    """
+    from .profile import value_histogram_stats
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        stats = value_histogram_stats(
+            df.select(F.col(col).alias("_v")), ["_v"],
+            quantiles=quantiles, round_to=None,
+        )
+        return stats.filter(F.col("stat") != "distinct_count").select(
+            F.col("stat"), F.col("value").alias(name)
+        )
+
+    out = side(cur, "cur_q").join(side(ref, "ref_q"), "stat", "full")
+    q_level = F.substring("stat", 2, 32).cast("double")
+    return out.select(
+        q_level.alias("q"),
+        F.round("ref_q", round_to).alias("ref_q"),
+        F.round("cur_q", round_to).alias("cur_q"),
+        F.round(F.col("cur_q") - F.col("ref_q"), round_to).alias("shift"),
+        F.round(
+            F.try_divide(F.col("cur_q") - F.col("ref_q"), F.abs("ref_q")),
+            round_to,
+        ).alias("rel_shift"),
+    ).orderBy("q")

@@ -165,3 +165,35 @@ def test_sequence_completeness(spark):
     }
     assert got["a"] == (5, 3, 2)   # 1..5 expected, {1,2,5} present
     assert got["b"] == (1, 1, 0)   # duplicates don't inflate n_actual
+
+
+def test_monotonicity_report_hand_computed(spark):
+    import pytest
+
+    from pyspark_data_quality_spark.operators.consistency import (
+        monotonicity_report,
+    )
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, 11.0), ("a", 4, None),
+        ("b", 1, 5.0), ("b", 2, 5.0), ("b", 3, 6.0),
+        ("c", 1, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, o int, v double")
+    got = {r["k"]: r for r in monotonicity_report(
+        df, "o", "v", group_cols=["k"]).collect()}
+    assert got["a"]["n_violations"] == 1 and got["a"]["is_monotonic"] is False
+    assert got["a"]["violation_rate"] == pytest.approx(round(1 / 3, 6))
+    assert got["b"]["n_violations"] == 0 and got["b"]["is_monotonic"] is True
+    assert got["c"]["n_violations"] == 0  # singleton: no transitions
+    assert got["c"]["violation_rate"] is None  # 0 transitions -> NULL rate
+
+    desc = {r["k"]: r for r in monotonicity_report(
+        df, "o", "v", group_cols=["k"], direction="nonincreasing").collect()}
+    assert desc["a"]["n_violations"] == 1  # 10 -> 12 rises
+    assert desc["b"]["n_violations"] == 1  # 5 -> 6 rises
+
+    with pytest.raises(ValueError, match="unknown direction"):
+        monotonicity_report(df, "o", "v", group_cols=["k"], direction="up")
+    with pytest.raises(ValueError, match="group_cols"):
+        monotonicity_report(df, "o", "v", group_cols=[])

@@ -129,3 +129,21 @@ def test_real_decoder_gated_on_pillow(media):
             buf.getvalue(), height=3, width=3, channels=1, decoder="real"
         )
         assert g.shape == (3, 3, 1)
+
+
+def test_media_dedup_exact_payloads(spark):
+    from pyspark_data_quality_spark.multimodal.media import media_dedup
+
+    rows = [
+        (1, bytearray(b"samebytes")),
+        (2, bytearray(b"samebytes")),   # byte-identical dup
+        (3, bytearray(b"different")),
+        (4, bytearray(b"samebytes")),   # another dup
+    ]
+    df = spark.createDataFrame(rows, "media_id int, data binary")
+    surv = sorted(r["media_id"] for r in media_dedup(df).collect())
+    assert surv == [1, 3]
+    dups = sorted(r["media_id"] for r in media_dedup(df, mode="dups").collect())
+    assert dups == [2, 4]
+    with pytest.raises(ValueError, match="unknown mode"):
+        media_dedup(df, mode="nope")

@@ -362,3 +362,16 @@ def test_ks_partitioned_matches_single_task_and_distributes(spark):
 
     with pytest.raises(ValueError, match="unknown method"):
         ks_statistic(a, b, "x", method="bogus")
+
+
+def test_quantile_drift_hand_computed(spark):
+    from pyspark_data_quality_spark.operators.drift import quantile_drift
+
+    ref = spark.createDataFrame([(float(v),) for v in range(1, 11)], "x double")
+    cur = spark.createDataFrame([(float(v),) for v in range(11, 21)], "x double")
+    rows = {r["q"]: r for r in quantile_drift(cur, ref, "x").collect()}
+    # type-7 median of 1..10 = 5.5, of 11..20 = 15.5
+    assert rows[0.5]["ref_q"] == 5.5 and rows[0.5]["cur_q"] == 15.5
+    assert rows[0.5]["shift"] == 10.0
+    assert rows[0.5]["rel_shift"] == pytest.approx(round(10 / 5.5, 6))
+    assert set(rows) == {0.1, 0.25, 0.5, 0.75, 0.9}
