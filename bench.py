@@ -171,9 +171,14 @@ def main() -> None:
     }
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:
-        print(f"WARNING: suite line {len(line)} chars nears the driver's "
-              "2000-char tail buffer; trim query count or precision",
-              file=sys.stderr)
+        # fallback: 1-decimal timings shave ~2 bytes/query, keeping the
+        # line whole inside the 2000-char tail buffer at higher counts
+        out["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) > 1950:
+            print(f"WARNING: suite line {len(line)} chars even at 1-dp — "
+                  "the driver tail buffer will truncate; cut query count",
+                  file=sys.stderr)
     print(line)
     spark.stop()
 
