@@ -446,3 +446,33 @@ def test_sketch_rollup_tolerance_and_merge(spark):
 
     with pytest.raises(ValueError, match="group_by"):
         sketch_rollup(df, "x", group_by=[])
+
+
+def test_value_histogram_multi_partition_prefix_sum(spark):
+    """The distributed prefix sum must agree with exact percentile when
+    the histogram genuinely spans MANY range partitions (10k distinct
+    values over the session's 8 shuffle partitions) — exercises the
+    per-(partition, column) offset join, not just the single-partition
+    degenerate case."""
+    from pyspark_data_quality_spark.operators.profile import (
+        value_histogram_stats,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 7 % 10_000).cast("double").alias("x")
+    )
+    got = {
+        r["stat"]: r["value"]
+        for r in value_histogram_stats(
+            df, ["x"], quantiles=(0.25, 0.5, 0.9)
+        ).collect()
+    }
+    exact = df.agg(
+        F.percentile("x", F.lit(0.25)).alias("q25"),
+        F.percentile("x", F.lit(0.5)).alias("q50"),
+        F.percentile("x", F.lit(0.9)).alias("q90"),
+    ).first()
+    assert got["distinct_count"] == 10_000.0
+    assert got["q0.25"] == pytest.approx(exact["q25"], abs=1e-6)
+    assert got["q0.5"] == pytest.approx(exact["q50"], abs=1e-6)
+    assert got["q0.9"] == pytest.approx(exact["q90"], abs=1e-6)
