@@ -2,6 +2,7 @@
 and :mod:`.anomaly`."""
 
 from .anomaly import streaming_cusum, streaming_zscore
+from .route import stream_quarantine_route
 from .windows import (
     dedup_within_watermark,
     running_totals,
@@ -15,6 +16,7 @@ __all__ = [
     "dedup_within_watermark",
     "running_totals",
     "session_counts",
+    "stream_quarantine_route",
     "streaming_cusum",
     "streaming_zscore",
     "windowed_cardinality",

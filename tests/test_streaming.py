@@ -426,3 +426,43 @@ def test_windowed_cardinality_batch_exact_and_stream_hll(spark, events_dir):
         n_exact, d_exact = exact[w]
         assert n == n_exact  # event counts are exact on both faces
         assert d_est == pytest.approx(d_exact, rel=0.1)  # HLL tolerance
+
+
+def test_stream_quarantine_route(spark, tmp_path):
+    from pyspark_data_quality_spark.operators import (
+        CompletenessColRatioRule,
+        RangeRule,
+    )
+    from pyspark_data_quality_spark.streaming import stream_quarantine_route
+
+    src_path = str(tmp_path / "src")
+    rows = [(1, 10.0), (2, -3.0), (3, None), (4, 7.0)]
+    spark.createDataFrame(rows, "id int, amount double").write.parquet(src_path)
+
+    stream = spark.readStream.schema("id int, amount double").parquet(src_path)
+    rules = [
+        CompletenessColRatioRule(columns=["amount"], threshold=0.9),
+        RangeRule(column="amount", min_value=0.0),
+    ]
+    base = str(tmp_path / "routed")
+    q = stream_quarantine_route(
+        stream, rules, base,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    valid = spark.read.parquet(f"{base}/valid")
+    invalid = spark.read.parquet(f"{base}/invalid")
+    assert sorted(r["id"] for r in valid.collect()) == [1, 4]
+    bad = {r["id"]: set(r["failed_rules"]) for r in invalid.collect()}
+    assert set(bad) == {2, 3}
+    assert any("range" in x for x in bad[2])
+    assert all(r["_batch_id"] == 0 for r in invalid.collect())
+
+    # batch frames are rejected with a pointer to the batch sink
+    with pytest.raises(ValueError, match="batch frame"):
+        stream_quarantine_route(
+            spark.read.parquet(src_path), rules, base,
+            checkpoint_path=str(tmp_path / "ckpt2"),
+        )
