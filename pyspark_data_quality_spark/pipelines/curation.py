@@ -22,7 +22,8 @@ Nothing is filtered destructively: every input row comes back with a
 the ``split`` column), so the stats are ONE groupBy over the result
 instead of a count-action per stage, and the dropped rows remain
 available for quarantine. Statuses: kept, null_text, wrong_lang,
-low_quality, exact_dup, near_dup, contaminated.
+low_quality, ref_dup (incremental mode: fingerprint already in the
+``reference`` corpus), exact_dup, near_dup, contaminated.
 
 Scale shape: signals ride a single mapInPandas pass; every drop-list is
 a keyed join on the id (the lists hold only dropped ids, not payloads);
@@ -58,6 +59,8 @@ def curate_corpus(
     num_bands: int = 16,
     shingle: str = "word",
     shingle_n: int = 3,
+    reference: DataFrame | None = None,
+    ref_text_col: str | None = None,
     probes: DataFrame | None = None,
     contamination_threshold: float = 0.5,
     split_weights: dict[str, float] | None = None,
@@ -112,6 +115,32 @@ def curate_corpus(
     annotated = prof.withColumn(status_col, gate)
     passed = annotated.filter(F.col(status_col).isNull())
 
+    # incremental mode: rows whose fingerprint already exists in the
+    # REFERENCE corpus (yesterday's curated data) drop as ref_dup before
+    # any in-batch work — the daily-batch shape where re-curating history
+    # per batch is a non-starter. Hash semi join on the reference's
+    # fingerprint set; the reference projection prunes to one column.
+    if reference is not None:
+        from ..functions.text import doc_fingerprint
+
+        ref_fp = reference.select(
+            doc_fingerprint(ref_text_col or text_col).alias("fingerprint")
+        ).distinct()
+        ref_drops = _pin(
+            passed.select(F.col(id_col), "fingerprint")
+            .join(ref_fp, "fingerprint", "semi")
+            .select(id_col)
+            .withColumn("_ref_dup", F.lit(True))
+        )
+        annotated = annotated.join(ref_drops, id_col, "left")
+        passed = annotated.filter(
+            F.col(status_col).isNull() & F.col("_ref_dup").isNull()
+        )
+    else:
+        annotated = annotated.withColumn(
+            "_ref_dup", F.lit(None).cast("boolean")
+        )
+
     # exact dups: every id in a fingerprint group except the min drops.
     # Reuses the profile pass's fingerprint column (text_profile already
     # computed it) — a window-min per fingerprint, one shuffle, no
@@ -164,6 +193,7 @@ def curate_corpus(
 
     status = F.coalesce(
         F.col(status_col),
+        F.when(F.col("_ref_dup"), F.lit("ref_dup")),
         F.when(F.col("_exact_dup"), F.lit("exact_dup")),
         F.when(F.col("_near_dup"), F.lit("near_dup")),
         F.when(F.col("_contaminated"), F.lit("contaminated")),
@@ -179,7 +209,7 @@ def curate_corpus(
                 split_assignment(id_col, weights, salt=salt),
             ),
         )
-        .drop("_exact_dup", "_near_dup", "_contaminated")
+        .drop("_ref_dup", "_exact_dup", "_near_dup", "_contaminated")
     )
 
 

@@ -71,3 +71,42 @@ def test_curate_corpus_no_probes_deterministic(spark, corpus):
     a = curate_corpus(corpus).collect()
     b = curate_corpus(corpus).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_curate_corpus_incremental_reference(spark):
+    """Incremental mode: batch rows whose fingerprint already exists in
+    the reference corpus drop as ref_dup BEFORE in-batch dedup; without
+    a reference the pipeline is unchanged (no ref_dup status)."""
+    from pyspark_data_quality_spark.pipelines import curate_corpus, curation_stats
+
+    text = "the quick brown fox jumps over the lazy dog "
+    ref = spark.createDataFrame(
+        [(100, text * 3 + "history one"), (101, text * 3 + "history two")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, text * 3 + "history one"),     # already curated yesterday
+            (2, text * 3 + "fresh content"),
+            (3, text * 3 + "fresh content"),   # in-batch exact dup of 2
+            (4, text * 3 + "entirely new doc today"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = curate_corpus(
+        batch, reference=ref, languages=None, min_quality=0.0,
+        near_dup_threshold=0.99, persist=False,
+    )
+    by_id = {r["doc_id"]: r["curation_status"] for r in out.collect()}
+    assert by_id[1] == "ref_dup"
+    assert by_id[2] == "kept"
+    assert by_id[3] == "exact_dup"
+    stats = {r["curation_status"] for r in curation_stats(out).collect()}
+    assert "ref_dup" in stats
+
+    # no reference: same batch, no ref_dup status anywhere
+    out2 = curate_corpus(
+        batch, languages=None, min_quality=0.0,
+        near_dup_threshold=0.99, persist=False,
+    )
+    assert "ref_dup" not in {r["curation_status"] for r in out2.collect()}
