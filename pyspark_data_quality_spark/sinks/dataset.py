@@ -44,3 +44,41 @@ def read_dataset(
     spark: SparkSession, path: str, *, format: str = "parquet"
 ) -> DataFrame:
     return spark.read.format(format).load(path)
+
+
+def compact_dataset(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    fmt: str = "parquet",
+    sort_within: list[str] | None = None,
+    mode: str = "error",
+) -> int:
+    """Rewrite a fragmented dataset into ~``target_file_bytes`` files —
+    the remedy for what :func:`..operators.layout.file_layout_report`
+    diagnoses. Small-file swarms make every subsequent scan pay per-file
+    open/footer costs and every planner pay the listing.
+
+    The output file count comes from the CURRENT on-disk byte total
+    (filesystem listing — metadata-scale), not a row-count action:
+    ``ceil(total_bytes / target)``, floor 1. ``repartition`` (round-
+    robin) rather than ``coalesce``: coalesce glues whole input
+    partitions, so one fat input file would still produce one fat output
+    file — exactly the skew this exists to fix. ``sort_within`` restores
+    clustering (min/max pruning) after the shuffle.
+
+    Returns the number of files written.
+    """
+    from math import ceil
+
+    from ..operators.layout import _list_files
+
+    total = sum(b for _, b in _list_files(spark, src_path))
+    n_files = max(1, ceil(total / target_file_bytes))
+    df = spark.read.format(fmt).load(src_path).repartition(n_files)
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    df.write.mode(mode).format(fmt).save(dst_path)
+    return n_files

@@ -123,3 +123,23 @@ def test_file_layout_report(spark, tmp_path):
     # raising the threshold above any file size flips the flag
     ok = file_layout_report(spark, path, small_file_bytes=1).collect()
     assert not any(r["is_small"] for r in ok)
+
+
+def test_compact_dataset(spark, tmp_path):
+    from pyspark_data_quality_spark.operators.layout import file_layout_report
+    from pyspark_data_quality_spark.sinks.dataset import compact_dataset
+
+    src = str(tmp_path / "fragmented")
+    spark.range(2000).repartition(16).write.parquet(src)
+    assert len(file_layout_report(spark, src).collect()) == 16
+
+    dst = str(tmp_path / "compacted")
+    total = sum(r["bytes"] for r in file_layout_report(spark, src).collect())
+    # target half the total -> exactly 2 output files
+    n = compact_dataset(spark, src, dst, target_file_bytes=(total + 1) // 2)
+    assert n == 2
+    out = file_layout_report(spark, dst).collect()
+    assert len(out) == 2
+    assert sum(r["n_rows"] for r in out) == 2000
+    # rows preserved exactly
+    assert spark.read.parquet(dst).count() == 2000
