@@ -3103,6 +3103,11 @@ def dq_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a reference to ENTRY_QUERIES see the new order.
 # ---------------------------------------------------------------------------
 
+# NOTE for the next round: refresh BOTH lists from the new
+# CORRECTNESS_r04.json — entries certified this round leave
+# _CERT_PRIORITY, and rotated-out entries can rotate back in for a
+# re-certification pass. `python scripts/make_cert_ledger.py` prints the
+# current state; tests/test_registry.py enforces the invariants.
 _CERT_PRIORITY = [
     # new in round 4
     "dq_join_diagnosis",
