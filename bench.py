@@ -9,11 +9,15 @@ Usage::
 Prints ONE JSON line on stdout::
 
     {"metric": "dq_suite_seconds", "value": <total>, "unit": "sec",
-     "queries": {"dq_metrics_report": 1.23, ...}, "sf": 0.1}
+     "queries": {"metrics_report": 1.2, ...}, "sf": 0.1, "n": 83}
 
-Each query's plan is executed end-to-end with a ``noop``-format write —
-full physical execution (scans, shuffles, joins) with zero driver-side
-collection, so the timing measures the engine, not result transfer.
+Suite-line keys drop the uniform ``dq_`` prefix (3 bytes x 80+ entries
+matters: the driver tail-captures only the last ~2000 chars of output and
+the line must fit WHOLE to parse). The full-precision, full-name map is
+printed to stderr first as ``dq_queries_full``. Each query's plan is
+executed end-to-end with a ``noop``-format write — full physical
+execution (scans, shuffles, joins) with zero driver-side collection, so
+the timing measures the engine, not result transfer.
 """
 
 from __future__ import annotations
@@ -56,12 +60,38 @@ def _prev_bench(repo_dir: str, sf: float) -> tuple[str, dict] | None:
             queries = data.get("queries")
             if not queries or data.get("sf") != sf:
                 continue
+            # round-5+ suite lines drop the dq_ prefix; normalize back so
+            # cross-round keys line up with the registry names
+            queries = {
+                (k if k.startswith("dq_") else f"dq_{k}"): v
+                for k, v in queries.items()
+            }
         except Exception:
             continue
         n = int(m.group(1))
         if best is None or n > best[0]:
             best = (n, os.path.basename(path), queries)
     return (best[1], best[2]) if best else None
+
+
+def suite_line(total: float, timings: dict[str, float], sf: float) -> str:
+    """The LAST stdout line, compact so it fits WHOLE in the driver's
+    ~2000-char tail buffer: no spaces, 1-decimal timings, and the uniform
+    ``dq_`` prefix stripped from query keys (~3 bytes x 80+ entries of
+    headroom). tests/test_registry.py budgets against this exact
+    rendering."""
+    out = {
+        "metric": "dq_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {
+            (k[3:] if k.startswith("dq_") else k): round(v, 1)
+            for k, v in timings.items()
+        },
+        "sf": sf,
+        "n": len(timings),
+    }
+    return json.dumps(out, separators=(",", ":"))
 
 
 def main() -> None:
@@ -133,11 +163,11 @@ def main() -> None:
 
     # Regression gate: compare per-query against the latest recorded round
     # bench at the same sf; flag anything >1.5x slower (machine noise on
-    # sub-second queries is excluded via a 0.5 s floor). Printed on its OWN
-    # stdout line BEFORE the suite line: the driver tail-captures only the
-    # last ~2000 chars of output, and round 3 proved that appending vs_prev
-    # to the suite line pushes the line head (metric/value) out of the
-    # buffer, leaving the driver with nothing parseable.
+    # sub-second queries is excluded via a 0.5 s floor). vs_prev and errors
+    # go to STDERR, keeping stdout for the suite line only: the driver
+    # tail-captures only the last ~2000 chars of output, and round 3 proved
+    # that anything appended after the suite line pushes the line head
+    # (metric/value) out of the buffer, leaving nothing parseable.
     prev = _prev_bench(os.path.dirname(os.path.abspath(__file__)), sf)
     if prev:
         prev_file, prev_q = prev
@@ -159,26 +189,17 @@ def main() -> None:
         print(json.dumps({"metric": "dq_errors", "errors": errors}),
               file=sys.stderr)
 
-    # The suite line is LAST and compact (no spaces, 2-decimal timings) so
-    # it fits whole inside the driver's tail buffer: ~24 bytes/query keeps
-    # even a 75-query suite under 2000 chars.
-    out = {
-        "metric": "dq_suite_seconds",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "sf": sf,
-    }
-    line = json.dumps(out, separators=(",", ":"))
+    # Full-precision, full-name per-query map to stderr (local analysis /
+    # cross-round tooling reads this; the driver only parses stdout's last
+    # line).
+    print(json.dumps({"metric": "dq_queries_full", "queries": timings}),
+          file=sys.stderr)
+
+    line = suite_line(sum(timings.values()), timings, sf)
     if len(line) > 1900:
-        # fallback: 1-decimal timings shave ~2 bytes/query, keeping the
-        # line whole inside the 2000-char tail buffer at higher counts
-        out["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        line = json.dumps(out, separators=(",", ":"))
-        if len(line) > 1950:
-            print(f"WARNING: suite line {len(line)} chars even at 1-dp — "
-                  "the driver tail buffer will truncate; cut query count",
-                  file=sys.stderr)
+        print(f"WARNING: suite line {len(line)} chars — the driver tail "
+              "buffer will truncate; cut query count or shorten names",
+              file=sys.stderr)
     print(line)
     spark.stop()
 

@@ -3083,6 +3083,104 @@ def dq_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_file_layout",
+    """
+    WITH meta AS (
+      SELECT regexp_extract(file_name, '[^/]+$') AS file, num_rows
+      FROM parquet_file_metadata('/root/testdata/sf0.01/*.parquet')
+    ), sizes AS (
+      SELECT regexp_extract(filename, '[^/]+$') AS file,
+             octet_length(content) AS bytes
+      FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    )
+    SELECT meta.file, CAST(num_rows AS BIGINT) AS n_rows,
+           CAST(bytes AS BIGINT) AS bytes,
+           CAST(round(bytes * 1.0 / num_rows, 2) AS DOUBLE) AS avg_row_bytes,
+           bytes < 33554432 AS is_small
+    FROM meta JOIN sizes USING (file)
+    ORDER BY file
+    """,
+)
+def dq_file_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout report over every fixture table file: per-file row
+    count from ONE distributed ``groupBy(input_file_name())`` pass per
+    table, byte size from the Hadoop FileSystem listing
+    (operators/layout.py file_layout_report). The oracle reads the same
+    physical files via DuckDB ``parquet_file_metadata`` (row counts) +
+    ``read_blob`` (byte sizes) — metadata functions need literal paths,
+    so the oracle pins the driver's sf0.01 fixture dir (the Spark side
+    stays sf_dir-parameterized)."""
+    from .operators.layout import file_layout_report
+    from .sources.tables import TABLES, _scoped_conf
+
+    parts = []
+    for t in TABLES:
+        if t == "events":
+            # events.parquet is TIMESTAMP(NANOS); schema resolution needs
+            # the scoped legacy conf exactly as load_table does
+            with _scoped_conf(
+                spark, "spark.sql.legacy.parquet.nanosAsLong", "true"
+            ):
+                parts.append(file_layout_report(spark, f"{sf_dir}/{t}.parquet"))
+        else:
+            parts.append(file_layout_report(spark, f"{sf_dir}/{t}.parquet"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("file")
+
+
+@query(
+    "dq_zscore",
+    """
+    WITH base AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, value
+      FROM events WHERE user_id < 20
+    ), s AS (
+      SELECT user_id, ts_epoch, value,
+             avg(value) OVER w AS m,
+             stddev_samp(value) OVER w AS sd,
+             count(value) OVER w AS n
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), z AS (
+      SELECT user_id, ts_epoch, value, n,
+             CASE WHEN sd > 0 THEN (value - m) / sd END AS zraw
+      FROM s
+    )
+    SELECT user_id, ts_epoch, value,
+           CAST(round(zraw, 6) AS DOUBLE) AS zscore,
+           coalesce(n >= 5 AND abs(zraw) > 3.0, FALSE) AS is_anomaly
+    FROM z
+    """,
+)
+def dq_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing z-score over event values — the batch face of
+    the streaming detector (streaming/anomaly.py streaming_zscore):
+    every value scored against the mean/stddev of its key's PRIOR
+    events, flagged when >=5 priors and |z| > 3. Stream/batch parity is
+    the unit test (tests/test_streaming.py); this certifies the shared
+    math exactly. (user_id, epoch second) is unique in the fixture, so
+    the window order is deterministic in both engines."""
+    from .streaming.anomaly import streaming_zscore
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            F.col("ts").cast("long").alias("ts_epoch"),
+            "value",
+        )
+    )
+    return streaming_zscore(
+        ev, ["user_id"], "value", "ts_epoch",
+        threshold=3.0, min_periods=5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -3104,48 +3202,35 @@ def dq_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # NOTE for the next round: refresh BOTH lists from the new
-# CORRECTNESS_r04.json — entries certified this round leave
+# CORRECTNESS_r05.json — entries certified this round leave
 # _CERT_PRIORITY, and rotated-out entries can rotate back in for a
 # re-certification pass. `python scripts/make_cert_ledger.py` prints the
 # current state; tests/test_registry.py enforces the invariants.
+#
+# Round-5 rotation: the 31 entries certified green in r04 rotate OUT
+# (they fill _CERT_ROTATED below); the 31 double-green r02+r03 entries
+# that sat out round 4 rotate back IN for re-certification, behind the
+# round-5 first-timers.
 _CERT_PRIORITY = [
-    # new in round 4
-    "dq_join_diagnosis",
-    "dq_dedup_against",
-    "dq_winsorize",
-    "dq_fuzzy_pairs",
-    "dq_semantic_dedup",
-    "dq_tfidf",
-    "dq_rolling_stats",
-    "dq_split_leakage",
-    "dq_dup_clusters",
-    "dq_sketch_rollup",
-    "dq_cusum",
-    "dq_unigram_nll",
-    "dq_windowed_cardinality",
-    "dq_set_jaccard",
-    "dq_quantile_drift",
-    "dq_monotonicity",
-    # never certified (registered after slot 50 in rounds 2-3)
-    "dq_table_diff",
-    "dq_diff_columns",
-    "dq_reconcile",
-    "dq_wasserstein",
-    "dq_outliers",
-    "dq_json_fields",
-    "dq_sequence_gaps",
-    "dq_sequence_completeness",
-    "dq_skew_report",
-    "dq_windowed_psi",
-    "dq_corr_matrix",
-    "dq_benford",
-    "dq_stratified_sample",
-    "dq_repetition",
-    "dq_curation",
-]
-
-_CERT_ROTATED = [
-    # double-green in r02+r03 on code paths not touched this round
+    # new in round 5 (never certified)
+    "dq_file_layout",
+    "dq_zscore",
+    # double-green r02+r03, rotated out in round 4, due a fresh verdict
+    "dq_valid_rows",
+    "dq_invalid_rows",
+    "dq_dup_groups",
+    "dq_dedup_survivors",
+    "dq_freshness",
+    "dq_scoped_completeness",
+    "dq_lang_dist",
+    "dq_quality_summary",
+    "dq_exact_dedup",
+    "dq_media_stats",
+    "dq_fk_violations",
+    "dq_vocab",
+    "dq_sample",
+    "dq_entropy",
+    "dq_histogram",
     "dq_top_values",
     "dq_schema_report",
     "dq_embedding_quality",
@@ -3162,21 +3247,41 @@ _CERT_ROTATED = [
     "dq_topk_bruteforce",
     "dq_event_windows",
     "dq_event_sessions",
-    "dq_valid_rows",
-    "dq_invalid_rows",
-    "dq_dup_groups",
-    "dq_dedup_survivors",
-    "dq_freshness",
-    "dq_scoped_completeness",
-    "dq_lang_dist",
-    "dq_quality_summary",
-    "dq_exact_dedup",
-    "dq_media_stats",
-    "dq_fk_violations",
-    "dq_vocab",
-    "dq_sample",
-    "dq_entropy",
-    "dq_histogram",
+]
+
+_CERT_ROTATED = [
+    # green in CORRECTNESS_r04 on code paths not touched this round
+    "dq_join_diagnosis",
+    "dq_dedup_against",
+    "dq_winsorize",
+    "dq_fuzzy_pairs",
+    "dq_semantic_dedup",
+    "dq_tfidf",
+    "dq_rolling_stats",
+    "dq_split_leakage",
+    "dq_dup_clusters",
+    "dq_sketch_rollup",
+    "dq_cusum",
+    "dq_unigram_nll",
+    "dq_windowed_cardinality",
+    "dq_set_jaccard",
+    "dq_quantile_drift",
+    "dq_monotonicity",
+    "dq_table_diff",
+    "dq_diff_columns",
+    "dq_reconcile",
+    "dq_wasserstein",
+    "dq_outliers",
+    "dq_json_fields",
+    "dq_sequence_gaps",
+    "dq_sequence_completeness",
+    "dq_skew_report",
+    "dq_windowed_psi",
+    "dq_corr_matrix",
+    "dq_benford",
+    "dq_stratified_sample",
+    "dq_repetition",
+    "dq_curation",
 ]
 
 
