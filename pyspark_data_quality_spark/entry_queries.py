@@ -2520,11 +2520,14 @@ def dq_join_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_dedup_against",
-    f"""
-    SELECT doc_id FROM documents
-    WHERE doc_id >= 250
-      AND {_SQL_NORM} NOT IN (
-        SELECT {_SQL_NORM} FROM documents WHERE doc_id < 250
+    r"""
+    SELECT b.doc_id FROM documents b
+    WHERE b.doc_id >= 250
+      AND NOT EXISTS (
+        SELECT 1 FROM documents r
+        WHERE r.doc_id < 250
+          AND trim(regexp_replace(lower(r.text), '\s+', ' ', 'g'))
+              = trim(regexp_replace(lower(b.text), '\s+', ' ', 'g'))
       )
     ORDER BY doc_id
     """,
@@ -2534,7 +2537,11 @@ def dq_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference corpus (doc_id < 250): survivors are batch docs whose
     normalized-text fingerprint is absent from the reference fingerprint
     set — hash-only anti join, no document bodies in the shuffle
-    (operators/dedup.py dedup_against)."""
+    (operators/dedup.py dedup_against). Oracle uses NOT EXISTS, not
+    NOT IN: with any NULL-text reference row NOT IN would yield zero
+    rows, and NULL-text batch rows must SURVIVE (the operator's
+    null-fingerprint semantics; a Spark anti join never matches NULL
+    keys) rather than be dropped by three-valued NOT IN logic."""
     from .operators.dedup import dedup_against
 
     docs = load_table(spark, "documents", sf_dir)

@@ -183,6 +183,36 @@ def _fake_pcm(data: bytes, n_samples: int) -> np.ndarray:
     return (np.resize(flat, n_samples) - 128) * 256
 
 
+def decode_audio(data: bytes, *, n_samples: int, decoder: str = "real") -> np.ndarray:
+    """Decode an audio payload to mono int16 PCM of exactly ``n_samples``.
+
+    ``decoder='real'`` uses soundfile when it is importable (channels
+    mixed down to mono, samples tiled/truncated to ``n_samples`` so
+    downstream batch shapes stay fixed); in environments without an audio
+    codec library — this container — it raises ``NotImplementedError`` by
+    design. ``decoder='fake'`` is the deterministic test decoder.
+    """
+    if decoder == "fake":
+        return _fake_pcm(data, n_samples)
+    import importlib.util
+
+    if importlib.util.find_spec("soundfile") is not None:
+        import io
+
+        import soundfile as sf
+
+        samples, _sr = sf.read(io.BytesIO(data), dtype="int16", always_2d=True)
+        if samples.size == 0:
+            return np.zeros(n_samples, dtype=np.int16)
+        mono = samples.mean(axis=1).astype(np.int16)
+        return np.resize(mono, n_samples)
+    raise NotImplementedError(
+        "real audio decoding requires soundfile/ffmpeg (not installed in "
+        "this environment); use decoder='fake' for the deterministic test "
+        "path"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Image ops
 # ---------------------------------------------------------------------------
@@ -335,12 +365,9 @@ def audio_features(
                 sr = int(meta["sample_rate"])
                 dur = int(meta["duration_ms"])
                 n = max(int(sr * dur / 1000), 1)
-                if decoder != "fake":
-                    raise NotImplementedError(
-                        "real audio decoding requires soundfile/ffmpeg "
-                        "(not installed); use decoder='fake'"
-                    )
-                pcm = _fake_pcm(bytes(data), n).astype(np.float64)
+                pcm = decode_audio(
+                    bytes(data), n_samples=n, decoder=decoder
+                ).astype(np.float64)
                 rms = float(math.sqrt((pcm**2).mean()))
                 zc = float((np.diff(np.signbit(pcm)) != 0).mean()) if n > 1 else 0.0
                 rows.append((int(mid), n, rms, zc))
@@ -365,15 +392,25 @@ def media_dedup(
     perceptual/near-dup stage. Grouping key is the JVM-side md5 of the
     payload bytes (the shuffle carries 32-char digests, never payloads).
     ``mode='dups'`` returns the dropped rows instead.
+
+    A NULL payload is NOT a duplicate of another NULL payload: rows with
+    a NULL ``data_col`` are excluded from the digest groupBy, so they
+    all survive (and never appear in ``mode='dups'``) — mirroring
+    dedup_against's null-fingerprint semantics instead of collapsing
+    every payload-less row onto the NULL md5 group.
     """
     if mode not in ("survivors", "dups"):
         raise ValueError(f"media_dedup: unknown mode {mode!r}")
     digest = F.md5(F.col(data_col))
     keep = (
-        df.select(F.col(id_col), digest.alias("_d"))
+        df.filter(F.col(data_col).isNotNull())
+        .select(F.col(id_col), digest.alias("_d"))
         .groupBy("_d")
         .agg(F.min(id_col).alias(id_col))
         .drop("_d")
     )
-    how = "semi" if mode == "survivors" else "anti"
-    return df.join(keep, id_col, how)
+    if mode == "survivors":
+        return df.join(keep, id_col, "semi").unionByName(
+            df.filter(F.col(data_col).isNull())
+        )
+    return df.filter(F.col(data_col).isNotNull()).join(keep, id_col, "anti")

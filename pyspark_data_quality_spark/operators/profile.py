@@ -652,10 +652,16 @@ def sketch_rollup(
         F.hll_sketch_estimate("_hs").alias("distinct_est"),
         *q_cols,
     )
+    # try_element_at: on an EMPTY input frame collect_list is [], and under
+    # ANSI mode element_at([], 1) throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    # instead of seeding NULL — an empty increment is a realistic input for
+    # the incremental-statistics shape this operator exists for. A NULL
+    # seed is safe: the slice is empty too, so the merge lambda never runs,
+    # and kll_sketch_get_quantile_double(NULL) null-propagates.
     merged_ks = F.reduce(
         F.slice(F.collect_list("_ks"), 2, F.greatest(
             F.size(F.collect_list("_ks")) - 1, F.lit(0))),
-        F.element_at(F.collect_list("_ks"), 1),
+        F.try_element_at(F.collect_list("_ks"), F.lit(1)),
         lambda acc, s: F.kll_sketch_merge_double(acc, s),
     )
     total = per.agg(

@@ -161,3 +161,13 @@ def test_round4_operators_empty(spark, empty_docs):
     r = split_leakage(docs, empty_docs, "text", "doc_id").first()
     assert r["n_holdout"] == 0 and r["exact_leak_rate"] == 0.0
     assert tfidf_top_terms(empty_docs, "text", "doc_id").count() == 0
+    # sketch rollup on an empty increment: the one __total__ row comes
+    # back all-NULL instead of ANSI element_at([],1) throwing (ADVICE r4)
+    from pyspark_data_quality_spark.operators.profile import sketch_rollup
+
+    rows = sketch_rollup(nums.withColumn("g", F.lit("a")),
+                         "x", group_by=["g"]).collect()
+    assert len(rows) == 1
+    # sum over zero rows is NULL; the empty HLL union estimates 0
+    assert rows[0]["n"] is None and not rows[0]["distinct_est"]
+    assert rows[0]["q0.5"] is None

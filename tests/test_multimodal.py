@@ -131,6 +131,33 @@ def test_real_decoder_gated_on_pillow(media):
         assert g.shape == (3, 3, 1)
 
 
+def test_real_audio_decoder_gated_on_soundfile():
+    import importlib.util
+
+    from pyspark_data_quality_spark.multimodal.media import decode_audio
+
+    if importlib.util.find_spec("soundfile") is None:
+        # this container has no codec libs: the real path must fail loudly
+        with pytest.raises(NotImplementedError):
+            decode_audio(b"abc", n_samples=16, decoder="real")
+    else:
+        # environments with soundfile exercise a REAL decode round-trip
+        import io
+
+        import numpy as np
+        import soundfile as sf
+
+        buf = io.BytesIO()
+        tone = (np.sin(np.linspace(0, 40 * np.pi, 800)) * 2000).astype(
+            np.int16
+        )
+        sf.write(buf, tone, 8000, format="WAV", subtype="PCM_16")
+        pcm = decode_audio(buf.getvalue(), n_samples=800, decoder="real")
+        assert pcm.shape == (800,)
+        assert pcm.dtype == np.int16
+        assert np.abs(pcm).max() > 1000  # real samples, not silence
+
+
 def test_media_dedup_exact_payloads(spark):
     from pyspark_data_quality_spark.multimodal.media import media_dedup
 
@@ -147,3 +174,22 @@ def test_media_dedup_exact_payloads(spark):
     assert dups == [2, 4]
     with pytest.raises(ValueError, match="unknown mode"):
         media_dedup(df, mode="nope")
+
+
+def test_media_dedup_null_payloads_all_survive(spark):
+    """A missing payload is not a duplicate of another missing payload:
+    NULL-data rows are excluded from the digest groupBy, all survive,
+    and never show up as dups (ADVICE r4)."""
+    from pyspark_data_quality_spark.multimodal.media import media_dedup
+
+    rows = [
+        (1, bytearray(b"samebytes")),
+        (2, bytearray(b"samebytes")),
+        (3, None),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id int, data binary")
+    surv = sorted(r["media_id"] for r in media_dedup(df).collect())
+    assert surv == [1, 3, 4]
+    dups = sorted(r["media_id"] for r in media_dedup(df, mode="dups").collect())
+    assert dups == [2]
