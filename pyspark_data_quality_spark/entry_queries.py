@@ -3121,21 +3121,14 @@ def dq_file_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.layout import file_layout_report
     from .sources.tables import TABLES, _scoped_conf
 
-    parts = []
-    for t in TABLES:
-        if t == "events":
-            # events.parquet is TIMESTAMP(NANOS); schema resolution needs
-            # the scoped legacy conf exactly as load_table does
-            with _scoped_conf(
-                spark, "spark.sql.legacy.parquet.nanosAsLong", "true"
-            ):
-                parts.append(file_layout_report(spark, f"{sf_dir}/{t}.parquet"))
-        else:
-            parts.append(file_layout_report(spark, f"{sf_dir}/{t}.parquet"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("file")
+    # events.parquet is TIMESTAMP(NANOS); schema resolution needs the
+    # scoped legacy conf exactly as load_table does — it only has to be
+    # set while the reads RESOLVE, which happens inside this call
+    with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        report = file_layout_report(
+            spark, [f"{sf_dir}/{t}.parquet" for t in TABLES]
+        )
+    return report.orderBy("file")
 
 
 @query(

@@ -43,25 +43,38 @@ def _list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
 
 def file_layout_report(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     *,
     fmt: str = "parquet",
     small_file_bytes: int = 32 * 1024 * 1024,
 ) -> DataFrame:
-    """Per-file layout report for a dataset directory: ``(file, n_rows,
-    bytes, avg_row_bytes, is_small)`` ordered by bytes ascending —
-    the compaction worklist. ``file`` is the basename (stable across
-    filesystems/mounts; full URIs stay joinable driver-side if needed).
+    """Per-file layout report for one or more dataset directories:
+    ``(file, n_rows, bytes, avg_row_bytes, is_small)`` ordered by bytes
+    ascending — the compaction worklist. ``file`` is the basename
+    (stable across filesystems/mounts; full URIs stay joinable
+    driver-side if needed).
+
+    Multiple paths (datasets with DIFFERENT schemas — they cannot share
+    one scan) each get their own per-file count scan, but the count
+    frames union into a SINGLE plan with ONE join against ONE combined
+    size listing, instead of |paths| independent join+sort plans.
     """
-    df = spark.read.format(fmt).load(path)
-    rows = (
-        df.groupBy(F.input_file_name().alias("_uri"))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn(
-            "file", F.element_at(F.split(F.col("_uri"), "/"), -1)
+    paths = [path] if isinstance(path, str) else list(path)
+    if not paths:
+        raise ValueError("file_layout_report: at least one path required")
+    rows = None
+    for p in paths:
+        r = (
+            spark.read.format(fmt)
+            .load(p)
+            .groupBy(F.input_file_name().alias("_uri"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
         )
+        rows = r if rows is None else rows.unionByName(r)
+    rows = rows.withColumn(
+        "file", F.element_at(F.split(F.col("_uri"), "/"), -1)
     )
-    listing = _list_files(spark, path)
+    listing = [t for p in paths for t in _list_files(spark, p)]
     sizes = spark.createDataFrame(
         [(uri.rsplit("/", 1)[-1], b) for uri, b in listing],
         "file string, bytes bigint",
