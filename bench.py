@@ -74,24 +74,45 @@ def _prev_bench(repo_dir: str, sf: float) -> tuple[str, dict] | None:
     return (best[1], best[2]) if best else None
 
 
-def suite_line(total: float, timings: dict[str, float], sf: float) -> str:
+def suite_line(total: float, timings: dict[str, float], sf: float,
+               budget: int = 1900) -> str:
     """The LAST stdout line, compact so it fits WHOLE in the driver's
     ~2000-char tail buffer: no spaces, 1-decimal timings, and the uniform
     ``dq_`` prefix stripped from query keys (~3 bytes x 80+ entries of
     headroom). tests/test_registry.py budgets against this exact
-    rendering."""
-    out = {
-        "metric": "dq_suite_seconds",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": {
-            (k[3:] if k.startswith("dq_") else k): round(v, 1)
-            for k, v in timings.items()
-        },
-        "sf": sf,
-        "n": len(timings),
+    rendering.
+
+    Bounded BY CONSTRUCTION: if the full per-query map would overflow
+    ``budget``, the map keeps only the slowest queries (the ones a perf
+    judge needs) and reports how many sub-threshold entries were dropped
+    via ``"dropped"``. ``value``/``n`` always cover the FULL suite, and
+    the full map always goes to stderr (``dq_queries_full``) regardless —
+    so growth in entry count can truncate detail but never the line head
+    the driver parses (the round-3 failure mode)."""
+    compact = {
+        (k[3:] if k.startswith("dq_") else k): round(v, 1)
+        for k, v in timings.items()
     }
-    return json.dumps(out, separators=(",", ":"))
+    dropped = 0
+    while True:
+        out = {
+            "metric": "dq_suite_seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": compact,
+            "sf": sf,
+            "n": len(timings),
+        }
+        if dropped:
+            out["dropped"] = dropped
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= budget or not compact:
+            return line
+        # drop the fastest ~10% and re-render
+        cut = max(1, len(compact) // 10)
+        for k in sorted(compact, key=compact.get)[:cut]:
+            del compact[k]
+        dropped += cut
 
 
 def main() -> None:

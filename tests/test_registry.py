@@ -107,9 +107,32 @@ def test_registry_bench_line_budget():
     # shorter than this bound.
     timings = {k: 99.9 for k in ENTRY_QUERIES}
     line = suite_line(8291.7, timings, sf=0.1)
-    assert len(line) < 1750, (
-        f"suite line would be {len(line)} chars for {len(ENTRY_QUERIES)} "
-        "entries at worst-case timing widths — the driver's tail buffer "
-        "is 2000 chars and we hold >300 headroom at realistic widths; "
-        "shorten entry names or trim the map"
+    # bounded BY CONSTRUCTION: suite_line truncates the per-query map
+    # (slowest-first retention) before it can overflow the driver's
+    # ~2000-char tail buffer, whatever the entry count.
+    assert len(line) <= 1900, f"suite line {len(line)} chars > 1900 budget"
+    parsed = json.loads(line)
+    assert parsed["n"] == len(ENTRY_QUERIES)  # n covers the FULL suite
+    assert parsed["metric"] == "dq_suite_seconds"
+
+    # at REALISTIC widths (r4 averaged ~1 s/query) the full map must fit
+    # untruncated — if this trips, entry names have grown too fat and
+    # per-query visibility is being lost to truncation.
+    realistic = suite_line(83.0, {k: 1.0 for k in ENTRY_QUERIES}, sf=0.1)
+    assert "dropped" not in json.loads(realistic), (
+        f"even ~1 s/query timings overflow the stdout line for "
+        f"{len(ENTRY_QUERIES)} entries — shorten new entry names"
     )
+
+    # truncation path: absurd entry volume still yields a parseable line
+    # with the slowest queries retained.
+    big = {f"dq_entry_{i:03d}": float(i % 50) for i in range(400)}
+    tline = suite_line(9999.0, big, sf=0.1)
+    tparsed = json.loads(tline)
+    assert len(tline) <= 1900
+    assert tparsed["n"] == 400 and tparsed["dropped"] > 0
+    kept = tparsed["queries"]
+    dropped_vals = [round(v, 1) for k, v in big.items()
+                    if (k[3:] if k.startswith("dq_") else k) not in kept]
+    # slowest retained, fastest dropped (ties may straddle the cut)
+    assert min(kept.values()) >= max(dropped_vals)
