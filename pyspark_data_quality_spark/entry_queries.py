@@ -3181,6 +3181,110 @@ def dq_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_segment_dedup",
+    r"""
+    WITH lst AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS ord
+      FROM lst
+    ), segs AS (
+      SELECT doc_id, CAST(floor((ord - 1) / 8) AS BIGINT) AS seg_no,
+             string_agg(tok, ' ' ORDER BY ord) AS seg, count(*) AS seg_len
+      FROM toks GROUP BY doc_id, floor((ord - 1) / 8)
+    ), fs AS (
+      SELECT doc_id, seg FROM segs WHERE seg_len = 8
+    ), dfreq AS (
+      SELECT seg, count(DISTINCT doc_id) AS df FROM fs GROUP BY seg
+    )
+    SELECT f.doc_id,
+           count(*) AS n_segments,
+           CAST(count(*) FILTER (WHERE d.df >= 2) AS BIGINT)
+             AS n_dup_segments,
+           CAST(round(count(*) FILTER (WHERE d.df >= 2) * 1.0 / count(*),
+                      6) AS DOUBLE) AS dup_segment_ratio
+    FROM fs f JOIN dfreq d USING (seg)
+    GROUP BY f.doc_id ORDER BY f.doc_id
+    """,
+)
+def dq_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication audit (Lee et al. 2021 granularity):
+    per-document ratio of 8-token segments shared with other documents
+    (operators/dedup.py segment_dedup_profile). Hash-only shuffles; the
+    oracle rebuilds the identical segmentation with DuckDB list
+    functions + ordered string_agg."""
+    from .operators.dedup import segment_dedup_profile
+
+    docs = load_table(spark, "documents", sf_dir)
+    return segment_dedup_profile(docs, "text", "doc_id", k=8, min_df=2)
+
+
+@query(
+    "dq_group_topk",
+    """
+    SELECT lang, doc_id, n_chars, rank FROM (
+      SELECT lang, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rank
+      FROM documents
+    ) WHERE rank <= 3 ORDER BY lang, rank
+    """,
+)
+def dq_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group leader board: 3 longest documents per language, keyed
+    window (never a global sort), doc_id tiebreak for a total order
+    (operators/rollup.py group_top_k)."""
+    from .operators.rollup import group_top_k
+
+    docs = load_table(spark, "documents", sf_dir)
+    return group_top_k(
+        docs, ["lang"], "n_chars", k=3, tiebreak_col="doc_id"
+    ).select("lang", "doc_id", "n_chars", "rank")
+
+
+@query(
+    "dq_corpus_kl",
+    r"""
+    WITH lst AS (
+      SELECT source,
+             list_filter(
+               string_split(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ), toks AS (SELECT source, unnest(toks) AS t FROM lst),
+    pairs AS (SELECT source, t, count(*) AS c FROM toks GROUP BY source, t),
+    corpus AS (SELECT t, sum(c) AS ct FROM pairs GROUP BY t),
+    totals AS (SELECT source, sum(c) AS gt FROM pairs GROUP BY source),
+    grand AS (SELECT sum(c) AS n FROM pairs)
+    SELECT p.source, CAST(max(gt) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct_tokens,
+           CAST(round(sum((c * 1.0 / gt) * ln((c * 1.0 / gt)
+                          / (ct * 1.0 / n))), 6) AS DOUBLE) AS kl_vs_corpus
+    FROM pairs p JOIN corpus USING (t) JOIN totals USING (source)
+         CROSS JOIN grand
+    GROUP BY p.source ORDER BY p.source
+    """,
+)
+def dq_corpus_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix health: per-source KL divergence of the unigram token
+    distribution vs the whole corpus (operators/drift.py
+    corpus_divergence) — which shard reads differently from the rest.
+    One tokenizing pass; second shuffle is over distinct (source, token)
+    pairs only."""
+    from .operators.drift import corpus_divergence
+
+    docs = load_table(spark, "documents", sf_dir)
+    return corpus_divergence(docs, "text", "source")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -3215,6 +3319,9 @@ _CERT_PRIORITY = [
     # new in round 5 (never certified)
     "dq_file_layout",
     "dq_zscore",
+    "dq_segment_dedup",
+    "dq_group_topk",
+    "dq_corpus_kl",
     # double-green r02+r03, rotated out in round 4, due a fresh verdict
     "dq_valid_rows",
     "dq_invalid_rows",

@@ -973,3 +973,160 @@ def semantic_dedup(
         .distinct()
     )
     return df.join(drops, id_col, "anti")
+
+
+# ---------------------------------------------------------------------------
+# Segment-level exact dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better"): duplication below document granularity.
+# Whole-document dedup misses boilerplate — headers, license blurbs,
+# navigation text — repeated across otherwise-distinct documents. Splitting
+# each document into fixed-width token segments and deduplicating THOSE
+# surfaces (and can strip) the repeated spans.
+# ---------------------------------------------------------------------------
+
+
+def _segments(text_col: str, k: int) -> Column:
+    """array<string> of consecutive non-overlapping ``k``-token segments of
+    the normalized text; the incomplete tail segment is dropped so segment
+    identity is width-invariant (a 7-token tail is not comparable to a
+    7-token tail elsewhere). Pure expressions — sequence+slice, no UDF;
+    the token array is let-bound so the tokenizer runs once per row, not
+    once per segment (interpreted HOF lambdas have no CSE)."""
+    return _let(
+        tokenize(text_col),
+        lambda toks: _let(
+            F.floor(F.size(toks) / k).cast("int"),
+            lambda n_full: F.when(
+                n_full > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_full - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i * k + 1, k)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+    )
+
+
+def segment_dedup_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-segment ratio: how much of each document is
+    made of ``k``-token segments that also appear in >= ``min_df`` distinct
+    documents (cross-document boilerplate). The planning view before a
+    :func:`strip_duplicate_segments` run.
+
+    Output: (id, n_segments, n_dup_segments, dup_segment_ratio), one row
+    per document that has at least one full segment.
+
+    Scale shape: explode to (doc, segment-hash) — the shuffle carries
+    64-bit hashes, never segment text; document frequency is ONE groupBy
+    over hashes (count distinct doc per hash, map-side combined); the join
+    back is hash-keyed. Cost ~ O(total tokens), same as any tokenizing
+    profile pass; no pair expansion anywhere.
+    """
+    segs = df.select(
+        F.col(id_col),
+        F.explode(_segments(text_col, k)).alias("_seg"),
+    ).select(id_col, F.xxhash64("_seg").alias("_h"))
+    dfreq = segs.groupBy("_h").agg(
+        F.count_distinct(id_col).alias("_df")
+    )
+    return (
+        segs.join(dfreq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("_df") >= min_df).cast("long")).alias(
+                "n_dup_segments"
+            ),
+        )
+        .withColumn(
+            "dup_segment_ratio",
+            F.round(F.col("n_dup_segments") / F.col("n_segments"), 6),
+        )
+        .orderBy(id_col)
+    )
+
+
+def strip_duplicate_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Rebuild each document WITHOUT its cross-document duplicated
+    segments — the remediation for :func:`segment_dedup_profile`'s
+    diagnosis. Every full ``k``-token segment whose document frequency is
+    >= ``min_df`` is removed; unique segments are re-joined in their
+    original order into ``<text_col>_dedup`` (the incomplete tail is
+    preserved verbatim: it was never eligible for dedup).
+
+    Shape: posexplode keeps each segment's position; the duplicate-hash
+    set comes from the same hash-only groupBy as the profile; surviving
+    segments re-assemble per document with ONE groupBy (sort by position
+    inside the array, no window). The reconstructed text rides the
+    aggregate, so document bodies shuffle exactly once.
+    """
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(_segments(text_col, k)).alias("_pos", "_seg"),
+    ).withColumn("_h", F.xxhash64("_seg"))
+    dup_hashes = (
+        segs.groupBy("_h")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_h")
+    )
+    kept = (
+        segs.join(dup_hashes, "_h", "anti")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_seg"))
+                    ),
+                    lambda s: s["_seg"],
+                ),
+            ).alias("_kept")
+        )
+    )
+    tail = _let(
+        tokenize(text_col),
+        lambda toks: _let(
+            F.floor(F.size(toks) / k).cast("int") * k,
+            lambda n_full_toks: F.when(
+                F.size(toks) > n_full_toks,
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        toks,
+                        n_full_toks + 1,
+                        F.size(toks) - n_full_toks,
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return (
+        df.join(kept, id_col, "left")
+        .withColumn(
+            f"{text_col}_dedup",
+            F.trim(
+                F.concat_ws(
+                    " ", F.coalesce(F.col("_kept"), F.lit("")), tail
+                )
+            ),
+        )
+        .drop("_kept")
+    )

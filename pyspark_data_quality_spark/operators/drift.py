@@ -422,3 +422,58 @@ def quantile_drift(
             round_to,
         ).alias("rel_shift"),
     ).orderBy("q")
+
+
+def corpus_divergence(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group KL divergence of the unigram token distribution against
+    the WHOLE corpus — "which source/language/shard reads differently from
+    the rest?", the corpus-mix health check before training-data blending.
+
+    ``kl_vs_corpus = Σ_t p_g(t) · ln(p_g(t) / p_all(t))`` over the group's
+    tokens. Every group token is by construction in the corpus vocabulary
+    (the corpus includes the group), so no smoothing is needed and KL is
+    finite and >= 0.
+
+    Shape: ONE explode + (group, token) count groupBy; the corpus
+    distribution reduces the SAME counted frame by token (second shuffle
+    over distinct (group, token) pairs, not raw tokens); totals join back
+    hash-keyed, the grand total broadcasts from a 1-row agg. Output one
+    row per group: (group, n_tokens, n_distinct_tokens, kl_vs_corpus).
+    """
+    from ..functions.text import tokenize
+
+    pairs = (
+        df.select(F.col(group_col),
+                  F.explode(tokenize(text_col)).alias("_t"))
+        .groupBy(group_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    corpus = pairs.groupBy("_t").agg(F.sum("_c").alias("_ct"))
+    totals = pairs.groupBy(group_col).agg(F.sum("_c").alias("_gt"))
+    grand = pairs.agg(F.sum("_c").alias("_n"))
+    return (
+        pairs.join(corpus, "_t")
+        .join(totals, group_col)
+        .crossJoin(F.broadcast(grand))
+        .withColumn(
+            "_term",
+            (F.col("_c") / F.col("_gt"))
+            * F.log(
+                (F.col("_c") / F.col("_gt"))
+                / (F.col("_ct") / F.col("_n"))
+            ),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.max("_gt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.round(F.sum("_term"), round_to).alias("kl_vs_corpus"),
+        )
+        .orderBy(group_col)
+    )

@@ -127,3 +127,42 @@ def rolling_stats(
             F.round(F.stddev_samp(value_col).over(w), round_to),
         )
     )
+
+
+def group_top_k(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    *,
+    k: int = 3,
+    ascending: bool = False,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Top-``k`` rows per group by ``order_col`` — the per-partition leader
+    board (longest documents per language, biggest orders per customer).
+
+    Rank is ``row_number`` over a window partitioned BY GROUP, so the sort
+    is per-group after one hash shuffle — never a global sort. Ties break
+    on ``tiebreak_col`` (asc) to make the rank total and engine-stable;
+    it defaults to ``order_col`` alone, which is only deterministic when
+    the order column is unique within each group — pass an id column for
+    oracle-grade determinism.
+
+    At 100 TB: cost is the one shuffle on the grouping key plus a
+    per-group in-memory sort; a skewed group sorts on one task, so for
+    heavy-hitter groups pre-filter with an approximate per-group
+    threshold first (see ``vocab_top_k`` for the TakeOrdered global
+    variant).
+    """
+    from pyspark.sql.window import Window
+
+    direction = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    order = [direction]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(*group_cols, "rank")
+    )

@@ -171,3 +171,19 @@ def test_round4_operators_empty(spark, empty_docs):
     # sum over zero rows is NULL; the empty HLL union estimates 0
     assert rows[0]["n"] is None and not rows[0]["distinct_est"]
     assert rows[0]["q0.5"] is None
+
+
+def test_round5_operators_empty(spark, empty_docs):
+    from pyspark_data_quality_spark.operators.dedup import (
+        segment_dedup_profile,
+        strip_duplicate_segments,
+    )
+    from pyspark_data_quality_spark.operators.drift import corpus_divergence
+    from pyspark_data_quality_spark.operators.rollup import group_top_k
+
+    assert segment_dedup_profile(empty_docs, "text", "doc_id").count() == 0
+    assert strip_duplicate_segments(empty_docs, "text", "doc_id").count() == 0
+    e = spark.createDataFrame([], "src string, text string")
+    assert corpus_divergence(e, "text", "src").count() == 0
+    g = spark.createDataFrame([], "g string, id bigint, v double")
+    assert group_top_k(g, ["g"], "v", tiebreak_col="id").count() == 0

@@ -181,3 +181,21 @@ def test_rolling_stats_hand_computed(spark):
         rolling_stats(df, "ts", "value", group_cols=None)
     with pytest.raises(ValueError, match="unsupported unit"):
         rolling_stats(df, "ts", "value", group_cols=["k"], window="1 fortnight")
+
+
+def test_group_top_k(spark):
+    from pyspark_data_quality_spark.operators.rollup import group_top_k
+
+    df = spark.createDataFrame(
+        [("g1", 1, 10.0), ("g1", 2, 30.0), ("g1", 3, 30.0), ("g1", 4, 5.0),
+         ("g2", 5, 1.0)],
+        ["g", "id", "v"],
+    )
+    top = group_top_k(df, ["g"], "v", k=2, tiebreak_col="id").collect()
+    got = [(r["g"], r["id"], r["rank"]) for r in top]
+    assert got == [("g1", 2, 1), ("g1", 3, 2), ("g2", 5, 1)]
+    # ascending: smallest first
+    bottom = group_top_k(
+        df, ["g"], "v", k=1, ascending=True, tiebreak_col="id"
+    ).collect()
+    assert [(r["g"], r["id"]) for r in bottom] == [("g1", 4), ("g2", 5)]

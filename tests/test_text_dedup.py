@@ -856,3 +856,108 @@ def test_set_similarity_join_exact_vs_bruteforce(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         set_similarity_join(df, "s", "id", threshold=0.0)
+
+
+def test_segment_dedup_profile_hand_computed(spark):
+    from pyspark_data_quality_spark.operators.dedup import (
+        segment_dedup_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail"),      # seg1 = "a b c d", seg2 dup w/ 3
+            (2, "a b c d x y z w more words here now"),
+            (3, "a b c d e f g h unrelated body of text"),
+            (4, "too short"),                  # no full 4-token segment
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_dup_segments"])
+        for r in segment_dedup_profile(
+            df, "text", "doc_id", k=4, min_df=2
+        ).collect()
+    }
+    # "a b c d" appears in docs 1,2,3; "e f g h" in docs 1,3
+    assert got == {1: (2, 2), 2: (3, 1), 3: (3, 2)}
+    assert 4 not in got  # no full segment -> no row
+
+
+def test_strip_duplicate_segments_rebuild(spark):
+    from pyspark_data_quality_spark.operators.dedup import (
+        strip_duplicate_segments,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail"),
+            (2, "a b c d x y z w"),
+            (3, "a b c d e f g h"),
+            (4, ""),
+            (5, None),
+            (6, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["text_dedup"]
+        for r in strip_duplicate_segments(
+            df, "text", "doc_id", k=4, min_df=2
+        ).collect()
+    }
+    # dup segments removed, unique segments + tail preserved in order
+    assert got[1] == "tail"
+    assert got[2] == "x y z w"
+    assert got[3] == ""
+    assert got[4] == ""
+    assert got[6] == "short"  # sub-k text untouched
+
+
+def test_segment_dedup_order_preserved(spark):
+    from pyspark_data_quality_spark.operators.dedup import (
+        strip_duplicate_segments,
+    )
+
+    # two unique segments + a shared middle segment: order must survive
+    df = spark.createDataFrame(
+        [
+            (1, "p q r s DUP DUP DUP DUP w x y z"),
+            (2, "DUP DUP DUP DUP other words go here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["text_dedup"]
+        for r in strip_duplicate_segments(
+            df, "text", "doc_id", k=4, min_df=2
+        ).collect()
+    }
+    assert got[1] == "p q r s w x y z"
+    assert got[2] == "other words go here"
+
+
+def test_corpus_divergence_properties(spark):
+    from pyspark_data_quality_spark.operators.drift import corpus_divergence
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x x x y"),
+            ("a", "x y z"),
+            ("b", "z z z z q"),
+            ("c", None),
+        ],
+        ["src", "text"],
+    )
+    rows = corpus_divergence(df, "text", "src").collect()
+    got = {r["src"]: r for r in rows}
+    assert set(got) == {"a", "b"}  # null-text-only group has no tokens
+    for r in rows:
+        assert r["kl_vs_corpus"] >= 0  # Gibbs' inequality
+    assert got["a"]["n_tokens"] == 7
+    assert got["b"]["n_tokens"] == 5
+    # uniform corpus == group distribution -> KL 0
+    uni = spark.createDataFrame(
+        [("a", "t u"), ("b", "t u")], ["src", "text"]
+    )
+    for r in corpus_divergence(uni, "text", "src").collect():
+        assert r["kl_vs_corpus"] == 0.0
