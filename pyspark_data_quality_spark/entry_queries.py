@@ -3285,6 +3285,106 @@ def dq_corpus_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_divergence(docs, "text", "source")
 
 
+@query(
+    "dq_zipf",
+    r"""
+    WITH lst AS (
+      SELECT lang,
+             list_filter(
+               string_split(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ), toks AS (SELECT lang, unnest(toks) AS t FROM lst),
+    pairs AS (SELECT lang, t, count(*) AS c FROM toks GROUP BY lang, t),
+    ranked AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, t ASC) AS r
+      FROM pairs
+    )
+    SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS vocab_size,
+           CAST(round(regr_slope(ln(c), ln(r)), 6) AS DOUBLE)
+             AS zipf_slope,
+           CAST(round(regr_r2(ln(c), ln(r)), 6) AS DOUBLE) AS zipf_r2
+    FROM ranked GROUP BY lang ORDER BY lang
+    """,
+)
+def dq_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: slope/R² of ln(freq) ~ ln(rank) over
+    each language's vocabulary (operators/text.py zipf_profile) —
+    natural text sits near slope -1, templated/synthetic text reads
+    flat. regr_slope/regr_r2 are native aggregates in BOTH engines; the
+    rank window runs over the vocabulary spine, not corpus rows."""
+    from .operators.text import zipf_profile
+
+    docs = load_table(spark, "documents", sf_dir)
+    return zipf_profile(docs, "text", "lang")
+
+
+@query(
+    "dq_redact",
+    r"""
+    WITH synth AS (
+      SELECT c_custkey,
+             'contact ' || c_name || ' at '
+               || regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')
+               || '@example.com or +1 555 000 '
+               || lpad(CAST(c_custkey AS VARCHAR), 4, '0')
+               || ' ip 10.0.0.1 see https://ex.example/c/'
+               || CAST(c_custkey AS VARCHAR) AS text
+      FROM customer WHERE c_custkey <= 1000
+    )
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+                 'https?://[^\s]+', '[URL]', 'g'),
+               '\+?\d[\d\- ]{7,}\d', '[PHONE]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g')
+             AS text_redacted
+    FROM synth ORDER BY c_custkey
+    """,
+)
+def dq_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/repair.py redact_pii): typed
+    placeholders replace every detector match — the remediation for
+    pii_summary's diagnosis. The fixture corpus contains no PII, so the
+    entry synthesizes a deterministic PII-bearing text from customer
+    fixture values IDENTICALLY on both sides, then certifies the
+    redacted output value-for-value (pattern order included). Chained
+    regexp_replace projections — one codegen stage, no UDF, no
+    shuffle."""
+    from .operators.repair import redact_pii
+
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_custkey") <= 1000)
+        .select(
+            "c_custkey",
+            F.concat(
+                F.lit("contact "), F.col("c_name"), F.lit(" at "),
+                F.regexp_replace(
+                    F.lower(F.col("c_name")), "[^a-z0-9]", ""
+                ),
+                F.lit("@example.com or +1 555 000 "),
+                F.lpad(F.col("c_custkey").cast("string"), 4, "0"),
+                F.lit(" ip 10.0.0.1 see https://ex.example/c/"),
+                F.col("c_custkey").cast("string"),
+            ).alias("text"),
+        )
+    )
+    return (
+        redact_pii(cust, "text")
+        .select("c_custkey", "text_redacted")
+        .orderBy("c_custkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -3322,6 +3422,8 @@ _CERT_PRIORITY = [
     "dq_segment_dedup",
     "dq_group_topk",
     "dq_corpus_kl",
+    "dq_zipf",
+    "dq_redact",
     # double-green r02+r03, rotated out in round 4, due a fresh verdict
     "dq_valid_rows",
     "dq_invalid_rows",

@@ -252,3 +252,31 @@ def winsorize(
     for c in columns:
         out = out.withColumn(f"{c}{suffix}", clamp(c))
     return out.drop(*[f"_{b}_{c}" for c in columns for b in ("lo", "hi")])
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    *,
+    patterns: dict[str, str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace every PII match with a typed placeholder (``[EMAIL]``,
+    ``[URL]``, ...) — the remediation for :func:`..operators.text.
+    pii_summary`'s diagnosis, applied before text ships to a training
+    corpus.
+
+    Patterns default to :data:`..functions.text.PII_PATTERNS` and are
+    applied in dict order as chained ``regexp_replace`` projections —
+    pure JVM expressions in one codegen stage, no UDF, no shuffle.
+    Order matters where patterns overlap (emails are redacted before
+    phone numbers so digit runs inside an address aren't re-matched);
+    keep more-specific patterns first when extending.
+    """
+    from ..functions.text import PII_PATTERNS
+
+    pats = patterns if patterns is not None else PII_PATTERNS
+    col = F.col(text_col)
+    for name, pat in pats.items():
+        col = F.regexp_replace(col, pat, f"[{name.upper()}]")
+    return df.withColumn(out_col or f"{text_col}_redacted", col)

@@ -635,3 +635,59 @@ def repetition_signals(
             F.coalesce("top_token_frac", F.lit(0.0)).alias("top_token_frac"),
         )
     )
+
+
+def zipf_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+    *,
+    min_count: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit of the token frequency distribution: the slope (and
+    fit quality) of ln(frequency) ~ ln(rank) over the vocabulary. Natural
+    text sits near slope -1; generated/templated text (bounded vocab,
+    near-uniform frequencies) reads much flatter — a corpus-level
+    naturalness signal that catches boilerplate floods and synthetic
+    spam that per-document signals miss.
+
+    Output per group (or one ``_all`` row): (group?, n_tokens,
+    vocab_size, zipf_slope, zipf_r2) via ``regr_slope``/``regr_r2`` —
+    both engine-native aggregates.
+
+    Shape: one tokenizing explode collapses to (group, token) counts
+    with map-side combine; ranks come from a window over the VOCABULARY
+    (|distinct tokens| rows, not corpus rows — same bounded-spine shape
+    as the drift histograms), keyed by group when grouping. Ties rank by
+    token asc so both engines produce the same total order.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokenize
+
+    keys = [group_col] if group_col else []
+    pairs = (
+        df.select(
+            *keys, F.explode(tokenize(text_col)).alias("_t")
+        )
+        .groupBy(*keys, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_c").desc(), F.col("_t").asc()
+    )
+    ranked = pairs.withColumn("_r", F.row_number().over(w))
+    grouped = ranked.groupBy(*keys) if keys else ranked.groupBy()
+    out = grouped.agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(
+            F.regr_slope(F.log("_c"), F.log("_r")), round_to
+        ).alias("zipf_slope"),
+        F.round(
+            F.regr_r2(F.log("_c"), F.log("_r")), round_to
+        ).alias("zipf_r2"),
+    )
+    return out.orderBy(*keys) if keys else out

@@ -187,3 +187,15 @@ def test_round5_operators_empty(spark, empty_docs):
     assert corpus_divergence(e, "text", "src").count() == 0
     g = spark.createDataFrame([], "g string, id bigint, v double")
     assert group_top_k(g, ["g"], "v", tiebreak_col="id").count() == 0
+
+
+def test_redact_zipf_empty(spark, empty_docs):
+    from pyspark_data_quality_spark.operators.repair import redact_pii
+    from pyspark_data_quality_spark.operators.text import zipf_profile
+
+    assert redact_pii(empty_docs, "text").count() == 0
+    e = spark.createDataFrame([], "doc_id bigint, text string, lang string")
+    assert zipf_profile(e, "text", "lang").count() == 0
+    # ungrouped empty corpus: one row of nulls/zeros is fine, but it must
+    # not raise (regr aggregates over zero rows)
+    zipf_profile(empty_docs, "text").collect()

@@ -961,3 +961,56 @@ def test_corpus_divergence_properties(spark):
     )
     for r in corpus_divergence(uni, "text", "src").collect():
         assert r["kl_vs_corpus"] == 0.0
+
+
+def test_redact_pii(spark):
+    from pyspark_data_quality_spark.operators.repair import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk or +1 555-123-4567"),
+            (2, "see https://example.com/a?b=c from 192.168.0.1"),
+            (3, "clean text"),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["text_redacted"]
+        for r in redact_pii(df, "text").collect()
+    }
+    assert got[1] == "mail [EMAIL] or [PHONE]"
+    assert got[2] == "see [URL] from [IPV4]"
+    assert got[3] == "clean text"
+    assert got[4] is None  # null text passes through as null
+    # custom pattern set + out_col
+    out = redact_pii(
+        df, "text", patterns={"num": r"\d+"}, out_col="t2"
+    ).collect()
+    assert {r["doc_id"]: r["t2"] for r in out}[2] == (
+        "see https://example.com/a?b=c from [NUM].[NUM].[NUM].[NUM]"
+    )
+
+
+def test_zipf_profile_properties(spark):
+    from pyspark_data_quality_spark.operators.text import zipf_profile
+
+    # perfect Zipf: freq(r) = C / r  ->  slope == -1, r2 == 1
+    rows = []
+    for rank, (tok, n) in enumerate(
+        [("a", 24), ("b", 12), ("c", 8), ("d", 6)], start=1
+    ):
+        rows.extend([(i, tok) for i in range(n)])
+    df = spark.createDataFrame(rows, ["i", "text"])
+    r = zipf_profile(df, "text").collect()[0]
+    assert r["vocab_size"] == 4
+    assert r["n_tokens"] == 50
+    assert abs(r["zipf_slope"] - (-1.0)) < 1e-6
+    assert abs(r["zipf_r2"] - 1.0) < 1e-6
+
+    # uniform frequencies -> slope 0
+    uni = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z")], ["i", "text"]
+    )
+    u = zipf_profile(uni, "text").collect()[0]
+    assert u["zipf_slope"] == 0.0
