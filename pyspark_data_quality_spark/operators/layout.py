@@ -41,12 +41,35 @@ def _list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     return out
 
 
+def _footer_counts(df: DataFrame) -> DataFrame:
+    """(uri, n_rows) per file by reading ONLY parquet footers — a
+    distributed metadata pass over the file list (pyarrow, Arrow-
+    batched), zero data pages touched. Cost is O(files) footer reads
+    spread across executors: the correct shape for a layout report,
+    which exists precisely because the data may be too fragmented to
+    scan cheaply."""
+    import pandas as pd
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            n = [
+                int(pq.ParquetFile(u).metadata.num_rows)
+                for u in pdf["_local"]
+            ]
+            yield pd.DataFrame({"_uri": pdf["_uri"], "n_rows": n})
+
+    return df.mapInPandas(read_footers, "_uri string, n_rows long")
+
+
 def file_layout_report(
     spark: SparkSession,
     path: str | list[str],
     *,
     fmt: str = "parquet",
     small_file_bytes: int = 32 * 1024 * 1024,
+    row_source: str | None = None,
 ) -> DataFrame:
     """Per-file layout report for one or more dataset directories:
     ``(file, n_rows, bytes, avg_row_bytes, is_small)`` ordered by bytes
@@ -54,27 +77,58 @@ def file_layout_report(
     (stable across filesystems/mounts; full URIs stay joinable
     driver-side if needed).
 
-    Multiple paths (datasets with DIFFERENT schemas — they cannot share
-    one scan) each get their own per-file count scan, but the count
-    frames union into a SINGLE plan with ONE join against ONE combined
-    size listing, instead of |paths| independent join+sort plans.
+    Row counts per file come from one of two sources:
+
+    - ``row_source='footer'`` (auto-selected for local parquet): a
+      distributed pyarrow pass over the FILE LIST reading only parquet
+      footers — no data pages, cost O(files) however large the rows.
+    - ``row_source='scan'`` (auto for non-parquet formats or non-local
+      URIs, where executor-side pyarrow can't open the path directly):
+      one ``groupBy(input_file_name())`` count scan per dataset;
+      multiple datasets (different schemas — they cannot share a scan)
+      union into a SINGLE plan with ONE join against ONE combined size
+      listing.
+
+    Byte sizes always come from the Hadoop FileSystem listing
+    (metadata-scale, storage-agnostic).
     """
     paths = [path] if isinstance(path, str) else list(path)
     if not paths:
         raise ValueError("file_layout_report: at least one path required")
-    rows = None
-    for p in paths:
-        r = (
-            spark.read.format(fmt)
-            .load(p)
-            .groupBy(F.input_file_name().alias("_uri"))
-            .agg(F.count(F.lit(1)).alias("n_rows"))
+    listing = [t for p in paths for t in _list_files(spark, p)]
+    if row_source is None:
+        local = all(
+            u.startswith("file:") or "://" not in u for u, _ in listing
         )
-        rows = r if rows is None else rows.unionByName(r)
+        row_source = "footer" if fmt == "parquet" and local else "scan"
+    if row_source not in ("footer", "scan"):
+        raise ValueError(
+            f"file_layout_report: unknown row_source {row_source!r}"
+        )
+
+    if row_source == "footer":
+        uris = spark.createDataFrame(
+            [(u, u.removeprefix("file:")) for u, _ in listing],
+            "_uri string, _local string",
+        )
+        if listing:
+            uris = uris.repartition(
+                min(len(listing), spark.sparkContext.defaultParallelism)
+            )
+        rows = _footer_counts(uris)
+    else:
+        rows = None
+        for p in paths:
+            r = (
+                spark.read.format(fmt)
+                .load(p)
+                .groupBy(F.input_file_name().alias("_uri"))
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+            )
+            rows = r if rows is None else rows.unionByName(r)
     rows = rows.withColumn(
         "file", F.element_at(F.split(F.col("_uri"), "/"), -1)
     )
-    listing = [t for p in paths for t in _list_files(spark, p)]
     sizes = spark.createDataFrame(
         [(uri.rsplit("/", 1)[-1], b) for uri, b in listing],
         "file string, bytes bigint",

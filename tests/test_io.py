@@ -123,6 +123,11 @@ def test_file_layout_report(spark, tmp_path):
     # raising the threshold above any file size flips the flag
     ok = file_layout_report(spark, path, small_file_bytes=1).collect()
     assert not any(r["is_small"] for r in ok)
+    # the two row-count sources agree file-for-file (footer is the local
+    # default; scan is the remote/non-parquet fallback)
+    footer = file_layout_report(spark, path, row_source="footer").collect()
+    scan = file_layout_report(spark, path, row_source="scan").collect()
+    assert [tuple(r) for r in footer] == [tuple(r) for r in scan]
 
 
 def test_compact_dataset(spark, tmp_path):
