@@ -3385,6 +3385,89 @@ def dq_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEGS_CTE = r"""
+    WITH lst AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS ord
+      FROM lst
+    ), segs AS (
+      SELECT doc_id, CAST(floor((ord - 1) / 8) AS BIGINT) AS seg_no,
+             string_agg(tok, ' ' ORDER BY ord) AS seg, count(*) AS seg_len
+      FROM toks GROUP BY doc_id, floor((ord - 1) / 8)
+    ), fs AS (
+      SELECT doc_id, seg FROM segs WHERE seg_len = 8
+    ), dfreq AS (
+      SELECT seg, count(DISTINCT doc_id) AS df FROM fs GROUP BY seg
+    )
+"""
+
+
+@query(
+    "dq_segment_strip",
+    _SEGS_CTE
+    + """
+    , dups AS (SELECT seg FROM dfreq WHERE df >= 2)
+    SELECT d.doc_id,
+           coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_no)
+                      FILTER (WHERE s.seg IS NOT NULL
+                              AND (s.seg_len < 8 OR dp.seg IS NULL)),
+                    '') AS text_dedup
+    FROM documents d
+    LEFT JOIN segs s USING (doc_id)
+    LEFT JOIN dups dp ON s.seg = dp.seg AND s.seg_len = 8
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def dq_segment_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The segment-dedup REMEDIATION, certified value-for-value: every
+    cross-document duplicated 8-token segment removed, unique segments +
+    the sub-width tail re-joined in original order (operators/dedup.py
+    strip_duplicate_segments). The oracle rebuilds the text with one
+    ordered string_agg over kept segments — the incomplete tail segment
+    (seg_len < k) is never dedup-eligible on either side."""
+    from .operators.dedup import strip_duplicate_segments
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        strip_duplicate_segments(docs, "text", "doc_id", k=8, min_df=2)
+        .select("doc_id", "text_dedup")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dq_top_segments",
+    _SEGS_CTE
+    + """
+    , ex AS (
+      SELECT seg, count(DISTINCT doc_id) AS df, min(doc_id) AS example_id
+      FROM fs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT seg AS segment, CAST(df AS BIGINT) AS df,
+           CAST(example_id AS BIGINT) AS example_id
+    FROM ex ORDER BY df DESC, segment ASC LIMIT 20
+    """,
+)
+def dq_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate catalog: 20 most widely shared 8-token segments
+    with document frequency and an example document (operators/dedup.py
+    top_duplicate_segments) — what sets ``min_df`` before a strip run.
+    Total order via (df desc, segment asc) on both sides."""
+    from .operators.dedup import top_duplicate_segments
+
+    docs = load_table(spark, "documents", sf_dir)
+    return top_duplicate_segments(
+        docs, "text", "doc_id", k=8, top=20, min_df=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -3424,6 +3507,8 @@ _CERT_PRIORITY = [
     "dq_corpus_kl",
     "dq_zipf",
     "dq_redact",
+    "dq_segment_strip",
+    "dq_top_segments",
     # double-green r02+r03, rotated out in round 4, due a fresh verdict
     "dq_valid_rows",
     "dq_invalid_rows",

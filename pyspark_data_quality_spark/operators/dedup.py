@@ -1130,3 +1130,37 @@ def strip_duplicate_segments(
         )
         .drop("_kept")
     )
+
+
+def top_duplicate_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    top: int = 20,
+    min_df: int = 2,
+) -> DataFrame:
+    """THE boilerplate catalog: the ``top`` most widely shared ``k``-token
+    segments, with document frequency and an example document id — what a
+    curator reads before deciding ``min_df`` for
+    :func:`strip_duplicate_segments`.
+
+    Ordered by (df desc, segment asc) for a total, engine-stable order.
+    The aggregation carries segment TEXT (needed for the report), but
+    only |distinct segments above min_df| rows ever rank; the top-N cut
+    uses one TakeOrdered-style limit after a keyed agg, no window.
+    """
+    segs = df.select(
+        F.col(id_col), F.explode(_segments(text_col, k)).alias("segment")
+    )
+    return (
+        segs.groupBy("segment")
+        .agg(
+            F.count_distinct(id_col).alias("df"),
+            F.min(id_col).alias("example_id"),
+        )
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), F.col("segment").asc())
+        .limit(top)
+    )

@@ -275,3 +275,56 @@ def test_fuzzy_match_pairs_property(spark, corpus):
             if i < j and _py_lev(a, b) <= k
         }
         assert got == exp, f"k={k}"
+
+
+def _py_segments(text: str, k: int) -> list[str]:
+    toks = [t for t in " ".join(text.lower().split()).split(" ") if t]
+    return [
+        " ".join(toks[i : i + k]) for i in range(0, len(toks) - k + 1, k)
+    ]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=20).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_strip_duplicate_segments_matches_python_model(spark, texts):
+    from pyspark_data_quality_spark.operators.dedup import (
+        strip_duplicate_segments,
+    )
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    # python model: df per full segment, rebuild keeping non-shared ones
+    from collections import defaultdict
+
+    seg_docs = defaultdict(set)
+    for i, t in enumerate(texts):
+        for s in _py_segments(t, k):
+            seg_docs[s].add(i)
+    expected = {}
+    for i, t in enumerate(texts):
+        toks = [x for x in " ".join(t.lower().split()).split(" ") if x]
+        n_full = len(toks) // k
+        kept = [
+            " ".join(toks[j * k : (j + 1) * k])
+            for j in range(n_full)
+            if len(seg_docs[" ".join(toks[j * k : (j + 1) * k])]) < 2
+        ]
+        tail = " ".join(toks[n_full * k :])
+        expected[i] = " ".join([p for p in [" ".join(kept), tail] if p]).strip()
+    got = {
+        r["doc_id"]: r["text_dedup"]
+        for r in strip_duplicate_segments(
+            df, "text", "doc_id", k=k, min_df=2
+        ).collect()
+    }
+    assert got == expected
