@@ -3468,6 +3468,90 @@ def dq_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_pack",
+    r"""
+    WITH lst AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ), n AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM lst
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+      FROM n
+    )
+    SELECT doc_id, n_tokens,
+           CAST(e - n_tokens AS BIGINT) AS start_offset,
+           CASE WHEN n_tokens > 0
+                THEN CAST(floor((e - n_tokens) / 512.0) AS BIGINT)
+           END AS first_chunk,
+           CASE WHEN n_tokens > 0
+                THEN CAST(floor((e - 1) / 512.0) AS BIGINT)
+           END AS last_chunk
+    FROM c ORDER BY doc_id
+    """,
+)
+def dq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing plan (operators/split.py
+    pack_sequences): documents laid end-to-end in id order, cut into
+    512-token training sequences; per document its global offset and
+    first/last chunk. The Spark side uses the DISTRIBUTED prefix sum
+    (range partition + P-row offsets — no single-task global window);
+    the oracle is the textbook SQL cumsum."""
+    from .operators.split import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_sequences(
+        docs, "doc_id", text_col="text", max_tokens=512
+    )
+
+
+@query(
+    "dq_chunks",
+    r"""
+    WITH lst AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ), n AS (
+      SELECT doc_id, toks, len(toks) AS n FROM lst WHERE len(toks) > 0
+    ), spine AS (
+      SELECT doc_id, toks, n,
+             unnest(range(CAST(greatest(1, ceil((n - 4) * 1.0 / 28))
+                               AS BIGINT))) AS chunk_id
+      FROM n
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(least(n - chunk_id * 28, 32) AS INT) AS chunk_tokens,
+           array_to_string(
+             list_slice(toks, chunk_id * 28 + 1, chunk_id * 28 + 32),
+             ' ') AS chunk_text
+    FROM spine ORDER BY doc_id, chunk_id
+    """,
+)
+def dq_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking (operators/split.py chunk_documents):
+    32-token windows with 4-token overlap, boundary-preserving, emitted
+    by a shuffle-free scan→generate→project plan (tokenize let-bound,
+    chunk spine per document, local slices). Oracle rebuilds the same
+    windows with DuckDB list_slice over a range spine."""
+    from .operators.split import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_documents(
+        docs, "text", "doc_id", max_tokens=32, overlap=4
+    ).orderBy("doc_id", "chunk_id")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -3509,6 +3593,8 @@ _CERT_PRIORITY = [
     "dq_redact",
     "dq_segment_strip",
     "dq_top_segments",
+    "dq_pack",
+    "dq_chunks",
     # double-green r02+r03, rotated out in round 4, due a fresh verdict
     "dq_valid_rows",
     "dq_invalid_rows",

@@ -158,3 +158,171 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence shaping: packing and chunking. The last mile of a
+# pretraining pipeline — documents become fixed-width token windows.
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    *,
+    text_col: str | None = None,
+    token_count_col: str | None = None,
+    max_tokens: int = 2048,
+    method: str = "partitioned",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay all documents end-to-end
+    in ``id_col`` order and cut the stream into ``max_tokens``-token
+    training sequences — the standard packing strategy (documents may
+    straddle a boundary). Returns the pack plan, not the tokens:
+    ``(id, n_tokens, start_offset, first_chunk, last_chunk)`` — enough
+    for a writer to route each document's pieces; zero-token documents
+    get NULL chunks.
+
+    ``method='partitioned'`` (default) computes the global running
+    offset with the distributed prefix-sum shape (range-partition by id,
+    per-partition local cumsum, P-row offsets table — the
+    ``ks_statistic`` pattern): no single-task global window, no task
+    ever holds more than its range. ``method='single_task'`` keeps the
+    textbook global window for tiny frames/oracles.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import token_count
+
+    if (text_col is None) == (token_count_col is None):
+        raise ValueError(
+            "pack_sequences: exactly one of text_col/token_count_col"
+        )
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col
+        else token_count(text_col)
+    )
+    # null text / null count == zero tokens (a NULL would poison the
+    # running offset of every later document)
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(n_tok.cast("long"), F.lit(0)).alias("n_tokens"),
+    )
+
+    if method == "single_task":
+        w = Window.orderBy(id_col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = base.withColumn("_end", F.sum("n_tokens").over(w))
+    elif method == "partitioned":
+        ranged = base.repartitionByRange(F.col(id_col).asc()).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        w_local = (
+            Window.partitionBy("_pid")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = ranged.withColumn(
+            "_end_loc", F.sum("n_tokens").over(w_local)
+        )
+        totals = ranged.groupBy("_pid").agg(
+            F.sum("n_tokens").alias("_t")
+        )
+        w_prior = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = totals.select(
+            "_pid",
+            F.coalesce(F.sum("_t").over(w_prior), F.lit(0)).alias("_off"),
+        )
+        cum = local.join(F.broadcast(offsets), "_pid").withColumn(
+            "_end", F.col("_end_loc") + F.col("_off")
+        )
+    else:
+        raise ValueError(f"pack_sequences: unknown method {method!r}")
+
+    start = F.col("_end") - F.col("n_tokens")
+    has = F.col("n_tokens") > 0
+    return cum.select(
+        id_col,
+        "n_tokens",
+        start.alias("start_offset"),
+        F.when(has, F.floor(start / max_tokens)).alias("first_chunk"),
+        F.when(has, F.floor((F.col("_end") - 1) / max_tokens)).alias(
+            "last_chunk"
+        ),
+    ).orderBy(id_col)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_tokens: int = 256,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed-width token windows with
+    ``overlap`` shared tokens between consecutive chunks — RAG/embedding
+    chunking, document-boundary-preserving (no cross-document windows;
+    contrast :func:`pack_sequences`).
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + max_tokens)`` with
+    ``stride = max_tokens - overlap``; the last chunk may be shorter but
+    a chunk fully contained in its predecessor is never emitted
+    (``n_chunks = max(1, ceil((n - overlap) / stride))``). Zero-token
+    documents emit nothing.
+
+    Shape: pure expressions — tokenize once (let-bound), posexplode a
+    chunk spine per document, slice locally. No shuffle at all: chunking
+    is embarrassingly parallel and the plan is scan → generate →
+    project.
+    """
+    from ..functions.expr import let_bind as _let
+    from ..functions.text import tokenize
+
+    if overlap >= max_tokens:
+        raise ValueError("chunk_documents: overlap must be < max_tokens")
+    stride = max_tokens - overlap
+
+    chunks = _let(
+        tokenize(text_col),
+        lambda toks: _let(
+            F.size(toks),
+            lambda n: F.when(
+                n > 0,
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            F.lit(1),
+                            F.ceil((n - F.lit(overlap)) / stride),
+                        ).cast("int")
+                        - 1,
+                    ),
+                    lambda i: F.struct(
+                        F.concat_ws(
+                            " ", F.slice(toks, i * stride + 1, max_tokens)
+                        ).alias("chunk_text"),
+                        F.least(
+                            n - i * stride, F.lit(max_tokens)
+                        ).alias("chunk_tokens"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<chunk_text:string,chunk_tokens:int>>"
+                )
+            ),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("_c.chunk_tokens").alias("chunk_tokens"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+    )

@@ -199,3 +199,15 @@ def test_redact_zipf_empty(spark, empty_docs):
     # ungrouped empty corpus: one row of nulls/zeros is fine, but it must
     # not raise (regr aggregates over zero rows)
     zipf_profile(empty_docs, "text").collect()
+
+
+def test_pack_chunk_empty(spark, empty_docs):
+    from pyspark_data_quality_spark.operators.split import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    assert pack_sequences(
+        empty_docs, "doc_id", text_col="text"
+    ).count() == 0
+    assert chunk_documents(empty_docs, "text", "doc_id").count() == 0

@@ -1014,3 +1014,103 @@ def test_zipf_profile_properties(spark):
     )
     u = zipf_profile(uni, "text").collect()[0]
     assert u["zipf_slope"] == 0.0
+
+
+def test_pack_sequences(spark):
+    from pyspark_data_quality_spark.operators.split import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h"), (3, ""), (4, None),
+         (5, "i j k l m n o p q r s t")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_offset"],
+            r["first_chunk"], r["last_chunk"],
+        )
+        for r in pack_sequences(
+            df, "doc_id", text_col="text", max_tokens=8
+        ).collect()
+    }
+    assert got[1] == (5, 0, 0, 0)
+    assert got[2] == (3, 5, 0, 0)          # fills chunk 0 exactly
+    assert got[3] == (0, 8, None, None)    # zero tokens -> no chunk
+    assert got[4] == (0, 8, None, None)    # null text == zero tokens
+    assert got[5] == (12, 8, 1, 2)         # straddles chunks 1-2
+    # both methods agree
+    single = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_offset"],
+            r["first_chunk"], r["last_chunk"],
+        )
+        for r in pack_sequences(
+            df, "doc_id", text_col="text", max_tokens=8,
+            method="single_task",
+        ).collect()
+    }
+    assert single == got
+    # precomputed token counts give the same plan
+    pre = df.selectExpr(
+        "doc_id", "size(filter(split(coalesce(text,''),' '), x -> x != '')) AS tc"
+    )
+    via_counts = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_offset"],
+            r["first_chunk"], r["last_chunk"],
+        )
+        for r in pack_sequences(
+            pre, "doc_id", token_count_col="tc", max_tokens=8
+        ).collect()
+    }
+    assert via_counts == got
+
+
+def test_chunk_documents_reconstruction(spark):
+    from pyspark_data_quality_spark.operators.split import chunk_documents
+
+    texts = {
+        1: "a b c d e f g h i j",
+        2: "x",
+        3: "p q r",
+        4: "",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), ["doc_id", "text"]
+    )
+    rows = chunk_documents(
+        df, "text", "doc_id", max_tokens=4, overlap=1
+    ).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in by_doc  # empty doc emits nothing
+    for doc_id, chunks in by_doc.items():
+        toks = texts[doc_id].split()
+        # stitching chunks (dropping each successor's overlap) rebuilds
+        # the document exactly
+        stitched = chunks[0]["chunk_text"].split()
+        for c in chunks[1:]:
+            stitched.extend(c["chunk_text"].split()[1:])  # overlap=1
+        assert stitched == toks, doc_id
+        assert all(c["chunk_tokens"] <= 4 for c in chunks)
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+    # no trailing chunk fully contained in its predecessor
+    assert len(by_doc[3]) == 1
+
+
+def test_pack_sequences_bad_args(spark):
+    import pytest
+
+    from pyspark_data_quality_spark.operators.split import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id")  # neither source given
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", text_col="text", token_count_col="x")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", max_tokens=4, overlap=4)
