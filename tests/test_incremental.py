@@ -1,0 +1,93 @@
+"""Incremental corpus state: fold batches, query history without rescans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture
+def batches(spark):
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "web"),
+            (2, "delta epsilon", "web"),
+            (3, "alpha beta gamma", "books"),  # exact dup of doc 1
+        ],
+        ["doc_id", "text", "source"],
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma", "web"),      # dup of history
+            (11, "zeta eta theta iota", "web"),   # all-novel tokens
+            (12, "delta epsilon zeta", "books"),  # half-novel
+        ],
+        ["doc_id", "text", "source"],
+    )
+    return b1, b2
+
+
+def test_incremental_state_roundtrip(spark, tmp_path, batches):
+    from pyspark_data_quality_spark.pipelines.incremental import (
+        batch_vs_history,
+        history_summary,
+        read_state,
+        update_corpus_state,
+    )
+
+    b1, b2 = batches
+    state_dir = str(tmp_path / "state")
+    assert read_state(spark, state_dir) is None
+    with pytest.raises(ValueError):
+        batch_vs_history(spark, state_dir, b2)
+
+    update_corpus_state(spark, state_dir, b1)
+    st = read_state(spark, state_dir)
+    # 2 distinct texts, 5 distinct tokens, per-source sketches
+    assert st.fingerprints.count() == 2
+    vocab = {r["token"]: r["n"] for r in st.vocab.collect()}
+    assert vocab == {
+        "alpha": 2, "beta": 2, "gamma": 2, "delta": 1, "epsilon": 1,
+    }
+
+    ann = {
+        r["doc_id"]: (r["is_new_text"], r["novel_token_ratio"])
+        for r in batch_vs_history(spark, state_dir, b2).collect()
+    }
+    assert ann[10] == (False, 0.0)     # known text, known tokens
+    assert ann[11][0] is True and ann[11][1] == 1.0
+    assert ann[12][0] is True and abs(ann[12][1] - 1 / 3) < 1e-6
+
+    # fold batch 2; totals must reflect BOTH batches (merge, not replace)
+    update_corpus_state(spark, state_dir, b2)
+    st2 = read_state(spark, state_dir)
+    assert st2.fingerprints.count() == 4  # 2 + 2 new distinct texts
+    vocab2 = {r["token"]: r["n"] for r in st2.vocab.collect()}
+    assert vocab2["alpha"] == 3 and vocab2["zeta"] == 2
+
+    summ = {r["group"]: r for r in history_summary(spark, state_dir).collect()}
+    assert summ["__total__"]["n"] == 6
+    assert summ["web"]["n"] == 4 and summ["books"]["n"] == 2
+    # HLL estimate of 4 distinct texts total (exact at this cardinality)
+    assert round(summ["__total__"]["distinct_est"]) == 4
+    # median token length across all 6 docs is 3
+    assert summ["__total__"]["len_q0.5"] == 3.0
+
+
+def test_incremental_state_crash_safety(spark, tmp_path, batches):
+    """A failed update must leave the previous state readable."""
+    from pyspark_data_quality_spark.pipelines.incremental import (
+        read_state,
+        update_corpus_state,
+    )
+
+    b1, _ = batches
+    state_dir = str(tmp_path / "state")
+    update_corpus_state(spark, state_dir, b1)
+    bad = b1.withColumn("text", F.col("doc_id"))  # wrong type downstream
+    try:
+        update_corpus_state(
+            spark, state_dir, bad.select("doc_id", "text", "nope")
+        )
+    except Exception:
+        pass
+    st = read_state(spark, state_dir)
+    assert st is not None and st.fingerprints.count() == 2
