@@ -3552,6 +3552,51 @@ def dq_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
+@query(
+    "dq_components",
+    f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id,
+             list_distinct([substr(norm, i, 3) FOR i IN range(1, len(norm) - 1)]) AS grams
+      FROM (SELECT doc_id, {_SQL_NORM} AS norm FROM documents WHERE doc_id < 100)
+      WHERE len(norm) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+            len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(v, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v
+    )
+    SELECT v AS id, CAST(min(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY v ORDER BY id
+    """,
+)
+def dq_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering of near-dup pairs
+    (operators/dedup.py dedup_components: iterative min-label
+    propagation, one join + one groupBy per round, localCheckpoint
+    lineage truncation). Edges are the DETERMINISTIC exact n-gram
+    Jaccard pairs of dq_ngram_jaccard, so the component assignment is
+    exactly reproducible; the oracle computes the same reachability
+    closure with a recursive CTE and takes min-label per vertex."""
+    from .operators.dedup import dedup_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < 100
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.5,
+        use_lsh_blocking=False,
+    )
+    return dedup_components(pairs).orderBy("id")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering.
 #
@@ -3595,6 +3640,7 @@ _CERT_PRIORITY = [
     "dq_top_segments",
     "dq_pack",
     "dq_chunks",
+    "dq_components",
     # double-green r02+r03, rotated out in round 4, due a fresh verdict
     "dq_valid_rows",
     "dq_invalid_rows",
