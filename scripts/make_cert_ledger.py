@@ -1,6 +1,9 @@
 """Regenerate docs/CERTIFICATION.md from the registry + CORRECTNESS_r*.json.
 
-Run after adding/rotating entries:  python scripts/make_cert_ledger.py
+The window order itself is COMPUTED at import (entry_queries: never-
+certified first, then stalest-first) — this script just renders the
+resulting schedule. Run after adding entries or when the driver writes
+a new CORRECTNESS file:  python scripts/make_cert_ledger.py
 """
 
 from __future__ import annotations
@@ -47,9 +50,11 @@ def main() -> None:
         "",
         "The driver's correctness harness certifies exactly the FIRST 50",
         "entries of `queries()` per round. With more entries than slots, the",
-        "registry is re-ordered each round (`entry_queries._apply_cert_order`):",
-        "never-certified entries first, stable multi-green entries rotated past",
-        "slot 50. This table is the audit trail — per entry: oracle kind,",
+        "registry order is COMPUTED at import from the verdict files",
+        "(`entry_queries._apply_cert_order`): never-certified entries first,",
+        "then certified entries stalest-first, so re-certification rotates",
+        "automatically as the driver writes each round's CORRECTNESS file.",
+        "This table is the audit trail — per entry: oracle kind,",
         "driver verdicts so far, and its current window position. Locally,",
         "`scripts/check_oracle.py` runs ALL entries every round regardless of",
         "window position. Regenerate with `python scripts/make_cert_ledger.py`.",

@@ -5,13 +5,12 @@ checks fail the suite loudly if an entry is added without updating the
 window lists (the round-3 failure mode: 15 operators shipped twice with
 no driver verdict).
 
-Round-5 fix: the window invariant unions driver verdicts across ALL
-``CORRECTNESS_r*.json`` files. The round-4 form checked only the latest
-file, which conflated "no verdict in the latest round" with "no verdict
-ever" — deliberately-rotated double-green entries flipped the suite red
-the moment the driver wrote a new round file. An entry with any prior
-verdict may legally sit outside the window; staleness (no verdict in the
-last 2 rounds) is a warning, not a failure."""
+Round-5: the order is now COMPUTED from the CORRECTNESS_r*.json files
+at import (never-certified first, then certified stalest-first), so the
+invariants here check the DERIVATION, not a hand-maintained list: the
+round-3 failure (new entries shipped with no verdict) and the round-4
+failure (a list-echo invariant going red when the driver wrote a new
+round file) are both structurally impossible while these hold."""
 
 import glob
 import json
@@ -38,58 +37,54 @@ def test_registry_window_invariants():
     from pyspark_data_quality_spark.entry_queries import (
         _CERT_PRIORITY,
         _CERT_ROTATED,
+        CERT_WINDOW,
         ENTRY_QUERIES,
         ORACLE_SQL,
     )
 
     ks = list(ENTRY_QUERIES)
-    # lists are disjoint, known, and duplicate-free
-    assert not set(_CERT_PRIORITY) & set(_CERT_ROTATED)
-    assert set(_CERT_PRIORITY) <= set(ks)
-    assert set(_CERT_ROTATED) <= set(ks)
-    assert len(set(_CERT_PRIORITY)) == len(_CERT_PRIORITY)
-    assert len(set(_CERT_ROTATED)) == len(_CERT_ROTATED)
-    # ordering applied: priority first, rotated last
-    assert ks[: len(_CERT_PRIORITY)] == _CERT_PRIORITY
-    assert ks[-len(_CERT_ROTATED):] == _CERT_ROTATED
     # every oracle key corresponds to a registered query
     assert set(ORACLE_SQL) <= set(ks)
 
     rounds = _correctness_files()
-    if not rounds:
-        return
-
-    # THE invariant: no entry that has NEVER received a driver verdict (in
-    # any round) may sit outside the 50-slot certification window.
-    ever_certified: set[str] = set()
-    for _, verdicts in rounds:
-        ever_certified |= set(verdicts)
-    uncertified_outside = [k for k in ks[50:] if k not in ever_certified]
-    assert not uncertified_outside, (
-        f"entries with no driver verdict in ANY round are OUTSIDE the "
-        f"certification window: {uncertified_outside} — add them to "
-        f"_CERT_PRIORITY and rotate multi-green entries out"
-    )
-
-    # Advisory (non-fatal): a certified entry whose LATEST verdict is >=2
-    # rounds old is going stale — rotate it back into slots 1-50 soon.
-    # (Never-certified entries inside the window are about to get their
-    # first verdict; never-certified outside it already hard-failed above.)
-    latest_round = rounds[-1][0]
-    last_seen = {}
+    last_seen: dict[str, int] = {}
     for rnum, verdicts in rounds:
         for k in verdicts:
-            last_seen[k] = rnum
-    stale = sorted(
-        k for k in ks
-        if k in last_seen and last_seen[k] <= latest_round - 2
+            last_seen[k] = max(last_seen.get(k, 0), rnum)
+
+    never = [k for k in ks if k not in last_seen]
+    # 1. every never-certified entry leads the registry (first slots)
+    assert ks[: len(never)] == never == _CERT_PRIORITY
+    # ... and they all FIT in the driver's window, or some new entry
+    # cannot receive a verdict this round
+    assert len(never) <= CERT_WINDOW, (
+        f"{len(never)} never-certified entries exceed the {CERT_WINDOW}-"
+        "slot window — stage new entries across rounds"
     )
-    if stale:
-        warnings.warn(
-            f"{len(stale)} entries have no driver verdict in the last 2 "
-            f"rounds (stale certification): {stale}",
-            stacklevel=1,
+    # 2. certified entries are ordered stalest-first (monotone non-
+    # decreasing latest-verdict round), so re-certification auto-rotates
+    cert_rounds = [last_seen[k] for k in ks[len(never):]]
+    assert cert_rounds == sorted(cert_rounds)
+    # 3. by construction nothing outside the window lacks a verdict
+    uncertified_outside = [k for k in ks[CERT_WINDOW:] if k not in last_seen]
+    assert not uncertified_outside
+    # 4. _CERT_ROTATED is exactly the beyond-window tail
+    assert ks[CERT_WINDOW:] == _CERT_ROTATED
+
+    # Advisory (non-fatal): entries whose latest verdict is >=3 rounds old
+    # mean the window is cycling slowly — consider fewer new entries.
+    if rounds:
+        latest_round = max(r for r, _ in rounds)
+        stale = sorted(
+            k for k in ks
+            if k in last_seen and last_seen[k] <= latest_round - 3
         )
+        if stale:
+            warnings.warn(
+                f"{len(stale)} entries have no driver verdict in the last "
+                f"3 rounds (slow window cycle): {stale}",
+                stacklevel=1,
+            )
 
 
 def test_registry_bench_line_budget():
