@@ -3597,6 +3597,59 @@ def dq_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(pairs).orderBy("id")
 
 
+@query(
+    "dq_mahalanobis",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem WHERE l_orderkey < 1000
+    ), s AS (
+      SELECT avg(x) AS mx, avg(y) AS my,
+             var_samp(x) AS a, covar_samp(x, y) AS b, var_samp(y) AS c
+      FROM base
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(sqrt(greatest(
+             (c * (x - mx) * (x - mx)
+              - 2 * b * (x - mx) * (y - my)
+              + a * (y - my) * (y - my)) / (a * c - b * b),
+             0.0)), 6) AS DOUBLE) AS mahalanobis,
+           coalesce(sqrt(greatest(
+             (c * (x - mx) * (x - mx)
+              - 2 * b * (x - mx) * (y - my)
+              + a * (y - my) * (y - my)) / (a * c - b * b),
+             0.0)) > 3.0, FALSE) AS is_outlier
+    FROM base CROSS JOIN s
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def dq_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outliers: Mahalanobis distance of each lineitem's
+    (quantity, price) vector (operators/repair.py mahalanobis_outliers:
+    one fused covariance agg, driver-side k×k inverse, JVM-projection
+    scoring). The 2-column oracle uses the closed-form 2×2 inverse —
+    algebraically identical to the numpy inverse the operator applies."""
+    from .operators.repair import mahalanobis_outliers
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_extendedprice").cast("double").alias("y"),
+        )
+    )
+    return (
+        mahalanobis_outliers(li, ["x", "y"], threshold=3.0)
+        .select("l_orderkey", "l_linenumber", "mahalanobis", "is_outlier")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, not hand-maintained.
 #

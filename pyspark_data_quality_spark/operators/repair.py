@@ -14,7 +14,7 @@ funnel the whole table through one task).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -280,3 +280,94 @@ def redact_pii(
     for name, pat in pats.items():
         col = F.regexp_replace(col, pat, f"[{name.upper()}]")
     return df.withColumn(out_col or f"{text_col}_redacted", col)
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    threshold: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Multivariate outlier flagging: Mahalanobis distance of each row's
+    ``cols`` vector from the column means, under the sample covariance —
+    catches points that are unremarkable per-column but improbable
+    JOINTLY (the correlated-columns blind spot of per-column z-scores /
+    IQR fences in :func:`flag_outliers`).
+
+    Plan shape: ONE fused aggregation computes the k means and the
+    k(k+1)/2 sample covariances; that single row is collected and the
+    k×k matrix inverted DRIVER-SIDE with numpy (microseconds — the
+    deliberate bounded action, same class as the fused-metrics collect).
+    The quadratic form then runs as a pure JVM projection over the data:
+    no UDF, no second shuffle, one scan.
+
+    Rows with any NULL in ``cols`` get a NULL score and are never
+    flagged. Raises on a singular covariance (a constant or linearly
+    dependent column — drop it first).
+
+    Output: input columns + ``mahalanobis`` (rounded) + ``is_outlier``.
+    """
+    import numpy as np
+
+    if len(cols) < 2:
+        raise ValueError(
+            "mahalanobis_outliers: need >=2 columns (use flag_outliers "
+            "for univariate)"
+        )
+    # complete-case (listwise) stats: per-aggregate pairwise null
+    # deletion would estimate each covariance on a DIFFERENT row subset —
+    # the resulting matrix need not even be positive semi-definite
+    present = F.lit(True)
+    for c in cols:
+        present = present & F.col(c).isNotNull()
+
+    def _cc(c: str) -> Column:
+        return F.when(present, F.col(c).cast("double"))
+
+    aggs = [F.avg(_cc(c)).alias(f"_m_{c}") for c in cols]
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.covar_samp(_cc(a), _cc(b)).alias(f"_c_{a}_{b}"))
+    row = df.agg(*aggs).first()
+    if row is None or any(row[f"_m_{c}"] is None for c in cols):
+        raise ValueError(
+            "mahalanobis_outliers: empty input (or all-null columns) — "
+            "no distribution to score against"
+        )
+    k = len(cols)
+    mu = [float(row[f"_m_{c}"]) for c in cols]
+    S = np.zeros((k, k))
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            key = f"_c_{a}_{b}" if j >= i else f"_c_{b}_{a}"
+            S[i, j] = float(row[key])
+    det = float(np.linalg.det(S))
+    if not np.isfinite(det) or abs(det) < 1e-300:
+        raise ValueError(
+            "mahalanobis_outliers: singular covariance matrix — a column "
+            "is constant or linearly dependent; remove it"
+        )
+    P = np.linalg.inv(S)  # precision matrix
+
+    # d^2 = sum_ij (x_i - mu_i) P_ij (x_j - mu_j), as a literal-coefficient
+    # expression tree (whole-stage codegen keeps it JVM-side)
+    centered = [
+        (F.col(c).cast("double") - F.lit(mu[i])) for i, c in enumerate(cols)
+    ]
+    d2 = None
+    for i in range(k):
+        for j in range(k):
+            term = centered[i] * centered[j] * F.lit(float(P[i, j]))
+            d2 = term if d2 is None else d2 + term
+    # fp noise can dip below 0 → clamp; but greatest() IGNORES nulls, so
+    # gate on d2 being non-null to keep null-in → null-score semantics
+    score = F.when(
+        d2.isNotNull(), F.sqrt(F.greatest(d2, F.lit(0.0)))
+    )
+    return df.withColumn(
+        "mahalanobis", F.round(score, round_to)
+    ).withColumn(
+        "is_outlier",
+        F.coalesce(F.col("mahalanobis") > threshold, F.lit(False)),
+    )

@@ -476,3 +476,54 @@ def test_value_histogram_multi_partition_prefix_sum(spark):
     assert got["q0.25"] == pytest.approx(exact["q25"], abs=1e-6)
     assert got["q0.5"] == pytest.approx(exact["q50"], abs=1e-6)
     assert got["q0.9"] == pytest.approx(exact["q90"], abs=1e-6)
+
+
+def test_mahalanobis_outliers(spark):
+    import math
+
+    import pytest
+
+    from pyspark_data_quality_spark.operators.repair import (
+        mahalanobis_outliers,
+    )
+
+    # uncorrelated unit-ish data + one jointly-extreme point; the model
+    # below is the EXACT definition, so flags must match it row-for-row
+    import numpy as np
+
+    rows = [(i, float(i % 5), float((i * 3) % 7)) for i in range(40)]
+    rows.append((99, 100.0, -100.0))
+    rows.append((100, None, 1.0))  # null -> null score, never flagged
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    out = {r["id"]: r for r in mahalanobis_outliers(df, ["x", "y"]).collect()}
+    assert out[100]["mahalanobis"] is None
+    assert out[100]["is_outlier"] is False
+
+    xs = np.array([x for (_, x, _) in rows if x is not None])
+    ys = np.array([y for (i, x, y) in rows if x is not None])
+    S = np.cov(np.vstack([xs, ys]))  # ddof=1 == covar_samp
+    P = np.linalg.inv(S)
+    mu = np.array([xs.mean(), ys.mean()])
+    for (i, x, y) in rows:
+        if x is None:
+            continue
+        d = np.array([x, y]) - mu
+        expect = math.sqrt(max(d @ P @ d, 0.0))
+        assert abs(out[i]["mahalanobis"] - expect) < 1e-4, i
+        assert out[i]["is_outlier"] == (expect > 3.0), i
+    # the jointly-extreme point scores FAR above every cluster point
+    cluster_max = max(
+        out[i]["mahalanobis"] for (i, x, _) in rows
+        if x is not None and i != 99
+    )
+    assert out[99]["mahalanobis"] > cluster_max
+
+    # degenerate inputs raise loudly
+    with pytest.raises(ValueError):
+        mahalanobis_outliers(df, ["x"])
+    const = df.withColumn("y", df.x)  # linearly dependent
+    with pytest.raises(ValueError):
+        mahalanobis_outliers(const.filter("x IS NOT NULL"), ["x", "y"])
+    empty = spark.createDataFrame([], "id int, x double, y double")
+    with pytest.raises(ValueError):
+        mahalanobis_outliers(empty, ["x", "y"])
