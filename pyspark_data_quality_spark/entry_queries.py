@@ -3650,6 +3650,73 @@ def dq_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_media_dedup",
+    """
+    SELECT doc_id, md5(text) AS digest
+    FROM documents
+    WHERE text IS NOT NULL
+      AND doc_id IN (
+        SELECT min(doc_id) FROM documents
+        WHERE text IS NOT NULL GROUP BY md5(text)
+      )
+    ORDER BY doc_id
+    """,
+)
+def dq_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup (multimodal/media.py media_dedup):
+    one survivor per distinct payload, the shuffle carrying 32-char md5
+    digests, never the bytes. Payloads here are the deterministic UTF-8
+    media stand-in (text_as_media), so the DuckDB oracle hashes the same
+    bytes via md5(text). NULL payloads always survive (excluded from the
+    digest groupBy) — the fixture has none, covered by unit tests."""
+    from .multimodal.media import media_dedup, text_as_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = text_as_media(docs, text_col="text", id_col="doc_id")
+    return (
+        media_dedup(media, id_col="media_id", data_col="data")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.md5("data").alias("digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dq_salted_counts",
+    """
+    SELECT l_returnflag,
+           count(*) AS count,
+           CAST(round(sum(l_quantity), 6) AS DOUBLE) AS sum_q,
+           CAST(min(l_quantity) AS DOUBLE) AS min_q,
+           CAST(max(l_quantity) AS DOUBLE) AS max_q
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def dq_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-stage aggregation (plans/skew.py
+    salted_agg_counts) certified EQUAL to the plain groupBy: the random
+    salt spreads a hot key over N reducers in stage 1, stage 2 merges
+    the partials — decomposable aggregates make the result independent
+    of the (nondeterministic) salt assignment, which is exactly what
+    this entry proves against the unsalted SQL."""
+    from .plans.skew import salted_agg_counts
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = salted_agg_counts(
+        li, ["l_returnflag"], salt=16, value_col="l_quantity"
+    )
+    return out.select(
+        "l_returnflag",
+        "count",
+        F.round("sum_l_quantity", 6).alias("sum_q"),
+        F.col("min_l_quantity").alias("min_q"),
+        F.col("max_l_quantity").alias("max_q"),
+    ).orderBy("l_returnflag")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, not hand-maintained.
 #
