@@ -3717,6 +3717,42 @@ def dq_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+@query(
+    "dq_windowed_topv",
+    """
+    WITH c AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
+             event_type AS value, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_epoch, value, n, rank FROM (
+      SELECT window_epoch, value, n,
+             CAST(row_number() OVER (PARTITION BY window_epoch
+                    ORDER BY n DESC, value ASC) AS INT) AS rank
+      FROM c
+    ) WHERE rank <= 3 ORDER BY window_epoch, rank
+    """,
+)
+def dq_windowed_topv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k heavy hitters (streaming/windows.py
+    windowed_top_values, batch face): the 3 dominant event types per
+    hourly window, rank window PARTITIONED BY WINDOW. The streaming
+    face emits the streaming-legal windowed counts; the rank applies
+    per micro-batch (foreachBatch) — parity test in
+    tests/test_streaming.py."""
+    from .streaming import windowed_top_values
+
+    events = load_table(spark, "events", sf_dir)
+    out = windowed_top_values(
+        events, ts_col="ts", value_col="event_type",
+        duration="1 hour", k=3,
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "value", "n", "rank",
+    ).orderBy("window_epoch", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, not hand-maintained.
 #

@@ -10,6 +10,7 @@ from .windows import (
     windowed_cardinality,
     windowed_counts,
     windowed_pass_ratios,
+    windowed_top_values,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "windowed_cardinality",
     "windowed_counts",
     "windowed_pass_ratios",
+    "windowed_top_values",
 ]

@@ -368,3 +368,63 @@ def running_totals(
     return src.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def windowed_top_values(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "event_type",
+    duration: str = "1 hour",
+    k: int = 3,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Top-``k`` heavy-hitter values per time window — "which event
+    types / error codes / domains dominated each hour", the windowed
+    face of ``top_values``.
+
+    BATCH: windowed (window, value) counts + a rank window PARTITIONED
+    BY WINDOW (keyed — never a global sort), ties broken by value asc
+    for a total order. Output: (window_start, window_end, value, n,
+    rank), rank 1..k per window.
+
+    STREAMING: a rank over an aggregate is not append-legal, so the
+    streaming shape is the quarantine-routing pattern — run the
+    windowed COUNTS as the stream (streaming-legal single agg) and
+    apply THIS function's rank step per micro-batch via foreachBatch,
+    or on the complete-mode output table. The batch/stream parity test
+    certifies the counts agree; the rank is deterministic given counts.
+    """
+    from pyspark.sql.window import Window
+
+    src = _with_watermark(df, ts_col, watermark)
+    counts = (
+        src.groupBy(
+            F.window(F.col(ts_col), duration).alias("_w"),
+            F.col(value_col).alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if counts.isStreaming:
+        # streaming-legal face: the single windowed agg; rank downstream
+        return counts.select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "value",
+            "n",
+        )
+    w = Window.partitionBy("_w").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "value",
+            "n",
+            "rank",
+        )
+        .orderBy("window_start", "rank")
+    )

@@ -466,3 +466,41 @@ def test_stream_quarantine_route(spark, tmp_path):
             spark.read.parquet(src_path), rules, base,
             checkpoint_path=str(tmp_path / "ckpt2"),
         )
+
+
+def test_windowed_top_values_stream_parity(spark, sf_dir, events_dir):
+    from pyspark.sql.window import Window
+
+    from pyspark_data_quality_spark.streaming import windowed_top_values
+
+    batch = load_table(spark, "events", sf_dir)
+    expected = {
+        (r["window_start"], r["rank"]): (r["value"], r["n"])
+        for r in windowed_top_values(
+            batch, ts_col="ts", value_col="event_type",
+            duration="1 hour", k=3,
+        ).collect()
+    }
+    assert expected  # fixture has data
+    assert all(rk <= 3 for (_, rk) in expected)
+
+    # streaming face: streaming-legal windowed counts; the rank step is
+    # applied on the (availableNow-complete) output, exactly the
+    # foreachBatch shape the docstring prescribes
+    stream = load_events_stream(spark, events_dir)
+    sdf = windowed_top_values(
+        stream, ts_col="ts", value_col="event_type", duration="1 hour"
+    )
+    assert sdf.isStreaming
+    assert "rank" not in sdf.columns  # no rank over a streaming agg
+    counts = _run_stream(spark, sdf)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    got = {
+        (r["window_start"], r["rank"]): (r["value"], r["n"])
+        for r in counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    assert got == expected
