@@ -328,3 +328,47 @@ def test_strip_duplicate_segments_matches_python_model(spark, texts):
         ).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("pqrs"), min_size=0, max_size=25).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(2, 6),
+    st.integers(0, 3),
+)
+def test_chunk_documents_matches_python_model(spark, texts, max_tokens, overlap):
+    from pyspark_data_quality_spark.operators.split import chunk_documents
+
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    stride = max_tokens - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    rows = chunk_documents(
+        df, "text", "doc_id", max_tokens=max_tokens, overlap=overlap
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            r["chunk_text"], r["chunk_tokens"]
+        )
+    import math
+
+    for i, t in enumerate(texts):
+        toks = [x for x in t.split() if x]
+        n = len(toks)
+        if n == 0:
+            assert i not in got
+            continue
+        n_chunks = max(1, math.ceil((n - overlap) / stride))
+        assert sorted(got[i]) == list(range(n_chunks)), (i, t)
+        for c in range(n_chunks):
+            piece = toks[c * stride : c * stride + max_tokens]
+            assert got[i][c] == (" ".join(piece), len(piece)), (i, c, t)
