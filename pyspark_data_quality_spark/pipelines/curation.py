@@ -68,10 +68,20 @@ def curate_corpus(
     status_col: str = "curation_status",
     split_col: str = "split",
     persist: bool = True,
+    strip_boilerplate: bool = False,
+    segment_k: int = 50,
+    segment_min_df: int = 2,
 ) -> DataFrame:
     """Run the full curation pipeline; returns EVERY input row annotated
     with ``status_col`` (and ``split_col`` for kept rows) plus the
     text-profile signal columns. ``curation_stats`` summarizes the result.
+
+    ``strip_boilerplate`` (default off — adds two columns to the output
+    schema) runs the sub-document segment-dedup stage on the rows that
+    survive doc-level dedup: ``dup_segment_ratio`` plus a
+    ``<text_col>_dedup`` column with cross-document duplicated
+    ``segment_k``-token segments removed (operators/dedup.py
+    strip_duplicate_segments).
 
     ``persist`` (default on) caches the profiled frame: the dedup and
     contamination stages are separate consumers of the same expensive
@@ -176,6 +186,32 @@ def curate_corpus(
         & F.col("_exact_dup").isNull()
         & F.col("_near_dup").isNull()
     )
+
+    # optional sub-document boilerplate stage (Lee et al. granularity),
+    # AFTER doc-level dedup (identical docs are gone, so segment df now
+    # measures true cross-document boilerplate): annotate the surviving
+    # rows with their duplicated-segment ratio and a stripped text
+    # column. Annotate-not-filter like every other stage — downstream
+    # chooses the clean column; dropped/duplicate rows keep NULLs.
+    if strip_boilerplate:
+        from ..operators.dedup import (
+            segment_dedup_profile,
+            strip_duplicate_segments,
+        )
+
+        seg = _pin(
+            segment_dedup_profile(
+                passed, text_col, id_col,
+                k=segment_k, min_df=segment_min_df,
+            ).select(id_col, "dup_segment_ratio")
+        )
+        stripped = strip_duplicate_segments(
+            passed, text_col, id_col,
+            k=segment_k, min_df=segment_min_df,
+        ).select(id_col, f"{text_col}_dedup")
+        annotated = annotated.join(seg, id_col, "left").join(
+            stripped, id_col, "left"
+        )
 
     if probes is not None:
         cont = contamination_pairs(

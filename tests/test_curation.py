@@ -110,3 +110,38 @@ def test_curate_corpus_incremental_reference(spark):
         near_dup_threshold=0.99, persist=False,
     )
     assert "ref_dup" not in {r["curation_status"] for r in out2.collect()}
+
+
+def test_curate_corpus_strip_boilerplate(spark):
+    from pyspark_data_quality_spark.pipelines.curation import curate_corpus
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique tail for doc one goes here now ok"),
+            (2, shared + " another different ending entirely for two"),
+            (3, "completely unrelated body of text with enough words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = curate_corpus(
+        docs,
+        min_quality=0.0,
+        languages=None,
+        strip_boilerplate=True,
+        segment_k=8,
+        near_dup_threshold=0.95,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # schema gained the two stage columns
+    assert "dup_segment_ratio" in out.columns
+    assert "text_dedup" in out.columns
+    # the shared 8-token prefix counts as boilerplate for docs 1 and 2
+    assert rows[1]["dup_segment_ratio"] > 0
+    assert shared not in rows[1]["text_dedup"]
+    assert shared not in rows[2]["text_dedup"]
+    assert "unique tail for doc one" in rows[1]["text_dedup"]
+    assert rows[3]["dup_segment_ratio"] == 0.0
+    # default OFF: schema unchanged
+    plain = curate_corpus(docs, min_quality=0.0, languages=None)
+    assert "dup_segment_ratio" not in plain.columns
