@@ -91,3 +91,38 @@ def test_incremental_state_crash_safety(spark, tmp_path, batches):
         pass
     st = read_state(spark, state_dir)
     assert st is not None and st.fingerprints.count() == 2
+
+
+def test_incremental_state_on_fixture(spark, tmp_path, sf_dir):
+    """Drive the state pipeline with the real documents fixture: fold the
+    corpus in two halves; history stats must equal the one-shot fold."""
+    from pyspark_data_quality_spark.pipelines.incremental import (
+        batch_vs_history,
+        history_summary,
+        update_corpus_state,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half1 = docs.filter("doc_id % 2 = 0")
+    half2 = docs.filter("doc_id % 2 = 1")
+
+    s_inc = str(tmp_path / "inc")
+    update_corpus_state(spark, s_inc, half1)
+    update_corpus_state(spark, s_inc, half2)
+    s_once = str(tmp_path / "once")
+    update_corpus_state(spark, s_once, docs)
+
+    inc = {r["group"]: r for r in history_summary(spark, s_inc).collect()}
+    once = {r["group"]: r for r in history_summary(spark, s_once).collect()}
+    assert set(inc) == set(once)
+    for g in inc:
+        assert inc[g]["n"] == once[g]["n"], g
+        # HLL estimates of the SAME set reached via merge vs one-shot
+        # agree within sketch tolerance (~2%)
+        a, b = inc[g]["distinct_est"], once[g]["distinct_est"]
+        assert abs(a - b) <= 0.02 * max(a, b) + 1, g
+
+    # every fixture doc is known text vs its own history
+    ann = batch_vs_history(spark, s_inc, docs.limit(50))
+    assert ann.filter("is_new_text").count() == 0
+    assert ann.filter("novel_token_ratio > 0").count() == 0
