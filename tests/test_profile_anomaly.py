@@ -527,3 +527,53 @@ def test_mahalanobis_outliers(spark):
     empty = spark.createDataFrame([], "id int, x double, y double")
     with pytest.raises(ValueError):
         mahalanobis_outliers(empty, ["x", "y"])
+
+
+def test_pca_fit_apply(spark):
+    import numpy as np
+    import pytest
+
+    from pyspark_data_quality_spark.operators.similarity import (
+        pca_apply,
+        pca_fit,
+    )
+
+    # planted 2-dominant-direction data in 8 dims (deterministic)
+    rng = np.random.RandomState(7)
+    Z = rng.randn(300, 2)
+    A = rng.randn(2, 8)
+    X = Z @ A * 5.0 + rng.randn(300, 8) * 0.05
+    rows = [(i, [float(x) for x in X[i]]) for i in range(300)]
+    rows.append((300, None))
+    rows.append((301, []))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    m = pca_fit(df, dim_out=2)
+    assert len(m["components"]) == 2 and len(m["components"][0]) == 8
+    # two planted directions carry essentially all the variance
+    assert sum(m["explained_variance_ratio"]) > 0.99
+
+    out = {r["vec_id"]: r["pca"] for r in pca_apply(df, m).collect()}
+    assert out[300] is None and out[301] is None
+    # projection matches numpy exactly (float32 tolerance)
+    mu = np.array(m["mean"]); W = np.array(m["components"])
+    Xf = np.array([np.array(v, dtype=np.float64) for (_, v) in rows[:300]])
+    Y = (Xf - mu) @ W.T
+    got = np.array([out[i] for i in range(300)])
+    assert np.abs(Y - got).max() < 1e-3
+    # near-lossless reconstruction of the low-rank data
+    recon = got @ W + mu
+    rel = np.linalg.norm(recon - Xf) / np.linalg.norm(Xf)
+    assert rel < 0.02
+
+    # whiten: projected variance ~1 per component
+    mw = pca_fit(df, dim_out=2, whiten=True)
+    vw = np.array(
+        [r["pca"] for r in pca_apply(df.filter("vec_id < 300"), mw).collect()]
+    )
+    assert np.allclose(vw.var(axis=0, ddof=1), 1.0, atol=0.05)
+
+    with pytest.raises(ValueError):
+        pca_fit(spark.createDataFrame([], "embedding array<float>"), dim_out=2)
+    with pytest.raises(ValueError):
+        pca_fit(df, dim_out=0)
