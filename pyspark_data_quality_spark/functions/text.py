@@ -236,3 +236,19 @@ def pii_count(col: Column | str, pii_type: str) -> Column:
     return F.size(
         F.regexp_extract_all(c, F.lit(PII_PATTERNS[pii_type]), F.lit(0))
     )
+
+
+def encoding_artifact_count(col: Column | str) -> Column:
+    """Number of encoding-damage artifacts in the text: U+FFFD
+    replacement characters (lossy decode), C1 control block characters
+    (a classic latin-1/cp1252 confusion tell), and the mojibake
+    digraphs \u00c2/\u00c3 followed by a latin-1 suffix byte (UTF-8
+    bytes re-decoded as latin-1). A per-document quality signal for
+    web-scraped corpora: anything above ~0 per KB usually means the
+    upstream decode was wrong, and no downstream filter fixes it."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.regexp_count(c, F.lit("\ufffd"))
+        + F.regexp_count(c, F.lit("[\u0080-\u009f]"))
+        + F.regexp_count(c, F.lit("[\u00c2\u00c3][\u0080-\u00bf]"))
+    ).cast("long")

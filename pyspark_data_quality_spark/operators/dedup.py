@@ -1164,3 +1164,53 @@ def top_duplicate_segments(
         .orderBy(F.col("df").desc(), F.col("segment").asc())
         .limit(top)
     )
+
+
+def near_dup_eval(
+    approx_pairs: DataFrame,
+    exact_pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    round_to: int = 6,
+) -> DataFrame:
+    """Precision/recall of an approximate near-dup pair set against the
+    exact ground truth — the tuning harness for ``num_bands`` /
+    ``max_bucket_size`` / thresholds, run on a sampled slice BEFORE
+    committing an LSH config to the full corpus.
+
+    Pairs are canonicalized (min, max) so orientation never miscounts.
+    One row: (n_approx, n_exact, n_hit, precision, recall, f1). Shape:
+    two pair-set distincts + one hash semi join + three bounded counts
+    (deliberate actions over pair sets the caller already bounded) —
+    costs nothing next to the pair generation itself.
+    """
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        ).distinct()
+
+    ap, ex = canon(approx_pairs), canon(exact_pairs)
+    hits = ap.join(ex, ["a", "b"], "semi")
+    n_a = ap.count()
+    n_e = ex.count()
+    n_h = hits.count()
+    prec = n_h / n_a if n_a else None
+    rec = n_h / n_e if n_e else None
+    f1 = (
+        2 * prec * rec / (prec + rec)
+        if prec is not None and rec is not None and (prec + rec) > 0
+        else None
+    )
+    spark = approx_pairs.sparkSession
+    return spark.createDataFrame(
+        [(
+            n_a, n_e, n_h,
+            round(prec, round_to) if prec is not None else None,
+            round(rec, round_to) if rec is not None else None,
+            round(f1, round_to) if f1 is not None else None,
+        )],
+        "n_approx long, n_exact long, n_hit long, "
+        "precision double, recall double, f1 double",
+    )

@@ -1114,3 +1114,74 @@ def test_pack_sequences_bad_args(spark):
         pack_sequences(df, "doc_id", text_col="text", token_count_col="x")
     with pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", max_tokens=4, overlap=4)
+
+
+def test_encoding_artifact_count(spark):
+    from pyspark_data_quality_spark.functions.text import (
+        encoding_artifact_count,
+    )
+
+    rows = [
+        (1, "clean ascii text"),
+        (2, "lossy \ufffd decode \ufffd"),
+        (3, "moji \u00c3\u00a9 and \u00c2\u00a0 bake"),  # e-acute / nbsp mojibake
+        (4, "c1 control \u0085 here"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", encoding_artifact_count("text").alias("n")
+        ).collect()
+    }
+    assert got[1] == 0
+    assert got[2] == 2
+    assert got[3] == 2
+    assert got[4] == 1
+    assert got[5] is None
+
+
+def test_near_dup_eval(spark):
+    from pyspark_data_quality_spark.operators.dedup import near_dup_eval
+
+    exact = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], ["id_a", "id_b"]
+    )
+    # one hit (reversed orientation), one miss, one false positive + dup
+    approx = spark.createDataFrame(
+        [(2, 1), (2, 1), (5, 9)], ["id_a", "id_b"]
+    )
+    r = near_dup_eval(approx, exact).first()
+    assert (r["n_approx"], r["n_exact"], r["n_hit"]) == (2, 3, 1)
+    assert r["precision"] == 0.5
+    assert abs(r["recall"] - 1 / 3) < 1e-6
+    # empty approx side: no division errors
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    r2 = near_dup_eval(empty, exact).first()
+    assert r2["n_approx"] == 0 and r2["precision"] is None
+
+
+def test_near_dup_eval_on_minhash(spark, sf_dir):
+    """End-to-end: MinHash pairs vs the exact n-gram ground truth on the
+    fixture subset — the documented LSH-tuning workflow."""
+    from pyspark_data_quality_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        near_dup_eval,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id < 100"
+    )
+    exact = ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.5,
+        use_lsh_blocking=False,
+    )
+    approx = minhash_near_dup_pairs(
+        docs, "text", "doc_id", shingle="char", shingle_n=3,
+        threshold=0.5, num_hashes=64, num_bands=32,
+    )
+    r = near_dup_eval(approx, exact).first()
+    assert r["n_exact"] > 0
+    assert r["recall"] >= 0.8  # 32 bands at t=0.5: high-recall config
