@@ -156,10 +156,25 @@ def main() -> None:
     # run-to-run — the min is the stable engine number the round-over-
     # round comparison needs.
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    # local iteration aid: SPARK_GRAFT_BENCH_ONLY="dq_a,dq_b" times a
+    # subset (dq_ prefix optional). The driver never sets it, so official
+    # runs always cover the full registry.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    queries = entry_mod.queries()
+    if only_env:
+        want = {
+            n if n.startswith("dq_") else f"dq_{n}"
+            for n in only_env.replace(" ", "").split(",") if n
+        }
+        unknown = want - set(queries)
+        if unknown:
+            print(f"SPARK_GRAFT_BENCH_ONLY: unknown queries {sorted(unknown)}",
+                  file=sys.stderr)
+        queries = {n: f for n, f in queries.items() if n in want}
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i in range(passes):
-        for name, fn in entry_mod.queries().items():
+        for name, fn in queries.items():
             if name in errors:
                 continue
             t0 = time.perf_counter()
