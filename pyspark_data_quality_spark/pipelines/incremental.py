@@ -266,3 +266,49 @@ def history_summary(spark: SparkSession, state_dir: str) -> DataFrame:
         ],
     )
     return per.unionByName(total).orderBy("group")
+
+
+def stream_update_corpus_state(
+    stream: DataFrame,
+    state_dir: str,
+    *,
+    checkpoint_path: str,
+    text_col: str = "text",
+    group_col: str = "source",
+    trigger_available_now: bool = False,
+):
+    """Maintain the corpus state FROM A STREAM: every micro-batch folds
+    into the persisted fingerprint/vocab/sketch state via the same
+    :func:`update_corpus_state` the batch path uses — the foreachBatch
+    pattern (streaming/route.py), so batch and stream share one fold
+    implementation and the batch path is the offline rehearsal.
+
+    Semantics note (inherited from update_corpus_state and the
+    foreachBatch at-least-once contract): a REPLAYED micro-batch
+    double-counts vocab/sketch state; fingerprints are set-semantics and
+    replay-safe. Where replays matter, key the stream by batch id
+    upstream or accept approximate counts — the sketches are estimates
+    by design. Returns the started ``StreamingQuery``.
+    """
+    if not stream.isStreaming:
+        raise ValueError(
+            "stream_update_corpus_state: input is a batch frame — call "
+            "update_corpus_state directly"
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_corpus_state(
+            batch_df.sparkSession, state_dir, batch_df,
+            text_col=text_col, group_col=group_col,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -126,3 +126,49 @@ def test_incremental_state_on_fixture(spark, tmp_path, sf_dir):
     ann = batch_vs_history(spark, s_inc, docs.limit(50))
     assert ann.filter("is_new_text").count() == 0
     assert ann.filter("novel_token_ratio > 0").count() == 0
+
+
+def test_stream_update_corpus_state(spark, tmp_path, batches):
+    """availableNow stream over a docs directory folds into the SAME
+    state a batch fold produces."""
+    import pytest
+
+    from pyspark_data_quality_spark.pipelines.incremental import (
+        history_summary,
+        read_state,
+        stream_update_corpus_state,
+        update_corpus_state,
+    )
+
+    b1, b2 = batches
+    docs_dir = str(tmp_path / "docs")
+    b1.unionByName(b2).write.parquet(docs_dir)
+
+    with pytest.raises(ValueError):
+        stream_update_corpus_state(
+            b1, str(tmp_path / "x"), checkpoint_path=str(tmp_path / "cp0")
+        )
+
+    s_stream = str(tmp_path / "stream_state")
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, source string"
+    ).parquet(docs_dir)
+    q = stream_update_corpus_state(
+        stream, s_stream,
+        checkpoint_path=str(tmp_path / "cp"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    s_batch = str(tmp_path / "batch_state")
+    update_corpus_state(spark, s_batch, spark.read.parquet(docs_dir))
+
+    got = {r["group"]: r for r in history_summary(spark, s_stream).collect()}
+    want = {r["group"]: r for r in history_summary(spark, s_batch).collect()}
+    assert set(got) == set(want)
+    for g in got:
+        assert got[g]["n"] == want[g]["n"]
+    assert (
+        read_state(spark, s_stream).fingerprints.count()
+        == read_state(spark, s_batch).fingerprints.count()
+    )
