@@ -89,8 +89,15 @@ def suite_line(total: float, timings: dict[str, float], sf: float,
     the full map always goes to stderr (``dq_queries_full``) regardless —
     so growth in entry count can truncate detail but never the line head
     the driver parses (the round-3 failure mode)."""
+    def _render(v: float):
+        # integral timings render as "2" not "2.0" — ~2 bytes back per
+        # entry, which at 100 entries is the difference between the full
+        # map fitting and truncating
+        r = round(v, 1)
+        return int(r) if r == int(r) else r
+
     compact = {
-        (k[3:] if k.startswith("dq_") else k): round(v, 1)
+        (k[3:] if k.startswith("dq_") else k): _render(v)
         for k, v in timings.items()
     }
     dropped = 0
@@ -108,11 +115,11 @@ def suite_line(total: float, timings: dict[str, float], sf: float,
         line = json.dumps(out, separators=(",", ":"))
         if len(line) <= budget or not compact:
             return line
-        # drop the fastest ~10% and re-render
-        cut = max(1, len(compact) // 10)
-        for k in sorted(compact, key=compact.get)[:cut]:
-            del compact[k]
-        dropped += cut
+        # drop the single fastest entry and re-render (one at a time:
+        # a coarser cut throws away per-query detail it didn't need to)
+        fastest = min(compact, key=compact.get)
+        del compact[fastest]
+        dropped += 1
 
 
 def main() -> None:

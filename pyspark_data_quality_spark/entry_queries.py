@@ -3753,6 +3753,317 @@ def dq_windowed_topv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_epoch", "rank")
 
 
+@query(
+    "dq_matched_sample",
+    """
+    WITH c AS (
+      SELECT lang AS stratum, count(*) AS n_rows FROM documents GROUP BY lang
+    ), t AS (
+      SELECT stratum, n_rows,
+             CASE stratum WHEN 'en' THEN CAST(0.2 AS DOUBLE)
+                          WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+                          WHEN 'es' THEN CAST(0.2 AS DOUBLE)
+                          WHEN 'fr' THEN CAST(0.2 AS DOUBLE)
+                          WHEN 'zh' THEN CAST(0.2 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END AS share
+      FROM c
+    ), s AS (
+      SELECT min(n_rows / share) AS scale FROM t WHERE share > 0
+    ), f AS (
+      SELECT stratum,
+             CAST(floor(least(CAST(1.0 AS DOUBLE),
+                              share * scale / n_rows) * 10000)
+                  AS BIGINT) AS bound
+      FROM t, s WHERE share > 0
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN f ON d.lang = f.stratum
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000 < f.bound
+    ORDER BY d.doc_id
+    """,
+)
+def dq_matched_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matched downsampling (operators/split.py
+    matched_sample): rebalance the en-heavy documents corpus to a
+    UNIFORM language mix at the largest feasible size — the scarcest
+    language keeps 100%, every other language keeps the md5-stable
+    fraction that equalizes the mix. The oracle replays the identical
+    plan arithmetic (min-feasible scale, floor'd bucket bounds) in SQL."""
+    from .operators.split import matched_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    target = {lg: 0.2 for lg in ("en", "de", "es", "fr", "zh")}
+    out = matched_sample(docs, "doc_id", "lang", target)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+@query(
+    "dq_diversity",
+    r"""
+    WITH lst AS (
+      SELECT lang,
+             list_filter(
+               string_split(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT lang, n,
+             unnest(CASE WHEN len(toks) >= n
+               THEN list_transform(
+                      generate_series(1, len(toks) - n + 1),
+                      i -> array_to_string(toks[i:i+n-1], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM lst, (SELECT unnest([1, 2, 3]) AS n)
+    ), gc AS (
+      SELECT lang, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3
+    )
+    SELECT lang, n, CAST(sum(c) AS BIGINT) AS total_ngrams,
+           count(*) AS distinct_ngrams,
+           CAST(round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+                AS DOUBLE) AS diversity
+    FROM gc GROUP BY lang, n ORDER BY lang, n
+    """,
+)
+def dq_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 n-gram diversity per language (operators/text.py
+    ngram_diversity): the fraction of n-gram occurrences that are
+    distinct — the corpus-level mode-collapse / template-flood signal.
+    One explode pass builds all three n's shingles (tagged structs),
+    one two-phase aggregate reduces them."""
+    from .operators.text import ngram_diversity
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_diversity(docs, "text", "lang", ns=(1, 2, 3))
+
+
+@query(
+    "dq_vocab_richness",
+    r"""
+    WITH lst AS (
+      SELECT lang,
+             list_filter(
+               string_split(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ), tk AS (SELECT lang, unnest(toks) AS t FROM lst),
+    tc AS (SELECT lang, t, count(*) AS c FROM tk GROUP BY 1, 2),
+    sp AS (
+      SELECT lang,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS vocab_size,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS singletons,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS doubletons
+      FROM tc GROUP BY lang
+    )
+    SELECT lang, n_tokens, vocab_size, singletons, doubletons,
+           CAST(round(vocab_size
+                      + (singletons * (singletons - 1))
+                        / (2e0 * (doubletons + 1)), 6) AS DOUBLE) AS chao1,
+           CAST(round(1e0 - singletons / n_tokens, 6) AS DOUBLE) AS coverage
+    FROM sp ORDER BY lang
+    """,
+)
+def dq_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate + Good-Turing coverage per
+    language (operators/text.py vocab_richness): from the token
+    frequency spectrum (types, singletons, doubletons) — does this
+    corpus slice still have vocabulary to surface, or has it
+    saturated?"""
+    from .operators.text import vocab_richness
+
+    docs = load_table(spark, "documents", sf_dir)
+    return vocab_richness(docs, "text", "lang")
+
+
+@query(
+    "dq_emb_drift",
+    """
+    WITH cd AS (
+      SELECT i, round(avg(embedding[i]), 6) AS mc
+      FROM embeddings, generate_series(1, 64) t(i)
+      WHERE label >= 5 GROUP BY i
+    ), rd AS (
+      SELECT i, round(avg(embedding[i]), 6) AS mr
+      FROM embeddings, generate_series(1, 64) t(i)
+      WHERE label < 5 GROUP BY i
+    ), s AS (
+      SELECT sum(mc * mr) AS dot, sum(mc * mc) AS cc,
+             sum(mr * mr) AS rr,
+             sum((mc - mr) * (mc - mr)) AS dd
+      FROM cd JOIN rd USING (i)
+    ), n AS (
+      SELECT CAST(sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur,
+             CAST(sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref
+      FROM embeddings
+    )
+    SELECT n_cur, n_ref,
+           CAST(round(dot / (sqrt(cc) * sqrt(rr)), 6) AS DOUBLE)
+             AS centroid_cosine,
+           CAST(round(sqrt(dd), 6) AS DOUBLE) AS centroid_shift_l2,
+           CAST(round(sqrt(cc), 6) AS DOUBLE) AS centroid_norm_cur,
+           CAST(round(sqrt(rr), 6) AS DOUBLE) AS centroid_norm_ref
+    FROM n, s
+    """,
+)
+def dq_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between the label>=5 and label<5 halves of
+    the embeddings table (operators/drift.py embedding_drift): centroid
+    cosine / L2 shift / centroid norms. Per-dim means round to 6 before
+    combining on BOTH sides, so the metrics are reduction-order stable
+    across engines."""
+    from .operators.drift import embedding_drift
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return embedding_drift(
+        emb.filter(F.col("label") >= 5),
+        emb.filter(F.col("label") < 5),
+        "embedding",
+    )
+
+
+@query(
+    "dq_lexicon",
+    r"""
+    WITH lex(tok, w) AS (
+      VALUES ('spark', CAST(1.0 AS DOUBLE)), ('fast', CAST(0.5 AS DOUBLE)),
+             ('slow', CAST(-0.5 AS DOUBLE)), ('table', CAST(0.25 AS DOUBLE)),
+             ('data', CAST(0.25 AS DOUBLE)), ('value', CAST(-0.25 AS DOUBLE))
+    ), tl AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, sum(w) AS s
+      FROM (SELECT doc_id, unnest(toks) AS t FROM tl)
+      JOIN lex ON t = tok GROUP BY doc_id
+    )
+    SELECT tl.doc_id,
+           CAST(round(coalesce(hits.s, 0) / nullif(len(tl.toks), 0), 6)
+                AS DOUBLE) AS score
+    FROM tl LEFT JOIN hits USING (doc_id) ORDER BY tl.doc_id
+    """,
+)
+def dq_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-lexicon linear text scoring (operators/text.py
+    lexicon_score, the fastText-classifier apply shape): per-doc
+    length-normalized score from a literal token->weight map, zero
+    shuffles / joins / UDFs. Weights are exact binary quarters so the
+    token fold is order-exact across engines."""
+    from .operators.text import lexicon_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    lex = {"spark": 1.0, "fast": 0.5, "slow": -0.5,
+           "table": 0.25, "data": 0.25, "value": -0.25}
+    out = lexicon_score(docs, lex, "text")
+    return out.select(
+        "doc_id", F.round("lexicon_score", 6).alias("score")
+    ).orderBy("doc_id")
+
+
+@query(
+    "dq_keyness",
+    r"""
+    WITH lst AS (
+      SELECT lang,
+             list_filter(
+               string_split(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ), tk AS (SELECT lang, unnest(toks) AS t FROM lst),
+    pairs AS (SELECT lang, t, count(*) AS a FROM tk GROUP BY 1, 2),
+    ta AS (SELECT t, CAST(sum(a) AS BIGINT) AS ta FROM pairs GROUP BY t),
+    ga AS (SELECT lang, CAST(sum(a) AS BIGINT) AS ga FROM pairs GROUP BY lang),
+    gr AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM pairs),
+    sc AS (
+      SELECT p.lang, p.t, p.a, ta.ta - p.a AS b, ga.ga, gr.n,
+             CAST(round(2.0 * (
+               CAST(p.a AS DOUBLE)
+                 * ln(CAST(p.a AS DOUBLE)
+                      / (CAST(ga.ga AS DOUBLE) * ta.ta / gr.n))
+               + CASE WHEN ta.ta - p.a > 0 THEN
+                   CAST(ta.ta - p.a AS DOUBLE)
+                     * ln(CAST(ta.ta - p.a AS DOUBLE)
+                          / (CAST(gr.n - ga.ga AS DOUBLE) * ta.ta / gr.n))
+                 ELSE 0.0 END), 6) AS DOUBLE) AS g2,
+             CASE WHEN ta.ta - p.a = 0 THEN NULL
+                  ELSE CAST(round(
+                    (CAST(p.a AS DOUBLE) / ga.ga)
+                      / (CAST(ta.ta - p.a AS DOUBLE)
+                         / CAST(gr.n - ga.ga AS DOUBLE)), 6) AS DOUBLE)
+             END AS ratio
+      FROM pairs p JOIN ta ON p.t = ta.t JOIN ga ON p.lang = ga.lang, gr
+      WHERE p.a >= 2
+    ), ranked AS (
+      SELECT lang, t, a, b, g2, ratio,
+             CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY g2 DESC, t ASC) AS INT) AS rank
+      FROM sc WHERE ratio IS NULL OR ratio > 1.0
+    )
+    SELECT lang, rank, t AS token, a AS n_group, b AS n_rest, g2, ratio
+    FROM ranked WHERE rank <= 5 ORDER BY lang, rank
+    """,
+)
+def dq_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness (operators/text.py
+    distinctive_terms): the 5 tokens most over-represented in each
+    language vs the rest of the corpus — G2 computed with the exact
+    same operation order in both engines, ranked on the ROUNDED score
+    with a token tiebreak so the total order is engine-stable."""
+    from .operators.text import distinctive_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return distinctive_terms(docs, "text", "lang", k=5, min_count=2)
+
+
+@query(
+    "dq_normalize",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             min(l_quantity) AS lo_q, max(l_quantity) AS hi_q,
+             min(l_extendedprice) AS lo_p, max(l_extendedprice) AS hi_p
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(round((l_quantity - lo_q) / nullif(hi_q - lo_q, 0), 6)
+                AS DOUBLE) AS q_norm,
+           CAST(round((l_extendedprice - lo_p) / nullif(hi_p - lo_p, 0), 6)
+                AS DOUBLE) AS p_norm
+    FROM lineitem JOIN s USING (l_returnflag)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def dq_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment min-max feature scaling (operators/repair.py
+    normalize_columns): ONE fused stats agg per l_returnflag group,
+    broadcast back, pure-expression apply. min/max are exact (no
+    reduction-order drift), so every scaled row matches the oracle
+    bit-for-bit before the presentation round."""
+    from .operators.repair import normalize_columns
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = normalize_columns(
+        li, ["l_quantity", "l_extendedprice"],
+        method="minmax", group_by=["l_returnflag"], round_to=6,
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity_norm").alias("q_norm"),
+        F.col("l_extendedprice_norm").alias("p_norm"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, not hand-maintained.
 #

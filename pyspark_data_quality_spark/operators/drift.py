@@ -477,3 +477,68 @@ def corpus_divergence(
         )
         .orderBy(group_col)
     )
+
+
+def embedding_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    vec_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space drift between two vector corpora: did the
+    representation of the data move? The batch-level complement to the
+    scalar drift family — a re-embedded corpus, an upstream model bump,
+    or a population shift all move the CENTROID long before any single
+    scalar column looks different.
+
+    One summary row: ``(n_cur, n_ref, centroid_cosine, centroid_shift_l2,
+    centroid_norm_cur, centroid_norm_ref)`` — cosine between the two
+    mean vectors (1.0 = same direction), the L2 distance between them,
+    and each centroid's norm (a norm ratio far from 1 catches
+    un-normalized re-embeds even when the direction holds).
+
+    Shape: each side collapses via ONE posexplode -> groupBy(dim) mean —
+    map-side combine reduces the shuffle to |dim| rows per partition, so
+    100 TB of vectors exchange a few KB — then a |dim|-row join computes
+    the metrics as expressions. Per-dim means are rounded to ``round_to``
+    BEFORE combining so the result is reduction-order stable (engine-
+    portable, same contract as the scalar drift oracles).
+    """
+    def _dims(df: DataFrame, mean_name: str, n_name: str):
+        d = df.select(
+            F.posexplode(F.col(vec_col)).alias("dim", "_v")
+        ).groupBy("dim").agg(
+            F.round(F.avg("_v"), round_to).alias(mean_name)
+        )
+        n = df.select(F.count(F.lit(1)).alias(n_name))
+        return d, n
+
+    cdim, cn = _dims(cur, "_mc", "n_cur")
+    rdim, rn = _dims(ref, "_mr", "n_ref")
+    joined = cdim.join(rdim, "dim", "inner")
+    sums = joined.agg(
+        F.sum(F.col("_mc") * F.col("_mr")).alias("_dot"),
+        F.sum(F.col("_mc") * F.col("_mc")).alias("_cc"),
+        F.sum(F.col("_mr") * F.col("_mr")).alias("_rr"),
+        F.sum(
+            (F.col("_mc") - F.col("_mr")) * (F.col("_mc") - F.col("_mr"))
+        ).alias("_dd"),
+    )
+    return (
+        cn.crossJoin(F.broadcast(rn))
+        .crossJoin(F.broadcast(sums))
+        .select(
+            "n_cur",
+            "n_ref",
+            F.round(
+                F.try_divide(
+                    F.col("_dot"), F.sqrt("_cc") * F.sqrt("_rr")
+                ),
+                round_to,
+            ).alias("centroid_cosine"),
+            F.round(F.sqrt("_dd"), round_to).alias("centroid_shift_l2"),
+            F.round(F.sqrt("_cc"), round_to).alias("centroid_norm_cur"),
+            F.round(F.sqrt("_rr"), round_to).alias("centroid_norm_ref"),
+        )
+    )

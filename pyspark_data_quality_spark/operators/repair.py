@@ -371,3 +371,70 @@ def mahalanobis_outliers(
         "is_outlier",
         F.coalesce(F.col("mahalanobis") > threshold, F.lit(False)),
     )
+
+
+def normalize_columns(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    method: str = "zscore",
+    group_by: list[str] | None = None,
+    suffix: str = "_norm",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Feature scaling as a repair transform: append ``<col><suffix>``
+    with ``zscore`` ((x-mean)/stddev_samp) or ``minmax`` ((x-min)/
+    (max-min)) scaling — globally or per ``group_by`` key (the "scale
+    within each segment" variant). Constant columns scale to NULL
+    (try_divide), never a throw; input columns are untouched
+    (annotate-not-overwrite, like every repair op).
+
+    Shape: ONE fused aggregate computes every column's stats —
+    broadcast cross-joined back when global (1 row), joined on the
+    group keys otherwise (|groups| rows). The data is never shuffled in
+    the global case; no window, no RNG, no UDF.
+    """
+    if method not in ("zscore", "minmax"):
+        raise ValueError(
+            f"normalize_columns: method must be zscore|minmax, got {method!r}"
+        )
+    if not cols:
+        raise ValueError("normalize_columns: cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"normalize_columns: unknown columns {missing}")
+
+    aggs = []
+    for c in cols:
+        if method == "zscore":
+            aggs += [
+                F.avg(c).alias(f"_mu_{c}"),
+                F.stddev_samp(c).alias(f"_sd_{c}"),
+            ]
+        else:
+            aggs += [
+                F.min(c).alias(f"_lo_{c}"),
+                F.max(c).alias(f"_hi_{c}"),
+            ]
+    if group_by:
+        stats = df.groupBy(*group_by).agg(*aggs)
+        out = df.join(F.broadcast(stats), group_by, "left")
+    else:
+        stats = df.agg(*aggs)
+        out = df.crossJoin(F.broadcast(stats))
+
+    for c in cols:
+        if method == "zscore":
+            expr = F.try_divide(
+                F.col(c) - F.col(f"_mu_{c}"), F.col(f"_sd_{c}")
+            )
+        else:
+            expr = F.try_divide(
+                F.col(c) - F.col(f"_lo_{c}"),
+                F.col(f"_hi_{c}") - F.col(f"_lo_{c}"),
+            )
+        if round_to is not None:
+            expr = F.round(expr, round_to)
+        out = out.withColumn(f"{c}{suffix}", expr)
+    drop = [f.name for f in stats.schema.fields if f.name.startswith("_")]
+    return out.drop(*drop)

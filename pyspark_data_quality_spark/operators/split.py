@@ -326,3 +326,128 @@ def chunk_documents(
         F.col("_c.chunk_tokens").alias("chunk_tokens"),
         F.col("_c.chunk_text").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-matched downsampling: rebalance a corpus to a target
+# categorical mix (the "make the language distribution uniform" /
+# "match the reference corpus mix" move) without collecting anything.
+# ---------------------------------------------------------------------------
+
+
+def matched_sample_plan(
+    df: DataFrame, strata_col: str, target: dict[str, float]
+) -> DataFrame:
+    """Per-stratum sampling plan that downsamples ``df`` to match the
+    ``target`` categorical distribution at the LARGEST feasible size.
+
+    The feasible output size is limited by the scarcest stratum relative
+    to its target share: ``scale = min over target strata of
+    (count_v / share_v)``; every stratum then keeps
+    ``fraction_v = share_v * scale / count_v`` of its rows (the limiting
+    stratum keeps 100%). Strata absent from ``target`` get fraction 0 —
+    matching a distribution that assigns them no mass means dropping them.
+
+    Returns one row per observed stratum: ``(stratum, n_rows, share,
+    fraction, bucket_bound)`` where ``bucket_bound = floor(fraction *
+    10000)`` is the md5-bucket threshold :func:`matched_sample` filters
+    against (floor, not round: floor is engine-portable while round
+    half-up vs half-even can disagree on exact .5 ties).
+
+    Plan shape: ONE small groupBy on the stratum column; the scale is a
+    1-row aggregate cross-joined back (broadcast, k rows). Nothing is
+    collected — the plan composes lazily into :func:`matched_sample`.
+    """
+    if not target:
+        raise ValueError("matched_sample_plan: target must be non-empty")
+    total = sum(target.values())
+    if total <= 0:
+        raise ValueError("matched_sample_plan: target shares must sum > 0")
+    for k, v in target.items():
+        if v < 0:
+            raise ValueError(
+                f"matched_sample_plan: share for {k!r} must be >= 0"
+            )
+
+    share_expr = None
+    for value, raw in target.items():
+        share = raw / total
+        cond = F.col("stratum").eqNullSafe(F.lit(value))
+        share_expr = (
+            F.when(cond, share)
+            if share_expr is None
+            else share_expr.when(cond, share)
+        )
+    share_expr = share_expr.otherwise(F.lit(0.0))
+
+    counts = (
+        df.groupBy(F.col(strata_col).cast("string").alias("stratum"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("share", share_expr)
+    )
+    scale = counts.filter(F.col("share") > 0).agg(
+        F.min(F.col("n_rows") / F.col("share")).alias("_scale")
+    )
+    return (
+        counts.crossJoin(F.broadcast(scale))
+        .withColumn(
+            "fraction",
+            F.when(
+                F.col("share") > 0,
+                F.least(
+                    F.lit(1.0),
+                    F.col("share") * F.col("_scale") / F.col("n_rows"),
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "bucket_bound",
+            F.floor(F.col("fraction") * _BUCKETS).cast("long"),
+        )
+        .drop("_scale")
+    )
+
+
+def matched_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    target: dict[str, float],
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically downsample ``df`` so its ``strata_col``
+    distribution matches ``target`` (shares normalized), keeping as many
+    rows as the scarcest stratum allows — see :func:`matched_sample_plan`.
+
+    Membership is the same engine-stable contract as
+    :func:`deterministic_sample`: a row is kept iff its md5 bucket falls
+    under its stratum's bound, a pure function of ``id + salt``, so
+    re-runs, retries, and other engines reproduce the identical sample.
+
+    Plan shape: one tiny counts shuffle (k strata), then a broadcast join
+    of the k-row plan onto ``df`` and a filter — the data itself never
+    shuffles. At 100 TB the cost is one map-side-combined count plus a
+    scan; no window, no RNG, no collect.
+    """
+    plan = matched_sample_plan(df, strata_col, target).select(
+        "stratum", "bucket_bound"
+    )
+    c = F.col(id_col)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _BUCKETS
+    )
+    return (
+        df.join(
+            F.broadcast(plan),
+            df[strata_col].cast("string").eqNullSafe(F.col("stratum")),
+            "inner",
+        )
+        .filter(bucket < F.col("bucket_bound"))
+        .drop("stratum", "bucket_bound")
+    )

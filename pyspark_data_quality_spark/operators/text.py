@@ -691,3 +691,249 @@ def zipf_profile(
         ).alias("zipf_r2"),
     )
     return out.orderBy(*keys) if keys else out
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+    *,
+    ns: tuple[int, ...] = (1, 2, 3),
+    round_to: int = 6,
+) -> DataFrame:
+    """Distinct-n diversity per group: for each n in ``ns``, the fraction
+    of n-gram occurrences that are distinct (``distinct-1/2/3`` of the
+    text-generation literature). Near-duplicate floods, templated spam,
+    and mode-collapsed synthetic data all crater this ratio long before
+    any per-document filter notices — it is a corpus-level counterpart
+    to the per-doc repetition signals.
+
+    Output: (group?, n, total_ngrams, distinct_ngrams, diversity),
+    one row per (group, n).
+
+    Shape: ONE tokenizing projection builds every n's shingle array,
+    tagged structs are concatenated and exploded ONCE, then a single
+    two-phase aggregate (map-side combine on (group, n, gram)) reduces to
+    the per-(group, n) counts — no per-n rescan of the corpus, no window.
+    At 100 TB: explode factor is ~|tokens|×|ns|, all narrowly pipelined
+    into the partial aggregation.
+    """
+    from ..functions.text import tokenize, word_shingles
+
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError("ngram_diversity: ns must be positive ints")
+    keys = [group_col] if group_col else []
+
+    # NB: the tagging lambda must be single-arg — F.transform binds a
+    # second lambda parameter to the ELEMENT INDEX, so a `lambda g, _n=n`
+    # default would be silently shadowed by the position.
+    def _tag(n: int):
+        grams = (
+            tokenize(text_col) if n == 1 else word_shingles(text_col, n)
+        )
+        return F.transform(
+            grams,
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    tagged = [_tag(n) for n in ns]
+    exploded = df.select(
+        *keys, F.explode(F.concat(*tagged)).alias("_g")
+    ).select(*keys, F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
+
+    gram_counts = exploded.groupBy(*keys, "n", "gram").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    out = gram_counts.groupBy(*keys, "n").agg(
+        F.sum("_c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.round(
+            F.count(F.lit(1)) / F.sum("_c"), round_to
+        ).alias("diversity"),
+    )
+    return out.orderBy(*keys, "n")
+
+
+def vocab_richness(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Chao1 vocabulary-richness estimate per group: how much vocabulary
+    the corpus slice has NOT yet surfaced. From the token frequency
+    spectrum — D observed types, f1 singletons, f2 doubletons —
+    ``chao1 = D + f1*(f1-1) / (2*(f2+1))`` (bias-corrected estimator of
+    the true type count) and the Good-Turing coverage ``1 - f1/N`` (the
+    probability mass of already-seen types). A slice whose chao1 far
+    exceeds D is still discovering vocabulary — more data helps; coverage
+    near 1 means the slice has saturated. The capture-recapture shape
+    (Chao 1984) applied to corpus curation.
+
+    Output: (group?, n_tokens, vocab_size, singletons, doubletons,
+    chao1, coverage) — one row per group.
+
+    Shape: one tokenizing explode to (group, token) counts with map-side
+    combine, then one bounded reduction over the VOCABULARY (distinct
+    types, not corpus rows). No window, no collect.
+    """
+    from ..functions.text import tokenize
+
+    keys = [group_col] if group_col else []
+    counts = (
+        df.select(*keys, F.explode(tokenize(text_col)).alias("_t"))
+        .groupBy(*keys, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    grouped = counts.groupBy(*keys) if keys else counts.groupBy()
+    f1 = F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+    f2 = F.sum(F.when(F.col("_c") == 2, 1).otherwise(0))
+    out = grouped.agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        f1.alias("singletons"),
+        f2.alias("doubletons"),
+        F.round(
+            F.count(F.lit(1))
+            + (f1 * (f1 - F.lit(1)))
+            / (F.lit(2.0) * (f2 + F.lit(1))),
+            round_to,
+        ).alias("chao1"),
+        F.round(
+            F.lit(1.0) - F.try_divide(f1, F.sum("_c")), round_to
+        ).alias("coverage"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def lexicon_score(
+    df: DataFrame,
+    lexicon: dict[str, float],
+    text_col: str = "text",
+    *,
+    bias: float = 0.0,
+    normalize: bool = True,
+    score_col: str = "lexicon_score",
+) -> DataFrame:
+    """Linear weighted-lexicon text scorer — the fastText-classifier
+    shape (score = bias + sum over tokens of weight[token], optionally
+    length-normalized) with the model supplied as an explicit
+    token->weight dict: quality lexicons, blocklist scoring, domain
+    relevance. The scoring itself is the standard production pattern
+    for "apply a small linear text model at corpus scale".
+
+    Pure-expression apply: the lexicon becomes a literal MAP and the
+    token fold is ``aggregate`` over the tokenized array — zero
+    shuffles, zero UDFs, zero joins; Catalyst fuses it with any
+    downstream filter. Token hits use try_element_at (ANSI-safe miss ->
+    NULL -> 0.0). At 100 TB: scan-speed, embarrassingly parallel.
+
+    The lexicon must be driver-bounded (thousands of terms, the fastText
+    regime after pruning); a corpus-sized model belongs in a broadcast
+    join, not a literal.
+    """
+    from ..functions.text import tokenize
+
+    if not lexicon:
+        raise ValueError("lexicon_score: lexicon must be non-empty")
+    entries = []
+    for tok, w in lexicon.items():
+        entries += [F.lit(tok), F.lit(float(w))]
+    lex_map = F.create_map(*entries)
+    toks = tokenize(text_col)
+    raw = F.aggregate(
+        toks,
+        F.lit(float(bias)),
+        lambda acc, t: acc
+        + F.coalesce(F.try_element_at(lex_map, t), F.lit(0.0)),
+    )
+    score = (
+        F.try_divide(raw, F.size(toks)) if normalize else raw
+    )
+    return df.withColumn(score_col, score)
+
+
+def distinctive_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    *,
+    k: int = 10,
+    min_count: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Keyness analysis: the tokens most OVER-represented in each group
+    versus the rest of the corpus, ranked by Dunning's log-likelihood
+    G² (the corpus-linguistics standard — robust where chi-square
+    misbehaves on rare words). "What vocabulary makes this source /
+    language / cluster different?" — the first question after a corpus
+    mix report flags a group.
+
+    Per group, the top ``k`` tokens with ``(token, n_group, n_rest,
+    g2, ratio)`` where ratio = relative frequency in group / relative
+    frequency in rest (over-representation factor; only ratio > 1 rows
+    are candidates).
+
+    Shape: ONE tokenizing explode to (group, token) counts; token and
+    group marginals REUSE the counted frame (no corpus rescan); the
+    G² expression joins counts to marginals on the token key; top-k per
+    group via a rank window over candidate tokens only (bounded by the
+    vocabulary, never corpus rows — same spine shape as zipf/tfidf).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokenize
+
+    if k < 1:
+        raise ValueError("distinctive_terms: k must be >= 1")
+    pairs = (
+        df.select(F.col(group_col), F.explode(tokenize(text_col)).alias("_t"))
+        .groupBy(group_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_a"))
+    )
+    tok_totals = pairs.groupBy("_t").agg(F.sum("_a").alias("_ta"))
+    grp_totals = pairs.groupBy(group_col).agg(F.sum("_a").alias("_ga"))
+    grand = pairs.agg(F.sum("_a").alias("_n"))
+
+    a = F.col("_a").cast("double")           # token in group
+    b = (F.col("_ta") - F.col("_a")).cast("double")   # token in rest
+    ga = F.col("_ga").cast("double")         # group total
+    rest = (F.col("_n") - F.col("_ga")).cast("double")
+    ea = ga * F.col("_ta") / F.col("_n")     # expected in group
+    eb = rest * F.col("_ta") / F.col("_n")   # expected in rest
+    # G2 = 2*(a*ln(a/ea) + b*ln(b/eb)); b=0 terms contribute 0
+    g2 = F.lit(2.0) * (
+        a * F.log(a / ea)
+        + F.when(b > 0, b * F.log(b / eb)).otherwise(F.lit(0.0))
+    )
+    ratio = F.try_divide(a / ga, b / rest)
+
+    scored = (
+        pairs.filter(F.col("_a") >= min_count)
+        .join(tok_totals, "_t")
+        .join(F.broadcast(grp_totals), group_col)
+        .crossJoin(F.broadcast(grand))
+        .withColumn("_g2", F.round(g2, round_to))
+        .withColumn("_ratio", F.round(ratio, round_to))
+        .filter(
+            F.col("_ratio").isNull() | (F.col("_ratio") > 1.0)
+        )  # over-represented only (NULL ratio = token absent from rest)
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_g2").desc(), F.col("_t").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            group_col,
+            F.col("rank"),
+            F.col("_t").alias("token"),
+            F.col("_a").alias("n_group"),
+            (F.col("_ta") - F.col("_a")).alias("n_rest"),
+            F.col("_g2").alias("g2"),
+            F.col("_ratio").alias("ratio"),
+        )
+        .orderBy(group_col, "rank")
+    )

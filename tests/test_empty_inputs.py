@@ -211,3 +211,46 @@ def test_pack_chunk_empty(spark, empty_docs):
         empty_docs, "doc_id", text_col="text"
     ).count() == 0
     assert chunk_documents(empty_docs, "text", "doc_id").count() == 0
+
+
+def test_matched_diversity_richness_empty(spark, empty_docs):
+    from pyspark_data_quality_spark.operators.split import matched_sample
+    from pyspark_data_quality_spark.operators.text import (
+        ngram_diversity,
+        vocab_richness,
+    )
+
+    e = spark.createDataFrame([], "id bigint, lang string")
+    # empty corpus: the plan has no strata, the sample has no rows —
+    # the min-over-empty scale must not raise
+    assert matched_sample(e, "id", "lang", {"en": 1.0}).count() == 0
+    # ungrouped empty corpus: diversity groups by n (empty result);
+    # richness is a global aggregate — one row of nulls, must not raise
+    # (same convention as zipf_profile)
+    assert ngram_diversity(empty_docs, "text").count() == 0
+    r = vocab_richness(empty_docs, "text").first()
+    assert r["n_tokens"] is None and r["vocab_size"] == 0
+    # grouped faces on empty input are empty (no null row)
+    d = spark.createDataFrame([], "doc_id bigint, text string, lang string")
+    assert ngram_diversity(d, "text", "lang").count() == 0
+    assert vocab_richness(d, "text", "lang").count() == 0
+
+
+def test_scoring_drift_normalize_empty(spark, empty_docs):
+    from pyspark_data_quality_spark.operators.drift import embedding_drift
+    from pyspark_data_quality_spark.operators.repair import normalize_columns
+    from pyspark_data_quality_spark.operators.text import (
+        distinctive_terms,
+        lexicon_score,
+    )
+
+    assert lexicon_score(empty_docs, {"a": 1.0}, "text").count() == 0
+    d = spark.createDataFrame([], "doc_id bigint, text string, lang string")
+    assert distinctive_terms(d, "text", "lang").count() == 0
+    n = spark.createDataFrame([], "g string, x double")
+    assert normalize_columns(n, ["x"], group_by=["g"]).count() == 0
+    assert normalize_columns(n, ["x"], method="minmax").count() == 0
+    # empty embedding sides: one row, NULL metrics, zero counts
+    e = spark.createDataFrame([], "id bigint, v array<double>")
+    r = embedding_drift(e, e, "v").first()
+    assert r["n_cur"] == 0 and r["centroid_cosine"] is None

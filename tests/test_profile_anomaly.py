@@ -617,3 +617,47 @@ def test_pca_then_ann_composition(spark, sf_dir):
     # would give — the composition ran end-to-end and preserved signal
     overlap = len(exact & reduced) / len(exact)
     assert overlap > 0.3, overlap
+
+
+def test_normalize_columns(spark):
+    from pyspark_data_quality_spark.operators.repair import normalize_columns
+
+    df = spark.createDataFrame(
+        [("a", 0.0, 5.0), ("a", 10.0, 5.0), ("b", 4.0, 1.0), ("b", 8.0, 3.0)],
+        "g string, x double, y double",
+    )
+    rows = {
+        (r["g"], r["x"]): r
+        for r in normalize_columns(
+            df, ["x", "y"], method="minmax", group_by=["g"]
+        ).collect()
+    }
+    assert rows[("a", 0.0)]["x_norm"] == 0.0
+    assert rows[("a", 10.0)]["x_norm"] == 1.0
+    assert rows[("b", 4.0)]["x_norm"] == 0.0
+    # constant-within-group column -> NULL, not a throw (ANSI)
+    assert rows[("a", 0.0)]["y_norm"] is None
+    assert rows[("b", 4.0)]["y_norm"] == 0.0
+
+    # global zscore: mean 5, sd_samp of (0,10) = 7.0710678...
+    z = {
+        r["x"]: r["x_norm"]
+        for r in normalize_columns(
+            df.filter(F.col("g") == "a"), ["x"], method="zscore"
+        ).collect()
+    }
+    import math
+    sd = math.sqrt(50.0)
+    assert z[0.0] == pytest.approx(-5.0 / sd)
+    assert z[10.0] == pytest.approx(5.0 / sd)
+
+    # originals untouched, helper stats dropped
+    out = normalize_columns(df, ["x"], method="minmax")
+    assert set(out.columns) == {"g", "x", "y", "x_norm"}
+
+    with pytest.raises(ValueError):
+        normalize_columns(df, [], method="minmax")
+    with pytest.raises(ValueError):
+        normalize_columns(df, ["x"], method="robust")
+    with pytest.raises(ValueError):
+        normalize_columns(df, ["nope"])

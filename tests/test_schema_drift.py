@@ -170,6 +170,77 @@ def test_split_weights_validation(spark):
         split_assignment("id", {"a": 0.0})
 
 
+def test_matched_sample_rebalances_to_target(spark):
+    from pyspark_data_quality_spark.operators.split import (
+        matched_sample,
+        matched_sample_plan,
+    )
+
+    # skewed corpus: 1600 en, 300 de, 100 fr -> uniform target.
+    rows = (
+        [(i, "en") for i in range(1600)]
+        + [(1600 + i, "de") for i in range(300)]
+        + [(1900 + i, "fr") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "id bigint, lang string")
+    target = {"en": 1.0, "de": 1.0, "fr": 1.0}
+
+    plan = {
+        r["stratum"]: r
+        for r in matched_sample_plan(df, "lang", target).collect()
+    }
+    # scarcest stratum (fr) keeps everything; bounds scale the others to
+    # its feasible size
+    assert plan["fr"]["fraction"] == 1.0
+    assert plan["fr"]["bucket_bound"] == 10000
+    assert plan["en"]["bucket_bound"] == pytest.approx(
+        10000 * 100 / 1600, abs=1
+    )
+
+    out = matched_sample(df, "id", "lang", target)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # fr fully kept; en/de downsampled to ~fr's size (md5-bucket binomial
+    # tolerance)
+    assert counts["fr"] == 100
+    assert abs(counts["en"] - 100) < 40
+    assert abs(counts["de"] - 100) < 40
+    # deterministic: rerun and repartition reproduce the identical sample
+    ids = sorted(r["id"] for r in out.collect())
+    ids2 = sorted(
+        r["id"]
+        for r in matched_sample(
+            df.repartition(7), "id", "lang", target
+        ).collect()
+    )
+    assert ids == ids2
+    # schema is passthrough (no helper columns leak)
+    assert out.columns == df.columns
+
+
+def test_matched_sample_drops_untargeted_and_validates(spark):
+    from pyspark_data_quality_spark.operators.split import (
+        matched_sample,
+        matched_sample_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "xx"), (4, None)],
+        "id bigint, lang string",
+    )
+    out = matched_sample(df, "id", "lang", {"en": 1.0})
+    assert {r["lang"] for r in out.collect()} == {"en"}
+
+    with pytest.raises(ValueError):
+        matched_sample_plan(df, "lang", {})
+    with pytest.raises(ValueError):
+        matched_sample_plan(df, "lang", {"en": 0.0})
+    with pytest.raises(ValueError):
+        matched_sample_plan(df, "lang", {"en": -1.0, "de": 2.0})
+
+
 @pytest.fixture
 def asof_frames(spark):
     trades = spark.createDataFrame(
@@ -375,3 +446,29 @@ def test_quantile_drift_hand_computed(spark):
     assert rows[0.5]["shift"] == 10.0
     assert rows[0.5]["rel_shift"] == pytest.approx(round(10 / 5.5, 6))
     assert set(rows) == {0.1, 0.25, 0.5, 0.75, 0.9}
+
+
+def test_embedding_drift(spark):
+    from pyspark_data_quality_spark.operators.drift import embedding_drift
+
+    base = [(i, [1.0, 0.0, 2.0]) for i in range(10)]
+    a = spark.createDataFrame(base, "id bigint, v array<double>")
+    # identical corpora: cosine 1, zero shift, equal norms
+    r = embedding_drift(a, a, "v").first()
+    assert r["n_cur"] == 10 and r["n_ref"] == 10
+    assert r["centroid_cosine"] == pytest.approx(1.0)
+    assert r["centroid_shift_l2"] == 0.0
+    assert r["centroid_norm_cur"] == r["centroid_norm_ref"]
+
+    # orthogonal centroids: cosine 0, shift = hypotenuse
+    b = spark.createDataFrame(
+        [(i, [0.0, 3.0, 0.0]) for i in range(10)],
+        "id bigint, v array<double>",
+    )
+    r2 = embedding_drift(a, b, "v").first()
+    assert r2["centroid_cosine"] == pytest.approx(0.0)
+    import math
+    assert r2["centroid_shift_l2"] == pytest.approx(
+        round(math.sqrt(1 + 9 + 4), 6)
+    )
+    assert r2["centroid_norm_ref"] == pytest.approx(3.0)

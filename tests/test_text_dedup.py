@@ -1185,3 +1185,113 @@ def test_near_dup_eval_on_minhash(spark, sf_dir):
     r = near_dup_eval(approx, exact).first()
     assert r["n_exact"] > 0
     assert r["recall"] >= 0.8  # 32 bands at t=0.5: high-recall config
+
+
+def test_ngram_diversity_hand_computed(spark):
+    from pyspark_data_quality_spark.operators.text import ngram_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a a")], "id bigint, text string"
+    )
+    rows = {
+        (r["n"]): r
+        for r in ngram_diversity(df, "text", None, ns=(1, 2)).collect()
+    }
+    # unigrams: 7 occurrences (a b a b / a a a), 2 distinct
+    assert rows[1]["total_ngrams"] == 7
+    assert rows[1]["distinct_ngrams"] == 2
+    assert rows[1]["diversity"] == pytest.approx(round(2 / 7, 6))
+    # bigrams: "a b","b a","a b" + "a a","a a" -> 5 total, 3 distinct
+    assert rows[2]["total_ngrams"] == 5
+    assert rows[2]["distinct_ngrams"] == 3
+    assert rows[2]["diversity"] == pytest.approx(0.6)
+
+    # grouped face + validation
+    g = ngram_diversity(
+        df.withColumn("g", F.lit("x")), "text", "g", ns=(1,)
+    ).collect()
+    assert len(g) == 1 and g[0]["g"] == "x" and g[0]["total_ngrams"] == 7
+    with pytest.raises(ValueError):
+        ngram_diversity(df, "text", ns=())
+    with pytest.raises(ValueError):
+        ngram_diversity(df, "text", ns=(0,))
+
+
+def test_vocab_richness_chao1(spark):
+    from pyspark_data_quality_spark.operators.text import vocab_richness
+
+    # frequency spectrum: a x3, b x2, c x1, d x1 -> D=4, f1=2, f2=1, N=7
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c d")], "id bigint, text string"
+    )
+    r = vocab_richness(df, "text").first()
+    assert r["n_tokens"] == 7
+    assert r["vocab_size"] == 4
+    assert r["singletons"] == 2
+    assert r["doubletons"] == 1
+    # chao1 = D + f1(f1-1)/(2(f2+1)) = 4 + 2*1/4 = 4.5
+    assert r["chao1"] == pytest.approx(4.5)
+    # coverage = 1 - f1/N = 1 - 2/7
+    assert r["coverage"] == pytest.approx(round(1 - 2 / 7, 6))
+
+    # all-singleton corpus: chao1 = D + D(D-1)/2 (f2=0 guarded by +1)
+    s = spark.createDataFrame([(1, "p q r")], "id bigint, text string")
+    rs = vocab_richness(s, "text").first()
+    assert rs["chao1"] == pytest.approx(3 + 3 * 2 / 2)
+    assert rs["coverage"] == pytest.approx(0.0)
+
+
+def test_lexicon_score(spark):
+    from pyspark_data_quality_spark.operators.text import lexicon_score
+
+    df = spark.createDataFrame(
+        [(1, "good good bad"), (2, "meh"), (3, ""), (4, None)],
+        "id bigint, text string",
+    )
+    lex = {"good": 1.0, "bad": -0.5}
+    rows = {
+        r["id"]: r["lexicon_score"]
+        for r in lexicon_score(df, lex, "text").collect()
+    }
+    # (1 + 1 - 0.5) / 3 tokens
+    assert rows[1] == pytest.approx(1.5 / 3)
+    assert rows[2] == 0.0     # no hits, 1 token
+    assert rows[3] is None    # empty text: 0 tokens -> NULL (try_divide)
+    assert rows[4] is None    # null text propagates
+
+    raw = {
+        r["id"]: r["lexicon_score"]
+        for r in lexicon_score(
+            df, lex, "text", bias=2.0, normalize=False
+        ).collect()
+    }
+    assert raw[1] == pytest.approx(3.5)
+    assert raw[3] == 2.0      # bias only on empty fold
+
+    with pytest.raises(ValueError):
+        lexicon_score(df, {}, "text")
+
+
+def test_distinctive_terms(spark):
+    from pyspark_data_quality_spark.operators.text import distinctive_terms
+
+    rows = (
+        [(i, "en", "common tok alpha alpha") for i in range(5)]
+        + [(10 + i, "de", "common tok beta beta") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "id bigint, lang string, text string")
+    out = distinctive_terms(df, "text", "lang", k=2, min_count=2)
+    top = {(r["lang"], r["rank"]): r for r in out.collect()}
+    # each group's most distinctive token is its exclusive word
+    assert top[("en", 1)]["token"] == "alpha"
+    assert top[("de", 1)]["token"] == "beta"
+    # exclusive tokens are absent from the rest: n_rest 0, ratio NULL
+    assert top[("en", 1)]["n_rest"] == 0
+    assert top[("en", 1)]["ratio"] is None
+    assert top[("en", 1)]["g2"] > 0
+    # perfectly shared vocabulary never ranks (ratio == 1 filtered out)
+    toks = {r["token"] for r in out.collect()}
+    assert "common" not in toks and "tok" not in toks
+
+    with pytest.raises(ValueError):
+        distinctive_terms(df, "text", "lang", k=0)
