@@ -4064,6 +4064,156 @@ def dq_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_linenumber")
 
 
+@query(
+    "dq_pca",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           (SELECT CAST(round(sum(v), 6) AS DOUBLE) FROM (
+              SELECT var_samp(embedding[i]) AS v
+              FROM embeddings, generate_series(1, 64) t(i)
+              GROUP BY i
+           )) AS total_var
+    FROM embeddings
+    """,
+)
+def dq_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit+apply certified by the variance-preservation invariant
+    (operators/similarity.py pca_fit/pca_apply): a full-rank orthogonal
+    projection preserves TOTAL variance, so the sum of per-component
+    variances of the PROJECTED vectors must equal the oracle's total
+    per-dim variance of the RAW vectors — one number that is wrong
+    unless the moments pass, the eigendecomposition, and the Arrow
+    matmul apply are all right."""
+    from .operators.similarity import pca_apply, pca_fit
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    model = pca_fit(emb, vec_col="embedding", dim_out=64)
+    proj = pca_apply(emb, model, vec_col="embedding", out_col="pca")
+    total = None
+    for i in range(1, 65):
+        v = F.var_samp(F.element_at("pca", i))
+        total = v if total is None else total + v
+    return proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(total, 6).alias("total_var"),
+    )
+
+
+@query(
+    "dq_merge",
+    r"""
+    WITH d AS (
+      SELECT md5(array_to_string(
+               list_filter(
+                 string_split(
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                 x -> x <> '')[1:8], ' ')) AS fp,
+             doc_id, lang, source, n_chars
+      FROM documents
+    ), base AS (
+      SELECT fp, min(doc_id) AS doc_id, count(*) AS n_records,
+             max(n_chars) AS max_chars, min_by(lang, doc_id) AS lang
+      FROM d GROUP BY fp
+    ), sc AS (
+      SELECT fp, source, count(*) AS c FROM d GROUP BY fp, source
+    ), top AS (
+      SELECT fp, source FROM (
+        SELECT fp, source,
+               row_number() OVER (PARTITION BY fp
+                                  ORDER BY c DESC, source ASC) AS r
+        FROM sc
+      ) WHERE r = 1
+    )
+    SELECT b.fp, b.doc_id, b.n_records, t.source, b.max_chars, b.lang
+    FROM base b LEFT JOIN top t USING (fp)
+    WHERE b.n_records >= 2 ORDER BY b.fp
+    """,
+)
+def dq_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (operators/merge.py merge_duplicates): one
+    golden record per duplicate family — keyed by the md5 of the first
+    8 normalized tokens (shared-header families; the fixture ships no
+    full-text exact dups at sf0.01) — min-id key, most-frequent source
+    (ties to the smaller value), max n_chars, survivor lang."""
+    from .functions.text import tokenize
+    from .operators.merge import merge_duplicates
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "fp",
+        F.md5(F.concat_ws(" ", F.slice(tokenize("text"), 1, 8))),
+    )
+    out = merge_duplicates(
+        docs, "fp", "doc_id",
+        {"source": "most_common", "n_chars": "max", "lang": "survivor"},
+        min_group_size=2,
+    )
+    return out.select(
+        "fp", "doc_id", "n_records", "source",
+        F.col("n_chars").alias("max_chars"), "lang",
+    ).orderBy("fp")
+
+
+@query(
+    "dq_null_runs",
+    """
+    WITH e AS (
+      SELECT event_type, ts,
+             CASE WHEN CAST(concat('0x',
+                    substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 5 = 0
+                  THEN NULL ELSE value END AS v
+      FROM events
+    ), rn AS (
+      SELECT event_type, ts, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts) AS r
+      FROM e
+    ), isl AS (
+      SELECT event_type, ts,
+             r - row_number() OVER (PARTITION BY event_type
+                                    ORDER BY ts) AS island
+      FROM rn WHERE v IS NULL
+    )
+    SELECT event_type,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
+           count(*) AS run_length
+    FROM isl GROUP BY event_type, island
+    HAVING count(*) >= 2
+    ORDER BY event_type, start_epoch
+    """,
+)
+def dq_null_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data islands (operators/consistency.py null_runs):
+    maximal runs of consecutive NULL values per event_type, ordered by
+    ts ((event_type, ts) is unique in the fixture, so the order is
+    total). Values are deterministically nulled by md5 bucket — the
+    fixture ships no NULLs — keeping the gap-and-islands machinery
+    under oracle certification. min_length=2: a lone missing sample is
+    attrition, a RUN is an outage."""
+    from .operators.consistency import null_runs
+
+    ev = load_table(spark, "events", sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long") % 5
+    )
+    nulled = ev.withColumn(
+        "v", F.when(bucket == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+    out = null_runs(
+        nulled, ["ts"], "v", ["event_type"], min_length=2
+    )
+    return out.select(
+        "event_type",
+        F.col("start_ts").cast("timestamp").cast("long").alias("start_epoch"),
+        F.col("end_ts").cast("timestamp").cast("long").alias("end_epoch"),
+        "run_length",
+    ).orderBy("event_type", "start_epoch")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, not hand-maintained.
 #

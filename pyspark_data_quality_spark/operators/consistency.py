@@ -300,3 +300,74 @@ def monotonicity_report(
         )
         .orderBy(*group_cols)
     )
+
+
+def null_runs(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    group_cols: list[str] | None = None,
+    *,
+    min_length: int = 1,
+) -> DataFrame:
+    """Missing-data ISLANDS in an ordered series: each maximal run of
+    consecutive NULL ``value_col`` rows, per group — "the sensor was
+    dark from 02:10 to 04:55 (33 samples)". The per-hole counterpart to
+    :func:`sequence_gaps` (which finds missing ROWS; this finds present
+    rows with missing VALUES — a run of them is an outage, not random
+    attrition, and imputation treats the two very differently).
+
+    One row per run: ``(*group_cols, run_start..., run_end...,
+    run_length)`` where run_start/run_end carry the first/last
+    ``order_cols`` values of the run.
+
+    Gap-and-islands shape: two keyed row_number windows (all rows vs
+    null rows — their difference is constant within a run), one groupBy
+    on the island id. Both windows partition by ``group_cols``: scale
+    requires keyed series (the single-series case is documented
+    single-task, same caveat as sequence_gaps). ``order_cols`` must be a
+    total order within each group or run boundaries are ambiguous.
+    """
+    if not order_cols:
+        raise ValueError("null_runs: order_cols must be non-empty")
+    keys = list(group_cols or [])
+    order = [F.col(c).asc() for c in order_cols]
+    w_all = Window.partitionBy(*keys).orderBy(*order)
+    nulls = (
+        df.select(*keys, *order_cols, F.col(value_col).alias("_v"))
+        .withColumn("_rn", F.row_number().over(w_all))
+        .filter(F.col("_v").isNull())
+    )
+    w_null = Window.partitionBy(*keys).orderBy(*order)
+    runs = nulls.withColumn(
+        "_island", F.col("_rn") - F.row_number().over(w_null)
+    )
+    first_cols = [
+        F.min(F.struct(*[F.col(c) for c in order_cols])).alias("_lo")
+    ]
+    last_cols = [
+        F.max(F.struct(*[F.col(c) for c in order_cols])).alias("_hi")
+    ]
+    out = (
+        runs.groupBy(*keys, "_island")
+        .agg(
+            F.count(F.lit(1)).alias("run_length"),
+            *first_cols,
+            *last_cols,
+        )
+        .filter(F.col("run_length") >= min_length)
+        .select(
+            *keys,
+            *[
+                F.col(f"_lo.{c}").alias(f"start_{c}")
+                for c in order_cols
+            ],
+            *[
+                F.col(f"_hi.{c}").alias(f"end_{c}")
+                for c in order_cols
+            ],
+            "run_length",
+        )
+        .orderBy(*keys, *[f"start_{c}" for c in order_cols])
+    )
+    return out

@@ -197,3 +197,81 @@ def test_monotonicity_report_hand_computed(spark):
         monotonicity_report(df, "o", "v", group_cols=["k"], direction="up")
     with pytest.raises(ValueError, match="group_cols"):
         monotonicity_report(df, "o", "v", group_cols=[])
+
+
+def test_null_runs_islands(spark):
+    from pyspark_data_quality_spark.operators.consistency import null_runs
+
+    # series per key: nulls at positions 2,3 and 6 (k=a); none for k=b
+    rows = [
+        ("a", 1, 1.0), ("a", 2, None), ("a", 3, None), ("a", 4, 4.0),
+        ("a", 5, 5.0), ("a", 6, None),
+        ("b", 1, 1.0), ("b", 2, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    runs = null_runs(df, ["t"], "v", ["k"]).collect()
+    got = [(r["k"], r["start_t"], r["end_t"], r["run_length"]) for r in runs]
+    assert got == [("a", 2, 3, 2), ("a", 6, 6, 1)]
+    # min_length filters the singleton run
+    long_runs = null_runs(df, ["t"], "v", ["k"], min_length=2).collect()
+    assert [(r["start_t"], r["run_length"]) for r in long_runs] == [(2, 2)]
+    # all-null series: one run covering everything
+    allnull = spark.createDataFrame(
+        [("a", i, None) for i in range(1, 5)], "k string, t int, v double"
+    )
+    r = null_runs(allnull, ["t"], "v", ["k"]).first()
+    assert (r["start_t"], r["end_t"], r["run_length"]) == (1, 4, 4)
+    # empty input + validation
+    e = spark.createDataFrame([], "k string, t int, v double")
+    assert null_runs(e, ["t"], "v", ["k"]).count() == 0
+    with pytest.raises(ValueError):
+        null_runs(df, [], "v")
+
+
+def test_merge_duplicates_policies(spark):
+    from pyspark_data_quality_spark.operators.merge import merge_duplicates
+
+    rows = [
+        ("g1", 3, "web", 10, None),
+        ("g1", 1, "book", 30, "x"),
+        ("g1", 2, "web", 20, None),
+        ("g2", 5, "news", 7, "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, id bigint, src string, n int, tag string"
+    )
+    out = {
+        r["g"]: r
+        for r in merge_duplicates(
+            df, "g", "id",
+            {"src": "most_common", "n": "max",
+             "tag": "first_non_null"},
+        ).collect()
+    }
+    g1 = out["g1"]
+    assert g1["id"] == 1 and g1["n_records"] == 3
+    assert g1["src"] == "web"          # modal value (2 of 3)
+    assert g1["n"] == 30               # max
+    assert g1["tag"] == "x"            # smallest id with non-null tag
+    assert out["g2"]["n_records"] == 1
+
+    # min_group_size=2 drops singletons
+    dups = merge_duplicates(
+        df, "g", "id", {"n": "sum"}, min_group_size=2
+    ).collect()
+    assert len(dups) == 1 and dups[0]["n"] == 60
+
+    # modal tie breaks to the SMALLER value (deterministic golden record)
+    tie = spark.createDataFrame(
+        [("g", 1, "b"), ("g", 2, "a")], "g string, id bigint, src string"
+    )
+    assert merge_duplicates(
+        tie, "g", "id", {"src": "most_common"}
+    ).first()["src"] == "a"
+
+    with pytest.raises(ValueError):
+        merge_duplicates(df, "g", "id", {})
+    with pytest.raises(ValueError):
+        merge_duplicates(df, "g", "id", {"nope": "max"})
+    with pytest.raises(ValueError):
+        merge_duplicates(df, "g", "id", {"n": "median"})

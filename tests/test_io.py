@@ -148,3 +148,33 @@ def test_compact_dataset(spark, tmp_path):
     assert sum(r["n_rows"] for r in out) == 2000
     # rows preserved exactly
     assert spark.read.parquet(dst).count() == 2000
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """write_dataset/read_dataset/compact_dataset are format-generic:
+    the ORC datasource (built into Spark) round-trips values and
+    partitioning exactly like parquet."""
+    from pyspark_data_quality_spark.sinks.dataset import (
+        read_dataset,
+        write_dataset,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i)) for i in range(100)],
+        "id bigint, src string, v double",
+    )
+    path = str(tmp_path / "orc_ds")
+    write_dataset(df, path, partition_by=["src"], format="orc")
+    back = read_dataset(spark, path, format="orc")
+    assert back.count() == 100
+    assert {r["src"] for r in back.select("src").distinct().collect()} == {
+        "s0", "s1", "s2"
+    }
+    # values survive the round trip
+    assert (
+        back.agg(F.sum("v").alias("s")).first()["s"]
+        == df.agg(F.sum("v").alias("s")).first()["s"]
+    )
+    # partition pruning works on the ORC layout too
+    pruned = back.filter(F.col("src") == "s1")
+    assert pruned.count() == 33
