@@ -9,7 +9,7 @@ at parquet-scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -718,27 +718,42 @@ def ngram_diversity(
     At 100 TB: explode factor is ~|tokens|×|ns|, all narrowly pipelined
     into the partial aggregation.
     """
-    from ..functions.text import tokenize, word_shingles
+    from ..functions.expr import let_bind
+    from ..functions.text import tokenize
 
     if not ns or any(n < 1 for n in ns):
         raise ValueError("ngram_diversity: ns must be positive ints")
     keys = [group_col] if group_col else []
 
+    # All n's shingles come from ONE let-bound token array: interpreted
+    # HOF lambdas have no common-subexpression elimination, so calling
+    # word_shingles per n would re-tokenize (regex + split + filter)
+    # once per n per row — measured 10 s vs ~2 s at sf0.1.
     # NB: the tagging lambda must be single-arg — F.transform binds a
     # second lambda parameter to the ELEMENT INDEX, so a `lambda g, _n=n`
     # default would be silently shadowed by the position.
-    def _tag(n: int):
-        grams = (
-            tokenize(text_col) if n == 1 else word_shingles(text_col, n)
-        )
+    def _tag(toks: Column, n: int) -> Column:
+        if n == 1:
+            grams = toks
+        else:
+            grams = F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         return F.transform(
             grams,
             lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
         )
 
-    tagged = [_tag(n) for n in ns]
+    all_grams = let_bind(
+        tokenize(text_col),
+        lambda toks: F.concat(*[_tag(toks, n) for n in ns]),
+    )
     exploded = df.select(
-        *keys, F.explode(F.concat(*tagged)).alias("_g")
+        *keys, F.explode(all_grams).alias("_g")
     ).select(*keys, F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
 
     gram_counts = exploded.groupBy(*keys, "n", "gram").agg(

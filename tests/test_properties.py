@@ -372,3 +372,54 @@ def test_chunk_documents_matches_python_model(spark, texts, max_tokens, overlap)
         for c in range(n_chunks):
             piece = toks[c * stride : c * stride + max_tokens]
             assert got[i][c] == (" ".join(piece), len(piece)), (i, c, t)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 100_000), st.sampled_from("abcd")),
+        min_size=2, max_size=80, unique_by=lambda t: t[0],
+    ),
+    st.dictionaries(
+        st.sampled_from("abcd"), st.floats(0.1, 10.0), min_size=1, max_size=4
+    ),
+)
+def test_matched_sample_python_model(spark, rows, target):
+    """matched_sample equals a pure-python replica of its plan
+    arithmetic exactly: md5-bucket membership and the floor'd bounds
+    are engine-independent, so any engine (here: python) reproduces the
+    identical sample — the portability contract the oracle certifies at
+    fixture scale, checked here across random strata shapes."""
+    import hashlib
+    import math
+
+    from pyspark_data_quality_spark.operators.split import matched_sample
+
+    df = spark.createDataFrame(rows, "id bigint, lang string")
+    got = sorted(r["id"] for r in matched_sample(df, "id", "lang", target).collect())
+
+    total = sum(target.values())
+    shares = {k: v / total for k, v in target.items()}
+    counts = {}
+    for _i, lg in rows:
+        counts[lg] = counts.get(lg, 0) + 1
+    feasible = [
+        counts[lg] / s for lg, s in shares.items() if s > 0 and lg in counts
+    ]
+    if not feasible:
+        # every target stratum is absent: the scale aggregate is NULL and
+        # the sample is empty on the Spark side too
+        assert got == []
+        return
+    scale = min(feasible)
+    bounds = {
+        lg: math.floor(min(1.0, shares[lg] * scale / counts[lg]) * 10000)
+        for lg in counts if shares.get(lg, 0.0) > 0
+    }
+    want = sorted(
+        i for i, lg in rows
+        if lg in bounds
+        and int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+            < bounds[lg]
+    )
+    assert got == want
