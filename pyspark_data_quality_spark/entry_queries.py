@@ -4214,6 +4214,184 @@ def dq_null_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "start_epoch")
 
 
+@query(
+    "dq_value_drift",
+    """
+    WITH cur AS (
+      SELECT concat(l_returnflag, CAST(year(l_shipdate) AS VARCHAR))
+               AS flag_year,
+             l_returnflag, l_linestatus
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+    ), ref AS (
+      SELECT concat(l_returnflag, CAST(year(l_shipdate) AS VARCHAR))
+               AS flag_year,
+             l_returnflag, l_linestatus
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
+    ), cv AS (
+      SELECT DISTINCT col AS "column", val AS value FROM (
+        SELECT unnest(['flag_year', 'l_returnflag', 'l_linestatus']) AS col,
+               unnest([flag_year, l_returnflag, l_linestatus]) AS val
+        FROM cur)
+    ), rv AS (
+      SELECT DISTINCT col AS "column", val AS value FROM (
+        SELECT unnest(['flag_year', 'l_returnflag', 'l_linestatus']) AS col,
+               unnest([flag_year, l_returnflag, l_linestatus]) AS val
+        FROM ref)
+    ), j AS (
+      SELECT coalesce(cv."column", rv."column") AS "column",
+             (cv.value IS NOT NULL OR cv."column" IS NOT NULL) AS in_cur,
+             (rv.value IS NOT NULL OR rv."column" IS NOT NULL) AS in_ref
+      FROM cv FULL OUTER JOIN rv
+        ON cv."column" = rv."column" AND cv.value = rv.value
+    )
+    SELECT "column",
+           CAST(sum(CASE WHEN in_cur THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cur_values,
+           CAST(sum(CASE WHEN in_ref THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ref_values,
+           CAST(sum(CASE WHEN in_cur AND NOT in_ref THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN in_ref AND NOT in_cur THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gone,
+           CAST(round(sum(CASE WHEN in_cur AND in_ref THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS jaccard
+    FROM j GROUP BY "column" ORDER BY "column"
+    """,
+)
+def dq_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical value-SET drift (operators/drift.py value_set_drift):
+    which enum values appeared/vanished between the pre- and post-1999
+    shipdate halves. The year-tagged flag column drifts (new/gone
+    years); the raw flag/status domains are stable (jaccard 1) — both
+    paths certified. PSI sees mix shift; this sees DOMAIN shift."""
+    from .operators.drift import value_set_drift
+
+    li = load_table(spark, "lineitem", sf_dir).withColumn(
+        "flag_year",
+        F.concat(
+            F.col("l_returnflag"),
+            F.year("l_shipdate").cast("string"),
+        ),
+    )
+    cut = F.lit("1999-01-01").cast("timestamp")
+    out = value_set_drift(
+        li.filter(F.col("l_shipdate") >= cut),
+        li.filter(F.col("l_shipdate") < cut),
+        ["flag_year", "l_returnflag", "l_linestatus"],
+    )
+    return out
+
+
+@query(
+    "dq_group_completeness",
+    """
+    WITH n AS (
+      SELECT l_returnflag,
+             CASE WHEN CAST(concat('0x', substr(md5(concat(
+                      CAST(l_orderkey AS VARCHAR), '-',
+                      CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT)
+                    % 7 = 0 AND l_returnflag = 'R'
+                  THEN NULL ELSE l_quantity END AS q,
+             CASE WHEN CAST(concat('0x', substr(md5(concat(
+                      CAST(l_orderkey AS VARCHAR), '-',
+                      CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT)
+                    % 11 = 0
+                  THEN NULL ELSE l_extendedprice END AS p
+      FROM lineitem
+    ), g AS (
+      SELECT avg(CASE WHEN q IS NOT NULL THEN 1.0 ELSE 0.0 END) AS gq,
+             avg(CASE WHEN p IS NOT NULL THEN 1.0 ELSE 0.0 END) AS gp
+      FROM n
+    ), per AS (
+      SELECT l_returnflag, count(*) AS n_rows,
+             avg(CASE WHEN q IS NOT NULL THEN 1.0 ELSE 0.0 END) AS rq,
+             avg(CASE WHEN p IS NOT NULL THEN 1.0 ELSE 0.0 END) AS rp
+      FROM n GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, "column", n_rows, ratio, global_ratio,
+           CAST(round(ratio_raw - global_raw, 6) AS DOUBLE) AS lift
+    FROM (
+      SELECT l_returnflag, 'q' AS "column", n_rows,
+             CAST(round(rq, 6) AS DOUBLE) AS ratio,
+             CAST(round(gq, 6) AS DOUBLE) AS global_ratio,
+             rq AS ratio_raw, gq AS global_raw
+      FROM per, g
+      UNION ALL
+      SELECT l_returnflag, 'p', n_rows,
+             CAST(round(rp, 6) AS DOUBLE),
+             CAST(round(gp, 6) AS DOUBLE), rp, gp
+      FROM per, g
+    ) ORDER BY l_returnflag, "column"
+    """,
+)
+def dq_group_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment completeness matrix (operators/profile.py
+    completeness_by_group): nulls are md5-synthesized so that column q
+    is missing ONLY inside the R segment while p is missing uniformly —
+    exactly the segment-localized-missingness pattern a global ratio
+    hides and the per-group lift exposes."""
+    from .operators.profile import completeness_by_group
+
+    li = load_table(spark, "lineitem", sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit("-"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+    )
+    nulled = li.select(
+        "l_returnflag",
+        F.when(
+            (bucket % 7 == 0) & (F.col("l_returnflag") == "R"),
+            F.lit(None),
+        ).otherwise(F.col("l_quantity")).alias("q"),
+        F.when(bucket % 11 == 0, F.lit(None))
+        .otherwise(F.col("l_extendedprice")).alias("p"),
+    )
+    return completeness_by_group(nulled, ["q", "p"], ["l_returnflag"])
+
+
+@query(
+    "dq_group_freshness",
+    """
+    WITH per AS (
+      SELECT event_type, count(*) AS n_rows, max(ts) AS latest
+      FROM events GROUP BY event_type
+    ), g AS (SELECT max(ts) AS gmax FROM events)
+    SELECT event_type, n_rows,
+           CAST(floor(epoch(latest)) AS BIGINT) AS latest_epoch,
+           CAST(round((epoch_us(gmax) - epoch_us(latest)) / 1000000.0, 3)
+                AS DOUBLE) AS lag_seconds
+    FROM per, g ORDER BY event_type
+    """,
+)
+def dq_group_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment freshness lag (operators/freshness.py
+    freshness_by_group): each event type's latest event vs the latest
+    event in the whole table — the silent-partner detector a global
+    freshness check cannot see. Lag vs the global max keeps it
+    deterministic (no wall clock)."""
+    from .operators.freshness import freshness_by_group
+
+    ev = load_table(spark, "events", sf_dir)
+    out = freshness_by_group(ev, "ts", ["event_type"])
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.col("latest_ts").cast("long").alias("latest_epoch"),
+        F.round("lag_seconds", 3).alias("lag_seconds"),
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, not hand-maintained.
 #

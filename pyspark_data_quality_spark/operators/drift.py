@@ -542,3 +542,91 @@ def embedding_drift(
             F.round(F.sqrt("_rr"), round_to).alias("centroid_norm_ref"),
         )
     )
+
+
+def value_set_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    cols: list[str],
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Categorical VALUE-SET drift: which enum values appeared or
+    vanished between two snapshots, per column. PSI answers "did the
+    MIX move"; this answers the schema-adjacent question "did the
+    DOMAIN move" — an upstream enum rename or a new status code shows
+    up here as a new/gone value long before it shifts enough mass to
+    trip a PSI threshold.
+
+    One row per column: ``(column, n_cur_values, n_ref_values, n_new,
+    n_gone, jaccard)`` — jaccard of the two distinct-value sets.
+
+    Shape: each side collapses through ONE exploded column->value map
+    shuffle (the top_values/skew_report trick: all columns in one
+    pass), then a full outer join on the (column, value) spine —
+    vocabulary-sized, never corpus-sized. NULL is tracked as a value
+    ("NULL" bucket, same convention as categorical_drift).
+    """
+    if not cols:
+        raise ValueError("value_set_drift: cols must be non-empty")
+
+    def _values(df: DataFrame, tag: str) -> DataFrame:
+        pairs = F.explode(
+            F.create_map(
+                *[
+                    x
+                    for c in cols
+                    for x in (
+                        F.lit(c),
+                        F.coalesce(
+                            F.col(c).cast("string"), F.lit("NULL")
+                        ),
+                    )
+                ]
+            )
+        ).alias("column", "value")
+        return (
+            df.select(pairs)
+            .distinct()
+            .withColumn(tag, F.lit(True))
+        )
+
+    cv = _values(cur, "_in_cur")
+    rv = _values(ref, "_in_ref")
+    joined = cv.join(rv, ["column", "value"], "full_outer")
+    return (
+        joined.groupBy("column")
+        .agg(
+            F.sum(F.col("_in_cur").isNotNull().cast("long")).alias(
+                "n_cur_values"
+            ),
+            F.sum(F.col("_in_ref").isNotNull().cast("long")).alias(
+                "n_ref_values"
+            ),
+            F.sum(
+                (
+                    F.col("_in_cur").isNotNull()
+                    & F.col("_in_ref").isNull()
+                ).cast("long")
+            ).alias("n_new"),
+            F.sum(
+                (
+                    F.col("_in_cur").isNull()
+                    & F.col("_in_ref").isNotNull()
+                ).cast("long")
+            ).alias("n_gone"),
+            F.round(
+                F.try_divide(
+                    F.sum(
+                        (
+                            F.col("_in_cur").isNotNull()
+                            & F.col("_in_ref").isNotNull()
+                        ).cast("long")
+                    ),
+                    F.count(F.lit(1)),
+                ),
+                round_to,
+            ).alias("jaccard"),
+        )
+        .orderBy("column")
+    )

@@ -111,3 +111,46 @@ class FreshnessRule(Rule):
         if value is None:
             return CheckStatus.FAILURE
         return CheckStatus.SUCCESS if value <= self.max_age else CheckStatus.FAILURE
+
+
+def freshness_by_group(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    *,
+    stale_after_seconds: float | None = None,
+) -> DataFrame:
+    """Per-segment freshness lag: each group's latest event against the
+    LATEST EVENT IN THE WHOLE TABLE — "which sources stopped sending?".
+    A global freshness check passes as long as ANY source is alive; a
+    silent partner is only visible per segment. Lag against the global
+    max (not wall clock) keeps the report deterministic and
+    backfill-safe.
+
+    One row per group: ``(*group_cols, n_rows, latest_ts, lag_seconds,
+    is_stale?)`` — ``is_stale`` only when ``stale_after_seconds`` is
+    given.
+
+    Shape: one keyed max aggregate + a 1-row global max broadcast back.
+    """
+    if not group_cols:
+        raise ValueError("freshness_by_group: group_cols must be non-empty")
+    per = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(ts_col).alias("latest_ts"),
+    )
+    glob = df.agg(F.max(ts_col).alias("_global_ts"))
+    out = per.crossJoin(F.broadcast(glob)).select(
+        *group_cols,
+        "n_rows",
+        "latest_ts",
+        (
+            F.col("_global_ts").cast("double")
+            - F.col("latest_ts").cast("double")
+        ).alias("lag_seconds"),
+    )
+    if stale_after_seconds is not None:
+        out = out.withColumn(
+            "is_stale", F.col("lag_seconds") > stale_after_seconds
+        )
+    return out.orderBy(*group_cols)

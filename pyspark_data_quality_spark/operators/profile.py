@@ -685,3 +685,69 @@ def sketch_rollup(
     return groups.unionByName(total).orderBy(
         *[F.col(c).asc_nulls_last() for c in group_by]
     )
+
+
+def completeness_by_group(
+    df: DataFrame,
+    cols: list[str],
+    group_cols: list[str],
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-segment completeness matrix: non-null ratio of each column
+    WITHIN each group, against the global ratio — missingness that is
+    localized to one source/partition/tenant hides inside a healthy
+    global average (a 2% global null rate can be one segment at 40%).
+    The segment-level face of the CompletenessColRatio rule family.
+
+    One row per (group, column): ``(*group_cols, column, n_rows,
+    ratio, global_ratio, lift)`` — lift = ratio - global_ratio
+    (negative = this segment is WORSE than the corpus).
+
+    Shape: ONE fused aggregate per group (every column's conditional
+    sum in the same pass), one 1-row global aggregate broadcast back.
+    Long format via an exploded map over the k per-column ratios —
+    k×|groups| output rows, never a corpus rescan.
+    """
+    if not cols or not group_cols:
+        raise ValueError(
+            "completeness_by_group: cols and group_cols must be non-empty"
+        )
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.avg(F.col(c).isNotNull().cast("double")).alias(f"_r_{c}")
+        for c in cols
+    ]
+    grouped = df.groupBy(*group_cols).agg(*aggs)
+    glob = df.agg(
+        *[
+            F.avg(F.col(c).isNotNull().cast("double")).alias(f"_g_{c}")
+            for c in cols
+        ]
+    )
+    long = grouped.crossJoin(F.broadcast(glob)).select(
+        *group_cols,
+        "n_rows",
+        F.explode(
+            F.create_map(
+                *[
+                    x
+                    for c in cols
+                    for x in (
+                        F.lit(c),
+                        F.struct(
+                            F.col(f"_r_{c}").alias("r"),
+                            F.col(f"_g_{c}").alias("g"),
+                        ),
+                    )
+                ]
+            )
+        ).alias("column", "_v"),
+    )
+    return long.select(
+        *group_cols,
+        "column",
+        "n_rows",
+        F.round(F.col("_v.r"), round_to).alias("ratio"),
+        F.round(F.col("_v.g"), round_to).alias("global_ratio"),
+        F.round(F.col("_v.r") - F.col("_v.g"), round_to).alias("lift"),
+    ).orderBy(*group_cols, "column")

@@ -472,3 +472,55 @@ def test_embedding_drift(spark):
         round(math.sqrt(1 + 9 + 4), 6)
     )
     assert r2["centroid_norm_ref"] == pytest.approx(3.0)
+
+
+def test_value_set_drift(spark):
+    from pyspark_data_quality_spark.operators.drift import value_set_drift
+
+    cur = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", None)], "k string, s string"
+    )
+    ref = spark.createDataFrame(
+        [("a", "x"), ("d", "y")], "k string, s string"
+    )
+    rows = {r["column"]: r for r in value_set_drift(cur, ref, ["k", "s"]).collect()}
+    k = rows["k"]
+    # cur {a,b,c} vs ref {a,d}: 2 new, 1 gone, jaccard 1/4
+    assert (k["n_cur_values"], k["n_ref_values"]) == (3, 2)
+    assert (k["n_new"], k["n_gone"]) == (2, 1)
+    assert k["jaccard"] == pytest.approx(0.25)
+    # NULL is tracked as a value; s: cur {x,NULL} vs ref {x,y}
+    s = rows["s"]
+    assert (s["n_new"], s["n_gone"]) == (1, 1)
+    # identical sides: full jaccard, nothing new/gone
+    same = value_set_drift(cur, cur, ["k"]).first()
+    assert same["jaccard"] == 1.0 and same["n_new"] == 0
+    with pytest.raises(ValueError):
+        value_set_drift(cur, ref, [])
+
+
+def test_completeness_by_group(spark):
+    from pyspark_data_quality_spark.operators.profile import (
+        completeness_by_group,
+    )
+
+    rows = [
+        ("a", 1.0, 1.0), ("a", None, 1.0), ("a", None, 1.0), ("a", None, 1.0),
+        ("b", 1.0, 1.0), ("b", 1.0, 1.0), ("b", 1.0, 1.0), ("b", 1.0, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {
+        (r["g"], r["column"]): r
+        for r in completeness_by_group(df, ["x", "y"], ["g"]).collect()
+    }
+    # x: segment-localized missingness (a=25%, b=100%, global 62.5%)
+    assert out[("a", "x")]["ratio"] == 0.25
+    assert out[("b", "x")]["ratio"] == 1.0
+    assert out[("a", "x")]["global_ratio"] == 0.625
+    assert out[("a", "x")]["lift"] == pytest.approx(-0.375)
+    assert out[("b", "x")]["lift"] == pytest.approx(0.375)
+    assert out[("a", "x")]["n_rows"] == 4
+    with pytest.raises(ValueError):
+        completeness_by_group(df, [], ["g"])
+    with pytest.raises(ValueError):
+        completeness_by_group(df, ["x"], [])

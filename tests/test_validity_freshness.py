@@ -129,3 +129,32 @@ def test_freshness_tz_independent(spark, items):
         assert items.filter(utc_rule.row_predicate(items)).count() == n_fresh
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_freshness_by_group(spark):
+    import datetime as dt
+
+    from pyspark_data_quality_spark.operators.freshness import (
+        freshness_by_group,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("alive", t0), ("alive", t0 + dt.timedelta(hours=2)),
+        ("silent", t0 - dt.timedelta(days=1)), ("silent", t0),
+    ]
+    df = spark.createDataFrame(rows, "src string, ts timestamp")
+    out = {r["src"]: r for r in freshness_by_group(df, "ts", ["src"]).collect()}
+    # lag is against the GLOBAL max (alive's latest), not wall clock
+    assert out["alive"]["lag_seconds"] == 0.0
+    assert out["silent"]["lag_seconds"] == 2 * 3600.0
+    assert out["silent"]["n_rows"] == 2
+    flagged = {
+        r["src"]: r["is_stale"]
+        for r in freshness_by_group(
+            df, "ts", ["src"], stale_after_seconds=3600
+        ).collect()
+    }
+    assert flagged == {"alive": False, "silent": True}
+    with pytest.raises(ValueError):
+        freshness_by_group(df, "ts", [])
