@@ -133,6 +133,16 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # even with the UI off, AppStatusListener/SQLAppStatusListener
+        # retain execution graphs for up to 1000 queries — at 110
+        # entries x 2 passes x multi-job plans that's real heap growth,
+        # and late-suite queries were measuring 2-3x their isolated
+        # time under the accumulated GC pressure. Keep only a handful.
+        .config("spark.sql.ui.retainedExecutions", "10")
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "50")
+        .config("spark.ui.retainedTasks", "500")
+        .config("spark.ui.retainedDeadExecutors", "1")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -201,6 +211,13 @@ def main() -> None:
                     spark.catalog.clearCache()
                 except Exception:
                     pass
+        # between passes: drop accumulated JVM garbage (finished plans,
+        # listener state, Arrow allocations) so pass 2 measures the
+        # engine, not pass 1's heap debris
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
 
     sf = _sf_from_dir(sf_dir)
 
