@@ -383,20 +383,24 @@ def normalize_columns(
     round_to: int | None = None,
 ) -> DataFrame:
     """Feature scaling as a repair transform: append ``<col><suffix>``
-    with ``zscore`` ((x-mean)/stddev_samp) or ``minmax`` ((x-min)/
-    (max-min)) scaling — globally or per ``group_by`` key (the "scale
-    within each segment" variant). Constant columns scale to NULL
-    (try_divide), never a throw; input columns are untouched
-    (annotate-not-overwrite, like every repair op).
+    with ``zscore`` ((x-mean)/stddev_samp), ``minmax`` ((x-min)/
+    (max-min)), or ``robust`` ((x-median)/IQR — outlier-insensitive;
+    APPROXIMATE: quantiles come from ``percentile_approx`` sketches,
+    the same accuracy contract as winsorize's default path) scaling —
+    globally or per ``group_by`` key (the "scale within each segment"
+    variant). Constant columns scale to NULL (try_divide), never a
+    throw; input columns are untouched (annotate-not-overwrite, like
+    every repair op).
 
     Shape: ONE fused aggregate computes every column's stats —
     broadcast cross-joined back when global (1 row), joined on the
     group keys otherwise (|groups| rows). The data is never shuffled in
     the global case; no window, no RNG, no UDF.
     """
-    if method not in ("zscore", "minmax"):
+    if method not in ("zscore", "minmax", "robust"):
         raise ValueError(
-            f"normalize_columns: method must be zscore|minmax, got {method!r}"
+            "normalize_columns: method must be zscore|minmax|robust, "
+            f"got {method!r}"
         )
     if not cols:
         raise ValueError("normalize_columns: cols must be non-empty")
@@ -411,6 +415,14 @@ def normalize_columns(
                 F.avg(c).alias(f"_mu_{c}"),
                 F.stddev_samp(c).alias(f"_sd_{c}"),
             ]
+        elif method == "robust":
+            aggs += [
+                F.percentile_approx(c, 0.5).alias(f"_mu_{c}"),
+                (
+                    F.percentile_approx(c, 0.75)
+                    - F.percentile_approx(c, 0.25)
+                ).alias(f"_sd_{c}"),
+            ]
         else:
             aggs += [
                 F.min(c).alias(f"_lo_{c}"),
@@ -424,7 +436,7 @@ def normalize_columns(
         out = df.crossJoin(F.broadcast(stats))
 
     for c in cols:
-        if method == "zscore":
+        if method in ("zscore", "robust"):
             expr = F.try_divide(
                 F.col(c) - F.col(f"_mu_{c}"), F.col(f"_sd_{c}")
             )

@@ -655,9 +655,23 @@ def test_normalize_columns(spark):
     out = normalize_columns(df, ["x"], method="minmax")
     assert set(out.columns) == {"g", "x", "y", "x_norm"}
 
+    # robust: (x - median) / IQR (approx sketches; exact at this size)
+    r5 = spark.createDataFrame(
+        [(float(v),) for v in (1, 2, 3, 4, 100)], "x double"
+    )
+    rob = {
+        r["x"]: r["x_norm"]
+        for r in normalize_columns(r5, ["x"], method="robust").collect()
+    }
+    # median 3, IQR = q75 - q25 = 4 - 2 = 2; the outlier doesn't blow
+    # up the scale the way zscore's stddev would
+    assert rob[3.0] == 0.0
+    assert rob[1.0] == pytest.approx(-1.0)
+    assert rob[100.0] == pytest.approx(48.5)
+
     with pytest.raises(ValueError):
         normalize_columns(df, [], method="minmax")
     with pytest.raises(ValueError):
-        normalize_columns(df, ["x"], method="robust")
+        normalize_columns(df, ["x"], method="quantile")
     with pytest.raises(ValueError):
         normalize_columns(df, ["nope"])

@@ -423,3 +423,34 @@ def test_matched_sample_python_model(spark, rows, target):
             < bounds[lg]
     )
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["good", "bad", "meh", "ok"]),
+                 min_size=0, max_size=12),
+        min_size=1, max_size=25,
+    )
+)
+def test_lexicon_score_python_model(spark, docs):
+    """lexicon_score equals a pure-python fold exactly: with exact
+    binary-quarter weights the sum is order-independent IEEE arithmetic,
+    so per-doc scores match bit-for-bit (the oracle-parity contract)."""
+    from pyspark_data_quality_spark.operators.text import lexicon_score
+
+    lex = {"good": 1.0, "bad": -0.5, "meh": 0.25}
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    got = {
+        r["id"]: r["lexicon_score"]
+        for r in lexicon_score(df, lex, "text").collect()
+    }
+    for i, toks in enumerate(docs):
+        if not toks:
+            assert got[i] is None  # 0 tokens -> NULL (try_divide)
+            continue
+        s = 0.0
+        for t in toks:
+            s += lex.get(t, 0.0)
+        assert got[i] == s / len(toks)
