@@ -10,10 +10,11 @@ Reference parity: the reference validates flat columns only
 (`/root/reference/src/pyspark_data_quality/checks/` — no JSON or nested
 support); this extends its validity dimension to semi-structured data.
 
-Scale shape: ``get_json_object`` is a JVM-side expression (Jackson
-parse per row, no UDF); all per-field counters are conditional sums in
-one ``df.agg`` — a single scan regardless of field count — and the
-1-row wide result is unpivoted with ``stack`` (a projection).
+Scale shape: ``json_tuple`` is a JVM-side generator (ONE Jackson
+parse per row for every requested field, no UDF); all per-field
+counters are conditional sums in one ``df.agg`` — a single scan
+regardless of field count — and the 1-row wide result is unpivoted
+with ``stack`` (a projection).
 """
 
 from __future__ import annotations
@@ -47,7 +48,7 @@ def json_field_profile(
       JSON rows.
 
     A malformed JSON document reads as "field absent" for every field
-    (``get_json_object`` returns NULL), which is exactly how downstream
+    (``json_tuple`` extracts NULL), which is exactly how downstream
     consumers would experience it.
     """
     bad = [t for t in fields.values() if t not in CASTABLE_TYPES]
@@ -57,19 +58,28 @@ def json_field_profile(
         )
     j = F.col(json_col)
     names = sorted(fields)
+    # json_tuple parses the document ONCE for every requested field;
+    # per-field get_json_object would re-run the Jackson parse 2x per
+    # field per row (present + typed probes) — measured ~2x slower on
+    # the events fixture. Same NULL semantics: malformed JSON, missing
+    # key, and JSON null all extract as NULL.
+    extracted = df.select(
+        j.isNull().alias("_jnull"),
+        F.json_tuple(j, *names).alias(*[f"_f_{i}" for i in range(len(names))]),
+    )
     aggs = [
         F.count(F.lit(1)).alias("_n_rows"),
-        F.sum(j.isNull().cast("long")).alias("_n_json_null"),
+        F.sum(F.col("_jnull").cast("long")).alias("_n_json_null"),
     ]
     for i, name in enumerate(names):
-        raw = F.get_json_object(j, f"$.{name}")
+        raw = F.col(f"_f_{i}")
         aggs.append(F.sum(raw.isNotNull().cast("long")).alias(f"_p_{i}"))
         aggs.append(
             F.sum(raw.try_cast(fields[name]).isNotNull().cast("long")).alias(
                 f"_t_{i}"
             )
         )
-    wide = df.agg(*aggs)
+    wide = extracted.agg(*aggs)
     stacked = ", ".join(f"'{n}', _p_{i}, _t_{i}" for i, n in enumerate(names))
     denom = F.col("_n_rows") - F.col("_n_json_null")
     return wide.selectExpr(
