@@ -430,8 +430,11 @@ def matched_sample(
     shuffles. At 100 TB the cost is one map-side-combined count plus a
     scan; no window, no RNG, no collect.
     """
+    # internal names are prefixed so a caller's own "stratum"/
+    # "bucket_bound" columns can't collide with the plan join
     plan = matched_sample_plan(df, strata_col, target).select(
-        "stratum", "bucket_bound"
+        F.col("stratum").alias("_ms_stratum"),
+        F.col("bucket_bound").alias("_ms_bound"),
     )
     c = F.col(id_col)
     bucket = (
@@ -445,9 +448,9 @@ def matched_sample(
     return (
         df.join(
             F.broadcast(plan),
-            df[strata_col].cast("string").eqNullSafe(F.col("stratum")),
+            df[strata_col].cast("string").eqNullSafe(F.col("_ms_stratum")),
             "inner",
         )
-        .filter(bucket < F.col("bucket_bound"))
-        .drop("stratum", "bucket_bound")
+        .filter(bucket < F.col("_ms_bound"))
+        .drop("_ms_stratum", "_ms_bound")
     )

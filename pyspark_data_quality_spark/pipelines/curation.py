@@ -23,7 +23,9 @@ the ``split`` column), so the stats are ONE groupBy over the result
 instead of a count-action per stage, and the dropped rows remain
 available for quarantine. Statuses: kept, null_text, wrong_lang,
 low_quality, ref_dup (incremental mode: fingerprint already in the
-``reference`` corpus), exact_dup, near_dup, contaminated.
+``reference`` corpus), exact_dup, near_dup, contaminated,
+rebalanced_out (only with ``rebalance_target``: sampled out by the
+distribution-matching stage).
 
 Scale shape: signals ride a single mapInPandas pass; every drop-list is
 a keyed join on the id (the lists hold only dropped ids, not payloads);
@@ -71,6 +73,8 @@ def curate_corpus(
     strip_boilerplate: bool = False,
     segment_k: int = 50,
     segment_min_df: int = 2,
+    rebalance_target: dict[str, float] | None = None,
+    rebalance_col: str = "lang_pred",
 ) -> DataFrame:
     """Run the full curation pipeline; returns EVERY input row annotated
     with ``status_col`` (and ``split_col`` for kept rows) plus the
@@ -82,6 +86,12 @@ def curate_corpus(
     ``<text_col>_dedup`` column with cross-document duplicated
     ``segment_k``-token segments removed (operators/dedup.py
     strip_duplicate_segments).
+
+    ``rebalance_target`` (default off) adds a final distribution-
+    matching stage (operators/split.py matched_sample) over the
+    survivors: downsample so ``rebalance_col`` (default the profile's
+    ``lang_pred``) matches the target mix at the largest feasible size;
+    rows sampled out get status ``rebalanced_out``.
 
     ``persist`` (default on) caches the profiled frame: the dedup and
     contamination stages are separate consumers of the same expensive
@@ -224,8 +234,31 @@ def curate_corpus(
             .withColumn("_contaminated", F.lit(True))
         )
         annotated = annotated.join(cont_drops, id_col, "left")
+        passed = passed.join(cont_drops, id_col, "left_anti")
     else:
         annotated = annotated.withColumn("_contaminated", F.lit(None).cast("boolean"))
+
+    # optional mix rebalancing (default off): downsample the SURVIVORS
+    # to a target categorical distribution (e.g. a uniform language mix)
+    # at the largest feasible size — the LAST gate, so the rebalanced
+    # mix is computed over what actually survived dedup/decontamination.
+    # Annotate-not-filter: rows sampled OUT get status "rebalanced_out".
+    if rebalance_target is not None:
+        from ..operators.split import matched_sample
+
+        keep_ids = _pin(
+            matched_sample(
+                passed, id_col, rebalance_col, rebalance_target,
+                salt=salt,
+            )
+            .select(id_col)
+            .withColumn("_rebal_keep", F.lit(True))
+        )
+        annotated = annotated.join(keep_ids, id_col, "left")
+    else:
+        annotated = annotated.withColumn(
+            "_rebal_keep", F.lit(None).cast("boolean")
+        )
 
     status = F.coalesce(
         F.col(status_col),
@@ -233,6 +266,11 @@ def curate_corpus(
         F.when(F.col("_exact_dup"), F.lit("exact_dup")),
         F.when(F.col("_near_dup"), F.lit("near_dup")),
         F.when(F.col("_contaminated"), F.lit("contaminated")),
+        F.when(
+            F.lit(rebalance_target is not None)
+            & F.col("_rebal_keep").isNull(),
+            F.lit("rebalanced_out"),
+        ),
         F.lit("kept"),
     )
     weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -245,7 +283,10 @@ def curate_corpus(
                 split_assignment(id_col, weights, salt=salt),
             ),
         )
-        .drop("_ref_dup", "_exact_dup", "_near_dup", "_contaminated")
+        .drop(
+            "_ref_dup", "_exact_dup", "_near_dup", "_contaminated",
+            "_rebal_keep",
+        )
     )
 
 

@@ -145,3 +145,51 @@ def test_curate_corpus_strip_boilerplate(spark):
     # default OFF: schema unchanged
     plain = curate_corpus(docs, min_quality=0.0, languages=None)
     assert "dup_segment_ratio" not in plain.columns
+
+
+def test_curation_rebalance_stage(spark):
+    """rebalance_target downsamples the SURVIVORS to the target mix at
+    the largest feasible size; sampled-out rows get rebalanced_out and
+    no split, and the default-off path leaves statuses unchanged."""
+    from pyspark_data_quality_spark.pipelines import curate_corpus
+
+    # 40 distinct "en"-looking docs vs 5 "de"-looking ones, no dups
+    en = [
+        (i, f"the quick brown fox number {i} and some more words of it")
+        for i in range(40)
+    ]
+    de = [
+        (100 + i, f"der schnelle braune fuchs nummer {i} und noch mehr")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(en + de, ["doc_id", "text"])
+    out = curate_corpus(
+        docs,
+        min_quality=0.0,
+        languages=None,
+        near_dup_threshold=0.95,
+        rebalance_target={"en": 0.5, "de": 0.5},
+    )
+    rows = out.collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["curation_status"], []).append(r)
+    # every input row comes back, sampled-out rows are labeled not lost
+    assert len(rows) == 45
+    assert "rebalanced_out" in by_status
+    kept = by_status["kept"]
+    # the scarce stratum survives whole; the flood is cut toward parity
+    kept_langs = [r["lang_pred"] for r in kept]
+    assert kept_langs.count("de") == 5
+    assert kept_langs.count("en") < 40
+    # kept rows get splits, rebalanced-out rows don't
+    assert all(r["split"] is not None for r in kept)
+    assert all(r["split"] is None for r in by_status["rebalanced_out"])
+    # default off: no rebalanced_out status appears
+    plain = curate_corpus(
+        docs, min_quality=0.0, languages=None, near_dup_threshold=0.95
+    )
+    assert not [
+        r for r in plain.collect()
+        if r["curation_status"] == "rebalanced_out"
+    ]
