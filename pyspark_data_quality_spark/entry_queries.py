@@ -3771,8 +3771,10 @@ def dq_windowed_topv(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT min(n_rows / share) AS scale FROM t WHERE share > 0
     ), f AS (
       SELECT stratum,
-             CAST(floor(least(CAST(1.0 AS DOUBLE),
-                              share * scale / n_rows) * 10000)
+             -- round before floor: mirrors the float-noise snap in
+             -- matched_sample_plan (limiting stratum keeps exactly 100%)
+             CAST(floor(round(least(CAST(1.0 AS DOUBLE),
+                                    share * scale / n_rows) * 10000, 6))
                   AS BIGINT) AS bound
       FROM t, s WHERE share > 0
     )
@@ -4040,7 +4042,8 @@ def dq_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) AS q_norm,
            CAST(round((l_extendedprice - lo_p) / nullif(hi_p - lo_p, 0), 6)
                 AS DOUBLE) AS p_norm
-    FROM lineitem JOIN s USING (l_returnflag)
+    FROM lineitem LEFT JOIN s
+      ON lineitem.l_returnflag IS NOT DISTINCT FROM s.l_returnflag
     ORDER BY l_orderkey, l_linenumber
     """,
 )
@@ -4115,7 +4118,9 @@ def dq_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(n_chars) AS max_chars, min_by(lang, doc_id) AS lang
       FROM d GROUP BY fp
     ), sc AS (
-      SELECT fp, source, count(*) AS c FROM d GROUP BY fp, source
+      -- NULL never competes for the mode (mirrors merge_duplicates)
+      SELECT fp, source, count(*) AS c FROM d
+      WHERE source IS NOT NULL GROUP BY fp, source
     ), top AS (
       SELECT fp, source FROM (
         SELECT fp, source,
@@ -4228,21 +4233,23 @@ def dq_null_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
              l_returnflag, l_linestatus
       FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
     ), cv AS (
-      SELECT DISTINCT col AS "column", val AS value FROM (
+      SELECT DISTINCT col AS "column", val AS value, TRUE AS tag FROM (
         SELECT unnest(['flag_year', 'l_returnflag', 'l_linestatus']) AS col,
                unnest([flag_year, l_returnflag, l_linestatus]) AS val
         FROM cur)
     ), rv AS (
-      SELECT DISTINCT col AS "column", val AS value FROM (
+      SELECT DISTINCT col AS "column", val AS value, TRUE AS tag FROM (
         SELECT unnest(['flag_year', 'l_returnflag', 'l_linestatus']) AS col,
                unnest([flag_year, l_returnflag, l_linestatus]) AS val
         FROM ref)
     ), j AS (
+      -- null-safe value match: a real NULL is a domain value of its own
       SELECT coalesce(cv."column", rv."column") AS "column",
-             (cv.value IS NOT NULL OR cv."column" IS NOT NULL) AS in_cur,
-             (rv.value IS NOT NULL OR rv."column" IS NOT NULL) AS in_ref
+             coalesce(cv.tag, FALSE) AS in_cur,
+             coalesce(rv.tag, FALSE) AS in_ref
       FROM cv FULL OUTER JOIN rv
-        ON cv."column" = rv."column" AND cv.value = rv.value
+        ON cv."column" = rv."column"
+       AND cv.value IS NOT DISTINCT FROM rv.value
     )
     SELECT "column",
            CAST(sum(CASE WHEN in_cur THEN 1 ELSE 0 END) AS BIGINT)

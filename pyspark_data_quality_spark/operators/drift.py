@@ -561,39 +561,49 @@ def value_set_drift(
     One row per column: ``(column, n_cur_values, n_ref_values, n_new,
     n_gone, jaccard)`` — jaccard of the two distinct-value sets.
 
-    Shape: each side collapses through ONE exploded column->value map
-    shuffle (the top_values/skew_report trick: all columns in one
-    pass), then a full outer join on the (column, value) spine —
+    Shape: each side collapses through ONE exploded column->value pass
+    (the top_values/skew_report trick: all columns in one shuffle),
+    then a null-safe full outer join on the (column, value) spine —
     vocabulary-sized, never corpus-sized. NULL is tracked as a value
-    ("NULL" bucket, same convention as categorical_drift).
+    in its own right (a real NULL, joined with ``eqNullSafe``) so it
+    can never collide with a literal ``'NULL'`` string in the data.
     """
     if not cols:
         raise ValueError("value_set_drift: cols must be non-empty")
 
     def _values(df: DataFrame, tag: str) -> DataFrame:
-        pairs = F.explode(
-            F.create_map(
+        # array-of-structs (not create_map): struct fields keep real
+        # NULLs, so a genuine NULL and the string 'NULL' stay distinct.
+        pair = F.explode(
+            F.array(
                 *[
-                    x
-                    for c in cols
-                    for x in (
-                        F.lit(c),
-                        F.coalesce(
-                            F.col(c).cast("string"), F.lit("NULL")
-                        ),
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
                     )
+                    for c in cols
                 ]
             )
-        ).alias("column", "value")
+        ).alias("p")
         return (
-            df.select(pairs)
+            df.select(pair)
+            .select("p.column", "p.value")
             .distinct()
             .withColumn(tag, F.lit(True))
         )
 
-    cv = _values(cur, "_in_cur")
-    rv = _values(ref, "_in_ref")
-    joined = cv.join(rv, ["column", "value"], "full_outer")
+    cv = _values(cur, "_in_cur").alias("cv")
+    rv = _values(ref, "_in_ref").alias("rv")
+    joined = cv.join(
+        rv,
+        (F.col("cv.column") == F.col("rv.column"))
+        & F.col("cv.value").eqNullSafe(F.col("rv.value")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("cv.column"), F.col("rv.column")).alias("column"),
+        F.col("cv._in_cur").alias("_in_cur"),
+        F.col("rv._in_ref").alias("_in_ref"),
+    )
     return (
         joined.groupBy("column")
         .agg(

@@ -12,8 +12,11 @@ Policies (all deterministic — golden records must be reproducible):
 - ``survivor``        value of the min-``id_col`` row
 - ``first_non_null``  value of the min-``id_col`` row WHERE non-null
 - ``min`` / ``max`` / ``sum``  the plain aggregate
-- ``most_common``     modal value; ties break to the smaller value (an
-  explicit total order — engine ``mode()`` leaves ties unspecified)
+- ``most_common``     modal NON-NULL value; ties break to the smaller
+  value (an explicit total order — engine ``mode()`` leaves ties
+  unspecified). NULLs never compete for the mode: a group where NULL
+  is the most frequent raw value still elects the best real value,
+  and only an all-NULL group merges to NULL (standard survivorship).
 
 Shape: one groupBy covers every policy except ``most_common``, which
 needs a (group, value) count per column — each such column adds one
@@ -75,11 +78,15 @@ def merge_duplicates(
         if p != "most_common":
             continue
         counts = (
-            df.groupBy(group_col, c)
+            # NULL is absence, not a candidate: filter before counting so
+            # a NULL-modal group still elects its best real value (the
+            # left join below yields NULL only for all-NULL groups)
+            df.filter(F.col(c).isNotNull())
+            .groupBy(group_col, c)
             .agg(F.count(F.lit(1)).alias("_c"))
         )
         w = Window.partitionBy(group_col).orderBy(
-            F.col("_c").desc(), F.col(c).asc_nulls_last()
+            F.col("_c").desc(), F.col(c).asc()
         )
         top = (
             counts.withColumn("_r", F.row_number().over(w))

@@ -430,7 +430,18 @@ def normalize_columns(
             ]
     if group_by:
         stats = df.groupBy(*group_by).agg(*aggs)
-        out = df.join(F.broadcast(stats), group_by, "left")
+        # null-safe key join: groupBy puts NULL keys in their own group,
+        # so rows with a NULL group key must receive that group's stats —
+        # a plain equality join would leave them un-normalized.
+        stats = stats.select(
+            *[F.col(g).alias(f"_gk_{g}") for g in group_by],
+            *[c for c in stats.columns if c not in group_by],
+        )
+        cond = None
+        for g in group_by:
+            m = F.col(g).eqNullSafe(F.col(f"_gk_{g}"))
+            cond = m if cond is None else (cond & m)
+        out = df.join(F.broadcast(stats), cond, "left")
     else:
         stats = df.agg(*aggs)
         out = df.crossJoin(F.broadcast(stats))

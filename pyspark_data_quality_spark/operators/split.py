@@ -402,7 +402,10 @@ def matched_sample_plan(
         )
         .withColumn(
             "bucket_bound",
-            F.floor(F.col("fraction") * _BUCKETS).cast("long"),
+            # snap float noise before the floor: share*(n/share)/n can land
+            # at 0.999999999999 for the limiting stratum, which would floor
+            # to _BUCKETS-1 and silently drop ~1e-4 of the scarcest stratum
+            F.floor(F.round(F.col("fraction") * _BUCKETS, 6)).cast("long"),
         )
         .drop("_scale")
     )

@@ -269,6 +269,21 @@ def test_merge_duplicates_policies(spark):
         tie, "g", "id", {"src": "most_common"}
     ).first()["src"] == "a"
 
+    # NULL never competes for the mode: a NULL-modal group still elects
+    # the best real value; only an all-NULL group merges to NULL
+    nullish = spark.createDataFrame(
+        [("g1", 1, None), ("g1", 2, None), ("g1", 3, "web"),
+         ("g2", 4, None), ("g2", 5, None)],
+        "g string, id bigint, src string",
+    )
+    got = {
+        r["g"]: r["src"]
+        for r in merge_duplicates(
+            nullish, "g", "id", {"src": "most_common"}
+        ).collect()
+    }
+    assert got["g1"] == "web" and got["g2"] is None
+
     with pytest.raises(ValueError):
         merge_duplicates(df, "g", "id", {})
     with pytest.raises(ValueError):

@@ -655,6 +655,21 @@ def test_normalize_columns(spark):
     out = normalize_columns(df, ["x"], method="minmax")
     assert set(out.columns) == {"g", "x", "y", "x_norm"}
 
+    # NULL group key gets the NULL group's stats (null-safe join), not
+    # NULL normalized values
+    withnull = spark.createDataFrame(
+        [(None, 0.0), (None, 10.0), ("b", 4.0), ("b", 8.0)],
+        "g string, x double",
+    )
+    ng = {
+        (r["g"], r["x"]): r["x_norm"]
+        for r in normalize_columns(
+            withnull, ["x"], method="minmax", group_by=["g"]
+        ).collect()
+    }
+    assert ng[(None, 0.0)] == 0.0 and ng[(None, 10.0)] == 1.0
+    assert ng[("b", 8.0)] == 1.0
+
     # robust: (x - median) / IQR (approx sketches; exact at this size)
     r5 = spark.createDataFrame(
         [(float(v),) for v in (1, 2, 3, 4, 100)], "x double"

@@ -219,6 +219,21 @@ def test_matched_sample_rebalances_to_target(spark):
     # schema is passthrough (no helper columns leak)
     assert out.columns == df.columns
 
+    # float-noise guard: shares that don't divide exactly in binary
+    # (0.2/0.8 with n=7) put the limiting fraction at 0.999...; the
+    # snap must still keep 100% of the scarcest stratum
+    fz = spark.createDataFrame(
+        [(i, "rare" if i < 7 else "common") for i in range(107)],
+        "id bigint, lang string",
+    )
+    fplan = {
+        r["stratum"]: r
+        for r in matched_sample_plan(
+            fz, "lang", {"rare": 0.2, "common": 0.8}
+        ).collect()
+    }
+    assert fplan["rare"]["bucket_bound"] == 10000
+
 
 def test_matched_sample_drops_untargeted_and_validates(spark):
     from pyspark_data_quality_spark.operators.split import (
@@ -495,6 +510,16 @@ def test_value_set_drift(spark):
     # identical sides: full jaccard, nothing new/gone
     same = value_set_drift(cur, cur, ["k"]).first()
     assert same["jaccard"] == 1.0 and same["n_new"] == 0
+    # a real NULL and the literal string 'NULL' are DIFFERENT domain
+    # values (no sentinel collision): cur {NULL} vs ref {'NULL'}
+    ncur = spark.createDataFrame([(None,)], "v string")
+    nref = spark.createDataFrame([("NULL",)], "v string")
+    nrow = value_set_drift(ncur, nref, ["v"]).first()
+    assert (nrow["n_new"], nrow["n_gone"]) == (1, 1)
+    assert nrow["jaccard"] == 0.0
+    # and a NULL on both sides matches itself (null-safe join)
+    nsame = value_set_drift(ncur, ncur, ["v"]).first()
+    assert nsame["jaccard"] == 1.0 and nsame["n_new"] == 0
     with pytest.raises(ValueError):
         value_set_drift(cur, ref, [])
 
