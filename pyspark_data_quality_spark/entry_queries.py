@@ -2020,6 +2020,80 @@ def dq_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_curation_exact",
+    _SQL_PROFILE_CTE
+    + """
+    , gated AS (
+      -- fingerprint_md5 IS NULL <=> text IS NULL (md5 of NULL norm)
+      SELECT doc_id, fingerprint_md5,
+             CASE WHEN fingerprint_md5 IS NULL THEN 'null_text'
+                  WHEN quality_score < 0.3 THEN 'low_quality'
+                  WHEN lang_pred <> 'en' THEN 'wrong_lang'
+             END AS gate
+      FROM scored
+    ), refset AS (
+      SELECT DISTINCT fingerprint_md5 AS fp FROM scored
+      WHERE doc_id % 10 = 0 AND fingerprint_md5 IS NOT NULL
+    ), st1 AS (
+      SELECT g.doc_id, g.fingerprint_md5, g.gate,
+             (g.gate IS NULL AND r.fp IS NOT NULL) AS is_ref
+      FROM gated g LEFT JOIN refset r ON g.fingerprint_md5 = r.fp
+    ), surv AS (
+      SELECT fingerprint_md5, min(doc_id) AS keep_id
+      FROM st1 WHERE gate IS NULL AND NOT is_ref
+      GROUP BY fingerprint_md5
+    ), st2 AS (
+      SELECT s.doc_id,
+             CASE WHEN s.gate IS NOT NULL THEN s.gate
+                  WHEN s.is_ref THEN 'ref_dup'
+                  WHEN s.doc_id <> v.keep_id THEN 'exact_dup'
+                  ELSE 'kept' END AS curation_status
+      FROM st1 s LEFT JOIN surv v
+        ON s.fingerprint_md5 = v.fingerprint_md5
+    ), bkt AS (
+      SELECT doc_id, curation_status,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 AS bucket
+      FROM st2
+    )
+    SELECT doc_id, curation_status,
+           CASE WHEN curation_status = 'kept' THEN
+             CASE WHEN bucket < 9000 THEN 'train'
+                  WHEN bucket < 9500 THEN 'val'
+                  ELSE 'test' END
+           END AS split
+    FROM bkt ORDER BY doc_id
+    """,
+)
+def dq_curation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic core of the curation pipeline, oracle-certified
+    per ROW: quality/language gates -> incremental ref_dup (reference =
+    every 10th doc, the daily-batch shape) -> exact dedup (min-id
+    survivor per fingerprint, skew-safe groupBy) -> 90/5/5 split for
+    kept rows. The near-dup stage runs with threshold > 1 so it
+    provably drops nothing (MinHash is the one approximate stage —
+    certified separately by recall tests); everything else is the same
+    composed pipelines/curation.py code path dq_curation exercises,
+    here hash-matched against a DuckDB replay of the full status
+    precedence (gate > ref_dup > exact_dup > kept) and md5 split
+    arithmetic."""
+    from .pipelines import curate_corpus
+
+    docs = load_table(spark, "documents", sf_dir)
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    out = curate_corpus(
+        docs, min_quality=0.3, languages=("en",),
+        near_dup_threshold=1.5,  # > max jaccard: near-dup stage is a no-op
+        reference=ref,
+        # fixture-scale MinHash config (stage yields nothing; keep cheap)
+        num_hashes=32, num_bands=8,
+    )
+    return out.select("doc_id", "curation_status", "split").orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "dq_reconcile",
     """
     WITH d AS (

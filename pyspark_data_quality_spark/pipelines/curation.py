@@ -103,7 +103,6 @@ def curate_corpus(
     ``persist=False`` to keep the plan fully lazy.
     """
     from pyspark import StorageLevel
-    from pyspark.sql.window import Window
 
     from ..operators.dedup import minhash_near_dup_pairs
     from ..operators.split import split_assignment
@@ -163,13 +162,20 @@ def curate_corpus(
 
     # exact dups: every id in a fingerprint group except the min drops.
     # Reuses the profile pass's fingerprint column (text_profile already
-    # computed it) — a window-min per fingerprint, one shuffle, no
-    # re-hash of the raw text and no collect_list buffers.
-    w_fp = Window.partitionBy("fingerprint")
+    # computed it). Survivor election is a groupBy-min + anti join on
+    # (fingerprint, id) — NOT a window: groupBy gets map-side partial
+    # aggregation, so a viral fingerprint with 10^7 identical copies
+    # combines locally instead of funneling into one straggler task the
+    # way Window.partitionBy("fingerprint") would (skew-immune; same
+    # shape as operators/dedup.py exact_dedup).
+    survivors = (
+        passed.select(F.col(id_col), "fingerprint")
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
     exact_drops = _pin(
         passed.select(F.col(id_col), "fingerprint")
-        .withColumn("_keep", F.min(id_col).over(w_fp))
-        .filter(F.col(id_col) != F.col("_keep"))
+        .join(survivors, ["fingerprint", id_col], "anti")
         .select(id_col)
         .withColumn("_exact_dup", F.lit(True))
     )
