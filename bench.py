@@ -13,8 +13,11 @@ Prints ONE JSON line on stdout::
 
 Suite-line keys drop the uniform ``dq_`` prefix (3 bytes x 80+ entries
 matters: the driver tail-captures only the last ~2000 chars of output and
-the line must fit WHOLE to parse). The full-precision, full-name map is
-printed to stderr first as ``dq_queries_full``. Each query's plan is
+the line must fit WHOLE to parse). Everything else — the full-precision
+full-name map (``dq_queries_full``), the round-over-round regression
+check (``dq_vs_prev``), and any per-query errors — goes to STDERR before
+the suite line, so stdout ends with exactly one parseable JSON line.
+Each query's plan is
 executed end-to-end with a ``noop``-format write — full physical
 execution (scans, shuffles, joins) with zero driver-side collection, so
 the timing measures the engine, not result transfer.
