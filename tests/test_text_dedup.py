@@ -581,6 +581,24 @@ def test_dedup_components_nonconvergence_warns(spark):
         assert not any("did not converge" in str(x.message) for x in w2)
 
 
+def test_dedup_components_chain_converges_in_log_rounds(spark):
+    # pointer jumping must collapse a diameter-149 chain well inside 10
+    # rounds (plain min-propagation would need ~149 and silently split)
+    import warnings
+
+    from pyspark_data_quality_spark.operators.dedup import dedup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(149)], "id_a bigint, id_b bigint"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dedup_components(chain, max_iter=10).collect()
+        assert not any("did not converge" in str(x.message) for x in w)
+    assert len(out) == 150
+    assert {r["component"] for r in out} == {0}
+
+
 def test_repetition_signals(spark):
     from pyspark_data_quality_spark.operators.text import repetition_signals
 
