@@ -63,6 +63,7 @@ def curate_corpus(
     shingle_n: int = 3,
     reference: DataFrame | None = None,
     ref_text_col: str | None = None,
+    state_dir: str | None = None,
     probes: DataFrame | None = None,
     contamination_threshold: float = 0.5,
     split_weights: dict[str, float] | None = None,
@@ -86,6 +87,13 @@ def curate_corpus(
     ``<text_col>_dedup`` column with cross-document duplicated
     ``segment_k``-token segments removed (operators/dedup.py
     strip_duplicate_segments).
+
+    ``state_dir`` (default off) points at the parquet corpus state that
+    :func:`..pipelines.incremental.update_corpus_state` maintains: the
+    persisted fingerprint set joins in as ref_dup history (unioned with
+    ``reference`` if both are given), so the daily batch dedups against
+    100 TB of history by reading a hashes-only frame. A virgin state
+    directory is treated as "no history".
 
     ``rebalance_target`` (default off) adds a final distribution-
     matching stage (operators/split.py matched_sample) over the
@@ -139,12 +147,32 @@ def curate_corpus(
     # any in-batch work — the daily-batch shape where re-curating history
     # per batch is a non-starter. Hash semi join on the reference's
     # fingerprint set; the reference projection prunes to one column.
+    # The reference can be a DataFrame of documents (``reference=``,
+    # fingerprinted here) and/or the persisted fingerprint state a prior
+    # ``pipelines.incremental.update_corpus_state`` wrote (``state_dir=``
+    # — hashes only, the history itself is never rescanned); when both
+    # are given their fingerprint sets union.
+    ref_fp = None
     if reference is not None:
         from ..functions.text import doc_fingerprint
 
         ref_fp = reference.select(
             doc_fingerprint(ref_text_col or text_col).alias("fingerprint")
         ).distinct()
+    if state_dir is not None:
+        from .incremental import read_state
+
+        state = read_state(docs.sparkSession, state_dir)
+        if state is not None:
+            state_fp = state.fingerprints.select(
+                F.col("fp").alias("fingerprint")
+            )
+            ref_fp = (
+                state_fp
+                if ref_fp is None
+                else ref_fp.union(state_fp).distinct()
+            )
+    if ref_fp is not None:
         ref_drops = _pin(
             passed.select(F.col(id_col), "fingerprint")
             .join(ref_fp, "fingerprint", "semi")

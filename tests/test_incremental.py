@@ -172,3 +172,63 @@ def test_stream_update_corpus_state(spark, tmp_path, batches):
         read_state(spark, s_stream).fingerprints.count()
         == read_state(spark, s_batch).fingerprints.count()
     )
+
+
+def test_curate_corpus_reads_persisted_state(spark, tmp_path):
+    """Two-batch incremental curation via state_dir == one-shot curation:
+    the persisted fingerprint set stands in for yesterday's corpus."""
+    from pyspark_data_quality_spark.pipelines.curation import curate_corpus
+    from pyspark_data_quality_spark.pipelines.incremental import (
+        update_corpus_state,
+    )
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta eta theta"),
+            (3, "alpha beta gamma delta"),   # in-batch dup of 1
+        ],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),  # dup of history
+            (11, "iota kappa lambda mu"),    # novel
+            (12, "epsilon zeta eta theta"),  # dup of history
+            (13, "iota kappa lambda mu"),    # in-batch dup of 11
+        ],
+        ["doc_id", "text"],
+    )
+    kw = dict(
+        min_quality=0.0, languages=None, near_dup_threshold=1.5,
+        persist=False,
+    )
+
+    state_dir = str(tmp_path / "state")
+    # day 1: virgin state directory behaves as "no history"
+    s1 = {
+        r["doc_id"]: r["curation_status"]
+        for r in curate_corpus(b1, state_dir=state_dir, **kw).collect()
+    }
+    assert s1 == {1: "kept", 2: "kept", 3: "exact_dup"}
+    update_corpus_state(
+        spark, state_dir, b1.withColumn("source", F.lit("web"))
+    )
+
+    # day 2: history dups drop as ref_dup straight from the state frame
+    s2 = {
+        r["doc_id"]: r["curation_status"]
+        for r in curate_corpus(b2, state_dir=state_dir, **kw).collect()
+    }
+    assert s2 == {
+        10: "ref_dup", 11: "kept", 12: "ref_dup", 13: "exact_dup",
+    }
+
+    # incremental kept set == one-shot kept set over both batches
+    once = curate_corpus(b1.unionByName(b2), **kw)
+    kept_once = {
+        r["doc_id"] for r in once.collect()
+        if r["curation_status"] == "kept"
+    }
+    kept_inc = {k for k, v in {**s1, **s2}.items() if v == "kept"}
+    assert kept_once == kept_inc == {1, 2, 11}
