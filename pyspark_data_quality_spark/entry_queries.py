@@ -645,6 +645,74 @@ def dq_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries_df, k=10, dim=64)
 
 
+@query("dq_ann_recall")  # rows-only: recall harness over approximate ANN
+def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality made driver-visible: recall@10 of the approximate
+    top-k paths (hyperplane-LSH, IVF) against the exact brute-force
+    ground truth on the same 10 fixture queries the dq_lsh_topk /
+    dq_ivf_topk entries use — the near_dup_eval tuning-harness shape
+    (operators/dedup.py) applied to vector search. Four rows, two per
+    method: the config the entries actually ship, plus one
+    recall-tilted config showing the knob (tables for LSH, nprobe for
+    IVF). ``meets_floor`` is a per-config regression guard asserted by
+    tests/test_registry.py, NOT a universal quality claim: the fixture
+    embeddings are uniform-random — the ADVERSARIAL case for ANN
+    (neighbors barely closer than random, no cluster structure), so
+    these floors are the hardest ones the configs clear; clustered
+    production embeddings recall higher. Seeded/deterministic, but not
+    SQL-expressible without replaying the LSH in the oracle —
+    rows-only by design."""
+    from .operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _emb_double(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = brute_force_topk(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint()
+    cents = train_ivf_centroids(emb, num_centroids=32, sample_size=2048)
+    # (method, config label, floor, plan) — floors measured at sf0.01
+    # (0.13 / 0.62 / 0.75 / 0.92) minus slack for cross-sf variation
+    configs = [
+        ("lsh", "planes=12,tables=6 (entry)", 0.05,
+         lsh_topk(emb, queries_df, k=10, dim=64)),
+        ("lsh", "planes=6,tables=16", 0.4,
+         lsh_topk(emb, queries_df, k=10, dim=64,
+                  num_planes=6, num_tables=16)),
+        ("ivf", "nprobe=8/32 (entry)", 0.55,
+         ivf_topk(emb, queries_df, centroids=cents, k=10, nprobe=8)),
+        ("ivf", "nprobe=16/32", 0.75,
+         ivf_topk(emb, queries_df, centroids=cents, k=10, nprobe=16)),
+    ]
+    n_exact = exact.count()
+    rows = []
+    for method, label, floor, df in configs:
+        hits = (
+            df.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "semi")
+            .count()
+        )
+        recall = round(hits / n_exact, 6) if n_exact else None
+        rows.append(
+            (
+                method, label, n_exact, hits, recall, floor,
+                recall is not None and recall >= floor,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "method string, config string, n_exact long, n_hit long, "
+        "recall double, floor double, meets_floor boolean",
+    ).orderBy("method", "config")
+
+
 @query("dq_minhash_pairs")  # rows-only: approximate op, no SQL oracle
 def dq_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at word-shingle jaccard>=0.8. Word shingles (Broder)

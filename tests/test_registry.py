@@ -131,3 +131,23 @@ def test_registry_bench_line_budget():
                     if (k[3:] if k.startswith("dq_") else k) not in kept]
     # slowest retained, fastest dropped (ties may straddle the cut)
     assert min(kept.values()) >= max(dropped_vals)
+
+
+def test_ann_recall_entry_meets_floors(spark, sf_dir):
+    """dq_ann_recall is the driver-visible ANN quality gate; every
+    configured (method, config) row must clear its documented floor on
+    the uniform-random fixture (the adversarial case for ANN)."""
+    from pyspark_data_quality_spark.entry_queries import ENTRY_QUERIES
+
+    rows = ENTRY_QUERIES["dq_ann_recall"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["meets_floor"], (
+            f"{r['method']} {r['config']}: recall {r['recall']} "
+            f"< floor {r['floor']}"
+        )
+    # the recall-tilted configs must actually beat the entry configs —
+    # otherwise the harness isn't showing the knob it claims to show
+    by = {(r["method"], "entry" in r["config"]): r["recall"] for r in rows}
+    assert by[("lsh", False)] > by[("lsh", True)]
+    assert by[("ivf", False)] > by[("ivf", True)]
