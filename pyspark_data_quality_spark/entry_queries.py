@@ -669,7 +669,9 @@ def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_ivf_centroids,
     )
 
-    emb = _emb_double(spark, sf_dir)
+    # one scan+cast feeds all 5 sub-queries (brute force + 4 ANN runs):
+    # the corpus is checkpointed once instead of re-read per config
+    emb = _emb_double(spark, sf_dir).localCheckpoint()
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),

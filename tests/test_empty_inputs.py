@@ -254,3 +254,24 @@ def test_scoring_drift_normalize_empty(spark, empty_docs):
     e = spark.createDataFrame([], "id bigint, v array<double>")
     r = embedding_drift(e, e, "v").first()
     assert r["n_cur"] == 0 and r["centroid_cosine"] is None
+
+
+def test_components_and_curation_empty(spark, empty_docs, tmp_path):
+    from pyspark_data_quality_spark.operators.dedup import dedup_components
+    from pyspark_data_quality_spark.pipelines.curation import (
+        curate_corpus,
+        curation_stats,
+    )
+
+    empty_pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert dedup_components(empty_pairs).count() == 0
+
+    # full pipeline on an empty corpus: plans, executes, returns empty —
+    # including the persisted-state path against a virgin state dir
+    out = curate_corpus(
+        empty_docs, languages=None, near_dup_threshold=1.5,
+        state_dir=str(tmp_path / "virgin"), persist=False,
+    )
+    assert out.count() == 0
+    assert "curation_status" in out.columns and "split" in out.columns
+    assert curation_stats(out).count() == 0

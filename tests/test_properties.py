@@ -454,3 +454,69 @@ def test_lexicon_score_python_model(spark, docs):
         for t in toks:
             s += lex.get(t, 0.0)
         assert got[i] == s / len(toks)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                                  # group
+            st.one_of(st.none(), st.sampled_from(["a", "b", "NULL"])),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_most_common_matches_python_model(spark, rows):
+    """most_common == python mode over NON-NULL values, ties to the
+    smaller value, NULL only when the whole group is NULL."""
+    from collections import Counter
+
+    from pyspark_data_quality_spark.operators.merge import merge_duplicates
+
+    df = spark.createDataFrame(
+        [(g, i, v) for i, (g, v) in enumerate(rows)],
+        "g int, id bigint, v string",
+    )
+    got = {
+        r["g"]: r["v"]
+        for r in merge_duplicates(df, "g", "id", {"v": "most_common"}).collect()
+    }
+    groups: dict[int, list] = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    for g, vals in groups.items():
+        nn = [v for v in vals if v is not None]
+        want = (
+            min(  # max count, ties to the smaller value
+                Counter(nn).items(), key=lambda kv: (-kv[1], kv[0])
+            )[0]
+            if nn
+            else None
+        )
+        assert got[g] == want, f"group {g}: {got[g]!r} != {want!r} ({vals})"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(), st.sampled_from(["x", "y", "NULL"])),
+             min_size=0, max_size=15),
+    st.lists(st.one_of(st.none(), st.sampled_from(["x", "z", "NULL"])),
+             min_size=0, max_size=15),
+)
+def test_value_set_drift_matches_python_model(spark, cur_vals, ref_vals):
+    """Domain drift == python set algebra where None is a first-class
+    domain value distinct from the string 'NULL'."""
+    from pyspark_data_quality_spark.operators.drift import value_set_drift
+
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "c string")
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "c string")
+    if not cur_vals and not ref_vals:
+        return  # no rows on either side -> no output row, nothing to model
+    row = value_set_drift(cur, ref, ["c"]).first()
+    cs, rs = set(cur_vals), set(ref_vals)
+    assert row["n_cur_values"] == len(cs)
+    assert row["n_ref_values"] == len(rs)
+    assert row["n_new"] == len(cs - rs)
+    assert row["n_gone"] == len(rs - cs)
+    assert row["jaccard"] == round(len(cs & rs) / len(cs | rs), 6)
