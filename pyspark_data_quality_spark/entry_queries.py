@@ -1128,18 +1128,19 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_top_values",
     """
     WITH p AS (
+      -- NULL stays a real NULL bucket (no sentinel string)
       SELECT 'o_orderpriority' AS "column",
-             coalesce(CAST(o_orderpriority AS VARCHAR), 'NULL') AS value
+             CAST(o_orderpriority AS VARCHAR) AS value
       FROM orders
       UNION ALL
-      SELECT 'o_orderstatus', coalesce(CAST(o_orderstatus AS VARCHAR), 'NULL')
+      SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR)
       FROM orders
     ), c AS (
       SELECT "column", value, count(*) AS n FROM p GROUP BY 1, 2
     )
     SELECT "column", value, n,
            CAST(row_number() OVER (
-             PARTITION BY "column" ORDER BY n DESC, value ASC
+             PARTITION BY "column" ORDER BY n DESC, value ASC NULLS LAST
            ) AS INT) AS rank
     FROM c QUALIFY rank <= 5
     """,
@@ -1278,8 +1279,10 @@ _DRIFT_SPLIT = "1998-07-01"
 
 def _drift_pairs_sql(side: str) -> str:
     op = ">=" if side == "cur" else "<"
+    # NULL stays a real NULL bucket (no sentinel string; the join below
+    # matches it null-safely)
     return " UNION ALL ".join(
-        f"SELECT '{c}' AS \"column\", coalesce(CAST({c} AS VARCHAR), 'NULL') AS value "
+        f"SELECT '{c}' AS \"column\", CAST({c} AS VARCHAR) AS value "
         f"FROM orders WHERE o_orderdate {op} TIMESTAMP '{_DRIFT_SPLIT}'"
         for c in _DRIFT_COLS
     )
@@ -1301,7 +1304,9 @@ def _drift_detail_sql(nd: int) -> str:
       SELECT coalesce(c."column", r."column") AS "column",
              coalesce(c.value, r.value) AS value,
              coalesce(p_cur, 0.0) AS p_cur, coalesce(p_ref, 0.0) AS p_ref
-      FROM c FULL OUTER JOIN r ON c."column" = r."column" AND c.value = r.value
+      FROM c FULL OUTER JOIN r
+        ON c."column" = r."column"
+       AND c.value IS NOT DISTINCT FROM r.value
     )
     SELECT "column", value,
            CAST(round(p_cur, {nd}) AS DOUBLE) AS p_cur,
@@ -1756,11 +1761,12 @@ def dq_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_entropy",
     """
     WITH p AS (
+      -- NULL stays a real NULL bucket (no sentinel string)
       SELECT 'o_orderpriority' AS "column",
-             coalesce(CAST(o_orderpriority AS VARCHAR), 'NULL') AS value
+             CAST(o_orderpriority AS VARCHAR) AS value
       FROM orders
       UNION ALL
-      SELECT 'o_orderstatus', coalesce(CAST(o_orderstatus AS VARCHAR), 'NULL')
+      SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR)
       FROM orders
     ), c AS (
       SELECT "column", value, count(*) AS n FROM p GROUP BY 1, 2
@@ -3872,7 +3878,7 @@ def dq_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_epoch, value, n, rank FROM (
       SELECT window_epoch, value, n,
              CAST(row_number() OVER (PARTITION BY window_epoch
-                    ORDER BY n DESC, value ASC) AS INT) AS rank
+                    ORDER BY n DESC, value ASC NULLS LAST) AS INT) AS rank
       FROM c
     ) WHERE rank <= 3 ORDER BY window_epoch, rank
     """,

@@ -29,16 +29,15 @@ DEFAULT_EPS = 1e-6
 
 
 def _value_ratios(df: DataFrame, columns: list[str], side: str) -> DataFrame:
+    # map values keep real NULLs (no 'NULL'-string sentinel): a genuine
+    # NULL bucket can never collide with a literal 'NULL' value
     pairs = df.select(
         F.explode(
             F.create_map(
                 *[
                     x
                     for c in columns
-                    for x in (
-                        F.lit(c),
-                        F.coalesce(F.col(c).cast("string"), F.lit("NULL")),
-                    )
+                    for x in (F.lit(c), F.col(c).cast("string"))
                 ]
             )
         ).alias("column", "value")
@@ -64,11 +63,18 @@ def categorical_drift(
     ``(column, value, p_cur, p_ref, psi_term)`` where ``psi_term =
     (p_cur - p_ref) * ln(p_cur / p_ref)`` with both ratios clamped to at
     least ``eps``. Values absent on a side get ratio 0 (clamped)."""
-    c = _value_ratios(cur, columns, "p_cur")
-    r = _value_ratios(ref, columns, "p_ref")
-    joined = c.join(r, ["column", "value"], "full_outer").select(
-        "column",
-        "value",
+    c = _value_ratios(cur, columns, "p_cur").alias("cv")
+    r = _value_ratios(ref, columns, "p_ref").alias("rv")
+    # null-safe value match so the NULL bucket merges across sides
+    # instead of appearing once per side with the other ratio at 0
+    joined = c.join(
+        r,
+        (F.col("cv.column") == F.col("rv.column"))
+        & F.col("cv.value").eqNullSafe(F.col("rv.value")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("cv.column"), F.col("rv.column")).alias("column"),
+        F.coalesce(F.col("cv.value"), F.col("rv.value")).alias("value"),
         F.coalesce("p_cur", F.lit(0.0)).alias("p_cur"),
         F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
     )

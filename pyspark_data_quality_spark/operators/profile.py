@@ -461,23 +461,24 @@ def top_values(
 
     Output: (column, value, count, rank), rank 1..k by descending count.
     """
+    # real NULLs ride the map (no 'NULL'-string sentinel): the NULL
+    # bucket appears in the histogram as an actual NULL value row
     pairs = df.select(
         F.explode(
             F.create_map(
                 *[
                     x
                     for c in columns
-                    for x in (
-                        F.lit(c),
-                        F.coalesce(F.col(c).cast("string"), F.lit("NULL")),
-                    )
+                    for x in (F.lit(c), F.col(c).cast("string"))
                 ]
             )
         ).alias("column", "value")
     )
     counted = pairs.groupBy("column", "value").agg(F.count(F.lit(1)).alias("count"))
+    # ties: value ascending with NULL LAST — the explicit cross-engine
+    # order (Spark asc defaults nulls-first, DuckDB/ANSI nulls-last)
     w = Window.partitionBy("column").orderBy(
-        F.col("count").desc(), F.col("value").asc()
+        F.col("count").desc(), F.col("value").asc_nulls_last()
     )
     return (
         counted.withColumn("rank", F.row_number().over(w))
@@ -494,16 +495,15 @@ def column_entropy(
     log2(n) = uniform). Same one-shuffle exploded-map shape as
     :func:`top_values`; nulls count as a regular value. Output:
     (column, entropy, n_distinct)."""
+    # real NULLs ride the map: the NULL bucket is its own value and can
+    # never merge with a literal 'NULL' string (which would skew entropy)
     pairs = df.select(
         F.explode(
             F.create_map(
                 *[
                     x
                     for c in columns
-                    for x in (
-                        F.lit(c),
-                        F.coalesce(F.col(c).cast("string"), F.lit("NULL")),
-                    )
+                    for x in (F.lit(c), F.col(c).cast("string"))
                 ]
             )
         ).alias("column", "value")

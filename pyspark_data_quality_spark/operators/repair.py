@@ -68,12 +68,24 @@ def impute(
                 w = Window.partitionBy(*keys).orderBy(
                     F.col("_n").desc(), F.col("_v").asc()
                 )
+                # null-safe key join: groupBy computed a mode for the
+                # NULL-key group too, and a plain equality join would
+                # silently skip it (same fix as normalize_columns)
                 modes = (
                     counts.withColumn("_rk", F.row_number().over(w))
                     .filter(F.col("_rk") == 1)
-                    .select(*keys, F.col("_v").alias(f"_mode_{c}"))
+                    .select(
+                        *[F.col(g).alias(f"_gk_{g}") for g in keys],
+                        F.col("_v").alias(f"_mode_{c}"),
+                    )
                 )
-                joined = out.join(F.broadcast(modes), keys, "left")
+                cond = None
+                for g in keys:
+                    m = F.col(g).eqNullSafe(F.col(f"_gk_{g}"))
+                    cond = m if cond is None else (cond & m)
+                joined = out.join(F.broadcast(modes), cond, "left").drop(
+                    *[f"_gk_{g}" for g in keys]
+                )
             else:
                 # 1-row AGGREGATE, not filter+limit: an all-null column
                 # must yield a null-mode row — a 0-row frame crossJoined

@@ -924,10 +924,20 @@ def distinctive_terms(
     )
     ratio = F.try_divide(a / ga, b / rest)
 
+    # null-safe group join: a NULL group key is a segment of its own
+    # (same convention as normalize_columns/impute); plain equality
+    # would silently drop its rows from the keyness output
+    grp_totals = grp_totals.select(
+        F.col(group_col).alias("_gk"), F.col("_ga")
+    )
     scored = (
         pairs.filter(F.col("_a") >= min_count)
         .join(tok_totals, "_t")
-        .join(F.broadcast(grp_totals), group_col)
+        .join(
+            F.broadcast(grp_totals),
+            F.col(group_col).eqNullSafe(F.col("_gk")),
+        )
+        .drop("_gk")
         .crossJoin(F.broadcast(grand))
         .withColumn("_g2", F.round(g2, round_to))
         .withColumn("_ratio", F.round(ratio, round_to))

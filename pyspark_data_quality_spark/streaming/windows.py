@@ -413,8 +413,10 @@ def windowed_top_values(
             "value",
             "n",
         )
+    # ties: value asc with NULL last — the explicit cross-engine order
+    # (Spark asc defaults nulls-first, DuckDB/ANSI nulls-last)
     w = Window.partitionBy("_w").orderBy(
-        F.col("n").desc(), F.col("value").asc()
+        F.col("n").desc(), F.col("value").asc_nulls_last()
     )
     return (
         counts.withColumn("rank", F.row_number().over(w))

@@ -109,11 +109,16 @@ def test_profile_unknown_column_raises(spark, sample):
 
 def test_top_values_ties_and_null(spark, sample):
     rows = top_values(sample, ["s"], k=2).collect()
-    # bb:2 then three singletons (NULL, a, ccc) tie-broken by value asc
+    # bb:2 then three singletons (a, ccc, real NULL) tie-broken by value
+    # asc with the NULL bucket LAST (explicit cross-engine order)
     assert [(r["value"], r["count"], r["rank"]) for r in rows] == [
         ("bb", 2, 1),
-        ("NULL", 1, 2),
+        ("a", 1, 2),
     ]
+    # the NULL bucket is a REAL null row, ranked after all values
+    full = top_values(sample, ["s"], k=10).collect()
+    assert (None, 1) in [(r["value"], r["count"]) for r in full]
+    assert [r["value"] for r in full][-1] is None
 
 
 def test_zscore_spike_flagged(spark):

@@ -84,12 +84,17 @@ def test_psi_summary_flags_drift(spark):
 
 
 def test_drift_null_bucket(spark):
-    cur = spark.createDataFrame([(None,), ("a",)], "k string")
-    ref = spark.createDataFrame([("a",), ("a",)], "k string")
+    # NULL is a REAL null bucket (no 'NULL'-string sentinel), matched
+    # null-safely across sides — it can't collide with a literal 'NULL'
+    cur = spark.createDataFrame([(None,), ("a",), ("NULL",)], "k string")
+    ref = spark.createDataFrame([(None,), ("a",), ("a",)], "k string")
     rows = {
         r["value"]: r for r in categorical_drift(cur, ref, ["k"]).collect()
     }
-    assert rows["NULL"]["p_cur"] == 0.5 and rows["NULL"]["p_ref"] == 0.0
+    null_row = rows[None]
+    assert null_row["p_cur"] == pytest.approx(1 / 3)
+    assert null_row["p_ref"] == pytest.approx(1 / 3)  # merged across sides
+    assert rows["NULL"]["p_ref"] == 0.0  # the literal string stays its own
 
 
 def test_histogram_explicit_bounds(spark):
@@ -388,6 +393,38 @@ def test_impute_mode_all_null_global(spark):
     df = spark.createDataFrame([(1, None), (2, None)], "id int, s string")
     rows = impute(df, ["s"], strategy="mode").collect()
     assert len(rows) == 2 and all(r["s"] is None for r in rows)
+
+
+def test_impute_mode_null_group_key(spark):
+    """A NULL group key is a group of its own: its mode must apply to
+    its rows (null-safe join), not leave them unimputed."""
+    from pyspark_data_quality_spark.operators.repair import impute
+
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "x"), (None, None), ("g", "y"), ("g", None)],
+        "grp string, s string",
+    )
+    rows = impute(df, ["s"], strategy="mode", group_by=["grp"]).collect()
+    got = {(r["grp"], i): r["s"] for i, r in enumerate(rows)}
+    by_grp = {}
+    for (g, _), v in got.items():
+        by_grp.setdefault(g, []).append(v)
+    assert sorted(by_grp[None]) == ["x", "x", "x"]
+    assert sorted(by_grp["g"]) == ["y", "y"]
+
+
+def test_distinctive_terms_null_group(spark):
+    """A NULL group key is a segment of its own in the keyness output
+    (null-safe totals join), not silently dropped."""
+    from pyspark_data_quality_spark.operators.text import distinctive_terms
+
+    df = spark.createDataFrame(
+        [(None, "zebra zebra zebra common"), ("en", "common common word")],
+        "lang string, text string",
+    )
+    out = distinctive_terms(df, "text", "lang", k=2, min_count=1)
+    groups = {r["lang"] for r in out.collect()}
+    assert None in groups and "en" in groups
 
 
 def test_rate_of_change_null_value_not_null_flag(spark):
