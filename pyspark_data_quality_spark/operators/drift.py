@@ -461,11 +461,16 @@ def corpus_divergence(
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     corpus = pairs.groupBy("_t").agg(F.sum("_c").alias("_ct"))
-    totals = pairs.groupBy(group_col).agg(F.sum("_c").alias("_gt"))
+    # null-safe totals join so a NULL group key is a segment of its own
+    # (same convention as normalize_columns/impute/distinctive_terms)
+    totals = pairs.groupBy(group_col).agg(F.sum("_c").alias("_gt")).select(
+        F.col(group_col).alias("_gk"), F.col("_gt")
+    )
     grand = pairs.agg(F.sum("_c").alias("_n"))
     return (
         pairs.join(corpus, "_t")
-        .join(totals, group_col)
+        .join(totals, F.col(group_col).eqNullSafe(F.col("_gk")))
+        .drop("_gk")
         .crossJoin(F.broadcast(grand))
         .withColumn(
             "_term",

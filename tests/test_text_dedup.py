@@ -979,6 +979,13 @@ def test_corpus_divergence_properties(spark):
     )
     for r in corpus_divergence(uni, "text", "src").collect():
         assert r["kl_vs_corpus"] == 0.0
+    # NULL group key is a segment of its own (null-safe totals join)
+    withnull = spark.createDataFrame(
+        [(None, "x x y"), ("b", "y z")], ["src", "text"]
+    )
+    ngot = {r["src"]: r for r in corpus_divergence(withnull, "text", "src").collect()}
+    assert set(ngot) == {None, "b"}
+    assert ngot[None]["n_tokens"] == 3
 
 
 def test_redact_pii(spark):
