@@ -1957,10 +1957,14 @@ def _diff_cur_ref(spark: SparkSession, sf_dir: str):
     "dq_table_diff",
     f"""
     WITH {_DIFF_CUR_REF_SQL}, j AS (
-      SELECT cur.k IS NOT NULL AS in_c, ref.k IS NOT NULL AS in_r,
-             ((cur.p IS DISTINCT FROM ref.p)
-              OR (cur.s IS DISTINCT FROM ref.s)) AS ch
-      FROM cur FULL OUTER JOIN ref ON cur.k = ref.k
+      -- null-safe key match + explicit presence tags (a NULL key is
+      -- a comparable identity, mirroring the operator)
+      SELECT coalesce(c2.tag, FALSE) AS in_c, coalesce(r2.tag, FALSE) AS in_r,
+             ((c2.p IS DISTINCT FROM r2.p)
+              OR (c2.s IS DISTINCT FROM r2.s)) AS ch
+      FROM (SELECT *, TRUE AS tag FROM cur) c2
+      FULL OUTER JOIN (SELECT *, TRUE AS tag FROM ref) r2
+        ON c2.k IS NOT DISTINCT FROM r2.k
     )
     SELECT CASE WHEN NOT in_r THEN 'added'
                 WHEN NOT in_c THEN 'removed'
@@ -1985,7 +1989,7 @@ def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_DIFF_CUR_REF_SQL}, both_sides AS (
       SELECT cur.p AS cp, ref.p AS rp, cur.s AS cs, ref.s AS rs
-      FROM cur JOIN ref ON cur.k = ref.k
+      FROM cur JOIN ref ON cur.k IS NOT DISTINCT FROM ref.k
     ), w AS (
       SELECT count(*) AS n_both,
              CAST(sum(CASE WHEN cp IS DISTINCT FROM rp THEN 1 ELSE 0 END)
@@ -2187,7 +2191,7 @@ def dq_curation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(sv, 6) AS DOUBLE) AS summary_value,
            CAST(round(dv - sv, 6) AS DOUBLE) AS diff,
            FALSE AS matched
-    FROM d JOIN s ON d.l_orderkey = s.l_orderkey
+    FROM d JOIN s ON d.l_orderkey IS NOT DISTINCT FROM s.l_orderkey
     WHERE dv <> sv
     """,
 )

@@ -36,16 +36,32 @@ def _diff_base(
     if missing:
         raise ValueError(f"table_diff: columns missing from a side: {missing}")
     c = cur.select(
-        *[F.col(k).alias(f"_k_{k}") for k in keys],
+        *[F.col(k).alias(f"_kc_{k}") for k in keys],
         F.lit(True).alias("_in_cur"),
         *[F.col(x).alias(f"_c_{x}") for x in cols],
     )
     r = ref.select(
-        *[F.col(k).alias(f"_k_{k}") for k in keys],
+        *[F.col(k).alias(f"_kr_{k}") for k in keys],
         F.lit(True).alias("_in_ref"),
         *[F.col(x).alias(f"_r_{x}") for x in cols],
     )
-    j = c.join(r, [f"_k_{k}" for k in keys], "full_outer")
+    # null-safe key match: a NULL-keyed row pair is COMPARED, not
+    # double-counted as added+removed (consistent with the null-safe
+    # value comparisons below)
+    cond = None
+    for k in keys:
+        m = F.col(f"_kc_{k}").eqNullSafe(F.col(f"_kr_{k}"))
+        cond = m if cond is None else (cond & m)
+    j = c.join(r, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"_kc_{k}"), F.col(f"_kr_{k}")).alias(f"_k_{k}")
+            for k in keys
+        ],
+        "_in_cur",
+        "_in_ref",
+        *[F.col(f"_c_{x}") for x in cols],
+        *[F.col(f"_r_{x}") for x in cols],
+    )
     any_changed = F.lit(False)
     for x in cols:
         any_changed = any_changed | ~F.col(f"_c_{x}").eqNullSafe(F.col(f"_r_{x}"))
@@ -116,13 +132,26 @@ def reconcile_aggregates(
         ]
     )
     s = summary.select(
-        *keys,
+        *[F.col(k).alias(f"_sk_{k}") for k in keys],
         *[
             F.col(sc).cast("double").alias(f"_s_{i}")
             for i, (_, sc) in enumerate(items)
         ],
     )
-    j = d.join(s, keys, "full_outer")
+    # null-safe key join: a NULL detail group reconciles against the
+    # summary's NULL-keyed row instead of both sides reporting a miss
+    cond = None
+    for k in keys:
+        m = F.col(k).eqNullSafe(F.col(f"_sk_{k}"))
+        cond = m if cond is None else (cond & m)
+    j = d.join(s, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(k), F.col(f"_sk_{k}")).alias(k)
+            for k in keys
+        ],
+        *[F.col(f"_d_{i}") for i in range(len(items))],
+        *[F.col(f"_s_{i}") for i in range(len(items))],
+    )
     stacked = ", ".join(
         f"'{dc}', _d_{i}, _s_{i}" for i, (dc, _) in enumerate(items)
     )

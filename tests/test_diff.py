@@ -133,3 +133,33 @@ def test_reconcile_aggregates(spark):
         reconcile_aggregates(detail, summary, ["k"], {"v": "total"}, agg="avg")
     with pytest.raises(ValueError, match="non-empty"):
         reconcile_aggregates(detail, summary, ["k"], {})
+
+
+def test_diff_and_reconcile_null_keys_compared(spark):
+    """NULL-keyed rows are a comparable identity (null-safe key joins):
+    diff compares them instead of double-counting added+removed, and
+    reconcile matches the NULL detail group to the NULL summary row."""
+    from pyspark_data_quality_spark.operators.diff import (
+        reconcile_aggregates,
+        table_diff,
+    )
+
+    cur = spark.createDataFrame([(None, 1.0), (1, 2.0)], "k int, v double")
+    ref = spark.createDataFrame([(None, 1.0), (1, 9.0)], "k int, v double")
+    statuses = {r["status"]: r["n"] for r in table_diff(cur, ref, ["k"]).collect()}
+    assert statuses == {"unchanged": 1, "changed": 1}
+
+    detail = spark.createDataFrame(
+        [(None, 5.0), (None, 5.0), (1, 3.0)], "k int, v double"
+    )
+    summary = spark.createDataFrame(
+        [(None, 10.0), (1, 3.0)], "k int, total double"
+    )
+    rows = {
+        r["k"]: r
+        for r in reconcile_aggregates(
+            detail, summary, ["k"], {"v": "total"}
+        ).collect()
+    }
+    assert rows[None]["matched"] is True and rows[None]["diff"] == 0.0
+    assert rows[1]["matched"] is True
