@@ -3422,7 +3422,10 @@ def dq_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_distinct_tokens,
            CAST(round(sum((c * 1.0 / gt) * ln((c * 1.0 / gt)
                           / (ct * 1.0 / n))), 6) AS DOUBLE) AS kl_vs_corpus
-    FROM pairs p JOIN corpus USING (t) JOIN totals USING (source)
+    FROM pairs p JOIN corpus USING (t)
+    -- null-safe group join mirrors corpus_divergence (NULL source is a
+    -- segment of its own)
+    JOIN totals ON p.source IS NOT DISTINCT FROM totals.source
          CROSS JOIN grand
     GROUP BY p.source ORDER BY p.source
     """,
@@ -4158,7 +4161,10 @@ def dq_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / (CAST(ta.ta - p.a AS DOUBLE)
                          / CAST(gr.n - ga.ga AS DOUBLE)), 6) AS DOUBLE)
              END AS ratio
-      FROM pairs p JOIN ta ON p.t = ta.t JOIN ga ON p.lang = ga.lang, gr
+      FROM pairs p JOIN ta ON p.t = ta.t
+      -- null-safe group join mirrors distinctive_terms (NULL lang is a
+      -- segment of its own)
+      JOIN ga ON p.lang IS NOT DISTINCT FROM ga.lang, gr
       WHERE p.a >= 2
     ), ranked AS (
       SELECT lang, t, a, b, g2, ratio,

@@ -27,7 +27,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+import threading
+
 from ..functions.expr import let_bind as _let
+
+#: serializes the constraint-propagation conf swap in dedup_components
+_CONF_SWAP_LOCK = threading.Lock()
 from ..functions.text import (
     char_ngrams,
     doc_fingerprint,
@@ -770,6 +775,8 @@ def dedup_components(
     ``localCheckpoint`` to truncate lineage — the standard Spark shape
     for iterative graph algorithms.
     """
+    if max_iter < 1:
+        raise ValueError(f"dedup_components: max_iter must be >= 1, got {max_iter}")
     # The pair-generation plan is optimized with the session's normal
     # settings (edges materializes HERE, before the conf swap below).
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -789,14 +796,20 @@ def dedup_components(
     # (UnionBase.rewriteConstraints: "key not found: <attr>") when
     # upstream constraints reference pruned attributes. The loop joins
     # only checkpointed leaves and has no filters for constraints to
-    # improve, so turning it off here costs nothing.
+    # improve, so turning it off here costs nothing. The save/set/restore
+    # is serialized by a process-wide lock so two concurrent calls can't
+    # interleave and strand the conf at "false"; a concurrent UNRELATED
+    # query planned from another thread during the loop still sees the
+    # session-global conf off (inherent to SQLConf being session-scoped
+    # — documented limitation, optimization-only impact).
     _CONSTRAINT_CONF = "spark.sql.constraintPropagation.enabled"
-    _prev_conf = spark.conf.get(_CONSTRAINT_CONF, "true")
-    spark.conf.set(_CONSTRAINT_CONF, "false")
-    try:
-        return _dedup_components_loop(edges, labels, max_iter)
-    finally:
-        spark.conf.set(_CONSTRAINT_CONF, _prev_conf)
+    with _CONF_SWAP_LOCK:
+        _prev_conf = spark.conf.get(_CONSTRAINT_CONF, "true")
+        spark.conf.set(_CONSTRAINT_CONF, "false")
+        try:
+            return _dedup_components_loop(edges, labels, max_iter)
+        finally:
+            spark.conf.set(_CONSTRAINT_CONF, _prev_conf)
 
 
 def _dedup_components_loop(

@@ -460,17 +460,15 @@ def corpus_divergence(
         .groupBy(group_col, "_t")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    from ..plans.joins import join_null_safe
+
     corpus = pairs.groupBy("_t").agg(F.sum("_c").alias("_ct"))
     # null-safe totals join so a NULL group key is a segment of its own
     # (same convention as normalize_columns/impute/distinctive_terms)
-    totals = pairs.groupBy(group_col).agg(F.sum("_c").alias("_gt")).select(
-        F.col(group_col).alias("_gk"), F.col("_gt")
-    )
+    totals = pairs.groupBy(group_col).agg(F.sum("_c").alias("_gt"))
     grand = pairs.agg(F.sum("_c").alias("_n"))
     return (
-        pairs.join(corpus, "_t")
-        .join(totals, F.col(group_col).eqNullSafe(F.col("_gk")))
-        .drop("_gk")
+        join_null_safe(pairs.join(corpus, "_t"), totals, [group_col])
         .crossJoin(F.broadcast(grand))
         .withColumn(
             "_term",

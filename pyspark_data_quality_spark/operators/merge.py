@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..plans.joins import join_null_safe
+
 _PLAIN = ("survivor", "first_non_null", "min", "max", "sum")
 
 
@@ -93,7 +95,8 @@ def merge_duplicates(
             .filter(F.col("_r") == 1)
             .select(group_col, c)
         )
-        merged = merged.join(top, group_col, "left")
+        # null-safe: a NULL group key still receives its elected mode
+        merged = join_null_safe(merged, top, [group_col], "left")
 
     if min_group_size > 1:
         merged = merged.filter(F.col("n_records") >= min_group_size)

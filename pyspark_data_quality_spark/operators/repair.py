@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..plans.joins import join_null_safe
+
 _STRATEGIES = ("mean", "median", "mode", "constant")
 
 
@@ -74,17 +76,10 @@ def impute(
                 modes = (
                     counts.withColumn("_rk", F.row_number().over(w))
                     .filter(F.col("_rk") == 1)
-                    .select(
-                        *[F.col(g).alias(f"_gk_{g}") for g in keys],
-                        F.col("_v").alias(f"_mode_{c}"),
-                    )
+                    .select(*keys, F.col("_v").alias(f"_mode_{c}"))
                 )
-                cond = None
-                for g in keys:
-                    m = F.col(g).eqNullSafe(F.col(f"_gk_{g}"))
-                    cond = m if cond is None else (cond & m)
-                joined = out.join(F.broadcast(modes), cond, "left").drop(
-                    *[f"_gk_{g}" for g in keys]
+                joined = join_null_safe(
+                    out, modes, keys, "left", broadcast=True
                 )
             else:
                 # 1-row AGGREGATE, not filter+limit: an all-null column
@@ -445,15 +440,7 @@ def normalize_columns(
         # null-safe key join: groupBy puts NULL keys in their own group,
         # so rows with a NULL group key must receive that group's stats —
         # a plain equality join would leave them un-normalized.
-        stats = stats.select(
-            *[F.col(g).alias(f"_gk_{g}") for g in group_by],
-            *[c for c in stats.columns if c not in group_by],
-        )
-        cond = None
-        for g in group_by:
-            m = F.col(g).eqNullSafe(F.col(f"_gk_{g}"))
-            cond = m if cond is None else (cond & m)
-        out = df.join(F.broadcast(stats), cond, "left")
+        out = join_null_safe(df, stats, group_by, "left", broadcast=True)
     else:
         stats = df.agg(*aggs)
         out = df.crossJoin(F.broadcast(stats))

@@ -349,10 +349,14 @@ def matched_sample_plan(
     matching a distribution that assigns them no mass means dropping them.
 
     Returns one row per observed stratum: ``(stratum, n_rows, share,
-    fraction, bucket_bound)`` where ``bucket_bound = floor(fraction *
-    10000)`` is the md5-bucket threshold :func:`matched_sample` filters
-    against (floor, not round: floor is engine-portable while round
-    half-up vs half-even can disagree on exact .5 ties).
+    fraction, bucket_bound)`` where ``bucket_bound =
+    floor(round(fraction * 10000, 6))`` is the md5-bucket threshold
+    :func:`matched_sample` filters against. Floor keeps the bound
+    engine-portable (round half-up vs half-even can disagree on exact
+    .5 ties); the 6-decimal snap BEFORE the floor absorbs float noise
+    in ``share * (n/share) / n`` so the limiting stratum's fraction
+    lands on exactly 1.0 (10000), never 0.999... -> 9999. Any replay
+    (oracle or another engine) must reproduce both steps.
 
     Plan shape: ONE small groupBy on the stratum column; the scale is a
     1-row aggregate cross-joined back (broadcast, k rows). Nothing is

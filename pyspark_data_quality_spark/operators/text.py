@@ -927,17 +927,15 @@ def distinctive_terms(
     # null-safe group join: a NULL group key is a segment of its own
     # (same convention as normalize_columns/impute); plain equality
     # would silently drop its rows from the keyness output
-    grp_totals = grp_totals.select(
-        F.col(group_col).alias("_gk"), F.col("_ga")
-    )
+    from ..plans.joins import join_null_safe
+
     scored = (
-        pairs.filter(F.col("_a") >= min_count)
-        .join(tok_totals, "_t")
-        .join(
-            F.broadcast(grp_totals),
-            F.col(group_col).eqNullSafe(F.col("_gk")),
+        join_null_safe(
+            pairs.filter(F.col("_a") >= min_count).join(tok_totals, "_t"),
+            grp_totals,
+            [group_col],
+            broadcast=True,
         )
-        .drop("_gk")
         .crossJoin(F.broadcast(grand))
         .withColumn("_g2", F.round(g2, round_to))
         .withColumn("_ratio", F.round(ratio, round_to))

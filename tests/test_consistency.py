@@ -284,6 +284,15 @@ def test_merge_duplicates_policies(spark):
     }
     assert got["g1"] == "web" and got["g2"] is None
 
+    # a NULL group KEY is a group of its own and still receives its
+    # elected mode (null-safe join back)
+    nullkey = spark.createDataFrame(
+        [(None, 1, "web"), (None, 2, "web"), (None, 3, "api")],
+        "g string, id bigint, src string",
+    )
+    nk = merge_duplicates(nullkey, "g", "id", {"src": "most_common"}).first()
+    assert nk["g"] is None and nk["src"] == "web" and nk["n_records"] == 3
+
     with pytest.raises(ValueError):
         merge_duplicates(df, "g", "id", {})
     with pytest.raises(ValueError):
