@@ -31,8 +31,53 @@ import threading
 
 from ..functions.expr import let_bind as _let
 
-#: serializes the constraint-propagation conf swap in dedup_components
+#: guards the refcounted constraint-propagation conf swap below — held
+#: only for the set/restore bookkeeping, never across a label loop, so
+#: concurrent dedup_components calls run their (minutes-long) loops in
+#: parallel while the conf stays "false" until the LAST one exits.
 _CONF_SWAP_LOCK = threading.Lock()
+#: id(session) -> [active-loop refcount, conf value to restore]
+_CONF_SWAP_STATE: dict = {}
+
+
+class _constraints_off:
+    """Context manager: disable ``spark.sql.constraintPropagation.enabled``
+    for the session while ANY dedup_components label loop is active on it.
+
+    Refcounted per session: the first entrant saves the previous value
+    and flips the conf off; the last exiter restores it. The lock guards
+    only the bookkeeping, so concurrent loops are not serialized. A
+    concurrent UNRELATED query planned on the same session still sees the
+    conf off while a loop runs (inherent to SQLConf being session-scoped
+    — documented limitation, optimization-only impact); callers who need
+    full isolation can run dedup_components on ``spark.newSession()``.
+    """
+
+    _CONF = "spark.sql.constraintPropagation.enabled"
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._key = id(spark)
+
+    def __enter__(self):
+        with _CONF_SWAP_LOCK:
+            state = _CONF_SWAP_STATE.get(self._key)
+            if state is None:
+                prev = self._spark.conf.get(self._CONF, "true")
+                self._spark.conf.set(self._CONF, "false")
+                _CONF_SWAP_STATE[self._key] = [1, prev]
+            else:
+                state[0] += 1
+        return self
+
+    def __exit__(self, *exc):
+        with _CONF_SWAP_LOCK:
+            state = _CONF_SWAP_STATE[self._key]
+            state[0] -= 1
+            if state[0] == 0:
+                del _CONF_SWAP_STATE[self._key]
+                self._spark.conf.set(self._CONF, state[1])
+        return False
 from ..functions.text import (
     char_ngrams,
     doc_fingerprint,
@@ -796,20 +841,11 @@ def dedup_components(
     # (UnionBase.rewriteConstraints: "key not found: <attr>") when
     # upstream constraints reference pruned attributes. The loop joins
     # only checkpointed leaves and has no filters for constraints to
-    # improve, so turning it off here costs nothing. The save/set/restore
-    # is serialized by a process-wide lock so two concurrent calls can't
-    # interleave and strand the conf at "false"; a concurrent UNRELATED
-    # query planned from another thread during the loop still sees the
-    # session-global conf off (inherent to SQLConf being session-scoped
-    # — documented limitation, optimization-only impact).
-    _CONSTRAINT_CONF = "spark.sql.constraintPropagation.enabled"
-    with _CONF_SWAP_LOCK:
-        _prev_conf = spark.conf.get(_CONSTRAINT_CONF, "true")
-        spark.conf.set(_CONSTRAINT_CONF, "false")
-        try:
-            return _dedup_components_loop(edges, labels, max_iter)
-        finally:
-            spark.conf.set(_CONSTRAINT_CONF, _prev_conf)
+    # improve, so turning it off here costs nothing. _constraints_off is
+    # refcounted per session: concurrent loops run in parallel and the
+    # conf is restored when the last one exits.
+    with _constraints_off(spark):
+        return _dedup_components_loop(edges, labels, max_iter)
 
 
 def _dedup_components_loop(

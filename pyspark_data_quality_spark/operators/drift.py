@@ -581,8 +581,11 @@ def value_set_drift(
         raise ValueError("value_set_drift: cols must be non-empty")
 
     def _values(df: DataFrame, tag: str) -> DataFrame:
-        # array-of-structs (not create_map): struct fields keep real
-        # NULLs, so a genuine NULL and the string 'NULL' stay distinct.
+        # array-of-structs, not create_map: both carry real NULL values
+        # (see top_values/column_entropy for the map shape), but here we
+        # need one (column, value) ROW per cell to feed distinct() — a
+        # map would require explode(map) anyway, and the struct array
+        # exploded once is the same single shuffle with fewer steps.
         pair = F.explode(
             F.array(
                 *[

@@ -36,6 +36,18 @@ def join_null_safe(
             "join_null_safe: full-outer needs call-site key coalescing "
             "— see operators/diff.py for that shape"
         )
+    shared = (set(right.columns) - set(keys)) & set(left.columns)
+    if shared:
+        raise ValueError(
+            "join_null_safe: non-key columns shared by both sides would be "
+            f"ambiguous downstream: {sorted(shared)} — rename them first"
+        )
+    clobbered = {f"_gk_{k}" for k in keys} & (set(left.columns) | set(right.columns))
+    if clobbered:
+        raise ValueError(
+            f"join_null_safe: reserved rename target(s) already present: "
+            f"{sorted(clobbered)}"
+        )
     renamed = right.select(
         *[F.col(k).alias(f"_gk_{k}") for k in keys],
         *[c for c in right.columns if c not in keys],

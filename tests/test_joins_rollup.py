@@ -199,3 +199,50 @@ def test_group_top_k(spark):
         df, ["g"], "v", k=1, ascending=True, tiebreak_col="id"
     ).collect()
     assert [(r["g"], r["id"]) for r in bottom] == [("g1", 4), ("g2", 5)]
+
+
+def test_join_null_safe_guards_and_null_groups(spark):
+    from pyspark_data_quality_spark.plans.joins import join_null_safe
+
+    left = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), ("b", 3.0)], ["k", "x"]
+    )
+    stats = spark.createDataFrame(
+        [("a", 10.0), (None, 20.0)], ["k", "s"]
+    )
+    got = {
+        r["k"]: r["s"]
+        for r in join_null_safe(left, stats, ["k"], "left").collect()
+    }
+    # NULL key joins its own group; unmatched key survives the left join
+    assert got == {"a": 10.0, None: 20.0, "b": None}
+
+    # non-key column shared by both sides -> loud failure, not ambiguity
+    clash = spark.createDataFrame([("a", 9.0)], ["k", "x"])
+    with pytest.raises(ValueError, match="ambiguous"):
+        join_null_safe(left, clash, ["k"])
+
+    # reserved _gk_<key> name on either side -> loud failure
+    reserved = spark.createDataFrame([("a", 1.0)], ["k", "_gk_k"])
+    with pytest.raises(ValueError, match="_gk_k"):
+        join_null_safe(left, reserved, ["k"])
+    with pytest.raises(ValueError, match="_gk_k"):
+        join_null_safe(reserved, stats.withColumnRenamed("s", "s2"), ["k"])
+
+
+def test_constraints_off_refcount(spark):
+    from pyspark_data_quality_spark.operators.dedup import (
+        _CONF_SWAP_STATE,
+        _constraints_off,
+    )
+
+    conf = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(conf, "true")
+    with _constraints_off(spark):
+        assert spark.conf.get(conf) == "false"
+        with _constraints_off(spark):  # nested entrant: still off
+            assert spark.conf.get(conf) == "false"
+        # inner exit must NOT restore while the outer loop is active
+        assert spark.conf.get(conf) == "false"
+    assert spark.conf.get(conf) == prev
+    assert id(spark) not in _CONF_SWAP_STATE
