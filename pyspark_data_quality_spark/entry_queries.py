@@ -731,6 +731,117 @@ def dq_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dq_neardup_recall")  # rows-only: recall harness over approximate near-dup
+def dq_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair quality made driver-visible — the near_dup_eval
+    tuning harness (operators/dedup.py) applied to the two approximate
+    pair generators, exactly as dq_ann_recall does for ANN:
+
+    - MinHash vs the exact char-3-gram Jaccard@0.5 ground truth on the
+      same FIXED 100-doc subset dq_ngram_jaccard certifies. Two configs:
+      the high-recall 32-band shape and a 16-band shape showing the
+      bands knob (recall drops, cost drops).
+    - SimHash banded blocking vs BRUTE-FORCE 64-bit Hamming@8 on a
+      FIXED 500-doc subset — the right ground truth for SimHash: the
+      signature itself is deterministic, the banding is the lossy part,
+      so the harness isolates exactly what the approximation loses.
+      Two configs: the 4-band entry shape and the 8-band recall-tilted
+      shape (8-bit bands catch nearly every hamming<=8 pair).
+
+    ``meets_floor`` is a per-config regression guard asserted by
+    tests/test_registry.py, not a universal quality claim: the fixture
+    corpus shares one vocabulary (weakly-discriminative char-grams) and
+    its simhashes spread wide — the adversarial case; floors are set
+    with slack under the sf0.01 measurements (1.0 / 0.79 / 0.42 / 1.0).
+    Precision is floored at 0.9 for every config: both generators
+    verify candidates exactly (estimated-jaccard / exact hamming), so
+    precision certifies the verify step. The O(n²) hamming ground truth
+    is a bounded, documented oracle baseline (125k pairs), the same
+    contract as dq_embedding_pairs_exact. Seeded/deterministic, but not
+    SQL-expressible without replaying the LSH in the oracle —
+    rows-only by design."""
+    from .functions.vectors import simhash_np
+    from .operators.dedup import (
+        hamming64,
+        minhash_near_dup_pairs,
+        near_dup_eval,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    docs100 = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 100)
+        .localCheckpoint()
+    )
+    jac_exact = (
+        ngram_jaccard_pairs(
+            docs100, "text", "doc_id", shingle_n=3, threshold=0.5,
+            use_lsh_blocking=False,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    docs500 = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 500)
+        .localCheckpoint()
+    )
+    sig = docs500.select(
+        F.col("doc_id").alias("_id"), simhash_np(42)(F.col("text")).alias("_sh")
+    ).filter(F.col("_sh").isNotNull())
+    ham_exact = (
+        sig.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa"))
+        .join(
+            sig.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb")),
+            F.col("id_a") < F.col("id_b"),
+        )
+        .filter(hamming64(F.col("_sa"), F.col("_sb")) <= 8)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    prec_floor = 0.9
+    configs = [
+        ("minhash", "hashes=64,bands=32,t=0.5", 0.85, jac_exact,
+         minhash_near_dup_pairs(
+             docs100, "text", "doc_id", shingle="char", shingle_n=3,
+             threshold=0.5, num_hashes=64, num_bands=32,
+         )),
+        ("minhash", "hashes=64,bands=16,t=0.5", 0.55, jac_exact,
+         minhash_near_dup_pairs(
+             docs100, "text", "doc_id", shingle="char", shingle_n=3,
+             threshold=0.5, num_hashes=64, num_bands=16,
+         )),
+        ("simhash", "hamming<=8,bands=4 (entry)", 0.2, ham_exact,
+         simhash_near_dup_pairs(docs500, "text", "doc_id", max_hamming=8)),
+        ("simhash", "hamming<=8,bands=8", 0.8, ham_exact,
+         simhash_near_dup_pairs(
+             docs500, "text", "doc_id", max_hamming=8, num_bands=8,
+         )),
+    ]
+    rows = []
+    for method, label, rec_floor, exact, approx in configs:
+        r = near_dup_eval(approx, exact).first()
+        meets = (
+            r["recall"] is not None
+            and r["recall"] >= rec_floor
+            and r["precision"] is not None
+            and r["precision"] >= prec_floor
+        )
+        rows.append(
+            (
+                method, label, r["n_exact"], r["n_approx"], r["n_hit"],
+                r["precision"], r["recall"], rec_floor, meets,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "method string, config string, n_exact long, n_approx long, "
+        "n_hit long, precision double, recall double, recall_floor double, "
+        "meets_floor boolean",
+    ).orderBy("method", "config")
+
+
 # ---------------------------------------------------------------------------
 # Streaming checks over `events` (SURVEY §7.5) — the entry queries run the
 # SAME plan in batch mode (Structured Streaming's unified model; the
@@ -2800,6 +2911,78 @@ def dq_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query("dq_sem_recall")  # rows-only: recall harness over semantic dedup
+def dq_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup quality made driver-visible: precision/recall of
+    semantic_dedup's within-cluster pairs against the exact brute-force
+    cosine>=0.4 ground truth on the FIXED 500-vector subset
+    dq_embedding_pairs_exact certifies — replacing the unit-test-only
+    planted-duplicate claim with a per-round floor. Two configs: the
+    16-cluster entry shape and a 4-cluster recall-tilted shape (fewer
+    cluster boundaries to split true pairs across). ``meets_floor`` is a
+    regression guard asserted by tests/test_registry.py: the fixture
+    embeddings are uniform-random — the ADVERSARIAL case for a k-means
+    quantizer (cosine-0.4 pairs land in one cluster barely more often
+    than chance), so floors sit with slack under the sf0.01
+    measurements (0.37 / 0.56); clustered production embeddings recall
+    far higher (SemDeDup's operating assumption). Precision is floored
+    at 0.99: within-cluster candidates are verified by exact cosine, so
+    any false positive is a real defect. Rows-only by design (k-means
+    quantizer is not SQL-expressible)."""
+    from .operators.dedup import (
+        embedding_near_dup_pairs,
+        near_dup_eval,
+        semantic_dedup,
+    )
+
+    emb = (
+        _emb_double(spark, sf_dir)
+        .filter(F.col("vec_id") < 500)
+        .localCheckpoint()
+    )
+    exact = (
+        embedding_near_dup_pairs(
+            emb, "embedding", "vec_id", threshold=0.4, brute_force=True
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    prec_floor = 0.99
+    configs = [
+        ("semantic", "clusters=16 (entry)", 0.2,
+         semantic_dedup(
+             emb, "embedding", "vec_id",
+             threshold=0.4, num_clusters=16, sample_size=512,
+         )),
+        ("semantic", "clusters=4", 0.35,
+         semantic_dedup(
+             emb, "embedding", "vec_id",
+             threshold=0.4, num_clusters=4, sample_size=512,
+         )),
+    ]
+    rows = []
+    for method, label, rec_floor, approx in configs:
+        r = near_dup_eval(approx.select("id_a", "id_b"), exact).first()
+        meets = (
+            r["recall"] is not None
+            and r["recall"] >= rec_floor
+            and r["precision"] is not None
+            and r["precision"] >= prec_floor
+        )
+        rows.append(
+            (
+                method, label, r["n_exact"], r["n_approx"], r["n_hit"],
+                r["precision"], r["recall"], rec_floor, meets,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "method string, config string, n_exact long, n_approx long, "
+        "n_hit long, precision double, recall double, recall_floor double, "
+        "meets_floor boolean",
+    ).orderBy("method", "config")
+
+
 @query(
     "dq_tfidf",
     f"""
@@ -2968,6 +3151,96 @@ def dq_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, "lineitem", sf_dir)
     return sketch_rollup(li, "l_extendedprice", group_by=["l_returnflag"])
+
+
+@query("dq_sketch_tol")  # rows-only: sketch-vs-exact tolerance harness
+def dq_sketch_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch accuracy made driver-visible: dq_sketch_rollup's HLL
+    distinct and KLL quantile estimates checked against the EXACT values
+    on the same (lineitem, l_extendedprice, l_returnflag) rollup —
+    replacing the unit-test-only tolerance claim with a per-round floor,
+    the dq_ann_recall pattern applied to sketches. Per group row (3
+    groups + the merged __total__ row, so the total certifies SKETCH
+    MERGING, not just per-group sketching):
+
+    - ``distinct_rel_err``: |HLL estimate − exact distinct| / exact
+      (HLL default ~1-2%; floor 0.05).
+    - ``max_rank_err``: KLL is a RANK-error sketch, so the right metric
+      is where the estimated quantile actually falls in the data, not
+      its value distance — max over q∈{0.25,0.5,0.75} of
+      |rank(q̂)/n − q| (KLL default ~1.7%; floor 0.03).
+
+    Shape: exact side in ONE pass — each row explodes into its group
+    label and '__total__' (the GROUPING SETS trick), broadcast-joins
+    the k-row estimate frame, then a single groupBy computes the exact
+    distinct count and the three conditional rank counts together.
+    Assumes the group column has no genuine NULL groups (sketch_rollup
+    marks the total row with NULL — its documented output contract).
+    ``meets_floor`` asserted by tests/test_registry.py. Rows-only by
+    design: the estimates are engine-specific (DuckDB's HLL/quantile
+    sketches estimate differently), which is the point of certifying
+    tolerance rather than values."""
+    from .operators.profile import sketch_rollup
+
+    li = load_table(spark, "lineitem", sf_dir)
+    est = sketch_rollup(li, "l_extendedprice", group_by=["l_returnflag"]).select(
+        F.coalesce(F.col("l_returnflag"), F.lit("__total__")).alias("grp"),
+        "n",
+        "distinct_est",
+        F.col("`q0.25`").alias("_q1"),
+        F.col("`q0.5`").alias("_q2"),
+        F.col("`q0.75`").alias("_q3"),
+    )
+    base = li.select(
+        F.col("l_extendedprice").alias("_v"),
+        F.explode(
+            F.array(F.col("l_returnflag").cast("string"), F.lit("__total__"))
+        ).alias("grp"),
+    ).filter(F.col("_v").isNotNull())
+    exact = (
+        base.join(F.broadcast(est.select("grp", "_q1", "_q2", "_q3")), "grp")
+        .groupBy("grp")
+        .agg(
+            F.countDistinct("_v").alias("distinct_exact"),
+            (F.sum((F.col("_v") <= F.col("_q1")).cast("long")) / F.count("_v"))
+            .alias("_r1"),
+            (F.sum((F.col("_v") <= F.col("_q2")).cast("long")) / F.count("_v"))
+            .alias("_r2"),
+            (F.sum((F.col("_v") <= F.col("_q3")).cast("long")) / F.count("_v"))
+            .alias("_r3"),
+        )
+    )
+    distinct_tol, rank_tol = 0.05, 0.03
+    return (
+        est.join(F.broadcast(exact), "grp")
+        .select(
+            "grp",
+            "n",
+            "distinct_est",
+            "distinct_exact",
+            F.round(
+                F.abs(F.col("distinct_est") - F.col("distinct_exact"))
+                / F.col("distinct_exact"),
+                6,
+            ).alias("distinct_rel_err"),
+            F.round(
+                F.greatest(
+                    F.abs(F.col("_r1") - F.lit(0.25)),
+                    F.abs(F.col("_r2") - F.lit(0.5)),
+                    F.abs(F.col("_r3") - F.lit(0.75)),
+                ),
+                6,
+            ).alias("max_rank_err"),
+            F.lit(distinct_tol).alias("distinct_tol"),
+            F.lit(rank_tol).alias("rank_tol"),
+        )
+        .withColumn(
+            "meets_floor",
+            (F.col("distinct_rel_err") <= F.col("distinct_tol"))
+            & (F.col("max_rank_err") <= F.col("rank_tol")),
+        )
+        .orderBy("grp")
+    )
 
 
 @query(
