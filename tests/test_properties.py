@@ -6,7 +6,10 @@ runs ONE Spark job, comparing against a pure-Python model — Spark's
 per-query latency makes per-example jobs impractical.
 """
 
+import math
 import string
+
+import pytest
 
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
@@ -520,3 +523,182 @@ def test_value_set_drift_matches_python_model(spark, cur_vals, ref_vals):
     assert row["n_new"] == len(cs - rs)
     assert row["n_gone"] == len(rs - cs)
     assert row["jaccard"] == round(len(cs & rs) / len(cs | rs), 6)
+
+
+# ---------------------------------------------------------------------------
+# Standing NULL-adversarial sweep (three consecutive review rounds found
+# NULL-semantics defects — sentinel collisions, NULL-key join drops).
+# One shared fixture where every column mixes a real NULL, the string
+# 'NULL', NaN, the empty string, and a NULL group key; every value-bucket
+# operator family (drift, profile, impute, merge, diff, keyness) runs
+# over it with hand-computed expectations. A future operator that buckets
+# values or joins on group keys should be added here.
+# ---------------------------------------------------------------------------
+
+_ADV_SCHEMA = "grp string, sval string, nval double, id bigint"
+_ADV_CUR = [
+    ("g1", "NULL", 1.0, 1),
+    ("g1", None, 3.0, 2),
+    ("g1", "", 3.0, 3),
+    (None, "a", float("nan"), 4),
+    (None, None, None, 5),
+    ("g2", "NULL", 4.0, 6),
+    ("g2", "b", None, 7),
+    ("NULL", "a", 5.0, 8),
+]
+_ADV_REF = [
+    ("g1", "NULL", 1.0, 1),
+    ("g1", "a", 3.0, 2),
+    (None, "a", 2.0, 4),
+    (None, "", None, 5),
+    ("NULL", None, 5.0, 8),
+]
+
+
+@pytest.fixture(scope="module")
+def adv_cur(spark):
+    return spark.createDataFrame(_ADV_CUR, _ADV_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def adv_ref(spark):
+    return spark.createDataFrame(_ADV_REF, _ADV_SCHEMA)
+
+
+def test_adversarial_top_values_buckets(spark, adv_cur):
+    from pyspark_data_quality_spark.operators.profile import top_values
+
+    rows = top_values(adv_cur, ["sval"], k=10).collect()
+    got = {r["value"]: r["count"] for r in rows}
+    # real NULL, 'NULL', and '' are three distinct buckets
+    assert got == {None: 2, "NULL": 2, "": 1, "a": 2, "b": 1}
+
+
+def test_adversarial_column_entropy(spark, adv_cur):
+    from pyspark_data_quality_spark.operators.profile import column_entropy
+
+    r = column_entropy(adv_cur, ["sval"]).first()
+    assert r["n_distinct"] == 5  # NULL, 'NULL', '', a, b
+
+
+def test_adversarial_categorical_drift(spark, adv_cur, adv_ref):
+    from pyspark_data_quality_spark.operators.drift import (
+        categorical_drift,
+        psi_summary,
+    )
+
+    rows = categorical_drift(adv_cur, adv_ref, ["sval"]).collect()
+    by_val = {r["value"]: r for r in rows}
+    # exactly one merged row per identity; NULL merged across sides
+    assert len(rows) == 5
+    assert by_val[None]["p_cur"] == 0.25 and by_val[None]["p_ref"] == 0.2
+    assert by_val["NULL"]["p_cur"] == 0.25 and by_val["NULL"]["p_ref"] == 0.2
+    assert by_val[""]["p_cur"] == 0.125 and by_val[""]["p_ref"] == 0.2
+    assert by_val["b"]["p_cur"] == 0.125 and by_val["b"]["p_ref"] == 0.0
+    psi = psi_summary(adv_cur, adv_ref, ["sval"]).first()
+    assert psi["psi"] is not None and math.isfinite(psi["psi"])
+
+
+def test_adversarial_impute_null_group(spark, adv_cur):
+    from pyspark_data_quality_spark.operators.repair import impute
+
+    # mean, grouped: the NULL group imputes from ITS OWN values
+    got = {
+        r["id"]: r["nval"]
+        for r in impute(
+            adv_cur, ["nval"], strategy="mean", group_by=["grp"]
+        ).collect()
+    }
+    assert got[7] == 4.0          # g2 mean over {4.0}
+    assert math.isnan(got[5])     # NULL group mean over {NaN} = NaN, not lost
+    assert math.isnan(got[4])     # NaN is a value, not a null to fill
+    assert got[8] == 5.0          # string-'NULL' group untouched
+
+    # mode, grouped: exercises the null-safe mode join back
+    gots = {
+        r["id"]: r["sval"]
+        for r in impute(
+            adv_cur, ["sval"], strategy="mode", group_by=["grp"]
+        ).collect()
+    }
+    assert gots[2] == ""          # g1 tie 'NULL' vs '' -> smaller value ''
+    assert gots[5] == "a"         # NULL group mode from its own rows
+    assert gots[1] == "NULL"      # non-null values never rewritten
+
+
+def test_adversarial_merge_most_common(spark, adv_cur):
+    from pyspark_data_quality_spark.operators.merge import merge_duplicates
+
+    rows = merge_duplicates(
+        adv_cur, "grp", "id", {"sval": "most_common"}
+    ).collect()
+    got = {r["grp"]: r["sval"] for r in rows}
+    assert len(rows) == 4         # g1, g2, 'NULL', and the real-NULL group
+    assert got["g1"] == ""        # NULL excluded; tie 'NULL'/'' -> ''
+    assert got[None] == "a"       # NULL group merges like any other
+    assert got["g2"] == "NULL"    # the string 'NULL' is a normal value
+    assert got["NULL"] == "a"
+
+
+def test_adversarial_table_diff_null_keys(spark, adv_cur, adv_ref):
+    from pyspark_data_quality_spark.operators.diff import table_diff
+
+    rows = table_diff(
+        adv_cur, adv_ref, ["grp", "id"], compare_cols=["sval", "nval"]
+    ).collect()
+    got = {r["status"]: r["n"] for r in rows}
+    # (g1,3),(g2,6),(g2,7) added; (g1,2) NULL->'a', (None,4) NaN!=2.0,
+    # (None,5) NULL!='' (a real NULL and the empty string are different
+    # values), ('NULL',8) 'a'->NULL changed; (g1,1) unchanged. The two
+    # NULL-key rows matched as ONE identity each — never added+removed
+    assert got == {"added": 3, "changed": 4, "unchanged": 1}
+
+
+def test_adversarial_reconcile_null_keys(spark, adv_cur):
+    from pyspark_data_quality_spark.operators.diff import reconcile_aggregates
+
+    summary = spark.createDataFrame(
+        [("g1", 6.0), (None, 9.0), ("g2", 99.0), ("NULL", 8.0)],
+        "grp string, total double",
+    )
+    rows = reconcile_aggregates(
+        adv_cur, summary, ["grp"], {"id": "total"}
+    ).collect()
+    got = {r["grp"]: r["matched"] for r in rows}
+    assert got[None] is True      # NULL key reconciles (sum ids 4+5=9)
+    assert got["g1"] is True and got["NULL"] is True
+    assert got["g2"] is False     # 13 != 99
+
+
+def test_adversarial_keyness_null_group(spark):
+    from pyspark_data_quality_spark.operators.text import distinctive_terms
+
+    df = spark.createDataFrame(
+        [
+            (None, "zebra zebra common common"),
+            (None, "zebra zebra common"),
+            ("NULL", "yak yak common common"),
+            ("NULL", "yak yak common"),
+            ("g", "xray xray common common"),
+            ("g", "xray xray common"),
+        ],
+        "grp string, text string",
+    )
+    rows = distinctive_terms(df, "text", "grp", k=3, min_count=2).collect()
+    top = {r["grp"]: r["token"] for r in rows if r["rank"] == 1}
+    # the real-NULL group and the string-'NULL' group are scored apart,
+    # each against the REST of the corpus (null-safe group totals)
+    assert top[None] == "zebra"
+    assert top["NULL"] == "yak"
+    assert top["g"] == "xray"
+
+
+def test_adversarial_value_set_drift(spark, adv_cur, adv_ref):
+    from pyspark_data_quality_spark.operators.drift import value_set_drift
+
+    r = value_set_drift(adv_cur, adv_ref, ["sval"]).first()
+    # cur {NULL,'NULL','',a,b} vs ref {NULL,'NULL','',a}: b is new,
+    # nothing gone, jaccard 4/5
+    assert (r["n_cur_values"], r["n_ref_values"]) == (5, 4)
+    assert (r["n_new"], r["n_gone"]) == (1, 0)
+    assert r["jaccard"] == 0.8
