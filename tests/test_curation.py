@@ -193,3 +193,48 @@ def test_curation_rebalance_stage(spark):
         r for r in plain.collect()
         if r["curation_status"] == "rebalanced_out"
     ]
+
+
+def test_curation_minhash_stage_meets_recall_floor(spark, sf_dir):
+    """Self-certify the ONE approximate curation stage: the near-dup
+    MinHash config curate_corpus ships (64 hashes x 16 bands, 3-word
+    shingles, t=0.8) must recover the exact word-shingle Jaccard>=0.8
+    pairs on the fixture corpus. 16 bands x 4 rows catches s>=0.8 with
+    ~99.98% probability, so the floor is strict; precision is floored
+    too because candidates are verified against the signature-estimated
+    jaccard. Complements dq_neardup_recall (which certifies the char-
+    gram and SimHash shapes) with the exact config curation uses."""
+    from pyspark_data_quality_spark.functions.text import word_shingles
+    from pyspark_data_quality_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        near_dup_eval,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint()
+    sh = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.array_distinct(word_shingles("text", 3)).alias("_sh"),
+    ).withColumn("_n", F.size("_sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = F.size(F.array_intersect(F.col("l._sh"), F.col("r._sh")))
+    jac = F.try_divide(
+        inter.cast("double"), F.col("l._n") + F.col("r._n") - inter
+    )
+    exact = (
+        l.join(r, F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            jac.alias("j"),
+        )
+        .filter(F.col("j") >= 0.8)
+        .select("id_a", "id_b")
+    )
+    approx = minhash_near_dup_pairs(
+        docs, "text", "doc_id", num_hashes=64, num_bands=16,
+        shingle="word", shingle_n=3, threshold=0.8,
+    ).select("id_a", "id_b")
+    ev = near_dup_eval(approx, exact).first()
+    assert ev["n_exact"] > 0, "fixture lost its near-dup pairs"
+    assert ev["recall"] >= 0.9, f"curation MinHash recall {ev['recall']}"
+    assert ev["precision"] >= 0.9, f"curation MinHash precision {ev['precision']}"
