@@ -764,42 +764,54 @@ def dq_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import (
         hamming64,
         minhash_near_dup_pairs,
-        near_dup_eval,
         ngram_jaccard_pairs,
         simhash_near_dup_pairs,
     )
 
-    docs100 = (
-        load_table(spark, "documents", sf_dir)
-        .filter(F.col("doc_id") < 100)
-        .localCheckpoint()
-    )
-    jac_exact = (
-        ngram_jaccard_pairs(
-            docs100, "text", "doc_id", shingle_n=3, threshold=0.5,
-            use_lsh_blocking=False,
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
+    # ONE materialized corpus subset (the 100-doc slice filters it in
+    # memory), and the two O(n²)-bounded ground truths checkpoint
+    # CONCURRENTLY — independent jobs, so the harness pays the slower
+    # one, not the sum.
+    from concurrent.futures import ThreadPoolExecutor
+
     docs500 = (
         load_table(spark, "documents", sf_dir)
         .filter(F.col("doc_id") < 500)
         .localCheckpoint()
     )
-    sig = docs500.select(
-        F.col("doc_id").alias("_id"), simhash_np(42)(F.col("text")).alias("_sh")
-    ).filter(F.col("_sh").isNotNull())
-    ham_exact = (
-        sig.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa"))
-        .join(
-            sig.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb")),
-            F.col("id_a") < F.col("id_b"),
+    docs100 = docs500.filter(F.col("doc_id") < 100)
+
+    def _jac_exact():
+        return (
+            ngram_jaccard_pairs(
+                docs100, "text", "doc_id", shingle_n=3, threshold=0.5,
+                use_lsh_blocking=False,
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint()
         )
-        .filter(hamming64(F.col("_sa"), F.col("_sb")) <= 8)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
+
+    def _ham_exact():
+        sig = docs500.select(
+            F.col("doc_id").alias("_id"),
+            simhash_np(42)(F.col("text")).alias("_sh"),
+        ).filter(F.col("_sh").isNotNull())
+        return (
+            sig.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa"))
+            .join(
+                sig.select(
+                    F.col("_id").alias("id_b"), F.col("_sh").alias("_sb")
+                ),
+                F.col("id_a") < F.col("id_b"),
+            )
+            .filter(hamming64(F.col("_sa"), F.col("_sb")) <= 8)
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        jac_f, ham_f = pool.submit(_jac_exact), pool.submit(_ham_exact)
+        jac_exact, ham_exact = jac_f.result(), ham_f.result()
     prec_floor = 0.9
     configs = [
         ("minhash", "hashes=64,bands=32,t=0.5", 0.85, jac_exact,
@@ -819,8 +831,29 @@ def dq_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              docs500, "text", "doc_id", max_hamming=8, num_bands=8,
          )),
     ]
-    rows = []
-    for method, label, rec_floor, exact, approx in configs:
+    rows = _eval_configs_concurrently(configs, prec_floor)
+    return spark.createDataFrame(
+        rows,
+        "method string, config string, n_exact long, n_approx long, "
+        "n_hit long, precision double, recall double, recall_floor double, "
+        "meets_floor boolean",
+    ).orderBy("method", "config")
+
+
+def _eval_configs_concurrently(configs, prec_floor: float) -> list:
+    """Run one near_dup_eval job per (method, label, rec_floor, exact,
+    approx) config CONCURRENTLY and fold each to a result row. The
+    per-config jobs are small and independent (bounded fixture subsets,
+    checkpointed ground truths), so driver-side thread fan-out lets the
+    scheduler interleave them — per-job Python-worker/Arrow overhead
+    overlaps instead of summing, and the harness costs roughly its
+    slowest config rather than the total."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .operators.dedup import near_dup_eval
+
+    def one(cfg):
+        method, label, rec_floor, exact, approx = cfg
         r = near_dup_eval(approx, exact).first()
         meets = (
             r["recall"] is not None
@@ -828,18 +861,13 @@ def dq_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             and r["precision"] is not None
             and r["precision"] >= prec_floor
         )
-        rows.append(
-            (
-                method, label, r["n_exact"], r["n_approx"], r["n_hit"],
-                r["precision"], r["recall"], rec_floor, meets,
-            )
+        return (
+            method, label, r["n_exact"], r["n_approx"], r["n_hit"],
+            r["precision"], r["recall"], rec_floor, meets,
         )
-    return spark.createDataFrame(
-        rows,
-        "method string, config string, n_exact long, n_approx long, "
-        "n_hit long, precision double, recall double, recall_floor double, "
-        "meets_floor boolean",
-    ).orderBy("method", "config")
+
+    with ThreadPoolExecutor(max_workers=len(configs)) as pool:
+        return list(pool.map(one, configs))
 
 
 # ---------------------------------------------------------------------------
@@ -2929,11 +2957,7 @@ def dq_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 0.99: within-cluster candidates are verified by exact cosine, so
     any false positive is a real defect. Rows-only by design (k-means
     quantizer is not SQL-expressible)."""
-    from .operators.dedup import (
-        embedding_near_dup_pairs,
-        near_dup_eval,
-        semantic_dedup,
-    )
+    from .operators.dedup import embedding_near_dup_pairs, semantic_dedup
 
     emb = (
         _emb_double(spark, sf_dir)
@@ -2949,32 +2973,18 @@ def dq_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prec_floor = 0.99
     configs = [
-        ("semantic", "clusters=16 (entry)", 0.2,
+        ("semantic", "clusters=16 (entry)", 0.2, exact,
          semantic_dedup(
              emb, "embedding", "vec_id",
              threshold=0.4, num_clusters=16, sample_size=512,
-         )),
-        ("semantic", "clusters=4", 0.35,
+         ).select("id_a", "id_b")),
+        ("semantic", "clusters=4", 0.35, exact,
          semantic_dedup(
              emb, "embedding", "vec_id",
              threshold=0.4, num_clusters=4, sample_size=512,
-         )),
+         ).select("id_a", "id_b")),
     ]
-    rows = []
-    for method, label, rec_floor, approx in configs:
-        r = near_dup_eval(approx.select("id_a", "id_b"), exact).first()
-        meets = (
-            r["recall"] is not None
-            and r["recall"] >= rec_floor
-            and r["precision"] is not None
-            and r["precision"] >= prec_floor
-        )
-        rows.append(
-            (
-                method, label, r["n_exact"], r["n_approx"], r["n_hit"],
-                r["precision"], r["recall"], rec_floor, meets,
-            )
-        )
+    rows = _eval_configs_concurrently(configs, prec_floor)
     return spark.createDataFrame(
         rows,
         "method string, config string, n_exact long, n_approx long, "

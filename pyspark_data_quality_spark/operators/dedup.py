@@ -1298,21 +1298,34 @@ def near_dup_eval(
 
     Pairs are canonicalized (min, max) so orientation never miscounts.
     One row: (n_approx, n_exact, n_hit, precision, recall, f1). Shape:
-    two pair-set distincts + one hash semi join + three bounded counts
-    (deliberate actions over pair sets the caller already bounded) —
-    costs nothing next to the pair generation itself.
+    ONE job — two pair-set distincts feeding one null-safe full-outer
+    join on the (a, b) spine, folded by a single 1-row aggregate. (The
+    previous three-count shape re-ran the approximate PAIR GENERATION
+    once per count; with four configs in dq_neardup_recall that tripled
+    the harness cost.)
     """
-    def canon(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.least(F.col(id_a), F.col(id_b)).alias("a"),
-            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
-        ).distinct()
+    def canon(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(
+                F.least(F.col(id_a), F.col(id_b)).alias("a"),
+                F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+            )
+            .distinct()
+            .withColumn(tag, F.lit(True))
+        )
 
-    ap, ex = canon(approx_pairs), canon(exact_pairs)
-    hits = ap.join(ex, ["a", "b"], "semi")
-    n_a = ap.count()
-    n_e = ex.count()
-    n_h = hits.count()
+    ap = canon(approx_pairs, "_in_ap")
+    ex = canon(exact_pairs, "_in_ex")
+    counts = (
+        ap.join(ex, ["a", "b"], "full_outer")
+        .agg(
+            F.count("_in_ap").alias("n_a"),
+            F.count("_in_ex").alias("n_e"),
+            F.count(F.when(F.col("_in_ap") & F.col("_in_ex"), 1)).alias("n_h"),
+        )
+        .first()
+    )
+    n_a, n_e, n_h = counts["n_a"], counts["n_e"], counts["n_h"]
     prec = n_h / n_a if n_a else None
     rec = n_h / n_e if n_e else None
     f1 = (
