@@ -694,20 +694,27 @@ def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
          ivf_topk(emb, queries_df, centroids=cents, k=10, nprobe=16)),
     ]
     n_exact = exact.count()
-    rows = []
-    for method, label, floor, df in configs:
+
+    def _one(cfg):
+        # per-config jobs are independent and bounded — run them from a
+        # thread pool so the scheduler interleaves them (same shape as
+        # _eval_configs_concurrently in dq_neardup_recall)
+        method, label, floor, df = cfg
         hits = (
             df.select("query_id", "neighbor_id")
             .join(exact, ["query_id", "neighbor_id"], "semi")
             .count()
         )
         recall = round(hits / n_exact, 6) if n_exact else None
-        rows.append(
-            (
-                method, label, n_exact, hits, recall, floor,
-                recall is not None and recall >= floor,
-            )
+        return (
+            method, label, n_exact, hits, recall, floor,
+            recall is not None and recall >= floor,
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(configs)) as pool:
+        rows = list(pool.map(_one, configs))
     return spark.createDataFrame(
         rows,
         "method string, config string, n_exact long, n_hit long, "
