@@ -82,3 +82,51 @@ def compact_dataset(
         df = df.sortWithinPartitions(*sort_within)
     df.write.mode(mode).format(fmt).save(dst_path)
     return n_files
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "error",
+    format: str = "parquet",
+) -> None:
+    """Write ``df`` as a BUCKETED catalog table — the storage-level
+    answer to "this join shuffles every run".
+
+    Hash-bucketing by the join/aggregation key at write time means every
+    subsequent equi-join or groupBy on ``bucket_by`` between tables with
+    the SAME bucket count reads co-located data: Spark's planner drops
+    the Exchange on both sides (`spark.sql.sources.bucketing.enabled`,
+    on by default), so a fact-fact join over 100 TB pays ZERO shuffle
+    instead of re-hashing the corpus per query. ``sort_by`` additionally
+    pre-sorts within buckets, letting sort-merge join skip its sort.
+
+    Bucketing metadata lives in the catalog, so this writes via
+    ``saveAsTable`` (plain ``.save(path)`` silently drops bucketing —
+    the classic pitfall); ``path`` makes it an EXTERNAL table at that
+    location with only metadata in the catalog. Pick ``num_buckets`` so
+    one bucket of the LARGER table fits an executor core's working set
+    (e.g. 100 TB / 4096 buckets ≈ 25 GB per bucket pre-compression);
+    both sides of a co-located join must use the same count.
+    """
+    if not bucket_by:
+        raise ValueError("write_bucketed_table: bucket_by is required")
+    if num_buckets < 1:
+        raise ValueError(
+            f"write_bucketed_table: num_buckets must be >= 1, got {num_buckets}"
+        )
+    w = (
+        df.write.mode(mode)
+        .format(format)
+        .bucketBy(num_buckets, *bucket_by)
+    )
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -178,3 +178,49 @@ def test_orc_round_trip(spark, tmp_path):
     # partition pruning works on the ORC layout too
     pruned = back.filter(F.col("src") == "s1")
     assert pruned.count() == 33
+
+
+def test_write_bucketed_table_colocated_join(spark, tmp_path):
+    """Bucketed writes must actually buy the shuffle-free join: two
+    tables bucketed by the same key and count sort-merge-join with NO
+    Exchange on either side; a bucketed-vs-plain join keeps its
+    Exchange (sanity that the assertion bites)."""
+    import pytest as _pytest
+
+    from pyspark_data_quality_spark.sinks.dataset import write_bucketed_table
+
+    a = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("x")
+    )
+    b = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("y")
+    )
+    write_bucketed_table(
+        a, "t_bkt_a", bucket_by=["k"], num_buckets=8, sort_by=["k"],
+        path=str(tmp_path / "a"),
+    )
+    write_bucketed_table(
+        b, "t_bkt_b", bucket_by=["k"], num_buckets=8, sort_by=["k"],
+        path=str(tmp_path / "b"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_bkt_a").join(spark.table("t_bkt_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffle
+        assert j.count() == 5000
+
+        j2 = spark.table("t_bkt_a").join(b, "k")
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2  # plain side still re-hashes
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+    with _pytest.raises(ValueError, match="bucket_by"):
+        write_bucketed_table(a, "t_bad", bucket_by=[], num_buckets=8)
+    with _pytest.raises(ValueError, match="num_buckets"):
+        write_bucketed_table(a, "t_bad", bucket_by=["k"], num_buckets=0)
