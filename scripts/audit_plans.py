@@ -31,6 +31,40 @@ import __spark_entry__ as entry_mod  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
+#: entries whose nested-loop joins are documented and bounded: either the
+#: deliberate O(n²)/O(n·q) oracle baselines over fixed subsets, or
+#: crossJoins that broadcast a 1-ROW aggregate (constant fan-out, not
+#: quadratic). `--assert` fails on a nested loop appearing anywhere else.
+NESTED_LOOP_OK = {
+    "dq_topk_bruteforce",        # brute-force baseline (documented)
+    "dq_embedding_pairs_exact",  # O(n²) oracle baseline, fixed 500 rows
+    "dq_ngram_jaccard",          # exact-path baseline, fixed 100 docs
+    "dq_neardup_recall",         # harness ground truths (bounded subsets)
+    "dq_sem_recall",             # exact baseline over fixed 500 vectors
+    "dq_wasserstein",            # 1-row total broadcasts
+    "dq_winsorize",              # 1-row bounds broadcast
+    "dq_join_diagnosis",         # 1-row totals broadcast
+    "dq_fuzzy_pairs",            # 1-row threshold broadcast
+    "dq_normalize",              # 1-row global-stats broadcast
+    "dq_impute",                 # 1-row global-stat broadcast (ungrouped)
+    "dq_outliers",               # 1-row bounds broadcast
+    "dq_mahalanobis",            # 1-row covariance broadcast
+    "dq_tfidf",                  # 1-row doc-count broadcast
+    "dq_unigram_nll",            # 1-row vocab-total broadcast
+    "dq_vocab_richness",         # 1-row totals broadcast
+    "dq_zipf",                   # 1-row totals broadcast
+    "dq_diversity",              # 1-row totals broadcast
+    "dq_metrics_report",         # driver-built result table
+    "dq_corpus_kl",              # 1-row group-total broadcast
+    "dq_matched_sample",         # 1-row limiting-stratum scale broadcast
+    "dq_emb_drift",              # two 1-row mean vectors joined
+    "dq_keyness",                # 1-row corpus-total broadcast
+    "dq_group_completeness",     # 1-row global-ratio broadcast
+    "dq_group_freshness",        # 1-row global-freshness broadcast
+    "dq_histogram",              # 1-row min/max bounds broadcast
+    "dq_numeric_drift",          # two 1-row stats frames joined
+}
+
 
 def main() -> None:
     spark = (
@@ -43,7 +77,10 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    only = sys.argv[1] if len(sys.argv) > 1 else None
+    args = [a for a in sys.argv[1:] if a != "--assert"]
+    strict = "--assert" in sys.argv[1:]
+    only = args[0] if args else None
+    violations: list[str] = []
 
     for name, fn in entry_mod.queries().items():
         if only and name != only:
@@ -76,14 +113,22 @@ def main() -> None:
         flags = []
         if nested:
             flags.append(f"NESTED_LOOP x{nested}")
+            if name not in NESTED_LOOP_OK:
+                violations.append(f"{name}: unexpected nested-loop join")
         if py_row:
             flags.append(f"ROW_PYTHON_UDF x{py_row}")
+            violations.append(f"{name}: row-at-a-time Python UDF")
         print(
             f"{name:32s} shuffles={n_exchange:2d} scans={n_scan} "
             f"pushed={pushed} arrow_udf={py_arrow} codegen={wsc:2d} "
             f"{' '.join(flags)}"
         )
     spark.stop()
+    if strict and violations:
+        print("PLAN GATE FAILED:")
+        for v in violations:
+            print(f"  {v}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
