@@ -3200,6 +3200,9 @@ def dq_sketch_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.profile import sketch_rollup
 
     li = load_table(spark, "lineitem", sf_dir)
+    # k-row estimate frame feeds TWO consumers (the exact side's join
+    # and the final comparison join) — checkpoint so the sketch
+    # aggregation over lineitem runs once, not once per consumer
     est = sketch_rollup(li, "l_extendedprice", group_by=["l_returnflag"]).select(
         F.coalesce(F.col("l_returnflag"), F.lit("__total__")).alias("grp"),
         "n",
@@ -3207,7 +3210,7 @@ def dq_sketch_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`q0.25`").alias("_q1"),
         F.col("`q0.5`").alias("_q2"),
         F.col("`q0.75`").alias("_q3"),
-    )
+    ).localCheckpoint()
     base = li.select(
         F.col("l_extendedprice").alias("_v"),
         F.explode(

@@ -31,6 +31,15 @@ import threading
 
 from ..functions.expr import let_bind as _let
 
+from ..functions.text import (
+    char_ngrams,
+    doc_fingerprint,
+    normalize_text,
+    tokenize,
+    word_shingles,
+)
+
+
 #: guards the refcounted constraint-propagation conf swap below — held
 #: only for the set/restore bookkeeping, never across a label loop, so
 #: concurrent dedup_components calls run their (minutes-long) loops in
@@ -78,13 +87,6 @@ class _constraints_off:
                 del _CONF_SWAP_STATE[self._key]
                 self._spark.conf.set(self._CONF, state[1])
         return False
-from ..functions.text import (
-    char_ngrams,
-    doc_fingerprint,
-    normalize_text,
-    tokenize,
-    word_shingles,
-)
 
 
 def _bucket_pairs(
