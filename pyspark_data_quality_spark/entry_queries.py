@@ -2050,6 +2050,60 @@ def dq_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix.select("doc_id", "mix_source")
 
 
+@query(
+    "dq_token_mix",
+    r"""
+    WITH n AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               x -> x <> '')) AS BIGINT) AS mix_tokens,
+             CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                         WHEN 'src2' THEN 0.2 END AS p
+      FROM documents
+    ), tot AS (
+      SELECT source, sum(mix_tokens) AS t, any_value(p) AS sp
+      FROM n WHERE p IS NOT NULL GROUP BY source
+    ), feas AS (
+      SELECT CASE WHEN count(*) = 3 THEN min(floor(t / sp)) ELSE 0 END AS ft
+      FROM tot
+    ), bud AS (
+      SELECT source, floor(sp * ft) AS b FROM tot, feas
+    ), c AS (
+      SELECT n.*,
+             sum(mix_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+      FROM n
+    )
+    SELECT c.doc_id, c.source, c.mix_tokens,
+           coalesce(c.p IS NOT NULL AND b IS NOT NULL AND e <= b, FALSE)
+             AS mix_keep
+    FROM c LEFT JOIN bud USING (source)
+    ORDER BY doc_id
+    """,
+)
+def dq_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-weighted training mix over documents: sources src0/src1/src2
+    at 50/30/20 BY TOKENS — budgets from the feasible total (min over
+    sources of tokens/share), greedy md5-ordered prefix fill per source,
+    every row annotated keep/out (operators/split.py token_budget_mix;
+    distributed prefix-sum method — the oracle is the textbook per-source
+    SQL cumsum)."""
+    from .operators.split import token_budget_mix
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = token_budget_mix(
+        docs, "doc_id", "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        text_col="text",
+    )
+    return out.select("doc_id", "source", "mix_tokens", "mix_keep").orderBy(
+        "doc_id"
+    )
+
+
 # Synthetic CDC mutation of orders, shared by the diff entries: drop every
 # 13th key, bump totalprice on every 7th, add negated copies of every 17th
 # (keys that cannot collide with the originals).

@@ -160,6 +160,161 @@ def mix_corpora(
     return out
 
 
+def token_budget_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    target: dict[str, float],
+    *,
+    text_col: str | None = None,
+    token_count_col: str | None = None,
+    total_tokens: int | None = None,
+    salt: str = "",
+    keep_col: str = "mix_keep",
+    tokens_col: str = "mix_tokens",
+    method: str = "partitioned",
+) -> DataFrame:
+    """TOKEN-weighted training-mix assembly: annotate each row with
+    whether it makes the mix when source proportions are specified in
+    TOKENS, the unit LLM data recipes are actually written in ("30%
+    code BY TOKENS") — :func:`mix_corpora` / :func:`stratified_sample`
+    sample by ROWS, which skews the token mix whenever document length
+    differs by source (it always does: code files vs tweets).
+
+    Budget math (all in-plan, no driver action): target shares are
+    normalized; the feasible total is ``T = min_s floor(tokens_s /
+    p_s)`` — the largest total for which every source can fill its
+    share — optionally capped by ``total_tokens``; each source's budget
+    is ``floor(p_s * T)``. Within a source, rows enter the mix in
+    md5(id+salt) order (the deterministic-sample stability contract: a
+    row's membership is a pure function of ids + salt + the corpus
+    totals) until the budget is reached — the greedy prefix never
+    exceeds the budget (document granularity may leave it slightly
+    under-filled).
+
+    Annotate-not-filter: EVERY input row comes back with ``tokens_col``
+    and boolean ``keep_col``; rows whose source is absent from
+    ``target`` (including NULL sources) get ``keep_col = false``.
+
+    Scale shape: one small per-source total aggregate (map-side
+    partials) broadcast back; the per-source running token offset uses
+    the distributed prefix-sum shape of :func:`pack_sequences`
+    (``method='partitioned'``: range partition by (source, hash),
+    per-partition local cumsum, small (source, partition)-offsets
+    broadcast) so no single task ever holds a whole source;
+    ``method='single_task'`` keeps the textbook per-source window for
+    tiny frames and the DuckDB oracle.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import token_count
+
+    if not target:
+        raise ValueError("token_budget_mix: target must be non-empty")
+    for k, v in target.items():
+        if v <= 0:
+            raise ValueError(
+                f"token_budget_mix: share for {k!r} must be > 0, got {v}"
+            )
+    if (text_col is None) == (token_count_col is None):
+        raise ValueError(
+            "token_budget_mix: exactly one of text_col/token_count_col"
+        )
+    if method not in ("partitioned", "single_task"):
+        raise ValueError(f"token_budget_mix: unknown method {method!r}")
+    tot = sum(target.values())
+    shares = {k: v / tot for k, v in target.items()}
+
+    n_tok = (
+        F.col(token_count_col) if token_count_col else token_count(text_col)
+    )
+    # literal share lookup (no join): NULL for non-target sources
+    p = None
+    for k, v in sorted(shares.items()):
+        cond = F.col(source_col).cast("string") == F.lit(k)
+        p = F.when(cond, F.lit(v)) if p is None else p.when(cond, F.lit(v))
+    base = df.withColumn(
+        tokens_col, F.coalesce(n_tok.cast("long"), F.lit(0))
+    ).withColumn("_p", p)
+
+    totals = (
+        base.filter(F.col("_p").isNotNull())
+        .groupBy(F.col(source_col).cast("string").alias("_src"))
+        .agg(F.sum(tokens_col).alias("_t"), F.first("_p").alias("_sp"))
+    )
+    # feasible total + per-source budget over ONE global window on the
+    # k-row totals frame (a single-partition window over |sources| rows
+    # — not data-sized; also avoids joining totals to a frame derived
+    # from itself, which trips Catalyst's attribute dedup). Missing
+    # target sources contribute no totals row -> they can fill nothing,
+    # so the feasible total snaps to zero unless every share is present.
+    w_all = Window.partitionBy(F.lit(1))
+    feasible = F.min(F.floor(F.col("_t") / F.col("_sp"))).over(w_all)
+    if total_tokens is not None:
+        feasible = F.least(feasible, F.lit(int(total_tokens)))
+    t_col = F.when(
+        F.count(F.lit(1)).over(w_all) == len(shares), feasible
+    ).otherwise(F.lit(0))
+    budgets = totals.select(
+        "_src", F.floor(F.col("_sp") * t_col).alias("_budget")
+    )
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    if method == "single_task":
+        w = (
+            Window.partitionBy(F.col(source_col).cast("string"))
+            .orderBy(h.asc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = base.withColumn("_end", F.sum(tokens_col).over(w))
+    else:
+        ranged = base.repartitionByRange(
+            F.col(source_col).asc_nulls_first(), h.asc(), F.col(id_col).asc()
+        ).withColumn("_pid", F.spark_partition_id())
+        w_local = (
+            Window.partitionBy(F.col(source_col).cast("string"), "_pid")
+            .orderBy(h.asc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = ranged.withColumn("_end_loc", F.sum(tokens_col).over(w_local))
+        totals_p = ranged.groupBy(
+            F.col(source_col).cast("string").alias("_osrc"), "_pid"
+        ).agg(F.sum(tokens_col).alias("_pt"))
+        w_prior = (
+            Window.partitionBy("_osrc")
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals_p.select(
+            "_osrc",
+            F.col("_pid").alias("_opid"),
+            F.coalesce(F.sum("_pt").over(w_prior), F.lit(0)).alias("_off"),
+        )
+        cum = (
+            local.join(
+                F.broadcast(offsets),
+                F.col(source_col).cast("string").eqNullSafe(F.col("_osrc"))
+                & (F.col("_pid") == F.col("_opid")),
+            )
+            .drop("_osrc", "_opid")
+            .withColumn("_end", F.col("_end_loc") + F.col("_off"))
+        )
+    out = cum.join(
+        F.broadcast(budgets),
+        F.col(source_col).cast("string") == F.col("_src"),
+        "left",
+    ).withColumn(
+        keep_col,
+        F.col("_p").isNotNull()
+        & F.col("_budget").isNotNull()
+        & (F.col("_end") <= F.col("_budget")),
+    )
+    drop = ["_p", "_end", "_src", "_budget"]
+    if method != "single_task":
+        drop += ["_pid", "_end_loc", "_off"]
+    return out.drop(*drop)
+
+
 # ---------------------------------------------------------------------------
 # Training-sequence shaping: packing and chunking. The last mile of a
 # pretraining pipeline — documents become fixed-width token windows.

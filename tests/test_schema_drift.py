@@ -586,3 +586,74 @@ def test_completeness_by_group(spark):
         completeness_by_group(df, [], ["g"])
     with pytest.raises(ValueError):
         completeness_by_group(df, ["x"], [])
+
+
+def test_token_budget_mix_hand_computed(spark):
+    """Token-weighted mix: budgets derive from the FEASIBLE total
+    (min over sources of tokens/share), greedy md5-prefix fill never
+    exceeds a budget, both prefix-sum methods agree, and non-target /
+    NULL sources are annotated out, not dropped."""
+    import hashlib
+    import math
+
+    from pyspark_data_quality_spark.operators.split import token_budget_mix
+
+    rows = [(1, "A", 5), (2, "A", 4), (3, "A", 3), (4, "B", 6), (5, "B", 1),
+            (6, None, 9), (7, "C", 4)]
+    df = spark.createDataFrame(rows, "id bigint, src string, nt bigint")
+
+    def py_model(target, cap=None):
+        shares = {k: v / sum(target.values()) for k, v in target.items()}
+        tot = {}
+        for i, s, n in rows:
+            if s in shares:
+                tot[s] = tot.get(s, 0) + n
+        T = (min(math.floor(tot[s] / shares[s]) for s in shares)
+             if set(tot) == set(shares) else 0)
+        if cap is not None:
+            T = min(T, cap)
+        bud = {s: math.floor(shares[s] * T) for s in tot}
+        keep = {}
+        for s in {r[1] for r in rows}:
+            grp = sorted(
+                (r for r in rows if r[1] == s),
+                key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+            )
+            c = 0
+            for i, _, n in grp:
+                c += n
+                keep[i] = (s in bud) and c <= bud[s]
+        return keep
+
+    for method in ("partitioned", "single_task"):
+        out = token_budget_mix(
+            df, "id", "src", {"A": 0.5, "B": 0.5},
+            token_count_col="nt", method=method,
+        ).collect()
+        got = {r["id"]: r["mix_keep"] for r in out}
+        assert got == py_model({"A": 1, "B": 1}), method
+        assert len(out) == len(rows)  # annotate-not-filter
+
+        capped = {
+            r["id"]: r["mix_keep"]
+            for r in token_budget_mix(
+                df, "id", "src", {"A": 0.5, "B": 0.5},
+                token_count_col="nt", total_tokens=8, method=method,
+            ).collect()
+        }
+        assert capped == py_model({"A": 1, "B": 1}, cap=8), method
+
+        # a target source absent from the data -> feasible total 0
+        empty = token_budget_mix(
+            df, "id", "src", {"A": 0.5, "Z": 0.5},
+            token_count_col="nt", method=method,
+        ).collect()
+        assert not any(r["mix_keep"] for r in empty), method
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        token_budget_mix(df, "id", "src", {}, token_count_col="nt")
+    with _pytest.raises(ValueError, match="must be > 0"):
+        token_budget_mix(df, "id", "src", {"A": 0.0}, token_count_col="nt")
+    with _pytest.raises(ValueError, match="exactly one"):
+        token_budget_mix(df, "id", "src", {"A": 1.0})
