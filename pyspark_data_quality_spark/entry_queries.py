@@ -4965,13 +4965,50 @@ def _verdict_rounds() -> dict[str, int]:
 CERT_WINDOW = 50
 
 
+def oracle_sql_hash(sql: str) -> str:
+    """Whitespace-insensitive content hash of an oracle SQL string —
+    formatting edits don't invalidate a certification, semantic edits do."""
+    import hashlib as _hashlib
+
+    return _hashlib.md5(" ".join(sql.split()).encode()).hexdigest()
+
+
+def _stale_by_oracle_content() -> set:
+    """Entries whose CURRENT oracle SQL differs from the hash recorded at
+    their last certification (docs/oracle_sql_hashes.json, refreshed by
+    scripts/make_cert_ledger.py at round start). A round-6 failure mode:
+    an entry's Spark code AND oracle were rewritten in tandem, but the
+    50-slot rotation had already pushed it out of the window, so its
+    ledger 'pass' certified the OLD semantics. Content-hash mismatch now
+    forces such entries back to the head of the window. Entries absent
+    from the snapshot are not flagged (no baseline to compare)."""
+    import json as _json
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    path = _os.path.join(repo, "docs", "oracle_sql_hashes.json")
+    try:
+        with open(path) as f:
+            snap = _json.load(f)
+    except (OSError, ValueError):
+        return set()
+    return {
+        k
+        for k, sql in ORACLE_SQL.items()
+        if k in snap and snap[k] != oracle_sql_hash(sql)
+    }
+
+
 def _apply_cert_order() -> tuple[list[str], list[str]]:
     last_seen = _verdict_rounds()
+    stale = _stale_by_oracle_content()
     reg = list(ENTRY_QUERIES)
     idx = {k: i for i, k in enumerate(reg)}
-    never = [k for k in reg if k not in last_seen]
+    # an entry whose oracle SQL changed since its last cert is treated
+    # as never-certified: its recorded verdict is for different semantics
+    never = [k for k in reg if k not in last_seen or k in stale]
     seen = sorted(
-        (k for k in reg if k in last_seen),
+        (k for k in reg if k in last_seen and k not in stale),
         key=lambda k: (last_seen[k], idx[k]),
     )
     order = never + seen

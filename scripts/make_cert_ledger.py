@@ -1,9 +1,15 @@
-"""Regenerate docs/CERTIFICATION.md from the registry + CORRECTNESS_r*.json.
+"""Regenerate docs/CERTIFICATION.md from the registry + CORRECTNESS_r*.json,
+and refresh docs/oracle_sql_hashes.json (the content-hash baseline that
+lets `_apply_cert_order` detect oracle-SQL edits and force re-certification).
 
 The window order itself is COMPUTED at import (entry_queries: never-
-certified first, then stalest-first) — this script just renders the
-resulting schedule. Run after adding entries or when the driver writes
-a new CORRECTNESS file:  python scripts/make_cert_ledger.py
+certified first, then content-stale, then stalest-first) — this script
+just renders the resulting schedule and maintains the hash snapshot.
+RUN AT ROUND START, before editing any oracle SQL: entries certified in
+the newest CORRECTNESS round were certified against the code as it stood
+then, so their CURRENT hashes are the certified hashes. (Seeding all
+entries is only correct immediately after a full local oracle gate —
+pass --seed-all then.)  python scripts/make_cert_ledger.py [--seed-all]
 """
 
 from __future__ import annotations
@@ -20,7 +26,41 @@ sys.path.insert(0, REPO)
 from pyspark_data_quality_spark.entry_queries import (  # noqa: E402
     ENTRY_QUERIES,
     ORACLE_SQL,
+    oracle_sql_hash,
 )
+
+
+def refresh_hash_snapshot(latest_round: dict | None, seed_all: bool) -> int:
+    """Update docs/oracle_sql_hashes.json. With ``seed_all`` (only valid
+    right after a full local oracle-gate run) every oracle entry's current
+    hash is recorded as certified; otherwise only entries the newest
+    CORRECTNESS round actually certified (hash_match true) are refreshed —
+    entries outside that window keep their previously recorded hash, so a
+    mid-rotation SQL edit keeps flagging them stale until re-certified.
+    Returns the number of entries updated."""
+    path = os.path.join(REPO, "docs", "oracle_sql_hashes.json")
+    try:
+        with open(path) as f:
+            snap = json.load(f)
+    except (OSError, ValueError):
+        snap = {}
+    updated = 0
+    for k, sql in ORACLE_SQL.items():
+        certify = seed_all or (
+            latest_round is not None
+            and latest_round.get(k, {}).get("hash_match") is True
+        )
+        if certify:
+            h = oracle_sql_hash(sql)
+            if snap.get(k) != h:
+                snap[k] = h
+                updated += 1
+    # entries deleted from the registry drop out of the snapshot
+    snap = {k: v for k, v in snap.items() if k in ORACLE_SQL}
+    with open(path, "w") as f:
+        json.dump(dict(sorted(snap.items())), f, indent=1)
+        f.write("\n")
+    return updated
 
 
 def main() -> None:
@@ -51,9 +91,12 @@ def main() -> None:
         "The driver's correctness harness certifies exactly the FIRST 50",
         "entries of `queries()` per round. With more entries than slots, the",
         "registry order is COMPUTED at import from the verdict files",
-        "(`entry_queries._apply_cert_order`): never-certified entries first,",
-        "then certified entries stalest-first, so re-certification rotates",
-        "automatically as the driver writes each round's CORRECTNESS file.",
+        "(`entry_queries._apply_cert_order`): never-certified entries first",
+        "(including entries whose oracle SQL hash no longer matches",
+        "docs/oracle_sql_hashes.json — their recorded verdict certifies",
+        "different semantics), then certified entries stalest-first, so",
+        "re-certification rotates automatically as the driver writes each",
+        "round's CORRECTNESS file.",
         "This table is the audit trail — per entry: oracle kind,",
         "driver verdicts so far, and its current window position. Locally,",
         "`scripts/check_oracle.py` runs ALL entries every round regardless of",
@@ -77,6 +120,10 @@ def main() -> None:
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}: {len(ks)} entries, {len(rounds)} recorded rounds")
+
+    latest = rounds[-1][1] if rounds else None
+    n_upd = refresh_hash_snapshot(latest, "--seed-all" in sys.argv[1:])
+    print(f"oracle_sql_hashes.json: {n_upd} entries refreshed")
 
 
 if __name__ == "__main__":

@@ -211,3 +211,62 @@ def test_sketch_tolerance_entry_meets_floors(spark, sf_dir):
             f"{r['grp']}: distinct_rel_err {r['distinct_rel_err']} or "
             f"max_rank_err {r['max_rank_err']} out of tolerance"
         )
+
+
+def test_oracle_content_hash_staleness():
+    """Content-hash staleness: formatting edits don't invalidate a cert,
+    semantic edits do, and any currently-stale entry must sit INSIDE the
+    certification window (that's the mechanism's whole point)."""
+    from pyspark_data_quality_spark.entry_queries import (
+        CERT_WINDOW,
+        ENTRY_QUERIES,
+        _stale_by_oracle_content,
+        oracle_sql_hash,
+    )
+
+    # whitespace-insensitive: reformatting is not a semantic change
+    assert oracle_sql_hash("SELECT  1\n  FROM t") == oracle_sql_hash(
+        "SELECT 1 FROM t"
+    )
+    assert oracle_sql_hash("SELECT 1 FROM t") != oracle_sql_hash(
+        "SELECT 2 FROM t"
+    )
+
+    stale = _stale_by_oracle_content()
+    window = set(list(ENTRY_QUERIES)[:CERT_WINDOW])
+    assert stale <= window, (
+        f"oracle-SQL-changed entries escaped the cert window: "
+        f"{sorted(stale - window)} — too many stale entries for one round?"
+    )
+
+
+def test_hash_snapshot_refresh_logic(tmp_path, monkeypatch):
+    """refresh_hash_snapshot certifies only hash-matched entries of the
+    newest round (or everything with seed_all), and drops deleted ones."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import make_cert_ledger as mcl
+
+    monkeypatch.setattr(mcl, "REPO", str(tmp_path))
+    (tmp_path / "docs").mkdir()
+    snap_path = tmp_path / "docs" / "oracle_sql_hashes.json"
+    fake_sql = {"dq_a": "SELECT 1", "dq_b": "SELECT 2", "dq_gone": "SELECT 3"}
+    monkeypatch.setattr(mcl, "ORACLE_SQL", fake_sql)
+
+    # seed-all records every entry
+    n = mcl.refresh_hash_snapshot(None, seed_all=True)
+    assert n == 3
+    snap = json.loads(snap_path.read_text())
+    assert set(snap) == {"dq_a", "dq_b", "dq_gone"}
+
+    # a later round certifies only dq_a; dq_b's edit stays UNrecorded,
+    # dq_gone disappears from the registry and thus the snapshot
+    fake_sql["dq_b"] = "SELECT 2 /* edited, not yet re-certified */"
+    del fake_sql["dq_gone"]
+    latest = {"dq_a": {"hash_match": True}, "dq_b": {"hash_match": None}}
+    mcl.refresh_hash_snapshot(latest, seed_all=False)
+    snap2 = json.loads(snap_path.read_text())
+    assert set(snap2) == {"dq_a", "dq_b"}
+    assert snap2["dq_b"] == snap["dq_b"]  # old hash kept -> still stale
