@@ -398,25 +398,35 @@ def quantile_drift(
     gap): it answers WHERE the distribution moved ("p90 latency grew
     18%"), which the scalar statistics cannot.
 
-    Each side's quantiles come from the distributed value-histogram
+    Both sides' quantiles come from ONE distributed value-histogram
     prefix sum (:func:`..operators.profile.value_histogram_stats` — no
-    Expand, no percentile buffers, no single-task window), so the exact
-    answer survives high-cardinality columns. Output: one row per
-    level — (q, ref_q, cur_q, shift, rel_shift), rel_shift NULL when
-    ref_q is 0.
+    Expand, no percentile buffers, no single-task window): the sides
+    union into a two-column frame (each side's values in its own
+    column, NULL-padded — the stats pass drops nulls per column), so
+    one scan + one histogram shuffle serves both, instead of a full
+    pipeline per side. Output: one row per level — (q, ref_q, cur_q,
+    shift, rel_shift), rel_shift NULL when ref_q is 0.
     """
     from .profile import value_histogram_stats
 
-    def side(df: DataFrame, name: str) -> DataFrame:
-        stats = value_histogram_stats(
-            df.select(F.col(col).alias("_v")), ["_v"],
-            quantiles=quantiles, round_to=None,
-        )
-        return stats.filter(F.col("stat") != "distinct_count").select(
-            F.col("stat"), F.col("value").alias(name)
-        )
-
-    out = side(cur, "cur_q").join(side(ref, "ref_q"), "stat", "full")
+    v = F.col(col).cast("double")
+    pad = F.lit(None).cast("double")
+    combined = cur.select(
+        v.alias("_v_cur"), pad.alias("_v_ref")
+    ).unionByName(ref.select(pad.alias("_v_cur"), v.alias("_v_ref")))
+    stats = value_histogram_stats(
+        combined, ["_v_cur", "_v_ref"], quantiles=quantiles, round_to=None
+    ).filter(F.col("stat") != "distinct_count")
+    # conditional-agg pivot, NOT a self-join of the stats frame — a join
+    # would duplicate the whole histogram subtree in the plan
+    out = stats.groupBy("stat").agg(
+        F.max(F.when(F.col("column") == "_v_cur", F.col("value"))).alias(
+            "cur_q"
+        ),
+        F.max(F.when(F.col("column") == "_v_ref", F.col("value"))).alias(
+            "ref_q"
+        ),
+    )
     q_level = F.substring("stat", 2, 32).cast("double")
     return out.select(
         q_level.alias("q"),
