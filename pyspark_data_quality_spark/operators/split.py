@@ -237,27 +237,32 @@ def token_budget_mix(
         tokens_col, F.coalesce(n_tok.cast("long"), F.lit(0))
     ).withColumn("_p", p)
 
-    totals = (
-        base.filter(F.col("_p").isNotNull())
-        .groupBy(F.col(source_col).cast("string").alias("_src"))
-        .agg(F.sum(tokens_col).alias("_t"), F.first("_p").alias("_sp"))
-    )
-    # feasible total + per-source budget over ONE global window on the
-    # k-row totals frame (a single-partition window over |sources| rows
-    # — not data-sized; also avoids joining totals to a frame derived
-    # from itself, which trips Catalyst's attribute dedup). Missing
-    # target sources contribute no totals row -> they can fill nothing,
-    # so the feasible total snaps to zero unless every share is present.
-    w_all = Window.partitionBy(F.lit(1))
-    feasible = F.min(F.floor(F.col("_t") / F.col("_sp"))).over(w_all)
-    if total_tokens is not None:
-        feasible = F.least(feasible, F.lit(int(total_tokens)))
-    t_col = F.when(
-        F.count(F.lit(1)).over(w_all) == len(shares), feasible
-    ).otherwise(F.lit(0))
-    budgets = totals.select(
-        "_src", F.floor(F.col("_sp") * t_col).alias("_budget")
-    )
+    # feasible total + per-source budget over ONE global window on a
+    # k-row per-source totals frame (a single-partition window over
+    # |sources| rows — not data-sized; also avoids joining totals to a
+    # frame derived from itself, which trips Catalyst's attribute
+    # dedup). Missing target sources contribute no totals row -> they
+    # can fill nothing, so the feasible total snaps to zero unless
+    # every share is present.
+    def _budgets(totals):
+        # totals: (_src string, _t long, _sp double), target sources only
+        w_all = Window.partitionBy(F.lit(1))
+        feasible = F.min(F.floor(F.col("_t") / F.col("_sp"))).over(w_all)
+        if total_tokens is not None:
+            feasible = F.least(feasible, F.lit(int(total_tokens)))
+        t_col = F.when(
+            F.count(F.lit(1)).over(w_all) == len(shares), feasible
+        ).otherwise(F.lit(0))
+        return totals.select(
+            "_src", F.floor(F.col("_sp") * t_col).alias("_budget")
+        )
+
+    def _share_of(src_col):
+        expr = None
+        for k, v in sorted(shares.items()):
+            c = src_col == F.lit(k)
+            expr = F.when(c, F.lit(v)) if expr is None else expr.when(c, F.lit(v))
+        return expr
 
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     if method == "single_task":
@@ -267,6 +272,11 @@ def token_budget_mix(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         cum = base.withColumn("_end", F.sum(tokens_col).over(w))
+        budgets = _budgets(
+            base.filter(F.col("_p").isNotNull())
+            .groupBy(F.col(source_col).cast("string").alias("_src"))
+            .agg(F.sum(tokens_col).alias("_t"), F.first("_p").alias("_sp"))
+        )
     else:
         ranged = base.repartitionByRange(
             F.col(source_col).asc_nulls_first(), h.asc(), F.col(id_col).asc()
@@ -298,6 +308,14 @@ def token_budget_mix(
             )
             .drop("_osrc", "_opid")
             .withColumn("_end", F.col("_end_loc") + F.col("_off"))
+        )
+        # per-source totals FOLD OUT of the same (source, partition)
+        # sums the offsets already need — no third scan of the corpus
+        budgets = _budgets(
+            totals_p.withColumn("_sp", _share_of(F.col("_osrc")))
+            .filter(F.col("_sp").isNotNull())
+            .groupBy(F.col("_osrc").alias("_src"))
+            .agg(F.sum("_pt").alias("_t"), F.first("_sp").alias("_sp"))
         )
     out = cum.join(
         F.broadcast(budgets),

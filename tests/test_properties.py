@@ -702,3 +702,73 @@ def test_adversarial_value_set_drift(spark, adv_cur, adv_ref):
     assert (r["n_cur_values"], r["n_ref_values"]) == (5, 4)
     assert (r["n_new"], r["n_gone"]) == (1, 0)
     assert r["jaccard"] == 0.8
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C", None]),     # source
+            st.integers(min_value=0, max_value=50),     # token count
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    shares=st.sampled_from(
+        [{"A": 1.0}, {"A": 0.5, "B": 0.5}, {"A": 0.7, "B": 0.2, "C": 0.1}]
+    ),
+    cap=st.one_of(st.none(), st.integers(min_value=0, max_value=200)),
+)
+def test_token_budget_mix_matches_python_model(spark, rows, shares, cap):
+    """token_budget_mix == the greedy python model for arbitrary row
+    mixes (zero-token docs, NULL sources, absent target sources,
+    token caps) — ids are synthesized as the list index."""
+    import hashlib
+    import math
+
+    from pyspark_data_quality_spark.operators.split import token_budget_mix
+
+    data = [(i, s, n) for i, (s, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id bigint, src string, nt bigint")
+
+    norm = {k: v / sum(shares.values()) for k, v in shares.items()}
+    tot: dict = {}
+    for _, s, n in data:
+        if s in norm:
+            tot[s] = tot.get(s, 0) + n
+    T = (
+        min(math.floor(tot[s] / norm[s]) for s in norm)
+        if set(tot) == set(norm)
+        else 0
+    )
+    if cap is not None:
+        T = min(T, cap)
+    bud = {s: math.floor(norm[s] * T) for s in tot}
+    expected = {}
+    for s in {r[1] for r in data}:
+        grp = sorted(
+            (r for r in data if r[1] == s),
+            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+        )
+        c = 0
+        for i, _, n in grp:
+            c += n
+            expected[i] = (s in bud) and c <= bud[s]
+
+    if not data:
+        # empty input: just assert the plan executes to zero rows
+        assert (
+            token_budget_mix(
+                df, "id", "src", shares, token_count_col="nt",
+                total_tokens=cap,
+            ).count()
+            == 0
+        )
+        return
+    got = {
+        r["id"]: r["mix_keep"]
+        for r in token_budget_mix(
+            df, "id", "src", shares, token_count_col="nt", total_tokens=cap
+        ).collect()
+    }
+    assert got == expected
