@@ -704,7 +704,7 @@ def test_adversarial_value_set_drift(spark, adv_cur, adv_ref):
     assert r["jaccard"] == 0.8
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=10, deadline=None)
 @given(
     rows=st.lists(
         st.tuples(
