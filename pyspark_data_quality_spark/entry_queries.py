@@ -1464,6 +1464,65 @@ def _drift_detail_sql(nd: int) -> str:
 """
 
 
+@query(
+    "dq_group_psi",
+    f"""
+    WITH pc AS (
+      SELECT CAST(o_orderpriority AS VARCHAR) AS grp,
+             'o_orderstatus' AS "column",
+             CAST(o_orderstatus AS VARCHAR) AS value
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{_DRIFT_SPLIT}'
+    ), pr AS (
+      SELECT CAST(o_orderpriority AS VARCHAR) AS grp,
+             'o_orderstatus' AS "column",
+             CAST(o_orderstatus AS VARCHAR) AS value
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}'
+    ), c AS (
+      SELECT grp, "column", value,
+             count(*) * 1.0
+               / sum(count(*)) OVER (PARTITION BY grp, "column") AS p_cur
+      FROM pc GROUP BY 1, 2, 3
+    ), r AS (
+      SELECT grp, "column", value,
+             count(*) * 1.0
+               / sum(count(*)) OVER (PARTITION BY grp, "column") AS p_ref
+      FROM pr GROUP BY 1, 2, 3
+    ), j AS (
+      SELECT coalesce(c.grp, r.grp) AS grp,
+             coalesce(c."column", r."column") AS "column",
+             coalesce(p_cur, 0.0) AS p_cur, coalesce(p_ref, 0.0) AS p_ref
+      FROM c FULL OUTER JOIN r
+        ON c.grp IS NOT DISTINCT FROM r.grp
+       AND c."column" = r."column"
+       AND c.value IS NOT DISTINCT FROM r.value
+    )
+    SELECT grp, "column",
+           CAST(round(sum((greatest(p_cur, 1e-6) - greatest(p_ref, 1e-6))
+                 * ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6))), 6)
+                AS DOUBLE) AS psi,
+           round(sum((greatest(p_cur, 1e-6) - greatest(p_ref, 1e-6))
+                 * ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6))), 6)
+             > 0.25 AS drifted
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def dq_group_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEGMENT PSI of o_orderstatus within each o_orderpriority
+    segment, post- vs pre-1998H2 — drift localized to one segment that
+    a global PSI averages away (operators/drift.py psi_by_group; the
+    segment-health face of dq_psi)."""
+    from .operators.drift import psi_by_group
+
+    orders = load_table(spark, "orders", sf_dir)
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    return psi_by_group(
+        orders.filter(F.col("o_orderdate") >= split),
+        orders.filter(F.col("o_orderdate") < split),
+        ["o_orderstatus"],
+        "o_orderpriority",
+    )
+
+
 @query("dq_categorical_drift", _drift_detail_sql(6))
 def dq_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(column,value) PSI drift detail between post- and pre-1998H2

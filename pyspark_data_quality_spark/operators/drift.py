@@ -384,6 +384,84 @@ def psi_summary(
     )
 
 
+def psi_by_group(
+    cur: DataFrame,
+    ref: DataFrame,
+    columns: list[str],
+    group_col: str,
+    *,
+    eps: float = DEFAULT_EPS,
+    threshold: float = 0.25,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-SEGMENT PSI: one row per (group, column) with the PSI of that
+    column's value mix WITHIN the segment, cur vs ref — drift that is
+    localized to one source/tenant/partition hides inside a healthy
+    global PSI exactly the way localized missingness hides inside a
+    global completeness ratio (the segment-level face of
+    :func:`psi_summary`, same shape as profile.completeness_by_group).
+
+    A segment present on only one side still reports: the missing
+    side's ratios clamp to ``eps``, so an appeared/vanished segment
+    shows up as maximal drift rather than silently dropping out. The
+    NULL segment is a segment (null-safe group join); a real NULL value
+    stays a distinct bucket from the string ``'NULL'``.
+
+    Scale shape: each side reduces to (group, column, value) counts in
+    ONE exploded-map shuffle (map-side combine; the shuffle carries
+    segment x vocabulary, never the corpus), merged by a null-safe
+    full-outer join on the (group, value) spine, then one bounded
+    groupBy for the per-segment sums.
+    """
+    if not columns:
+        raise ValueError("psi_by_group: columns must be non-empty")
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        pairs = df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.explode(
+                F.create_map(
+                    *[
+                        x
+                        for c in columns
+                        for x in (F.lit(c), F.col(c).cast("string"))
+                    ]
+                )
+            ).alias("column", "value"),
+        )
+        w_total = F.sum("n").over(Window.partitionBy("grp", "column"))
+        return (
+            pairs.groupBy("grp", "column", "value")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn(name, F.col("n") / w_total)
+            .drop("n")
+        )
+
+    c = side(cur, "p_cur").alias("cv")
+    r = side(ref, "p_ref").alias("rv")
+    joined = c.join(
+        r,
+        F.col("cv.grp").eqNullSafe(F.col("rv.grp"))
+        & (F.col("cv.column") == F.col("rv.column"))
+        & F.col("cv.value").eqNullSafe(F.col("rv.value")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("cv.grp"), F.col("rv.grp")).alias("grp"),
+        F.coalesce(F.col("cv.column"), F.col("rv.column")).alias("column"),
+        F.coalesce("p_cur", F.lit(0.0)).alias("p_cur"),
+        F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
+    )
+    pc = F.greatest(F.col("p_cur"), F.lit(eps))
+    pr = F.greatest(F.col("p_ref"), F.lit(eps))
+    return (
+        joined.withColumn("_term", (pc - pr) * F.log(pc / pr))
+        .groupBy("grp", "column")
+        .agg(F.round(F.sum("_term"), round_to).alias("psi"))
+        .withColumn("drifted", F.col("psi") > threshold)
+        .orderBy("grp", "column")
+    )
+
+
 def quantile_drift(
     cur: DataFrame,
     ref: DataFrame,

@@ -772,3 +772,17 @@ def test_token_budget_mix_matches_python_model(spark, rows, shares, cap):
         ).collect()
     }
     assert got == expected
+
+
+def test_adversarial_psi_by_group(spark, adv_cur, adv_ref):
+    from pyspark_data_quality_spark.operators.drift import psi_by_group
+
+    rows = psi_by_group(adv_cur, adv_ref, ["sval"], "grp").collect()
+    by_grp = {r["grp"]: r for r in rows}
+    # the real-NULL group and the string-'NULL' group score separately,
+    # and every segment from either side reports exactly once
+    assert set(by_grp) == {"g1", "g2", None, "NULL"}
+    for r in rows:
+        assert r["psi"] is not None and math.isfinite(r["psi"])
+    # g2 exists only in cur -> clamped-ratio drift fires
+    assert by_grp["g2"]["drifted"]

@@ -657,3 +657,32 @@ def test_token_budget_mix_hand_computed(spark):
         token_budget_mix(df, "id", "src", {"A": 0.0}, token_count_col="nt")
     with _pytest.raises(ValueError, match="exactly one"):
         token_budget_mix(df, "id", "src", {"A": 1.0})
+
+
+def test_psi_by_group_hand_computed(spark):
+    """Per-segment PSI: hand-checked values, one-sided segments clamp to
+    eps (maximal drift, not a dropped row), NULL segment is a segment."""
+    import math
+
+    from pyspark_data_quality_spark.operators.drift import psi_by_group
+
+    cur = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "x"), (None, "y")],
+        "grp string, v string",
+    )
+    ref = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g1", "b"), (None, "y")],
+        "grp string, v string",
+    )
+    rows = {r["grp"]: r for r in psi_by_group(cur, ref, ["v"], "grp").collect()}
+    assert set(rows) == {"g1", "g2", None}
+    # g1: (2/3-1/3)ln2 + (1/3-2/3)ln(1/2) = (2/3)ln2 ~= 0.462 > 0.25
+    assert rows["g1"]["psi"] == pytest.approx(round(2 / 3 * math.log(2), 6))
+    assert rows["g1"]["drifted"]
+    # g2 exists only in cur: ref ratio clamps to eps -> huge PSI, drifted
+    assert rows["g2"]["psi"] > 10 and rows["g2"]["drifted"]
+    # NULL segment identical on both sides -> zero drift
+    assert rows[None]["psi"] == 0.0 and not rows[None]["drifted"]
+
+    with pytest.raises(ValueError, match="non-empty"):
+        psi_by_group(cur, ref, [], "grp")
