@@ -285,6 +285,118 @@ def ks_statistic(
     )
 
 
+def ks_by_group(
+    cur: DataFrame,
+    ref: DataFrame,
+    col: str,
+    group_col: str,
+    *,
+    quantize: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-SEGMENT two-sample KS: one row per group with the KS
+    statistic of ``col`` WITHIN that segment, cur vs ref — the numeric
+    complement of :func:`psi_by_group` (categorical). One row per
+    group: ``(group, ks, n_cur, n_ref)``; a segment present on only one
+    side reports KS 1.0 (its other-side ECDF is empty), and the NULL
+    segment is a segment.
+
+    Scale shape: the sides union ONCE with a side tag and collapse to
+    (group, value, n_cur, n_ref) counts in a single shuffle (map-side
+    combine — the fused form of ks_statistic's per-side groupBys + full
+    outer join); cumulative counts run as the distributed prefix sum
+    keyed by (partition, group) with a small (group, partition)-offsets
+    broadcast, so no task ever windows a whole segment's support even
+    when one segment dominates the corpus.
+    """
+    x = F.col(col)
+    v = F.round(x, quantize) if quantize is not None else x
+    g = F.col(group_col).cast("string")
+
+    def side(df: DataFrame, a: int, b: int) -> DataFrame:
+        return df.filter(x.isNotNull()).select(
+            g.alias("grp"),
+            v.alias("x"),
+            F.lit(a).alias("_a"),
+            F.lit(b).alias("_b"),
+        )
+
+    j = (
+        side(cur, 1, 0)
+        .unionByName(side(ref, 0, 1))
+        .groupBy("grp", "x")
+        .agg(F.sum("_a").alias("n_a"), F.sum("_b").alias("n_b"))
+    )
+    ranged = j.repartitionByRange(
+        F.col("grp").asc_nulls_first(), F.col("x").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_pid", "grp")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.select(
+        "grp",
+        "n_a",
+        "n_b",
+        "_pid",
+        F.sum("n_a").over(w_local).alias("_ca_loc"),
+        F.sum("n_b").over(w_local).alias("_cb_loc"),
+    )
+    totals = ranged.groupBy("grp", "_pid").agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    w_prior = (
+        Window.partitionBy("grp")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_allp = (
+        Window.partitionBy("grp")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offsets = totals.select(
+        F.col("grp").alias("_ogrp"),
+        F.col("_pid").alias("_opid"),
+        F.coalesce(F.sum("_ta").over(w_prior), F.lit(0)).alias("_oa"),
+        F.coalesce(F.sum("_tb").over(w_prior), F.lit(0)).alias("_ob"),
+        F.sum("_ta").over(w_allp).alias("_ga"),
+        F.sum("_tb").over(w_allp).alias("_gb"),
+    )
+    # try_divide: a one-sided segment has a zero total on the other
+    # side -> its ECDF is NULL; coalesce treats it as 0 so the KS max
+    # (over the PRESENT side's full mass) reaches 1.0 instead of NULL
+    cdf_a = F.coalesce(
+        F.try_divide(F.col("_ca_loc") + F.col("_oa"), F.col("_ga")),
+        F.lit(0.0),
+    )
+    cdf_b = F.coalesce(
+        F.try_divide(F.col("_cb_loc") + F.col("_ob"), F.col("_gb")),
+        F.lit(0.0),
+    )
+    return (
+        local.join(
+            F.broadcast(offsets),
+            F.col("grp").eqNullSafe(F.col("_ogrp"))
+            & (F.col("_pid") == F.col("_opid")),
+        )
+        .select(
+            "grp",
+            F.abs(cdf_a - cdf_b).alias("_d"),
+            F.col("n_a").alias("_na"),
+            F.col("n_b").alias("_nb"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.round(F.max("_d"), round_to).alias("ks"),
+            F.sum("_na").alias("n_cur"),
+            F.sum("_nb").alias("n_ref"),
+        )
+        .orderBy(F.col("grp").asc_nulls_first())
+    )
+
+
 def wasserstein_1d(
     cur: DataFrame,
     ref: DataFrame,

@@ -686,3 +686,63 @@ def test_psi_by_group_hand_computed(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         psi_by_group(cur, ref, [], "grp")
+
+
+def test_ks_by_group_matches_scipy_model(spark):
+    """Per-segment KS equals the classic two-sample formula computed in
+    python per group; one-sided segments report KS 1.0; the NULL
+    segment is a segment; matches ks_statistic on a single segment."""
+    import bisect
+
+    from pyspark_data_quality_spark.operators.drift import (
+        ks_by_group,
+        ks_statistic,
+    )
+
+    cur_rows = [("g1", 1.0), ("g1", 2.0), ("g1", 2.0), ("g1", 9.0),
+                ("g2", 5.0), (None, 1.0), (None, 3.0)]
+    ref_rows = [("g1", 1.0), ("g1", 7.0), ("g1", 8.0),
+                (None, 1.0), (None, 3.0), ("g3", 4.0)]
+    cur = spark.createDataFrame(cur_rows, "grp string, v double")
+    ref = spark.createDataFrame(ref_rows, "grp string, v double")
+
+    def py_ks(a, b):
+        if not a or not b:
+            return 1.0
+        sa, sb = sorted(a), sorted(b)
+        support = sorted(set(a) | set(b))
+        return round(
+            max(
+                abs(
+                    bisect.bisect_right(sa, x) / len(sa)
+                    - bisect.bisect_right(sb, x) / len(sb)
+                )
+                for x in support
+            ),
+            6,
+        )
+
+    got = {r["grp"]: r for r in ks_by_group(cur, ref, "v", "grp").collect()}
+    by_grp_cur: dict = {}
+    by_grp_ref: dict = {}
+    for s, v in cur_rows:
+        by_grp_cur.setdefault(s, []).append(v)
+    for s, v in ref_rows:
+        by_grp_ref.setdefault(s, []).append(v)
+    for grp in set(by_grp_cur) | set(by_grp_ref):
+        a = by_grp_cur.get(grp, [])
+        b = by_grp_ref.get(grp, [])
+        assert got[grp]["ks"] == pytest.approx(py_ks(a, b)), grp
+        assert got[grp]["n_cur"] == len(a) and got[grp]["n_ref"] == len(b)
+    # one-sided segments reach 1.0 (not NULL, not dropped)
+    assert got["g2"]["ks"] == 1.0 and got["g3"]["ks"] == 1.0
+    # single-segment parity with the corpus-level operator
+    one = ks_by_group(
+        cur.filter("grp = 'g1'"), ref.filter("grp = 'g1'"), "v", "grp"
+    ).first()
+    whole = ks_statistic(
+        cur.filter("grp = 'g1'").select("v"),
+        ref.filter("grp = 'g1'").select("v"),
+        "v",
+    ).first()
+    assert one["ks"] == whole["ks"]
