@@ -746,3 +746,51 @@ def test_ks_by_group_matches_scipy_model(spark):
         "v",
     ).first()
     assert one["ks"] == whole["ks"]
+
+
+def test_quantile_shift_by_group(spark):
+    """Per-segment quantile shifts: sketch estimates within the KLL rank
+    tolerance of exact per-group percentiles; one-sided and NULL
+    segments report instead of dropping."""
+    import numpy as np
+
+    from pyspark_data_quality_spark.operators.drift import (
+        quantile_shift_by_group,
+    )
+
+    rng = np.random.RandomState(7)
+    cur_vals = {"g1": rng.normal(100, 10, 400), None: rng.uniform(0, 1, 200)}
+    ref_vals = {"g1": rng.normal(80, 10, 400), None: rng.uniform(0, 1, 200),
+                "gone": rng.normal(5, 1, 50)}
+    cur = spark.createDataFrame(
+        [(g, float(v)) for g, vs in cur_vals.items() for v in vs],
+        "grp string, v double",
+    )
+    ref = spark.createDataFrame(
+        [(g, float(v)) for g, vs in ref_vals.items() for v in vs],
+        "grp string, v double",
+    )
+    rows = quantile_shift_by_group(cur, ref, "v", "grp").collect()
+    by = {(r["grp"], r["q"]): r for r in rows}
+    assert {g for g, _ in by} == {"g1", None, "gone"}
+
+    # sketch medians within rank tolerance of the exact percentiles:
+    # compare through the exact CDF (value-space tolerance follows)
+    for grp, vals in (("g1", cur_vals["g1"]), (None, cur_vals[None])):
+        est = by[(grp, 0.5)]["cur_q"]
+        rank = (vals <= est).mean()
+        assert abs(rank - 0.5) <= 0.05, (grp, est, rank)
+    # the ~20-point mean shift in g1 shows up in the median shift
+    g1_mid = by[("g1", 0.5)]
+    assert 10 < g1_mid["shift"] < 30
+    assert g1_mid["rel_shift"] == pytest.approx(
+        g1_mid["shift"] / abs(g1_mid["ref_q"]), abs=1e-6
+    )
+    # vanished segment: cur side NULL, counted 0, still reported
+    gone = by[("gone", 0.5)]
+    assert gone["cur_q"] is None and gone["n_cur"] == 0 and gone["n_ref"] == 50
+    # NULL segment ~identical distributions: small shift
+    assert abs(by[(None, 0.5)]["shift"]) < 0.1
+
+    with pytest.raises(ValueError, match="non-empty"):
+        quantile_shift_by_group(cur, ref, "v", "grp", quantiles=())
