@@ -224,3 +224,29 @@ def test_write_bucketed_table_colocated_join(spark, tmp_path):
         write_bucketed_table(a, "t_bad", bucket_by=[], num_buckets=8)
     with _pytest.raises(ValueError, match="num_buckets"):
         write_bucketed_table(a, "t_bad", bucket_by=["k"], num_buckets=0)
+
+
+def test_partitioned_dataset_prunes_at_plan_level(spark, tmp_path):
+    """Hive-style partitioning must actually prune: a filter on the
+    partition column appears as PartitionFilters in the scan (directory
+    skipping), and a filter on a data column reaches PushedFilters
+    (row-group skipping) — the two pruning levels SCALE.md claims."""
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(100)],
+        "id bigint, src string, v double",
+    )
+    out = str(tmp_path / "pruned")
+    write_dataset(df, out, partition_by=["src"], mode="overwrite")
+
+    scan = read_dataset(spark, out).filter(
+        (F.col("src") == "a") & (F.col("v") > 10.0)
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # partition filter prunes directories BEFORE the scan
+    assert "PartitionFilters" in plan and "src" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # data filter is pushed to the parquet reader
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "GreaterThan(v" in pushed
+    assert scan.count() == 45  # src='a' = odd ids; v>10 keeps 11..99 odd
