@@ -1,0 +1,139 @@
+"""Segment-health composite: every per-segment signal in one typed report.
+
+Global data-quality metrics average away localized failure — a tenant
+whose column went 40% null, a source that stopped sending, a partition
+whose value mix drifted — so the per-segment operators exist
+(profile.completeness_by_group, freshness.freshness_by_group,
+drift.psi_by_group / ks_by_group). This module composes them into ONE
+long-format report a monitor can route on, the same composition move the
+rule framework makes for corpus-level metrics (plans/analysis.py fuses
+rule aggregates; here each constituent is already one bounded
+aggregation, so the composition is a union of k small frames, not a new
+scan pattern).
+
+Report schema (one row per (segment, check, column)):
+    (segment string, check string, column string, value double,
+     threshold double, flag boolean)
+
+- check='completeness': value = segment non-null ratio lift vs the
+  corpus (negative = worse); flag when lift < -completeness_tolerance.
+- check='freshness': value = lag behind the globally latest event in
+  seconds; flag when lag > stale_after_seconds.
+- check='psi': value = per-segment PSI cur-vs-ref; flag at psi_threshold.
+- check='ks': value = per-segment KS statistic; flag at ks_threshold.
+
+Sections are opt-in by argument; the NULL segment reports like any other
+(every constituent is null-safe by contract — tests/test_properties.py's
+NULL-adversarial sweep covers them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCHEMA = (
+    "segment string, check string, column string, value double, "
+    "threshold double, flag boolean"
+)
+
+
+def segment_health_report(
+    cur: DataFrame,
+    group_col: str,
+    *,
+    ref: DataFrame | None = None,
+    completeness_cols: list[str] | None = None,
+    completeness_tolerance: float = 0.05,
+    ts_col: str | None = None,
+    stale_after_seconds: float = 3600.0,
+    psi_cols: list[str] | None = None,
+    psi_threshold: float = 0.25,
+    ks_col: str | None = None,
+    ks_threshold: float = 0.1,
+    round_to: int = 6,
+) -> DataFrame:
+    """One long-format health report over ``cur``'s segments; drift
+    sections (``psi_cols``, ``ks_col``) additionally need ``ref``."""
+    if (psi_cols or ks_col) and ref is None:
+        raise ValueError(
+            "segment_health_report: psi_cols/ks_col need a ref frame"
+        )
+    if not any([completeness_cols, ts_col, psi_cols, ks_col]):
+        raise ValueError("segment_health_report: no sections requested")
+    seg = F.col(group_col).cast("string")
+    parts: list[DataFrame] = []
+
+    if completeness_cols:
+        from ..operators.profile import completeness_by_group
+
+        comp = completeness_by_group(
+            cur, completeness_cols, [group_col], round_to=round_to
+        )
+        parts.append(
+            comp.select(
+                seg.alias("segment"),
+                F.lit("completeness").alias("check"),
+                F.col("column"),
+                F.col("lift").alias("value"),
+                F.lit(-float(completeness_tolerance)).alias("threshold"),
+                (F.col("lift") < -float(completeness_tolerance)).alias("flag"),
+            )
+        )
+
+    if ts_col is not None:
+        from ..operators.freshness import freshness_by_group
+
+        fresh = freshness_by_group(
+            cur, ts_col, [group_col], stale_after_seconds=stale_after_seconds
+        )
+        parts.append(
+            fresh.select(
+                seg.alias("segment"),
+                F.lit("freshness").alias("check"),
+                F.lit(ts_col).alias("column"),
+                F.round("lag_seconds", round_to).alias("value"),
+                F.lit(float(stale_after_seconds)).alias("threshold"),
+                F.col("is_stale").alias("flag"),
+            )
+        )
+
+    if psi_cols:
+        from ..operators.drift import psi_by_group
+
+        psi = psi_by_group(
+            cur, ref, psi_cols, group_col,
+            threshold=psi_threshold, round_to=round_to,
+        )
+        parts.append(
+            psi.select(
+                F.col("grp").alias("segment"),
+                F.lit("psi").alias("check"),
+                F.col("column"),
+                F.col("psi").alias("value"),
+                F.lit(float(psi_threshold)).alias("threshold"),
+                F.col("drifted").alias("flag"),
+            )
+        )
+
+    if ks_col is not None:
+        from ..operators.drift import ks_by_group
+
+        ks = ks_by_group(cur, ref, ks_col, group_col, round_to=round_to)
+        parts.append(
+            ks.select(
+                F.col("grp").alias("segment"),
+                F.lit("ks").alias("check"),
+                F.lit(ks_col).alias("column"),
+                F.col("ks").alias("value"),
+                F.lit(float(ks_threshold)).alias("threshold"),
+                (F.col("ks") > float(ks_threshold)).alias("flag"),
+            )
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(
+        F.col("segment").asc_nulls_first(), "check", "column"
+    )

@@ -238,3 +238,64 @@ def test_curation_minhash_stage_meets_recall_floor(spark, sf_dir):
     assert ev["n_exact"] > 0, "fixture lost its near-dup pairs"
     assert ev["recall"] >= 0.9, f"curation MinHash recall {ev['recall']}"
     assert ev["precision"] >= 0.9, f"curation MinHash precision {ev['precision']}"
+
+
+def test_segment_health_report_composite(spark):
+    """The composite unions every per-segment signal into one routable
+    report: planted issues (one segment's nulls, one's drift, one's
+    staleness) each flag in their own check rows and nowhere else."""
+    import datetime
+
+    from pyspark_data_quality_spark.pipelines.segment_health import (
+        segment_health_report,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1)
+    hour = datetime.timedelta(hours=1)
+    cur_rows = (
+        # healthy segment
+        [("ok", "x", 1.0, t0 + 10 * hour) for _ in range(20)]
+        # nully segment: half the payloads missing
+        + [("holes", None if i % 2 else "x", 1.0, t0 + 10 * hour)
+           for i in range(20)]
+        # drifted segment: value mix flipped vs ref, numeric shifted
+        + [("moved", "y", 50.0, t0 + 10 * hour) for _ in range(20)]
+        # stale segment: last event 10h behind the global max
+        + [("late", "x", 1.0, t0) for _ in range(20)]
+    )
+    ref_rows = [
+        (g, "x", 1.0, t0)
+        for g in ("ok", "holes", "moved", "late")
+        for _ in range(20)
+    ]
+    schema = "seg string, payload string, v double, ts timestamp"
+    cur = spark.createDataFrame(cur_rows, schema)
+    ref = spark.createDataFrame(ref_rows, schema)
+
+    rep = segment_health_report(
+        cur, "seg",
+        ref=ref,
+        completeness_cols=["payload"],
+        ts_col="ts",
+        stale_after_seconds=3600.0,
+        psi_cols=["payload"],
+        ks_col="v",
+    ).collect()
+    flags = {(r["segment"], r["check"]): r["flag"] for r in rep}
+    # each planted issue fires exactly its own check
+    assert flags[("holes", "completeness")] is True
+    assert flags[("ok", "completeness")] is False
+    assert flags[("late", "freshness")] is True
+    assert flags[("ok", "freshness")] is False
+    assert flags[("moved", "psi")] is True
+    assert flags[("ok", "psi")] is False
+    assert flags[("moved", "ks")] is True
+    assert flags[("ok", "ks")] is False
+    # one row per (segment, check): 4 segments x 4 checks
+    assert len(rep) == 16
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="need a ref"):
+        segment_health_report(cur, "seg", psi_cols=["payload"])
+    with _pytest.raises(ValueError, match="no sections"):
+        segment_health_report(cur, "seg")
