@@ -275,3 +275,46 @@ def test_components_and_curation_empty(spark, empty_docs, tmp_path):
     assert out.count() == 0
     assert "curation_status" in out.columns and "split" in out.columns
     assert curation_stats(out).count() == 0
+
+
+def test_round7_segment_ops_empty(spark):
+    """Every round-7 operator planned over empty frames executes and
+    returns its schema with zero (or spine-only) rows — no div-by-zero,
+    no lost columns."""
+    from pyspark_data_quality_spark.operators.drift import (
+        ks_by_group,
+        psi_by_group,
+        quantile_shift_by_group,
+    )
+    from pyspark_data_quality_spark.operators.split import token_budget_mix
+    from pyspark_data_quality_spark.pipelines.segment_health import (
+        segment_health_report,
+    )
+
+    empty = spark.createDataFrame(
+        [], "grp string, sval string, v double, ts timestamp, id bigint"
+    )
+    assert psi_by_group(empty, empty, ["sval"], "grp").count() == 0
+    assert ks_by_group(empty, empty, "v", "grp").count() == 0
+    assert quantile_shift_by_group(empty, empty, "v", "grp").count() == 0
+    assert token_budget_mix(
+        empty, "id", "grp", {"a": 1.0}, token_count_col="id"
+    ).count() == 0
+    assert segment_health_report(
+        empty, "grp",
+        ref=empty, completeness_cols=["sval"], ts_col="ts",
+        psi_cols=["sval"], ks_col="v",
+    ).count() == 0
+
+    # one-sided empties: the non-empty side still reports
+    cur = spark.createDataFrame(
+        [("g", "a", 1.0, None, 1)],
+        "grp string, sval string, v double, ts timestamp, id bigint",
+    )
+    psi = psi_by_group(cur, empty, ["sval"], "grp").collect()
+    assert len(psi) == 1 and psi[0]["drifted"]  # eps-clamped max drift
+    ks = ks_by_group(cur, empty, "v", "grp").first()
+    assert ks["ks"] == 1.0 and ks["n_ref"] == 0
+    qs = quantile_shift_by_group(cur, empty, "v", "grp").collect()
+    assert {r["q"] for r in qs} == {0.25, 0.5, 0.75}
+    assert all(r["ref_q"] is None for r in qs)
