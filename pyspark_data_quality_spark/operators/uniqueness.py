@@ -148,3 +148,47 @@ class UniqueRule(Rule):
             .agg(F.count(F.lit(1)).alias("count"))
             .filter(F.col("count") > 1)
         )
+
+
+def dup_rate_by_group(
+    df: DataFrame,
+    key_cols: list[str],
+    group_cols: list[str],
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-segment duplicate rate of ``key_cols``: one row per group
+    with ``(n_rows, n_distinct, dup_ratio)`` where ``dup_ratio =
+    1 - n_distinct / n_rows`` — the segment-level face of the
+    UniqueCheck family ("which SOURCE is double-sending?"), completing
+    the per-segment quartet (completeness / freshness / drift /
+    uniqueness).
+
+    Shape: one two-level aggregation — distinct (group, key) first
+    (map-side combine collapses duplicate keys before the shuffle),
+    then a bounded per-group count — so the shuffle carries distinct
+    keys, never repeated payloads. NULL group keys and NULL key values
+    group like any other value (groupBy semantics), matching the
+    framework's NULL-is-an-identity convention.
+    """
+    if not key_cols or not group_cols:
+        raise ValueError(
+            "dup_rate_by_group: key_cols and group_cols must be non-empty"
+        )
+    per = df.groupBy(
+        *group_cols, *[F.col(k).alias(f"_k_{k}") for k in key_cols]
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        per.groupBy(*group_cols)
+        .agg(
+            F.sum("_n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_rows"), round_to
+            ),
+        )
+        .orderBy(*[F.col(c).asc_nulls_first() for c in group_cols])
+    )

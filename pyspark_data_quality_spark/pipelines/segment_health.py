@@ -19,6 +19,8 @@ Report schema (one row per (segment, check, column)):
   corpus (negative = worse); flag when lift < -completeness_tolerance.
 - check='freshness': value = lag behind the globally latest event in
   seconds; flag when lag > stale_after_seconds.
+- check='uniqueness': value = segment duplicate ratio of unique_keys
+  (1 - distinct/rows); flag when above dup_tolerance.
 - check='psi': value = per-segment PSI cur-vs-ref; flag at psi_threshold.
 - check='ks': value = per-segment KS statistic; flag at ks_threshold.
 
@@ -47,6 +49,8 @@ def segment_health_report(
     completeness_tolerance: float = 0.05,
     ts_col: str | None = None,
     stale_after_seconds: float = 3600.0,
+    unique_keys: list[str] | None = None,
+    dup_tolerance: float = 0.0,
     psi_cols: list[str] | None = None,
     psi_threshold: float = 0.25,
     ks_col: str | None = None,
@@ -59,7 +63,7 @@ def segment_health_report(
         raise ValueError(
             "segment_health_report: psi_cols/ks_col need a ref frame"
         )
-    if not any([completeness_cols, ts_col, psi_cols, ks_col]):
+    if not any([completeness_cols, ts_col, unique_keys, psi_cols, ks_col]):
         raise ValueError("segment_health_report: no sections requested")
     seg = F.col(group_col).cast("string")
     parts: list[DataFrame] = []
@@ -95,6 +99,23 @@ def segment_health_report(
                 F.round("lag_seconds", round_to).alias("value"),
                 F.lit(float(stale_after_seconds)).alias("threshold"),
                 F.col("is_stale").alias("flag"),
+            )
+        )
+
+    if unique_keys:
+        from ..operators.uniqueness import dup_rate_by_group
+
+        dup = dup_rate_by_group(
+            cur, unique_keys, [group_col], round_to=round_to
+        )
+        parts.append(
+            dup.select(
+                seg.alias("segment"),
+                F.lit("uniqueness").alias("check"),
+                F.lit(",".join(unique_keys)).alias("column"),
+                F.col("dup_ratio").alias("value"),
+                F.lit(float(dup_tolerance)).alias("threshold"),
+                (F.col("dup_ratio") > float(dup_tolerance)).alias("flag"),
             )
         )
 

@@ -272,12 +272,21 @@ def test_segment_health_report_composite(spark):
     cur = spark.createDataFrame(cur_rows, schema)
     ref = spark.createDataFrame(ref_rows, schema)
 
+    # plant duplicates in one segment: same (seg, v, ts, payload) rows
+    # already exist, so key on a synthetic id that repeats only in 'ok'
+    cur = cur.withColumn(
+        "rid",
+        F.when(F.col("seg") == "ok", F.lit(1)).otherwise(
+            F.monotonically_increasing_id() + 100
+        ),
+    )
     rep = segment_health_report(
         cur, "seg",
         ref=ref,
         completeness_cols=["payload"],
         ts_col="ts",
         stale_after_seconds=3600.0,
+        unique_keys=["rid"],
         psi_cols=["payload"],
         ks_col="v",
     ).collect()
@@ -291,8 +300,10 @@ def test_segment_health_report_composite(spark):
     assert flags[("ok", "psi")] is False
     assert flags[("moved", "ks")] is True
     assert flags[("ok", "ks")] is False
-    # one row per (segment, check): 4 segments x 4 checks
-    assert len(rep) == 16
+    assert flags[("ok", "uniqueness")] is True   # planted repeated key
+    assert flags[("late", "uniqueness")] is False
+    # one row per (segment, check): 4 segments x 5 checks
+    assert len(rep) == 20
 
     import pytest as _pytest
     with _pytest.raises(ValueError, match="need a ref"):

@@ -221,3 +221,22 @@ def test_rules_from_config_end_to_end(spark):
     with pytest.raises(RuleConfigurationError, match="bad parameters"):
         rules_from_config([{"type": "range", "column": "x",
                             "min_value": 0, "bogus_param": 1}])
+
+
+def test_dup_rate_by_group(spark):
+    from pyspark_data_quality_spark.operators.uniqueness import (
+        dup_rate_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", 1), ("s1", 1), ("s1", 2), ("s2", 3), (None, 4), (None, 4)],
+        "src string, k bigint",
+    )
+    rows = {r["src"]: r for r in dup_rate_by_group(df, ["k"], ["src"]).collect()}
+    assert rows["s1"]["n_rows"] == 3 and rows["s1"]["n_distinct"] == 2
+    assert rows["s1"]["dup_ratio"] == pytest.approx(round(1 - 2 / 3, 6))
+    assert rows["s2"]["dup_ratio"] == 0.0
+    # NULL segment is a segment; duplicate NULL-segment keys count
+    assert rows[None]["n_rows"] == 2 and rows[None]["dup_ratio"] == 0.5
+    with pytest.raises(ValueError, match="non-empty"):
+        dup_rate_by_group(df, [], ["src"])
