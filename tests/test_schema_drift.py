@@ -794,3 +794,23 @@ def test_quantile_shift_by_group(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         quantile_shift_by_group(cur, ref, "v", "grp", quantiles=())
+
+
+def test_psi_by_group_single_segment_parity(spark):
+    """A one-segment frame must reproduce the corpus-level psi_summary
+    exactly — the per-segment operator is a strict generalization."""
+    from pyspark_data_quality_spark.operators.drift import (
+        psi_by_group,
+        psi_summary,
+    )
+
+    cur = spark.createDataFrame(
+        [("s", v) for v in ["a"] * 9 + ["b"] * 1], "grp string, k string"
+    )
+    ref = spark.createDataFrame(
+        [("s", v) for v in ["a"] * 5 + ["b"] * 5], "grp string, k string"
+    )
+    seg = psi_by_group(cur, ref, ["k"], "grp").first()
+    whole = psi_summary(cur.drop("grp"), ref.drop("grp"), ["k"]).first()
+    assert seg["psi"] == whole["psi"]
+    assert seg["drifted"] == whole["drifted"]
