@@ -228,14 +228,20 @@ def token_budget_mix(
     n_tok = (
         F.col(token_count_col) if token_count_col else token_count(text_col)
     )
-    # literal share lookup (no join): NULL for non-target sources
-    p = None
-    for k, v in sorted(shares.items()):
-        cond = F.col(source_col).cast("string") == F.lit(k)
-        p = F.when(cond, F.lit(v)) if p is None else p.when(cond, F.lit(v))
+
+    def _share_of(src_col):
+        # literal share lookup (no join): NULL for non-target sources
+        expr = None
+        for k, v in sorted(shares.items()):
+            c = src_col == F.lit(k)
+            expr = (
+                F.when(c, F.lit(v)) if expr is None else expr.when(c, F.lit(v))
+            )
+        return expr
+
     base = df.withColumn(
         tokens_col, F.coalesce(n_tok.cast("long"), F.lit(0))
-    ).withColumn("_p", p)
+    ).withColumn("_p", _share_of(F.col(source_col).cast("string")))
 
     # feasible total + per-source budget over ONE global window on a
     # k-row per-source totals frame (a single-partition window over
@@ -256,13 +262,6 @@ def token_budget_mix(
         return totals.select(
             "_src", F.floor(F.col("_sp") * t_col).alias("_budget")
         )
-
-    def _share_of(src_col):
-        expr = None
-        for k, v in sorted(shares.items()):
-            c = src_col == F.lit(k)
-            expr = F.when(c, F.lit(v)) if expr is None else expr.when(c, F.lit(v))
-        return expr
 
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     if method == "single_task":
