@@ -1,0 +1,147 @@
+"""Corpus card: the one-page data card for a document corpus.
+
+Teams publish a "data card" with every corpus release — volume, quality,
+duplication, language mix, vocabulary — and re-derive it ad hoc each
+time. This composes the existing operators into ONE long-format frame
+(the corpus-level sibling of pipelines/segment_health.py):
+
+    (section string, metric string, value double, text_value string)
+
+- volume:      n_docs, total_tokens, avg_tokens, p50_tokens, empty_share,
+               null_text_share
+- quality:     avg_quality, low_quality_share, avg_stopword_ratio,
+               avg_punct_ratio
+- duplication: exact_dup_ratio (1 - distinct fingerprints / docs)
+- language:    top-k predicted languages, one row per language with its
+               share (metric = the language code)
+- vocab:       approx_distinct_tokens (HLL over the exploded token
+               stream, ~2% error — exact distinct over a 100 TB corpus'
+               vocabulary is a full extra shuffle for a card number)
+
+Scale shape: ONE text_profile pass feeds everything (persisted across
+the three consumers exactly like pipelines/curation.py — without it the
+mapInPandas profile re-runs per consumer); the volume/quality/
+duplication numbers are a single fused aggregate (countDistinct rides
+the same agg), language mix is one bounded groupBy, vocab one
+explode+HLL aggregate. Every output frame is tiny; the union is k small
+frames, not a scan pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_langs: int = 5,
+    low_quality_threshold: float = 0.75,
+    round_to: int = 6,
+    persist: bool = True,
+) -> DataFrame:
+    """One long-format corpus card; see module docstring for sections."""
+    from pyspark import StorageLevel
+
+    from ..operators.text import text_profile
+
+    profiled = text_profile(df, text_col)
+    if persist:
+        profiled = profiled.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def long_rows(section: str, metrics: dict) -> DataFrame:
+        # reshape a 1-row aggregate into (section, metric, value) rows
+        agg = profiled.agg(
+            *[expr.alias(f"_m_{i}") for i, expr in enumerate(metrics.values())]
+        )
+        return agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(section).alias("section"),
+                            F.lit(name).alias("metric"),
+                            F.col(f"_m_{i}").cast("double").alias("value"),
+                        )
+                        for i, name in enumerate(metrics)
+                    ]
+                )
+            ).alias("_r")
+        ).select(
+            "_r.section",
+            "_r.metric",
+            F.round("_r.value", round_to).alias("value"),
+            F.lit(None).cast("string").alias("text_value"),
+        )
+
+    n = F.count(F.lit(1))
+    fused = long_rows(
+        "volume",
+        {
+            "n_docs": n,
+            "total_tokens": F.sum("token_count"),
+            "avg_tokens": F.avg("token_count"),
+            "p50_tokens": F.median("token_count"),
+            "empty_share": F.avg(
+                (F.coalesce(F.col("token_count"), F.lit(0)) == 0).cast(
+                    "double"
+                )
+            ),
+            "null_text_share": F.avg(F.col(text_col).isNull().cast("double")),
+        },
+    ).unionByName(
+        long_rows(
+            "quality",
+            {
+                "avg_quality": F.avg("quality_score"),
+                "low_quality_share": F.avg(
+                    (F.col("quality_score") < low_quality_threshold).cast(
+                        "double"
+                    )
+                ),
+                "avg_stopword_ratio": F.avg("stopword_ratio"),
+                "avg_punct_ratio": F.avg("punct_ratio"),
+            },
+        )
+    ).unionByName(
+        long_rows(
+            "duplication",
+            {
+                "exact_dup_ratio": F.lit(1.0)
+                - F.try_divide(F.count_distinct("fingerprint"), n)
+            },
+        )
+    )
+
+    langs = (
+        profiled.groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("lang_pred").asc_nulls_last())
+        .limit(top_langs)
+        .crossJoin(F.broadcast(profiled.agg(n.alias("_total"))))
+        .select(
+            F.lit("language").alias("section"),
+            F.coalesce(F.col("lang_pred"), F.lit("unknown")).alias("metric"),
+            F.round(F.col("_n") / F.col("_total"), round_to).alias("value"),
+            F.col("lang_pred").alias("text_value"),
+        )
+    )
+
+    from ..functions.text import tokenize
+
+    vocab = (
+        profiled.select(F.explode(tokenize(text_col)).alias("_t"))
+        .agg(F.approx_count_distinct("_t").alias("_v"))
+        .select(
+            F.lit("vocab").alias("section"),
+            F.lit("approx_distinct_tokens").alias("metric"),
+            F.col("_v").cast("double").alias("value"),
+            F.lit(None).cast("string").alias("text_value"),
+        )
+    )
+
+    return fused.unionByName(langs).unionByName(vocab).orderBy(
+        "section", "metric"
+    )

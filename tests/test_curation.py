@@ -310,3 +310,44 @@ def test_segment_health_report_composite(spark):
         segment_health_report(cur, "seg", psi_cols=["payload"])
     with _pytest.raises(ValueError, match="no sections"):
         segment_health_report(cur, "seg")
+
+
+def test_corpus_report_card(spark, sf_dir):
+    """The corpus card's numbers must agree with independent hand
+    computations over the fixture corpus."""
+    from pyspark_data_quality_spark.pipelines.corpus_card import corpus_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = corpus_report(docs, "text", top_langs=3).collect()
+    by = {(r["section"], r["metric"]): r["value"] for r in rep}
+
+    n_docs = docs.count()
+    assert by[("volume", "n_docs")] == n_docs
+    assert by[("volume", "null_text_share")] == 0.0
+    # duplication agrees with a direct distinct count of the same hash
+    from pyspark_data_quality_spark.functions.text import doc_fingerprint
+
+    n_distinct = (
+        docs.select(doc_fingerprint("text").alias("f")).distinct().count()
+    )
+    assert by[("duplication", "exact_dup_ratio")] == pytest.approx(
+        round(1 - n_distinct / n_docs, 6)
+    )
+    # language shares: top rows sum to <= 1 and are ordered by share
+    langs = [r for r in rep if r["section"] == "language"]
+    assert 0 < len(langs) <= 3
+    assert sum(r["value"] for r in langs) <= 1.0 + 1e-9
+    # vocab estimate within HLL tolerance of the exact distinct count
+    from pyspark.sql import functions as SF
+
+    from pyspark_data_quality_spark.functions.text import tokenize
+
+    exact_vocab = (
+        docs.select(SF.explode(tokenize("text")).alias("t"))
+        .agg(SF.count_distinct("t"))
+        .first()[0]
+    )
+    est = by[("vocab", "approx_distinct_tokens")]
+    assert abs(est - exact_vocab) / exact_vocab < 0.05
+    # long-format shape: every row carries section/metric, value double
+    assert all(r["section"] and r["metric"] for r in rep)
