@@ -1,12 +1,24 @@
-"""Sinks — metric history (:mod:`.metrics`) and valid/invalid routing
-(:mod:`.quarantine`)."""
+"""Sinks — metric history (:mod:`.metrics`), valid/invalid routing
+(:mod:`.quarantine`), and dataset writers (:mod:`.dataset`: partitioned
+/ size-bounded / clustered writes, compaction, bucketed catalog
+tables)."""
 
+from .dataset import (
+    compact_dataset,
+    read_dataset,
+    write_bucketed_table,
+    write_dataset,
+)
 from .metrics import read_metrics, write_metrics
 from .quarantine import quarantine_route, read_quarantine
 
 __all__ = [
+    "compact_dataset",
     "quarantine_route",
+    "read_dataset",
     "read_metrics",
     "read_quarantine",
+    "write_bucketed_table",
+    "write_dataset",
     "write_metrics",
 ]
