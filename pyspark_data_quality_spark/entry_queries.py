@@ -2968,6 +2968,108 @@ def dq_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_dedup_bloom",
+    r"""
+    SELECT b.doc_id FROM documents b
+    WHERE b.doc_id >= 250
+      AND NOT EXISTS (
+        SELECT 1 FROM documents r
+        WHERE r.doc_id < 250
+          AND trim(regexp_replace(lower(r.text), '\s+', ' ', 'g'))
+              = trim(regexp_replace(lower(b.text), '\s+', ' ', 'g'))
+      )
+    ORDER BY doc_id
+    """,
+)
+def dq_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same incremental-dedup contract as dq_dedup_against, via the
+    broadcast Bloom prefilter scale path (operators/bloom.py
+    dedup_against_bloom): the reference folds into a fixed-size bitmap
+    (map-side bit_or, shuffle capped at num_bits/64 rows), the batch is
+    probed with pure codegen expressions against the broadcast bitmap,
+    and only the probable hits are exactly verified through two
+    broadcast joins — neither side is ever shuffled by content. Bloom
+    filters have no false negatives, so with exact verification the
+    result is row-for-row identical to the exact anti join and shares
+    its DuckDB oracle verbatim."""
+    from .operators.bloom import dedup_against_bloom
+
+    docs = load_table(spark, "documents", sf_dir)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    ref = docs.filter(F.col("doc_id") < 250)
+    return (
+        dedup_against_bloom(batch, ref, "text", expected_items=300, fpp=0.01)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dq_nb_scores",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    toks AS (
+      SELECT lang AS label, unnest(toks) AS feature
+      FROM base WHERE lang IS NOT NULL
+    ),
+    cnt AS (SELECT label, feature, count(*) AS c FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT count(DISTINCT feature) AS v FROM cnt),
+    totals AS (SELECT label, sum(c) AS total FROM cnt GROUP BY 1),
+    doc_counts AS (
+      SELECT lang AS label, count(*) AS docs
+      FROM base WHERE lang IS NOT NULL GROUP BY 1
+    ),
+    classes AS (
+      SELECT d.label,
+             ln(d.docs) - ln((SELECT sum(docs) FROM doc_counts)) AS log_prior,
+             -ln(coalesce(t.total, 0) + (SELECT v FROM vocab)) AS log_oov
+      FROM doc_counts d LEFT JOIN totals t USING (label)
+    ),
+    feats AS (SELECT feature, label, ln(c + 1.0) AS delta FROM cnt),
+    doc_feats AS (SELECT doc_id, unnest(toks) AS feature FROM base),
+    matched AS (
+      SELECT df.doc_id, f.label, sum(f.delta) AS delta_sum
+      FROM doc_feats df JOIN feats f USING (feature) GROUP BY 1, 2
+    ),
+    ntok AS (SELECT doc_id, coalesce(len(toks), 0) AS n FROM base)
+    SELECT b.doc_id, c.label AS label,
+           CAST(round(c.log_prior + n.n * c.log_oov
+                      + coalesce(m.delta_sum, 0), 6) AS DOUBLE) AS score
+    FROM base b
+    CROSS JOIN classes c
+    JOIN ntok n ON n.doc_id = b.doc_id
+    LEFT JOIN matched m ON m.doc_id = b.doc_id AND m.label = c.label
+    ORDER BY b.doc_id, c.label
+    """,
+)
+def dq_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained on the corpus
+    itself (label = lang, α=1, unhashed features so the DuckDB oracle
+    can replicate the vocabulary exactly) and scored back over every
+    document: C rows per doc of (doc_id, label, log-score)
+    (operators/classify.py). Training is two groupBys, scoring is one
+    explode + broadcast feature join + partial agg — the fastText-style
+    quality/domain filter shape, fully inside codegen. The oracle
+    recomputes the identical factored math (prior + n·oov + Σ delta) in
+    SQL; scores hash-match at 6 dp."""
+    from .operators.classify import score_nb_classifier, train_nb_classifier
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = train_nb_classifier(docs, "text", "lang")
+    scored = score_nb_classifier(docs, model, "text", ["doc_id"])
+    return scored.select(
+        "doc_id", "label", F.round("score", 6).alias("score")
+    ).orderBy("doc_id", "label")
+
+
+@query(
     "dq_winsorize",
     """
     WITH b AS (

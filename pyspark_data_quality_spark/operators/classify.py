@@ -1,0 +1,254 @@
+"""DataFrame-native trainable text classifier: multinomial Naive Bayes
+over (optionally hashed) token features — the fastText-style quality /
+domain / language filter every LLM data pipeline runs over its corpus,
+expressed entirely as Spark aggregations and broadcast joins.
+
+Why Naive Bayes and not an MLlib estimator: training IS two groupBys
+(token counts per class, document counts per class) and scoring IS one
+explode + broadcast join + re-aggregation — no iterative solver, no
+driver-side state beyond the model frames, trivially incremental
+(counts merge), and the whole thing stays inside whole-stage codegen.
+At 100 TB the model is the only thing that moves: V×C count rows
+(capped by ``num_buckets``) broadcast to executors, while the corpus is
+scanned once for training and once per scoring run.
+
+Scoring math (standard Laplace-smoothed multinomial NB, factored so
+unseen tokens need no join hit):
+
+    score(d, c) = log P(c) + n_tokens(d) · log_oov(c)
+                  + Σ_{token t ∈ d} delta(t, c)
+
+with ``log_oov(c) = ln(α) − ln(total_c + α·V)`` the log-probability of
+a token unseen in class c, and ``delta(t,c) = ln(cnt(t,c)+α) − ln(α)``
+the boost a seen token adds over that floor. Tokens absent from the
+model (pruned by ``min_count`` or truly new) contribute exactly the
+``log_oov`` floor via the ``n_tokens`` term, so the scoring join is a
+plain inner join on the seen features — no null-handling in the hot
+path.
+
+Reference parity: the reference engine has no trainable classifier
+(src/pyspark_data_quality covers rule checks only); this module is part
+of the training-data extension surface (SURVEY §2 LLM-pipeline ops),
+certified against a DuckDB replica of the same math (dq_nb_scores).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import tokenize
+
+__all__ = ["NBModel", "train_nb_classifier", "score_nb_classifier", "predict_nb"]
+
+
+@dataclass(frozen=True)
+class NBModel:
+    """A trained classifier: two small DataFrames plus the featurizer
+    parameters needed to score consistently.
+
+    ``features``: (feature, label, delta) — one row per (seen feature,
+    class); at most V×C rows where V ≤ ``num_buckets`` when hashing.
+    ``classes``: (label, log_prior, log_oov) — C rows.
+    """
+
+    features: DataFrame
+    classes: DataFrame
+    num_buckets: int | None
+    smoothing: float
+
+    def save(self, path: str) -> None:
+        """Persist as two parquet datasets + params encoded in the
+        classes frame (scale: the model is metadata-sized)."""
+        self.features.write.mode("overwrite").parquet(f"{path}/features")
+        self.classes.withColumns(
+            {
+                "_num_buckets": F.lit(
+                    -1 if self.num_buckets is None else self.num_buckets
+                ),
+                "_smoothing": F.lit(self.smoothing),
+            }
+        ).write.mode("overwrite").parquet(f"{path}/classes")
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "NBModel":
+        classes = spark.read.parquet(f"{path}/classes")
+        meta = classes.select("_num_buckets", "_smoothing").first()
+        if meta is None:
+            raise ValueError(f"NBModel.load: empty model at {path}")
+        return NBModel(
+            features=spark.read.parquet(f"{path}/features"),
+            classes=classes.drop("_num_buckets", "_smoothing"),
+            num_buckets=None if meta[0] == -1 else int(meta[0]),
+            smoothing=float(meta[1]),
+        )
+
+
+def _featurize(text_col: str, num_buckets: int | None):
+    """array<feature> for one document: tokens, hashed to ``num_buckets``
+    buckets (bounds the vocabulary — at corpus scale raw vocabularies
+    are unbounded; 2^18-2^20 buckets is the fastText-style sweet spot)
+    or kept as raw strings (oracle-friendly, small corpora)."""
+    toks = tokenize(text_col)
+    if num_buckets is None:
+        return toks
+    return F.transform(
+        toks,
+        lambda t: F.pmod(F.xxhash64(t), F.lit(num_buckets).cast("long")).cast(
+            "string"
+        ),
+    )
+
+
+def train_nb_classifier(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    *,
+    num_buckets: int | None = None,
+    smoothing: float = 1.0,
+    min_count: int = 1,
+) -> NBModel:
+    """Train on ``df`` (one row per labeled document). NULL-labeled rows
+    are excluded (an unlabeled document defines no class); NULL/empty
+    texts contribute zero tokens but still count toward their class
+    prior.
+
+    ``min_count`` prunes features whose GLOBAL occurrence count is below
+    the floor (hapax pruning — at web scale most of the vocabulary is
+    noise); pruned tokens score as out-of-vocabulary, which the
+    ``n_tokens·log_oov`` term already covers. Vocabulary size V for the
+    Laplace denominator is the post-pruning distinct feature count.
+    """
+    if smoothing <= 0:
+        raise ValueError("train_nb_classifier: smoothing must be > 0")
+    if min_count < 1:
+        raise ValueError("train_nb_classifier: min_count must be >= 1")
+    labeled = df.filter(F.col(label_col).isNotNull())
+    toks = labeled.select(
+        F.col(label_col).alias("label"),
+        F.explode(_featurize(text_col, num_buckets)).alias("feature"),
+    )
+    cnt = toks.groupBy("label", "feature").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    if min_count > 1:
+        keep = (
+            cnt.groupBy("feature")
+            .agg(F.sum("_cnt").alias("_g"))
+            .filter(F.col("_g") >= min_count)
+            .select("feature")
+        )
+        cnt = cnt.join(keep, "feature", "semi")
+    # One pass over the (small) count frame for totals and vocab size;
+    # the 1-row vocab total rides back as a broadcast crossJoin.
+    vocab = cnt.groupBy().agg(
+        F.count_distinct("feature").alias("_v")
+    )
+    totals = cnt.groupBy("label").agg(F.sum("_cnt").alias("_total"))
+    a = F.lit(float(smoothing))
+    doc_counts = labeled.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("_docs")
+    )
+    all_docs = doc_counts.groupBy().agg(F.sum("_docs").alias("_n"))
+    classes = (
+        doc_counts.crossJoin(F.broadcast(all_docs))
+        .join(totals, "label", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            (F.log("_docs") - F.log("_n")).alias("log_prior"),
+            (
+                F.log(a)
+                - F.log(F.coalesce(F.col("_total"), F.lit(0)) + a * F.col("_v"))
+            ).alias("log_oov"),
+        )
+    )
+    features = cnt.select(
+        "feature",
+        "label",
+        (F.log(F.col("_cnt") + a) - F.log(a)).alias("delta"),
+    )
+    return NBModel(
+        features=features,
+        classes=classes,
+        num_buckets=num_buckets,
+        smoothing=float(smoothing),
+    )
+
+
+def score_nb_classifier(
+    df: DataFrame,
+    model: NBModel,
+    text_col: str,
+    id_cols: list[str],
+    *,
+    broadcast_model: bool = True,
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-(document, class) log-scores: ``id_cols + (label, score)``,
+    exactly C rows per input row.
+
+    Shape: explode tokens → inner-join the feature frame (broadcast by
+    default — V×C rows; disable for huge unhashed vocabularies and let
+    AQE pick) → partial-agg the deltas per (doc, label) → join back to
+    the document×class spine (C-row broadcast crossJoin) so zero-match
+    documents still score on prior + OOV mass alone.
+    """
+    feats = model.features
+    if broadcast_model:
+        feats = F.broadcast(feats)
+    base = df.select(
+        *id_cols, _featurize(text_col, model.num_buckets).alias("_feats")
+    ).withColumn("_n_tokens", F.coalesce(F.size("_feats"), F.lit(0)))
+    matched = (
+        base.select(*id_cols, F.explode("_feats").alias("feature"))
+        .join(feats, "feature")
+        .groupBy(*id_cols, "label")
+        .agg(F.sum("delta").alias("_delta_sum"))
+    )
+    spine = base.drop("_feats").crossJoin(F.broadcast(model.classes))
+    return (
+        spine.join(matched, [*id_cols, "label"], "left")
+        .select(
+            *id_cols,
+            "label",
+            (
+                F.col("log_prior")
+                + F.col("_n_tokens") * F.col("log_oov")
+                + F.coalesce(F.col("_delta_sum"), F.lit(0.0))
+            ).alias(score_col),
+        )
+    )
+
+
+def predict_nb(
+    scored: DataFrame,
+    id_cols: list[str],
+    *,
+    score_col: str = "score",
+    label_col: str = "predicted",
+    margin_col: str | None = "margin",
+) -> DataFrame:
+    """Argmax over the per-class scores of :func:`score_nb_classifier`
+    with a deterministic tie-break (higher label string wins — struct
+    ordering), plus the top-1 vs top-2 margin as a confidence signal
+    (the usual thresholding knob for quality filters)."""
+    best = F.max(F.struct(F.col(score_col), F.col("label"))).alias("_best")
+    agg_cols = [best]
+    if margin_col is not None:
+        agg_cols.append(
+            F.sort_array(F.collect_list(score_col), asc=False).alias("_s")
+        )
+    out = scored.groupBy(*id_cols).agg(*agg_cols)
+    sel = [*id_cols, F.col(f"_best.{score_col}").alias(score_col),
+           F.col("_best.label").alias(label_col)]
+    if margin_col is not None:
+        sel.append(
+            (
+                F.element_at("_s", 1)
+                - F.coalesce(F.element_at("_s", 2), F.element_at("_s", 1))
+            ).alias(margin_col)
+        )
+    return out.select(*sel)

@@ -41,6 +41,8 @@ NESTED_LOOP_OK = {
     "dq_ngram_jaccard",          # exact-path baseline, fixed 100 docs
     "dq_neardup_recall",         # harness ground truths (bounded subsets)
     "dq_sem_recall",             # exact baseline over fixed 500 vectors
+    "dq_dedup_bloom",            # 1-row bloom-bitmap broadcast crossJoin
+    "dq_nb_scores",              # C-row class-spine broadcast crossJoin
     "dq_wasserstein",            # 1-row total broadcasts
     "dq_winsorize",              # 1-row bounds broadcast
     "dq_join_diagnosis",         # 1-row totals broadcast

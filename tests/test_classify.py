@@ -1,0 +1,167 @@
+"""Naive Bayes text classifier (operators/classify.py): planted-signal
+accuracy floors, hashed features, pruning, persistence, NULL handling."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from pyspark_data_quality_spark.operators.classify import (
+    NBModel,
+    predict_nb,
+    score_nb_classifier,
+    train_nb_classifier,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """60 docs in 3 classes with disjoint class vocabularies plus shared
+    filler — a classifier that learns anything must hit ~100% here."""
+    vocab = {
+        "sport": ["goal", "match", "team", "score", "league"],
+        "tech": ["compiler", "kernel", "tensor", "shader", "runtime"],
+        "food": ["basil", "roast", "simmer", "dough", "umami"],
+    }
+    rows = []
+    i = 0
+    for label, words in vocab.items():
+        for n in range(20):
+            body = " ".join(words[(n + j) % 5] for j in range(6))
+            rows.append(
+                Row(
+                    doc_id=i,
+                    # rare{i} is a per-doc hapax: min_count=2 prunes it
+                    text=f"the and of {body} with rare{i}",
+                    label=label,
+                )
+            )
+            i += 1
+    return spark.createDataFrame(rows)
+
+
+def test_planted_accuracy_unhashed(spark, planted):
+    model = train_nb_classifier(planted, "text", "label")
+    scored = score_nb_classifier(planted, model, "text", ["doc_id"])
+    pred = predict_nb(scored, ["doc_id"])
+    joined = pred.join(planted, "doc_id")
+    acc = joined.agg(
+        F.avg((F.col("predicted") == F.col("label")).cast("double"))
+    ).first()[0]
+    assert acc == 1.0
+    # margin is positive when the prediction is clear
+    assert joined.filter(F.col("margin") <= 0).count() == 0
+
+
+def test_planted_accuracy_hashed(spark, planted):
+    model = train_nb_classifier(planted, "text", "label", num_buckets=1 << 12)
+    pred = predict_nb(
+        score_nb_classifier(planted, model, "text", ["doc_id"]), ["doc_id"]
+    )
+    acc = (
+        pred.join(planted, "doc_id")
+        .agg(F.avg((F.col("predicted") == F.col("label")).cast("double")))
+        .first()[0]
+    )
+    assert acc >= 0.95  # a few bucket collisions are allowed
+
+
+def test_scores_shape_and_normalization(spark, planted):
+    model = train_nb_classifier(planted, "text", "label")
+    scored = score_nb_classifier(planted, model, "text", ["doc_id"])
+    n_docs = planted.count()
+    n_classes = model.classes.count()
+    assert scored.count() == n_docs * n_classes
+    # scores are log-probabilities: strictly negative
+    assert scored.filter(F.col("score") >= 0).count() == 0
+
+
+def test_min_count_prunes_vocab(spark, planted):
+    full = train_nb_classifier(planted, "text", "label")
+    pruned = train_nb_classifier(planted, "text", "label", min_count=2)
+    v_full = full.features.select("feature").distinct().count()
+    v_pruned = pruned.features.select("feature").distinct().count()
+    assert 0 < v_pruned < v_full
+    # pruning the tail must not break the planted separation
+    pred = predict_nb(
+        score_nb_classifier(planted, pruned, "text", ["doc_id"]), ["doc_id"]
+    )
+    acc = (
+        pred.join(planted, "doc_id")
+        .agg(F.avg((F.col("predicted") == F.col("label")).cast("double")))
+        .first()[0]
+    )
+    assert acc == 1.0
+
+
+def test_null_label_and_null_text(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="alpha alpha beta", label="a"),
+            Row(doc_id=1, text="gamma gamma delta", label="b"),
+            Row(doc_id=2, text="alpha beta", label=None),  # excluded
+            Row(doc_id=3, text=None, label="a"),  # zero tokens, counts in prior
+        ]
+    )
+    model = train_nb_classifier(df, "text", "label")
+    assert model.classes.count() == 2
+    # null-text doc scores on prior alone, and scoring emits C rows for it
+    scored = score_nb_classifier(df, model, "text", ["doc_id"])
+    assert scored.filter("doc_id = 3").count() == 2
+    prior_only = {
+        r.label: r.score for r in scored.filter("doc_id = 3").collect()
+    }
+    priors = {
+        r.label: r.log_prior for r in model.classes.collect()
+    }
+    for lbl, s in prior_only.items():
+        assert abs(s - priors[lbl]) < 1e-9
+    # the unlabeled doc still gets scored (and leans to its vocabulary)
+    pred = predict_nb(scored, ["doc_id"])
+    assert pred.filter("doc_id = 2").first().predicted == "a"
+
+
+def test_model_save_load_roundtrip(spark, planted, tmp_path):
+    model = train_nb_classifier(
+        planted, "text", "label", num_buckets=1 << 10, smoothing=0.5
+    )
+    path = str(tmp_path / "nb_model")
+    model.save(path)
+    loaded = NBModel.load(spark, path)
+    assert loaded.num_buckets == 1 << 10
+    assert loaded.smoothing == 0.5
+    a = score_nb_classifier(planted, model, "text", ["doc_id"])
+    b = score_nb_classifier(planted, loaded, "text", ["doc_id"])
+    diff = (
+        a.withColumnRenamed("score", "s1")
+        .join(b.withColumnRenamed("score", "s2"), ["doc_id", "label"])
+        .filter(F.abs(F.col("s1") - F.col("s2")) > 1e-9)
+        .count()
+    )
+    assert diff == 0
+
+
+def test_train_validation(spark, planted):
+    with pytest.raises(ValueError):
+        train_nb_classifier(planted, "text", "label", smoothing=0.0)
+    with pytest.raises(ValueError):
+        train_nb_classifier(planted, "text", "label", min_count=0)
+
+
+def test_predict_tie_break_deterministic(spark):
+    # two classes with perfectly symmetric vocabularies -> equal scores;
+    # the higher label string must win, on both the tied and scored docs
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="x", label="a"),
+            Row(doc_id=1, text="y", label="b"),
+        ]
+    )
+    model = train_nb_classifier(df, "text", "label")
+    scored = score_nb_classifier(
+        spark.createDataFrame([Row(doc_id=9, text="z z")]),
+        model,
+        "text",
+        ["doc_id"],
+    )
+    row = predict_nb(scored, ["doc_id"]).first()
+    assert row.predicted == "b"
+    assert row.margin == 0.0
