@@ -4383,6 +4383,44 @@ def dq_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_salted_join",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dq_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-salted equi-join (plans/skew.py salted_join) certified
+    EQUAL to the plain join: hot keys are detected with a partial-agg
+    count and broadcast-tagged, hot fact rows get a random salt, hot
+    dim rows are replicated once per salt, and the join runs on
+    (key, salt) — every matching pair joins exactly once, so the
+    revenue-per-segment rollup matches the unsalted SQL join no matter
+    how the salt landed. hot_threshold is set low here so the salting
+    path actually engages on the fixture."""
+    from .plans.skew import salted_join
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, ["custkey"], salt=8, hot_threshold=5)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+@query(
     "dq_windowed_topv",
     """
     WITH c AS (

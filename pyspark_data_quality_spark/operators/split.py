@@ -62,7 +62,14 @@ def deterministic_split(
     salt: str = "",
     split_col: str = "split",
 ) -> DataFrame:
-    """Add a ``split`` column assigning every row to a named split."""
+    """Add a ``split`` column assigning every row to a named split.
+
+    Leakage-safe grouped splits need no extra operator: pass the GROUP
+    key (url host, dedup cluster id, author, ...) as ``id_col`` and
+    every row of a group hashes to the same split — the standard guard
+    against near-duplicates straddling train/test (see
+    ``operators/text.py split_leakage_audit`` for the after-the-fact
+    check)."""
     return df.withColumn(
         split_col, split_assignment(id_col, weights, salt=salt)
     )
@@ -158,6 +165,37 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def temperature_shares(
+    totals: dict[str, float], temperature: float
+) -> dict[str, float]:
+    """Temperature-rebalanced mix shares: ``p_s ∝ n_s^τ`` normalized —
+    the standard multilingual/domain smoothing (mT5/XLM-R style) that
+    turns raw corpus sizes into training shares. ``τ=1`` reproduces the
+    natural proportions; ``τ→0`` flattens toward uniform; values in
+    between upsample the tail without letting the head dominate.
+
+    Driver-side math over the |sources|-row totals (get them from ONE
+    tiny agg: ``df.groupBy(source).agg(sum(token_count))``) — the
+    output is exactly the ``target`` dict :func:`token_budget_mix`
+    consumes, so the full recipe is::
+
+        shares = temperature_shares(totals, temperature=0.7)
+        mixed = token_budget_mix(df, "id", "source", shares, ...)
+    """
+    if not totals:
+        raise ValueError("temperature_shares: totals must be non-empty")
+    if temperature <= 0:
+        raise ValueError("temperature_shares: temperature must be > 0")
+    for k, v in totals.items():
+        if v <= 0:
+            raise ValueError(
+                f"temperature_shares: total for {k!r} must be > 0, got {v}"
+            )
+    raised = {k: float(v) ** temperature for k, v in totals.items()}
+    z = sum(raised.values())
+    return {k: v / z for k, v in raised.items()}
 
 
 def token_budget_mix(

@@ -50,6 +50,105 @@ def salted_agg_counts(
     return partial.groupBy(*keys).agg(*final_aggs)
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    *,
+    how: str = "inner",
+    salt: int = 16,
+    hot_keys: list | None = None,
+    hot_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Equi-join with explicit hot-key salting — the shuffle-join
+    fallback when ONE key (the null-surrogate user id, the apex domain,
+    the empty-string fingerprint) owns a double-digit share of the fact
+    table and even AQE's skew splitting can't help because every split
+    of the hot partition still joins the same dim rows.
+
+    Mechanics: hot keys are found with a partial-agg count over the
+    fact side (map-side combine collapses the hot key per partition, so
+    the detection shuffle carries distinct keys, not rows) and
+    broadcast-tagged onto both sides; hot FACT rows get a random salt
+    in [0, ``salt``), hot DIM rows are replicated once per salt value
+    (cold rows salt 0, no replication), and the join runs on
+    ``keys + salt``. Every fact row carries exactly one salt and every
+    hot dim row has exactly one replica per salt, so each matching pair
+    joins exactly once: results are row-identical to the plain join.
+
+    Pass ``hot_keys`` (list of values for a single key, or tuples for
+    compound keys) to skip detection — the production shape where the
+    offenders are known and pinned in config. ``hot_threshold`` is in
+    fact-side ROWS per key; size it so a key below it fits one reducer
+    comfortably.
+
+    Supported ``how``: inner / left / left_semi / left_anti (fact side
+    preserved). right/full are refused: unmatched hot DIM rows exist
+    once per replica and would duplicate in the output.
+
+    NULL keys behave exactly like the plain join (never equal, dropped
+    from inner results); they are also never "hot" — detection and
+    tagging both join on the keys, where NULL matches nothing, so NULL
+    rows keep salt 0 and fall through untouched.
+    """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported (unmatched hot dim "
+            "rows would duplicate under right/full)"
+        )
+    if salt < 2:
+        raise ValueError("salted_join: salt must be >= 2")
+    if not keys:
+        raise ValueError("salted_join: keys must be non-empty")
+    overlap = (set(fact.columns) & set(dim.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"salted_join: non-key columns {sorted(overlap)} exist on "
+            "both sides; rename before joining"
+        )
+    for c in ("_salt", "_hot"):
+        if c in fact.columns or c in dim.columns:
+            raise ValueError(f"salted_join: column {c!r} is reserved")
+
+    if hot_keys is not None:
+        rows = [
+            tuple(k) if isinstance(k, (tuple, list)) else (k,)
+            for k in hot_keys
+        ]
+        hot = fact.sparkSession.createDataFrame(
+            rows, fact.select(*keys).schema
+        ).distinct()
+    else:
+        hot = (
+            fact.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= hot_threshold)
+            .select(*keys)
+        )
+    hot = F.broadcast(hot.withColumn("_hot", F.lit(True)))
+
+    fact_s = fact.join(hot, keys, "left").withColumn(
+        "_salt",
+        F.when(F.col("_hot"), (F.rand() * salt).cast("int")).otherwise(
+            F.lit(0)
+        ),
+    ).drop("_hot")
+    dim_s = (
+        dim.join(hot, keys, "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_hot"),
+                    F.sequence(F.lit(0), F.lit(salt - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("_hot")
+    )
+    return fact_s.join(dim_s, [*keys, "_salt"], how).drop("_salt")
+
+
 def skew_report(
     df: DataFrame, columns: list[str], *, round_to: int = 6
 ) -> DataFrame:

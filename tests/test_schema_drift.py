@@ -814,3 +814,51 @@ def test_psi_by_group_single_segment_parity(spark):
     whole = psi_summary(cur.drop("grp"), ref.drop("grp"), ["k"]).first()
     assert seg["psi"] == whole["psi"]
     assert seg["drifted"] == whole["drifted"]
+
+
+def test_temperature_shares_math_and_integration(spark):
+    """p_s ∝ n_s^τ: τ=1 keeps natural proportions, τ→0 flattens toward
+    uniform, monotone in between; output feeds token_budget_mix as-is."""
+    import pytest as _pytest
+
+    from pyspark_data_quality_spark.operators.split import (
+        temperature_shares,
+        token_budget_mix,
+    )
+
+    totals = {"web": 900.0, "code": 90.0, "books": 10.0}
+    nat = temperature_shares(totals, 1.0)
+    assert nat["web"] == _pytest.approx(0.9)
+    assert nat["books"] == _pytest.approx(0.01)
+    flat = temperature_shares(totals, 1e-9)
+    for v in flat.values():
+        assert v == _pytest.approx(1 / 3, abs=1e-6)
+    mid = temperature_shares(totals, 0.5)
+    assert sum(mid.values()) == _pytest.approx(1.0)
+    # temperature upsamples the tail, downsamples the head
+    assert nat["books"] < mid["books"] < flat["books"] + 1e-6
+    assert nat["web"] > mid["web"] > flat["web"] - 1e-6
+
+    with _pytest.raises(ValueError):
+        temperature_shares({}, 0.5)
+    with _pytest.raises(ValueError):
+        temperature_shares(totals, 0.0)
+    with _pytest.raises(ValueError):
+        temperature_shares({"a": 0.0}, 0.5)
+
+    # end-to-end: the dict plugs into token_budget_mix and the kept
+    # token mass tracks the temperature shares
+    rows = [(i, "web" if i < 90 else "code", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, src string, nt bigint")
+    shares = temperature_shares({"web": 900.0, "code": 100.0}, 0.5)
+    out = token_budget_mix(
+        df, "id", "src", shares, token_count_col="nt"
+    ).filter("mix_keep")
+    got = {
+        r["src"]: r["t"]
+        for r in out.groupBy("src")
+        .agg(F.sum("mix_tokens").alias("t"))
+        .collect()
+    }
+    ratio = got["web"] / (got["web"] + got["code"])
+    assert ratio == _pytest.approx(shares["web"], abs=0.02)

@@ -110,3 +110,67 @@ def test_ensure_min_partitions(spark):
     # already-parallel input is untouched (no shuffle added)
     wide = spark.createDataFrame([(i,) for i in range(100)], "x int").repartition(8)
     assert ensure_min_partitions(wide, 8) is wide
+
+
+def _rows_set(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark_data_quality_spark.plans.skew import salted_join
+
+    # skewed fact: key 'hot' owns 80% of rows; plus a NULL key and a
+    # fact-only key
+    fact_rows = [("hot", i) for i in range(80)] + [
+        ("a", 100), ("b", 101), ("only_fact", 102), (None, 103),
+    ]
+    fact = spark.createDataFrame(fact_rows, "k string, fv int")
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("a", "A"), ("only_dim", "D"), (None, "N")],
+        "k string, dv string",
+    )
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = fact.join(dim, ["k"], how)
+        salted = salted_join(
+            fact, dim, ["k"], how=how, salt=4, hot_threshold=10
+        )
+        assert _rows_set(salted) == _rows_set(plain), how
+        assert salted.columns == plain.columns, how
+
+
+def test_salted_join_explicit_hot_keys_and_compound(spark):
+    from pyspark_data_quality_spark.plans.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [("x", 1, i) for i in range(50)] + [("y", 2, 0), ("z", 3, 1)],
+        "k1 string, k2 int, fv int",
+    )
+    dim = spark.createDataFrame(
+        [("x", 1, "X"), ("y", 2, "Y")], "k1 string, k2 int, dv string"
+    )
+    plain = fact.join(dim, ["k1", "k2"], "inner")
+    salted = salted_join(
+        fact, dim, ["k1", "k2"], salt=3, hot_keys=[("x", 1)]
+    )
+    assert _rows_set(salted) == _rows_set(plain)
+
+
+def test_salted_join_validation(spark):
+    import pytest
+
+    from pyspark_data_quality_spark.plans.skew import salted_join
+
+    fact = spark.createDataFrame([("a", 1)], "k string, v int")
+    dim = spark.createDataFrame([("a", 2)], "k string, v int")
+    with pytest.raises(ValueError, match="non-key columns"):
+        salted_join(fact, dim, ["k"])
+    dim2 = dim.withColumnRenamed("v", "w")
+    with pytest.raises(ValueError, match="unsupported"):
+        salted_join(fact, dim2, ["k"], how="full")
+    with pytest.raises(ValueError, match="salt"):
+        salted_join(fact, dim2, ["k"], salt=1)
+    with pytest.raises(ValueError, match="keys"):
+        salted_join(fact, dim2, [])
