@@ -21,7 +21,13 @@ run. At corpus scale the cheaper shape is:
 No false negatives (a Bloom filter never misses a member), so with
 ``exact_verify=True`` the result is row-for-row identical to
 ``dedup_against``; certified against the same DuckDB oracle
-(``dq_dedup_bloom``). Everything is built from ``xxhash64`` / ``pmod`` /
+(``dq_dedup_bloom``). ``bloom_probe`` also accepts a STREAMING ``df``:
+the bitmap is a static broadcast, so a readStream micro-batch filters
+known documents with zero stateful operators and zero stream-side
+shuffle (tests/test_streaming.py
+test_streaming_bloom_dedup_against_static_corpus) — the streaming face
+of incremental dedup when dropDuplicatesWithinWatermark state would be
+corpus-sized. Everything is built from ``xxhash64`` / ``pmod`` /
 ``bit_or`` / ``shiftleft`` — JVM intrinsics inside whole-stage codegen,
 no UDFs, no driver-side bitmap.
 

@@ -318,3 +318,56 @@ def test_round7_segment_ops_empty(spark):
     qs = quantile_shift_by_group(cur, empty, "v", "grp").collect()
     assert {r["q"] for r in qs} == {0.25, 0.5, 0.75}
     assert all(r["ref_q"] is None for r in qs)
+
+
+def test_round7b_ops_on_empty_inputs(spark, empty_docs):
+    """Bloom dedup, NB classifier, and salted_join over empty frames:
+    plans execute, schemas survive, no crashes."""
+    from pyspark.sql import functions as F
+
+    from pyspark_data_quality_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+        dedup_against_bloom,
+    )
+    from pyspark_data_quality_spark.operators.classify import (
+        score_nb_classifier,
+        train_nb_classifier,
+    )
+    from pyspark_data_quality_spark.plans.skew import salted_join
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en")], "doc_id bigint, text string, lang string"
+    )
+
+    # empty batch probed against a real bloom -> zero rows, schema kept
+    bl = bloom_build(
+        docs.select(F.col("text").alias("v")), "v", num_bits=640, num_hashes=3
+    )
+    probed = bloom_probe(empty_docs, bl, "text")
+    assert probed.count() == 0
+    assert "bloom_maybe" in probed.columns
+
+    # both directions of empty in the dedup
+    assert dedup_against_bloom(
+        empty_docs, docs, "text", expected_items=10
+    ).count() == 0
+    kept = dedup_against_bloom(docs, empty_docs, "text", expected_items=10)
+    assert kept.count() == 1  # nothing in the reference -> all survive
+
+    # classifier: empty training set -> zero classes; scoring emits 0
+    # rows per doc (C=0) rather than crashing
+    empty_labeled = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string"
+    )
+    model = train_nb_classifier(empty_labeled, "text", "lang")
+    assert model.classes.count() == 0
+    assert score_nb_classifier(docs, model, "text", ["doc_id"]).count() == 0
+
+    # salted_join with an empty side
+    fact = docs.select(F.col("doc_id").alias("k"), "text")
+    dim_empty = spark.createDataFrame([], "k bigint, dv string")
+    assert salted_join(fact, dim_empty, ["k"], hot_threshold=1).count() == 0
+    assert salted_join(
+        fact, dim_empty, ["k"], how="left", hot_threshold=1
+    ).count() == 1

@@ -504,3 +504,45 @@ def test_windowed_top_values_stream_parity(spark, sf_dir, events_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_streaming_bloom_dedup_against_static_corpus(spark, sf_dir, tmp_path):
+    """Stream-static incremental dedup WITHOUT state: a bloom bitmap
+    built from the historical corpus rides into the streaming plan as a
+    static broadcast, so each micro-batch filters known documents with
+    zero stateful operators and zero stream-side shuffle. availableNow
+    over the fixture must agree with the batch probe."""
+    import shutil
+
+    from pyspark_data_quality_spark.operators.bloom import (
+        bloom_build,
+        bloom_params,
+        bloom_probe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = str(tmp_path / "docs_stream")
+    (tmp_path / "docs_stream").mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{d}/part-0.parquet")
+
+    m, k = bloom_params(200, 0.01)
+    ref = docs.filter("doc_id < 100").select(F.col("text").alias("v"))
+    bloom = bloom_build(ref, "v", num_bits=m, num_hashes=k)
+
+    sdf = spark.readStream.schema(docs.schema).parquet(d)
+    probed = bloom_probe(
+        sdf.select("doc_id", "text"), bloom, "text",
+        num_bits=m, num_hashes=k,
+    )
+    out = _run_stream(
+        spark, probed.filter(~F.col("bloom_maybe")), output_mode="append"
+    )
+    batch = bloom_probe(
+        docs.select("doc_id", "text"), bloom, "text",
+        num_bits=m, num_hashes=k,
+    ).filter(~F.col("bloom_maybe"))
+    got = sorted(r.doc_id for r in out.collect())
+    expected = sorted(r.doc_id for r in batch.collect())
+    assert got == expected
+    # every historical doc is caught (no false negatives)
+    assert not any(i < 100 for i in got)
