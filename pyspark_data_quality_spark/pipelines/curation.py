@@ -8,7 +8,10 @@ already rejected):
 1. profile — ONE Arrow pass appends quality/language signals
    (:func:`..operators.text.text_profile`);
 2. gate — null text / language / quality-score row filters (pure
-   expressions);
+   expressions), then the optional trained-classifier gate
+   (``quality_model=``, an :class:`..operators.classify.NBModel`):
+   heuristics first so the model never scores junk, model before dedup
+   so shingling never touches a rejected document;
 3. exact dedup — fingerprint groupBy, min-id survivor;
 4. near dedup — banded MinHash pairs over WORD shingles by default
    (char n-grams degenerate toward all-pairs on shared-vocabulary
@@ -22,10 +25,15 @@ Nothing is filtered destructively: every input row comes back with a
 the ``split`` column), so the stats are ONE groupBy over the result
 instead of a count-action per stage, and the dropped rows remain
 available for quarantine. Statuses: kept, null_text, wrong_lang,
-low_quality, ref_dup (incremental mode: fingerprint already in the
-``reference`` corpus), exact_dup, near_dup, contaminated,
-rebalanced_out (only with ``rebalance_target``: sampled out by the
-distribution-matching stage).
+low_quality, model_rejected (only with ``quality_model``: predicted
+label outside ``model_keep_labels`` or margin below ``model_margin``),
+ref_dup (incremental mode: fingerprint already in the ``reference``
+corpus), exact_dup, near_dup, contaminated, rebalanced_out (only with
+``rebalance_target``: sampled out by the distribution-matching stage).
+Every stage's input excludes ALL previously-dropped rows (the drop
+flags accumulate in each ``passed`` filter), so no stage spends work
+on — or lets its candidate generation be influenced by — a document
+that already fell out.
 
 Scale shape: signals ride a single mapInPandas pass; every drop-list is
 a keyed join on the id (the lists hold only dropped ids, not payloads);
@@ -76,6 +84,9 @@ def curate_corpus(
     segment_min_df: int = 2,
     rebalance_target: dict[str, float] | None = None,
     rebalance_col: str = "lang_pred",
+    quality_model=None,
+    model_keep_labels: tuple[str, ...] = (),
+    model_margin: float = 0.0,
 ) -> DataFrame:
     """Run the full curation pipeline; returns EVERY input row annotated
     with ``status_col`` (and ``split_col`` for kept rows) plus the
@@ -142,6 +153,41 @@ def curate_corpus(
     annotated = prof.withColumn(status_col, gate)
     passed = annotated.filter(F.col(status_col).isNull())
 
+    # optional model-based quality gate (default off): a trained NB
+    # classifier (operators/classify.py) scores the rows that survived
+    # the heuristic gates — the fastText-style learned filter, placed
+    # before dedup so candidate generation never shingles a rejected
+    # document, but after the cheap expression gates so the model never
+    # scores null/junk text. Drop-list join like every other stage.
+    if quality_model is not None:
+        from ..operators.classify import predict_nb, score_nb_classifier
+
+        if not model_keep_labels:
+            raise ValueError(
+                "curate_corpus: model_keep_labels must be non-empty "
+                "when quality_model is given"
+            )
+        pred = predict_nb(
+            score_nb_classifier(passed, quality_model, text_col, [id_col]),
+            [id_col],
+        )
+        model_drops = _pin(
+            pred.filter(
+                ~F.col("predicted").isin(*model_keep_labels)
+                | (F.col("margin") < F.lit(float(model_margin)))
+            )
+            .select(id_col)
+            .withColumn("_model_rej", F.lit(True))
+        )
+        annotated = annotated.join(model_drops, id_col, "left")
+        passed = annotated.filter(
+            F.col(status_col).isNull() & F.col("_model_rej").isNull()
+        )
+    else:
+        annotated = annotated.withColumn(
+            "_model_rej", F.lit(None).cast("boolean")
+        )
+
     # incremental mode: rows whose fingerprint already exists in the
     # REFERENCE corpus (yesterday's curated data) drop as ref_dup before
     # any in-batch work — the daily-batch shape where re-curating history
@@ -181,7 +227,9 @@ def curate_corpus(
         )
         annotated = annotated.join(ref_drops, id_col, "left")
         passed = annotated.filter(
-            F.col(status_col).isNull() & F.col("_ref_dup").isNull()
+            F.col(status_col).isNull()
+            & F.col("_model_rej").isNull()
+            & F.col("_ref_dup").isNull()
         )
     else:
         annotated = annotated.withColumn(
@@ -209,7 +257,10 @@ def curate_corpus(
     )
     annotated = annotated.join(exact_drops, id_col, "left")
     passed = annotated.filter(
-        F.col(status_col).isNull() & F.col("_exact_dup").isNull()
+        F.col(status_col).isNull()
+        & F.col("_ref_dup").isNull()
+        & F.col("_model_rej").isNull()
+        & F.col("_exact_dup").isNull()
     )
 
     # near dups: greedy min-id survivor over banded MinHash pairs
@@ -227,6 +278,8 @@ def curate_corpus(
     annotated = annotated.join(near_drops, id_col, "left")
     passed = annotated.filter(
         F.col(status_col).isNull()
+        & F.col("_ref_dup").isNull()
+        & F.col("_model_rej").isNull()
         & F.col("_exact_dup").isNull()
         & F.col("_near_dup").isNull()
     )
@@ -296,6 +349,7 @@ def curate_corpus(
 
     status = F.coalesce(
         F.col(status_col),
+        F.when(F.col("_model_rej"), F.lit("model_rejected")),
         F.when(F.col("_ref_dup"), F.lit("ref_dup")),
         F.when(F.col("_exact_dup"), F.lit("exact_dup")),
         F.when(F.col("_near_dup"), F.lit("near_dup")),
@@ -318,8 +372,8 @@ def curate_corpus(
             ),
         )
         .drop(
-            "_ref_dup", "_exact_dup", "_near_dup", "_contaminated",
-            "_rebal_keep",
+            "_model_rej", "_ref_dup", "_exact_dup", "_near_dup",
+            "_contaminated", "_rebal_keep",
         )
     )
 

@@ -351,3 +351,79 @@ def test_corpus_report_card(spark, sf_dir):
     assert abs(est - exact_vocab) / exact_vocab < 0.05
     # long-format shape: every row carries section/metric, value double
     assert all(r["section"] and r["metric"] for r in rep)
+
+
+def test_curation_model_quality_gate(spark):
+    """quality_model gate: a trained NB classifier drops rows predicted
+    outside model_keep_labels as model_rejected, placed before dedup so
+    rejected rows never join candidate generation."""
+    from pyspark_data_quality_spark.operators.classify import (
+        train_nb_classifier,
+    )
+    from pyspark_data_quality_spark.pipelines import curate_corpus
+
+    good = "the quick brown fox jumps over the lazy dog again and again "
+    spammy = "click here buy now free offer click here buy now winner "
+    train = spark.createDataFrame(
+        [(i, good + f"v{i}", "good") for i in range(10)]
+        + [(100 + i, spammy + f"s{i}", "spam") for i in range(10)],
+        ["doc_id", "text", "label"],
+    )
+    model = train_nb_classifier(train, "text", "label")
+
+    batch = spark.createDataFrame(
+        [
+            (1, good * 2 + "article one"),
+            (2, spammy * 2 + "promo blast"),
+            (3, good * 2 + "article two"),
+            (4, spammy * 2 + "promo blast"),  # exact dup of a REJECTED row
+        ],
+        ["doc_id", "text"],
+    )
+    out = curate_corpus(
+        batch, languages=None, min_quality=0.0,
+        near_dup_threshold=0.99, persist=False,
+        quality_model=model, model_keep_labels=("good",),
+    )
+    by_id = {r["doc_id"]: r["curation_status"] for r in out.collect()}
+    assert by_id[1] == "kept"
+    assert by_id[3] == "kept"
+    assert by_id[2] == "model_rejected"
+    # the dup of a rejected row is ALSO model_rejected, not exact_dup:
+    # rejected rows never enter the dedup stage
+    assert by_id[4] == "model_rejected"
+
+    # keep-labels validation
+    with pytest.raises(ValueError, match="model_keep_labels"):
+        curate_corpus(batch, quality_model=model, persist=False)
+
+
+def test_curation_ref_dups_do_not_influence_near_dedup(spark):
+    """A ref_dup row must not knock out other batch rows via the
+    near-dup stage: dropped rows are excluded from every later stage's
+    input (the accumulated passed filters)."""
+    from pyspark_data_quality_spark.pipelines import curate_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    # doc 1 is already in the reference; doc 2 is a near-dup of doc 1
+    # but of nothing else in the batch
+    ref = spark.createDataFrame([(100, base * 5 + "x y z")], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [
+            (1, base * 5 + "x y z"),
+            (2, base * 5 + "x y w"),
+            (3, "completely different content about other things entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = curate_corpus(
+        batch, reference=ref, languages=None, min_quality=0.0,
+        near_dup_threshold=0.5, shingle="word", shingle_n=2,
+        persist=False,
+    )
+    by_id = {r["doc_id"]: r["curation_status"] for r in out.collect()}
+    assert by_id[1] == "ref_dup"
+    # doc 2 survives: its only near-dup partner already fell out as
+    # ref_dup and therefore never entered the MinHash stage
+    assert by_id[2] == "kept"
+    assert by_id[3] == "kept"

