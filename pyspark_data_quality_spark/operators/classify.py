@@ -40,7 +40,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.text import tokenize
 
-__all__ = ["NBModel", "train_nb_classifier", "score_nb_classifier", "predict_nb"]
+__all__ = [
+    "NBModel",
+    "train_nb_classifier",
+    "train_quality_model",
+    "score_nb_classifier",
+    "predict_nb",
+]
 
 
 @dataclass(frozen=True)
@@ -175,6 +181,79 @@ def train_nb_classifier(
         classes=classes,
         num_buckets=num_buckets,
         smoothing=float(smoothing),
+    )
+
+
+def train_quality_model(
+    df: DataFrame,
+    text_col: str,
+    *,
+    good_filter,
+    bad_filter,
+    num_buckets: int | None = 1 << 18,
+    smoothing: float = 1.0,
+    min_count: int = 2,
+    max_per_class: int | None = None,
+    id_col: str | None = None,
+) -> NBModel:
+    """CCNet-style weak supervision in one call: label the corpus with
+    two heuristic predicates (``good_filter`` / ``bad_filter`` — Column
+    expressions, e.g. a trusted-source match vs. a junk-signal match),
+    train a binary NB model on the matching rows, and get back a model
+    whose ``predict_nb`` labels are ``'good'`` / ``'bad'`` — ready for
+    ``curate_corpus(quality_model=..., model_keep_labels=('good',))``.
+
+    Rows matching neither predicate (or both) are excluded from
+    training — they are what the model is FOR. ``max_per_class``
+    (deterministic md5 downsample via the split machinery) caps class
+    imbalance when one predicate matches the whole corpus; ``id_col``
+    is required with it.
+    """
+    both = F.when(good_filter & bad_filter, True).otherwise(False)
+    labeled = df.withColumn(
+        "_label",
+        F.when(both, F.lit(None).cast("string"))
+        .when(good_filter, F.lit("good"))
+        .when(bad_filter, F.lit("bad")),
+    )
+    if max_per_class is not None:
+        if id_col is None:
+            raise ValueError(
+                "train_quality_model: id_col is required with max_per_class"
+            )
+        # per-class deterministic cap: keep the max_per_class smallest
+        # md5 buckets per label (approximate cap via fraction of the
+        # class count — ONE tiny count agg over 2 classes)
+        counts = {
+            r["_label"]: r["n"]
+            for r in labeled.filter(F.col("_label").isNotNull())
+            .groupBy("_label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        from .split import deterministic_sample
+
+        parts = []
+        for lbl, n in counts.items():
+            part = labeled.filter(F.col("_label") == lbl)
+            if n > max_per_class:
+                part = deterministic_sample(
+                    part, id_col, max_per_class / n, salt=f"qm:{lbl}"
+                )
+            parts.append(part)
+        if not parts:
+            labeled = labeled.filter(F.col("_label").isNotNull())
+        else:
+            labeled = parts[0]
+            for p in parts[1:]:
+                labeled = labeled.unionByName(p)
+    return train_nb_classifier(
+        labeled,
+        text_col,
+        "_label",
+        num_buckets=num_buckets,
+        smoothing=smoothing,
+        min_count=min_count,
     )
 
 

@@ -165,3 +165,58 @@ def test_predict_tie_break_deterministic(spark):
     row = predict_nb(scored, ["doc_id"]).first()
     assert row.predicted == "b"
     assert row.margin == 0.0
+
+
+def test_train_quality_model_weak_supervision(spark):
+    """CCNet-style: heuristic good/bad predicates label the training
+    set, the model generalizes to unlabeled rows; both-match rows are
+    excluded; max_per_class caps imbalance deterministically."""
+    from pyspark_data_quality_spark.operators.classify import (
+        predict_nb,
+        score_nb_classifier,
+        train_quality_model,
+    )
+
+    good = "thoughtful prose with varied vocabulary and careful structure "
+    bad = "click click buy buy free free winner winner spam spam "
+    rows = (
+        [Row(doc_id=i, text=good + f"g{i}", src="wiki") for i in range(30)]
+        + [Row(doc_id=100 + i, text=bad + f"b{i}", src="junk") for i in range(10)]
+        # unlabeled target rows: neither predicate matches
+        + [
+            Row(doc_id=200, text=good + "unseen essay", src="web"),
+            Row(doc_id=201, text=bad + "unseen promo", src="web"),
+        ]
+    )
+    df = spark.createDataFrame(rows)
+    model = train_quality_model(
+        df,
+        "text",
+        good_filter=F.col("src") == "wiki",
+        bad_filter=F.col("src") == "junk",
+        num_buckets=1 << 12,
+        min_count=1,
+        max_per_class=20,
+        id_col="doc_id",
+    )
+    labels = {r["label"] for r in model.classes.collect()}
+    assert labels == {"good", "bad"}
+    pred = {
+        r.doc_id: r.predicted
+        for r in predict_nb(
+            score_nb_classifier(df, model, "text", ["doc_id"]), ["doc_id"]
+        ).collect()
+    }
+    assert pred[200] == "good"
+    assert pred[201] == "bad"
+
+    # id_col required with max_per_class
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="id_col"):
+        train_quality_model(
+            df, "text",
+            good_filter=F.col("src") == "wiki",
+            bad_filter=F.col("src") == "junk",
+            max_per_class=5,
+        )
