@@ -1,0 +1,186 @@
+"""WARC reader as a Spark 4 Python DataSource — Common Crawl's archive
+format, the canonical raw feed of web-scale LLM corpora, readable with
+``spark.read.format("warc").load(path)`` after one ``register`` call.
+
+Pure-stdlib parsing (the WARC/1.x framing is header-lines + a
+Content-Length-delimited payload; ``gzip`` transparently concatenates
+the member-per-record .warc.gz layout Common Crawl uses), exposed
+through the ``pyspark.sql.datasource`` API:
+
+- one InputPartition per FILE: WARC records are not splittable inside a
+  gzip member stream, and Common Crawl already shards crawls into ~1 GB
+  files, so file granularity IS the task granularity — a listing of N
+  files fans out to N parallel tasks with zero coordination;
+- the reader yields plain tuples; payloads are ``binary`` (the
+  multimodal column contract — decode downstream via
+  ``multimodal/media.py``, text-extract via the text operators);
+- options: ``record_types`` (comma list, default ``response`` — the
+  records a corpus pipeline wants; request/metadata/warcinfo framing is
+  skipped without materializing payloads), ``max_payload_bytes``
+  (truncate oversized payloads; ``payload_truncated`` flags them).
+
+Scale shape: this is an INGESTION edge, deliberately Python-side (the
+format has no JVM reader in stock Spark): the intended pattern is ONE
+pass ``warc -> parquet`` (``write_dataset``), after which everything
+downstream is columnar scans. Filters/pruning are not pushed into the
+parser — project early and persist.
+
+Reference parity: the reference engine reads tables only
+(src/pyspark_data_quality has no ingestion layer); this is part of the
+training-data extension surface.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import io
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+__all__ = ["WarcDataSource", "register_warc_source", "WARC_SCHEMA"]
+
+WARC_SCHEMA = (
+    "warc_file string, record_type string, url string, warc_date string, "
+    "content_type string, content_length long, payload binary, "
+    "payload_truncated boolean"
+)
+
+
+class _WarcFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _WarcReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc: .load(path) is required")
+        self._path = path
+        types = options.get("record_types", "response")
+        self._types = {
+            t.strip().lower() for t in types.split(",") if t.strip()
+        } or None
+        if "*" in (self._types or ()):  # explicit wildcard = keep all
+            self._types = None
+        mx = options.get("max_payload_bytes")
+        self._max_payload = int(mx) if mx is not None else None
+
+    def partitions(self):
+        if os.path.isdir(self._path):
+            paths = sorted(
+                p
+                for p in glob.glob(os.path.join(self._path, "**"), recursive=True)
+                if os.path.isfile(p)
+                and (".warc" in os.path.basename(p))
+            )
+        else:
+            paths = sorted(glob.glob(self._path)) or [self._path]
+        if not paths:
+            raise FileNotFoundError(f"warc: no files match {self._path!r}")
+        return [_WarcFilePartition(p) for p in paths]
+
+    def read(self, partition: _WarcFilePartition) -> Iterator[tuple]:
+        path = partition.path
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as raw:
+            stream = io.BufferedReader(raw, buffer_size=1 << 20)
+            for headers, payload, truncated in _iter_warc_records(
+                stream, self._types, self._max_payload
+            ):
+                yield (
+                    os.path.basename(path),
+                    headers.get("warc-type", ""),
+                    headers.get("warc-target-uri"),
+                    headers.get("warc-date"),
+                    headers.get("content-type"),
+                    int(headers.get("content-length", 0)),
+                    payload,
+                    truncated,
+                )
+
+
+def _iter_warc_records(stream, keep_types, max_payload):
+    """Yield (headers, payload, truncated) per WARC record. Framing per
+    ISO 28500: a ``WARC/1.x`` version line, ``Name: value`` header lines
+    up to an empty line, exactly Content-Length payload bytes, then a
+    blank-line record separator. Records whose type is filtered out are
+    SKIPPED with seek-free reads but never materialized."""
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if not line.strip():
+            continue  # inter-record blank lines
+        if not line.startswith(b"WARC/"):
+            raise ValueError(
+                f"warc: expected version line, got {line[:40]!r}"
+            )
+        headers: dict[str, str] = {}
+        while True:
+            h = stream.readline()
+            if not h or not h.strip():
+                break
+            if b":" in h:
+                k, _, v = h.partition(b":")
+                headers[k.strip().lower().decode("ascii", "replace")] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        length = int(headers.get("content-length", 0))
+        rtype = headers.get("warc-type", "").lower()
+        wanted = keep_types is None or rtype in keep_types
+        if not wanted:
+            _skip_exact(stream, length)
+            yield_record = None
+        elif max_payload is not None and length > max_payload:
+            payload = _read_exact(stream, max_payload)
+            _skip_exact(stream, length - max_payload)
+            yield_record = (headers, payload, True)
+        else:
+            yield_record = (headers, _read_exact(stream, length), False)
+        if yield_record is not None:
+            yield yield_record
+
+
+def _read_exact(stream, n: int) -> bytes:
+    buf = stream.read(n)
+    while len(buf) < n:
+        chunk = stream.read(n - len(buf))
+        if not chunk:
+            raise ValueError("warc: truncated record payload")
+        buf += chunk
+    return buf
+
+
+def _skip_exact(stream, n: int) -> None:
+    while n > 0:
+        chunk = stream.read(min(n, 1 << 20))
+        if not chunk:
+            raise ValueError("warc: truncated record payload")
+        n -= len(chunk)
+
+
+class WarcDataSource(DataSource):
+    """``spark.read.format("warc")`` provider; register once per session
+    with :func:`register_warc_source`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> str:
+        return WARC_SCHEMA
+
+    def reader(self, schema) -> _WarcReader:
+        return _WarcReader(self.options)
+
+
+def register_warc_source(spark) -> None:
+    spark.dataSource.register(WarcDataSource)

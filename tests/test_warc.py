@@ -1,0 +1,129 @@
+"""WARC Python DataSource (sources/warc.py): framing parser, gzip
+member concatenation, record-type filtering, payload truncation, and
+the spark.read.format('warc') integration."""
+
+import gzip
+
+import pytest
+
+from pyspark_data_quality_spark.sources.warc import (
+    WARC_SCHEMA,
+    register_warc_source,
+)
+
+
+def _record(rtype, uri, payload: bytes, extra=()):
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: " + rtype.encode(),
+        b"WARC-Date: 2024-01-01T00:00:00Z",
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    if uri is not None:
+        head.append(b"WARC-Target-URI: " + uri.encode())
+    head.extend(extra)
+    return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _sample_records():
+    return [
+        _record(
+            "warcinfo", None, b"software: test\r\n",
+            (b"Content-Type: application/warc-fields",),
+        ),
+        _record(
+            "response", "http://example.com/a",
+            b"HTTP/1.1 200 OK\r\n\r\nhello world",
+            (b"Content-Type: application/http; msgtype=response",),
+        ),
+        _record("request", "http://example.com/a", b"GET /a HTTP/1.1\r\n"),
+        _record(
+            "response", "http://example.com/b",
+            b"HTTP/1.1 200 OK\r\n\r\n" + b"x" * 100,
+            (b"Content-Type: application/http; msgtype=response",),
+        ),
+    ]
+
+
+@pytest.fixture()
+def warc_dir(tmp_path):
+    recs = _sample_records()
+    plain = tmp_path / "a.warc"
+    plain.write_bytes(b"".join(recs[:2]))
+    # member-per-record gzip concatenation, the Common Crawl layout
+    gz = tmp_path / "b.warc.gz"
+    gz.write_bytes(b"".join(gzip.compress(r) for r in recs[2:]))
+    return str(tmp_path)
+
+
+def test_warc_reads_responses_by_default(spark, warc_dir):
+    register_warc_source(spark)
+    df = spark.read.format("warc").load(warc_dir)
+    assert df.schema.simpleString() == (
+        "struct<" + WARC_SCHEMA.replace(" string", ":string")
+        .replace(" long", ":bigint").replace(" binary", ":binary")
+        .replace(" boolean", ":boolean").replace(", ", ",") + ">"
+    )
+    rows = df.collect()
+    assert {r.record_type for r in rows} == {"response"}
+    by_url = {r.url: r for r in rows}
+    assert set(by_url) == {"http://example.com/a", "http://example.com/b"}
+    assert bytes(by_url["http://example.com/a"].payload).endswith(
+        b"hello world"
+    )
+    assert {r.warc_file for r in rows} == {"a.warc", "b.warc.gz"}
+    assert not any(r.payload_truncated for r in rows)
+
+
+def test_warc_record_type_filter_and_wildcard(spark, warc_dir):
+    register_warc_source(spark)
+    req = (
+        spark.read.format("warc")
+        .option("record_types", "request")
+        .load(warc_dir)
+        .collect()
+    )
+    assert [r.record_type for r in req] == ["request"]
+    everything = (
+        spark.read.format("warc")
+        .option("record_types", "*")
+        .load(warc_dir)
+        .collect()
+    )
+    assert len(everything) == 4
+    assert {r.record_type for r in everything} == {
+        "warcinfo", "response", "request",
+    }
+
+
+def test_warc_payload_truncation(spark, warc_dir):
+    register_warc_source(spark)
+    rows = (
+        spark.read.format("warc")
+        .option("max_payload_bytes", "30")
+        .load(warc_dir)
+        .collect()
+    )
+    by_url = {r.url: r for r in rows}
+    big = by_url["http://example.com/b"]
+    assert big.payload_truncated
+    assert len(bytes(big.payload)) == 30
+    assert big.content_length > 30  # original length preserved
+    small = by_url["http://example.com/a"]
+    assert not small.payload_truncated
+
+
+def test_warc_glob_and_missing(spark, tmp_path, warc_dir):
+    register_warc_source(spark)
+    one = spark.read.format("warc").load(f"{warc_dir}/a.warc")
+    assert one.count() == 1  # only the response in a.warc
+    with pytest.raises(Exception):
+        spark.read.format("warc").load(str(tmp_path / "nope")).collect()
+
+
+def test_warc_malformed_raises(spark, tmp_path):
+    register_warc_source(spark)
+    bad = tmp_path / "bad.warc"
+    bad.write_bytes(b"NOT-A-WARC\r\n\r\n")
+    with pytest.raises(Exception, match="version line|WARC"):
+        spark.read.format("warc").load(str(bad)).collect()
