@@ -252,3 +252,34 @@ def encoding_artifact_count(col: Column | str) -> Column:
         + F.regexp_count(c, F.lit("[\u0080-\u009f]"))
         + F.regexp_count(c, F.lit("[\u00c2\u00c3][\u0080-\u00bf]"))
     ).cast("long")
+
+
+def http_body(col: Column | str) -> Column:
+    """Body of an HTTP message held as BINARY (a WARC ``response``
+    payload): bytes after the first blank line, decoded leniently
+    (binary->string cast replaces invalid UTF-8 with U+FFFD even under
+    ANSI). Messages with no header separator (not actually HTTP) pass
+    through whole. Pure JVM expressions — no UDF in the ingestion path."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = c.cast("string")
+    sep = F.instr(s, "\r\n\r\n")
+    body = F.substring(s, sep + 4, F.lit(2147483647))
+    return F.when(sep > 0, body).otherwise(s)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Cheap WET-style HTML -> text: drop script/style/comment blocks,
+    strip tags, unescape the common entities, collapse whitespace.
+    Deliberately regex-grade (the Common Crawl WET files use the same
+    fidelity bar) — a DOM parser belongs in a mapInPandas stage if
+    layout-aware extraction is ever needed."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.regexp_replace(c, r"(?is)<(script|style)\b.*?</\1\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+        ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

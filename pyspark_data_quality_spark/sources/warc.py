@@ -184,3 +184,40 @@ class WarcDataSource(DataSource):
 
 def register_warc_source(spark) -> None:
     spark.dataSource.register(WarcDataSource)
+
+
+def warc_documents(warc_df, *, html_only: bool = True):
+    """WET-style documents frame from a ``format("warc")`` read:
+    ``(url, warc_date, content_type, text)`` with the HTTP headers
+    stripped and HTML reduced to whitespace-normalized text — the shape
+    the dedup / quality / classifier operators consume directly.
+
+    Pure JVM expressions (binary->string lenient decode, regex framing;
+    functions/text.py ``http_body``/``html_to_text``), so the only
+    Python in the path remains the per-file WARC parser. ``html_only``
+    keeps records whose declared or sniffed payload looks like HTML —
+    the corpus-pipeline default; pass False to text-strip everything.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import html_to_text, http_body
+
+    body = http_body(F.col("payload"))
+    out = warc_df.filter(F.col("record_type") == "response").withColumn(
+        "_body", body
+    )
+    if html_only:
+        looks_html = (
+            F.lower(F.coalesce(F.col("content_type"), F.lit(""))).contains(
+                "html"
+            )
+            | F.col("_body").rlike(r"(?is)<\s*(!doctype\s+)?html")
+            | F.lower(F.col("_body")).contains("<p>")
+        )
+        out = out.filter(looks_html)
+    return out.select(
+        "url",
+        "warc_date",
+        "content_type",
+        html_to_text(F.col("_body")).alias("text"),
+    )

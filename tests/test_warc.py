@@ -127,3 +127,43 @@ def test_warc_malformed_raises(spark, tmp_path):
     bad.write_bytes(b"NOT-A-WARC\r\n\r\n")
     with pytest.raises(Exception, match="version line|WARC"):
         spark.read.format("warc").load(str(bad)).collect()
+
+
+def test_warc_documents_wet_extraction(spark, tmp_path):
+    from pyspark_data_quality_spark.sources.warc import warc_documents
+
+    html = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<!DOCTYPE html><html><head><title>T</title>"
+        b"<style>p{color:red}</style>"
+        b"<script>var x = '<evil>';</script></head>"
+        b"<body><p>Hello &amp; welcome</p><!-- note -->"
+        b"<div>second   line</div></body></html>"
+    )
+    plain = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\njust text"
+    f = tmp_path / "c.warc"
+    f.write_bytes(
+        _record(
+            "response", "http://h.com/page", html,
+            (b"Content-Type: application/http; msgtype=response",),
+        )
+        + _record(
+            "response", "http://h.com/plain", plain,
+            (b"Content-Type: application/http; msgtype=response",),
+        )
+    )
+    register_warc_source(spark)
+    raw = spark.read.format("warc").load(str(f))
+
+    docs = warc_documents(raw).collect()
+    assert len(docs) == 1  # html_only drops the text/plain record
+    d = docs[0]
+    assert d.url == "http://h.com/page"
+    # headers, tags, script/style bodies, and comments are gone;
+    # entities unescaped; whitespace collapsed
+    assert d.text == "T Hello & welcome second line"
+
+    everything = warc_documents(raw, html_only=False).collect()
+    assert {r.text for r in everything} == {
+        "T Hello & welcome second line", "just text",
+    }
