@@ -4421,6 +4421,39 @@ def dq_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_group_cap",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    ORDER BY doc_id
+    """,
+)
+def dq_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/split.py cap_per_group, exact
+    mode): at most 20 docs per source, survivors chosen by
+    (md5(doc_id), doc_id) order — the per-domain cap of web-corpus
+    curation. The operator's two-phase shape ranks ONLY over-cap groups
+    (under-cap rows bypass the window via a broadcast anti-join); the
+    oracle ranks everything, which is result-identical because under-cap
+    groups can never exceed the cap. md5 is engine-stable, so survivor
+    sets hash-match exactly."""
+    from .operators.split import cap_per_group
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        cap_per_group(docs, ["source"], "doc_id", 20)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "dq_windowed_topv",
     """
     WITH c AS (

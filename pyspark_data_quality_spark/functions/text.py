@@ -283,3 +283,31 @@ def html_to_text(col: Column | str) -> Column:
     ):
         t = F.replace(t, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased registrable host of a URL (NULL for unparseable input
+    — try_parse_url, so malformed URLs never throw under ANSI). The
+    grouping key for per-domain caps (operators/split.py cap_per_group)
+    and host-level corpus stats."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.try_parse_url(c, F.lit("HOST")))
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical-enough URL for dedup keys: fragment dropped, common
+    click-tracking params (utm_*, fbclid, gclid, ref) removed, empty
+    query stripped, host lowercased (scheme/path case preserved — paths
+    ARE case-sensitive). Regex-grade on purpose: the goal is collapsing
+    tracking noise that splinters exact-dup groups, not full RFC 3986
+    canonicalization."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(c, r"#.*$", "")
+    u = F.regexp_replace(u, r"([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "$1")
+    u = F.regexp_replace(u, r"&{2,}", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    host = F.try_parse_url(u, F.lit("HOST"))
+    return F.when(
+        host.isNotNull(), F.replace(u, host, F.lower(host))
+    ).otherwise(u)

@@ -198,6 +198,76 @@ def temperature_shares(
     return {k: v / z for k, v in raised.items()}
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    cap: int,
+    *,
+    exact: bool = True,
+    salt: str = "",
+) -> DataFrame:
+    """At most ``cap`` rows per group, deterministically — the per-domain
+    document cap of web-corpus curation ("no host contributes more than
+    N pages"), also the anti-skew guard before any per-group O(n²) work.
+
+    Skew-aware two-phase shape: ONE partial-agg count finds the
+    offending groups (web corpora: a handful of mega-hosts); rows of
+    under-cap groups pass through untouched via a broadcast anti-join —
+    NO window, NO per-group sort for the overwhelming majority of the
+    data. Only offender rows (semi-join, same broadcast) are ranked.
+
+    ``exact=True``: offenders are ranked by ``(md5(id+salt), id)`` in a
+    per-group window — exactly ``cap`` survivors per offending group,
+    deterministic and oracle-reproducible; the window sorts ONLY
+    offender groups, each on one task (the inherent cost of an exact
+    per-group top-N — the two-phase split is what keeps that cost
+    confined to offenders). ``exact=False``: survivors are rows whose
+    md5 bucket falls under ``floor(cap/n_g · 10000)`` — fully
+    shuffle-free after the count (expected ≈cap per group, never the
+    sort; the right mode when "roughly N per host" is the actual
+    requirement, which for corpus caps it usually is).
+
+    NULL group keys are a group like any other (null-safe joins
+    throughout). Output keeps df's schema.
+    """
+    if cap < 1:
+        raise ValueError("cap_per_group: cap must be >= 1")
+    if not group_cols:
+        raise ValueError("cap_per_group: group_cols must be non-empty")
+    from pyspark.sql.window import Window
+
+    from ..plans.joins import join_null_safe
+
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    over = counts.filter(F.col("_n") > cap)
+    under_rows = join_null_safe(
+        df, over.select(*group_cols), group_cols, "anti", broadcast=True
+    )
+    over_rows = join_null_safe(
+        df, over, group_cols, "semi", broadcast=True
+    )
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    if exact:
+        w = Window.partitionBy(
+            *[F.col(c) for c in group_cols]
+        ).orderBy(h.asc(), F.col(id_col).asc())
+        kept_over = (
+            over_rows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn")
+        )
+    else:
+        with_n = join_null_safe(
+            df, over, group_cols, "inner", broadcast=True
+        )
+        bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 10000
+        kept_over = with_n.filter(
+            bucket < F.floor(F.lit(cap) * 10000 / F.col("_n"))
+        ).drop("_n")
+    return under_rows.unionByName(kept_over)
+
+
 def token_budget_mix(
     df: DataFrame,
     id_col: str,

@@ -862,3 +862,97 @@ def test_temperature_shares_math_and_integration(spark):
     }
     ratio = got["web"] / (got["web"] + got["code"])
     assert ratio == _pytest.approx(shares["web"], abs=0.02)
+
+
+def test_cap_per_group_exact_and_approx(spark):
+    """Per-group cap: under-cap groups pass untouched (incl. the NULL
+    group), offenders keep exactly `cap` (exact) or ≈cap (approx)
+    deterministic survivors; both modes are pure functions of ids."""
+    from pyspark_data_quality_spark.operators.split import cap_per_group
+
+    rows = (
+        [("big.com", i) for i in range(200)]
+        + [("small.com", 1000), ("small.com", 1001)]
+        + [(None, 2000 + i) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "host string, id bigint")
+
+    out = cap_per_group(df, ["host"], "id", 50)
+    got = {
+        r["host"]: r["n"]
+        for r in out.groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got["big.com"] == 50         # exactly cap
+    assert got["small.com"] == 2        # untouched
+    assert got[None] == 3               # NULL group untouched (null-safe)
+    # deterministic: same call, same survivors
+    a = sorted(r.id for r in out.filter("host = 'big.com'").collect())
+    b = sorted(
+        r.id
+        for r in cap_per_group(df, ["host"], "id", 50)
+        .filter("host = 'big.com'")
+        .collect()
+    )
+    assert a == b
+    # salt changes the survivor set but not its size
+    c = sorted(
+        r.id
+        for r in cap_per_group(df, ["host"], "id", 50, salt="v2")
+        .filter("host = 'big.com'")
+        .collect()
+    )
+    assert len(c) == 50 and c != a
+
+    approx = cap_per_group(df, ["host"], "id", 50, exact=False)
+    ga = {
+        r["host"]: r["n"]
+        for r in approx.groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert ga["small.com"] == 2 and ga[None] == 3
+    assert 30 <= ga["big.com"] <= 70    # ≈cap, md5-bucket thresholding
+    assert approx.columns == df.columns
+
+    # NULL group over the cap is capped too (null-safe semi/anti)
+    df2 = spark.createDataFrame(
+        [(None, i) for i in range(20)], "host string, id bigint"
+    )
+    assert cap_per_group(df2, ["host"], "id", 5).count() == 5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cap_per_group(df, ["host"], "id", 0)
+    with _pytest.raises(ValueError):
+        cap_per_group(df, [], "id", 5)
+
+
+def test_url_helpers(spark):
+    from pyspark_data_quality_spark.functions.text import (
+        normalize_url,
+        url_host,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("https://WWW.Example.COM/Path?a=1&utm_source=x&b=2#frag",),
+            ("http://a.b/x?utm_campaign=z",),
+            ("https://h.io/p?fbclid=123&gclid=4",),
+            ("not a url",),
+            (None,),
+        ],
+        "u string",
+    )
+    got = {
+        r.u: (r.h, r.n)
+        for r in df.select(
+            "u", url_host("u").alias("h"), normalize_url("u").alias("n")
+        ).collect()
+    }
+    assert got["https://WWW.Example.COM/Path?a=1&utm_source=x&b=2#frag"] == (
+        "www.example.com",
+        "https://www.example.com/Path?a=1&b=2",
+    )
+    assert got["http://a.b/x?utm_campaign=z"] == ("a.b", "http://a.b/x")
+    assert got["https://h.io/p?fbclid=123&gclid=4"] == ("h.io", "https://h.io/p")
+    assert got["not a url"] == (None, "not a url")  # never throws
+    assert got[None] == (None, None)
