@@ -809,3 +809,32 @@ def test_adversarial_nb_classifier_labels(spark, adv_cur):
     pred = predict_nb(scored, ["id"])
     assert pred.count() == adv_cur.count()
     assert pred.filter(F.col("predicted").isNull()).count() == 0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(min_size=0, max_size=40),  # arbitrary unicode incl. ''
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_bloom_never_false_negative_property(spark, members):
+    """Bloom invariant under arbitrary unicode members: every inserted
+    value probes True (zero false negatives), whatever the strings."""
+    from pyspark_data_quality_spark.operators.bloom import (
+        bloom_build,
+        bloom_params,
+        bloom_probe,
+    )
+
+    m, k = bloom_params(max(len(members), 1), 0.01)
+    df = spark.createDataFrame([(v,) for v in members], "v string")
+    bloom = bloom_build(df, "v", num_bits=m, num_hashes=k)
+    misses = (
+        bloom_probe(df, bloom, "v", num_bits=m, num_hashes=k)
+        .filter("NOT bloom_maybe")
+        .count()
+    )
+    assert misses == 0

@@ -167,3 +167,52 @@ def test_warc_documents_wet_extraction(spark, tmp_path):
     assert {r.text for r in everything} == {
         "T Hello & welcome second line", "just text",
     }
+
+
+def test_warc_to_curation_end_to_end(spark, tmp_path):
+    """Full ingestion path: WARC archive -> warc_documents -> the
+    curation pipeline. Exact duplicates across pages are caught on the
+    EXTRACTED text (tracking markup differences collapse)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_data_quality_spark.pipelines import curate_corpus
+    from pyspark_data_quality_spark.sources.warc import warc_documents
+
+    def page(body_html):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html><body>" + body_html + b"</body></html>"
+        )
+        return payload
+
+    body = (
+        b"<p>the quick brown fox jumps over the lazy dog and then "
+        b"the dog jumps back over the fox for good measure</p>"
+    )
+    f = tmp_path / "crawl.warc"
+    f.write_bytes(
+        _record("response", "http://a.com/1", page(body),
+                (b"Content-Type: application/http; msgtype=response",))
+        + _record("response", "http://b.com/copy",
+                  page(b"<div>" + body + b"</div>"),  # same text, new markup
+                  (b"Content-Type: application/http; msgtype=response",))
+        + _record("response", "http://c.com/other",
+                  page(b"<p>an entirely different page about completely "
+                       b"other topics with its own words</p>"),
+                  (b"Content-Type: application/http; msgtype=response",))
+    )
+    register_warc_source(spark)
+    docs = warc_documents(
+        spark.read.format("warc").load(str(f))
+    ).withColumn("doc_id", F.xxhash64("url"))
+
+    out = curate_corpus(
+        docs, id_col="doc_id", languages=None, min_quality=0.0,
+        near_dup_threshold=0.99, persist=False,
+    )
+    by_url = {r["url"]: r["curation_status"] for r in out.collect()}
+    assert by_url["http://c.com/other"] == "kept"
+    # markup differs but extracted text is identical -> one survives,
+    # one drops as exact_dup (which one depends on the hashed ids)
+    pair = {by_url["http://a.com/1"], by_url["http://b.com/copy"]}
+    assert pair == {"kept", "exact_dup"}
