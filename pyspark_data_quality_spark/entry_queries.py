@@ -648,13 +648,14 @@ def dq_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dq_ann_recall")  # rows-only: recall harness over approximate ANN
 def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality made driver-visible: recall@10 of the approximate
-    top-k paths (hyperplane-LSH, IVF) against the exact brute-force
-    ground truth on the same 10 fixture queries the dq_lsh_topk /
-    dq_ivf_topk entries use — the near_dup_eval tuning-harness shape
-    (operators/dedup.py) applied to vector search. Four rows, two per
-    method: the config the entries actually ship, plus one
-    recall-tilted config showing the knob (tables for LSH, nprobe for
-    IVF). ``meets_floor`` is a per-config regression guard asserted by
+    top-k paths (hyperplane-LSH, IVF, and PQ asymmetric-distance search
+    over codes only) against the exact brute-force ground truth on the
+    same 10 fixture queries the dq_lsh_topk / dq_ivf_topk entries use —
+    the near_dup_eval tuning-harness shape (operators/dedup.py) applied
+    to vector search. Five rows: per method the config the entries
+    actually ship, plus one recall-tilted config showing the knob
+    (tables for LSH, nprobe for IVF), plus the m=16 PQ compressed-domain
+    search. ``meets_floor`` is a per-config regression guard asserted by
     tests/test_registry.py, NOT a universal quality claim: the fixture
     embeddings are uniform-random — the ADVERSARIAL case for ANN
     (neighbors barely closer than random, no cluster structure), so
@@ -669,7 +670,7 @@ def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_ivf_centroids,
     )
 
-    # one scan+cast feeds all 5 sub-queries (brute force + 4 ANN runs):
+    # one scan+cast feeds all 6 sub-queries (brute force + 5 ANN runs):
     # the corpus is checkpointed once instead of re-read per config
     emb = _emb_double(spark, sf_dir).localCheckpoint()
     queries_df = emb.filter(F.col("vec_id") < 10).select(
@@ -680,8 +681,15 @@ def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     ).localCheckpoint()
     cents = train_ivf_centroids(emb, num_centroids=32, sample_size=2048)
+    from .operators.similarity import pq_encode, pq_topk, train_pq_codebooks
+
+    books = train_pq_codebooks(
+        emb, num_subvectors=16, codebook_size=64, sample_size=2048
+    )
+    pq_codes = pq_encode(emb, codebooks=books).select("vec_id", "pq_code")
     # (method, config label, floor, plan) — floors measured at sf0.01
-    # (0.13 / 0.62 / 0.75 / 0.92) minus slack for cross-sf variation
+    # (0.13 / 0.62 / 0.75 / 0.92 / pq 0.72; pq also 0.61 @ sf0.001 and
+    # 0.50 @ sf0.1) minus slack for cross-sf variation
     configs = [
         ("lsh", "planes=12,tables=6 (entry)", 0.05,
          lsh_topk(emb, queries_df, k=10, dim=64)),
@@ -692,6 +700,8 @@ def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
          ivf_topk(emb, queries_df, centroids=cents, k=10, nprobe=8)),
         ("ivf", "nprobe=16/32", 0.75,
          ivf_topk(emb, queries_df, centroids=cents, k=10, nprobe=16)),
+        ("pq", "m=16,k=64 (ADC over codes)", 0.35,
+         pq_topk(pq_codes, queries_df, codebooks=books, k=10)),
     ]
     n_exact = exact.count()
 

@@ -498,3 +498,210 @@ def pca_apply(
     project.__annotations__ = {"s": pd.Series, "return": pd.Series}
     kern = pandas_udf(project, "array<float>")
     return df.withColumn(out_col, kern(F.col(vec_col)))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_subvectors: int = 8,
+    codebook_size: int = 256,
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks (Jégou et al.: split each L2-normalized vector
+    into ``num_subvectors`` slices, k-means each slice independently) on
+    a deterministic hash-ordered sample — the same one-bounded-action
+    contract as :func:`train_ivf_centroids`. Returns
+    ``num_subvectors × codebook_size × (dim/num_subvectors)`` floats
+    (a 64-dim/8×256 setup is 16k floats — trivially broadcastable).
+
+    Why PQ at 100 TB: a float32 corpus of 1B × 768-dim embeddings is
+    ~3 TB of vectors; 8-bit PQ codes at m=8..96 are 8-96 BYTES per
+    vector — the difference between "embeddings fit in executor memory
+    for scanning" and "every probe is an I/O problem". Accuracy is
+    traded for it; measure with the recall harness before shipping a
+    config.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .orderBy(F.xxhash64(F.col("i").cast("string"), F.lit(seed)))
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_pq_codebooks: empty corpus sample")
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = X.shape[1]
+    m = num_subvectors
+    if d % m != 0:
+        raise ValueError(
+            f"train_pq_codebooks: dim {d} not divisible by "
+            f"num_subvectors {m}"
+        )
+    sub = d // m
+    k = min(codebook_size, len(X))
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        C = Xj[rng.permutation(len(Xj))[:k]].copy()
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = Xj[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def _pq_encode_np(codebooks: list[list[list[float]]]):
+    """pandas_udf: L2-normalized vector -> array<int> of per-subvector
+    nearest (euclidean) codebook indices."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(C)
+    sub = C[0].shape[1]
+
+    def f(v):
+        out = [None] * len(v)
+        valid = [i for i, x in enumerate(v) if x is not None and len(x) > 0]
+        if valid:
+            M = np.vstack(
+                [np.asarray(v.iloc[i], dtype=np.float64) for i in valid]
+            )
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(valid), m), dtype=np.int32)
+            for j in range(m):
+                Xj = M[:, j * sub : (j + 1) * sub]
+                # argmin ||x - c||^2 = argmax (x.c - ||c||^2/2)
+                scores = Xj @ C[j].T - 0.5 * (C[j] ** 2).sum(axis=1)
+                codes[:, j] = scores.argmax(axis=1)
+            for row, i in enumerate(valid):
+                out[i] = codes[row].tolist()
+        return pd.Series(out)
+
+    f.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "array<int>")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    *,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``code_col``: the vector's PQ codes (array<int>, one per
+    subvector — persist this and DROP the float vectors; the codes ARE
+    the compressed index). One Arrow pass, no shuffle."""
+    return corpus.withColumn(code_col, _pq_encode_np(codebooks)(F.col(vec_col)))
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    *,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over
+    PQ codes: each query precomputes an m×codebook_size lookup table of
+    sub-inner-products; a corpus vector's score is m table lookups — no
+    float vectors are read at query time.
+
+    Scale shape: the query batch is COLLECTED once (bounded by the ANN
+    query-batch contract, same as codebook training) into LUTs shipped
+    inside a ``mapInPandas`` closure; each Arrow batch scores all its
+    codes against all queries with one gather-accumulate and emits only
+    its LOCAL top-k per query, so the shuffle to the final per-query
+    window carries ≤ batches × queries × k rows — never n×q pairs.
+    Compose with :func:`assign_ivf_lists` pre-filtering for IVF-PQ
+    (probe lists first, ADC inside the probed lists).
+
+    Output: (query_id, neighbor_id, rank, score) — score is the ADC
+    approximation of the cosine (inner product of normalized vectors),
+    ties broken by neighbor id.
+    """
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("q"), F.col(query_vec_col).alias("v")
+        )
+        .filter(F.col(query_vec_col).isNotNull())
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("pq_topk: no query vectors")
+    C = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(C)
+    sub = C[0].shape[1]
+    qids = [r["q"] for r in qrows]
+    Q = np.array([r["v"] for r in qrows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # luts[q, j, c] = <Q[q] slice j, codebook j centroid c>
+    luts = np.stack(
+        [Q[:, j * sub : (j + 1) * sub] @ C[j].T for j in range(m)], axis=1
+    )
+    nq = len(qids)
+    qid_dtype = dict(queries.dtypes)[query_id_col]
+    nid_dtype = dict(corpus_codes.dtypes)[id_col]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf[pdf[code_col].notna()]
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(pdf[code_col].to_numpy())  # n × m
+            n = len(codes)
+            acc = np.zeros((nq, n), dtype=np.float64)
+            for j in range(m):
+                acc += luts[:, j, codes[:, j]]
+            kk = min(k, n)
+            idx = np.argpartition(-acc, kk - 1, axis=1)[:, :kk]
+            ids = pdf[id_col].to_numpy()
+            out_q, out_id, out_s = [], [], []
+            for qi in range(nq):
+                out_q.extend([qids[qi]] * kk)
+                out_id.extend(ids[idx[qi]].tolist())
+                out_s.extend(acc[qi, idx[qi]].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_id, "score": out_s}
+            )
+
+    local = corpus_codes.select(id_col, code_col).mapInPandas(
+        gen, f"query_id {qid_dtype}, neighbor_id {nid_dtype}, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

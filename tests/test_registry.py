@@ -153,7 +153,7 @@ def test_ann_recall_entry_meets_floors(spark, sf_dir):
     from pyspark_data_quality_spark.entry_queries import ENTRY_QUERIES
 
     rows = ENTRY_QUERIES["dq_ann_recall"](spark, sf_dir).collect()
-    assert len(rows) == 4
+    assert len(rows) == 5  # lsh x2, ivf x2, pq
     for r in rows:
         assert r["meets_floor"], (
             f"{r['method']} {r['config']}: recall {r['recall']} "

@@ -1320,3 +1320,80 @@ def test_distinctive_terms(spark):
 
     with pytest.raises(ValueError):
         distinctive_terms(df, "text", "lang", k=0)
+
+
+def test_pq_topk_recall_and_compression(spark, vecs):
+    """PQ ADC search over codes only: planted near-copies are recalled,
+    numeric recall floor vs brute force holds, and the scored frame
+    reads codes, never float vectors."""
+    from pyspark_data_quality_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(
+        vecs, num_subvectors=4, codebook_size=16, sample_size=4096
+    )
+    assert len(books) == 4 and len(books[0]) == 16 and len(books[0][0]) == 2
+    codes = pq_encode(vecs, codebooks=books)
+    crow = codes.first()
+    assert len(crow["pq_code"]) == 4
+    assert all(0 <= c < 16 for c in crow["pq_code"])
+
+    queries = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = brute_force_topk(vecs, queries, k=3)
+    # codes-only frame: drop the vectors entirely before searching
+    approx = pq_topk(
+        codes.select("vec_id", "pq_code"), queries, codebooks=books, k=3
+    )
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    for q in range(3):
+        assert (q, q) in a            # self is always nearest
+        assert (q, 100 + q) in a      # planted near-copy recalled
+    assert len(a & e) / len(e) >= 0.5
+    ranks = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in ranks)
+
+
+def test_pq_validation_and_nulls(spark, vecs):
+    import pytest
+
+    from pyspark_data_quality_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    with pytest.raises(ValueError, match="divisible"):
+        train_pq_codebooks(vecs, num_subvectors=3)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        train_pq_codebooks(empty, num_subvectors=4)
+
+    books = train_pq_codebooks(vecs, num_subvectors=4, codebook_size=8)
+    with_null = vecs.unionByName(
+        spark.createDataFrame(
+            [(999, None)], "vec_id long, embedding array<double>"
+        )
+    )
+    codes = pq_encode(with_null, codebooks=books)
+    assert codes.filter("vec_id = 999").first()["pq_code"] is None
+    queries = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    # NULL codes are skipped, search still returns k per query
+    out = pq_topk(codes, queries, codebooks=books, k=3)
+    assert out.count() == 6
+    with pytest.raises(ValueError, match="query"):
+        pq_topk(
+            codes,
+            queries.filter("query_id < 0"),
+            codebooks=books,
+            k=3,
+        )
