@@ -705,3 +705,64 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def ivf_pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    *,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    list_col: str = "ivf_list",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    nprobe: int = 8,
+) -> DataFrame:
+    """IVF-PQ: the full compressed-index search — coarse-quantizer
+    pruning (scan only the query batch's probed inverted lists) over a
+    corpus that stores ONLY PQ codes (:func:`assign_ivf_lists` +
+    :func:`pq_encode` at build time, float vectors dropped), then ADC
+    scoring within the probed subset.
+
+    The probed-list set is the UNION over the query batch (batched
+    probing: per-query pruning of an already-broadcast LUT batch buys
+    nothing, and scoring a neighbor from another query's list can only
+    raise recall). The list set is nprobe × |queries| ids at most — a
+    tiny driver-side value baked into the partition-prunable ``isin``
+    filter, so a corpus written ``partitionBy(list_col)`` skips
+    unprobed lists at the SCAN. Recall ≥ plain IVF at equal nprobe
+    would be wrong to claim (ADC quantization error trades some back);
+    measure with the harness.
+    """
+    import numpy as np
+
+    qv = (
+        queries.select(F.col(query_vec_col).alias("v"))
+        .filter(F.col(query_vec_col).isNotNull())
+        .collect()
+    )
+    if not qv:
+        raise ValueError("ivf_pq_topk: no query vectors")
+    C = np.asarray(centroids, dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    Q = np.array([r["v"] for r in qv], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    sims = Q @ C.T
+    npb = min(nprobe, C.shape[0])
+    probed = sorted(
+        {int(c) for row in np.argsort(-sims, axis=1)[:, :npb] for c in row}
+    )
+    pruned = corpus_codes.filter(F.col(list_col).isin(probed))
+    return pq_topk(
+        pruned,
+        queries,
+        codebooks=codebooks,
+        id_col=id_col,
+        code_col=code_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        k=k,
+    )

@@ -1397,3 +1397,46 @@ def test_pq_validation_and_nulls(spark, vecs):
             codebooks=books,
             k=3,
         )
+
+
+def test_ivf_pq_topk_composition(spark, vecs):
+    """IVF-PQ: list pruning over a codes-only corpus, then ADC. The
+    planted near-copies survive the pruning (their vectors share the
+    query's nearest lists) and full-probe equals plain PQ search."""
+    from pyspark_data_quality_spark.operators.similarity import (
+        assign_ivf_lists,
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    cents = train_ivf_centroids(vecs, num_centroids=8, sample_size=4096)
+    books = train_pq_codebooks(vecs, num_subvectors=4, codebook_size=16)
+    index = pq_encode(
+        assign_ivf_lists(vecs, centroids=cents), codebooks=books
+    ).select("vec_id", "ivf_list", "pq_code")
+
+    queries = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ivf_pq_topk(
+        index, queries, centroids=cents, codebooks=books, k=3, nprobe=4
+    )
+    a = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    for q in range(3):
+        assert (q, q) in a
+        assert (q, 100 + q) in a
+
+    # probing every list == plain PQ over the whole corpus
+    full = ivf_pq_topk(
+        index, queries, centroids=cents, codebooks=books, k=3, nprobe=8
+    )
+    plain = pq_topk(
+        index.select("vec_id", "pq_code"), queries, codebooks=books, k=3
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
