@@ -311,3 +311,41 @@ def normalize_url(col: Column | str) -> Column:
     return F.when(
         host.isNotNull(), F.replace(u, host, F.lower(host))
     ).otherwise(u)
+
+
+def clean_lines(
+    col: Column | str,
+    *,
+    min_words: int = 0,
+    require_terminal_punct: bool = False,
+    drop_repeated: bool = True,
+) -> Column:
+    """C4-style line-level cleaning, entirely as array expressions: split
+    the document into lines, optionally drop lines with fewer than
+    ``min_words`` whitespace tokens or without terminal punctuation
+    (.!?" or the CJK 。！？), deduplicate repeated lines keeping the
+    FIRST occurrence (``array_distinct`` preserves first-occurrence
+    order — exactly the nav-menu/footer dedup C4 does), and rejoin.
+
+    This is the within-document complement of the cross-document segment
+    dedup (operators/dedup.py strip_duplicate_segments): no shuffle, no
+    state — one projection you run before fingerprinting so boilerplate
+    lines don't dominate shingles."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.transform(F.split(c, r"\n"), lambda ln: F.trim(ln))
+    lines = F.filter(lines, lambda ln: ln != "")
+    if min_words > 0:
+        lines = F.filter(
+            lines,
+            lambda ln: F.size(F.filter(F.split(ln, r"\s+"), lambda t: t != ""))
+            >= min_words,
+        )
+    if require_terminal_punct:
+        lines = F.filter(
+            lines, lambda ln: ln.rlike('[.!?"。！？]\\s*$')
+        )
+    if drop_repeated:
+        lines = F.array_distinct(lines)
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.array_join(lines, "\n")
+    )

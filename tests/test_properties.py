@@ -838,3 +838,50 @@ def test_bloom_never_false_negative_property(spark, members):
         .count()
     )
     assert misses == 0
+
+
+def test_clean_lines_c4_rules(spark):
+    """Line-level C4 cleaning: repeated lines keep the first occurrence,
+    short and unpunctuated lines drop under their flags, NULL passes
+    through as NULL."""
+    from pyspark_data_quality_spark.functions.text import clean_lines
+
+    doc = "\n".join(
+        [
+            "Home | About | Contact",
+            "This is a real sentence with substance.",
+            "Home | About | Contact",
+            "  ",
+            "ok",
+            "Another proper sentence follows here!",
+            "trailing fragment without punctuation",
+        ]
+    )
+    df = spark.createDataFrame([(doc,), (None,)], "t string")
+
+    plain = df.select(clean_lines("t").alias("c")).first()["c"]
+    # only the repeat is gone; order preserved
+    assert plain.split("\n") == [
+        "Home | About | Contact",
+        "This is a real sentence with substance.",
+        "ok",
+        "Another proper sentence follows here!",
+        "trailing fragment without punctuation",
+    ]
+
+    strict = df.select(
+        clean_lines(
+            "t", min_words=3, require_terminal_punct=True
+        ).alias("c")
+    ).first()["c"]
+    assert strict.split("\n") == [
+        "This is a real sentence with substance.",
+        "Another proper sentence follows here!",
+    ]
+
+    assert (
+        df.filter("t IS NULL")
+        .select(clean_lines("t").alias("c"))
+        .first()["c"]
+        is None
+    )
