@@ -349,3 +349,69 @@ def clean_lines(
     return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
         F.array_join(lines, "\n")
     )
+
+
+def gopher_signals(col: Column | str) -> Column:
+    """The Gopher (Rae et al. 2021, public) static quality signals as
+    one struct of pure expressions — the document-shape rules that
+    complement :func:`quality_score`'s length/stopword gates and the
+    repetition signals in ``operators/text.py``:
+
+    - ``alpha_word_ratio``: fraction of tokens containing at least one
+      alphabetic character (low = tables/code/serial numbers);
+    - ``bullet_line_ratio``: fraction of non-empty lines starting with
+      a bullet marker (•, -, *) — listicle/boilerplate shape;
+    - ``ellipsis_line_ratio``: fraction of non-empty lines ending in an
+      ellipsis — truncated-preview shape;
+    - ``symbol_word_ratio``: (# + ellipsis occurrences) per token —
+      hashtag/clickbait density.
+
+    Empty/NULL documents yield 0.0 ratios — which means
+    :func:`gopher_pass` FAILS them via the alpha-word floor (a quality
+    gate must not pass contentless documents).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokenize(c)
+    n_tok = F.size(toks)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(c, F.lit("")), r"\n"), F.trim),
+        lambda ln: ln != "",
+    )
+    n_lines = F.size(lines)
+    bullets = F.size(F.filter(lines, lambda ln: ln.rlike(r"^([•\-\*])\s")))
+    ellipsis = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    symbols = (
+        F.length(F.coalesce(c, F.lit("")))
+        - F.length(F.regexp_replace(F.coalesce(c, F.lit("")), "#", ""))
+        + F.regexp_count(F.coalesce(c, F.lit("")), F.lit(r"(\.\.\.|…)"))
+    )
+    frac = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    return F.struct(
+        F.round(frac(alpha, n_tok), 6).alias("alpha_word_ratio"),
+        F.round(frac(bullets, n_lines), 6).alias("bullet_line_ratio"),
+        F.round(frac(ellipsis, n_lines), 6).alias("ellipsis_line_ratio"),
+        F.round(frac(symbols, n_tok), 6).alias("symbol_word_ratio"),
+    )
+
+
+def gopher_pass(
+    col: Column | str,
+    *,
+    min_alpha_word_ratio: float = 0.8,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    max_symbol_word_ratio: float = 0.1,
+) -> Column:
+    """Boolean Gopher-rules gate at the paper's published thresholds
+    (override per corpus). Compose with ``quality_score`` /
+    ``repetition_signals`` for the full Gopher filter."""
+    s = gopher_signals(col)
+    return (
+        (s["alpha_word_ratio"] >= min_alpha_word_ratio)
+        & (s["bullet_line_ratio"] <= max_bullet_line_ratio)
+        & (s["ellipsis_line_ratio"] <= max_ellipsis_line_ratio)
+        & (s["symbol_word_ratio"] <= max_symbol_word_ratio)
+    )

@@ -885,3 +885,50 @@ def test_clean_lines_c4_rules(spark):
         .first()["c"]
         is None
     )
+
+
+def test_gopher_signals_and_gate(spark):
+    from pyspark_data_quality_spark.functions.text import (
+        gopher_pass,
+        gopher_signals,
+    )
+
+    prose = (
+        "This is a perfectly ordinary paragraph of flowing text.\n"
+        "It continues with more full sentences and normal words."
+    )
+    listicle = "\n".join(f"- item number {i}" for i in range(10))
+    teaser = "Read more...\nYou won't believe it...\nClick now..."
+    hashtags = "#wow #amazing #deal 1 2 3 4 5 6 7 8 9 10 11 12"
+    df = spark.createDataFrame(
+        [(0, prose), (1, listicle), (2, teaser), (3, hashtags), (4, None)],
+        "id int, t string",
+    )
+    out = {
+        r.id: (r.s, r.ok)
+        for r in df.select(
+            "id",
+            gopher_signals("t").alias("s"),
+            gopher_pass("t").alias("ok"),
+        ).collect()
+    }
+    s0 = out[0][0]
+    assert s0["alpha_word_ratio"] > 0.9
+    assert s0["bullet_line_ratio"] == 0.0
+    assert out[0][1] is True
+
+    assert out[1][0]["bullet_line_ratio"] == 1.0
+    assert out[1][1] is False  # all-bullet doc fails
+
+    assert out[2][0]["ellipsis_line_ratio"] == 1.0
+    assert out[2][1] is False
+
+    s3 = out[3][0]
+    assert s3["symbol_word_ratio"] > 0.1
+    assert s3["alpha_word_ratio"] < 0.8  # numbers aren't alpha words
+    assert out[3][1] is False
+
+    s4 = out[4][0]
+    assert s4["alpha_word_ratio"] == 0.0
+    assert out[4][1] is False  # NULL/empty fails the alpha floor: a
+    # quality gate must not pass contentless documents
