@@ -960,3 +960,70 @@ def distinctive_terms(
         )
         .orderBy(group_col, "rank")
     )
+
+
+def language_mix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document LINE-level language profile — the code-switching /
+    mixed-language detector a document-level ``lang_id`` hides: a page
+    that is half English boilerplate and half target-language content
+    language-IDs as one or the other; per-line voting exposes the mix.
+
+    Output per input row: ``n_lines`` (non-empty lines), ``top_lang``
+    (majority line language, ties to the higher code — same tie-break
+    as lang_id), ``top_lang_share``, and ``lang_entropy`` (nats over
+    the line-language distribution; 0 = monolingual). Documents with no
+    non-empty lines keep a row with ``n_lines=0`` and NULL stats.
+
+    Scale shape: one explode over lines, a (doc, lang) count with
+    map-side partials, then a per-doc aggregate using the streaming
+    entropy identity ``H = ln(N) − Σ n·ln(n) / N`` — no per-doc value
+    collections anywhere; the final spine join returns every input row.
+    """
+    from ..functions.text import lang_id
+
+    lines = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n"),
+                    F.trim,
+                ),
+                lambda ln: ln != "",
+            )
+        ).alias("_line"),
+    ).select(F.col(id_col), lang_id(F.col("_line")).alias("_lang"))
+    per_lang = lines.groupBy(id_col, "_lang").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    per_doc = per_lang.groupBy(id_col).agg(
+        F.sum("_n").alias("n_lines"),
+        F.max_by("_lang", F.struct(F.col("_n"), F.col("_lang"))).alias(
+            "top_lang"
+        ),
+        F.max(F.struct(F.col("_n"), F.col("_lang"))).getField("_n").alias(
+            "_top_n"
+        ),
+        F.sum(F.col("_n") * F.log("_n")).alias("_nlogn"),
+    )
+    stats = per_doc.select(
+        id_col,
+        "n_lines",
+        "top_lang",
+        F.round(F.col("_top_n") / F.col("n_lines"), round_to).alias(
+            "top_lang_share"
+        ),
+        F.round(
+            F.log("n_lines") - F.col("_nlogn") / F.col("n_lines"), round_to
+        ).alias("lang_entropy"),
+    )
+    spine = df.select(id_col)
+    return spine.join(stats, id_col, "left").withColumn(
+        "n_lines", F.coalesce(F.col("n_lines"), F.lit(0))
+    )

@@ -932,3 +932,40 @@ def test_gopher_signals_and_gate(spark):
     assert s4["alpha_word_ratio"] == 0.0
     assert out[4][1] is False  # NULL/empty fails the alpha floor: a
     # quality gate must not pass contentless documents
+
+
+def test_language_mix_per_line(spark):
+    """Line-level language voting: monolingual docs get entropy 0 and
+    share 1.0; a half-and-half doc splits; empty/NULL docs keep a
+    zero-line row."""
+    import math
+
+    from pyspark_data_quality_spark.operators.text import language_mix
+
+    en = "the cat and the dog went to the market for the day"
+    es = "el perro y el gato que van por la calle de la ciudad"
+    df = spark.createDataFrame(
+        [
+            (0, "\n".join([en, en, en])),
+            (1, "\n".join([en, en, es, es])),
+            (2, ""),
+            (3, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in language_mix(df, "text", "doc_id").collect()}
+    assert len(out) == 4  # spine join keeps every row
+
+    assert out[0].n_lines == 3
+    assert out[0].top_lang == "en"
+    assert out[0].top_lang_share == 1.0
+    assert out[0].lang_entropy == 0.0
+
+    assert out[1].n_lines == 4
+    assert out[1].top_lang_share == 0.5
+    assert abs(out[1].lang_entropy - math.log(2)) < 1e-6
+
+    for i in (2, 3):
+        assert out[i].n_lines == 0
+        assert out[i].top_lang is None
+        assert out[i].lang_entropy is None
