@@ -10,7 +10,7 @@ time. This composes the existing operators into ONE long-format frame
 - volume:      n_docs, total_tokens, avg_tokens, p50_tokens, empty_share,
                null_text_share
 - quality:     avg_quality, low_quality_share, avg_stopword_ratio,
-               avg_punct_ratio
+               avg_punct_ratio, gopher_pass_share (static-rules gate)
 - duplication: exact_dup_ratio (1 - distinct fingerprints / docs)
 - language:    top-k predicted languages, one row per language with its
                share (metric = the language code)
@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.text import gopher_pass as _gopher_pass
 
 
 def corpus_report(
@@ -103,6 +105,12 @@ def corpus_report(
                 ),
                 "avg_stopword_ratio": F.avg("stopword_ratio"),
                 "avg_punct_ratio": F.avg("punct_ratio"),
+                # Gopher static-rules gate (functions/text.py
+                # gopher_pass): document-shape pass rate rides the same
+                # fused aggregate — no extra pass
+                "gopher_pass_share": F.avg(
+                    _gopher_pass(text_col).cast("double")
+                ),
             },
         )
     ).unionByName(

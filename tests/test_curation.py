@@ -349,6 +349,14 @@ def test_corpus_report_card(spark, sf_dir):
     )
     est = by[("vocab", "approx_distinct_tokens")]
     assert abs(est - exact_vocab) / exact_vocab < 0.05
+    # gopher pass share agrees with a direct expression count
+    from pyspark_data_quality_spark.functions.text import gopher_pass
+
+    direct = docs.agg(
+        SF.round(SF.avg(gopher_pass("text").cast("double")), 6)
+    ).first()[0]
+    assert by[("quality", "gopher_pass_share")] == direct
+    assert 0.0 <= direct <= 1.0
     # long-format shape: every row carries section/metric, value double
     assert all(r["section"] and r["metric"] for r in rep)
 
