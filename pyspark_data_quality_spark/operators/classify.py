@@ -46,6 +46,7 @@ __all__ = [
     "train_quality_model",
     "score_nb_classifier",
     "predict_nb",
+    "uncertainty_sample",
 ]
 
 
@@ -300,6 +301,29 @@ def score_nb_classifier(
             ).alias(score_col),
         )
     )
+
+
+def uncertainty_sample(
+    scored: DataFrame,
+    id_cols: list[str],
+    k: int,
+    *,
+    score_col: str = "score",
+) -> DataFrame:
+    """The ``k`` documents the classifier is LEAST sure about (smallest
+    top-1 vs top-2 margin) — the active-learning labeling queue: human
+    labels spent where they move the decision boundary most.
+
+    Global bottom-k compiles to TakeOrderedAndProject (per-partition
+    heaps merged on the driver), not a full sort — scales to any corpus.
+    Deterministic: ties break on the id columns.
+    """
+    if k < 1:
+        raise ValueError("uncertainty_sample: k must be >= 1")
+    pred = predict_nb(scored, id_cols, score_col=score_col)
+    return pred.orderBy(
+        F.col("margin").asc(), *[F.col(c).asc() for c in id_cols]
+    ).limit(k)
 
 
 def predict_nb(

@@ -220,3 +220,35 @@ def test_train_quality_model_weak_supervision(spark):
             bad_filter=F.col("src") == "junk",
             max_per_class=5,
         )
+
+
+def test_uncertainty_sample_picks_lowest_margin(spark, planted):
+    from pyspark_data_quality_spark.operators.classify import (
+        score_nb_classifier,
+        train_nb_classifier,
+        uncertainty_sample,
+    )
+
+    model = train_nb_classifier(planted, "text", "label")
+    # append a contentless doc: prior-only scores -> the smallest margin
+    target = planted.unionByName(
+        spark.createDataFrame(
+            [(999, "the and of with", "sport")],
+            "doc_id bigint, text string, label string",
+        )
+    )
+    scored = score_nb_classifier(target, model, "text", ["doc_id"])
+    picked = uncertainty_sample(scored, ["doc_id"], 3)
+    assert picked.count() == 3
+    rows = picked.collect()
+    # sorted ascending by margin, the filler-only doc leads
+    assert rows[0].doc_id == 999
+    assert rows[0].margin <= rows[1].margin <= rows[2].margin
+    # TakeOrdered plan, not a global sort
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        uncertainty_sample(scored, ["doc_id"], 0)
