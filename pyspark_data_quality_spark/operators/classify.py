@@ -47,6 +47,7 @@ __all__ = [
     "score_nb_classifier",
     "predict_nb",
     "uncertainty_sample",
+    "crossval_nb",
 ]
 
 
@@ -355,3 +356,70 @@ def predict_nb(
             ).alias(margin_col)
         )
     return out.select(*sel)
+
+
+def crossval_nb(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+    *,
+    folds: int = 5,
+    salt: str = "",
+    num_buckets: int | None = None,
+    smoothing: float = 1.0,
+    min_count: int = 1,
+) -> DataFrame:
+    """Deterministic k-fold cross-validation of the NB classifier: fold
+    assignment is the md5-bucket split (same machinery as
+    deterministic_split — a pure function of ids + salt, so every rerun
+    and every engine agrees on the folds), each fold scored by a model
+    trained on the others. Returns one row per fold:
+    (fold, n_docs, n_correct, accuracy) — the honest generalization
+    number behind a quality filter, vs. the training-set accuracy a
+    single fit reports.
+
+    Driver loop over ``folds`` bounded jobs; each job is train (two
+    groupBys) + score (explode/join/agg) over 1/k of the data.
+    """
+    if folds < 2:
+        raise ValueError("crossval_nb: folds must be >= 2")
+    from .split import deterministic_split
+
+    weights = {str(i): 1.0 / folds for i in range(folds)}
+    folded = deterministic_split(
+        df, id_col, weights, salt=salt, split_col="_fold"
+    )
+    out = []
+    for i in range(folds):
+        fold = str(i)
+        train = folded.filter(F.col("_fold") != fold)
+        test = folded.filter(F.col("_fold") == fold)
+        model = train_nb_classifier(
+            train,
+            text_col,
+            label_col,
+            num_buckets=num_buckets,
+            smoothing=smoothing,
+            min_count=min_count,
+        )
+        pred = predict_nb(
+            score_nb_classifier(test, model, text_col, [id_col]),
+            [id_col],
+            margin_col=None,
+        )
+        stats = (
+            pred.join(test.select(id_col, label_col), id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(
+                    (F.col("predicted") == F.col(label_col)).cast("long")
+                ).alias("n_correct"),
+            )
+            .first()
+        )
+        n, c = stats["n_docs"], stats["n_correct"] or 0
+        out.append((i, n, c, round(c / n, 6) if n else None))
+    return df.sparkSession.createDataFrame(
+        out, "fold int, n_docs long, n_correct long, accuracy double"
+    )

@@ -252,3 +252,23 @@ def test_uncertainty_sample_picks_lowest_margin(spark, planted):
 
     with _pytest.raises(ValueError):
         uncertainty_sample(scored, ["doc_id"], 0)
+
+
+def test_crossval_nb_generalization(spark, planted):
+    from pyspark_data_quality_spark.operators.classify import crossval_nb
+
+    cv = crossval_nb(planted, "text", "label", "doc_id", folds=3).collect()
+    assert [r.fold for r in cv] == [0, 1, 2]
+    assert sum(r.n_docs for r in cv) == planted.count()
+    # disjoint-vocabulary planted classes: held-out accuracy is perfect
+    for r in cv:
+        assert r.n_docs > 0
+        assert r.accuracy == 1.0
+    # deterministic: identical folds and numbers on rerun
+    again = crossval_nb(planted, "text", "label", "doc_id", folds=3).collect()
+    assert sorted(map(tuple, cv)) == sorted(map(tuple, again))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        crossval_nb(planted, "text", "label", "doc_id", folds=1)
