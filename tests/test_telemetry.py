@@ -55,3 +55,41 @@ def test_broadcast_side_is_bounded(spark, sf_dir):
     assert len(rows) == 50
     assert 0 < s["broadcast_bytes"] < 64 * 1024
     assert s["spill_bytes"] == 0
+
+
+def test_bloom_build_shuffle_capped_by_bitmap_size(spark):
+    """bloom_build's claim: the shuffle moves bitmap words, not data —
+    bounded by num_bits/64 longs regardless of input rows."""
+    from pyspark_data_quality_spark.operators.bloom import bloom_build
+
+    num_bits = 64 * 256  # 256 words
+    vals = spark.range(20_000).select(
+        F.concat(F.lit("value-"), "id").alias("v")
+    )
+    bloom = bloom_build(vals, "v", num_bits=num_bits, num_hashes=5)
+    rows, metrics = measured_collect(bloom)
+    assert len(rows) == 1
+    s = summarize_metrics(metrics)
+    # 20k rows x 5 positions in, <= ~2x256 word-partials out (map-side
+    # bit_or partials per partition side of the exchange)
+    assert 0 < s["shuffle_records_written"] <= 4 * 256 + 256
+    assert s["shuffle_bytes_written"] < 64 * 1024
+
+
+def test_cap_per_group_ranks_only_offenders(spark):
+    """cap_per_group's two-phase claim: the window ranks offender rows
+    only — shuffled records stay ~|offender rows| + counts, far below
+    ranking everything."""
+    from pyspark_data_quality_spark.operators.split import cap_per_group
+
+    rows = [("big", i) for i in range(5000)] + [
+        (f"h{i}", 10_000 + i) for i in range(2000)  # 2000 singleton hosts
+    ]
+    df = spark.createDataFrame(rows, "host string, id bigint")
+    capped = cap_per_group(df, ["host"], "id", 50)
+    out, metrics = measured_collect(capped)
+    assert len(out) == 50 + 2000
+    s = summarize_metrics(metrics)
+    # count agg partials + the 5000 offender rows; ranking ALL 7000 rows
+    # plus counts would exceed this bound
+    assert s["shuffle_records_written"] < 5000 + 3 * 2001 + 100
