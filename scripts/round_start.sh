@@ -20,3 +20,4 @@ cd "$(dirname "$0")/.."
 python scripts/make_cert_ledger.py
 python scripts/check_oracle.py
 python scripts/audit_plans.py --assert >/dev/null && echo "plan gate: clean"
+python scripts/gen_api_index.py
