@@ -277,9 +277,12 @@ def html_to_text(col: Column | str) -> Column:
     t = F.regexp_replace(c, r"(?is)<(script|style)\b.*?</\1\s*>", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    # &amp; must unescape LAST: doing it first would turn the
+    # entity-escaped '&amp;lt;' into '&lt;' and then into '<'
+    # (double-unescape — visible text corrupted)
     for ent, rep in (
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-        ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
     ):
         t = F.replace(t, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
@@ -307,10 +310,21 @@ def normalize_url(col: Column | str) -> Column:
     u = F.regexp_replace(u, r"&{2,}", "&")
     u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"[?&]$", "")
+    # lowercase ONLY scheme+authority (everything before the first '/'
+    # after '://'): a plain host replace would also hit the host echoed
+    # in a case-sensitive path segment or a ?next= query value
     host = F.try_parse_url(u, F.lit("HOST"))
-    return F.when(
-        host.isNotNull(), F.replace(u, host, F.lower(host))
-    ).otherwise(u)
+    sep = F.instr(u, "://")
+    after = F.substring(u, sep + 3, F.lit(2147483647))
+    slash_rel = F.instr(after, "/")
+    auth_end = F.when(slash_rel > 0, sep + 2 + slash_rel - 1).otherwise(
+        F.length(u)
+    )
+    canon = F.concat(
+        F.lower(F.substring(u, 1, auth_end)),
+        F.substring(u, auth_end + 1, F.lit(2147483647)),
+    )
+    return F.when((host.isNotNull()) & (sep > 0), canon).otherwise(u)
 
 
 def clean_lines(

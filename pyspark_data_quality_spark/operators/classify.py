@@ -282,7 +282,14 @@ def score_nb_classifier(
         feats = F.broadcast(feats)
     base = df.select(
         *id_cols, _featurize(text_col, model.num_buckets).alias("_feats")
-    ).withColumn("_n_tokens", F.coalesce(F.size("_feats"), F.lit(0)))
+    ).withColumn(
+        # coalesce the ARRAY, not size's output: on sessions with
+        # spark.sql.legacy.sizeOfNull (non-ANSI default) size(NULL) is
+        # -1, not NULL, and a -1 token count would flip the OOV term's
+        # sign for NULL-text documents
+        "_n_tokens",
+        F.size(F.coalesce(F.col("_feats"), F.array().cast("array<string>"))),
+    )
     matched = (
         base.select(*id_cols, F.explode("_feats").alias("feature"))
         .join(feats, "feature")
@@ -390,6 +397,10 @@ def crossval_nb(
     folded = deterministic_split(
         df, id_col, weights, salt=salt, split_col="_fold"
     )
+    # NULL-labeled rows can never score "correct" and training excludes
+    # them — counting them in the fold denominators would silently
+    # deflate every accuracy number
+    folded = folded.filter(F.col(label_col).isNotNull())
     out = []
     for i in range(folds):
         fold = str(i)

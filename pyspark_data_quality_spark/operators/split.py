@@ -244,11 +244,11 @@ def cap_per_group(
     under_rows = join_null_safe(
         df, over.select(*group_cols), group_cols, "anti", broadcast=True
     )
-    over_rows = join_null_safe(
-        df, over, group_cols, "semi", broadcast=True
-    )
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     if exact:
+        over_rows = join_null_safe(
+            df, over.select(*group_cols), group_cols, "semi", broadcast=True
+        )
         w = Window.partitionBy(
             *[F.col(c) for c in group_cols]
         ).orderBy(h.asc(), F.col(id_col).asc())
@@ -261,10 +261,17 @@ def cap_per_group(
         with_n = join_null_safe(
             df, over, group_cols, "inner", broadcast=True
         )
-        bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 10000
-        kept_over = with_n.filter(
-            bucket < F.floor(F.lit(cap) * 10000 / F.col("_n"))
-        ).drop("_n")
+        # same md5-bucket idiom as split_assignment (% _BUCKETS); the
+        # keep threshold floors at 1 — floor(cap·B/n) would hit 0 for
+        # groups larger than cap·B rows and silently drop the WHOLE
+        # group, the exact hosts the cap exists to tame
+        bucket = (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS
+        )
+        threshold = F.greatest(
+            F.lit(1), F.floor(F.lit(cap) * _BUCKETS / F.col("_n"))
+        )
+        kept_over = with_n.filter(bucket < threshold).drop("_n")
     return under_rows.unionByName(kept_over)
 
 

@@ -74,6 +74,14 @@ class _WarcReader(DataSourceReader):
         self._max_payload = int(mx) if mx is not None else None
 
     def partitions(self):
+        if "://" in self._path:
+            raise ValueError(
+                "warc: only local filesystem paths are supported "
+                f"(got {self._path!r}) — the parser opens files with "
+                "python io, not Hadoop FS; mount or download object-"
+                "store data first (failing here beats a per-task "
+                "FileNotFoundError deep in stage execution)"
+            )
         if os.path.isdir(self._path):
             paths = sorted(
                 p

@@ -272,3 +272,57 @@ def test_crossval_nb_generalization(spark, planted):
 
     with _pytest.raises(ValueError):
         crossval_nb(planted, "text", "label", "doc_id", folds=1)
+
+
+def test_crossval_excludes_null_labels(spark, planted):
+    from pyspark_data_quality_spark.operators.classify import crossval_nb
+
+    with_nulls = planted.unionByName(
+        spark.createDataFrame(
+            [(1000 + i, "unlabeled text", None) for i in range(6)],
+            "doc_id bigint, text string, label string",
+        )
+    )
+    cv = crossval_nb(with_nulls, "text", "label", "doc_id", folds=3).collect()
+    # NULL-labeled rows are excluded from the denominators: the planted
+    # classes still cross-validate perfectly
+    assert sum(r.n_docs for r in cv) == planted.count()
+    for r in cv:
+        assert r.accuracy == 1.0
+
+
+def test_score_null_text_robust_to_legacy_size_of_null(spark):
+    """size(NULL) is -1 on non-ANSI/legacy sessions; the token count
+    must still be 0 for NULL text (regression: -1 flipped the OOV
+    term's sign)."""
+    from pyspark.sql import Row
+
+    from pyspark_data_quality_spark.operators.classify import (
+        score_nb_classifier,
+        train_nb_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="alpha alpha", label="a"),
+            Row(doc_id=1, text="beta beta", label="b"),
+            Row(doc_id=2, text=None, label="a"),
+        ]
+    )
+    model = train_nb_classifier(df, "text", "label")
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+        scored = {
+            r.label: r.score
+            for r in score_nb_classifier(df, model, "text", ["doc_id"])
+            .filter("doc_id = 2")
+            .collect()
+        }
+        priors = {r.label: r.log_prior for r in model.classes.collect()}
+        for lbl, s in scored.items():
+            assert abs(s - priors[lbl]) < 1e-9  # prior-only, no -1 * oov
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+        spark.conf.unset("spark.sql.legacy.sizeOfNull")

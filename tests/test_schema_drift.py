@@ -956,3 +956,21 @@ def test_url_helpers(spark):
     assert got["https://h.io/p?fbclid=123&gclid=4"] == ("h.io", "https://h.io/p")
     assert got["not a url"] == (None, "not a url")  # never throws
     assert got[None] == (None, None)
+
+
+def test_cap_per_group_approx_mega_group_never_vanishes(spark):
+    """Regression: a group larger than cap*10000 rows used to get a
+    floor(0) keep-threshold in approximate mode and vanish entirely —
+    the exact hosts the cap exists to tame. The threshold floors at 1
+    bucket now: mega-groups keep a small, non-zero sliver."""
+    from pyspark_data_quality_spark.operators.split import cap_per_group
+
+    rows = [("mega", i) for i in range(20_001)] + [("tiny", 99_999)]
+    df = spark.createDataFrame(rows, "host string, id bigint")
+    out = cap_per_group(df, ["host"], "id", 1, exact=False)
+    got = {
+        r["host"]: r["n"]
+        for r in out.groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got["tiny"] == 1
+    assert 1 <= got["mega"] < 100  # non-zero, tiny sliver of 20k

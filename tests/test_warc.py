@@ -216,3 +216,39 @@ def test_warc_to_curation_end_to_end(spark, tmp_path):
     # one drops as exact_dup (which one depends on the hashed ids)
     pair = {by_url["http://a.com/1"], by_url["http://b.com/copy"]}
     assert pair == {"kept", "exact_dup"}
+
+
+def test_warc_rejects_non_local_uri(spark):
+    register_warc_source(spark)
+    with pytest.raises(Exception, match="local filesystem"):
+        spark.read.format("warc").load(
+            "s3://commoncrawl/crawl-data/x.warc.gz"
+        ).collect()
+
+
+def test_html_to_text_escaped_entities_not_double_unescaped(spark):
+    from pyspark_data_quality_spark.functions.text import html_to_text
+
+    # page whose VISIBLE text is: use &lt;br&gt; to break — stored with
+    # &amp;-escaped entities in the HTML source
+    df = spark.createDataFrame(
+        [("<p>use &amp;lt;br&amp;gt; to break</p>",)], "h string"
+    )
+    got = df.select(html_to_text("h").alias("t")).first()["t"]
+    assert got == "use &lt;br&gt; to break"
+
+
+def test_normalize_url_lowercases_authority_only(spark):
+    from pyspark_data_quality_spark.functions.text import normalize_url
+
+    df = spark.createDataFrame(
+        [
+            ("https://Example.com/mirror/Example.com/File",),
+            ("HTTPS://HOST.IO",),  # no path at all
+        ],
+        "u string",
+    )
+    got = [r["n"] for r in df.select(normalize_url("u").alias("n")).collect()]
+    # the case-sensitive path segment is preserved
+    assert got[0] == "https://example.com/mirror/Example.com/File"
+    assert got[1] == "https://host.io"
