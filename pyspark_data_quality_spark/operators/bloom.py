@@ -74,24 +74,22 @@ def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def _positions(value: Column, num_hashes: int, num_bits: int) -> Column:
-    """Array of ``num_hashes`` bit positions for ``value``.
+def _position(value: Column, i: int, num_bits: int) -> Column:
+    """Bit position i for ``value`` — THE build/probe hash contract,
+    defined once: hash i is ``xxhash64(value, i)`` with an INT literal
+    seed; ``pmod`` (not ``%``) keeps positions non-negative."""
+    return F.pmod(F.xxhash64(value, F.lit(i)), F.lit(num_bits).cast("long"))
 
-    Hash i is ``xxhash64(value, i)`` — the seed is an INT literal here
-    and an INT column in any consumer, so build and probe hash the same
-    bytes. ``pmod`` (not ``%``) keeps positions non-negative. Plain
+
+def _positions(value: Column, num_hashes: int, num_bits: int) -> Column:
+    """Array of ``num_hashes`` bit positions for ``value``. Plain
     unrolled expressions, no higher-order functions: lambda bodies that
     mix stream-side and broadcast-side attributes fail Catalyst's
     reference binding across a BroadcastNestedLoopJoin
     (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), and unrolled comparisons stay
     inside whole-stage codegen anyway.
     """
-    return F.array(
-        *[
-            F.pmod(F.xxhash64(value, F.lit(i)), F.lit(num_bits).cast("long"))
-            for i in range(num_hashes)
-        ]
-    )
+    return F.array(*[_position(value, i, num_bits) for i in range(num_hashes)])
 
 
 def bloom_build(
@@ -191,13 +189,33 @@ def bloom_probe(
         )
         == 1
         for p in [
-            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(num_bits).cast("long"))
-            for i in range(num_hashes)
+            _position(F.col(col), i, num_bits) for i in range(num_hashes)
         ]
     ]
     maybe = checks[0]
     for c in checks[1:]:
         maybe = maybe & c
+    # in-plan guard: probing with parameters that disagree with the
+    # bitmap's own metadata silently voids the no-false-negative
+    # contract — fail the job instead
+    params_ok = (F.col("num_bits") == F.lit(num_bits)) & (
+        F.col("num_hashes") == F.lit(num_hashes)
+    )
+    maybe = F.when(params_ok, maybe).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "bloom_probe: supplied num_bits/num_hashes "
+                    f"({num_bits}/{num_hashes}) do not match the "
+                    "bitmap's ("
+                ),
+                F.col("num_bits").cast("string"),
+                F.lit("/"),
+                F.col("num_hashes").cast("string"),
+                F.lit(")"),
+            )
+        ).cast("boolean")
+    )
     return joined.withColumn(out_col, maybe).drop("words", "num_bits", "num_hashes")
 
 
@@ -239,6 +257,12 @@ def dedup_against_bloom(
     """
     if mode not in ("survivors", "dups"):
         raise ValueError(f"dedup_against_bloom: unknown mode {mode!r}")
+    clash = {"_fp", "_maybe"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"dedup_against_bloom: df columns {sorted(clash)} collide "
+            "with internal temporaries; rename them first"
+        )
     if num_bits is None or num_hashes is None:
         if expected_items is None:
             raise ValueError(

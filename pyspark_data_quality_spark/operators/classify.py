@@ -267,6 +267,7 @@ def score_nb_classifier(
     *,
     broadcast_model: bool = True,
     score_col: str = "score",
+    persist_features: bool = False,
 ) -> DataFrame:
     """Per-(document, class) log-scores: ``id_cols + (label, score)``,
     exactly C rows per input row.
@@ -276,6 +277,13 @@ def score_nb_classifier(
     AQE pick) → partial-agg the deltas per (doc, label) → join back to
     the document×class spine (C-row broadcast crossJoin) so zero-match
     documents still score on prior + OOV mass alone.
+
+    The featurized projection feeds BOTH the explode branch and the
+    spine branch; without persistence Spark computes the tokenize+hash
+    pass once per branch. ``persist_features=True`` caches it
+    (MEMORY_AND_DISK — the projection is ids + token arrays, far
+    smaller than the documents) when the input is expensive to rescan;
+    unpersist happens at GC like the other optional persists.
     """
     feats = model.features
     if broadcast_model:
@@ -290,6 +298,10 @@ def score_nb_classifier(
         "_n_tokens",
         F.size(F.coalesce(F.col("_feats"), F.array().cast("array<string>"))),
     )
+    if persist_features:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     matched = (
         base.select(*id_cols, F.explode("_feats").alias("feature"))
         .join(feats, "feature")
@@ -356,10 +368,16 @@ def predict_nb(
     sel = [*id_cols, F.col(f"_best.{score_col}").alias(score_col),
            F.col("_best.label").alias(label_col)]
     if margin_col is not None:
+        # try_element_at, NOT element_at: under ANSI (Spark 4 default)
+        # element_at(_s, 2) THROWS on a single-class model's 1-element
+        # array instead of returning NULL
         sel.append(
             (
-                F.element_at("_s", 1)
-                - F.coalesce(F.element_at("_s", 2), F.element_at("_s", 1))
+                F.try_element_at("_s", F.lit(1))
+                - F.coalesce(
+                    F.try_element_at("_s", F.lit(2)),
+                    F.try_element_at("_s", F.lit(1)),
+                )
             ).alias(margin_col)
         )
     return out.select(*sel)

@@ -90,7 +90,9 @@ class _WarcReader(DataSourceReader):
                 and (".warc" in os.path.basename(p))
             )
         else:
-            paths = sorted(glob.glob(self._path)) or [self._path]
+            # no fallback to the raw path: a typo'd literal path must
+            # fail HERE on the driver, not per-task in open()
+            paths = sorted(glob.glob(self._path))
         if not paths:
             raise FileNotFoundError(f"warc: no files match {self._path!r}")
         return [_WarcFilePartition(p) for p in paths]
@@ -198,25 +200,48 @@ def warc_documents(warc_df, *, html_only: bool = True):
     """WET-style documents frame from a ``format("warc")`` read:
     ``(url, warc_date, content_type, text)`` with the HTTP headers
     stripped and HTML reduced to whitespace-normalized text — the shape
-    the dedup / quality / classifier operators consume directly.
+    the dedup / quality / classifier operators consume directly. The
+    ``content_type`` column is the HTTP header's (the document MIME
+    type users expect), not the WARC framing type (which is always
+    ``application/http`` for response records).
 
     Pure JVM expressions (binary->string lenient decode, regex framing;
     functions/text.py ``http_body``/``html_to_text``), so the only
     Python in the path remains the per-file WARC parser. ``html_only``
-    keeps records whose declared or sniffed payload looks like HTML —
-    the corpus-pipeline default; pass False to text-strip everything.
+    keeps records whose HTTP-declared or sniffed payload looks like
+    HTML — the corpus-pipeline default; pass False to text-strip
+    everything. ``record_type`` matches case-insensitively, like the
+    reader's own ``record_types`` option.
     """
     from pyspark.sql import functions as F
 
     from ..functions.text import html_to_text, http_body
 
+    payload_str = F.col("payload").cast("string")
+    # search ONLY the HTTP header block (before the first blank line):
+    # a body that happens to contain a "content-type:" line must not
+    # masquerade as the declared type
+    headers = F.when(
+        F.instr(payload_str, "\r\n\r\n") > 0,
+        F.substring_index(payload_str, "\r\n\r\n", 1),
+    ).otherwise(F.lit(""))
+    http_ct = F.nullif(
+        F.trim(
+            F.regexp_extract(
+                headers, r"(?im)^content-type:\s*([^\r\n]+)", 1
+            )
+        ),
+        F.lit(""),
+    )
     body = http_body(F.col("payload"))
-    out = warc_df.filter(F.col("record_type") == "response").withColumn(
-        "_body", body
+    out = (
+        warc_df.filter(F.lower(F.col("record_type")) == "response")
+        .withColumn("_body", body)
+        .withColumn("_http_ct", http_ct)
     )
     if html_only:
         looks_html = (
-            F.lower(F.coalesce(F.col("content_type"), F.lit(""))).contains(
+            F.lower(F.coalesce(F.col("_http_ct"), F.lit(""))).contains(
                 "html"
             )
             | F.col("_body").rlike(r"(?is)<\s*(!doctype\s+)?html")
@@ -226,6 +251,6 @@ def warc_documents(warc_df, *, html_only: bool = True):
     return out.select(
         "url",
         "warc_date",
-        "content_type",
+        F.col("_http_ct").alias("content_type"),
         html_to_text(F.col("_body")).alias("text"),
     )

@@ -142,3 +142,22 @@ def test_bloom_build_validation(spark):
         bloom_build(vals, "v", num_bits=32, num_hashes=1)
     with pytest.raises(ValueError):
         bloom_build(vals, "v", num_bits=640, num_hashes=0)
+
+
+def test_bloom_probe_param_mismatch_fails_loud(spark):
+    """Regression: probing with parameters that disagree with the
+    bitmap's metadata used to silently void the no-false-negative
+    contract; it now fails the job."""
+    m, k = bloom_params(100, 0.01)
+    vals = spark.range(100).select(F.concat(F.lit("v"), "id").alias("v"))
+    bloom = bloom_build(vals, "v", num_bits=m, num_hashes=k)
+    bad = bloom_probe(vals, bloom, "v", num_bits=m * 2, num_hashes=k)
+    with pytest.raises(Exception, match="do not match"):
+        bad.collect()
+
+
+def test_dedup_against_bloom_temp_column_clash_raises(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_fp = docs.withColumn("_fp", F.lit(1))
+    with pytest.raises(ValueError, match="_fp"):
+        dedup_against_bloom(with_fp, docs, "text", expected_items=10)

@@ -326,3 +326,27 @@ def test_score_null_text_robust_to_legacy_size_of_null(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
         spark.conf.unset("spark.sql.legacy.sizeOfNull")
+
+
+def test_predict_nb_single_class_model(spark):
+    """Regression: a one-class model's margin used element_at(_s, 2),
+    which THROWS under ANSI instead of returning NULL."""
+    from pyspark_data_quality_spark.operators.classify import (
+        predict_nb,
+        score_nb_classifier,
+        train_nb_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta", "only"), (1, "beta gamma", "only")],
+        "doc_id bigint, text string, label string",
+    )
+    model = train_nb_classifier(df, "text", "label")
+    assert model.classes.count() == 1
+    pred = predict_nb(
+        score_nb_classifier(df, model, "text", ["doc_id"]), ["doc_id"]
+    ).collect()
+    assert len(pred) == 2
+    for r in pred:
+        assert r.predicted == "only"
+        assert r.margin == 0.0  # top-2 absent -> margin degrades to 0

@@ -252,3 +252,37 @@ def test_normalize_url_lowercases_authority_only(spark):
     # the case-sensitive path segment is preserved
     assert got[0] == "https://example.com/mirror/Example.com/File"
     assert got[1] == "https://host.io"
+
+
+def test_warc_missing_literal_path_fails_on_driver(spark, tmp_path):
+    register_warc_source(spark)
+    with pytest.raises(Exception, match="no files match"):
+        spark.read.format("warc").load(
+            str(tmp_path / "no-such.warc.gz")
+        ).collect()
+
+
+def test_warc_documents_http_content_type_and_case(spark, tmp_path):
+    """content_type is the HTTP header's MIME type (not the WARC framing
+    type); declared text/html keeps fragment-only pages; record_type
+    matches case-insensitively."""
+    from pyspark_data_quality_spark.sources.warc import warc_documents
+
+    frag = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        b"<div>fragment only page</div>"  # no <html>/<p>/doctype
+    )
+    f = tmp_path / "d.warc"
+    f.write_bytes(
+        _record("Response", "http://h.com/frag", frag,
+                (b"Content-Type: application/http; msgtype=response",))
+    )
+    register_warc_source(spark)
+    raw = spark.read.format("warc").option("record_types", "response").load(
+        str(f)
+    )
+    assert raw.count() == 1  # reader filter is case-insensitive
+    docs = warc_documents(raw).collect()
+    assert len(docs) == 1  # HTTP-declared text/html keeps the fragment
+    assert docs[0].content_type == "text/html; charset=utf-8"
+    assert docs[0].text == "fragment only page"
