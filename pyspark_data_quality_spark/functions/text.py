@@ -316,10 +316,15 @@ def normalize_url(col: Column | str) -> Column:
     host = F.try_parse_url(u, F.lit("HOST"))
     sep = F.instr(u, "://")
     after = F.substring(u, sep + 3, F.lit(2147483647))
+    # the authority ends at the FIRST of '/' or '?' ('#' fragments are
+    # already stripped above): a URL with a query but no path
+    # ('host.com?Next=CaseSensitive') must not lowercase its query
     slash_rel = F.instr(after, "/")
-    auth_end = F.when(slash_rel > 0, sep + 2 + slash_rel - 1).otherwise(
-        F.length(u)
+    q_rel = F.instr(after, "?")
+    end_rel = F.least(  # least ignores NULLs; NULL only if neither found
+        F.when(slash_rel > 0, slash_rel), F.when(q_rel > 0, q_rel)
     )
+    auth_end = F.coalesce(sep + 2 + end_rel - 1, F.length(u))
     canon = F.concat(
         F.lower(F.substring(u, 1, auth_end)),
         F.substring(u, auth_end + 1, F.lit(2147483647)),

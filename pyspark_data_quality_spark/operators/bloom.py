@@ -161,7 +161,9 @@ def bloom_probe(
     fan-out — the same whitelisted shape as the 1-row stats broadcasts
     elsewhere); the membership test is ``num_hashes`` unrolled
     ``getbit`` checks, entirely inside whole-stage codegen. Pass
-    ``num_bits``/``num_hashes`` when you know them (no extra work);
+    ``num_bits``/``num_hashes`` when you know them (only an emptiness
+    guard touches the bloom frame — a missing/empty bitmap must fail
+    loud, not silently annihilate every probe row via the crossJoin);
     omit them and the probe reads the bloom row's metadata columns with
     one tiny collect — the extra job is how a bitmap persisted by an
     earlier run (write the 1-row frame as parquet) stays
@@ -179,6 +181,10 @@ def bloom_probe(
         if meta is None:
             raise ValueError("bloom_probe: bloom frame is empty")
         num_bits, num_hashes = meta.num_bits, meta.num_hashes
+    elif bloom.isEmpty():
+        # explicit-params path: without this, crossJoin against an
+        # empty bitmap silently yields ZERO output rows
+        raise ValueError("bloom_probe: bloom frame is empty")
     joined = df.crossJoin(F.broadcast(bloom))
     checks = [
         F.getbit(

@@ -614,6 +614,39 @@ def pq_encode(
     return corpus.withColumn(code_col, _pq_encode_np(codebooks)(F.col(vec_col)))
 
 
+def _collect_query_batch(
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    max_queries: int,
+    fn_name: str,
+) -> list:
+    """ONE bounded action for the ANN query side. The collect is capped
+    at ``max_queries`` and FAILS LOUD above it (same loud-bound contract
+    as the train_* ``sample_size`` caps): an unbounded query frame would
+    silently become a driver-sized LUT broadcast — SCALE.md invariant #1
+    is that every collect is parameter-bounded. Batch huge query sets by
+    calling per-slice, or raise ``max_queries`` deliberately."""
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("q"), F.col(query_vec_col).alias("v")
+        )
+        .filter(F.col(query_vec_col).isNotNull())
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError(f"{fn_name}: no query vectors")
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"{fn_name}: query batch exceeds max_queries={max_queries}; "
+            "the query side is collected into broadcast LUTs — slice the "
+            "query frame and call per-slice, or raise max_queries "
+            "deliberately"
+        )
+    return qrows
+
+
 def pq_topk(
     corpus_codes: DataFrame,
     queries: DataFrame,
@@ -624,14 +657,17 @@ def pq_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     k: int = 10,
+    max_queries: int = 4096,
+    _qrows: list | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over
     PQ codes: each query precomputes an m×codebook_size lookup table of
     sub-inner-products; a corpus vector's score is m table lookups — no
     float vectors are read at query time.
 
-    Scale shape: the query batch is COLLECTED once (bounded by the ANN
-    query-batch contract, same as codebook training) into LUTs shipped
+    Scale shape: the query batch is COLLECTED once — bounded by
+    ``max_queries`` with a loud failure above it, same contract as the
+    train_* ``sample_size`` caps — into LUTs shipped
     inside a ``mapInPandas`` closure; each Arrow batch scores all its
     codes against all queries with one gather-accumulate and emits only
     its LOCAL top-k per query, so the shuffle to the final per-query
@@ -648,14 +684,12 @@ def pq_topk(
     from pyspark.sql.window import Window
 
     qrows = (
-        queries.select(
-            F.col(query_id_col).alias("q"), F.col(query_vec_col).alias("v")
+        _collect_query_batch(
+            queries, query_id_col, query_vec_col, max_queries, "pq_topk"
         )
-        .filter(F.col(query_vec_col).isNotNull())
-        .collect()
+        if _qrows is None
+        else _qrows
     )
-    if not qrows:
-        raise ValueError("pq_topk: no query vectors")
     C = [np.asarray(b, dtype=np.float64) for b in codebooks]
     m = len(C)
     sub = C[0].shape[1]
@@ -720,6 +754,7 @@ def ivf_pq_topk(
     query_vec_col: str = "query_vec",
     k: int = 10,
     nprobe: int = 8,
+    max_queries: int = 4096,
 ) -> DataFrame:
     """IVF-PQ: the full compressed-index search — coarse-quantizer
     pruning (scan only the query batch's probed inverted lists) over a
@@ -739,16 +774,14 @@ def ivf_pq_topk(
     """
     import numpy as np
 
-    qv = (
-        queries.select(F.col(query_vec_col).alias("v"))
-        .filter(F.col(query_vec_col).isNotNull())
-        .collect()
+    # ONE action for the query side: the same bounded batch drives the
+    # coarse probe here and the ADC LUTs in pq_topk (passed via _qrows)
+    qrows = _collect_query_batch(
+        queries, query_id_col, query_vec_col, max_queries, "ivf_pq_topk"
     )
-    if not qv:
-        raise ValueError("ivf_pq_topk: no query vectors")
     C = np.asarray(centroids, dtype=np.float64)
     C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    Q = np.array([r["v"] for r in qv], dtype=np.float64)
+    Q = np.array([r["v"] for r in qrows], dtype=np.float64)
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     sims = Q @ C.T
     npb = min(nprobe, C.shape[0])
@@ -765,4 +798,6 @@ def ivf_pq_topk(
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
         k=k,
+        max_queries=max_queries,
+        _qrows=qrows,
     )

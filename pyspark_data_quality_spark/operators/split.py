@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 _BUCKETS = 10000
 
 
+def _check_reserved(df: DataFrame, reserved: set[str], fn_name: str) -> None:
+    """Internal temp columns are created and dropped by name; a user
+    column with the same name would be silently overwritten and lost —
+    refuse instead (same contract as bloom_probe's reserved check)."""
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"{fn_name}: df columns {sorted(clash)} collide with "
+            "internal temporaries; rename them first"
+        )
+
+
 def split_assignment(
     id_col: Column | str, weights: dict[str, float], *, salt: str = ""
 ) -> Column:
@@ -235,6 +247,7 @@ def cap_per_group(
         raise ValueError("cap_per_group: cap must be >= 1")
     if not group_cols:
         raise ValueError("cap_per_group: group_cols must be non-empty")
+    _check_reserved(df, {"_n", "_rn"}, "cap_per_group")
     from pyspark.sql.window import Window
 
     from ..plans.joins import join_null_safe
@@ -337,6 +350,12 @@ def token_budget_mix(
         )
     if method not in ("partitioned", "single_task"):
         raise ValueError(f"token_budget_mix: unknown method {method!r}")
+    _check_reserved(
+        df,
+        {"_p", "_t", "_sp", "_src", "_budget", "_end", "_pid",
+         "_end_loc", "_osrc", "_opid", "_pt", "_off"},
+        "token_budget_mix",
+    )
     tot = sum(target.values())
     shares = {k: v / tot for k, v in target.items()}
 

@@ -59,6 +59,7 @@ def salted_join(
     salt: int = 16,
     hot_keys: list | None = None,
     hot_threshold: int = 1_000_000,
+    seed: int | None = None,
 ) -> DataFrame:
     """Equi-join with explicit hot-key salting — the shuffle-join
     fallback when ONE key (the null-surrogate user id, the apex domain,
@@ -90,6 +91,17 @@ def salted_join(
     from inner results); they are also never "hot" — detection and
     tagging both join on the keys, where NULL matches nothing, so NULL
     rows keep salt 0 and fall through untouched.
+
+    Salt placement: results are row-identical to the plain join for ANY
+    salt assignment (every hot dim row exists once per salt value), so
+    correctness never depends on it. Pass ``seed`` to make placement
+    reproducible across runs — ``F.rand(seed)`` is deterministic per
+    (partition contents, partition index). Unseeded (default), salt
+    assignment is nondeterministic; on a shuffle-fetch-failure stage
+    replay over indeterminate map output, rows can be RE-salted
+    differently between attempts — Spark's indeterminate-stage rollback
+    (rerun all reducers of the stage) is what keeps the join's output
+    consistent in that case, not this operator.
     """
     if how not in ("inner", "left", "left_semi", "left_anti"):
         raise ValueError(
@@ -127,9 +139,10 @@ def salted_join(
         )
     hot = F.broadcast(hot.withColumn("_hot", F.lit(True)))
 
+    rnd = F.rand() if seed is None else F.rand(seed)
     fact_s = fact.join(hot, keys, "left").withColumn(
         "_salt",
-        F.when(F.col("_hot"), (F.rand() * salt).cast("int")).otherwise(
+        F.when(F.col("_hot"), (rnd * salt).cast("int")).otherwise(
             F.lit(0)
         ),
     ).drop("_hot")

@@ -1,6 +1,5 @@
-"""TTL-bounded streaming dedup on the arbitrary-state API
-(``transformWithStateInPandas``, Spark 4) — the third point in the
-streaming-dedup design space this package covers:
+"""TTL-bounded streaming dedup — the third point in the streaming-dedup
+design space this package covers:
 
 - ``dropDuplicates`` (streaming): exact, but state grows forever;
 - ``dedup_within_watermark`` (windows.py): state bounded by EVENT-time
@@ -11,12 +10,28 @@ streaming-dedup design space this package covers:
   "same key seen in the last N hours of wall clock" (retry storms,
   at-least-once upstreams, periodic re-sends).
 
-State is one RocksDB value per key with a sliding TTL (refreshed on
-every sighting), so steady-state size is |keys active within TTL|, not
-|keys ever seen|. Requires the RocksDB state store provider
-(``spark.sql.streaming.stateStore.providerClass`` →
-``...state.RocksDBStateStoreProvider``) — the TTL column family is a
-RocksDB feature; :func:`ttl_dedup_confs` returns the confs to set.
+Two implementations, one contract (first sighting within a sliding
+``ttl`` emits; repeats drop; keys silent for a full ``ttl`` age out and
+their next sighting emits again):
+
+- ``impl='state'`` — ``applyInPandasWithState`` with a processing-time
+  timeout. State per key is ONE long (last-seen batch timestamp); the
+  re-emission decision compares the batch's processing time against it,
+  so correctness never depends on when the engine fires the timeout —
+  the timeout only REMOVES idle keys, bounding state at
+  |keys active within ttl|. Runs on any state store provider and needs
+  nothing beyond pyspark itself.
+- ``impl='tws'`` — ``transformWithStateInPandas`` (Spark 4) with a
+  native RocksDB TTL column family: aging happens inside the store
+  (no timeout bookkeeping in Python) — the preferred path where its
+  protobuf state protocol is available. Requires the RocksDB provider
+  (:func:`ttl_dedup_confs` returns the conf to set).
+
+``impl='auto'`` (default) picks ``tws`` when protobuf imports, else
+``state`` — so the operator is executable everywhere and upgrades
+itself on a standard Spark distro. Parity between the two is contract-
+level (same first-sighting/TTL semantics); test both where protobuf
+exists.
 
 Batch face: plain ``dropDuplicates(keys)`` (TTL is meaningless when the
 whole input is one batch); parity asserted in tests for the
@@ -35,8 +50,10 @@ ROCKSDB_PROVIDER = (
 
 
 def ttl_dedup_confs() -> dict[str, str]:
-    """Session confs ``dedup_with_ttl`` needs (set before starting the
-    query): the RocksDB state store provider that backs TTL state."""
+    """Session confs the ``impl='tws'`` path needs (set before starting
+    the query): the RocksDB state store provider that backs native TTL
+    state. The ``impl='state'`` path runs on any provider and needs no
+    confs."""
     return {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER}
 
 
@@ -46,6 +63,7 @@ def dedup_with_ttl(
     *,
     ttl: str = "1 hour",
     output_mode: str = "append",
+    impl: str = "auto",
 ) -> DataFrame:
     """First sighting of each key within a sliding processing-time
     ``ttl`` passes through; repeats are dropped; keys silent for a full
@@ -54,8 +72,10 @@ def dedup_with_ttl(
     ``df`` must be a STREAMING DataFrame (use ``dropDuplicates(keys)``
     for batch). Within one micro-batch the first row of the key's
     arrival order wins — same contract as streaming dropDuplicates.
-    State per key is a single byte-row with TTL, refreshed on every
-    sighting (sliding); the emitted row schema is the input schema.
+    The sliding TTL refreshes on every sighting; the emitted row schema
+    is the input schema. ``impl``: ``'auto'`` (default — native
+    ``'tws'`` where protobuf is available, portable ``'state'``
+    otherwise), ``'state'``, or ``'tws'``.
     """
     if not keys:
         raise ValueError("dedup_with_ttl: keys must be non-empty")
@@ -64,8 +84,78 @@ def dedup_with_ttl(
             "dedup_with_ttl: df must be streaming; use "
             "dropDuplicates(keys) on a batch DataFrame"
         )
-    _require_protobuf()
+    if impl not in ("auto", "state", "tws"):
+        raise ValueError(f"dedup_with_ttl: unknown impl {impl!r}")
     ttl_ms = _parse_duration_ms(ttl)
+    if impl == "auto":
+        impl = "tws" if _protobuf_available() else "state"
+    if impl == "tws":
+        _require_protobuf()
+        return _ttl_dedup_tws(df, keys, ttl_ms, output_mode)
+    return _ttl_dedup_state(df, keys, ttl_ms, output_mode)
+
+
+def _ttl_dedup_state(
+    df: DataFrame, keys: list[str], ttl_ms: int, output_mode: str
+) -> DataFrame:
+    """Portable path: ``applyInPandasWithState`` + processing-time
+    timeout. The emitted/suppressed decision is made from the stored
+    last-seen batch timestamp (``getCurrentProcessingTimeMs`` — the
+    batch's timestamp, stable across task retries), NOT from whether the
+    timeout has fired: timeouts in this API are evaluated only when a
+    batch runs, and a key receiving data in the same batch its deadline
+    passed is delivered WITH the data (hasTimedOut=False) — so aging is
+    re-checked inline and the timeout's only job is evicting idle keys.
+
+    Trigger caveat: pending processing-time timers make the engine run a
+    state-cleanup micro-batch on EVERY trigger, so the stream never
+    reaches a quiescent point — a ``Trigger.AvailableNow`` run of this
+    path never self-terminates, and ``processAllAvailable()`` never
+    returns. Drive it with a normal trigger and await sink contents
+    (or ``stop()`` on your own signal); a TTL'd dedup is a
+    continuous-pipeline operator — run-to-completion over a finite batch
+    input is exactly what ``dropDuplicates`` is for.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(f"`{c}` {fields[c]}" for c in df.columns)
+    state_schema = "last_seen long"
+
+    def fn(key: Any, pdfs: Iterator, state: Any) -> Iterator:
+        if state.hasTimedOut:
+            # idle for a full ttl: forget the key so its next sighting
+            # emits again (and state size stays |active keys|)
+            state.remove()
+            return
+        now = state.getCurrentProcessingTimeMs()
+        last = state.get[0] if state.exists else None
+        first = last is None or (now - last) >= ttl_ms
+        # refresh the sliding TTL on every sighting, first or not
+        state.update((now,))
+        state.setTimeoutDuration(ttl_ms)
+        if first:
+            for pdf in pdfs:
+                if len(pdf) > 0:
+                    yield pdf.head(1)
+                    break
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        output_mode,
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def _ttl_dedup_tws(
+    df: DataFrame, keys: list[str], ttl_ms: int, output_mode: str
+) -> DataFrame:
+    """Native path: ``transformWithStateInPandas`` with a RocksDB TTL
+    value state — aging is the store's job, no timestamps in Python.
+    Requires protobuf (the Python↔JVM state protocol) and the RocksDB
+    provider (:func:`ttl_dedup_confs`)."""
     out_schema = df.schema
 
     from pyspark.sql.streaming.stateful_processor import (
@@ -102,22 +192,31 @@ def dedup_with_ttl(
     )
 
 
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _require_protobuf() -> None:
     """transformWithState's Python↔JVM state protocol rides protobuf
     (pyspark.sql.streaming.proto); without a working google.protobuf the
     query crashes at START with an opaque
     STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE — fail loud and early
     here instead (same import-guard contract as multimodal/media.py's
-    codec paths). The operator is fully functional wherever
-    ``protobuf`` is installed (it ships with standard Spark distros)."""
+    codec paths). Where protobuf is absent, ``impl='state'`` (or the
+    default ``'auto'``) provides the same contract."""
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as e:
         raise ImportError(
-            "dedup_with_ttl needs the 'protobuf' package "
+            "dedup_with_ttl(impl='tws') needs the 'protobuf' package "
             "(transformWithStateInPandas state protocol); install "
-            "protobuf, or use dedup_within_watermark / "
-            "dropDuplicatesWithinWatermark on event-time streams"
+            "protobuf, or use impl='state' (applyInPandasWithState — "
+            "same contract, no extra dependency)"
         ) from e
 
 

@@ -19,5 +19,7 @@ cd "$(dirname "$0")/.."
 
 python scripts/make_cert_ledger.py
 python scripts/check_oracle.py
-python scripts/audit_plans.py --assert >/dev/null && echo "plan gate: clean"
+# stdout stays visible: on a gate failure the violating entries must be
+# diagnosable from the transcript (set -e aborts right here)
+python scripts/audit_plans.py --assert && echo "plan gate: clean"
 python scripts/gen_api_index.py

@@ -88,6 +88,22 @@ def test_bloom_empty_reference(spark):
     assert bloom_probe(vals, bloom, "v").filter("bloom_maybe").count() == 0
 
 
+def test_bloom_probe_empty_bitmap_frame_raises(spark):
+    """A ZERO-ROW bloom frame (missing/never-written bitmap, NOT a bloom
+    built over an empty reference) must fail loud on BOTH param paths —
+    the crossJoin would otherwise silently drop every probe row."""
+    no_bitmap = spark.range(0).select(
+        F.col("id").alias("words"),  # schema-compatible, zero rows
+        F.lit(640).alias("num_bits"),
+        F.lit(3).alias("num_hashes"),
+    )
+    vals = spark.range(5).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="empty"):
+        bloom_probe(vals, no_bitmap, "v")  # metadata path
+    with pytest.raises(ValueError, match="empty"):
+        bloom_probe(vals, no_bitmap, "v", num_bits=640, num_hashes=3)
+
+
 @pytest.mark.parametrize("mode", ["survivors", "dups"])
 def test_dedup_against_bloom_matches_exact(spark, sf_dir, mode):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -924,6 +924,22 @@ def test_cap_per_group_exact_and_approx(spark):
         cap_per_group(df, ["host"], "id", 0)
     with _pytest.raises(ValueError):
         cap_per_group(df, [], "id", 5)
+    # a user column named like an internal temporary would be silently
+    # overwritten and dropped — refuse instead
+    with _pytest.raises(ValueError, match="_rn"):
+        cap_per_group(df.withColumn("_rn", F.lit(1)), ["host"], "id", 5)
+
+
+def test_token_budget_mix_reserved_column_raises(spark):
+    import pytest as _pytest
+
+    from pyspark_data_quality_spark.operators.split import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y"), (2, "b", "z")], "id bigint, src string, text string"
+    ).withColumn("_end", F.lit(0))
+    with _pytest.raises(ValueError, match="_end"):
+        token_budget_mix(df, "id", "src", {"a": 1.0}, text_col="text")
 
 
 def test_url_helpers(spark):

@@ -141,6 +141,45 @@ def test_salted_join_matches_plain_join(spark):
         assert salted.columns == plain.columns, how
 
 
+def test_salted_join_seed_reproducible_placement(spark):
+    """With seed, the SALT ASSIGNMENT itself (not just the join result,
+    which is salt-invariant) is identical across runs: observed by
+    joining the internal (key, salt) placement out via a dim that keeps
+    the salt visible — here simply by checking two seeded runs produce
+    byte-identical results AND the seed threads to F.rand."""
+    from pyspark_data_quality_spark.plans import skew as skew_mod
+    from pyspark_data_quality_spark.plans.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [("hot", i) for i in range(40)] + [("a", 1)], "k string, fv int"
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("a", "A")], "k string, dv string"
+    )
+    seen = []
+    orig = skew_mod.F.rand
+
+    def spy(seed=None):
+        seen.append(seed)
+        return orig(seed) if seed is not None else orig()
+
+    try:
+        skew_mod.F.rand = spy
+        a = salted_join(
+            fact, dim, ["k"], salt=4, hot_threshold=10, seed=7
+        )
+        b = salted_join(
+            fact, dim, ["k"], salt=4, hot_threshold=10, seed=7
+        )
+        salted_join(fact, dim, ["k"], salt=4, hot_threshold=10)
+    finally:
+        skew_mod.F.rand = orig
+    assert seen == [7, 7, None]  # seed threads; default stays unseeded
+    assert _rows_set(a) == _rows_set(b) == _rows_set(
+        fact.join(dim, ["k"], "inner")
+    )
+
+
 def test_salted_join_explicit_hot_keys_and_compound(spark):
     from pyspark_data_quality_spark.plans.skew import salted_join
 

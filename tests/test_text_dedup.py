@@ -1397,6 +1397,35 @@ def test_pq_validation_and_nulls(spark, vecs):
             codebooks=books,
             k=3,
         )
+    # the query side is a bounded collect: above max_queries fails LOUD
+    # instead of silently building a driver-sized LUT broadcast
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(codes, queries, codebooks=books, k=3, max_queries=1)
+
+
+def test_ivf_pq_topk_query_bound(spark, vecs):
+    from pyspark_data_quality_spark.operators.similarity import (
+        assign_ivf_lists,
+        ivf_pq_topk,
+        pq_encode,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    cents = train_ivf_centroids(vecs, num_centroids=4, sample_size=4096)
+    books = train_pq_codebooks(vecs, num_subvectors=4, codebook_size=8)
+    index = pq_encode(
+        assign_ivf_lists(vecs, centroids=cents), codebooks=books
+    ).select("vec_id", "ivf_list", "pq_code")
+    queries = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_pq_topk(
+            index, queries, centroids=cents, codebooks=books,
+            k=3, nprobe=2, max_queries=2,
+        )
 
 
 def test_ivf_pq_topk_composition(spark, vecs):

@@ -245,6 +245,9 @@ def test_normalize_url_lowercases_authority_only(spark):
         [
             ("https://Example.com/mirror/Example.com/File",),
             ("HTTPS://HOST.IO",),  # no path at all
+            # query but NO path: the authority ends at '?', and the
+            # case-sensitive query value must be preserved
+            ("http://HOST.com?Next=CaseSensitive",),
         ],
         "u string",
     )
@@ -252,6 +255,7 @@ def test_normalize_url_lowercases_authority_only(spark):
     # the case-sensitive path segment is preserved
     assert got[0] == "https://example.com/mirror/Example.com/File"
     assert got[1] == "https://host.io"
+    assert got[2] == "http://host.com?Next=CaseSensitive"
 
 
 def test_warc_missing_literal_path_fails_on_driver(spark, tmp_path):
