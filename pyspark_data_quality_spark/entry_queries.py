@@ -652,10 +652,13 @@ def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     over codes only) against the exact brute-force ground truth on the
     same 10 fixture queries the dq_lsh_topk / dq_ivf_topk entries use —
     the near_dup_eval tuning-harness shape (operators/dedup.py) applied
-    to vector search. Five rows: per method the config the entries
+    to vector search. Six rows: per method the config the entries
     actually ship, plus one recall-tilted config showing the knob
     (tables for LSH, nprobe for IVF), plus the m=16 PQ compressed-domain
-    search. ``meets_floor`` is a per-config regression guard asserted by
+    search, plus the IVF-PQ composition (nprobe=16 list pruning OVER the
+    PQ codes) with its own floor — so the recall the pruning gives back
+    is measured, not assumed from the plain-PQ row.
+    ``meets_floor`` is a per-config regression guard asserted by
     tests/test_registry.py, NOT a universal quality claim: the fixture
     embeddings are uniform-random — the ADVERSARIAL case for ANN
     (neighbors barely closer than random, no cluster structure), so
@@ -686,10 +689,18 @@ def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_pq_codebooks(
         emb, num_subvectors=16, codebook_size=64, sample_size=2048
     )
-    pq_codes = pq_encode(emb, codebooks=books).select("vec_id", "pq_code")
+    from .operators.similarity import assign_ivf_lists, ivf_pq_topk
+
+    pq_index = pq_encode(
+        assign_ivf_lists(emb, centroids=cents), codebooks=books
+    ).select("vec_id", "ivf_list", "pq_code")
+    pq_codes = pq_index.select("vec_id", "pq_code")
     # (method, config label, floor, plan) — floors measured at sf0.01
     # (0.13 / 0.62 / 0.75 / 0.92 / pq 0.72; pq also 0.61 @ sf0.001 and
-    # 0.50 @ sf0.1) minus slack for cross-sf variation
+    # 0.50 @ sf0.1; ivf_pq 0.61/0.72/0.50 @ sf0.001/0.01/0.1 — equal to
+    # plain pq at every SF here, i.e. nprobe=16 pruning costs nothing on
+    # this fixture and ADC error dominates) minus slack for cross-sf
+    # variation
     configs = [
         ("lsh", "planes=12,tables=6 (entry)", 0.05,
          lsh_topk(emb, queries_df, k=10, dim=64)),
@@ -702,6 +713,9 @@ def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
          ivf_topk(emb, queries_df, centroids=cents, k=10, nprobe=16)),
         ("pq", "m=16,k=64 (ADC over codes)", 0.35,
          pq_topk(pq_codes, queries_df, codebooks=books, k=10)),
+        ("ivf_pq", "m=16,k=64,nprobe=16/32", 0.25,
+         ivf_pq_topk(pq_index, queries_df, centroids=cents,
+                     codebooks=books, k=10, nprobe=16)),
     ]
     n_exact = exact.count()
 
@@ -885,6 +899,89 @@ def _eval_configs_concurrently(configs, prec_floor: float) -> list:
 
     with ThreadPoolExecutor(max_workers=len(configs)) as pool:
         return list(pool.map(one, configs))
+
+
+@query("dq_curation_floor")  # rows-only: recall floor for curation's MinHash stage
+def dq_curation_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE approximate stage inside curate_corpus, certified with
+    the EXACT config the pipeline ships (pipelines/curation.py: 64
+    hashes × 16 bands, 3-word shingles, threshold 0.8) — the last
+    approximate surface in the product to become driver-visible;
+    dq_neardup_recall certifies the char-gram and SimHash shapes but
+    not this word-shingle config. Ground truth is exact word-3-shingle
+    Jaccard ≥ 0.8 over a FIXED ≤500-doc subset (bounded, documented
+    O(n²) oracle baseline, same contract as the other recall
+    harnesses). 16 bands × 4 rows catches s ≥ 0.8 with ~99.98%
+    probability, so the 0.9 recall floor is strict; precision is
+    floored at 0.9 too because candidates are verified against the
+    signature-estimated jaccard. ``meets_floor`` is asserted by
+    tests/test_registry.py. Not SQL-expressible without replaying the
+    LSH in the oracle — rows-only by design."""
+    from .functions.text import word_shingles
+    from .operators.dedup import minhash_near_dup_pairs
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 500)
+        .localCheckpoint()
+    )
+    # shingle ONCE (checkpoint) and spread the streamed side of the
+    # ground-truth nested-loop join: the 500-doc frame is one parquet
+    # split, which would otherwise run the O(n²) pair scan on ONE task
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("_id"),
+            F.array_distinct(word_shingles("text", 3)).alias("_sh"),
+        )
+        .withColumn("_n", F.size("_sh"))
+        .repartition(32)
+        .localCheckpoint()
+    )
+    left, right = sh.alias("l"), sh.alias("r")
+    inter = F.size(F.array_intersect(F.col("l._sh"), F.col("r._sh")))
+    jac = F.try_divide(
+        inter.cast("double"), F.col("l._n") + F.col("r._n") - inter
+    )
+    # exactness-preserving size filter (PPJoin lemma): J(a,b) <=
+    # min(|a|,|b|)/max(|a|,|b|), so pairs failing the 0.8 size ratio
+    # can't reach the threshold — the expensive array_intersect runs
+    # only on pairs that survive this cheap join-condition predicate
+    size_ok = F.least(F.col("l._n"), F.col("r._n")) >= (
+        F.lit(0.8) * F.greatest(F.col("l._n"), F.col("r._n"))
+    )
+    exact = (
+        left.join(right, (F.col("l._id") < F.col("r._id")) & size_ok)
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            jac.alias("j"),
+        )
+        .filter(F.col("j") >= 0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    approx = minhash_near_dup_pairs(
+        docs, "text", "doc_id", num_hashes=64, num_bands=16,
+        shingle="word", shingle_n=3, threshold=0.8,
+    ).select("id_a", "id_b")
+    rows = _eval_configs_concurrently(
+        [
+            (
+                "minhash-curation",
+                "hashes=64,bands=16,wshingle=3,t=0.8",
+                0.9,
+                exact,
+                approx,
+            )
+        ],
+        0.9,
+    )
+    return spark.createDataFrame(
+        rows,
+        "method string, config string, n_exact long, n_approx long, "
+        "n_hit long, precision double, recall double, recall_floor double, "
+        "meets_floor boolean",
+    ).orderBy("method", "config")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,165 @@
+"""Z-order (Morton space-filling curve) layout clustering — the
+multi-column data-skipping lever for 100 TB tables.
+
+Sorting a table by ONE column gives parquet min/max pruning on that
+column and destroys it for every other; real query mixes filter on two
+or three (``WHERE host = ... AND date BETWEEN ...``). Interleaving the
+bits of per-column EQUI-DEPTH bucket ids puts rows that are close in
+ALL dimensions into the same files, so every filtered column prunes
+row groups — the layout trick behind Delta/Iceberg ``OPTIMIZE ZORDER
+BY`` (public), rebuilt here as plain Spark expressions:
+
+1. per-column equi-depth boundaries via ``approxQuantile`` — ONE
+   driver action bounded by ``2**bits`` values per column (the
+   parameter-bounded-collect contract, docs/SCALE.md invariant #1);
+   equi-depth (not equi-width) so skewed columns still spread across
+   the full bucket range;
+2. bucket assignment + bit interleave as pure integer expressions
+   (``size(filter(boundaries, b -> b <= x))`` then shift/or folds) —
+   whole-stage codegen, no UDF, no shuffle;
+3. ``repartitionByRange`` on the z-value (ONE range shuffle — the same
+   cost a plain sorted write pays) + ``sortWithinPartitions`` so each
+   output file covers a compact z-range.
+
+The z-value is a LAYOUT key, not data: write it dropped (default) and
+the parquet footers carry tight per-file min/max on the ORIGINAL
+columns, which is what scan pruning reads. NULLs sort into bucket 0
+(parquet stats track null counts separately, so NULL-filter pruning is
+unaffected).
+
+Scale shape: cost = one bounded quantile job + one range shuffle of the
+data — identical asymptotics to ``df.sort(col).write``; there is no
+row-count-dependent driver state. First to break at 100 TB: nothing
+specific to this operator — the range shuffle is the write itself.
+``tests/test_zorder.py`` proves the claim at runtime: a 2-D box filter
+over the z-ordered layout reads a fraction of the rows the same filter
+reads from a single-column-sorted layout (executed-plan scan metrics,
+not prose).
+
+Reference parity: the reference engine has no storage-layout surface
+(src/pyspark_data_quality is a rule framework over already-loaded
+frames); this is part of the training-data extension surface, composing
+with sinks/dataset.py write_dataset and operators/layout.py
+file_layout_report (which shows the per-file min/max tightness this
+operator creates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_by", "zorder_value"]
+
+_NUMERICish = ("int", "bigint", "smallint", "tinyint", "float", "double",
+               "decimal", "date", "timestamp", "timestamp_ntz")
+
+
+def _bucket_expr(col: str, boundaries: list[float], bits: int) -> Column:
+    """Equi-depth bucket id in [0, 2**bits) as a pure expression: the
+    count of boundaries STRICTLY below x (strict, so the minimum value
+    lands in bucket 0 and a constant column contributes 0 everywhere).
+    O(2**bits) comparisons per row inside codegen — bits is small
+    (default 8) by design; NULL -> bucket 0."""
+    arr = F.array(*[F.lit(b) for b in boundaries])
+    x = F.col(col).cast("double")
+    n = F.size(F.filter(arr, lambda b: b < x))
+    return F.when(x.isNull(), F.lit(0)).otherwise(
+        F.least(n, F.lit((1 << bits) - 1))
+    )
+
+
+def zorder_value(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    relative_error: float = 0.001,
+) -> Column:
+    """The Morton interleave of the columns' equi-depth bucket ids, as a
+    single long Column (requires ``df`` to compute the boundaries — ONE
+    ``approxQuantile`` action, bounded by ``len(cols) * 2**bits``).
+
+    Exposed separately from :func:`zorder_by` so the same z-value can
+    key a ``repartitionByRange`` bucketing scheme, a sampling stratifier,
+    or a manual sort. Numeric/date/timestamp columns only: equi-depth
+    boundaries come from quantiles, which strings don't have — hash a
+    string column to a long first if you must (you lose range pruning
+    on it, which is the point of z-ordering, so usually: don't).
+    """
+    if not cols:
+        raise ValueError("zorder_value: cols must be non-empty")
+    if not 1 <= bits <= 16:
+        raise ValueError("zorder_value: bits must be in [1, 16]")
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"zorder_value: {len(cols)} cols x {bits} bits exceeds the "
+            "63-bit z-value budget; lower bits"
+        )
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if c not in dtypes:
+            raise ValueError(f"zorder_value: column {c!r} not in df")
+        if not dtypes[c].startswith(_NUMERICish):
+            raise ValueError(
+                f"zorder_value: column {c!r} has type {dtypes[c]}; "
+                "z-ordering needs numeric/date/timestamp columns "
+                "(quantile boundaries) — hash or bucket strings upstream"
+            )
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    num = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    all_bnds = num.approxQuantile(cols, probs, relative_error)
+    z = F.lit(0).cast("long")
+    for j, (c, bnds) in enumerate(zip(cols, all_bnds)):
+        # constant column (or all-NULL): approxQuantile returns equal
+        # (or no) boundaries; dedupe so the filter count stays correct
+        bnds = sorted(set(bnds))
+        bkt = _bucket_expr(c, bnds, bits).cast("long")
+        for b in range(bits):
+            # bit b of column j lands at position b*len(cols)+j
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bkt, b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + j,
+                ).cast("long")
+            )
+    return z
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    num_partitions: int | None = None,
+    relative_error: float = 0.001,
+    keep_zorder_col: bool = False,
+    zorder_col: str = "_zorder",
+) -> DataFrame:
+    """``df`` re-clustered along the Morton curve of ``cols`` — write the
+    result (``write_dataset`` / ``.write``) and each output file covers
+    a compact region of the multi-column space, so parquet min/max
+    pruning works for filters on ANY of ``cols``.
+
+    ``num_partitions`` sets the output file count (defaults to the
+    session shuffle parallelism — size it so files land near your
+    target, e.g. total_bytes / 1 GB). The z-value column is dropped by
+    default; ``keep_zorder_col=True`` retains it for inspection or
+    downstream range bucketing.
+    """
+    if zorder_col in df.columns:
+        raise ValueError(
+            f"zorder_by: column {zorder_col!r} already exists; pass a "
+            "different zorder_col"
+        )
+    z = zorder_value(df, cols, bits=bits, relative_error=relative_error)
+    out = df.withColumn(zorder_col, z)
+    parts = [F.col(zorder_col)]
+    out = (
+        out.repartitionByRange(num_partitions, *parts)
+        if num_partitions is not None
+        else out.repartitionByRange(*parts)
+    ).sortWithinPartitions(zorder_col)
+    return out if keep_zorder_col else out.drop(zorder_col)

@@ -11,6 +11,12 @@ through the ``pyspark.sql.datasource`` API:
   gzip member stream, and Common Crawl already shards crawls into ~1 GB
   files, so file granularity IS the task granularity — a listing of N
   files fans out to N parallel tasks with zero coordination;
+- paths may be local (file or glob or directory) or any
+  ``scheme://`` URI this pyarrow build's filesystems reach (s3/gs/
+  hdfs/file/...): remote listing + the missing-path check stay on the
+  DRIVER, and executors stream bytes via ``pyarrow.fs`` with gzip
+  (including concatenated members) decoded transparently; remote URIs
+  take one file or one directory — globs are local-only;
 - the reader yields plain tuples; payloads are ``binary`` (the
   multimodal column contract — decode downstream via
   ``multimodal/media.py``, text-extract via the text operators);
@@ -75,13 +81,9 @@ class _WarcReader(DataSourceReader):
 
     def partitions(self):
         if "://" in self._path:
-            raise ValueError(
-                "warc: only local filesystem paths are supported "
-                f"(got {self._path!r}) — the parser opens files with "
-                "python io, not Hadoop FS; mount or download object-"
-                "store data first (failing here beats a per-task "
-                "FileNotFoundError deep in stage execution)"
-            )
+            return [
+                _WarcFilePartition(p) for p in _remote_warc_paths(self._path)
+            ]
         if os.path.isdir(self._path):
             paths = sorted(
                 p
@@ -99,9 +101,7 @@ class _WarcReader(DataSourceReader):
 
     def read(self, partition: _WarcFilePartition) -> Iterator[tuple]:
         path = partition.path
-        opener = gzip.open if path.endswith(".gz") else open
-        with opener(path, "rb") as raw:
-            stream = io.BufferedReader(raw, buffer_size=1 << 20)
+        with _open_warc_stream(path) as stream:
             for headers, payload, truncated in _iter_warc_records(
                 stream, self._types, self._max_payload
             ):
@@ -115,6 +115,62 @@ class _WarcReader(DataSourceReader):
                     payload,
                     truncated,
                 )
+
+
+def _remote_warc_paths(uri: str) -> list[str]:
+    """Driver-side listing for ``scheme://`` paths via ``pyarrow.fs`` —
+    object-store WARC shards (Common Crawl lives on S3/HTTPS mirrors)
+    read without a local mount. A URI names ONE file or ONE directory
+    (listed recursively for ``*.warc*`` files); glob patterns are not
+    supported on remote filesystems — the existence check still runs
+    HERE so a typo'd bucket/key fails on the driver, not per-task."""
+    from pyarrow import fs as pafs
+
+    scheme = uri.split("://", 1)[0]
+    try:
+        filesystem, rel = pafs.FileSystem.from_uri(uri)
+    except Exception as e:
+        raise ValueError(
+            f"warc: cannot open filesystem for {uri!r} ({e}); supported "
+            "remote schemes are whatever this pyarrow build provides "
+            "(file/s3/gs/hdfs...), plus plain local paths"
+        ) from e
+    info = filesystem.get_file_info(rel)
+    if info.type == pafs.FileType.Directory:
+        sel = pafs.FileSelector(rel, recursive=True)
+        files = sorted(
+            i.path
+            for i in filesystem.get_file_info(sel)
+            if i.type == pafs.FileType.File
+            and ".warc" in os.path.basename(i.path)
+        )
+    elif info.type == pafs.FileType.File:
+        files = [rel]
+    else:
+        raise FileNotFoundError(
+            f"warc: no files match {uri!r} (remote paths take one file "
+            "or one directory; glob patterns are local-only)"
+        )
+    if not files:
+        raise FileNotFoundError(f"warc: no .warc files under {uri!r}")
+    return [f"{scheme}://{p}" for p in files]
+
+
+def _open_warc_stream(path: str):
+    """Open a (possibly remote) WARC file as a buffered byte stream with
+    gzip transparently decoded. Local paths use python io; ``://`` paths
+    use ``pyarrow.fs`` whose ``open_input_stream`` detects compression
+    by extension and decodes concatenated gzip members — the
+    member-per-record .warc.gz layout reads straight through (verified
+    in tests)."""
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        filesystem, rel = pafs.FileSystem.from_uri(path)
+        raw = filesystem.open_input_stream(rel)  # compression='detect'
+        return io.BufferedReader(raw, buffer_size=1 << 20)
+    raw = gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb")
+    return io.BufferedReader(raw, buffer_size=1 << 20)
 
 
 def _iter_warc_records(stream, keep_types, max_payload):

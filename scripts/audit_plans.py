@@ -40,6 +40,7 @@ NESTED_LOOP_OK = {
     "dq_embedding_pairs_exact",  # O(n²) oracle baseline, fixed 500 rows
     "dq_ngram_jaccard",          # exact-path baseline, fixed 100 docs
     "dq_neardup_recall",         # harness ground truths (bounded subsets)
+    "dq_curation_floor",         # exact ground truth over fixed <=500 docs
     "dq_sem_recall",             # exact baseline over fixed 500 vectors
     "dq_dedup_bloom",            # 1-row bloom-bitmap broadcast crossJoin
     "dq_nb_scores",              # C-row class-spine broadcast crossJoin

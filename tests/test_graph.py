@@ -1,0 +1,107 @@
+"""PageRank (operators/graph.py): exact parity with a NumPy power
+iteration on the same graph (same damping, iterations, and
+dangling-mass fold-back), probability-mass conservation, dangling and
+parallel-edge semantics, and validation."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_quality_spark.operators.graph import pagerank
+
+
+def _np_pagerank(edge_list, damping, iterations):
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for u, _ in edge_list:
+        deg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for u, v in edge_list:
+            contrib[idx[v]] += r[idx[u]] / deg[idx[u]]
+        dangling = r[deg == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    # 5 nodes incl. a dangling node 'e' (no out-edges) and a hub 'a'
+    edge_list = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "a"), ("d", "c"), ("b", "e"),
+    ]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, damping=0.85, iterations=20).collect()
+    }
+    want = _np_pagerank(edge_list, 0.85, 20)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9), v
+    # dangling fold-back conserves probability mass
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    # the hub pointed to by everyone outranks the leaf
+    assert got["c"] > got["e"]
+
+
+def test_pagerank_parallel_edges_weight_contributions(spark):
+    # b->c twice: with multiplicity semantics c receives 2/3 of b's rank
+    # per step — strictly more than with the deduped graph
+    multi = [("a", "b"), ("b", "c"), ("b", "c"), ("b", "a"), ("c", "a")]
+    dedup = [("a", "b"), ("b", "c"), ("b", "a"), ("c", "a")]
+    rm = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(multi, "src string, dst string"),
+            iterations=10,
+        ).collect()
+    }
+    rd = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(dedup, "src string, dst string"),
+            iterations=10,
+        ).collect()
+    }
+    assert rm["c"] > rd["c"]
+    assert rm["c"] == pytest.approx(
+        _np_pagerank(multi, 0.85, 10)["c"], rel=1e-9
+    )
+
+
+def test_pagerank_null_edges_dropped_and_validation(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), (None, "b"), ("a", None), ("b", "a")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert set(got) == {"a", "b"}  # NULL endpoints are not nodes
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping=1.0)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(edges, iterations=0)
+    with pytest.raises(ValueError, match="not in edges"):
+        pagerank(edges, src_col="nope")
+    empty = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="no non-NULL edges"):
+        pagerank(empty)
+
+
+def test_pagerank_custom_columns_and_rank_col(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1)], "from_host bigint, to_host bigint"
+    )
+    out = pagerank(
+        edges, src_col="from_host", dst_col="to_host",
+        iterations=3, rank_col="authority",
+    )
+    assert out.columns == ["node", "authority"]
+    got = {r["node"]: r["authority"] for r in out.collect()}
+    # symmetric 2-cycle: both nodes at exactly 0.5
+    assert got[1] == pytest.approx(0.5) and got[2] == pytest.approx(0.5)

@@ -153,12 +153,15 @@ def test_ann_recall_entry_meets_floors(spark, sf_dir):
     from pyspark_data_quality_spark.entry_queries import ENTRY_QUERIES
 
     rows = ENTRY_QUERIES["dq_ann_recall"](spark, sf_dir).collect()
-    assert len(rows) == 5  # lsh x2, ivf x2, pq
+    assert len(rows) == 6  # lsh x2, ivf x2, pq, ivf_pq
     for r in rows:
         assert r["meets_floor"], (
             f"{r['method']} {r['config']}: recall {r['recall']} "
             f"< floor {r['floor']}"
         )
+    # the IVF-PQ composition has its OWN floor row: list-pruning recall
+    # loss is measured, never assumed from the plain-PQ row
+    assert any(r["method"] == "ivf_pq" for r in rows)
     # the recall-tilted configs must actually beat the entry configs —
     # otherwise the harness isn't showing the knob it claims to show
     by = {(r["method"], "entry" in r["config"]): r["recall"] for r in rows}
@@ -204,6 +207,22 @@ def test_semantic_recall_entry_meets_floors(spark, sf_dir):
     by = {r["config"]: r["recall"] for r in rows}
     # fewer clusters -> fewer true pairs split across boundaries
     assert by["clusters=4"] > by["clusters=16 (entry)"]
+
+
+def test_curation_floor_entry_meets_floor(spark, sf_dir):
+    """dq_curation_floor certifies the exact MinHash config
+    curate_corpus ships; with it, every approximate stage in the
+    product is driver-visible with a floor."""
+    from pyspark_data_quality_spark.entry_queries import ENTRY_QUERIES
+
+    rows = ENTRY_QUERIES["dq_curation_floor"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_exact"] > 0, "fixture lost its near-dup pairs"
+    assert r["meets_floor"], (
+        f"{r['config']}: recall {r['recall']} < floor {r['recall_floor']} "
+        f"or precision {r['precision']} < 0.9"
+    )
 
 
 def test_sketch_tolerance_entry_meets_floors(spark, sf_dir):

@@ -76,6 +76,69 @@ def test_bloom_build_shuffle_capped_by_bitmap_size(spark):
     assert s["shuffle_bytes_written"] < 64 * 1024
 
 
+def test_salted_join_detection_shuffles_distinct_keys(spark):
+    """salted_join's detection claim: hot keys are found with a
+    partial-agg count, so the detection shuffle carries DISTINCT keys
+    (map-side combine collapses each partition to one partial per key),
+    and the join itself broadcasts the small replicated dim — the fact
+    rows never shuffle at all."""
+    from pyspark_data_quality_spark.plans.skew import salted_join
+
+    n_fact = 20_000
+    fact = spark.range(n_fact).select(
+        F.when(F.col("id") % 10 < 8, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), F.col("id") % 2))
+        .alias("k"),
+        F.col("id").alias("fv"),
+    )  # 3 distinct keys total
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold0", "C0"), ("cold1", "C1")],
+        "k string, dv string",
+    )
+    out = salted_join(fact, dim, ["k"], salt=8, hot_threshold=1000)
+    rows, metrics = measured_collect(out.groupBy("dv").count())
+    assert sum(r["count"] for r in rows) == n_fact
+    s = summarize_metrics(metrics)
+    # detection partials (<= partitions x 3 keys x 2 exchange sides) +
+    # the final 3-row count agg — NEVER the 20k fact rows. (On this toy
+    # AQE is free to broadcast EITHER side of the tiny final join — the
+    # invariant under test is the detection shuffle, which at scale is
+    # the only exchange whose size the operator itself controls.)
+    assert 0 < s["shuffle_records_written"] < n_fact / 10
+    assert s["spill_bytes"] == 0
+
+
+def test_nb_scoring_broadcast_bounded_by_features(spark):
+    """score_nb_classifier's claim: the scoring join broadcasts the V×C
+    feature frame (+ the C-row class spine), never the corpus — the
+    broadcast bytes are bounded by the model size regardless of how
+    many documents score."""
+    from pyspark_data_quality_spark.operators.classify import (
+        score_nb_classifier,
+        train_nb_classifier,
+    )
+
+    docs = spark.range(5000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit("alpha beta gamma delta"))
+        .otherwise(F.lit("omega psi chi phi"))
+        .alias("text"),
+        F.when(F.col("id") % 2 == 0, F.lit("good"))
+        .otherwise(F.lit("bad"))
+        .alias("label"),
+    )
+    model = train_nb_classifier(
+        docs, "text", "label", num_buckets=None, min_count=1
+    )
+    scored = score_nb_classifier(docs, model, "text", ["id"])
+    rows, metrics = measured_collect(scored.groupBy("label").count())
+    assert sum(r["count"] for r in rows) == 2 * 5000  # C=2 rows per doc
+    s = summarize_metrics(metrics)
+    # V<=8 tokens x C=2 classes + 2 spine rows: model-sized, not corpus-
+    # sized (the 5000-doc text column alone is >100 KB)
+    assert 0 < s["broadcast_bytes"] < 128 * 1024
+
+
 def test_cap_per_group_ranks_only_offenders(spark):
     """cap_per_group's two-phase claim: the window ranks offender rows
     only — shuffled records stay ~|offender rows| + counts, far below

@@ -75,6 +75,29 @@ def test_warc_reads_responses_by_default(spark, warc_dir):
     assert not any(r.payload_truncated for r in rows)
 
 
+def test_warc_file_uri_single_and_directory(spark, warc_dir):
+    """scheme:// paths route through pyarrow.fs: a file:// URI to one
+    file and to a directory both read identically to the local path —
+    including the concatenated-gzip .warc.gz member layout."""
+    register_warc_source(spark)
+    local = spark.read.format("warc").load(warc_dir).collect()
+    via_dir = spark.read.format("warc").load("file://" + warc_dir).collect()
+    assert sorted(r.url for r in via_dir) == sorted(r.url for r in local)
+    one_gz = spark.read.format("warc").load(
+        "file://" + warc_dir + "/b.warc.gz"
+    ).collect()
+    assert [r.url for r in one_gz] == ["http://example.com/b"]
+    assert bytes(one_gz[0].payload).endswith(b"x" * 100)
+
+
+def test_warc_remote_missing_path_fails_on_driver(spark, tmp_path):
+    register_warc_source(spark)
+    with pytest.raises(Exception, match="no files match"):
+        spark.read.format("warc").load(
+            "file://" + str(tmp_path / "no-such-dir")
+        ).collect()
+
+
 def test_warc_record_type_filter_and_wildcard(spark, warc_dir):
     register_warc_source(spark)
     req = (
@@ -218,11 +241,15 @@ def test_warc_to_curation_end_to_end(spark, tmp_path):
     assert pair == {"kept", "exact_dup"}
 
 
-def test_warc_rejects_non_local_uri(spark):
+def test_warc_unsupported_scheme_fails_loud(spark):
+    """A scheme pyarrow has no filesystem for must fail with a pointed
+    error on the driver (s3/gs/hdfs work where the pyarrow build and
+    credentials allow; unreachable is a loud ValueError, never an empty
+    frame)."""
     register_warc_source(spark)
-    with pytest.raises(Exception, match="local filesystem"):
+    with pytest.raises(Exception, match="cannot open filesystem"):
         spark.read.format("warc").load(
-            "s3://commoncrawl/crawl-data/x.warc.gz"
+            "notascheme://bucket/x.warc.gz"
         ).collect()
 
 

@@ -1,0 +1,140 @@
+"""Z-order layout clustering (operators/zorder.py): correctness of the
+interleave, NULL/constant-column behavior, and — the point — a runtime
+proof that the layout actually skips data: the same 2-D box filter
+reads far fewer rows from the z-ordered layout than from a
+single-column-sorted one (parquet row-group pruning measured from the
+executed plan's scan metrics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_quality_spark.operators.zorder import zorder_by, zorder_value
+
+
+def test_zorder_value_interleaves_buckets(spark):
+    """2 cols x 2 bits over values hitting exact bucket corners: the
+    z-value must be the textbook Morton interleave (x bit b -> position
+    2b, y bit b -> position 2b+1 given cols=[x, y])."""
+    import itertools
+
+    rows = [(float(x), float(y)) for x, y in itertools.product(range(4), range(4))]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = df.withColumn(
+        "z", zorder_value(df, ["x", "y"], bits=2)
+    ).collect()
+
+    def morton(bx, by):
+        return (
+            (bx & 1) | ((by & 1) << 1) | ((bx >> 1 & 1) << 2)
+            | ((by >> 1 & 1) << 3)
+        )
+
+    # 16 distinct values, each exactly one per (x,y) bucket: with 4
+    # equal-frequency values per column and 4 buckets, value k of a
+    # column lands in bucket k (equi-depth boundaries at the values)
+    zs = {(r["x"], r["y"]): r["z"] for r in out}
+    assert len(set(zs.values())) == 16
+    assert zs[(0.0, 0.0)] == morton(0, 0) == 0
+    assert zs[(3.0, 3.0)] == morton(3, 3) == 15
+    # adjacent in x differs in low bits only — locality of the curve
+    assert zs[(1.0, 0.0)] == morton(1, 0)
+    assert zs[(0.0, 1.0)] == morton(0, 1)
+
+
+def test_zorder_nulls_and_constant_column(spark):
+    df = spark.createDataFrame(
+        [(None, 1.0), (2.0, 1.0), (3.0, 1.0)], "a double, c double"
+    )
+    out = df.withColumn("z", zorder_value(df, ["a", "c"], bits=4)).collect()
+    by_a = {r["a"]: r["z"] for r in out}
+    # NULL sorts into bucket 0; the constant column contributes bucket 0
+    # everywhere (deduped boundaries), so z is driven by 'a' alone
+    assert by_a[None] == 0
+    assert by_a[None] <= by_a[2.0] <= by_a[3.0]
+
+
+def test_zorder_validation(spark):
+    df = spark.createDataFrame([(1.0, "s")], "a double, s string")
+    with pytest.raises(ValueError, match="non-empty"):
+        zorder_value(df, [])
+    with pytest.raises(ValueError, match="bits"):
+        zorder_value(df, ["a"], bits=0)
+    with pytest.raises(ValueError, match="63-bit"):
+        zorder_value(df, ["a", "a", "a", "a"], bits=16)
+    with pytest.raises(ValueError, match="not in df"):
+        zorder_value(df, ["nope"])
+    with pytest.raises(ValueError, match="string"):
+        zorder_value(df, ["s"])
+    with pytest.raises(ValueError, match="already exists"):
+        zorder_by(df.withColumn("_zorder", F.lit(1)), ["a"])
+
+
+def test_zorder_by_preserves_rows_and_drops_key(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 37).cast("double").alias("a"),
+        (F.col("id") % 11).cast("double").alias("b"),
+        F.col("id").alias("id"),
+    )
+    out = zorder_by(df, ["a", "b"], bits=4, num_partitions=4)
+    assert out.columns == df.columns
+    assert out.count() == 1000
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+    kept = zorder_by(
+        df, ["a", "b"], bits=4, num_partitions=4, keep_zorder_col=True
+    )
+    assert kept.columns == df.columns + ["_zorder"]
+
+
+def test_zorder_layout_skips_data_vs_single_column_sort(spark, tmp_path):
+    """The data-skipping claim, proven from executed-plan metrics: a box
+    filter on (a, b) over the z-ordered parquet outputs far fewer scan
+    rows (row-group pruning on tight per-file min/max for BOTH columns)
+    than the same filter over a layout sorted by 'a' alone, where 'b'
+    spans its full range in every file."""
+    from pyspark_data_quality_spark.plans.telemetry import (
+        measured_collect,
+        summarize_metrics,
+    )
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(1000)).cast("double").alias("a"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(1000))
+        .cast("double")
+        .alias("b"),
+        F.col("id"),
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_by(df, ["a", "b"], bits=6, num_partitions=256).write.parquet(
+        zpath
+    )
+    df.repartitionByRange(256, "a").sortWithinPartitions("a").write.parquet(
+        spath
+    )
+
+    def scan_rows(path, flt):
+        q = spark.read.parquet(path).filter(flt).agg(F.count("*"))
+        rows, metrics = measured_collect(q)
+        return rows[0][0], summarize_metrics(metrics)["scan_output_rows"]
+
+    # filter on the SECOND column alone — the headline failure mode of a
+    # single-column sort: its files all span b's full range, zero pruning
+    flt_b = "b >= 100 and b < 200"
+    z_match, z_scanned = scan_rows(zpath, flt_b)
+    s_match, s_scanned = scan_rows(spath, flt_b)
+    assert z_match == s_match > 0  # same answer either way
+    assert s_scanned == n  # the sorted layout pruned NOTHING
+    # measured z ~19% of rows (5.1x); demand 3x with slack
+    assert z_scanned <= s_scanned / 3, (z_scanned, s_scanned)
+
+    # 2-D box: both layouts prune 'a'; only z-order also prunes 'b'.
+    # approxQuantile's sketch merge order wiggles the bucket boundaries
+    # between runs, shifting file/tile ALIGNMENT against the box —
+    # measured z scans 3.9-5.5% vs sorted ~10.3% (1.9-2.6x), so the
+    # floors below are alignment-robust, not best-case
+    flt_ab = "a >= 100 and a < 200 and " + flt_b
+    z_match, z_scanned = scan_rows(zpath, flt_ab)
+    s_match, s_scanned = scan_rows(spath, flt_ab)
+    assert z_match == s_match > 0
+    assert z_scanned <= s_scanned / 1.5, (z_scanned, s_scanned)
+    assert z_scanned <= n / 8, (z_scanned, n)
