@@ -3686,6 +3686,65 @@ def dq_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_bigram_nll",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split({_SQL_NORM}, ' '), x -> x != '') AS ts
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(ts), 1)),
+                                   i -> ts[i])) AS a,
+             unnest(list_transform(range(1, greatest(len(ts), 1)),
+                                   i -> ts[i + 1])) AS b
+      FROM toks
+    ), big_counts AS (
+      SELECT a, b, count(*) AS rbc FROM bg GROUP BY 1, 2
+    ), pred_counts AS (
+      SELECT a, sum(rbc) AS rac FROM big_counts GROUP BY 1
+    ), v_total AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(ts) AS t FROM toks)
+    ), tf AS (
+      SELECT doc_id, a, b, count(*) AS tf FROM bg GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT tf.doc_id, tf.tf,
+             -ln((coalesce(big_counts.rbc, 0) + 1) * 1.0
+                 / (coalesce(pred_counts.rac, 0) + v)) AS nll
+      FROM tf
+      LEFT JOIN big_counts USING (a, b)
+      LEFT JOIN pred_counts USING (a), v_total
+    ), per_doc AS (
+      SELECT doc_id, sum(tf) AS n_bigrams,
+             CAST(round(sum(nll * tf) / sum(tf), 6) AS DOUBLE) AS nll
+      FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(per_doc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           per_doc.nll
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per_doc USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dq_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram negative log-probability (Laplace-
+    smoothed conditional) against the corpus's own bigram distribution
+    — the word-ORDER-aware quality signal unigram NLL cannot see
+    (operators/text.py bigram_logprob)."""
+    from .operators.text import bigram_logprob
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bigram_logprob(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        "nll",
+    )
+
+
+@query(
     "dq_windowed_cardinality",
     """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,

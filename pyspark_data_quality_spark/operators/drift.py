@@ -945,3 +945,102 @@ def value_set_drift(
         )
         .orderBy("column")
     )
+
+
+def mmd_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    vec_col: str,
+    *,
+    num_features: int = 256,
+    gamma: float | None = None,
+    dim: int | None = None,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kernel two-sample test between two embedding corpora: the squared
+    Maximum Mean Discrepancy under a Gaussian RBF kernel, estimated with
+    random Fourier features (Rahimi & Recht 2007, public) so it runs in
+    ONE linear pass per side instead of the O(n²) pairwise-kernel sums.
+
+    Why alongside :func:`embedding_drift`: the centroid comparison is
+    blind to any shift that preserves the mean — a corpus splitting into
+    two symmetric clusters, a variance blow-up, a mode collapse all keep
+    the centroid still. MMD with a characteristic kernel responds to ANY
+    distribution change, and the RFF estimate converges to the exact
+    kernel MMD as ``num_features`` grows (error ~ 1/sqrt(D)).
+
+    Math: ``z(x) = sqrt(2/D) * cos(W x + b)`` with ``W ~ N(0, 2*gamma)``
+    rows and ``b ~ U[0, 2*pi)`` (so ``E[z(x)·z(y)] = exp(-gamma*
+    ||x-y||²)``); ``mmd2 = || mean_z(cur) - mean_z(ref) ||²`` (biased
+    estimator, >= 0 by construction). ``gamma`` defaults to ``1/dim``
+    (the standard scale-free default); W and b are seeded —
+    deterministic across runs and engines.
+
+    Scale shape: W is ``num_features × dim`` floats generated on the
+    DRIVER (parameter-bounded, ships in the UDF closure); each side maps
+    vectors to z in one Arrow pass, then collapses via posexplode →
+    groupBy(feature) mean — map-side combine reduces the shuffle to
+    ``num_features`` rows per partition, so 100 TB of vectors exchange
+    KBs (same reduction shape as embedding_drift). ``dim`` skips the
+    one-row probe when known. Output one row:
+    ``(n_cur, n_ref, num_features, gamma, mmd2, mmd)``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.vectors import vector_dim
+
+    if num_features < 1:
+        raise ValueError("mmd_drift: num_features must be >= 1")
+    d = vector_dim(cur, vec_col, dim) or vector_dim(ref, vec_col, dim)
+    if d is None:
+        raise ValueError("mmd_drift: no non-null vectors on either side")
+    g = gamma if gamma is not None else 1.0 / d
+    if g <= 0:
+        raise ValueError("mmd_drift: gamma must be > 0")
+    rng = np.random.default_rng(seed)
+    W = rng.normal(0.0, np.sqrt(2.0 * g), size=(num_features, d))
+    b = rng.uniform(0.0, 2.0 * np.pi, size=num_features)
+    scale = np.sqrt(2.0 / num_features)
+
+    def z(v):
+        mats = np.vstack(v.to_numpy())  # batch × dim
+        feats = scale * np.cos(mats @ W.T + b)  # batch × D
+        return pd.Series(list(feats))
+
+    z.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    rff = pandas_udf(z, "array<double>")
+
+    def _side(df: DataFrame, mean_name: str, n_name: str):
+        vecs = df.filter(F.col(vec_col).isNotNull()).select(
+            rff(F.col(vec_col)).alias("_z")
+        )
+        means = (
+            vecs.select(F.posexplode("_z").alias("feature", "_v"))
+            .groupBy("feature")
+            .agg(F.avg("_v").alias(mean_name))
+        )
+        return means, vecs.agg(F.count(F.lit(1)).alias(n_name))
+
+    cmean, cn = _side(cur, "_mc", "n_cur")
+    rmean, rn = _side(ref, "_mr", "n_ref")
+    sums = cmean.join(rmean, "feature", "inner").agg(
+        F.sum(
+            (F.col("_mc") - F.col("_mr")) * (F.col("_mc") - F.col("_mr"))
+        ).alias("_mmd2")
+    )
+    return (
+        cn.crossJoin(F.broadcast(rn))
+        .crossJoin(F.broadcast(sums))
+        .select(
+            "n_cur",
+            "n_ref",
+            F.lit(num_features).alias("num_features"),
+            F.round(F.lit(float(g)), round_to).alias("gamma"),
+            F.round(F.col("_mmd2"), round_to).alias("mmd2"),
+            F.round(F.sqrt(F.greatest(F.col("_mmd2"), F.lit(0.0))), round_to)
+            .alias("mmd"),
+        )
+    )

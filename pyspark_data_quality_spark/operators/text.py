@@ -579,6 +579,102 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    reference: DataFrame | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean bigram negative log-probability — the
+    context-aware upgrade of :func:`unigram_logprob`: a document whose
+    WORDS are all common but whose word ORDER is improbable (shuffled
+    text, keyword stuffing, template noise) scores high here while
+    sailing through the unigram filter. Same CCNet-lineage use: rank by
+    nll, filter or perplexity-bucket the tail.
+
+    ``nll = avg over bigrams (a,b) of -ln((c_ref(a,b) + 1) /
+    (c_ref(a,·) + V))`` — Laplace-smoothed conditional with ``V`` the
+    reference's distinct unigram vocabulary, so an unseen bigram after
+    a common word is penalized harder than after a rare one, and an
+    unseen predecessor degrades to the uniform 1/V. With
+    ``reference=None`` the corpus scores against itself.
+
+    Shape: reference bigram counts are one (a, b) shuffle compressed to
+    |distinct bigrams| rows; predecessor totals are a second |vocab|-row
+    agg (derived from the bigram counts, no rescan); scoring joins doc
+    (a, b, tf) counts against both (AQE broadcasts small models) plus a
+    1-row V broadcast. Output: (id_col, n_bigrams, nll) — NULL nll for
+    docs with fewer than 2 tokens.
+    """
+    from ..functions.text import tokenize
+
+    def _bigrams(col):
+        toks = tokenize(col)
+        return F.when(
+            F.size(toks) >= 2,
+            F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+            ),
+        ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
+
+    ref = reference if reference is not None else df
+    ref_big = ref.select(F.explode(_bigrams(text_col)).alias("_bg")).select(
+        F.col("_bg.0").alias("_a"), F.col("_bg.1").alias("_b")
+    )
+    big_counts = ref_big.groupBy("_a", "_b").agg(
+        F.count(F.lit(1)).alias("_rbc")
+    )
+    # predecessor totals derive from the bigram counts — no rescan; the
+    # LAST token of each doc never leads a bigram, so this is c(a,·),
+    # exactly the conditional's denominator base
+    pred_counts = big_counts.groupBy("_a").agg(F.sum("_rbc").alias("_rac"))
+    v_total = ref.select(
+        F.explode(tokenize(text_col)).alias("_t")
+    ).agg(F.count_distinct("_t").alias("_v"))
+
+    doc_tf = (
+        df.select(F.col(id_col), F.explode(_bigrams(text_col)).alias("_bg"))
+        .select(
+            id_col,
+            F.col("_bg.0").alias("_a"),
+            F.col("_bg.1").alias("_b"),
+        )
+        .groupBy(id_col, "_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    scored = (
+        doc_tf.join(big_counts, ["_a", "_b"], "left")
+        .join(pred_counts, "_a", "left")
+        .crossJoin(F.broadcast(v_total))
+        .withColumn(
+            "_nll",
+            -F.log(
+                (F.coalesce(F.col("_rbc"), F.lit(0)) + 1)
+                / (F.coalesce(F.col("_rac"), F.lit(0)) + F.col("_v"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("_tf").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("_nll") * F.col("_tf")) / F.sum("_tf"), round_to
+        ).alias("nll"),
+    )
+    spine = df.select(F.col(id_col)).distinct()
+    return (
+        spine.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "nll",
+        )
+        .orderBy(id_col)
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *,
     round_to: int = 6,

@@ -54,6 +54,7 @@ NESTED_LOOP_OK = {
     "dq_mahalanobis",            # 1-row covariance broadcast
     "dq_tfidf",                  # 1-row doc-count broadcast
     "dq_unigram_nll",            # 1-row vocab-total broadcast
+    "dq_bigram_nll",             # 1-row vocab-total broadcast
     "dq_vocab_richness",         # 1-row totals broadcast
     "dq_zipf",                   # 1-row totals broadcast
     "dq_diversity",              # 1-row totals broadcast

@@ -500,6 +500,63 @@ def test_quantile_drift_hand_computed(spark):
     assert set(rows) == {0.1, 0.25, 0.5, 0.75, 0.9}
 
 
+def test_mmd_drift_numpy_parity_and_mean_blind_shift(spark):
+    """RFF-MMD: exact parity with a NumPy replay of the same seeded
+    features; ~0 for identical distributions; and — the reason it
+    exists — it FIRES on a mean-preserving variance shift that leaves
+    embedding_drift's centroid comparison at zero."""
+    import numpy as np
+
+    from pyspark_data_quality_spark.operators.drift import (
+        embedding_drift,
+        mmd_drift,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n = 8, 800
+    base = rng.normal(0.0, 1.0, size=(n, d))
+    same = rng.normal(0.0, 1.0, size=(n, d))
+    wide = rng.normal(0.0, 3.0, size=(n, d))  # same mean, 3x the spread
+
+    def frame(m):
+        return spark.createDataFrame(
+            [(row.tolist(),) for row in m], "v array<double>"
+        )
+
+    cur, ref = frame(base), frame(same)
+    got = mmd_drift(cur, ref, "v", num_features=128, seed=42).first()
+    assert got["n_cur"] == got["n_ref"] == n
+
+    # independent NumPy replay of the exact same seeded RFF pipeline
+    def np_mmd2(a, b, D, gamma, seed):
+        r = np.random.default_rng(seed)
+        W = r.normal(0.0, np.sqrt(2.0 * gamma), size=(D, a.shape[1]))
+        bb = r.uniform(0.0, 2.0 * np.pi, size=D)
+        s = np.sqrt(2.0 / D)
+        za = (s * np.cos(a @ W.T + bb)).mean(axis=0)
+        zb = (s * np.cos(b @ W.T + bb)).mean(axis=0)
+        return float(((za - zb) ** 2).sum())
+
+    want = np_mmd2(base, same, 128, 1.0 / d, 42)
+    assert got["mmd2"] == pytest.approx(round(want, 6), abs=2e-6)
+    assert got["mmd2"] < 0.005  # same distribution: near zero
+
+    shifted = mmd_drift(frame(base), frame(wide), "v",
+                        num_features=128, seed=42).first()
+    assert shifted["mmd2"] > 10 * max(got["mmd2"], 1e-6)
+    # centroid metrics stay near sampling noise (~std*sqrt(d/n)≈0.3) on
+    # the same shift — no signal, just estimator variance
+    cshift = embedding_drift(frame(base), frame(wide), "v").first()
+    assert cshift["centroid_shift_l2"] < 0.6
+    assert shifted["mmd"] > 0.1
+
+    with pytest.raises(ValueError, match="num_features"):
+        mmd_drift(cur, ref, "v", num_features=0)
+    empty = spark.createDataFrame([], "v array<double>")
+    with pytest.raises(ValueError, match="no non-null"):
+        mmd_drift(empty, empty, "v")
+
+
 def test_embedding_drift(spark):
     from pyspark_data_quality_spark.operators.drift import embedding_drift
 

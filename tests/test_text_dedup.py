@@ -834,6 +834,85 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[2] == pytest.approx(round(floor, 6))
 
 
+def test_bigram_logprob_matches_python_model(spark):
+    """Laplace-smoothed bigram conditional against an independent Python
+    model, including: word-ORDER sensitivity (same unigrams, shuffled
+    order scores worse), unseen-predecessor 1/V degradation, held-out
+    reference, and the <2-token NULL contract."""
+    import collections
+    import math
+
+    from pyspark_data_quality_spark.operators.text import bigram_logprob
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "mat the on sat cat the",  # same unigrams, scrambled order
+        3: "the cat sat",
+        4: "solo",
+        5: None,
+    }
+
+    def model(score_texts, ref_texts):
+        bc, pc = collections.Counter(), collections.Counter()
+        vocab = set()
+        for t in ref_texts.values():
+            if t is None:
+                continue
+            ts = t.lower().split()
+            vocab.update(ts)
+            for a, b in zip(ts, ts[1:]):
+                bc[(a, b)] += 1
+                pc[a] += 1
+        v = len(vocab)
+        out = {}
+        for i, t in score_texts.items():
+            ts = (t or "").lower().split()
+            bgs = list(zip(ts, ts[1:]))
+            if not bgs:
+                out[i] = (0, None)
+                continue
+            nll = sum(
+                -math.log((bc[(a, b)] + 1) / (pc[a] + v)) for a, b in bgs
+            ) / len(bgs)
+            out[i] = (len(bgs), round(nll, 6))
+        return out
+
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"])
+        for r in bigram_logprob(df, "text", "doc_id").collect()
+    }
+    want = model(texts, texts)
+    for i in texts:
+        assert got[i][0] == want[i][0], i
+        if want[i][1] is None:
+            assert got[i][1] is None, i
+        else:
+            assert got[i][1] == pytest.approx(want[i][1]), i
+    # the scrambled doc is the outlier the unigram signal cannot see
+    assert got[2][1] > got[1][1]
+
+    # held-out reference: every scored bigram is unseen; predecessors
+    # seen in the reference still shape the denominator
+    ref_texts = {9: "the dog ran"}
+    ref = spark.createDataFrame(
+        list(ref_texts.items()), "doc_id bigint, text string"
+    )
+    got_ref = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"])
+        for r in bigram_logprob(df, "text", "doc_id", reference=ref).collect()
+    }
+    want_ref = model(texts, ref_texts)
+    for i in texts:
+        assert got_ref[i] == (
+            want_ref[i]
+            if want_ref[i][1] is None
+            else (want_ref[i][0], pytest.approx(want_ref[i][1]))
+        ), i
+
+
 def test_set_similarity_join_exact_vs_bruteforce(spark):
     """PPJoin prefix filtering must return EXACTLY the brute-force
     Jaccard pair set at every threshold (completeness: size filter +
