@@ -673,7 +673,7 @@ def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_ivf_centroids,
     )
 
-    # one scan+cast feeds all 6 sub-queries (brute force + 5 ANN runs):
+    # one scan+cast feeds all 7 sub-queries (brute force + 6 ANN runs):
     # the corpus is checkpointed once instead of re-read per config
     emb = _emb_double(spark, sf_dir).localCheckpoint()
     queries_df = emb.filter(F.col("vec_id") < 10).select(

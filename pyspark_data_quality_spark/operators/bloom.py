@@ -157,17 +157,17 @@ def bloom_probe(
     """``df`` plus boolean ``out_col``: False = definitely NOT in the
     built set; True = probably in it (false-positive rate ``fpp``).
 
-    The bitmap rides in as a broadcast 1-row crossJoin (constant
+    The bitmap rides in as a broadcast 1-row LEFT join on TRUE (constant
     fan-out — the same whitelisted shape as the 1-row stats broadcasts
-    elsewhere); the membership test is ``num_hashes`` unrolled
-    ``getbit`` checks, entirely inside whole-stage codegen. Pass
-    ``num_bits``/``num_hashes`` when you know them (only an emptiness
-    guard touches the bloom frame — a missing/empty bitmap must fail
-    loud, not silently annihilate every probe row via the crossJoin);
-    omit them and the probe reads the bloom row's metadata columns with
-    one tiny collect — the extra job is how a bitmap persisted by an
-    earlier run (write the 1-row frame as parquet) stays
-    self-describing.
+    elsewhere; LEFT, not cross, so a zero-row bitmap frame surfaces as
+    NULL bitmap columns and fails loud in-plan instead of silently
+    annihilating every probe row); the membership test is ``num_hashes``
+    unrolled ``getbit`` checks, entirely inside whole-stage codegen.
+    Pass ``num_bits``/``num_hashes`` when you know them (no extra work —
+    the probe stays a lazy plan builder); omit them and the probe reads
+    the bloom row's metadata columns with one tiny collect — the extra
+    job is how a bitmap persisted by an earlier run (write the 1-row
+    frame as parquet) stays self-describing.
     """
     reserved = {"words", "num_bits", "num_hashes"}
     clash = reserved & set(df.columns)
@@ -181,11 +181,15 @@ def bloom_probe(
         if meta is None:
             raise ValueError("bloom_probe: bloom frame is empty")
         num_bits, num_hashes = meta.num_bits, meta.num_hashes
-    elif bloom.isEmpty():
-        # explicit-params path: without this, crossJoin against an
-        # empty bitmap silently yields ZERO output rows
-        raise ValueError("bloom_probe: bloom frame is empty")
-    joined = df.crossJoin(F.broadcast(bloom))
+    # LEFT join on TRUE, not crossJoin: against a zero-row bitmap frame
+    # (missing/never-written bitmap) a crossJoin silently annihilates
+    # every probe row, while the left join keeps them with NULL bitmap
+    # columns — which fails params_ok below and raises loud AT EXECUTION,
+    # costing no extra driver action (the probe stays a lazy plan
+    # builder: dedup_against_bloom hands us an unmaterialized
+    # bloom_build plan, and an eager emptiness check would execute the
+    # whole reference aggregation twice)
+    joined = df.join(F.broadcast(bloom), F.lit(True), "left")
     checks = [
         F.getbit(
             F.element_at(
@@ -203,7 +207,9 @@ def bloom_probe(
         maybe = maybe & c
     # in-plan guard: probing with parameters that disagree with the
     # bitmap's own metadata silently voids the no-false-negative
-    # contract — fail the job instead
+    # contract, and a NULL bitmap row (empty bloom frame via the left
+    # join above) means there is no bitmap at all — fail the job on
+    # either instead
     params_ok = (F.col("num_bits") == F.lit(num_bits)) & (
         F.col("num_hashes") == F.lit(num_hashes)
     )
@@ -215,10 +221,12 @@ def bloom_probe(
                     f"({num_bits}/{num_hashes}) do not match the "
                     "bitmap's ("
                 ),
-                F.col("num_bits").cast("string"),
+                F.coalesce(F.col("num_bits").cast("string"), F.lit("NULL")),
                 F.lit("/"),
-                F.col("num_hashes").cast("string"),
-                F.lit(")"),
+                F.coalesce(
+                    F.col("num_hashes").cast("string"), F.lit("NULL")
+                ),
+                F.lit(") — NULL/NULL means the bloom frame is EMPTY"),
             )
         ).cast("boolean")
     )

@@ -1040,7 +1040,17 @@ def mmd_drift(
             F.lit(num_features).alias("num_features"),
             F.round(F.lit(float(g)), round_to).alias("gamma"),
             F.round(F.col("_mmd2"), round_to).alias("mmd2"),
-            F.round(F.sqrt(F.greatest(F.col("_mmd2"), F.lit(0.0))), round_to)
-            .alias("mmd"),
+            # guard the NULL case (one side empty of vectors when `dim`
+            # was passed, so the loud probe never ran): greatest() SKIPS
+            # NULLs, so sqrt(greatest(NULL, 0)) would report mmd=0.0 —
+            # the strongest "no drift" signal — from a comparison with
+            # no data; propagate NULL instead
+            F.round(
+                F.when(
+                    F.col("_mmd2").isNotNull(),
+                    F.sqrt(F.greatest(F.col("_mmd2"), F.lit(0.0))),
+                ),
+                round_to,
+            ).alias("mmd"),
         )
     )

@@ -55,14 +55,28 @@ _NUMERICish = ("int", "bigint", "smallint", "tinyint", "float", "double",
                "decimal", "date", "timestamp", "timestamp_ntz")
 
 
-def _bucket_expr(col: str, boundaries: list[float], bits: int) -> Column:
+def _as_double(col: str, dtype: str) -> Column:
+    """Numeric view of a clustering column. DATE and TIMESTAMP_NTZ do
+    not cast to DOUBLE directly (AnalysisException on Spark 4): DATE
+    goes through unix_date (days since epoch), NTZ through a TIMESTAMP
+    cast (identity under the UTC session TZ) — TIMESTAMP itself casts
+    to epoch seconds as a double."""
+    c = F.col(col)
+    if dtype == "date":
+        return F.unix_date(c).cast("double")
+    if dtype.startswith("timestamp_ntz"):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
+def _bucket_expr(col: str, dtype: str, boundaries: list[float], bits: int) -> Column:
     """Equi-depth bucket id in [0, 2**bits) as a pure expression: the
     count of boundaries STRICTLY below x (strict, so the minimum value
     lands in bucket 0 and a constant column contributes 0 everywhere).
     O(2**bits) comparisons per row inside codegen — bits is small
     (default 8) by design; NULL -> bucket 0."""
     arr = F.array(*[F.lit(b) for b in boundaries])
-    x = F.col(col).cast("double")
+    x = _as_double(col, dtype)
     n = F.size(F.filter(arr, lambda b: b < x))
     return F.when(x.isNull(), F.lit(0)).otherwise(
         F.least(n, F.lit((1 << bits) - 1))
@@ -107,16 +121,14 @@ def zorder_value(
                 "(quantile boundaries) — hash or bucket strings upstream"
             )
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    num = df.select(
-        *[F.col(c).cast("double").alias(c) for c in cols]
-    )
+    num = df.select(*[_as_double(c, dtypes[c]).alias(c) for c in cols])
     all_bnds = num.approxQuantile(cols, probs, relative_error)
     z = F.lit(0).cast("long")
     for j, (c, bnds) in enumerate(zip(cols, all_bnds)):
         # constant column (or all-NULL): approxQuantile returns equal
         # (or no) boundaries; dedupe so the filter count stays correct
         bnds = sorted(set(bnds))
-        bkt = _bucket_expr(c, bnds, bits).cast("long")
+        bkt = _bucket_expr(c, dtypes[c], bnds, bits).cast("long")
         for b in range(bits):
             # bit b of column j lands at position b*len(cols)+j
             z = z.bitwiseOR(

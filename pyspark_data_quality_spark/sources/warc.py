@@ -60,8 +60,18 @@ WARC_SCHEMA = (
 
 
 class _WarcFilePartition(InputPartition):
-    def __init__(self, path: str):
+    """``fs_uri`` is set for remote files: the ORIGINAL user URI, kept
+    verbatim so executors rebuild the exact same filesystem (authority
+    — hdfs://namenode:8020 —, query params, credentials) that listed
+    the files on the driver; ``path`` is then filesystem-relative. A
+    reconstructed ``scheme://path`` string would silently drop the
+    authority (pyarrow folds it into the filesystem object, not the
+    path), connecting each task to whatever default the executor has.
+    Local files carry ``fs_uri=None`` and an absolute ``path``."""
+
+    def __init__(self, path: str, fs_uri: str | None = None):
         self.path = path
+        self.fs_uri = fs_uri
 
 
 class _WarcReader(DataSourceReader):
@@ -82,7 +92,8 @@ class _WarcReader(DataSourceReader):
     def partitions(self):
         if "://" in self._path:
             return [
-                _WarcFilePartition(p) for p in _remote_warc_paths(self._path)
+                _WarcFilePartition(rel, fs_uri=self._path)
+                for rel in _remote_warc_paths(self._path)
             ]
         if os.path.isdir(self._path):
             paths = sorted(
@@ -101,7 +112,7 @@ class _WarcReader(DataSourceReader):
 
     def read(self, partition: _WarcFilePartition) -> Iterator[tuple]:
         path = partition.path
-        with _open_warc_stream(path) as stream:
+        with _open_warc_stream(path, getattr(partition, "fs_uri", None)) as stream:
             for headers, payload, truncated in _iter_warc_records(
                 stream, self._types, self._max_payload
             ):
@@ -117,24 +128,34 @@ class _WarcReader(DataSourceReader):
                 )
 
 
-def _remote_warc_paths(uri: str) -> list[str]:
-    """Driver-side listing for ``scheme://`` paths via ``pyarrow.fs`` —
-    object-store WARC shards (Common Crawl lives on S3/HTTPS mirrors)
-    read without a local mount. A URI names ONE file or ONE directory
-    (listed recursively for ``*.warc*`` files); glob patterns are not
-    supported on remote filesystems — the existence check still runs
-    HERE so a typo'd bucket/key fails on the driver, not per-task."""
+def _remote_fs(uri: str):
+    """(filesystem, fs-relative path) for a ``scheme://`` URI, with a
+    pointed error for schemes this pyarrow build can't open."""
     from pyarrow import fs as pafs
 
-    scheme = uri.split("://", 1)[0]
     try:
-        filesystem, rel = pafs.FileSystem.from_uri(uri)
+        return pafs.FileSystem.from_uri(uri)
     except Exception as e:
         raise ValueError(
             f"warc: cannot open filesystem for {uri!r} ({e}); supported "
             "remote schemes are whatever this pyarrow build provides "
             "(file/s3/gs/hdfs...), plus plain local paths"
         ) from e
+
+
+def _remote_warc_paths(uri: str) -> list[str]:
+    """Driver-side listing for ``scheme://`` paths via ``pyarrow.fs`` —
+    object-store WARC shards (Common Crawl lives on S3/HTTPS mirrors)
+    read without a local mount. A URI names ONE file or ONE directory
+    (listed recursively for ``*.warc*`` files); glob patterns are not
+    supported on remote filesystems — the existence check still runs
+    HERE so a typo'd bucket/key fails on the driver, not per-task.
+    Returns FILESYSTEM-RELATIVE paths; executors pair them with the
+    original URI (``_WarcFilePartition.fs_uri``) to rebuild the same
+    authority-bearing filesystem."""
+    from pyarrow import fs as pafs
+
+    filesystem, rel = _remote_fs(uri)
     info = filesystem.get_file_info(rel)
     if info.type == pafs.FileType.Directory:
         sel = pafs.FileSelector(rel, recursive=True)
@@ -153,21 +174,20 @@ def _remote_warc_paths(uri: str) -> list[str]:
         )
     if not files:
         raise FileNotFoundError(f"warc: no .warc files under {uri!r}")
-    return [f"{scheme}://{p}" for p in files]
+    return files
 
 
-def _open_warc_stream(path: str):
+def _open_warc_stream(path: str, fs_uri: str | None = None):
     """Open a (possibly remote) WARC file as a buffered byte stream with
-    gzip transparently decoded. Local paths use python io; ``://`` paths
-    use ``pyarrow.fs`` whose ``open_input_stream`` detects compression
-    by extension and decodes concatenated gzip members — the
-    member-per-record .warc.gz layout reads straight through (verified
-    in tests)."""
-    if "://" in path:
-        from pyarrow import fs as pafs
-
-        filesystem, rel = pafs.FileSystem.from_uri(path)
-        raw = filesystem.open_input_stream(rel)  # compression='detect'
+    gzip transparently decoded. Local paths (``fs_uri=None``) use python
+    io; remote files rebuild the filesystem from the ORIGINAL user URI
+    (preserving authority and query params) and open the fs-relative
+    ``path`` — ``open_input_stream`` detects compression by extension
+    and decodes concatenated gzip members, so the member-per-record
+    .warc.gz layout reads straight through (verified in tests)."""
+    if fs_uri is not None:
+        filesystem, _ = _remote_fs(fs_uri)
+        raw = filesystem.open_input_stream(path)  # compression='detect'
         return io.BufferedReader(raw, buffer_size=1 << 20)
     raw = gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb")
     return io.BufferedReader(raw, buffer_size=1 << 20)

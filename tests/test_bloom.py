@@ -91,17 +91,21 @@ def test_bloom_empty_reference(spark):
 def test_bloom_probe_empty_bitmap_frame_raises(spark):
     """A ZERO-ROW bloom frame (missing/never-written bitmap, NOT a bloom
     built over an empty reference) must fail loud on BOTH param paths —
-    the crossJoin would otherwise silently drop every probe row."""
+    a crossJoin would otherwise silently drop every probe row. The
+    metadata path raises at call time (it collects the row anyway); the
+    explicit-params path stays a LAZY plan builder, so its guard is the
+    in-plan raise_error firing at execution."""
     no_bitmap = spark.range(0).select(
-        F.col("id").alias("words"),  # schema-compatible, zero rows
+        F.array(F.col("id")).alias("words"),  # schema-shaped, zero rows
         F.lit(640).alias("num_bits"),
         F.lit(3).alias("num_hashes"),
     )
     vals = spark.range(5).select(F.col("id").cast("string").alias("v"))
     with pytest.raises(ValueError, match="empty"):
-        bloom_probe(vals, no_bitmap, "v")  # metadata path
-    with pytest.raises(ValueError, match="empty"):
-        bloom_probe(vals, no_bitmap, "v", num_bits=640, num_hashes=3)
+        bloom_probe(vals, no_bitmap, "v")  # metadata path: call time
+    probed = bloom_probe(vals, no_bitmap, "v", num_bits=640, num_hashes=3)
+    with pytest.raises(Exception, match="EMPTY"):
+        probed.collect()  # explicit path: loud at execution, not silent
 
 
 @pytest.mark.parametrize("mode", ["survivors", "dups"])

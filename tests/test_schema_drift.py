@@ -555,6 +555,12 @@ def test_mmd_drift_numpy_parity_and_mean_blind_shift(spark):
     empty = spark.createDataFrame([], "v array<double>")
     with pytest.raises(ValueError, match="no non-null"):
         mmd_drift(empty, empty, "v")
+    # explicit dim skips the loud probe; a vector-less side must then
+    # report NULL mmd2 AND NULL mmd — never 0.0 ("no drift") from a
+    # comparison that had no data (greatest() skips NULLs)
+    nodata = mmd_drift(empty, ref, "v", num_features=16, dim=d).first()
+    assert nodata["n_cur"] == 0
+    assert nodata["mmd2"] is None and nodata["mmd"] is None
 
 
 def test_embedding_drift(spark):

@@ -53,6 +53,28 @@ def test_zorder_nulls_and_constant_column(spark):
     assert by_a[None] <= by_a[2.0] <= by_a[3.0]
 
 
+def test_zorder_date_and_timestamp_columns(spark):
+    """DATE and TIMESTAMP(_NTZ) don't cast to DOUBLE directly on Spark 4
+    — the numeric view must route them through unix_date / a TIMESTAMP
+    cast, and the bucket order must follow chronology."""
+    df = spark.createDataFrame(
+        [("2024-01-01", 1.0), ("2024-06-01", 2.0), ("2024-12-31", 3.0)],
+        "d string, x double",
+    ).select(
+        F.col("d").cast("date").alias("d"),
+        F.col("d").cast("timestamp").alias("t"),
+        "x",
+    )
+    out = df.withColumn("z", zorder_value(df, ["d", "x"], bits=2)).collect()
+    zs = {str(r["d"]): r["z"] for r in out}
+    assert zs["2024-01-01"] < zs["2024-06-01"] < zs["2024-12-31"]
+    out_t = df.withColumn("z", zorder_value(df, ["t", "x"], bits=2)).collect()
+    zt = {str(r["d"]): r["z"] for r in out_t}
+    assert zt["2024-01-01"] < zt["2024-06-01"] < zt["2024-12-31"]
+    # clustering by a date column end-to-end (the advertised use)
+    assert zorder_by(df, ["d", "x"], bits=2, num_partitions=2).count() == 3
+
+
 def test_zorder_validation(spark):
     df = spark.createDataFrame([(1.0, "s")], "a double, s string")
     with pytest.raises(ValueError, match="non-empty"):
