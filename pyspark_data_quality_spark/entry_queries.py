@@ -1997,6 +1997,47 @@ def dq_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_contamination_bloom",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct([substr(norm, i, 8) FOR i IN range(1, len(norm) - 6)])
+               AS grams
+      FROM (SELECT doc_id, {_SQL_NORM} AS norm FROM documents)
+      WHERE len(norm) >= 8
+    ), d AS (
+      SELECT * FROM g WHERE doc_id >= 5
+    ), p AS (
+      SELECT doc_id AS probe_id, grams AS pg, len(grams) AS pn
+      FROM g WHERE doc_id < 5
+    )
+    SELECT d.doc_id, p.probe_id,
+           CAST(round(len(list_intersect(d.grams, p.pg)) * 1.0 / p.pn, 6)
+                AS DOUBLE) AS containment
+    FROM d, p
+    WHERE round(len(list_intersect(d.grams, p.pg)) * 1.0 / p.pn, 6) >= 0.2
+    """,
+)
+def dq_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (operators/text.py
+    contamination_bloom) — SAME oracle as dq_contamination, proving the
+    broadcast-bitmap prefilter is exact: Bloom has no false negatives
+    and a false-positive gram joins nothing, so the output is
+    row-identical to the inverted-index path while corpus grams shared
+    with no probe die in-plan before the join shuffle (the shape for
+    decontaminating against another CORPUS, not a benchmark suite)."""
+    from .operators.text import contamination_bloom
+
+    docs = load_table(spark, "documents", sf_dir)
+    return contamination_bloom(
+        docs.filter(F.col("doc_id") >= 5),
+        docs.filter(F.col("doc_id") < 5),
+        "text", "doc_id", n=8, threshold=0.2,
+        expected_grams=4096,
+    )
+
+
+@query(
     "dq_vocab",
     f"""
     WITH t AS (

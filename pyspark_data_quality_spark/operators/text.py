@@ -359,6 +359,108 @@ def contamination_pairs(
     )
 
 
+def contamination_bloom(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 8,
+    threshold: float = 0.2,
+    expected_grams: int | None = None,
+    fpp: float = 0.01,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
+    broadcast: bool | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`contamination_pairs` for probe sets too big to index-join
+    comfortably — decontaminating against ANOTHER CORPUS (millions of
+    probe documents, billions of grams) rather than a benchmark suite.
+    Row-identical output to ``contamination_pairs(impl='np',
+    prefilter='index')`` at the same ``n``/``threshold``; only the scale
+    shape differs:
+
+    a Bloom bitmap of every probe gram (built distributed,
+    ``operators/bloom.py``) broadcasts in KBs-MBs; each corpus gram is
+    getbit-probed IN-PLAN and the overwhelming majority — grams shared
+    with no probe — die before the join shuffle entirely. Survivors
+    (true matches + the ``fpp`` false-positive sliver) join the exact
+    probe gram index, so counts stay EXACT: Bloom has no false
+    negatives (no pair can be missed) and a false-positive gram joins
+    nothing (it is not actually in any probe) — the filter only ever
+    removes guaranteed non-matches. ``count(*)`` per (doc, probe) is
+    |D∩P| since both gram sets are distinct; containment = |D∩P|/|P|.
+
+    Sizing: ``expected_grams`` (distinct probe grams ≈ probe docs ×
+    avg doc length) + ``fpp``, or explicit ``num_bits``/``num_hashes``.
+    ``broadcast`` follows contamination_pairs: default broadcasts the
+    (post-bloom tiny) probe index; False shuffles on the gram key.
+    ``threshold`` must be > 0 — a zero-overlap pair cannot be produced
+    by a join on shared grams (same contract as ``prefilter='index'``).
+    """
+    from .bloom import bloom_build, bloom_params, bloom_probe
+    from ..functions.vectors import shingle_hashes_np
+    from ..plans.parallelism import ensure_min_partitions
+
+    if threshold <= 0:
+        raise ValueError(
+            "contamination_bloom: threshold must be > 0 (a join on "
+            "shared grams cannot emit zero-overlap pairs; use "
+            "contamination_pairs(prefilter='cross') for threshold<=0)"
+        )
+    if num_bits is None or num_hashes is None:
+        if expected_grams is None:
+            raise ValueError(
+                "contamination_bloom: pass expected_grams (distinct "
+                "probe-gram estimate) or explicit num_bits + num_hashes"
+            )
+        auto_bits, auto_hashes = bloom_params(expected_grams, fpp)
+        num_bits = num_bits if num_bits is not None else auto_bits
+        num_hashes = num_hashes if num_hashes is not None else auto_hashes
+
+    h = shingle_hashes_np("char", n, seed=77)  # the contamination_pairs hash
+    docs = ensure_min_partitions(docs)
+    d = (
+        docs.select(F.col(id_col).alias("doc_id"), h(F.col(text_col)).alias("_dg"))
+        .filter(F.col("_dg").isNotNull())
+        .select("doc_id", F.explode("_dg").alias("_g"))
+    )
+    p_sets = probes.select(
+        F.col(id_col).alias("probe_id"), h(F.col(text_col)).alias("_pg")
+    ).filter(F.col("_pg").isNotNull())
+    p = p_sets.select(
+        "probe_id", F.size("_pg").alias("_pn"), F.explode("_pg").alias("_g")
+    )
+
+    bloom = bloom_build(
+        p.select("_g"), "_g", num_bits=num_bits, num_hashes=num_hashes
+    )
+    survivors = (
+        bloom_probe(
+            d, bloom, "_g",
+            out_col="_maybe", num_bits=num_bits, num_hashes=num_hashes,
+        )
+        .filter(F.col("_maybe"))
+        .drop("_maybe")
+    )
+    probe_index = F.broadcast(p) if broadcast is not False else p
+    return (
+        survivors.join(probe_index, "_g")
+        .groupBy("doc_id", "probe_id", "_pn")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .select(
+            "doc_id",
+            "probe_id",
+            F.round(
+                F.try_divide(F.col("_shared").cast("double"), F.col("_pn")),
+                round_to,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def vocab_top_k(
     df: DataFrame, text_col: str = "text", *, k: int = 50
 ) -> DataFrame:

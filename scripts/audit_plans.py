@@ -43,6 +43,7 @@ NESTED_LOOP_OK = {
     "dq_curation_floor",         # exact ground truth over fixed <=500 docs
     "dq_sem_recall",             # exact baseline over fixed 500 vectors
     "dq_dedup_bloom",            # 1-row bloom-bitmap broadcast crossJoin
+    "dq_contamination_bloom",    # 1-row bloom-bitmap broadcast join
     "dq_nb_scores",              # C-row class-spine broadcast crossJoin
     "dq_wasserstein",            # 1-row total broadcasts
     "dq_winsorize",              # 1-row bounds broadcast

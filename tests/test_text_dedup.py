@@ -525,6 +525,53 @@ def test_contamination_index_matches_cross(spark, docs):
         contamination_pairs(docs, probes, "text", "doc_id", prefilter="nope")
 
 
+def test_contamination_bloom_matches_exact(spark, docs):
+    """The bloom-prefiltered path is row-identical to the exact index
+    path (no false negatives by construction; false positives join
+    nothing), in both probe-index join modes, and tiny bitmaps (high
+    fpp) still stay exact — only the prefilter gets weaker."""
+    from pyspark_data_quality_spark.operators.text import (
+        contamination_bloom,
+        contamination_pairs,
+    )
+
+    probes = docs.limit(6)
+    kw = dict(n=8, threshold=0.1)
+    exact = sorted(
+        map(
+            tuple,
+            contamination_pairs(
+                docs, probes, "text", "doc_id", prefilter="index", **kw
+            ).collect(),
+        )
+    )
+    assert exact  # fixture must produce pairs or the test proves nothing
+    via_bloom = contamination_bloom(
+        docs, probes, "text", "doc_id", expected_grams=2000, **kw
+    )
+    assert sorted(map(tuple, via_bloom.collect())) == exact
+    # shuffle-join mode for huge probe sets
+    shuf = contamination_bloom(
+        docs, probes, "text", "doc_id",
+        expected_grams=2000, broadcast=False, **kw
+    )
+    assert sorted(map(tuple, shuf.collect())) == exact
+    # deliberately undersized bitmap: many false positives, same rows
+    tiny = contamination_bloom(
+        docs, probes, "text", "doc_id",
+        num_bits=256, num_hashes=2, **kw
+    )
+    assert sorted(map(tuple, tiny.collect())) == exact
+
+    with pytest.raises(ValueError, match="zero-overlap|threshold"):
+        contamination_bloom(
+            docs, probes, "text", "doc_id", threshold=0.0,
+            expected_grams=2000, n=8,
+        )
+    with pytest.raises(ValueError, match="expected_grams"):
+        contamination_bloom(docs, probes, "text", "doc_id", **kw)
+
+
 def test_contamination_shuffle_join_matches_broadcast(spark, docs):
     """broadcast=False (huge-probe-set path) swaps the broadcast for a
     shuffle hash join on the gram key: same output, no broadcast of the
