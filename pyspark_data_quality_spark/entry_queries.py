@@ -3786,6 +3786,63 @@ def dq_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_seasonal_anomalies",
+    """
+    WITH w AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
+             event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), ph AS (
+      SELECT *, (row_number() OVER (PARTITION BY event_type
+                                    ORDER BY window_epoch) - 1) % 24 AS phase
+      FROM w
+    ), stats AS (
+      SELECT *,
+             avg(n_events) OVER pw AS m,
+             stddev_samp(n_events) OVER pw AS sd,
+             count(n_events) OVER pw AS n
+      FROM ph
+      WINDOW pw AS (PARTITION BY event_type, phase ORDER BY window_epoch
+                    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT window_epoch, event_type, CAST(n_events AS BIGINT) AS n_events,
+           CAST(round(m, 6) AS DOUBLE) AS baseline_mean,
+           CAST(round(sd, 6) AS DOUBLE) AS baseline_stddev,
+           CAST(round(CASE WHEN n >= 2 AND sd > 0
+                           THEN (n_events - m) / sd END, 6)
+                AS DOUBLE) AS seasonal_zscore,
+           coalesce(abs(CASE WHEN n >= 2 AND sd > 0
+                             THEN (n_events - m) / sd END) > 3.0,
+                    false) AS is_anomaly
+    FROM stats
+    ORDER BY event_type, window_epoch
+    """,
+)
+def dq_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware volume monitoring: hourly event counts judged
+    against the SAME HOUR of previous days (period=24, seasonal-naive
+    baseline, operators/anomaly.py seasonal_anomalies) — the detector
+    that doesn't flag every daily peak and doesn't smooth real drops
+    into a trailing average."""
+    from .operators.anomaly import seasonal_anomalies
+    from .streaming import windowed_counts
+
+    events = load_table(spark, "events", sf_dir)
+    hourly = windowed_counts(
+        events, ts_col="ts", duration="1 hour", group_cols=["event_type"]
+    ).select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+    return seasonal_anomalies(
+        hourly, "n_events", ["window_epoch"],
+        period=24, partition_cols=["event_type"],
+        lookback_cycles=4, threshold=3.0,
+    ).orderBy("event_type", "window_epoch")
+
+
+@query(
     "dq_windowed_cardinality",
     """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,

@@ -140,3 +140,76 @@ def rate_of_change_anomalies(
             ),
         )
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    *,
+    period: int,
+    partition_cols: list[str] | None = None,
+    lookback_cycles: int = 4,
+    threshold: float = 3.0,
+    min_cycles: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Seasonality-aware z-score: each value is judged against the SAME
+    PHASE of previous cycles (Monday vs past Mondays, 3am vs past 3ams)
+    instead of the trailing window. Operational metrics — row counts,
+    event volumes, latencies — breathe with daily/weekly cycles;
+    :func:`zscore_anomalies` over such a series flags every peak hour as
+    anomalous and smooths real drops into its wide baseline. Comparing
+    phase-to-phase removes the cycle without estimating it (the
+    seasonal-naive baseline of classical forecasting).
+
+    ``period`` is in ROWS (24 for hourly data with a daily cycle, 7 for
+    daily data with a weekly cycle) — the series must be regular, one
+    row per period per series, which windowed-count outputs are by
+    construction. Phase = row position within the series modulo
+    ``period``; the baseline is the trailing ``lookback_cycles``
+    same-phase values (current excluded, so an anomaly can't mask
+    itself; same contract as the other detectors). Adds
+    ``baseline_mean``, ``baseline_stddev``, ``seasonal_zscore``,
+    ``is_anomaly``; fewer than ``min_cycles`` prior same-phase points or
+    a zero/undefined stddev yields a null zscore and no flag.
+
+    Scale shape: two window passes over the same series-keyed sort — the
+    phase index, then the per-(series, phase) trailing stats — one
+    shuffle keyed by the series, no UDFs (same contract as the rest of
+    this module).
+    """
+    if period < 2:
+        raise ValueError("seasonal_anomalies: period must be >= 2")
+    if lookback_cycles < 1:
+        raise ValueError("seasonal_anomalies: lookback_cycles must be >= 1")
+    for c in ("_phase",):
+        if c in df.columns:
+            raise ValueError(f"seasonal_anomalies: column {c!r} is reserved")
+    series = Window.partitionBy(*(partition_cols or [])).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    with_phase = df.withColumn(
+        "_phase", (F.row_number().over(series) - 1) % period
+    )
+    pw = (
+        Window.partitionBy(*[*(partition_cols or []), "_phase"])
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-lookback_cycles, -1)
+    )
+    x = F.col(value_col)
+    mean = F.avg(x).over(pw)
+    std = F.stddev(x).over(pw)
+    n = F.count(x).over(pw)
+    z = F.try_divide(x - mean, std)
+    scored = F.when((n >= min_cycles) & (std > 0), z)
+    return (
+        with_phase.withColumn("baseline_mean", F.round(mean, round_to))
+        .withColumn("baseline_stddev", F.round(std, round_to))
+        .withColumn("seasonal_zscore", F.round(scored, round_to))
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(scored) > threshold, F.lit(False)),
+        )
+        .drop("_phase")
+    )

@@ -695,3 +695,79 @@ def test_normalize_columns(spark):
         normalize_columns(df, ["x"], method="quantile")
     with pytest.raises(ValueError):
         normalize_columns(df, ["nope"])
+
+
+def test_seasonal_anomalies_phase_baseline(spark):
+    """A perfectly cyclic series with one corrupted point: the plain
+    trailing z-score is blind (the cycle inflates its stddev) or noisy
+    (flags normal peaks), while the seasonal detector flags EXACTLY the
+    corrupted point — judged only against its own phase's history."""
+    import math
+
+    from pyspark_data_quality_spark.operators.anomaly import (
+        seasonal_anomalies,
+        zscore_anomalies,
+    )
+
+    period = 4
+    cycle = [100.0, 500.0, 900.0, 500.0]  # daily-shaped pattern
+    df = spark.createDataFrame(
+        [(t, cycle[t % period]) for t in range(6 * period)],
+        "t int, v double",
+    )
+    # a perfectly flat phase history has stddev 0 -> null zscore, no
+    # flag, BY DESIGN (same contract as zscore_anomalies)
+    out = seasonal_anomalies(df, "v", ["t"], period=period)
+    assert out.filter("is_anomaly").count() == 0
+    assert out.filter("seasonal_zscore is not null").count() == 0
+
+    # hand-check the z arithmetic on a jittered phase (t=5 +1.0 gives
+    # the phase real variance; t=17 is the corrupted point)
+    rows2 = [(t, cycle[t % period] + (1.0 if t == 5 else 0.0))
+             for t in range(5 * period)]
+    rows2[17] = (17, 700.0)
+    df2 = spark.createDataFrame(rows2, "t int, v double")
+    out2 = {r["t"]: r for r in seasonal_anomalies(
+        df2, "v", ["t"], period=period, lookback_cycles=4, threshold=3.0,
+    ).collect()}
+    # t=17 (phase 1) priors: t=1,5,9,13 -> [500, 501, 500, 500]
+    prior = [500.0, 501.0, 500.0, 500.0]
+    m = sum(prior) / 4
+    sd = math.sqrt(sum((p - m) ** 2 for p in prior) / 3)
+    assert out2[17]["baseline_mean"] == pytest.approx(round(m, 6))
+    assert out2[17]["baseline_stddev"] == pytest.approx(round(sd, 6))
+    assert out2[17]["seasonal_zscore"] == pytest.approx(
+        round((700.0 - m) / sd, 6)
+    )
+    assert out2[17]["is_anomaly"]
+
+    # the plain trailing z-score on the SAME corrupted series misses it:
+    # the cycle's own swing dominates the trailing stddev
+    plain = zscore_anomalies(df2, "v", ["t"], lookback=8, threshold=3.0)
+    assert not [r["t"] for r in plain.filter("is_anomaly").collect()]
+
+    # early rows (fewer than min_cycles priors) are never flagged
+    assert not any(
+        out2[t]["is_anomaly"] for t in range(period * 2) if t != 5
+    )
+
+    # per-series partitioning: each series judged on its own phases
+    two = spark.createDataFrame(
+        [("a", t, v) for t, v in rows2] + [("b", t, 50.0) for t in range(20)],
+        "s string, t int, v double",
+    )
+    outp = seasonal_anomalies(
+        two, "v", ["t"], period=period, partition_cols=["s"],
+    )
+    assert sorted(
+        (r["s"], r["t"]) for r in outp.filter("is_anomaly").collect()
+    ) == [("a", 17)]
+
+    with pytest.raises(ValueError, match="period"):
+        seasonal_anomalies(df, "v", ["t"], period=1)
+    with pytest.raises(ValueError, match="lookback_cycles"):
+        seasonal_anomalies(df, "v", ["t"], period=4, lookback_cycles=0)
+    with pytest.raises(ValueError, match="reserved"):
+        seasonal_anomalies(
+            df.withColumn("_phase", F.lit(1)), "v", ["t"], period=4
+        )
