@@ -3786,6 +3786,66 @@ def dq_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_interval_overlaps",
+    """
+    WITH iv AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS DOUBLE) AS s,
+             CAST(floor(epoch(ts)) AS DOUBLE) + value AS e
+      FROM events WHERE user_id < 50
+    ), sweep AS (
+      SELECT *,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM iv
+    )
+    SELECT event_id, user_id,
+           CAST(round(s, 6) AS DOUBLE) AS s,
+           CAST(round(e, 6) AS DOUBLE) AS e,
+           CAST(round(pme, 6) AS DOUBLE) AS prev_max_end,
+           coalesce(pme IS NOT NULL AND s < pme, false) AS is_overlap,
+           CAST(round(CASE WHEN pme IS NOT NULL AND s < pme
+                           THEN least(pme, e) - s ELSE 0.0 END, 6)
+                AS DOUBLE) AS overlap_amount
+    FROM sweep
+    ORDER BY user_id, s, e
+    """,
+)
+def dq_interval_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap audit (operators/consistency.py
+    interval_overlaps — the one-window sweep, never a self range join)
+    over per-user event intervals [floor(epoch(ts)), +value seconds).
+    user_id < 50 bounds output rows, not the plan shape. The fixture's
+    values are all positive so is_invalid is structurally false and
+    dropped here; the invalid/NULL contract is unit-tested."""
+    from .operators.consistency import interval_overlaps
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 50)
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("ts").cast("timestamp").cast("long"))
+        .cast("double")
+        .alias("s"),
+        (
+            F.floor(F.col("ts").cast("timestamp").cast("long")).cast("double")
+            + F.col("value")
+        ).alias("e"),
+    )
+    out = interval_overlaps(iv, "s", "e", group_cols=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("s", 6).alias("s"),
+        F.round("e", 6).alias("e"),
+        F.round("prev_max_end", 6).alias("prev_max_end"),
+        "is_overlap",
+        F.round("overlap_amount", 6).alias("overlap_amount"),
+    ).orderBy("user_id", "s", "e")
+
+
+@query(
     "dq_seasonal_anomalies",
     """
     WITH w AS (

@@ -299,3 +299,57 @@ def test_merge_duplicates_policies(spark):
         merge_duplicates(df, "g", "id", {"nope": "max"})
     with pytest.raises(ValueError):
         merge_duplicates(df, "g", "id", {"n": "median"})
+
+
+def test_interval_overlaps_sweep(spark):
+    """Hand-built calendar: chains, touching intervals (half-open: NOT
+    overlapping), containment, invalid rows excluded from the sweep,
+    and per-group isolation."""
+    from pyspark_data_quality_spark.operators.consistency import (
+        interval_overlaps,
+    )
+
+    rows = [
+        # room A: [0,10) [10,20) touch -> no overlap; [15,30) overlaps
+        # the second; [18,19) nested inside the third
+        ("A", 1, 0.0, 10.0),
+        ("A", 2, 10.0, 20.0),
+        ("A", 3, 15.0, 30.0),
+        ("A", 4, 18.0, 19.0),
+        # room B: same times, isolated from A; one invalid (end<start)
+        ("B", 5, 0.0, 10.0),
+        ("B", 6, 5.0, 7.0),
+        ("B", 7, 6.0, 4.0),     # invalid: must not poison the sweep
+        ("B", 8, 9.0, 12.0),
+        # NULL endpoint: invalid, unscored
+        ("B", 9, None, 20.0),
+    ]
+    df = spark.createDataFrame(rows, "room string, id int, s double, e double")
+    out = {
+        r["id"]: r
+        for r in interval_overlaps(df, "s", "e", group_cols=["room"]).collect()
+    }
+    assert not out[1]["is_overlap"] and out[1]["overlap_amount"] == 0.0
+    assert not out[2]["is_overlap"]  # touching at 10: half-open
+    assert out[3]["is_overlap"] and out[3]["overlap_amount"] == 5.0  # 15..20
+    assert out[4]["is_overlap"] and out[4]["overlap_amount"] == 1.0  # nested
+    assert not out[5]["is_overlap"]  # room B starts fresh
+    assert out[6]["is_overlap"] and out[6]["overlap_amount"] == 2.0  # 5..7
+    assert out[7]["is_invalid"] and not out[7]["is_overlap"]
+    # id=8 starts at 9 < running max 10 (id=5's end; id=7 contributed
+    # nothing despite ending later in sort order)
+    assert out[8]["is_overlap"] and out[8]["overlap_amount"] == 1.0
+    assert out[9]["is_invalid"] and not out[9]["is_overlap"]
+
+    # timestamp endpoints: overlap_amount in seconds
+    tdf = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+         (2, "2024-01-01 00:30:00", "2024-01-01 02:00:00")],
+        "id int, s string, e string",
+    ).select("id", F.col("s").cast("timestamp").alias("s"),
+             F.col("e").cast("timestamp").alias("e"))
+    tout = {r["id"]: r for r in interval_overlaps(tdf, "s", "e").collect()}
+    assert tout[2]["is_overlap"] and tout[2]["overlap_amount"] == 1800.0
+
+    with pytest.raises(ValueError, match="reserved"):
+        interval_overlaps(df.withColumn("_pme", F.lit(1)), "s", "e")
