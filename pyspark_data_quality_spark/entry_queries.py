@@ -3786,6 +3786,56 @@ def dq_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'signup' AND e.ts > s2.t2 GROUP BY 1
+    ), s4 AS (
+      SELECT e.user_id, min(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1
+    ), n AS (
+      SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3,
+             (SELECT count(*) FROM s4) AS n4
+    )
+    SELECT step_index, step_name, CAST(n_users AS BIGINT) AS n_users,
+           CAST(round(n_users * 1.0 / nullif(n1, 0), 6) AS DOUBLE)
+             AS conversion_from_start,
+           CAST(round(n_users * 1.0 / nullif(prev_n, 0), 6) AS DOUBLE)
+             AS conversion_from_prev
+    FROM (
+      SELECT 1 AS step_index, 'view' AS step_name, n1 AS n_users,
+             n1 AS prev_n, n1 FROM n
+      UNION ALL SELECT 2, 'click', n2, n1, n1 FROM n
+      UNION ALL SELECT 3, 'signup', n3, n2, n1 FROM n
+      UNION ALL SELECT 4, 'purchase', n4, n3, n1 FROM n
+    )
+    ORDER BY step_index
+    """,
+)
+def dq_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion view->click->signup->purchase per user
+    (operators/funnel.py: greedy earliest-match, strictly-increasing
+    timestamps, one user-keyed join per step — no per-user event
+    collection)."""
+    from .operators.funnel import funnel
+
+    events = load_table(spark, "events", sf_dir)
+    return funnel(
+        events, "user_id", "ts", "event_type",
+        ["view", "click", "signup", "purchase"],
+    )
+
+
+@query(
     "dq_interval_overlaps",
     """
     WITH iv AS (

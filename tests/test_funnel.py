@@ -1,0 +1,89 @@
+"""Funnel conversion (operators/funnel.py): hand-built event journeys —
+ordering is enforced (events out of order don't count), the greedy
+earliest-match convention, the horizon cutoff, stalled users keep NULL
+tails, and the summary arithmetic."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_quality_spark.operators.funnel import funnel, funnel_users
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id int, ts string, event_type string"
+    ).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+
+
+STEPS = ["view", "click", "buy"]
+
+
+def test_funnel_order_enforced_and_null_tails(spark):
+    df = _events(spark, [
+        # u1 completes in order
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:30:00", "buy"),
+        # u2 clicked BEFORE viewing: click must not count; stalls at view
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 09:30:00", "view"),
+        # u3 views and clicks, never buys
+        (3, "2024-01-01 08:00:00", "view"),
+        (3, "2024-01-01 08:10:00", "click"),
+        # u4 never views: not in the funnel at all
+        (4, "2024-01-01 07:00:00", "click"),
+        (4, "2024-01-01 07:10:00", "buy"),
+    ])
+    users = {r["user_id"]: r for r in
+             funnel_users(df, "user_id", "ts", "event_type", STEPS).collect()}
+    assert set(users) == {1, 2, 3}
+    assert users[1]["step_3_ts"] is not None
+    assert users[2]["step_2_ts"] is None and users[2]["step_3_ts"] is None
+    assert users[3]["step_2_ts"] is not None and users[3]["step_3_ts"] is None
+
+    summary = {r["step_index"]: r for r in
+               funnel(df, "user_id", "ts", "event_type", STEPS).collect()}
+    assert [summary[k]["n_users"] for k in (1, 2, 3)] == [3, 2, 1]
+    assert summary[1]["conversion_from_start"] == 1.0
+    assert summary[2]["conversion_from_start"] == pytest.approx(2 / 3, abs=1e-6)
+    assert summary[3]["conversion_from_prev"] == pytest.approx(0.5)
+    assert [r["step_name"] for r in sorted(summary.values(),
+            key=lambda r: r["step_index"])] == STEPS
+
+
+def test_funnel_greedy_earliest_and_horizon(spark):
+    df = _events(spark, [
+        # u1: two views; funnel anchors on the EARLIEST (10:00), so the
+        # 10:30 click converts; a buy lands 2h after step 1
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 11:00:00", "view"),
+        (1, "2024-01-01 10:30:00", "click"),
+        (1, "2024-01-01 12:00:00", "buy"),
+    ])
+    no_h = {r["step_index"]: r["n_users"] for r in
+            funnel(df, "user_id", "ts", "event_type", STEPS).collect()}
+    assert no_h == {1: 1, 2: 1, 3: 1}
+    # 1-hour horizon from step 1 (10:00): click at 10:30 in, buy at
+    # 12:00 out
+    with_h = {r["step_index"]: r["n_users"] for r in
+              funnel(df, "user_id", "ts", "event_type", STEPS,
+                     horizon_seconds=3600).collect()}
+    assert with_h == {1: 1, 2: 1, 3: 0}
+
+
+def test_funnel_validation(spark):
+    df = _events(spark, [(1, "2024-01-01 00:00:00", "view")])
+    with pytest.raises(ValueError, match="2 steps"):
+        funnel_users(df, "user_id", "ts", "event_type", ["view"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_users(df, "user_id", "ts", "event_type", ["a", "a"])
+    with pytest.raises(ValueError, match="horizon"):
+        funnel_users(df, "user_id", "ts", "event_type", STEPS,
+                     horizon_seconds=0)
+    # nobody completes step 1: every count 0, rates NULL (try_divide)
+    empty = funnel(df.filter("user_id < 0"), "user_id", "ts",
+                   "event_type", STEPS).collect()
+    assert [r["n_users"] for r in empty] == [0, 0, 0]
+    assert all(r["conversion_from_start"] is None for r in empty)
