@@ -3789,8 +3789,10 @@ def dq_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_funnel",
     """
     WITH s1 AS (
+      -- ts IS NOT NULL mirrors the operator: a NULL timestamp can't
+      -- anchor a funnel (and would put a NULL-min user in count(*))
       SELECT user_id, min(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY 1
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
     ), s2 AS (
       SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
@@ -3903,8 +3905,10 @@ def dq_interval_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
              event_type, count(*) AS n_events
       FROM events GROUP BY 1, 2
     ), ph AS (
-      SELECT *, (row_number() OVER (PARTITION BY event_type
-                                    ORDER BY window_epoch) - 1) % 24 AS phase
+      -- phase from the DATA (hour of day), not row position: a
+      -- zero-event hour emits no row, and a row-position phase would
+      -- shift every later hour's baseline
+      SELECT *, (window_epoch // 3600) % 24 AS phase
       FROM w
     ), stats AS (
       SELECT *,
@@ -3948,6 +3952,10 @@ def dq_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_anomalies(
         hourly, "n_events", ["window_epoch"],
         period=24, partition_cols=["event_type"],
+        # phase from the data (hour of day): gap-robust — windowed
+        # counts emit NO row for a zero-event hour, which would shift a
+        # row-position phase for the rest of the series
+        phase_col=(F.col("window_epoch") / 3600).cast("long") % 24,
         lookback_cycles=4, threshold=3.0,
     ).orderBy("event_type", "window_epoch")
 

@@ -149,6 +149,7 @@ def seasonal_anomalies(
     *,
     period: int,
     partition_cols: list[str] | None = None,
+    phase_col=None,
     lookback_cycles: int = 4,
     threshold: float = 3.0,
     min_cycles: int = 2,
@@ -163,39 +164,57 @@ def seasonal_anomalies(
     phase-to-phase removes the cycle without estimating it (the
     seasonal-naive baseline of classical forecasting).
 
-    ``period`` is in ROWS (24 for hourly data with a daily cycle, 7 for
-    daily data with a weekly cycle) — the series must be regular, one
-    row per period per series, which windowed-count outputs are by
-    construction. Phase = row position within the series modulo
-    ``period``; the baseline is the trailing ``lookback_cycles``
-    same-phase values (current excluded, so an anomaly can't mask
-    itself; same contract as the other detectors). Adds
-    ``baseline_mean``, ``baseline_stddev``, ``seasonal_zscore``,
-    ``is_anomaly``; fewer than ``min_cycles`` prior same-phase points or
-    a zero/undefined stddev yields a null zscore and no flag.
+    Pass ``phase_col`` (a Column expression, e.g.
+    ``F.hour("window_start")`` or ``pmod(epoch, 86400) / 3600``) to
+    derive the phase from the DATA — the robust choice, immune to gaps
+    in the series. Without it, phase = row position within the series
+    modulo ``period``, which is only correct for a GAPLESS series (one
+    row per period per series): a single missing period shifts every
+    later row's phase by one, silently mis-baselining the rest of the
+    series — and windowed-count outputs DO have gaps (a zero-event
+    window emits no row), so prefer ``phase_col`` whenever the order
+    column is time-derived. ``period`` is in rows (24 for hourly data
+    with a daily cycle, 7 for daily with a weekly cycle) and, with
+    ``phase_col``, only documents intent — the phase values themselves
+    partition.
 
-    Scale shape: two window passes over the same series-keyed sort — the
-    phase index, then the per-(series, phase) trailing stats — one
-    shuffle keyed by the series, no UDFs (same contract as the rest of
-    this module).
+    The baseline is the trailing ``lookback_cycles`` same-phase values
+    (current excluded, so an anomaly can't mask itself; same contract
+    as the other detectors). Adds ``baseline_mean``,
+    ``baseline_stddev``, ``seasonal_zscore``, ``is_anomaly``; fewer
+    than ``min_cycles`` prior same-phase points or a zero/undefined
+    stddev yields a null zscore and no flag.
+
+    Scale shape: (at most) two window passes over the same series-keyed
+    sort — the phase index, then the per-(series, phase) trailing stats
+    — one shuffle keyed by the series, no UDFs (same contract as the
+    rest of this module).
     """
     if period < 2:
         raise ValueError("seasonal_anomalies: period must be >= 2")
     if lookback_cycles < 1:
         raise ValueError("seasonal_anomalies: lookback_cycles must be >= 1")
+    if not 1 <= min_cycles <= lookback_cycles:
+        raise ValueError(
+            "seasonal_anomalies: min_cycles must be in [1, "
+            "lookback_cycles] — above the lookback no row can ever "
+            "score (silently-never-flagging detector)"
+        )
     for c in ("_phase",):
         if c in df.columns:
             raise ValueError(f"seasonal_anomalies: column {c!r} is reserved")
-    series = Window.partitionBy(*(partition_cols or [])).orderBy(
-        *[F.col(c) for c in order_cols]
-    )
-    with_phase = df.withColumn(
-        "_phase", (F.row_number().over(series) - 1) % period
-    )
-    pw = (
-        Window.partitionBy(*[*(partition_cols or []), "_phase"])
-        .orderBy(*[F.col(c) for c in order_cols])
-        .rowsBetween(-lookback_cycles, -1)
+    if phase_col is not None:
+        phase = F.col(phase_col) if isinstance(phase_col, str) else phase_col
+        with_phase = df.withColumn("_phase", phase)
+    else:
+        series = Window.partitionBy(*(partition_cols or [])).orderBy(
+            *[F.col(c) for c in order_cols]
+        )
+        with_phase = df.withColumn(
+            "_phase", (F.row_number().over(series) - 1) % period
+        )
+    pw = _trailing(
+        [*(partition_cols or []), "_phase"], order_cols, lookback_cycles
     )
     x = F.col(value_col)
     mean = F.avg(x).over(pw)

@@ -403,16 +403,25 @@ def interval_overlaps(
     (``group_cols=None``) is a single-task global sort: fine for a
     dimension table, wrong for a fact table — pass the key.
     """
-    for c in ("_s", "_e", "_pme"):
-        if c in df.columns:
-            raise ValueError(f"interval_overlaps: column {c!r} is reserved")
+    # guard the OUTPUT names this function adds via withColumn — they
+    # would silently clobber same-named input columns (e.g. re-running
+    # the audit on its own output, or an SCD table with its own
+    # is_invalid flag); the sweep state itself is pure expressions and
+    # reserves nothing
+    clash = {
+        "prev_max_end", "is_invalid", "is_overlap", "overlap_amount"
+    } & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"interval_overlaps: output columns {sorted(clash)} already "
+            "exist on df; rename them first"
+        )
     s, e = F.col(start_col), F.col(end_col)
     is_invalid = s.isNull() | e.isNull() | (e < s)
-    # numeric view for the sweep arithmetic: timestamps -> epoch seconds
+    # numeric view for the sweep arithmetic: timestamps/dates -> epoch
+    # seconds (NTZ included — identity under the UTC session TZ)
     dtypes = dict(df.dtypes)
     def _num(c, dtype):
-        if dtype.startswith("timestamp_ntz"):
-            return c.cast("timestamp").cast("double")
         if dtype.startswith(("timestamp", "date")):
             return c.cast("timestamp").cast("double")
         return c.cast("double")

@@ -56,8 +56,12 @@ def funnel_users(
         raise ValueError("funnel_users: horizon_seconds must be > 0")
     u, ts, ev = F.col(user_col), F.col(ts_col), F.col(event_col)
 
+    # NULL timestamps can't anchor or advance a funnel: without this
+    # filter a user whose only step-1 events have NULL ts would emit a
+    # step_1_ts=NULL 'entrant' row, breaking the one-row-per-completer
+    # contract (and the summary/oracle denominators)
     cur = (
-        df.filter(ev == steps[0])
+        df.filter((ev == steps[0]) & ts.isNotNull())
         .groupBy(user_col)
         .agg(F.min(ts).alias("step_1_ts"))
     )
@@ -71,16 +75,15 @@ def funnel_users(
                 + F.expr(f"INTERVAL {int(horizon_seconds)} SECONDS")
             )
         prev_cols = [f"step_{j}_ts" for j in range(1, k)]
-        reached = (
-            cur.join(nxt, user_col)
-            .filter(cond)
+        # ONE left join per step, referencing `cur` once: stalled users
+        # keep a row with NULL step_k_ts via min(when(cond, ts)) — a
+        # reached-then-join-back shape would reference `cur` twice,
+        # doubling the logical plan every step (2^(k-1) copies of the
+        # base aggregate by step k)
+        cur = (
+            cur.join(nxt, user_col, "left")
             .groupBy(user_col, *prev_cols)
-            .agg(F.min("_ts").alias(f"step_{k}_ts"))
-        )
-        # keep users who stalled at step k-1 (their step_k_ts is NULL):
-        # the funnel frame stays one-row-per-step-1 user
-        cur = cur.join(
-            reached.select(user_col, f"step_{k}_ts"), user_col, "left"
+            .agg(F.min(F.when(cond, F.col("_ts"))).alias(f"step_{k}_ts"))
         )
     return cur
 
@@ -112,19 +115,27 @@ def funnel(
             for k in range(1, len(steps) + 1)
         ]
     )
-    rows = None
+    # melt the 1-row counts with ONE stack projection — a union of
+    # per-step selects would replay the whole funnel plan k times
+    entries = []
     for k, name in enumerate(steps, start=1):
-        prev = f"_n{k - 1}" if k > 1 else f"_n{k}"
-        row = counts.select(
-            F.lit(k).alias("step_index"),
-            F.lit(name).alias("step_name"),
-            F.col(f"_n{k}").cast("bigint").alias("n_users"),
-            F.round(
-                F.try_divide(F.col(f"_n{k}"), F.col("_n1")), round_to
-            ).alias("conversion_from_start"),
-            F.round(
-                F.try_divide(F.col(f"_n{k}"), F.col(prev)), round_to
-            ).alias("conversion_from_prev"),
+        prev = f"_n{k - 1}" if k > 1 else "_n1"
+        safe = name.replace("'", "\\'")
+        entries.append(f"{k}, '{safe}', _n{k}, {prev}, _n1")
+    stacked = counts.select(
+        F.expr(
+            f"stack({len(steps)}, {', '.join(entries)}) AS "
+            "(step_index, step_name, _n, _prev, _start)"
         )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows.orderBy("step_index")
+    )
+    return stacked.select(
+        "step_index",
+        "step_name",
+        F.col("_n").cast("bigint").alias("n_users"),
+        F.round(F.try_divide(F.col("_n"), F.col("_start")), round_to).alias(
+            "conversion_from_start"
+        ),
+        F.round(F.try_divide(F.col("_n"), F.col("_prev")), round_to).alias(
+            "conversion_from_prev"
+        ),
+    ).orderBy("step_index")

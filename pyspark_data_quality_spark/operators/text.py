@@ -325,36 +325,52 @@ def contamination_pairs(
     if use_index:
         p_idx = p.select(
             "probe_id",
-            F.size("_pg").alias("_psz"),
+            F.size("_pg").alias("_pn"),
             F.explode("_pg").alias("_g"),
         )
-        if broadcast is None or broadcast:
-            p_idx = F.broadcast(p_idx)
-        else:
-            # shuffle path: pin a hash join (and keep AQE from demoting it
-            # back to broadcast on fixture-sized inputs) so huge probe
-            # sets never ship driver->executors whole
-            p_idx = p_idx.hint("shuffle_hash")
-        return (
-            d.select("doc_id", F.explode("_dg").alias("_g"))
-            .join(p_idx, "_g")
-            .groupBy("doc_id", "probe_id", "_psz")
-            .agg(F.count(F.lit(1)).alias("_shared"))
-            .select(
-                "doc_id",
-                "probe_id",
-                F.round(
-                    F.try_divide(
-                        F.col("_shared").cast("double"), F.col("_psz")
-                    ),
-                    round_to,
-                ).alias("containment"),
-            )
-            .filter(F.col("containment") >= threshold)
+        return _containment_from_gram_index(
+            d.select("doc_id", F.explode("_dg").alias("_g")),
+            p_idx, broadcast, threshold, round_to,
         )
     return (
         d.crossJoin(F.broadcast(p))
         .select("doc_id", "probe_id", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def _containment_from_gram_index(
+    doc_grams: DataFrame,
+    probe_index: DataFrame,
+    broadcast: bool | None,
+    threshold: float,
+    round_to: int,
+) -> DataFrame:
+    """Shared exact scoring tail of :func:`contamination_pairs`
+    (prefilter='index') and :func:`contamination_bloom` — ONE place so
+    the two certified-identical paths cannot drift. ``doc_grams`` is
+    (doc_id, _g); ``probe_index`` is (probe_id, _pn, _g) with _pn the
+    probe's distinct-gram count; ``count(*)`` per (doc, probe) is |D∩P|
+    because both gram sets are distinct."""
+    if broadcast is None or broadcast:
+        probe_index = F.broadcast(probe_index)
+    else:
+        # shuffle path: pin a hash join (and keep AQE from demoting it
+        # back to broadcast on fixture-sized inputs) so huge probe
+        # sets never ship driver->executors whole
+        probe_index = probe_index.hint("shuffle_hash")
+    return (
+        doc_grams.join(probe_index, "_g")
+        .groupBy("doc_id", "probe_id", "_pn")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .select(
+            "doc_id",
+            "probe_id",
+            F.round(
+                F.try_divide(F.col("_shared").cast("double"), F.col("_pn")),
+                round_to,
+            ).alias("containment"),
+        )
         .filter(F.col("containment") >= threshold)
     )
 
@@ -444,20 +460,8 @@ def contamination_bloom(
         .filter(F.col("_maybe"))
         .drop("_maybe")
     )
-    probe_index = F.broadcast(p) if broadcast is not False else p
-    return (
-        survivors.join(probe_index, "_g")
-        .groupBy("doc_id", "probe_id", "_pn")
-        .agg(F.count(F.lit(1)).alias("_shared"))
-        .select(
-            "doc_id",
-            "probe_id",
-            F.round(
-                F.try_divide(F.col("_shared").cast("double"), F.col("_pn")),
-                round_to,
-            ).alias("containment"),
-        )
-        .filter(F.col("containment") >= threshold)
+    return _containment_from_gram_index(
+        survivors, p, broadcast, threshold, round_to
     )
 
 

@@ -351,5 +351,10 @@ def test_interval_overlaps_sweep(spark):
     tout = {r["id"]: r for r in interval_overlaps(tdf, "s", "e").collect()}
     assert tout[2]["is_overlap"] and tout[2]["overlap_amount"] == 1800.0
 
-    with pytest.raises(ValueError, match="reserved"):
-        interval_overlaps(df.withColumn("_pme", F.lit(1)), "s", "e")
+    # a same-named OUTPUT column would be silently clobbered — refuse;
+    # internal-looking names are NOT reserved (the sweep is expressions)
+    with pytest.raises(ValueError, match="is_overlap"):
+        interval_overlaps(df.withColumn("is_overlap", F.lit(1)), "s", "e")
+    assert interval_overlaps(
+        df.withColumn("_pme", F.lit(1)), "s", "e", group_cols=["room"]
+    ).count() == len(rows)

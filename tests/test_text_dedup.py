@@ -550,12 +550,16 @@ def test_contamination_bloom_matches_exact(spark, docs):
         docs, probes, "text", "doc_id", expected_grams=2000, **kw
     )
     assert sorted(map(tuple, via_bloom.collect())) == exact
-    # shuffle-join mode for huge probe sets
+    # shuffle-join mode for huge probe sets: same rows, and the probe
+    # index is PINNED to a shuffle hash join (same contract as
+    # contamination_pairs — AQE must not demote it back to broadcast)
     shuf = contamination_bloom(
         docs, probes, "text", "doc_id",
         expected_grams=2000, broadcast=False, **kw
     )
     assert sorted(map(tuple, shuf.collect())) == exact
+    plan = shuf._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
     # deliberately undersized bitmap: many false positives, same rows
     tiny = contamination_bloom(
         docs, probes, "text", "doc_id",
