@@ -54,6 +54,7 @@ def compact_dataset(
     target_file_bytes: int = 256 * 1024 * 1024,
     fmt: str = "parquet",
     sort_within: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
     mode: str = "error",
 ) -> int:
     """Rewrite a fragmented dataset into ~``target_file_bytes`` files —
@@ -67,7 +68,13 @@ def compact_dataset(
     robin) rather than ``coalesce``: coalesce glues whole input
     partitions, so one fat input file would still produce one fat output
     file — exactly the skew this exists to fix. ``sort_within`` restores
-    clustering (min/max pruning) after the shuffle.
+    single-column clustering (min/max pruning) after the shuffle;
+    ``zorder_cols`` instead re-clusters along the Morton curve of
+    several columns (:func:`..operators.zorder.zorder_by`) — the
+    OPTIMIZE-ZORDER maintenance pass, compaction and multi-column
+    data-skipping layout in the same single rewrite (the z-order range
+    shuffle REPLACES the round-robin repartition; the two knobs are
+    mutually exclusive).
 
     Returns the number of files written.
     """
@@ -75,11 +82,22 @@ def compact_dataset(
 
     from ..operators.layout import _list_files
 
+    if sort_within and zorder_cols:
+        raise ValueError(
+            "compact_dataset: sort_within and zorder_cols are mutually "
+            "exclusive layouts — pick one clustering"
+        )
     total = sum(b for _, b in _list_files(spark, src_path))
     n_files = max(1, ceil(total / target_file_bytes))
-    df = spark.read.format(fmt).load(src_path).repartition(n_files)
-    if sort_within:
-        df = df.sortWithinPartitions(*sort_within)
+    df = spark.read.format(fmt).load(src_path)
+    if zorder_cols:
+        from ..operators.zorder import zorder_by
+
+        df = zorder_by(df, zorder_cols, num_partitions=n_files)
+    else:
+        df = df.repartition(n_files)
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
     df.write.mode(mode).format(fmt).save(dst_path)
     return n_files
 

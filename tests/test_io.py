@@ -150,6 +150,56 @@ def test_compact_dataset(spark, tmp_path):
     assert spark.read.parquet(dst).count() == 2000
 
 
+def test_compact_dataset_zorder_layout(spark, tmp_path):
+    """compact_dataset(zorder_cols=...) = compaction + OPTIMIZE-ZORDER
+    in one rewrite: rows/file-count as usual, per-file min/max spans on
+    BOTH clustered columns shrink far below full range (the layout the
+    z-order scan-skip tests prove end-to-end)."""
+    from pyspark_data_quality_spark.sinks.dataset import compact_dataset
+
+    src = str(tmp_path / "frag")
+    df = spark.range(20_000).selectExpr(
+        "cast(pmod(xxhash64(id), 1000) as double) as a",
+        "cast(pmod(xxhash64(id, 7), 1000) as double) as b",
+        "id",
+    )
+    df.repartition(16).write.parquet(src)
+    from pyspark_data_quality_spark.operators.layout import (
+        file_layout_report,
+    )
+
+    total = sum(r["bytes"] for r in file_layout_report(spark, src).collect())
+    dst = str(tmp_path / "zcompact")
+    n = compact_dataset(
+        spark, src, dst,
+        target_file_bytes=max(1, total // 16), zorder_cols=["a", "b"],
+    )
+    assert spark.read.parquet(dst).count() == 20_000
+    per_file = (
+        spark.read.parquet(dst)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("a") - F.min("a")).alias("sa"),
+            (F.max("b") - F.min("b")).alias("sb"),
+        )
+        .collect()
+    )
+    assert len(per_file) == n
+    avg_sa = sum(r["sa"] for r in per_file) / len(per_file)
+    avg_sb = sum(r["sb"] for r in per_file) / len(per_file)
+    # unclustered files span ~the full 0..999 range on both columns;
+    # z-ordered files cover compact tiles on BOTH
+    assert avg_sa < 700 and avg_sb < 700, (avg_sa, avg_sb)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        compact_dataset(
+            spark, src, str(tmp_path / "x"),
+            sort_within=["a"], zorder_cols=["a", "b"],
+        )
+
+
 def test_orc_round_trip(spark, tmp_path):
     """write_dataset/read_dataset/compact_dataset are format-generic:
     the ORC datasource (built into Spark) round-trips values and
