@@ -2062,6 +2062,37 @@ def dq_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_weighted_sample",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 1) / 4294967296.0) / n_chars AS k
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    ORDER BY k DESC, doc_id
+    LIMIT 100
+    """,
+)
+def dq_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/split.py weighted_sample — Efraimidis-Spirakis A-RES on
+    md5 randomness): 100 documents drawn proportional to n_chars, the
+    'sample documents proportional to their length/token count' corpus
+    draw. The oracle replays the exact ln(u)/w key, proving the draw is
+    engine-reproducible."""
+    from .operators.split import weighted_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        weighted_sample(docs, "doc_id", "n_chars", 100)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "dq_sample",
     """
     SELECT doc_id FROM (

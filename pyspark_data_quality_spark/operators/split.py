@@ -109,6 +109,56 @@ def deterministic_sample(
     return df.filter(bucket < int(round(fraction * _BUCKETS)))
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``n`` rows sampled WITHOUT replacement with inclusion
+    probability proportional to ``weight_col`` — Efraimidis-Spirakis
+    A-RES (public): each row gets key ``u^(1/w)`` with ``u`` uniform in
+    (0, 1], the top-n keys win. The uniform comes from
+    ``md5(id || salt)`` (same stability contract as the rest of this
+    module: membership is a pure function of id + weight + salt, so
+    retries, re-runs, and other engines reproduce the identical sample;
+    vary ``salt`` for a fresh draw). The weighted complement of
+    :func:`deterministic_sample` — "sample documents proportional to
+    their token count" is THE corpus-mixing draw.
+
+    We maximize the monotone-equivalent ``ln(u)/w`` (no pow), computed
+    directly in the ORDER BY — no temp columns, nothing reserved.
+    Rows with NULL or non-positive weight are never sampled (a zero
+    weight must mean zero probability, and A-RES is undefined there).
+    Ties (astronomically unlikely with continuous keys) break on id.
+
+    Scale shape: global top-n compiles to TakeOrderedAndProject —
+    per-partition heaps merged on the driver, never a full sort; n is
+    the only driver-side quantity. Per-group caps belong to
+    :func:`cap_per_group`; per-stratum rates to
+    :func:`stratified_sample`.
+    """
+    if n < 1:
+        raise ValueError("weighted_sample: n must be >= 1")
+    c, w = F.col(id_col), F.col(weight_col)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(1 << 32))
+    key = F.log(u) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .orderBy(key.desc(), c.asc())
+        .limit(n)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

@@ -1053,3 +1053,35 @@ def test_cap_per_group_approx_mega_group_never_vanishes(spark):
     }
     assert got["tiny"] == 1
     assert 1 <= got["mega"] < 100  # non-zero, tiny sliver of 20k
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """A-RES weighted sampling: deterministic per salt, excludes
+    non-positive weights, and across many independent salts the
+    inclusion frequency tracks the weights (the heavy item wins n=1
+    draws roughly weight-share often)."""
+    from pyspark_data_quality_spark.operators.split import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 8.0), (4, 0.0), (5, None), (6, -2.0)],
+        "id bigint, w double",
+    )
+    a = sorted(r["id"] for r in weighted_sample(df, "id", "w", 2).collect())
+    b = sorted(r["id"] for r in weighted_sample(df, "id", "w", 2).collect())
+    assert a == b and len(a) == 2            # deterministic, exactly n
+    assert not {4, 5, 6} & set(a)            # w<=0/NULL never sampled
+    big = weighted_sample(df, "id", "w", 50).collect()
+    assert sorted(r["id"] for r in big) == [1, 2, 3]  # n > eligible: all
+
+    # inclusion frequency ~ weight share: item 3 holds 80% of the mass,
+    # so over 60 salts it should win the n=1 draw far more than half
+    wins = 0
+    rows = [(1, 1.0), (2, 1.0), (3, 8.0)]
+    d3 = spark.createDataFrame(rows, "id bigint, w double")
+    for s in range(60):
+        got = weighted_sample(d3, "id", "w", 1, salt=f"s{s}").first()["id"]
+        wins += got == 3
+    assert wins >= 36, wins  # E=48, sigma~3.1 -> 36 is ~4 sigma slack
+
+    with pytest.raises(ValueError, match="n must be"):
+        weighted_sample(df, "id", "w", 0)
