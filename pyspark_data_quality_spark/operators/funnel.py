@@ -41,12 +41,19 @@ def funnel_users(
     steps: list[str],
     *,
     horizon_seconds: int | None = None,
+    segment_col: str | None = None,
 ) -> DataFrame:
     """Per-user funnel timestamps: one row per user who completed step 1,
     with ``step_1_ts .. step_k_ts`` (NULL from the first step the user
     never reached — once NULL, all later steps are NULL by
     construction). Feed this to :func:`funnel` for the summary, or join
     it back to user dimensions for segment-level conversion.
+
+    ``segment_col`` carries a ``segment`` column through: the value on
+    the user's step-1 ANCHOR event (their earliest step-1 row, via
+    min_by) — "which campaign/platform/cohort did this journey start
+    on", the attribution convention. Use it with :func:`funnel`'s
+    ``segment_col`` for per-segment conversion tables.
     """
     if len(steps) < 2:
         raise ValueError("funnel_users: need at least 2 steps")
@@ -54,17 +61,23 @@ def funnel_users(
         raise ValueError("funnel_users: steps must be distinct")
     if horizon_seconds is not None and horizon_seconds <= 0:
         raise ValueError("funnel_users: horizon_seconds must be > 0")
+    if segment_col is not None and segment_col not in df.columns:
+        raise ValueError(f"funnel_users: column {segment_col!r} not in df")
     u, ts, ev = F.col(user_col), F.col(ts_col), F.col(event_col)
 
     # NULL timestamps can't anchor or advance a funnel: without this
     # filter a user whose only step-1 events have NULL ts would emit a
     # step_1_ts=NULL 'entrant' row, breaking the one-row-per-completer
     # contract (and the summary/oracle denominators)
+    step1_aggs = [F.min(ts).alias("step_1_ts")]
+    if segment_col is not None:
+        step1_aggs.append(F.min_by(F.col(segment_col), ts).alias("segment"))
     cur = (
         df.filter((ev == steps[0]) & ts.isNotNull())
         .groupBy(user_col)
-        .agg(F.min(ts).alias("step_1_ts"))
+        .agg(*step1_aggs)
     )
+    carry = ["segment"] if segment_col is not None else []
     for k, step in enumerate(steps[1:], start=2):
         nxt = df.filter(ev == step).select(u.alias(user_col), ts.alias("_ts"))
         cond = F.col("_ts") > F.col(f"step_{k - 1}_ts")
@@ -74,7 +87,7 @@ def funnel_users(
                 <= F.col("step_1_ts")
                 + F.expr(f"INTERVAL {int(horizon_seconds)} SECONDS")
             )
-        prev_cols = [f"step_{j}_ts" for j in range(1, k)]
+        prev_cols = carry + [f"step_{j}_ts" for j in range(1, k)]
         # ONE left join per step, referencing `cur` once: stalled users
         # keep a row with NULL step_k_ts via min(when(cond, ts)) — a
         # reached-then-join-back shape would reference `cur` twice,
@@ -96,6 +109,7 @@ def funnel(
     steps: list[str],
     *,
     horizon_seconds: int | None = None,
+    segment_col: str | None = None,
     round_to: int = 6,
 ) -> DataFrame:
     """Funnel summary: one row per step with ``step_index``,
@@ -104,31 +118,43 @@ def funnel(
     — the two drop-off readings every funnel chart shows. Deterministic
     (pure min-aggregations; no sampling, no order ties by construction
     since each user's step time is a MIN).
+
+    ``segment_col`` adds a leading ``segment`` column and one summary
+    row per (segment, step): users are attributed to the segment of
+    their step-1 anchor event, and every rate is WITHIN the segment —
+    the per-campaign/per-platform conversion table.
     """
     users = funnel_users(
         df, user_col, ts_col, event_col, steps,
-        horizon_seconds=horizon_seconds,
+        horizon_seconds=horizon_seconds, segment_col=segment_col,
     )
-    counts = users.agg(
-        *[
-            F.count(F.col(f"step_{k}_ts")).alias(f"_n{k}")
-            for k in range(1, len(steps) + 1)
-        ]
+    step_counts = [
+        F.count(F.col(f"step_{k}_ts")).alias(f"_n{k}")
+        for k in range(1, len(steps) + 1)
+    ]
+    counts = (
+        users.groupBy("segment").agg(*step_counts)
+        if segment_col is not None
+        else users.agg(*step_counts)
     )
-    # melt the 1-row counts with ONE stack projection — a union of
-    # per-step selects would replay the whole funnel plan k times
+    # melt the per-(segment) counts row with ONE stack projection — a
+    # union of per-step selects would replay the whole funnel plan k
+    # times
     entries = []
     for k, name in enumerate(steps, start=1):
         prev = f"_n{k - 1}" if k > 1 else "_n1"
         safe = name.replace("'", "\\'")
         entries.append(f"{k}, '{safe}', _n{k}, {prev}, _n1")
+    lead = ["segment"] if segment_col is not None else []
     stacked = counts.select(
+        *lead,
         F.expr(
             f"stack({len(steps)}, {', '.join(entries)}) AS "
             "(step_index, step_name, _n, _prev, _start)"
-        )
+        ),
     )
     return stacked.select(
+        *lead,
         "step_index",
         "step_name",
         F.col("_n").cast("bigint").alias("n_users"),
@@ -138,4 +164,4 @@ def funnel(
         F.round(F.try_divide(F.col("_n"), F.col("_prev")), round_to).alias(
             "conversion_from_prev"
         ),
-    ).orderBy("step_index")
+    ).orderBy(*lead, "step_index")

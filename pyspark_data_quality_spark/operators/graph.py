@@ -54,6 +54,7 @@ def pagerank(
     *,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
     damping: float = 0.85,
     iterations: int = 15,
     rank_col: str = "rank",
@@ -62,26 +63,43 @@ def pagerank(
     ``(node, rank)``, ranks summing to ~1.0 (probability semantics, the
     form rank thresholds and mixing weights are written against).
 
-    ``rank(v) = (1-d)/N + d·(Σ_{u→v} rank(u)/outdeg(u) + dangling/N)``
-    with dangling = total rank parked on nodes without out-edges —
-    without the fold-back, rank mass leaks and scores drift toward 0.
-    Isolated nodes never appear in an edge list; include them by
-    unioning zero-degree self-loops upstream if their (1-d)/N floor
-    matters to you.
+    ``rank(v) = (1-d)/N + d·(Σ_{u→v} rank(u)·w(u,v)/outweight(u) +
+    dangling/N)`` with dangling = total rank parked on nodes without
+    out-edges — without the fold-back, rank mass leaks and scores drift
+    toward 0. ``weight_col`` makes the walk weighted (a link followed
+    proportionally to its weight — link counts, click-through, edge
+    confidence); NULL/non-positive weights mean NO edge (dropped, same
+    as a NULL endpoint). Unweighted is the weight_col=None special case
+    with w=1 everywhere — identical math, identical results. Isolated
+    nodes never appear in an edge list; include them by unioning
+    zero-degree self-loops upstream if their (1-d)/N floor matters.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("pagerank: damping must be in (0, 1)")
     if iterations < 1:
         raise ValueError("pagerank: iterations must be >= 1")
-    for c in (src_col, dst_col):
+    cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+    for c in cols:
         if c not in edges.columns:
             raise ValueError(f"pagerank: column {c!r} not in edges")
 
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
     e = (
         edges.select(
-            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+            F.col(src_col).alias("_src"),
+            F.col(dst_col).alias("_dst"),
+            w.alias("_w"),
         )
-        .filter(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
+        .filter(
+            F.col("_src").isNotNull()
+            & F.col("_dst").isNotNull()
+            & F.col("_w").isNotNull()
+            & (F.col("_w") > 0)
+        )
         .repartition(F.col("_src"))
         .persist()
     )
@@ -95,8 +113,9 @@ def pagerank(
         n = nodes.count()
         if n == 0:
             raise ValueError("pagerank: edge frame has no non-NULL edges")
+        # _deg = total outgoing WEIGHT (count when unweighted: w=1)
         out_deg = e.groupBy(F.col("_src").alias("node")).agg(
-            F.count(F.lit(1)).alias("_deg")
+            F.sum("_w").alias("_deg")
         )
         # ranks carries _deg along so the per-iteration plan needs no
         # second join against the degree frame
@@ -109,7 +128,11 @@ def pagerank(
                 ranks.filter(F.col("_deg").isNotNull())
                 .join(e, ranks["node"] == e["_src"])
                 .groupBy(F.col("_dst").alias("node"))
-                .agg(F.sum(F.col("_r") / F.col("_deg")).alias("_in"))
+                .agg(
+                    F.sum(
+                        F.col("_r") * F.col("_w") / F.col("_deg")
+                    ).alias("_in")
+                )
             )
             dangling = ranks.filter(F.col("_deg").isNull()).agg(
                 F.coalesce(F.sum("_r"), F.lit(0.0)).alias("_dangling")

@@ -87,3 +87,49 @@ def test_funnel_validation(spark):
                    "event_type", STEPS).collect()
     assert [r["n_users"] for r in empty] == [0, 0, 0]
     assert all(r["conversion_from_start"] is None for r in empty)
+
+
+def test_funnel_per_segment(spark):
+    """segment_col: users attributed to the step-1 ANCHOR event's
+    segment (min_by ts), one summary row per (segment, step), rates
+    within the segment."""
+    df = spark.createDataFrame(
+        [
+            # ads user converts fully; attribution = FIRST view's segment
+            (1, "2024-01-01 10:00:00", "view", "ads"),
+            (1, "2024-01-01 11:00:00", "view", "organic"),
+            (1, "2024-01-01 10:30:00", "click", None),
+            (1, "2024-01-01 12:00:00", "buy", None),
+            # two organic users stall after view
+            (2, "2024-01-01 09:00:00", "view", "organic"),
+            (3, "2024-01-01 09:10:00", "view", "organic"),
+            (3, "2024-01-01 09:20:00", "click", None),
+        ],
+        "user_id int, ts string, event_type string, seg string",
+    ).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "seg",
+    )
+    out = funnel(
+        df, "user_id", "ts", "event_type", STEPS, segment_col="seg"
+    ).collect()
+    by = {(r["segment"], r["step_index"]): r for r in out}
+    assert len(out) == 6  # 2 segments x 3 steps
+    assert by[("ads", 1)]["n_users"] == 1
+    assert by[("ads", 3)]["conversion_from_start"] == 1.0
+    assert by[("organic", 1)]["n_users"] == 2
+    assert by[("organic", 2)]["n_users"] == 1
+    assert by[("organic", 2)]["conversion_from_start"] == 0.5
+    assert by[("organic", 3)]["n_users"] == 0
+
+    # per-user frame carries the anchor segment
+    users = {
+        r["user_id"]: r["segment"]
+        for r in funnel_users(
+            df, "user_id", "ts", "event_type", STEPS, segment_col="seg"
+        ).collect()
+    }
+    assert users == {1: "ads", 2: "organic", 3: "organic"}
+
+    with pytest.raises(ValueError, match="not in df"):
+        funnel(df, "user_id", "ts", "event_type", STEPS, segment_col="nope")

@@ -105,3 +105,77 @@ def test_pagerank_custom_columns_and_rank_col(spark):
     got = {r["node"]: r["authority"] for r in out.collect()}
     # symmetric 2-cycle: both nodes at exactly 0.5
     assert got[1] == pytest.approx(0.5) and got[2] == pytest.approx(0.5)
+
+
+def test_pagerank_weighted_walk(spark):
+    """weight_col: the walk follows edges proportionally to weight —
+    verified against the NumPy model extended with weights; w<=0/NULL
+    edges are dropped; unweighted == all-weights-1."""
+
+    def np_weighted(edge_list, damping, iterations):
+        nodes = sorted(
+            {u for u, _, _ in edge_list} | {v for _, v, _ in edge_list}
+        )
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        outw = np.zeros(n)
+        for u, _, w in edge_list:
+            outw[idx[u]] += w
+        r = np.full(n, 1.0 / n)
+        for _ in range(iterations):
+            contrib = np.zeros(n)
+            for u, v, w in edge_list:
+                contrib[idx[v]] += r[idx[u]] * w / outw[idx[u]]
+            dangling = r[outw == 0].sum()
+            r = (1 - damping) / n + damping * (contrib + dangling / n)
+        return {v: r[idx[v]] for v in nodes}
+
+    wedges = [
+        ("a", "b", 9.0), ("a", "c", 1.0),   # a mostly points at b
+        ("b", "a", 1.0), ("c", "a", 1.0),
+    ]
+    df = spark.createDataFrame(wedges, "src string, dst string, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight_col="w", iterations=15).collect()
+    }
+    want = np_weighted(wedges, 0.85, 15)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9), v
+    assert got["b"] > got["c"]  # the heavy edge concentrates rank
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+    # dropped edges: w<=0/NULL behave as absent
+    df2 = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 0.0), ("a", "d", None), ("b", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    got2 = {
+        r["node"]: r["rank"]
+        for r in pagerank(df2, weight_col="w", iterations=10).collect()
+    }
+    assert set(got2) == {"a", "b"}  # c/d had no real in-edges or out-edges
+
+    # all-weights-1 == unweighted
+    base = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")]
+    uw = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(base, "src string, dst string"),
+            iterations=8,
+        ).collect()
+    }
+    w1 = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(
+                [(u, v, 1.0) for u, v in base], "src string, dst string, w double"
+            ),
+            weight_col="w", iterations=8,
+        ).collect()
+    }
+    for v in uw:
+        assert w1[v] == pytest.approx(uw[v], rel=1e-12)
+
+    with pytest.raises(ValueError, match="not in edges"):
+        pagerank(df, weight_col="nope")
