@@ -446,3 +446,82 @@ def interval_overlaps(
         .withColumn("is_overlap", F.coalesce(overlap, F.lit(False)))
         .withColumn("overlap_amount", amount)
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Union of intervals per group — coalesce overlapping/touching
+    [start, end) rows into maximal disjoint spans: machine uptime from
+    overlapping job windows, total covered listening time, SCD validity
+    coverage (and, by its gaps, the UNcovered time).
+
+    The same one-window sweep as :func:`interval_overlaps`: per group
+    sorted by (start, end), a row STARTS a new span iff its start is
+    strictly above the running max of prior ends (touching intervals
+    merge — half-open [a,b) + [b,c) covers [a,c) with no gap); the span
+    id is the running count of span-starts, and one aggregation folds
+    each span. Invalid rows (NULL endpoint, end < start) are EXCLUDED
+    from the union entirely — audit them first with
+    :func:`interval_overlaps`.
+
+    Output: ``group_cols + (span_start, span_end, n_intervals,
+    span_length)`` — span bounds in the columns' native type,
+    ``span_length`` in the numeric sweep domain (epoch seconds for
+    timestamp/date endpoints, the raw delta otherwise), one row per
+    maximal span, ordered by group and span_start.
+
+    Scale shape: one shuffle keyed by the group + a per-group linear
+    scan, then a (group, span) aggregation — same contract as the
+    overlap audit; an ungrouped call is a single-task global sort (fine
+    for dimension-sized data, pass the key for facts).
+    """
+    clash = {
+        "span_start", "span_end", "n_intervals", "span_length"
+    } & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"merge_intervals: output columns {sorted(clash)} already "
+            "exist on df; rename them first"
+        )
+    s, e = F.col(start_col), F.col(end_col)
+    dtypes = dict(df.dtypes)
+
+    def _num(c, dtype):
+        if dtype.startswith(("timestamp", "date")):
+            return c.cast("timestamp").cast("double")
+        return c.cast("double")
+
+    sn = _num(s, dtypes[start_col])
+    en = _num(e, dtypes[end_col])
+    valid = df.filter(s.isNotNull() & e.isNotNull() & (e >= s))
+    order = [sn.asc(), en.asc()]
+    prior = (
+        Window.partitionBy(*(group_cols or []))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = (
+        Window.partitionBy(*(group_cols or []))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pme = F.max(en).over(prior)
+    starts_span = F.when(pme.isNull() | (sn > pme), 1).otherwise(0)
+    spans = valid.withColumn("_span", F.sum(starts_span).over(running))
+    keys = [*(group_cols or []), "_span"]
+    agg = (
+        spans.groupBy(*keys)
+        .agg(
+            F.min(s).alias("span_start"),
+            F.max(e).alias("span_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+            (F.max(en) - F.min(sn)).alias("span_length"),
+        )
+        .drop("_span")
+    )
+    return agg.orderBy(*(group_cols or []), "span_start")

@@ -358,3 +358,50 @@ def test_interval_overlaps_sweep(spark):
     assert interval_overlaps(
         df.withColumn("_pme", F.lit(1)), "s", "e", group_cols=["room"]
     ).count() == len(rows)
+
+
+def test_merge_intervals_spans(spark):
+    """Union of intervals per group: chains and containment merge,
+    TOUCHING intervals merge (half-open coverage has no gap at the
+    shared endpoint), disjoint spans stay separate, invalid rows are
+    excluded, groups isolated, timestamps keep native span bounds."""
+    from pyspark_data_quality_spark.operators.consistency import (
+        merge_intervals,
+    )
+
+    rows = [
+        ("A", 0.0, 10.0), ("A", 10.0, 20.0),   # touch -> one span
+        ("A", 15.0, 30.0),                     # chains into it
+        ("A", 18.0, 19.0),                     # contained
+        ("A", 40.0, 50.0),                     # disjoint second span
+        ("B", 5.0, 6.0),
+        ("B", 7.0, 3.0),                       # invalid: excluded
+        ("B", None, 9.0),                      # invalid: excluded
+    ]
+    df = spark.createDataFrame(rows, "g string, s double, e double")
+    out = merge_intervals(df, "s", "e", group_cols=["g"]).collect()
+    spans = [(r["g"], r["span_start"], r["span_end"], r["n_intervals"],
+              r["span_length"]) for r in out]
+    assert spans == [
+        ("A", 0.0, 30.0, 4, 30.0),
+        ("A", 40.0, 50.0, 1, 10.0),
+        ("B", 5.0, 6.0, 1, 1.0),
+    ]
+
+    # timestamps: native bounds, span_length in seconds
+    tdf = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+         (2, "2024-01-01 00:30:00", "2024-01-01 02:00:00"),
+         (3, "2024-01-01 05:00:00", "2024-01-01 05:30:00")],
+        "id int, s string, e string",
+    ).select(F.col("s").cast("timestamp").alias("s"),
+             F.col("e").cast("timestamp").alias("e"))
+    tout = merge_intervals(tdf, "s", "e").collect()
+    assert len(tout) == 2
+    assert str(tout[0]["span_start"]) == "2024-01-01 00:00:00"
+    assert str(tout[0]["span_end"]) == "2024-01-01 02:00:00"
+    assert tout[0]["span_length"] == 7200.0
+    assert tout[1]["n_intervals"] == 1
+
+    with pytest.raises(ValueError, match="span_start"):
+        merge_intervals(df.withColumn("span_start", F.lit(1)), "s", "e")
