@@ -71,7 +71,14 @@ def funnel_users(
     # contract (and the summary/oracle denominators)
     step1_aggs = [F.min(ts).alias("step_1_ts")]
     if segment_col is not None:
-        step1_aggs.append(F.min_by(F.col(segment_col), ts).alias("segment"))
+        # struct-min, not min_by: two step-1 events at the SAME earliest
+        # ts would make min_by's pick nondeterministic across runs; the
+        # struct ordering breaks the tie on the segment value itself
+        step1_aggs.append(
+            F.min(F.struct(ts.alias("t"), F.col(segment_col).alias("s")))
+            .getField("s")
+            .alias("segment")
+        )
     cur = (
         df.filter((ev == steps[0]) & ts.isNotNull())
         .groupBy(user_col)
