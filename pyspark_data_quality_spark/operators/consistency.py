@@ -379,6 +379,7 @@ def interval_overlaps(
     end_col: str,
     *,
     group_cols: list[str] | None = None,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Overlap audit for interval data — double-booked sessions,
     overlapping validity windows in an SCD table, colliding shifts: for
@@ -402,6 +403,13 @@ def interval_overlaps(
     resource, machine) shards the sort. An ungrouped call
     (``group_cols=None``) is a single-task global sort: fine for a
     dimension table, wrong for a fact table — pass the key.
+
+    Determinism: the sweep orders by (start, end); rows FULLY tied on
+    both get an unspecified relative order, and with duplicate
+    intervals exactly one of each tied pair is flagged — WHICH one then
+    varies run to run. Pass ``id_col`` (any unique column) to append a
+    total-order tiebreaker and pin per-row flag assignment; the
+    aggregate counts (how many rows overlap) are identical either way.
     """
     # guard the OUTPUT names this function adds via withColumn — they
     # would silently clobber same-named input columns (e.g. re-running
@@ -427,9 +435,12 @@ def interval_overlaps(
         return c.cast("double")
     sn = _num(s, dtypes[start_col])
     en = _num(e, dtypes[end_col])
+    order = [sn.asc_nulls_last(), en.asc_nulls_last()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc_nulls_last())
     w = (
         Window.partitionBy(*(group_cols or []))
-        .orderBy(sn.asc_nulls_last(), en.asc_nulls_last())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     valid_end = F.when(~is_invalid, en)

@@ -144,22 +144,26 @@ def funnel(
         if segment_col is not None
         else users.agg(*step_counts)
     )
-    # melt the per-(segment) counts row with ONE stack projection — a
+    # melt the per-(segment) counts row with ONE explode projection — a
     # union of per-step selects would replay the whole funnel plan k
-    # times
-    entries = []
-    for k, name in enumerate(steps, start=1):
-        prev = f"_n{k - 1}" if k > 1 else "_n1"
-        safe = name.replace("'", "\\'")
-        entries.append(f"{k}, '{safe}', _n{k}, {prev}, _n1")
+    # times. Typed literals (not an interpolated stack() SQL string):
+    # step names are data, and data never belongs inside a parsed
+    # expression — a name containing a quote or backslash must not be
+    # able to corrupt the plan
+    rows = F.array(*[
+        F.struct(
+            F.lit(k).alias("step_index"),
+            F.lit(name).alias("step_name"),
+            F.col(f"_n{k}").alias("_n"),
+            F.col(f"_n{k - 1}" if k > 1 else "_n1").alias("_prev"),
+            F.col("_n1").alias("_start"),
+        )
+        for k, name in enumerate(steps, start=1)
+    ])
     lead = ["segment"] if segment_col is not None else []
     stacked = counts.select(
-        *lead,
-        F.expr(
-            f"stack({len(steps)}, {', '.join(entries)}) AS "
-            "(step_index, step_name, _n, _prev, _start)"
-        ),
-    )
+        *lead, F.explode(rows).alias("_step")
+    ).select(*lead, "_step.*")
     return stacked.select(
         *lead,
         "step_index",

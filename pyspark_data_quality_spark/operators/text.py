@@ -410,8 +410,14 @@ def contamination_bloom(
 
     Sizing: ``expected_grams`` (distinct probe grams ≈ probe docs ×
     avg doc length) + ``fpp``, or explicit ``num_bits``/``num_hashes``.
-    ``broadcast`` follows contamination_pairs: default broadcasts the
-    (post-bloom tiny) probe index; False shuffles on the gram key.
+    ``broadcast`` defaults to **False** here — the OPPOSITE of
+    :func:`contamination_pairs` — because the Bloom prefilter shrinks
+    the DOC-gram side only; the exact probe index it joins stays full
+    size, and this operator exists precisely for probe corpora too
+    large to ship driver→executors whole. The default is therefore a
+    shuffle hash join on the gram key; pass ``broadcast=True`` only
+    when the probe index is genuinely small (at which point plain
+    ``contamination_pairs`` is usually the better tool anyway).
     ``threshold`` must be > 0 — a zero-overlap pair cannot be produced
     by a join on shared grams (same contract as ``prefilter='index'``).
     """
@@ -460,8 +466,13 @@ def contamination_bloom(
         .filter(F.col("_maybe"))
         .drop("_maybe")
     )
+    # None -> shuffle: unlike contamination_pairs, the bloom never
+    # shrinks the probe index, so broadcasting it by default would ship
+    # the full exact index to every executor — the OOM this operator's
+    # scale contract forbids
     return _containment_from_gram_index(
-        survivors, p, broadcast, threshold, round_to
+        survivors, p, False if broadcast is None else broadcast,
+        threshold, round_to,
     )
 
 

@@ -15,8 +15,9 @@ BY`` (public), rebuilt here as plain Spark expressions:
    equi-depth (not equi-width) so skewed columns still spread across
    the full bucket range;
 2. bucket assignment + bit interleave as pure integer expressions
-   (``size(filter(boundaries, b -> b <= x))`` then shift/or folds) —
-   whole-stage codegen, no UDF, no shuffle;
+   (``size(filter(boundaries, b -> b < x))`` then shift/or folds —
+   strictly-below, so the minimum lands in bucket 0; see
+   ``_bucket_expr``) — whole-stage codegen, no UDF, no shuffle;
 3. ``repartitionByRange`` on the z-value (ONE range shuffle — the same
    cost a plain sorted write pays) + ``sortWithinPartitions`` so each
    output file covers a compact z-range.
@@ -74,7 +75,12 @@ def _bucket_expr(col: str, dtype: str, boundaries: list[float], bits: int) -> Co
     count of boundaries STRICTLY below x (strict, so the minimum value
     lands in bucket 0 and a constant column contributes 0 everywhere).
     O(2**bits) comparisons per row inside codegen — bits is small
-    (default 8) by design; NULL -> bucket 0."""
+    (default 8) by design; NULL -> bucket 0. An empty boundary list
+    (all-NULL column: approxQuantile has nothing to cut) short-circuits
+    to constant bucket 0 — a zero-arg F.array() would otherwise build a
+    NULL-typed array and fail analysis."""
+    if not boundaries:
+        return F.lit(0)
     arr = F.array(*[F.lit(b) for b in boundaries])
     x = _as_double(col, dtype)
     n = F.size(F.filter(arr, lambda b: b < x))

@@ -360,6 +360,36 @@ def test_interval_overlaps_sweep(spark):
     ).count() == len(rows)
 
 
+def test_interval_overlaps_id_col_tiebreak(spark):
+    """Duplicate intervals tie on (start, end); without a tiebreaker
+    WHICH of the pair gets flagged is unspecified. id_col= pins it: the
+    id-later row sees the id-earlier row's end in its prefix and is the
+    flagged one — deterministically, run after run."""
+    from pyspark_data_quality_spark.operators.consistency import (
+        interval_overlaps,
+    )
+
+    rows = [("A", 2, 5.0, 9.0), ("A", 1, 5.0, 9.0), ("A", 3, 20.0, 21.0)]
+    df = spark.createDataFrame(rows, "g string, id int, s double, e double")
+    for _ in range(3):  # stable across repeated runs
+        out = {
+            r["id"]: r
+            for r in interval_overlaps(
+                df, "s", "e", group_cols=["g"], id_col="id"
+            ).collect()
+        }
+        assert not out[1]["is_overlap"]  # id=1 sorts first among the tie
+        assert out[2]["is_overlap"] and out[2]["overlap_amount"] == 4.0
+        assert not out[3]["is_overlap"]
+    # either way exactly one of the tied pair is flagged (the aggregate
+    # reading id_col exists to stabilise, not change)
+    n = (
+        interval_overlaps(df, "s", "e", group_cols=["g"])
+        .filter("is_overlap").count()
+    )
+    assert n == 1
+
+
 def test_merge_intervals_spans(spark):
     """Union of intervals per group: chains and containment merge,
     TOUCHING intervals merge (half-open coverage has no gap at the

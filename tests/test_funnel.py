@@ -89,6 +89,24 @@ def test_funnel_validation(spark):
     assert all(r["conversion_from_start"] is None for r in empty)
 
 
+def test_funnel_step_names_are_data_not_sql(spark):
+    """Step names containing quotes or backslashes must pass through
+    verbatim — the melt uses typed literals, so no name can corrupt or
+    reparse the plan (the old stack() interpolation broke on a trailing
+    backslash)."""
+    hostile = ["it's a view\\", 'click "now"', "buy\\'"]
+    df = _events(
+        spark,
+        [(1, "2024-01-01 00:00:00", hostile[0]),
+         (1, "2024-01-01 00:01:00", hostile[1]),
+         (1, "2024-01-01 00:02:00", hostile[2]),
+         (2, "2024-01-01 00:00:00", hostile[0])],
+    )
+    out = funnel(df, "user_id", "ts", "event_type", hostile).collect()
+    assert [r["step_name"] for r in out] == hostile
+    assert [r["n_users"] for r in out] == [2, 1, 1]
+
+
 def test_funnel_per_segment(spark):
     """segment_col: users attributed to the step-1 ANCHOR event's
     segment (min_by ts), one summary row per (segment, step), rates

@@ -550,6 +550,24 @@ def test_contamination_bloom_matches_exact(spark, docs):
         docs, probes, "text", "doc_id", expected_grams=2000, **kw
     )
     assert sorted(map(tuple, via_bloom.collect())) == exact
+    # DEFAULT join mode is the shuffle path: the bloom shrinks the doc
+    # side only, so broadcasting the full probe index by default would
+    # defeat this operator's entire reason to exist (huge probe sets)
+    # (the bloom BITMAP join is legitimately broadcast — a handful of
+    # 64-bit words — so assert on the shuffle-hash hint the probe-index
+    # join carries, not on broadcast absence)
+    dplan = via_bloom._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in dplan
+    # explicit opt-in broadcast for genuinely small probe indexes:
+    # the probe-index join stops shuffling entirely
+    bcast = contamination_bloom(
+        docs, probes, "text", "doc_id",
+        expected_grams=2000, broadcast=True, **kw
+    )
+    assert sorted(map(tuple, bcast.collect())) == exact
+    assert "ShuffledHashJoin" not in (
+        bcast._jdf.queryExecution().executedPlan().toString()
+    )
     # shuffle-join mode for huge probe sets: same rows, and the probe
     # index is PINNED to a shuffle hash join (same contract as
     # contamination_pairs — AQE must not demote it back to broadcast)

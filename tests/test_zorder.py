@@ -51,6 +51,16 @@ def test_zorder_nulls_and_constant_column(spark):
     # everywhere (deduped boundaries), so z is driven by 'a' alone
     assert by_a[None] == 0
     assert by_a[None] <= by_a[2.0] <= by_a[3.0]
+    # an ALL-NULL clustering column: approxQuantile yields NO
+    # boundaries; the bucket expr must short-circuit to 0 (a zero-arg
+    # array() would be NULL-typed and fail analysis), leaving z driven
+    # entirely by the other column
+    nul = df.withColumn("b", F.lit(None).cast("double"))
+    out2 = nul.withColumn(
+        "z", zorder_value(nul, ["a", "b"], bits=4)
+    ).collect()
+    by_a2 = {r["a"]: r["z"] for r in out2}
+    assert by_a2[None] == 0 and by_a2[None] <= by_a2[2.0] <= by_a2[3.0]
 
 
 def test_zorder_date_and_timestamp_columns(spark):
