@@ -3929,6 +3929,68 @@ def dq_interval_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_merge_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS DOUBLE) AS s,
+             CAST(floor(epoch(ts)) AS DOUBLE) + value AS e
+      FROM events WHERE user_id < 50
+    ), sweep AS (
+      SELECT *,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM iv
+    ), marked AS (
+      SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS st
+      FROM sweep
+    ), numbered AS (
+      SELECT *,
+             sum(st) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS span
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(round(min(s), 6) AS DOUBLE) AS span_start,
+           CAST(round(max(e), 6) AS DOUBLE) AS span_end,
+           count(*) AS n_intervals,
+           CAST(round(max(e) - min(s), 6) AS DOUBLE) AS span_length
+    FROM numbered
+    GROUP BY user_id, span
+    ORDER BY user_id, span_start
+    """,
+)
+def dq_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (operators/consistency.py merge_intervals):
+    per-user coverage spans from the same [floor(epoch(ts)), +value)
+    event intervals dq_interval_overlaps audits — overlapping/touching
+    rows coalesce into maximal disjoint spans via the one-window sweep
+    + span-id running sum, SQL-replayed verbatim by the oracle. Span
+    membership is order-invariant under (s, e) ties (a tied row can
+    never start a new span), so the aggregate hash-matches without any
+    tiebreaker column."""
+    from .operators.consistency import merge_intervals
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 50)
+    sec = F.floor(F.col("ts").cast("timestamp").cast("long")).cast("double")
+    iv = ev.select(
+        "user_id",
+        sec.alias("s"),
+        (sec + F.col("value")).alias("e"),
+    )
+    out = merge_intervals(iv, "s", "e", group_cols=["user_id"])
+    return out.select(
+        "user_id",
+        F.round("span_start", 6).alias("span_start"),
+        F.round("span_end", 6).alias("span_end"),
+        "n_intervals",
+        F.round("span_length", 6).alias("span_length"),
+    ).orderBy("user_id", "span_start")
+
+
+@query(
     "dq_seasonal_anomalies",
     """
     WITH w AS (
