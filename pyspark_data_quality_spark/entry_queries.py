@@ -3991,6 +3991,43 @@ def dq_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_trend",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT)
+               AS day,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(regr_count(n_events, day) AS BIGINT) AS n,
+           CAST(round(regr_slope(n_events, day), 6) AS DOUBLE) AS slope,
+           CAST(round(regr_intercept(n_events, day), 6) AS DOUBLE)
+             AS intercept,
+           CAST(round(regr_r2(n_events, day), 6) AS DOUBLE) AS r2
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+)
+def dq_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS trend (operators/rollup.py trend_fit): daily
+    event volume per event_type regressed on the day index — slope is
+    events/day drift, r2 the linearity. Both engines run the identical
+    SQL-standard regr_* aggregates over identical daily counts, so the
+    sufficient statistics (and the rounded fit) hash-match."""
+    from .operators.rollup import trend_fit
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_date(F.col("ts").cast("timestamp").cast("date")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return trend_fit(
+        daily, "day", "n_events", group_cols=["event_type"]
+    ).orderBy("event_type")
+
+
+@query(
     "dq_seasonal_anomalies",
     """
     WITH w AS (

@@ -166,3 +166,59 @@ def group_top_k(
         .filter(F.col("rank") <= k)
         .orderBy(*group_cols, "rank")
     )
+
+
+def trend_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend: is this segment's metric
+    drifting up or down, and how linearly? One row per group with
+    ``n`` (pairs where both sides are non-NULL), ``slope``,
+    ``intercept`` and ``r2`` — the monitoring primitive behind "daily
+    volume is decaying 2%/day in segment X" alerts, fit over whatever
+    ``x`` the caller supplies (day index, batch number, a numeric
+    feature).
+
+    Pure SQL-standard aggregates (``regr_slope`` / ``regr_intercept`` /
+    ``regr_r2`` / ``regr_count``) — single hash aggregation, partial
+    map-side combine, shuffle carries one sufficient-statistics row per
+    group; no window, no second pass, NULL-pair rows ignored per the
+    standard. Standard semantics carry the edge cases: a group with a
+    constant ``x`` has no defined slope (NULL), a perfectly flat ``y``
+    fits with r2 = 1.
+
+    Timestamps/dates for ``x``: cast upstream (``unix_date`` /
+    epoch seconds) — the fit needs a real number, and the caller knows
+    which unit the slope should be "per" of.
+
+    Reference parity: no counterpart in the reference rule framework
+    (src/pyspark_data_quality has no regression surface); extension
+    operator for segment-health monitoring, SQL-replayable 1:1 (DuckDB
+    ships the same regr_* family).
+    """
+    dtypes = dict(df.dtypes)
+    for c in (x_col, y_col):
+        if c not in dtypes:
+            raise ValueError(f"trend_fit: column {c!r} not in df")
+        if dtypes[c].startswith(("timestamp", "date", "string")):
+            raise ValueError(
+                f"trend_fit: column {c!r} has type {dtypes[c]}; cast to "
+                "a numeric x/y upstream (unix_date / epoch seconds) so "
+                "the slope unit is explicit"
+            )
+    y, x = F.col(y_col), F.col(x_col)
+    out = (
+        df.groupBy(*(group_cols or []))
+        .agg(
+            F.regr_count(y, x).alias("n"),
+            F.round(F.regr_slope(y, x), round_to).alias("slope"),
+            F.round(F.regr_intercept(y, x), round_to).alias("intercept"),
+            F.round(F.regr_r2(y, x), round_to).alias("r2"),
+        )
+    )
+    return out.orderBy(*(group_cols or [])) if group_cols else out

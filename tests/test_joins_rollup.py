@@ -246,3 +246,39 @@ def test_constraints_off_refcount(spark):
         assert spark.conf.get(conf) == "false"
     assert spark.conf.get(conf) == prev
     assert id(spark) not in _CONF_SWAP_STATE
+
+
+def test_trend_fit_hand_computed(spark):
+    """OLS per group vs hand math: a perfect line recovers its slope and
+    intercept with r2=1; a noisy-flat group fits slope 0; NULL pairs
+    drop from n; constant-x has no defined slope (SQL-standard NULL)."""
+    from pyspark_data_quality_spark.operators.rollup import trend_fit
+
+    rows = [
+        # g=a: y = 3x + 1 exactly
+        ("a", 0.0, 1.0), ("a", 1.0, 4.0), ("a", 2.0, 7.0), ("a", 3.0, 10.0),
+        # g=b: symmetric around x=1 -> slope 0, mean 5
+        ("b", 0.0, 4.0), ("b", 1.0, 5.0), ("b", 2.0, 6.0),
+        ("b", 0.0, 6.0), ("b", 1.0, 5.0), ("b", 2.0, 4.0),
+        # g=c: constant x -> slope undefined
+        ("c", 1.0, 1.0), ("c", 1.0, 2.0),
+        # g=d: one NULL on each side -> n counts only complete pairs
+        ("d", 0.0, 0.0), ("d", 1.0, 2.0), ("d", None, 9.0), ("d", 2.0, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in trend_fit(df, "x", "y", group_cols=["g"]).collect()}
+    assert out["a"]["n"] == 4 and out["a"]["slope"] == 3.0
+    assert out["a"]["intercept"] == 1.0 and out["a"]["r2"] == 1.0
+    assert out["b"]["slope"] == 0.0 and out["b"]["r2"] == 0.0
+    assert out["c"]["slope"] is None
+    assert out["d"]["n"] == 2 and out["d"]["slope"] == 2.0
+
+    # ungrouped: one global row
+    g = trend_fit(df.filter("g = 'a'"), "x", "y").collect()
+    assert len(g) == 1 and g[0]["slope"] == 3.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="cast"):
+        trend_fit(df.withColumn("t", F.current_timestamp()), "t", "y")
+    with _pt.raises(ValueError, match="not in df"):
+        trend_fit(df, "nope", "y")
