@@ -4028,6 +4028,40 @@ def dq_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_trans",
+    """
+    WITH s AS (
+      SELECT event_type AS f,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t
+      FROM events
+    ), m AS (
+      SELECT f, coalesce(t, '__end__') AS t, count(*) AS n
+      FROM s GROUP BY 1, 2
+    )
+    SELECT f AS from_state, t AS to_state,
+           CAST(n AS BIGINT) AS n_transitions,
+           CAST(round(n / sum(n) OVER (PARTITION BY f), 6) AS DOUBLE)
+             AS prob
+    FROM m ORDER BY from_state, to_state
+    """,
+)
+def dq_trans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix (operators/funnel.py event_transitions)
+    over per-user event sequences, terminal ``__end__`` rows included so
+    every from-state row sums to 1. event_id is the tie order (the
+    fixture has no (user_id, ts) duplicates at any SF, but the entry
+    still pins it — semantics must not lean on fixture luck)."""
+    from .operators.funnel import event_transitions
+
+    ev = load_table(spark, "events", sf_dir)
+    return event_transitions(
+        ev, "user_id", "ts", "event_type",
+        id_col="event_id", include_terminal=True,
+    )
+
+
+@query(
     "dq_seasonal_anomalies",
     """
     WITH w AS (

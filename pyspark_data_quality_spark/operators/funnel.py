@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "funnel_users"]
+__all__ = ["event_transitions", "funnel", "funnel_users"]
 
 
 def funnel_users(
@@ -176,3 +176,73 @@ def funnel(
             "conversion_from_prev"
         ),
     ).orderBy(*lead, "step_index")
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    *,
+    id_col: str | None = None,
+    include_terminal: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for every observed (from_state, to_state) pair, the
+    transition count and the row-normalized probability
+    P(next = to | current = from) — the "what do users do after an
+    error?" / journey-drop-off reading, and the baseline model for
+    sequence-anomaly scoring.
+
+    Each key's events sort by ``ts`` (plus ``id_col`` as a total-order
+    tiebreaker when provided — equal-timestamp rows otherwise get an
+    unspecified relative order, same contract as interval_overlaps);
+    ``lead(state)`` pairs each event with its successor. A key's last
+    event has no successor and is dropped, unless
+    ``include_terminal=True`` keeps it as a transition to the sentinel
+    ``__end__`` (making each row of the matrix a proper distribution
+    over next-states including "stopped").
+
+    Scale shape: one shuffle keyed by ``key_col`` for the lag window
+    (per-key linear scan — hot keys shard no worse than the raw event
+    count), then one (from, to) hash aggregation whose output is at
+    most |states|² rows; the probability normalization windows over
+    THAT matrix, not the events. No arrays, no per-key collection.
+
+    Reference parity: no sequence surface in the reference rule
+    framework; extension alongside funnel / sequence_gaps.
+    """
+    from pyspark.sql.window import Window
+
+    for c in ("from_state", "to_state", "n_transitions", "prob"):
+        if c in df.columns:
+            raise ValueError(
+                f"event_transitions: output column {c!r} already exists "
+                "on df; rename it first"
+            )
+    order = [F.col(ts_col).asc()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    nxt = F.lead(state_col).over(
+        Window.partitionBy(key_col).orderBy(*order)
+    )
+    pairs = df.select(
+        F.col(state_col).alias("from_state"), nxt.alias("to_state")
+    )
+    if include_terminal:
+        pairs = pairs.withColumn(
+            "to_state", F.coalesce("to_state", F.lit("__end__"))
+        )
+    else:
+        pairs = pairs.filter(F.col("to_state").isNotNull())
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    total = F.sum("n_transitions").over(
+        Window.partitionBy("from_state")
+    )
+    return counts.withColumn(
+        "prob",
+        F.round(F.try_divide(F.col("n_transitions"), total), round_to),
+    ).orderBy("from_state", "to_state")

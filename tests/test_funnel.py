@@ -151,3 +151,61 @@ def test_funnel_per_segment(spark):
 
     with pytest.raises(ValueError, match="not in df"):
         funnel(df, "user_id", "ts", "event_type", STEPS, segment_col="nope")
+
+
+def test_event_transitions_matrix(spark):
+    """Hand-built journeys: transition counts, per-from row
+    normalization, terminal sentinel mode, id tiebreaker, and the
+    output-name clash guard."""
+    from pyspark_data_quality_spark.operators.funnel import event_transitions
+
+    df = _events(spark, [
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:01:00", "click"),
+        (1, "2024-01-01 00:02:00", "view"),
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 00:01:00", "click"),
+        (3, "2024-01-01 00:00:00", "error"),
+    ])
+    out = {
+        (r["from_state"], r["to_state"]): r
+        for r in event_transitions(df, "user_id", "ts", "event_type").collect()
+    }
+    # view->click twice, click->view once; user 3 has no successor
+    assert out[("view", "click")]["n_transitions"] == 2
+    assert out[("view", "click")]["prob"] == 1.0
+    assert out[("click", "view")]["n_transitions"] == 1
+    assert out[("click", "view")]["prob"] == 1.0
+    assert ("error", "__end__") not in out
+
+    term = {
+        (r["from_state"], r["to_state"]): r
+        for r in event_transitions(
+            df, "user_id", "ts", "event_type", include_terminal=True
+        ).collect()
+    }
+    assert term[("error", "__end__")]["n_transitions"] == 1
+    # view row is now a proper distribution: 2x ->click, 1x ->__end__
+    assert term[("view", "click")]["prob"] == 0.666667
+    assert term[("view", "__end__")]["prob"] == 0.333333
+    total = sum(
+        r["prob"] for (f, _), r in term.items() if f == "view"
+    )
+    assert abs(total - 1.0) < 1e-4
+
+    # equal timestamps: id_col pins the order deterministically
+    tie = _events(spark, [
+        (9, "2024-01-01 00:00:00", "a"),
+        (9, "2024-01-01 00:00:00", "b"),
+    ]).withColumn("eid", F.when(F.col("event_type") == "a", 1).otherwise(2))
+    for _ in range(3):
+        got = event_transitions(
+            tie, "user_id", "ts", "event_type", id_col="eid"
+        ).collect()
+        assert [(r["from_state"], r["to_state"]) for r in got] == [("a", "b")]
+
+    with pytest.raises(ValueError, match="from_state"):
+        event_transitions(
+            df.withColumn("from_state", F.lit("x")),
+            "user_id", "ts", "event_type",
+        )
