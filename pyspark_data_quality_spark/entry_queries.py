@@ -4028,6 +4028,77 @@ def dq_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_scd",
+    """
+    WITH iv0 AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS DOUBLE) AS s,
+             CASE WHEN ts = max(ts) OVER (PARTITION BY user_id)
+                  THEN NULL
+                  ELSE CAST(floor(epoch(ts)) AS DOUBLE) + value END AS e
+      FROM events WHERE user_id < 50
+    ), iv AS (
+      SELECT *,
+             (s IS NOT NULL AND e IS NULL) AS cur,
+             (s IS NULL OR (e IS NOT NULL AND e < s)) AS inv,
+             CASE WHEN s IS NOT NULL AND e IS NULL
+                  THEN CAST('infinity' AS DOUBLE) ELSE e END AS esw
+      FROM iv0
+    ), sweep AS (
+      SELECT *,
+             max(CASE WHEN NOT inv THEN esw END)
+               OVER (PARTITION BY user_id
+                     ORDER BY s ASC NULLS LAST, esw ASC NULLS LAST
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS pme
+      FROM iv
+    ), agg AS (
+      SELECT user_id,
+             count(*) AS n_versions,
+             CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_current,
+             CAST(sum(CASE WHEN inv THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_invalid,
+             CAST(sum(CASE WHEN NOT inv AND pme IS NOT NULL AND s < pme
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+             CAST(count(CASE WHEN NOT inv AND pme IS NOT NULL AND s > pme
+                             THEN 1 END) AS BIGINT) AS n_gaps,
+             CAST(round(coalesce(sum(
+                 CASE WHEN NOT inv AND pme IS NOT NULL AND s > pme
+                      THEN s - pme END), 0.0), 6) AS DOUBLE) AS gap_total
+      FROM sweep GROUP BY user_id
+    )
+    SELECT *,
+           (n_invalid = 0 AND n_overlaps = 0 AND n_gaps = 0
+            AND n_current <= 1) AS chain_ok
+    FROM agg ORDER BY user_id
+    """,
+)
+def dq_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD validity-chain audit (operators/consistency.py
+    scd_chain_audit): per-user version histories built from event
+    intervals [floor(epoch(ts)), +value), with each user's latest row
+    opened (NULL end) as the current version — exercising gaps,
+    overlaps and the open-version +inf sweep. Per-user ts values are
+    unique in the fixture, so the sweep order is total and the oracle
+    replays it verbatim."""
+    from .operators.consistency import scd_chain_audit
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 50)
+    sec = F.floor(F.col("ts").cast("timestamp").cast("long")).cast("double")
+    mx = F.max("ts").over(Window.partitionBy("user_id"))
+    iv = ev.select(
+        "user_id",
+        sec.alias("s"),
+        F.when(F.col("ts") == mx, F.lit(None).cast("double"))
+        .otherwise(sec + F.col("value"))
+        .alias("e"),
+    )
+    return scd_chain_audit(iv, ["user_id"], "s", "e")
+
+
+@query(
     "dq_trans",
     """
     WITH s AS (

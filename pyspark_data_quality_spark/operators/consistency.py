@@ -536,3 +536,114 @@ def merge_intervals(
         .drop("_span")
     )
     return agg.orderBy(*(group_cols or []), "span_start")
+
+
+def scd_chain_audit(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Slowly-changing-dimension (SCD2) validity-chain audit: one row
+    per key summarizing whether its version history is a clean chain —
+    the dimension-table health check behind "why does this customer
+    have two current addresses?".
+
+    Semantics per key, over [start, end) validity rows where a NULL
+    ``end`` means the OPEN (current) version:
+
+    - ``n_versions``: rows for the key;
+    - ``n_current``: open rows (NULL end) — a clean chain has exactly
+      one, a retired key zero;
+    - ``n_invalid``: rows with NULL start or end < start (excluded from
+      the sweep so one corrupt version doesn't poison the chain math);
+    - ``n_overlaps``: rows whose start lies under the running max of
+      prior ends (open end sweeps as +infinity — everything after an
+      open version overlaps it);
+    - ``n_gaps`` / ``gap_total``: uncovered holes between consecutive
+      coverage spans (start strictly above every prior end), counted
+      and summed in the numeric sweep domain (epoch seconds for
+      timestamp/date endpoints);
+    - ``chain_ok``: no invalid rows, no overlaps, no gaps, at most one
+      current version.
+
+    Counts are order-invariant under full (start, end) ties (a tied row
+    can neither newly overlap nor open a gap relative to its twin), so
+    the audit is deterministic with no tiebreaker — same argument as
+    :func:`merge_intervals`.
+
+    Scale shape: one shuffle keyed by the SCD key for the sweep window,
+    then a same-key aggregation (Catalyst reuses the partitioning — no
+    second exchange); output is one row per key. The sweep never
+    self-joins.
+
+    Reference parity: no temporal surface in the reference rule
+    framework; extension alongside interval_overlaps / merge_intervals.
+    """
+    if not key_cols:
+        raise ValueError(
+            "scd_chain_audit: key_cols is required — an SCD chain is "
+            "per-key by definition (an unkeyed call would funnel the "
+            "whole table through one sweep task)"
+        )
+    out_cols = {
+        "n_versions", "n_current", "n_invalid", "n_overlaps",
+        "n_gaps", "gap_total", "chain_ok",
+    } & set(df.columns)
+    if out_cols:
+        raise ValueError(
+            f"scd_chain_audit: output columns {sorted(out_cols)} "
+            "already exist on df; rename them first"
+        )
+    s, e = F.col(start_col), F.col(end_col)
+    dtypes = dict(df.dtypes)
+
+    def _num(c, dtype):
+        if dtype.startswith(("timestamp", "date")):
+            return c.cast("timestamp").cast("double")
+        return c.cast("double")
+
+    sn = _num(s, dtypes[start_col])
+    en = _num(e, dtypes[end_col])
+    is_current = s.isNotNull() & e.isNull()
+    is_invalid = s.isNull() | (e.isNotNull() & (e < s))
+    # open versions sweep as +inf: anything after an open row overlaps
+    en_sweep = F.when(is_current, F.lit(float("inf"))).otherwise(en)
+    prior = (
+        Window.partitionBy(*key_cols)
+        .orderBy(sn.asc_nulls_last(), en_sweep.asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pme = F.max(F.when(~is_invalid, en_sweep)).over(prior)
+    overlaps = F.when(is_invalid, None).otherwise(
+        pme.isNotNull() & (sn < pme)
+    )
+    gap = F.when(
+        ~is_invalid & pme.isNotNull() & (sn > pme), sn - pme
+    )
+    flagged = df.select(
+        *key_cols,
+        is_current.alias("_cur"),
+        is_invalid.alias("_inv"),
+        overlaps.alias("_ovl"),
+        gap.alias("_gap"),
+    )
+    agg = flagged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.col("_cur").cast("long")).alias("n_current"),
+        F.sum(F.col("_inv").cast("long")).alias("n_invalid"),
+        F.sum(F.coalesce(F.col("_ovl"), F.lit(False)).cast("long"))
+        .alias("n_overlaps"),
+        F.count("_gap").alias("n_gaps"),
+        F.round(F.coalesce(F.sum("_gap"), F.lit(0.0)), round_to)
+        .alias("gap_total"),
+    )
+    return agg.withColumn(
+        "chain_ok",
+        (F.col("n_invalid") == 0)
+        & (F.col("n_overlaps") == 0)
+        & (F.col("n_gaps") == 0)
+        & (F.col("n_current") <= 1),
+    ).orderBy(*key_cols)

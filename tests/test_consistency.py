@@ -435,3 +435,44 @@ def test_merge_intervals_spans(spark):
 
     with pytest.raises(ValueError, match="span_start"):
         merge_intervals(df.withColumn("span_start", F.lit(1)), "s", "e")
+
+
+def test_scd_chain_audit(spark):
+    """Hand-built SCD histories: clean closed-then-current chain, a gap,
+    an overlap, double-current, invalid rows excluded, open-version
+    sweep as +inf."""
+    from pyspark_data_quality_spark.operators.consistency import (
+        scd_chain_audit,
+    )
+
+    rows = [
+        # k1: clean chain [0,10) [10,20) [20,None) -> ok
+        ("k1", 0.0, 10.0), ("k1", 10.0, 20.0), ("k1", 20.0, None),
+        # k2: gap between 10 and 15
+        ("k2", 0.0, 10.0), ("k2", 15.0, None),
+        # k3: overlap (second starts before first ends)
+        ("k3", 0.0, 10.0), ("k3", 5.0, None),
+        # k4: TWO open versions; the second overlaps the first's +inf
+        ("k4", 0.0, None), ("k4", 5.0, None),
+        # k5: invalid (end<start) + NULL start; survivors clean
+        ("k5", 10.0, 5.0), ("k5", None, 30.0), ("k5", 0.0, None),
+        # k6: retired key, closed chain, zero current -> still ok
+        ("k6", 0.0, 5.0), ("k6", 5.0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, s double, e double")
+    out = {r["k"]: r for r in scd_chain_audit(df, ["k"], "s", "e").collect()}
+    assert out["k1"]["chain_ok"] and out["k1"]["n_current"] == 1
+    assert out["k1"]["n_overlaps"] == 0 and out["k1"]["n_gaps"] == 0
+    assert not out["k2"]["chain_ok"]
+    assert out["k2"]["n_gaps"] == 1 and out["k2"]["gap_total"] == 5.0
+    assert not out["k3"]["chain_ok"] and out["k3"]["n_overlaps"] == 1
+    assert not out["k4"]["chain_ok"]
+    assert out["k4"]["n_current"] == 2 and out["k4"]["n_overlaps"] == 1
+    assert not out["k5"]["chain_ok"] and out["k5"]["n_invalid"] == 2
+    assert out["k5"]["n_overlaps"] == 0  # invalid rows unscored
+    assert out["k6"]["chain_ok"] and out["k6"]["n_current"] == 0
+
+    with pytest.raises(ValueError, match="key_cols"):
+        scd_chain_audit(df, [], "s", "e")
+    with pytest.raises(ValueError, match="chain_ok"):
+        scd_chain_audit(df.withColumn("chain_ok", F.lit(1)), ["k"], "s", "e")
