@@ -4028,6 +4028,102 @@ def dq_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_keys",
+    """
+    WITH c AS (
+      SELECT 'o_orderkey' AS key_cols, 1 AS width, count(*) AS n_rows,
+             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS n_null_rows,
+             count(DISTINCT o_orderkey) AS n_distinct FROM orders
+      UNION ALL
+      SELECT 'o_custkey', 1, count(*),
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_custkey) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', 1, count(*),
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', 1, count(*),
+             sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_orderdate) FROM orders
+      UNION ALL
+      SELECT 'o_orderkey,o_custkey', 2, count(*),
+             sum(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL
+                      THEN 1 ELSE 0 END),
+             count(DISTINCT CASE WHEN o_orderkey IS NOT NULL
+                                  AND o_custkey IS NOT NULL
+                                 THEN (o_orderkey, o_custkey) END)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey,o_orderstatus', 2, count(*),
+             sum(CASE WHEN o_orderkey IS NULL OR o_orderstatus IS NULL
+                      THEN 1 ELSE 0 END),
+             count(DISTINCT CASE WHEN o_orderkey IS NOT NULL
+                                  AND o_orderstatus IS NOT NULL
+                                 THEN (o_orderkey, o_orderstatus) END)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey,o_orderdate', 2, count(*),
+             sum(CASE WHEN o_orderkey IS NULL OR o_orderdate IS NULL
+                      THEN 1 ELSE 0 END),
+             count(DISTINCT CASE WHEN o_orderkey IS NOT NULL
+                                  AND o_orderdate IS NOT NULL
+                                 THEN (o_orderkey, o_orderdate) END)
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey,o_orderstatus', 2, count(*),
+             sum(CASE WHEN o_custkey IS NULL OR o_orderstatus IS NULL
+                      THEN 1 ELSE 0 END),
+             count(DISTINCT CASE WHEN o_custkey IS NOT NULL
+                                  AND o_orderstatus IS NOT NULL
+                                 THEN (o_custkey, o_orderstatus) END)
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey,o_orderdate', 2, count(*),
+             sum(CASE WHEN o_custkey IS NULL OR o_orderdate IS NULL
+                      THEN 1 ELSE 0 END),
+             count(DISTINCT CASE WHEN o_custkey IS NOT NULL
+                                  AND o_orderdate IS NOT NULL
+                                 THEN (o_custkey, o_orderdate) END)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus,o_orderdate', 2, count(*),
+             sum(CASE WHEN o_orderstatus IS NULL OR o_orderdate IS NULL
+                      THEN 1 ELSE 0 END),
+             count(DISTINCT CASE WHEN o_orderstatus IS NOT NULL
+                                  AND o_orderdate IS NOT NULL
+                                 THEN (o_orderstatus, o_orderdate) END)
+      FROM orders
+    )
+    SELECT key_cols, width,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_null_rows AS BIGINT) AS n_null_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(round(n_distinct / (n_rows - n_null_rows), 6) AS DOUBLE)
+             AS uniqueness,
+           (n_null_rows = 0 AND n_distinct >= n_rows) AS is_key
+    FROM c ORDER BY width, key_cols
+    """,
+)
+def dq_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery (operators/schema.py candidate_keys),
+    EXACT mode so DuckDB replays every combo's COUNT(DISTINCT ...)
+    under identical NULL-exclusion semantics. The approx/HLL default
+    (the 100 TB path: one pass, no Expand) is plan- and
+    agreement-tested in tests/test_schema_drift.py."""
+    from .operators.schema import candidate_keys
+
+    orders = load_table(spark, "orders", sf_dir)
+    return candidate_keys(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
+        max_width=2,
+        exact=True,
+    )
+
+
+@query(
     "dq_scd",
     """
     WITH iv0 AS (

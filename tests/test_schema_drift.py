@@ -1085,3 +1085,48 @@ def test_weighted_sample_proportional_and_deterministic(spark):
 
     with pytest.raises(ValueError, match="n must be"):
         weighted_sample(df, "id", "w", 0)
+
+
+def test_candidate_keys_exact_and_approx(spark):
+    """Hand-built table with a known key structure: id is a key, (g,v)
+    jointly unique, g alone is not, NULL-bearing columns disqualified;
+    approx mode agrees on this tiny input and runs as ONE
+    ObjectHashAggregate pass with no Expand."""
+    import pytest
+    from pyspark_data_quality_spark.operators.schema import candidate_keys
+
+    rows = [
+        (1, "a", 10, 5), (2, "a", 20, 5), (3, "b", 10, None), (4, "b", 20, 5),
+    ]
+    df = spark.createDataFrame(rows, "id int, g string, v int, n int")
+    out = {
+        r["key_cols"]: r
+        for r in candidate_keys(df, exact=True, max_width=2).collect()
+    }
+    assert out["id"]["is_key"] and out["id"]["uniqueness"] == 1.0
+    assert not out["g"]["is_key"] and out["g"]["n_distinct"] == 2
+    assert out["g,v"]["is_key"]
+    # n has a NULL: disqualified from keyhood outright
+    assert not out["n"]["is_key"] and out["n"]["n_null_rows"] == 1
+    assert out["n"]["n_distinct"] == 1  # NULL-free rows only: {5}
+    assert out["n"]["uniqueness"] == pytest.approx(round(1 / 3, 6))
+    # widths enumerate singles + pairs over 4 cols = 4 + 6
+    assert len(out) == 10
+
+    approx = {
+        r["key_cols"]: r for r in candidate_keys(df, max_width=2).collect()
+    }
+    assert {k: v["is_key"] for k, v in approx.items()} == {
+        k: v["is_key"] for k, v in out.items()
+    }
+    assert approx["n"]["n_distinct"] == 1  # NULL-free semantics carried
+    plan = (
+        candidate_keys(df, max_width=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan  # HLL path: one pass, no row duplication
+
+    with pytest.raises(ValueError, match="max_combos"):
+        candidate_keys(df, max_width=2, max_combos=5)
+    with pytest.raises(ValueError, match="not in df"):
+        candidate_keys(df, ["nope"])
