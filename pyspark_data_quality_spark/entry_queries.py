@@ -4028,6 +4028,62 @@ def dq_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_vclust",
+    """
+    WITH vals AS (
+      SELECT p_name AS v FROM part
+      UNION ALL
+      SELECT upper(p_name) FROM part WHERE p_partkey % 7 = 0
+      UNION ALL
+      SELECT array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+      FROM part WHERE p_partkey % 11 = 0
+    ), fp AS (
+      SELECT v,
+             array_to_string(list_sort(list_distinct(list_filter(
+               string_split(regexp_replace(lower(v),
+                            '[^\\p{L}\\p{N}]+', ' ', 'g'), ' '),
+               x -> x <> ''))), ' ') AS fingerprint
+      FROM vals WHERE v IS NOT NULL
+    ), pairs AS (
+      SELECT fingerprint, v AS value, count(*) AS n
+      FROM fp GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                   ORDER BY n DESC, value ASC) AS rk
+      FROM pairs
+    )
+    SELECT fingerprint,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           max(CASE WHEN rk = 1 THEN value END) AS canonical,
+           list_slice(list_sort(list(value)), 1, 10) AS values
+    FROM ranked
+    GROUP BY fingerprint
+    HAVING count(*) >= 2
+    ORDER BY fingerprint
+    """,
+)
+def dq_vclust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint value clustering (operators/repair.py
+    value_clusters) over part names plus deterministic casing and
+    token-order variants (upper for p_partkey%7, token-reversed for
+    %11) — the variants collapse into their base name's cluster, and
+    DuckDB replays normalize→cluster→canonical verbatim."""
+    from .operators.repair import value_clusters
+
+    p = load_table(spark, "part", sf_dir)
+    base = p.select(F.col("p_name").alias("v"))
+    up = p.filter(F.col("p_partkey") % 7 == 0).select(
+        F.upper("p_name").alias("v")
+    )
+    rev = p.filter(F.col("p_partkey") % 11 == 0).select(
+        F.array_join(F.reverse(F.split(F.col("p_name"), " ")), " ")
+        .alias("v")
+    )
+    return value_clusters(base.unionAll(up).unionAll(rev), "v")
+
+
+@query(
     "dq_keys",
     """
     WITH c AS (

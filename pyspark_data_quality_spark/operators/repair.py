@@ -460,3 +460,70 @@ def normalize_columns(
         out = out.withColumn(f"{c}{suffix}", expr)
     drop = [f.name for f in stats.schema.fields if f.name.startswith("_")]
     return out.drop(*drop)
+
+
+def value_clusters(
+    df: DataFrame,
+    col: str,
+    *,
+    min_values: int = 2,
+    max_examples: int = 10,
+) -> DataFrame:
+    """Messy-categorical reconciliation (the OpenRefine "fingerprint
+    cluster" method, public): values that normalize to the same
+    fingerprint — lowercase, punctuation stripped, tokens deduped and
+    SORTED — are spelling/casing/word-order variants of one another
+    ("Acme Inc." / "acme inc" / "Inc Acme"). One row per fingerprint
+    with at least ``min_values`` distinct raw values: ``fingerprint``,
+    ``n_values``, ``n_rows``, ``canonical`` (the most frequent raw
+    value; ties break to the lexicographically smallest — deterministic
+    by construction), and up to ``max_examples`` member ``values``
+    (sorted) for review.
+
+    The repair step is then a join: map each raw value to its cluster's
+    ``canonical``. Kept separate so a human (or a rule) vets clusters
+    before any rewrite — fingerprinting is a heuristic and merging
+    "won" with "own" is a decision, not a default.
+
+    Scale shape: fingerprint + first groupBy collapse to (value,
+    fingerprint) pairs — cardinality = |distinct values|, not rows —
+    then one fingerprint-keyed aggregation; examples are slice-capped
+    so a pathological cluster cannot balloon a row. Everything is
+    expression-tree (regexp/split/sort), whole-stage codegen, no UDF.
+
+    Reference parity: no value-canonicalization surface in the
+    reference; extension alongside fuzzy_match_pairs (which catches
+    what fingerprinting's exact-match-after-normalize cannot).
+    """
+    if min_values < 1:
+        raise ValueError("value_clusters: min_values must be >= 1")
+    v = F.col(col)
+    tokens = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(v), r"[^\p{L}\p{N}]+", " "), " "
+        ),
+        lambda t: t != "",
+    )
+    fp = F.array_join(F.array_sort(F.array_distinct(tokens)), " ")
+    pairs = (
+        df.filter(v.isNotNull())
+        .select(v.alias("value"), fp.alias("fingerprint"))
+        .groupBy("fingerprint", "value")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # canonical = most frequent value, ties to the smallest value:
+    # min of (-count, value) is deterministic under both orders
+    return (
+        pairs.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum("_n").alias("n_rows"),
+            F.min(F.struct((-F.col("_n")).alias("nc"), F.col("value")))
+            .getField("value")
+            .alias("canonical"),
+            F.slice(F.array_sort(F.collect_list("value")), 1, max_examples)
+            .alias("values"),
+        )
+        .filter(F.col("n_values") >= min_values)
+        .orderBy("fingerprint")
+    )

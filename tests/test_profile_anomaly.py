@@ -771,3 +771,40 @@ def test_seasonal_anomalies_phase_baseline(spark):
         seasonal_anomalies(
             df.withColumn("_phase", F.lit(1)), "v", ["t"], period=4
         )
+
+
+def test_value_clusters_fingerprint_method(spark):
+    """OpenRefine-style fingerprint clustering: case, punctuation, token
+    order and duplicate tokens all collapse; canonical = most frequent
+    value with lexicographic tie-break; NULLs ignored; min_values
+    filters singletons."""
+    from pyspark_data_quality_spark.operators.repair import value_clusters
+
+    rows = (
+        [("Acme Inc.",)] * 3
+        + [("acme inc",)] * 2
+        + [("Inc. ACME",)]
+        + [("Widget Co",)]          # singleton cluster
+        + [("b a",), ("a b",)]      # tie on count 1+1 -> 'a b' canonical
+        + [("a a b",)]              # duplicate token collapses into same fp
+        + [(None,)]
+    )
+    df = spark.createDataFrame(rows, "v string")
+    out = {r["fingerprint"]: r for r in value_clusters(df, "v").collect()}
+    assert set(out) == {"acme inc", "a b"}
+    acme = out["acme inc"]
+    assert acme["n_values"] == 3 and acme["n_rows"] == 6
+    assert acme["canonical"] == "Acme Inc."
+    assert acme["values"] == ["Acme Inc.", "Inc. ACME", "acme inc"]
+    ab = out["a b"]
+    assert ab["n_values"] == 3
+    # count tie at 1 across all three variants: smallest value wins
+    assert ab["canonical"] == min(["a b", "b a", "a a b"])
+
+    # min_values=1 exposes singletons too
+    all_fp = value_clusters(df, "v", min_values=1).collect()
+    assert any(r["fingerprint"] == "co widget" for r in all_fp)
+
+    # pure expression tree: no python UDF in the plan
+    plan = value_clusters(df, "v")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
