@@ -4028,6 +4028,83 @@ def dq_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_linkage",
+    """
+    WITH b AS (
+      SELECT c_custkey AS rid,
+             replace(c_name, 'Customer#', 'Custmer#') AS name,
+             c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 3 = 0
+    ), cand AS (
+      SELECT a.c_custkey, b.rid,
+             CASE WHEN a.c_name IS NULL OR b.name IS NULL THEN 0.0
+                  WHEN greatest(length(a.c_name), length(b.name)) = 0
+                    THEN 1.0
+                  ELSE 1.0 - levenshtein(a.c_name, b.name)
+                             / greatest(length(a.c_name), length(b.name))
+             END AS s_name,
+             CASE WHEN a.c_mktsegment IS NULL OR b.c_mktsegment IS NULL
+                    THEN 0.0
+                  WHEN a.c_mktsegment = b.c_mktsegment THEN 1.0
+                  ELSE 0.0 END AS s_seg,
+             CASE WHEN a.c_acctbal IS NULL OR b.c_acctbal IS NULL
+                    THEN 0.0
+                  ELSE greatest(0.0,
+                       1.0 - abs(a.c_acctbal - b.c_acctbal) / 1000.0)
+             END AS s_bal
+      FROM customer a JOIN b ON a.c_nationkey = b.c_nationkey
+    ), scored AS (
+      SELECT c_custkey,
+             rid,
+             CAST(round(s_name, 6) AS DOUBLE) AS sim_c_name,
+             CAST(round(s_seg, 6) AS DOUBLE) AS sim_c_mktsegment,
+             CAST(round(s_bal, 6) AS DOUBLE) AS sim_c_acctbal,
+             -- the operator scores over the ROUNDED sims (they are the
+             -- published columns); replay that, not the raw values
+             CAST(round(round(s_name, 6) * 0.5 + round(s_seg, 6) * 0.25
+                        + round(s_bal, 6) * 0.25, 6) AS DOUBLE) AS score
+      FROM cand
+    )
+    SELECT *, score >= 0.9 AS is_match
+    FROM scored WHERE score >= 0.9
+    ORDER BY c_custkey, rid
+    """,
+)
+def dq_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/linkage.py record_linkage): customers
+    matched against a perturbed copy of themselves (one char dropped
+    from the name, every third key) — nation-blocked candidates,
+    levenshtein + exact + numeric comparators with 2:1:1 weights,
+    threshold 0.9. DuckDB replays blocking, per-field similarity and
+    the weighted score verbatim (levenshtein is a builtin in both
+    engines and integer-exact)."""
+    from .operators.linkage import record_linkage
+
+    cust = load_table(spark, "customer", sf_dir)
+    b = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("rid"),
+            F.regexp_replace("c_name", "Customer#", "Custmer#")
+            .alias("c_name"),
+            "c_nationkey", "c_acctbal", "c_mktsegment",
+        )
+    )
+    return record_linkage(
+        cust, b, "c_custkey", "rid",
+        blocking=[("c_nationkey", "c_nationkey")],
+        comparators=[
+            {"a": "c_name", "b": "c_name", "method": "levenshtein",
+             "weight": 2.0},
+            {"a": "c_mktsegment", "b": "c_mktsegment", "method": "exact"},
+            {"a": "c_acctbal", "b": "c_acctbal", "method": "numeric",
+             "scale": 1000.0},
+        ],
+        threshold=0.9,
+    )
+
+
+@query(
     "dq_vclust",
     """
     WITH vals AS (

@@ -1,0 +1,209 @@
+"""Record linkage: probabilistic cross-table entity matching with
+blocking — "is customer 17 in system A the same person as record 942 in
+system B?" — the classic Fellegi–Sunter shape (public: Fellegi & Sunter
+1969; the blocking + field-comparator decomposition every linkage
+toolkit uses), rebuilt as pure Spark expressions.
+
+Three stages, all declarative:
+
+1. **Blocking**: candidate pairs come ONLY from an equi-join on cheap
+   deterministic keys (zip, nation, phonetic bucket, ...). This is the
+   scale lever — it turns O(|A|x|B|) into the sum of per-block
+   products. The join is an ordinary shuffle (or broadcast) hash join,
+   so AQE/bucketing/salting all apply; audit block sizes first with
+   operators/join_audit.join_diagnosis, and route hot blocks through
+   plans/skew.salted_join if one key dominates.
+2. **Field comparators**: per-field similarities in [0, 1] as
+   expression trees — ``exact`` (null-as-disagreement), ``levenshtein``
+   (1 - dist/max_len; JVM builtin, no UDF), ``token_jaccard``
+   (|A∩B|/|A∪B| over normalized token sets), ``numeric``
+   (max(0, 1 - |a-b|/scale)). NULL on either side scores 0 — missing
+   data is non-evidence, the conservative linkage convention.
+3. **Scoring**: ``score`` = weight-normalized sum of similarities;
+   pairs at or above ``threshold`` are kept (``keep_all=True`` returns
+   every candidate pair with its score for threshold calibration).
+
+Whole-stage codegen end to end: levenshtein/regexp/array ops are JVM
+builtins; nothing leaves the JVM and the only shuffle is the blocking
+join itself.
+
+Reference parity: no cross-table matching surface in the reference
+(src/pyspark_data_quality is single-table rules; its UniqueCheck is
+exact-key only). Extension surface alongside fuzzy_match_pairs (the
+single-table near-match self-join) and merge_duplicates (which consumes
+matched clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["field_similarity", "record_linkage"]
+
+_METHODS = ("exact", "levenshtein", "token_jaccard", "numeric")
+
+
+def _tokens(c: Column) -> Column:
+    return F.array_distinct(
+        F.filter(
+            F.split(
+                F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}]+", " "), " "
+            ),
+            lambda t: t != "",
+        )
+    )
+
+
+def field_similarity(
+    a: Column, b: Column, method: str, *, scale: float | None = None
+) -> Column:
+    """Similarity of one field pair in [0, 1] (NULL either side -> 0),
+    as a pure expression — exposed for custom scoring layouts."""
+    if method == "exact":
+        sim = F.when(a.isNull() | b.isNull(), 0.0).otherwise(
+            (a == b).cast("double")
+        )
+    elif method == "levenshtein":
+        ml = F.greatest(F.length(a), F.length(b))
+        sim = (
+            F.when(a.isNull() | b.isNull(), 0.0)
+            .when(ml == 0, 1.0)  # both empty: identical
+            .otherwise(
+                1.0 - F.levenshtein(a, b).cast("double") / ml
+            )
+        )
+    elif method == "token_jaccard":
+        ta, tb = _tokens(a), _tokens(b)
+        inter = F.size(F.array_intersect(ta, tb)).cast("double")
+        union = F.size(F.array_union(ta, tb))
+        sim = F.when(a.isNull() | b.isNull(), 0.0).otherwise(
+            F.coalesce(F.try_divide(inter, union), F.lit(1.0))
+        )  # both token-empty strings: identical
+    elif method == "numeric":
+        if scale is None or scale <= 0:
+            raise ValueError(
+                "field_similarity: method 'numeric' needs scale > 0 "
+                "(the difference that maps to similarity 0)"
+            )
+        sim = F.when(a.isNull() | b.isNull(), 0.0).otherwise(
+            F.greatest(
+                F.lit(0.0),
+                1.0 - F.abs(a.cast("double") - b.cast("double")) / scale,
+            )
+        )
+    else:
+        raise ValueError(
+            f"field_similarity: unknown method {method!r} "
+            f"(supported: {', '.join(_METHODS)})"
+        )
+    return sim
+
+
+def record_linkage(
+    a: DataFrame,
+    b: DataFrame,
+    a_id: str,
+    b_id: str,
+    *,
+    blocking: list[tuple[str, str]],
+    comparators: list[dict],
+    threshold: float = 0.8,
+    keep_all: bool = False,
+    broadcast: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """Match records across ``a`` and ``b``. ``blocking`` is a list of
+    (a_col, b_col) equi-join keys; ``comparators`` a list of dicts with
+    keys ``a``, ``b``, ``method`` (exact | levenshtein | token_jaccard
+    | numeric), ``weight`` (default 1.0) and ``scale`` (numeric only).
+
+    Output: one row per candidate pair at/above ``threshold`` (or all
+    candidates with ``keep_all=True``) — ``a_id``/``b_id`` under their
+    original names, one ``sim_<a-col>`` per comparator, ``score``,
+    ``is_match``. ``broadcast=True`` ships the (deduplicated-by-you,
+    dimension-sized) ``b`` side to every executor and removes the
+    shuffle entirely.
+
+    A NULL blocking key never forms candidates (equi-join semantics) —
+    records with missing block keys are out of scope by design; widen
+    the blocking list (multi-pass union) rather than null-matching.
+    """
+    if not blocking:
+        raise ValueError(
+            "record_linkage: blocking is required — an unblocked "
+            "linkage is the full cross product; pass at least one "
+            "(a_col, b_col) key pair"
+        )
+    if not comparators:
+        raise ValueError("record_linkage: comparators must be non-empty")
+    for side, df_, cols in (
+        ("a", a, [a_id] + [p[0] for p in blocking]
+         + [c["a"] for c in comparators]),
+        ("b", b, [b_id] + [p[1] for p in blocking]
+         + [c["b"] for c in comparators]),
+    ):
+        missing = [c for c in cols if c not in df_.columns]
+        if missing:
+            raise ValueError(
+                f"record_linkage: columns {missing} not in side {side!r}"
+            )
+    weights = [float(c.get("weight", 1.0)) for c in comparators]
+    if any(w <= 0 for w in weights):
+        raise ValueError("record_linkage: weights must be > 0")
+
+    # prefix-rename each side so self-linkage and shared schemas never
+    # collide; only the needed columns survive into the join
+    la = a.select(
+        F.col(a_id).alias("_la_id"),
+        *[F.col(p[0]).alias(f"_lbk{i}") for i, p in enumerate(blocking)],
+        *[
+            F.col(c["a"]).alias(f"_lac{i}")
+            for i, c in enumerate(comparators)
+        ],
+    )
+    rb = b.select(
+        F.col(b_id).alias("_rb_id"),
+        *[F.col(p[1]).alias(f"_rbk{i}") for i, p in enumerate(blocking)],
+        *[
+            F.col(c["b"]).alias(f"_rbc{i}")
+            for i, c in enumerate(comparators)
+        ],
+    )
+    if broadcast:
+        rb = F.broadcast(rb)
+    cond = None
+    for i in range(len(blocking)):
+        eq = F.col(f"_lbk{i}") == F.col(f"_rbk{i}")
+        cond = eq if cond is None else (cond & eq)
+    joined = la.join(rb, cond)
+
+    sims = []
+    for i, c in enumerate(comparators):
+        sims.append(
+            F.round(
+                field_similarity(
+                    F.col(f"_lac{i}"),
+                    F.col(f"_rbc{i}"),
+                    c["method"],
+                    scale=c.get("scale"),
+                ),
+                round_to,
+            ).alias(f"sim_{c['a']}")
+        )
+    out = joined.select(
+        F.col("_la_id").alias(a_id),
+        F.col("_rb_id").alias(b_id),
+        *sims,
+    )
+    total_w = sum(weights)
+    score = None
+    for c, w in zip(comparators, weights):
+        term = F.col(f"sim_{c['a']}") * (w / total_w)
+        score = term if score is None else (score + term)
+    out = out.withColumn("score", F.round(score, round_to)).withColumn(
+        "is_match", F.col("score") >= threshold
+    )
+    if not keep_all:
+        out = out.filter(F.col("is_match"))
+    return out.orderBy(a_id, b_id)
