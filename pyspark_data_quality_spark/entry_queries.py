@@ -4028,6 +4028,33 @@ def dq_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_heavy",
+    """
+    WITH c AS (
+      SELECT user_id AS value, count(*) AS n
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT value,
+           CAST(n AS BIGINT) AS count_min,
+           CAST(n AS BIGINT) AS count_max
+    FROM c ORDER BY n DESC, value ASC LIMIT 10
+    """,
+)
+def dq_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (operators/profile.py heavy_hitters)
+    in the EXACT regime: capacity above the per-partition user
+    cardinality means no decrement ever fires, so the sketch result
+    equals exact top-10-by-count with count_min == count_max — which
+    the plain GROUP BY oracle certifies. The approximate regime's
+    undercount-bound guarantees are property-tested across
+    partitionings in tests/test_profile_anomaly.py."""
+    from .operators.profile import heavy_hitters
+
+    ev = load_table(spark, "events", sf_dir)
+    return heavy_hitters(ev, "user_id", k=10, capacity=1 << 18)
+
+
+@query(
     "dq_linkage",
     """
     WITH b AS (

@@ -751,3 +751,102 @@ def completeness_by_group(
         F.round(F.col("_v.g"), round_to).alias("global_ratio"),
         F.round(F.col("_v.r") - F.col("_v.g"), round_to).alias("lift"),
     ).orderBy(*group_cols, "column")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    *,
+    k: int = 50,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Approximate top-k frequent values via mergeable Misra–Gries
+    summaries (public: Misra & Gries 1982; merge rule per Agarwal et
+    al., "Mergeability of Summaries") — the heavy-hitters shape for
+    columns whose cardinality makes :func:`top_values`' full groupBy
+    the bottleneck: the shuffle carries at most
+    ``partitions x (capacity+1)`` rows NO MATTER the cardinality,
+    vs one row per distinct value for the exact groupBy.
+
+    Each partition keeps a ``capacity``-counter summary (one Arrow
+    pass, batch-merged decrements: when the dict overflows, every
+    counter drops by the (capacity+1)-th largest and non-positives
+    evict — the summary's total undercount grows by that decrement).
+    Summaries merge by summed counts; the global undercount bound is
+    the sum of per-partition decrements. Output: top-``k`` rows by
+    estimate with ``value``, ``count_min`` (the estimate — never above
+    the true count), ``count_max`` (= count_min + the global bound —
+    never below it). Any value whose true frequency exceeds the bound
+    is GUARANTEED present (its counter cannot have been fully
+    decremented everywhere); NULLs are ignored.
+
+    ``capacity`` defaults to ``max(8*k, 64)``. EXACT REGIME: if every
+    partition sees at most ``capacity`` distinct values, no decrement
+    ever fires — the result is exactly the top-k with
+    count_min == count_max, which is how the oracle certifies this
+    operator; the approximate regime's bounds are property-tested.
+
+    Ranking note: rows are ranked by the estimate (ties to the smaller
+    value); in the approximate regime a value whose true count is
+    within the bound of the k-th estimate may be displaced — that is
+    the MG trade, not a bug.
+
+    Reference parity: none (the reference has no sketch surface);
+    extension alongside sketch_rollup (HLL/KLL) and top_values (exact).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError("heavy_hitters: k must be >= 1")
+    m = capacity if capacity is not None else max(8 * k, 64)
+    if m < k:
+        raise ValueError(
+            f"heavy_hitters: capacity {m} < k {k} — the summary cannot "
+            "even hold the answer"
+        )
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        raise ValueError(f"heavy_hitters: column {col!r} not in df")
+    out_schema = f"value {dtype}, est bigint, err bigint"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        err = 0
+        for pdf in batches:
+            for v, c in pdf["value"].value_counts(dropna=True).items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > m:
+                t = sorted(counts.values(), reverse=True)[m]
+                counts = {v: c - t for v, c in counts.items() if c > t}
+                err += t
+        yield pd.DataFrame(
+            {
+                "value": pd.Series(list(counts.keys()) + [None],
+                                   dtype=object),
+                "est": pd.Series(list(counts.values()) + [0],
+                                 dtype="int64"),
+                "err": pd.Series([0] * len(counts) + [err], dtype="int64"),
+            }
+        )
+
+    summaries = df.select(F.col(col).alias("value")).mapInPandas(
+        gen, schema=out_schema
+    )
+    # sentinel rows (value NULL) carry each partition's undercount
+    # bound; data NULLs were dropped inside the summary, so the split
+    # below is unambiguous
+    bound = summaries.agg(F.sum("err").alias("_err"))
+    merged = (
+        summaries.filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.sum("est").alias("_est"))
+        .orderBy(F.col("_est").desc(), F.col("value").asc())
+        .limit(k)
+    )
+    return merged.crossJoin(F.broadcast(bound)).select(
+        "value",
+        F.col("_est").alias("count_min"),
+        (F.col("_est") + F.col("_err")).alias("count_max"),
+    )

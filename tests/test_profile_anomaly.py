@@ -808,3 +808,48 @@ def test_value_clusters_fingerprint_method(spark):
     # pure expression tree: no python UDF in the plan
     plan = value_clusters(df, "v")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_heavy_hitters_exact_regime_and_bounds(spark):
+    """Small cardinality (exact regime): result equals the exact top-k
+    with tight bounds. Forced-decrement regime: bounds still contain
+    every true count, and every value heavier than the global bound is
+    present — the MG guarantee, asserted across partitionings."""
+    from pyspark_data_quality_spark.operators.profile import heavy_hitters
+
+    rows = (
+        [("a",)] * 500 + [("b",)] * 300 + [("c",)] * 120
+        + [(f"x{i}",) for i in range(400)]   # long tail of singletons
+        + [(None,)] * 7                      # NULLs ignored
+    )
+    exact = {"a": 500, "b": 300, "c": 120, **{f"x{i}": 1 for i in range(400)}}
+    df = spark.createDataFrame(rows, "v string")
+
+    # exact regime: capacity above the cardinality
+    top = heavy_hitters(df, "v", k=3, capacity=1000).collect()
+    assert [(r["value"], r["count_min"], r["count_max"]) for r in top] == [
+        ("a", 500, 500), ("b", 300, 300), ("c", 120, 120)
+    ]
+
+    # approximate regime: tiny capacity, multiple partitionings
+    for parts in (1, 7):
+        got = {
+            r["value"]: r
+            for r in heavy_hitters(
+                df.repartition(parts), "v", k=8, capacity=8
+            ).collect()
+        }
+        bound = next(iter(got.values()))
+        err = bound["count_max"] - bound["count_min"]
+        for v, r in got.items():
+            assert r["count_min"] <= exact[v] <= r["count_max"], (v, dict(r.asDict()))
+        # anything heavier than the global undercount bound MUST appear
+        for v, c in exact.items():
+            if c > err:
+                assert v in got, (v, c, err)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="capacity"):
+        heavy_hitters(df, "v", k=10, capacity=5)
+    with _pt.raises(ValueError, match="not in df"):
+        heavy_hitters(df, "nope")
