@@ -4028,6 +4028,77 @@ def dq_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_overlap",
+    """
+    WITH ha AS (
+      SELECT DISTINCT substr(md5(text), 1, 15) AS h
+      FROM documents WHERE doc_id < 350 AND text IS NOT NULL
+    ), sa AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+    hb AS (
+      SELECT DISTINCT substr(md5(text), 1, 15) AS h
+      FROM documents WHERE doc_id >= 150 AND text IS NOT NULL
+    ), sb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+    u AS (
+      SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) q
+      ORDER BY h LIMIT 256
+    ), st AS (
+      SELECT (SELECT count(*) FROM sa) AS ka,
+             (SELECT count(*) FROM sb) AS kb,
+             (SELECT count(*) FROM u)  AS ku,
+             (SELECT max(h) FROM sa) AS tha,
+             (SELECT max(h) FROM sb) AS thb,
+             (SELECT max(h) FROM u)  AS thu,
+             (SELECT count(*) FROM u
+              WHERE h IN (SELECT h FROM sa)
+                AND h IN (SELECT h FROM sb)) AS ik
+    ), est AS (
+      SELECT
+        CASE WHEN ka < 256 THEN CAST(ka AS DOUBLE)
+             ELSE 255.0 / (CAST(concat('0x', tha) AS UBIGINT)
+                           / 1152921504606846976.0) END AS d_a,
+        CASE WHEN kb < 256 THEN CAST(kb AS DOUBLE)
+             ELSE 255.0 / (CAST(concat('0x', thb) AS UBIGINT)
+                           / 1152921504606846976.0) END AS d_b,
+        CASE WHEN ku < 256 THEN CAST(ku AS DOUBLE)
+             ELSE 255.0 / (CAST(concat('0x', thu) AS UBIGINT)
+                           / 1152921504606846976.0) END AS d_u,
+        CASE WHEN ku > 0 THEN CAST(ik AS DOUBLE) / ku
+             ELSE 0.0 END AS jac
+      FROM st
+    )
+    SELECT CAST(round(d_a, 6) AS DOUBLE) AS n_a_est,
+           CAST(round(d_b, 6) AS DOUBLE) AS n_b_est,
+           CAST(round(d_u, 6) AS DOUBLE) AS n_union_est,
+           CAST(round(jac, 6) AS DOUBLE) AS jaccard_est,
+           CAST(round(jac * d_u, 6) AS DOUBLE) AS intersection_est,
+           CAST(round(CASE WHEN d_a > 0 THEN jac * d_u / d_a
+                           ELSE 0.0 END, 6) AS DOUBLE) AS containment_a,
+           CAST(round(CASE WHEN d_b > 0 THEN jac * d_u / d_b
+                           ELSE 0.0 END, 6) AS DOUBLE) AS containment_b
+    FROM est
+    """,
+)
+def dq_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV corpus-overlap sketch (operators/overlap.py corpus_overlap)
+    between two overlapping document slices, k=256 — deliberately in
+    the SKETCH regime at every SF (both slices exceed k distinct
+    texts), and still hash-exact against the oracle because bottom-k
+    sketches are a pure function of the value set: DuckDB rebuilds the
+    same k smallest md5-hex hashes and replays the theta estimators,
+    estimation error included. Accuracy vs ground truth is
+    property-tested in tests/test_overlap.py."""
+    from .operators.overlap import corpus_overlap
+
+    docs = load_table(spark, "documents", sf_dir)
+    return corpus_overlap(
+        docs.filter(F.col("doc_id") < 350),
+        docs.filter(F.col("doc_id") >= 150),
+        "text",
+        k=256,
+    )
+
+
+@query(
     "dq_heavy",
     """
     WITH c AS (

@@ -1,0 +1,134 @@
+"""Corpus-overlap estimation via bottom-k (KMV) sketches: how much do
+two corpora share, WITHOUT joining them.
+
+"What fraction of crawl B did we already have in crawl A?" at 100 TB
+cannot be a distinct-join — but each side's k smallest distinct hash
+values (the classic KMV / bottom-k sketch; public: Bar-Yossef et al.
+2002, Beyer et al. 2007 "On synopses for distinct-value estimation")
+are a few KB, fully MERGEABLE, and — because the hash is deterministic —
+REPRODUCIBLE: the sketch of a corpus is a pure function of its value
+set, independent of partitioning, ordering, or cluster size. That makes
+every estimate this module emits exactly replayable by the DuckDB
+oracle, estimation error and all.
+
+Estimators (k-th smallest hash as a fraction θ of the hash space):
+- distinct  D ≈ (k-1)/θ   (exact when the side has < k distinct values
+  — the sketch IS the value set);
+- Jaccard   J ≈ |{h in U : h in both sketches}| / |U| where U is the
+  k smallest of the union of sketches;
+- |A∩B| ≈ J · D_U;  containment(A in B-direction) = |A∩B| / D_A.
+
+Scale shape: one map-side pass per corpus — each partition emits its
+distinct bottom-k (np.unique over Arrow batches, ≤ k rows out), a
+single small exchange merges ≤ partitions×k rows, and the driver
+collects exactly ≤ k hashes per side (parameter-bounded collect,
+docs/SCALE.md invariant #1). Nothing anywhere scales with corpus size.
+
+Hashing: first 15 hex chars of md5 (60 bits) — fixed-width hex sorts
+lexicographically AND numerically the same, and both Spark and DuckDB
+can evaluate it (`md5`/`substring` vs `md5`/`substr`), which is what
+keeps the oracle replay byte-exact.
+
+Reference parity: no sketch surface in the reference; extension
+alongside sketch_rollup (HLL/KLL) and dedup_against (exact incremental
+dedup — use THAT when you need the actual overlapping rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["bottom_k_sketch", "corpus_overlap"]
+
+_HEX_WIDTH = 15
+_SPACE = float(16 ** _HEX_WIDTH)
+
+
+def bottom_k_sketch(df: DataFrame, col: str, k: int) -> list[str]:
+    """The k smallest distinct 60-bit md5-hex hashes of ``df[col]``
+    (NULLs ignored), as a sorted Python list of ≤ k fixed-width hex
+    strings. Deterministic for a given value set — partitioning holds
+    no sway. Per-partition distinct bottom-k via one Arrow pass, then a
+    tiny merge; the driver receives at most k rows."""
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError("bottom_k_sketch: k must be >= 2")
+    if col not in df.columns:
+        raise ValueError(f"bottom_k_sketch: column {col!r} not in df")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        best = None
+        for pdf in batches:
+            arr = np.unique(pdf["h"].to_numpy())
+            best = (
+                arr[:k]
+                if best is None
+                else np.unique(np.concatenate([best, arr]))[:k]
+            )
+        yield pd.DataFrame({"h": [] if best is None else best})
+
+    h = F.substring(F.md5(F.col(col).cast("string")), 1, _HEX_WIDTH)
+    s = (
+        df.select(h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .mapInPandas(gen, schema="h string")
+    )
+    rows = s.distinct().orderBy("h").limit(k).collect()
+    return sorted(r["h"] for r in rows)
+
+
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    *,
+    k: int = 1024,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row overlap report between the DISTINCT value sets of
+    ``a[col]`` and ``b[col]``: ``n_a_est`` / ``n_b_est`` /
+    ``n_union_est`` (distinct-count estimates; exact below k),
+    ``jaccard_est``, ``intersection_est``, ``containment_a``
+    (share of A's values also in B) and ``containment_b``.
+
+    Empty-side convention: an empty side has distinct 0; jaccard and
+    both containments are 0 when the union is empty. Estimates are
+    deterministic (see module docstring) — the oracle replays them
+    exactly, including estimation error; accuracy vs ground truth is
+    property-tested separately (~1/sqrt(k) relative error)."""
+    spark = SparkSession.getActiveSession() or a.sparkSession
+    sa = bottom_k_sketch(a, col, k)
+    sb = bottom_k_sketch(b, col, k)
+
+    def frac(h: str) -> float:
+        return int(h, 16) / _SPACE
+
+    def d_est(sk: list[str]) -> float:
+        if len(sk) < k:
+            return float(len(sk))  # sketch IS the value set
+        return (k - 1) / frac(sk[-1])
+
+    set_a, set_b = set(sa), set(sb)
+    union = sorted(set_a | set_b)[:k]
+    d_a, d_b = d_est(sa), d_est(sb)
+    d_u = float(len(union)) if len(union) < k else (k - 1) / frac(union[-1])
+    inter_k = sum(1 for h in union if h in set_a and h in set_b)
+    jac = inter_k / len(union) if union else 0.0
+    inter_est = jac * d_u
+    cont_a = inter_est / d_a if d_a > 0 else 0.0
+    cont_b = inter_est / d_b if d_b > 0 else 0.0
+
+    row = spark.createDataFrame(
+        [(d_a, d_b, d_u, jac, inter_est, cont_a, cont_b)],
+        "n_a_est double, n_b_est double, n_union_est double, "
+        "jaccard_est double, intersection_est double, "
+        "containment_a double, containment_b double",
+    )
+    # round JVM-side (HALF_UP, oracle-matching) — never in Python
+    return row.select(*[F.round(c, round_to).alias(c) for c in row.columns])

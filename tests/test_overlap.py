@@ -1,0 +1,64 @@
+"""Bottom-k corpus-overlap sketch tests (operators/overlap.py):
+determinism under repartition, exact regime below k, estimator accuracy
+in the sketch regime, and the empty/disjoint edges."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_quality_spark.operators.overlap import (
+    bottom_k_sketch,
+    corpus_overlap,
+)
+
+
+def _ids(spark, lo, hi, parts=4):
+    return (
+        spark.range(lo, hi, 1, parts)
+        .select(F.concat(F.lit("v"), F.col("id")).alias("v"))
+    )
+
+
+def test_sketch_deterministic_and_exact_below_k(spark):
+    df = _ids(spark, 0, 50)
+    s1 = bottom_k_sketch(df, "v", 64)
+    s2 = bottom_k_sketch(df.repartition(13), "v", 64)
+    assert s1 == s2 and len(s1) == 50  # below k: the full hashed value set
+    # duplicates collapse: same value set -> same sketch
+    s3 = bottom_k_sketch(df.union(df), "v", 64)
+    assert s3 == s1
+    with pytest.raises(ValueError, match="k must be"):
+        bottom_k_sketch(df, "v", 1)
+
+
+def test_overlap_exact_regime(spark):
+    # |A|=300, |B|=300, |A∩B|=150 — k above every cardinality: all exact
+    a, b = _ids(spark, 0, 300), _ids(spark, 150, 450)
+    row = corpus_overlap(a, b, "v", k=1024).collect()[0]
+    assert row["n_a_est"] == 300.0 and row["n_b_est"] == 300.0
+    assert row["n_union_est"] == 450.0
+    assert row["intersection_est"] == pytest.approx(150.0, abs=1e-6)
+    assert row["jaccard_est"] == pytest.approx(round(150 / 450, 6))
+    assert row["containment_a"] == pytest.approx(0.5)
+    assert row["containment_b"] == pytest.approx(0.5)
+
+
+def test_overlap_sketch_regime_accuracy_and_determinism(spark):
+    # 4000 vs 4000 with 2000 shared; k=256 -> ~1/16 relative error scale
+    a, b = _ids(spark, 0, 4000), _ids(spark, 2000, 6000)
+    r1 = corpus_overlap(a, b, "v", k=256).collect()[0]
+    r2 = corpus_overlap(a.repartition(9), b.repartition(3), "v", k=256).collect()[0]
+    assert r1.asDict() == r2.asDict()  # partitioning holds no sway
+    assert r1["n_a_est"] == pytest.approx(4000, rel=0.25)
+    assert r1["jaccard_est"] == pytest.approx(1 / 3, rel=0.35)
+    assert r1["intersection_est"] == pytest.approx(2000, rel=0.35)
+
+    # disjoint corpora: zero everything
+    z = corpus_overlap(_ids(spark, 0, 100), _ids(spark, 500, 600), "v", k=64)
+    zr = z.collect()[0]
+    assert zr["jaccard_est"] == 0.0 and zr["intersection_est"] == 0.0
+
+    # empty side
+    er = corpus_overlap(
+        _ids(spark, 0, 100), _ids(spark, 0, 0), "v", k=64
+    ).collect()[0]
+    assert er["n_b_est"] == 0.0 and er["containment_a"] == 0.0
