@@ -3931,11 +3931,17 @@ def dq_interval_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dq_merge_intervals",
     """
-    WITH iv AS (
+    WITH iv0 AS (
       SELECT user_id,
              CAST(floor(epoch(ts)) AS DOUBLE) AS s,
              CAST(floor(epoch(ts)) AS DOUBLE) + value AS e
       FROM events WHERE user_id < 50
+    ), iv AS (
+      -- merge_intervals excludes invalid rows (NULL endpoint, e < s)
+      -- BEFORE the sweep; replay that even though the fixture happens
+      -- to have only positive, non-NULL values
+      SELECT * FROM iv0
+      WHERE s IS NOT NULL AND e IS NOT NULL AND e >= s
     ), sweep AS (
       SELECT *,
              max(e) OVER (PARTITION BY user_id ORDER BY s, e

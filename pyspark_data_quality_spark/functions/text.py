@@ -50,6 +50,20 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col)).cast("long")
 
 
+def alnum_tokens(col: Column | str) -> Column:
+    """Alphanumeric tokenization: lowercase, every non-letter/non-digit
+    run is a separator -> array<string> of ``[\\p{L}\\p{N}]+`` runs.
+    THE shared definition of "same token" for fingerprint value
+    clustering (operators/repair.value_clusters) and linkage
+    token-jaccard (operators/linkage) — one place, so the two can never
+    silently disagree on token identity."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}]+", " "), " "),
+        lambda t: t != "",
+    )
+
+
 def bpe_ish_token_count(col: Column | str) -> Column:
     """Cheap BPE-like token estimate: count word pieces + digits + punct
     (regex segmentation, the standard pre-tokenizer shape) entirely JVM-side.

@@ -373,6 +373,18 @@ def null_runs(
     return out
 
 
+def _sweep_double(c: Column, dtype: str) -> Column:
+    """Numeric sweep domain for interval endpoints — timestamps/dates ->
+    epoch seconds (NTZ included: identity under the UTC session TZ),
+    anything else -> double. THE shared conversion for every interval
+    sweep in this module (interval_overlaps / merge_intervals /
+    scd_chain_audit), hoisted so the sweep domain can never silently
+    diverge between them."""
+    if dtype.startswith(("timestamp", "date")):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
 def interval_overlaps(
     df: DataFrame,
     start_col: str,
@@ -426,15 +438,9 @@ def interval_overlaps(
         )
     s, e = F.col(start_col), F.col(end_col)
     is_invalid = s.isNull() | e.isNull() | (e < s)
-    # numeric view for the sweep arithmetic: timestamps/dates -> epoch
-    # seconds (NTZ included — identity under the UTC session TZ)
     dtypes = dict(df.dtypes)
-    def _num(c, dtype):
-        if dtype.startswith(("timestamp", "date")):
-            return c.cast("timestamp").cast("double")
-        return c.cast("double")
-    sn = _num(s, dtypes[start_col])
-    en = _num(e, dtypes[end_col])
+    sn = _sweep_double(s, dtypes[start_col])
+    en = _sweep_double(e, dtypes[end_col])
     order = [sn.asc_nulls_last(), en.asc_nulls_last()]
     if id_col is not None:
         order.append(F.col(id_col).asc_nulls_last())
@@ -501,14 +507,8 @@ def merge_intervals(
         )
     s, e = F.col(start_col), F.col(end_col)
     dtypes = dict(df.dtypes)
-
-    def _num(c, dtype):
-        if dtype.startswith(("timestamp", "date")):
-            return c.cast("timestamp").cast("double")
-        return c.cast("double")
-
-    sn = _num(s, dtypes[start_col])
-    en = _num(e, dtypes[end_col])
+    sn = _sweep_double(s, dtypes[start_col])
+    en = _sweep_double(e, dtypes[end_col])
     valid = df.filter(s.isNotNull() & e.isNotNull() & (e >= s))
     order = [sn.asc(), en.asc()]
     prior = (
@@ -599,14 +599,8 @@ def scd_chain_audit(
         )
     s, e = F.col(start_col), F.col(end_col)
     dtypes = dict(df.dtypes)
-
-    def _num(c, dtype):
-        if dtype.startswith(("timestamp", "date")):
-            return c.cast("timestamp").cast("double")
-        return c.cast("double")
-
-    sn = _num(s, dtypes[start_col])
-    en = _num(e, dtypes[end_col])
+    sn = _sweep_double(s, dtypes[start_col])
+    en = _sweep_double(e, dtypes[end_col])
     is_current = s.isNotNull() & e.isNull()
     is_invalid = s.isNull() | (e.isNotNull() & (e < s))
     # open versions sweep as +inf: anything after an open row overlaps

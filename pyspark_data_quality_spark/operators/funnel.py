@@ -204,6 +204,13 @@ def event_transitions(
     ``__end__`` (making each row of the matrix a proper distribution
     over next-states including "stopped").
 
+    NULL states are excluded from the sequence BEFORE the lag — a NULL
+    is not a state, and leaving it in would make ``lead()``'s NULL
+    ambiguous between "sequence ended" and "next state unknown"
+    (mislabeling mid-sequence rows as ``__end__``). So (a, NULL, b)
+    yields the transition a→b; audit NULL-state volume separately with
+    a completeness rule.
+
     Scale shape: one shuffle keyed by ``key_col`` for the lag window
     (per-key linear scan — hot keys shard no worse than the raw event
     count), then one (from, to) hash aggregation whose output is at
@@ -227,7 +234,7 @@ def event_transitions(
     nxt = F.lead(state_col).over(
         Window.partitionBy(key_col).orderBy(*order)
     )
-    pairs = df.select(
+    pairs = df.filter(F.col(state_col).isNotNull()).select(
         F.col(state_col).alias("from_state"), nxt.alias("to_state")
     )
     if include_terminal:

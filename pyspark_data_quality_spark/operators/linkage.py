@@ -45,14 +45,9 @@ _METHODS = ("exact", "levenshtein", "token_jaccard", "numeric")
 
 
 def _tokens(c: Column) -> Column:
-    return F.array_distinct(
-        F.filter(
-            F.split(
-                F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}]+", " "), " "
-            ),
-            lambda t: t != "",
-        )
-    )
+    from ..functions.text import alnum_tokens
+
+    return F.array_distinct(alnum_tokens(c))
 
 
 def field_similarity(
@@ -137,6 +132,25 @@ def record_linkage(
         )
     if not comparators:
         raise ValueError("record_linkage: comparators must be non-empty")
+    if a_id == b_id:
+        raise ValueError(
+            f"record_linkage: a_id and b_id are both {a_id!r} — the "
+            "output carries both under their original names; rename one "
+            "side first (e.g. b.withColumnRenamed)"
+        )
+    # one similarity column per comparator: sim_<a-col>, falling back to
+    # sim_<a-col>_<method> when the same source column is compared twice
+    # (the standard multi-comparator Fellegi-Sunter layout)
+    sim_names: list[str] = []
+    for c in comparators:
+        base = f"sim_{c['a']}"
+        name = base if base not in sim_names else f"{base}_{c['method']}"
+        if name in sim_names:
+            raise ValueError(
+                f"record_linkage: comparator output {name!r} collides — "
+                "the same column+method appears twice"
+            )
+        sim_names.append(name)
     for side, df_, cols in (
         ("a", a, [a_id] + [p[0] for p in blocking]
          + [c["a"] for c in comparators]),
@@ -189,7 +203,7 @@ def record_linkage(
                     scale=c.get("scale"),
                 ),
                 round_to,
-            ).alias(f"sim_{c['a']}")
+            ).alias(sim_names[i])
         )
     out = joined.select(
         F.col("_la_id").alias(a_id),
@@ -198,8 +212,8 @@ def record_linkage(
     )
     total_w = sum(weights)
     score = None
-    for c, w in zip(comparators, weights):
-        term = F.col(f"sim_{c['a']}") * (w / total_w)
+    for name, w in zip(sim_names, weights):
+        term = F.col(name) * (w / total_w)
         score = term if score is None else (score + term)
     out = out.withColumn("score", F.round(score, round_to)).withColumn(
         "is_match", F.col("score") >= threshold

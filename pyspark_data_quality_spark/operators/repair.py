@@ -497,14 +497,10 @@ def value_clusters(
     """
     if min_values < 1:
         raise ValueError("value_clusters: min_values must be >= 1")
+    from ..functions.text import alnum_tokens
+
     v = F.col(col)
-    tokens = F.filter(
-        F.split(
-            F.regexp_replace(F.lower(v), r"[^\p{L}\p{N}]+", " "), " "
-        ),
-        lambda t: t != "",
-    )
-    fp = F.array_join(F.array_sort(F.array_distinct(tokens)), " ")
+    fp = F.array_join(F.array_sort(F.array_distinct(alnum_tokens(v))), " ")
     pairs = (
         df.filter(v.isNotNull())
         .select(v.alias("value"), fp.alias("fingerprint"))

@@ -209,3 +209,18 @@ def test_event_transitions_matrix(spark):
             df.withColumn("from_state", F.lit("x")),
             "user_id", "ts", "event_type",
         )
+
+    # NULL states are not states: (a, NULL, b) yields a->b, and the
+    # terminal sentinel never mislabels a mid-sequence NULL as __end__
+    nul = _events(spark, [
+        (7, "2024-01-01 00:00:00", "a"),
+        (7, "2024-01-01 00:01:00", None),
+        (7, "2024-01-01 00:02:00", "b"),
+    ])
+    nt = {
+        (r["from_state"], r["to_state"]): r["n_transitions"]
+        for r in event_transitions(
+            nul, "user_id", "ts", "event_type", include_terminal=True
+        ).collect()
+    }
+    assert nt == {("a", "b"): 1, ("b", "__end__"): 1}

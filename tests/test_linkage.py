@@ -107,15 +107,44 @@ def test_record_linkage_self_and_validation(spark):
     assert got[(1, 3)] == 0.0 and got[(3, 3)] == 0.0
     assert got[(1, 1)] == 1.0
 
+    # same source column under two comparators: second name gets the
+    # method suffix instead of colliding
+    two = record_linkage(
+        df, df.withColumnRenamed("id", "rid"), "id", "rid",
+        blocking=[("blk", "blk")], keep_all=True,
+        comparators=[
+            {"a": "v", "b": "v", "method": "levenshtein"},
+            {"a": "v", "b": "v", "method": "token_jaccard"},
+        ],
+    )
+    assert "sim_v" in two.columns and "sim_v_token_jaccard" in two.columns
+
     with pytest.raises(ValueError, match="blocking"):
-        record_linkage(df, df, "id", "id", blocking=[], comparators=comps)
+        record_linkage(df, df, "id", "rid", blocking=[], comparators=comps)
+    # identical id names would emit duplicate output columns: refused
+    with pytest.raises(ValueError, match="a_id and b_id"):
+        record_linkage(
+            df, df, "id", "id", blocking=[("blk", "blk")], comparators=comps
+        )
+    # a third duplicate exhausts the method-suffix fallback: refused
+    with pytest.raises(ValueError, match="collides"):
+        record_linkage(
+            df, df.withColumnRenamed("id", "rid"), "id", "rid",
+            blocking=[("blk", "blk")],
+            comparators=[
+                {"a": "v", "b": "v", "method": "exact"},
+                {"a": "v", "b": "v", "method": "exact"},
+                {"a": "v", "b": "v", "method": "exact"},
+            ],
+        )
     with pytest.raises(ValueError, match="not in side 'b'"):
         record_linkage(
-            df, df.drop("v"), "id", "id",
+            df, df.drop("v").withColumnRenamed("id", "rid"), "id", "rid",
             blocking=[("blk", "blk")], comparators=comps,
         )
     with pytest.raises(ValueError, match="weights"):
         record_linkage(
-            df, df, "id", "id", blocking=[("blk", "blk")],
+            df, df.withColumnRenamed("id", "rid"), "id", "rid",
+            blocking=[("blk", "blk")],
             comparators=[{"a": "v", "b": "v", "method": "exact", "weight": 0}],
         )
