@@ -4034,6 +4034,199 @@ def dq_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_sess",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(epoch(ts)) AS DOUBLE) AS sec
+      FROM events WHERE user_id < 30 AND ts IS NOT NULL
+    ), lagged AS (
+      SELECT *, lag(sec) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+      FROM e
+    ), starts AS (
+      SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800
+                     THEN 1 ELSE 0 END AS st
+      FROM lagged
+    ), numbered AS (
+      SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS session_id
+      FROM starts
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(min(sec) AS DOUBLE) AS session_start,
+           CAST(max(sec) AS DOUBLE) AS session_end,
+           CAST(max(sec) - min(sec) AS DOUBLE) AS duration
+    FROM numbered GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def dq_sess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (operators/funnel.py sessionize): 30-minute
+    gap sessions per user over whole-second event times, summarized per
+    session — the lag + running-sum session-id assignment replayed
+    verbatim by DuckDB, with event_id pinning equal-timestamp order."""
+    from .operators.funnel import sessionize
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 30)
+        .select(
+            "user_id", "event_id",
+            F.floor(F.col("ts").cast("timestamp").cast("long"))
+            .cast("double").alias("sec"),
+            F.col("ts"),
+        )
+    )
+    s = sessionize(ev, "user_id", "sec", gap_seconds=1800,
+                   id_col="event_id")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("sec").alias("session_start"),
+            F.max("sec").alias("session_end"),
+            (F.max("sec") - F.min("sec")).alias("duration"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "dq_assoc",
+    """
+    WITH c1 AS (
+      SELECT l_returnflag AS va, l_linestatus AS vb, count(*) AS o
+      FROM lineitem GROUP BY 1, 2
+    ), m1 AS (
+      SELECT *, sum(o) OVER (PARTITION BY va) AS ra,
+                sum(o) OVER (PARTITION BY vb) AS cb,
+                sum(o) OVER () AS n
+      FROM c1
+    ), s1 AS (
+      SELECT max(n) AS n,
+             sum((o - ra*cb/n)*(o - ra*cb/n)/(ra*cb/n))
+               + max(n) - sum(ra*cb/n) AS chi2,
+             count(DISTINCT va) AS r, count(DISTINCT vb) AS c
+      FROM m1
+    ), c2 AS (
+      SELECT l_returnflag AS va, CAST(l_discount AS VARCHAR) AS vb,
+             count(*) AS o
+      FROM lineitem GROUP BY 1, 2
+    ), m2 AS (
+      SELECT *, sum(o) OVER (PARTITION BY va) AS ra,
+                sum(o) OVER (PARTITION BY vb) AS cb,
+                sum(o) OVER () AS n
+      FROM c2
+    ), s2 AS (
+      SELECT max(n) AS n,
+             sum((o - ra*cb/n)*(o - ra*cb/n)/(ra*cb/n))
+               + max(n) - sum(ra*cb/n) AS chi2,
+             count(DISTINCT va) AS r, count(DISTINCT vb) AS c
+      FROM m2
+    ), c3 AS (
+      SELECT l_linestatus AS va, CAST(l_discount AS VARCHAR) AS vb,
+             count(*) AS o
+      FROM lineitem GROUP BY 1, 2
+    ), m3 AS (
+      SELECT *, sum(o) OVER (PARTITION BY va) AS ra,
+                sum(o) OVER (PARTITION BY vb) AS cb,
+                sum(o) OVER () AS n
+      FROM c3
+    ), s3 AS (
+      SELECT max(n) AS n,
+             sum((o - ra*cb/n)*(o - ra*cb/n)/(ra*cb/n))
+               + max(n) - sum(ra*cb/n) AS chi2,
+             count(DISTINCT va) AS r, count(DISTINCT vb) AS c
+      FROM m3
+    ), u AS (
+      SELECT 'l_returnflag' AS col_a, 'l_linestatus' AS col_b, * FROM s1
+      UNION ALL
+      SELECT 'l_returnflag', 'l_discount_b', * FROM s2
+      UNION ALL
+      SELECT 'l_linestatus', 'l_discount_b', * FROM s3
+    )
+    SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+           CAST(round(chi2, 6) AS DOUBLE) AS chi2,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           CAST(round(CASE WHEN least(r, c) > 1
+                           THEN sqrt(chi2 / (n * (least(r, c) - 1)))
+                      END, 6) AS DOUBLE) AS cramers_v
+    FROM u ORDER BY col_a, col_b
+    """,
+)
+def dq_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association audit (operators/profile.py
+    association_matrix): chi-square + Cramér's V over lineitem's
+    return-flag / line-status / discount-bucket pairs — contingency
+    cells, margins, the empty-cell correction and the V fold all
+    replayed by DuckDB. The discount column rides as a string bucket
+    (cardinality ~11), which is the operator's contract anyway."""
+    from .operators.profile import association_matrix
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_linestatus",
+        F.col("l_discount").cast("string").alias("l_discount_b"),
+    )
+    return association_matrix(
+        li, ["l_returnflag", "l_linestatus", "l_discount_b"]
+    )
+
+
+@query(
+    "dq_imply",
+    """
+    WITH agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS a1,
+             sum(CASE WHEN l_returnflag = 'R'
+                       AND NOT coalesce(l_linestatus = 'F', false)
+                      THEN 1 ELSE 0 END) AS v1,
+             sum(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS a2,
+             sum(CASE WHEN l_quantity >= 30
+                       AND NOT coalesce(l_extendedprice >= 1000, false)
+                      THEN 1 ELSE 0 END) AS v2,
+             sum(CASE WHEN l_shipdate < DATE '1996-01-01'
+                      THEN 1 ELSE 0 END) AS a3,
+             sum(CASE WHEN l_shipdate < DATE '1996-01-01'
+                       AND NOT coalesce(l_linestatus = 'F', false)
+                      THEN 1 ELSE 0 END) AS v3
+      FROM lineitem
+    ), m AS (
+      SELECT 'big_qty_price' AS rule, n, a2 AS a, v2 AS v FROM agg
+      UNION ALL
+      SELECT 'returned_final', n, a1, v1 FROM agg
+      UNION ALL
+      SELECT 'ship_pre96_final', n, a3, v3 FROM agg
+    )
+    SELECT rule, CAST(n AS BIGINT) AS n_rows,
+           CAST(a AS BIGINT) AS n_antecedent,
+           CAST(v AS BIGINT) AS n_violations,
+           CAST(round(a / CAST(n AS DOUBLE), 6) AS DOUBLE) AS support,
+           CAST(round(1.0 - v / CAST(a AS DOUBLE), 6) AS DOUBLE)
+             AS confidence
+    FROM m ORDER BY rule
+    """,
+)
+def dq_imply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field implication audit (operators/consistency.py
+    implication_report): three business-rule implications over
+    lineitem, all slots fused into ONE aggregation; DuckDB replays the
+    conditional sums and the support/confidence arithmetic."""
+    from .operators.consistency import implication_report
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return implication_report(li, [
+        ("returned_final", "l_returnflag = 'R'", "l_linestatus = 'F'"),
+        ("big_qty_price", "l_quantity >= 30", "l_extendedprice >= 1000"),
+        ("ship_pre96_final", "l_shipdate < DATE '1996-01-01'",
+         "l_linestatus = 'F'"),
+    ])
+
+
+@query(
     "dq_overlap",
     """
     WITH ha AS (

@@ -641,3 +641,75 @@ def scd_chain_audit(
         & (F.col("n_gaps") == 0)
         & (F.col("n_current") <= 1),
     ).orderBy(*key_cols)
+
+
+def implication_report(
+    df: DataFrame,
+    rules: list[tuple[str, str, str]],
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cross-field implication audit: for each rule
+    ``(name, antecedent_sql, consequent_sql)``, how often does
+    "IF antecedent THEN consequent" hold? The association-rule reading
+    of a business constraint ("returned lines are final", "a shipped
+    order has a ship date") — support, confidence and the violation
+    count, which is what a DQ gate thresholds on.
+
+    Output one row per rule: ``rule``, ``n_rows``, ``n_antecedent``
+    (rows where the antecedent holds — NULL predicate results count as
+    false, both sides), ``n_violations`` (antecedent true, consequent
+    not), ``support`` (= n_antecedent/n_rows) and ``confidence``
+    (= 1 - violations/antecedent; NULL when the antecedent never
+    fires — an implication nobody triggers is unproven, not perfect).
+
+    Scale shape: every rule compiles to two conditional-sum slots in
+    ONE fused aggregation — one scan, one 1-row reduce for the whole
+    rule list (the same fusion contract as the DQ rule engine,
+    plans/analysis.py); the per-rule rows melt from that single row
+    with typed literals.
+
+    Reference parity: the reference rule framework has no cross-field
+    conditional rule (single-column checks only,
+    src/pyspark_data_quality/checks/); extension alongside
+    fd_violations (the exact-functional special case).
+    """
+    if not rules:
+        raise ValueError("implication_report: rules must be non-empty")
+    names = [r[0] for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError("implication_report: rule names must be distinct")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (_, ante, cons) in enumerate(rules):
+        a = F.coalesce(F.expr(ante), F.lit(False))
+        c = F.coalesce(F.expr(cons), F.lit(False))
+        aggs.append(F.sum(a.cast("long")).alias(f"_a{i}"))
+        aggs.append(F.sum((a & ~c).cast("long")).alias(f"_v{i}"))
+    row = df.agg(*aggs)
+    melted = F.array(*[
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_a{i}").alias("n_antecedent"),
+            F.col(f"_v{i}").alias("n_violations"),
+        )
+        for i, (name, _, _) in enumerate(rules)
+    ])
+    return (
+        row.select(F.explode(melted).alias("_r"))
+        .select("_r.*")
+        .withColumn(
+            "support",
+            F.round(F.try_divide(F.col("n_antecedent"), F.col("n_rows")),
+                    round_to),
+        )
+        .withColumn(
+            "confidence",
+            F.round(
+                1.0
+                - F.try_divide(F.col("n_violations"), F.col("n_antecedent")),
+                round_to,
+            ),
+        )
+        .orderBy("rule")
+    )

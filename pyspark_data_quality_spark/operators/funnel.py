@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["event_transitions", "funnel", "funnel_users"]
+__all__ = ["event_transitions", "funnel", "funnel_users", "sessionize"]
 
 
 def funnel_users(
@@ -253,3 +253,51 @@ def event_transitions(
         "prob",
         F.round(F.try_divide(F.col("n_transitions"), total), round_to),
     ).orderBy("from_state", "to_state")
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    gap_seconds: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Gap-based batch sessionization: assign each event a per-key
+    ``session_id`` (1-based, in time order) that increments whenever
+    the gap to the previous event exceeds ``gap_seconds`` — the batch
+    twin of streaming session windows
+    (streaming/windows.py session_counts), for when the corpus is
+    already at rest and you want session ids ON the rows (to feed
+    funnel / transitions / per-session aggregates).
+
+    One key-partitioned window: lag for the gap test, running sum of
+    session-start flags for the id — per-key linear scan, one shuffle,
+    no arrays. Rows with NULL ``ts`` are excluded (a timestamp-less
+    event belongs to no session; audit them with a completeness rule).
+    ``id_col`` pins the order among equal timestamps, same contract as
+    :func:`event_transitions`.
+    """
+    from pyspark.sql.window import Window
+
+    if gap_seconds <= 0:
+        raise ValueError("sessionize: gap_seconds must be > 0")
+    if "session_id" in df.columns:
+        raise ValueError(
+            "sessionize: output column 'session_id' already exists on "
+            "df; rename it first"
+        )
+    order = [F.col(ts_col).asc()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    prev = F.lag(sec).over(w)
+    starts = (
+        prev.isNull() | ((sec - prev) > F.lit(float(gap_seconds)))
+    ).cast("long")
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .withColumn("session_id", F.sum(starts).over(run))
+    )

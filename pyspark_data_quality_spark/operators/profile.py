@@ -850,3 +850,116 @@ def heavy_hitters(
         F.col("_est").alias("count_min"),
         (F.col("_est") + F.col("_err")).alias("count_max"),
     )
+
+
+def association_matrix(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Categorical association audit: chi-square and Cramér's V for
+    every pair of the given (low-cardinality) columns — "are these two
+    fields secretly the same signal?" for redundancy hunting, leakage
+    checks, and schema archaeology; the categorical sibling of
+    :func:`correlation_matrix`.
+
+    One row per unordered pair with ``col_a``/``col_b`` (in ``cols``
+    order), ``n``, ``chi2``, ``dof`` = (r-1)(c-1), and ``cramers_v`` =
+    sqrt(chi2 / (n * (min(r, c) - 1))) in [0, 1] (NULL when a side is
+    constant — association with a constant is undefined). NULL is its
+    own category (a column that is NULL exactly when another changes IS
+    association; exclude upstream if you disagree).
+
+    Scale shape: ONE pass whatever the pair count — rows explode to
+    (pair, value_a, value_b) and a single hash aggregation reduces to
+    contingency CELLS (partial map-side combine; the shuffle carries
+    cells, so it scales with the vocabulary product, not rows — that is
+    also the operator's contract: pass CATEGORICAL columns). Margins
+    and the chi-square fold are windows/aggregations over the cell
+    frame, which is tiny.
+
+    Reference parity: none (single-column rules only); extension
+    alongside correlation_matrix / fd_violations (FD = the V == 1
+    special case with direction).
+    """
+    from pyspark.sql.window import Window
+
+    if len(cols) < 2:
+        raise ValueError("association_matrix: need at least 2 columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"association_matrix: columns {missing} not in df")
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    rows = F.array(*[
+        F.struct(
+            F.lit(f"{a}\x1f{b}").alias("pid"),
+            F.col(a).cast("string").alias("va"),
+            F.col(b).cast("string").alias("vb"),
+        )
+        for a, b in pairs
+    ])
+    cells = (
+        df.select(F.explode(rows).alias("_p"))
+        .select("_p.*")
+        .groupBy("pid", "va", "vb")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    wa = Window.partitionBy("pid", "va")
+    wb = Window.partitionBy("pid", "vb")
+    wp = Window.partitionBy("pid")
+    with_margins = cells.select(
+        "pid", "va", "vb", "o",
+        F.sum("o").over(wa).alias("_ra"),
+        F.sum("o").over(wb).alias("_cb"),
+        F.sum("o").over(wp).alias("_n"),
+    )
+    e = F.col("_ra") * F.col("_cb") / F.col("_n")
+    # the cell frame holds OBSERVED cells only; empty cells contribute
+    # (0-e)^2/e = e to chi-square, and since expected counts sum to n,
+    # their total is exactly n - sum(e over observed cells) — added
+    # back after the aggregation so no zero-cell expansion is needed
+    per_pair = (
+        with_margins.withColumn(
+            "_term", (F.col("o") - e) * (F.col("o") - e) / e
+        )
+        .withColumn("_e", e)
+        .groupBy("pid")
+        .agg(
+            F.max("_n").alias("n"),
+            (F.sum("_term") + F.max("_n") - F.sum("_e")).alias("_chi2"),
+            F.count_distinct("va").alias("_r"),
+            F.count_distinct("vb").alias("_c"),
+        )
+    )
+    # count_distinct skips NULL; the NULL category still occupies a
+    # contingency row/column, so add it back where present
+    has_na = cells.filter(F.col("va").isNull()).select("pid").distinct() \
+        .withColumn("_na", F.lit(1))
+    has_nb = cells.filter(F.col("vb").isNull()).select("pid").distinct() \
+        .withColumn("_nb", F.lit(1))
+    per_pair = (
+        per_pair.join(F.broadcast(has_na), "pid", "left")
+        .join(F.broadcast(has_nb), "pid", "left")
+        .withColumn("_r", F.col("_r") + F.coalesce(F.col("_na"), F.lit(0)))
+        .withColumn("_c", F.col("_c") + F.coalesce(F.col("_nb"), F.lit(0)))
+    )
+    k = F.least(F.col("_r"), F.col("_c")) - 1
+    out = per_pair.select(
+        F.split_part("pid", F.lit("\x1f"), F.lit(1)).alias("col_a"),
+        F.split_part("pid", F.lit("\x1f"), F.lit(2)).alias("col_b"),
+        F.col("n"),
+        F.round("_chi2", round_to).alias("chi2"),
+        ((F.col("_r") - 1) * (F.col("_c") - 1)).alias("dof"),
+        F.round(
+            F.when(
+                k > 0, F.sqrt(F.col("_chi2") / (F.col("n") * k))
+            ),
+            round_to,
+        ).alias("cramers_v"),
+    )
+    return out.orderBy("col_a", "col_b")

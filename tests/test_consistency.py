@@ -476,3 +476,44 @@ def test_scd_chain_audit(spark):
         scd_chain_audit(df, [], "s", "e")
     with pytest.raises(ValueError, match="chain_ok"):
         scd_chain_audit(df.withColumn("chain_ok", F.lit(1)), ["k"], "s", "e")
+
+
+def test_implication_report_fused(spark):
+    """Hand-built implications: support/confidence math, NULL predicate
+    = false, never-fired antecedent -> NULL confidence; the whole rule
+    list runs as ONE aggregation job."""
+    from pyspark_data_quality_spark.operators.consistency import (
+        implication_report,
+    )
+
+    df = spark.createDataFrame(
+        [("R", "F", 10.0), ("R", "F", 5.0), ("R", "O", 1.0),
+         ("N", "O", 2.0), ("N", None, 3.0)],
+        "flag string, status string, v double",
+    )
+    rules = [
+        ("returned_final", "flag = 'R'", "status = 'F'"),
+        ("null_status_cheap", "status IS NULL", "v < 10"),
+        ("never_fires", "flag = 'Z'", "v > 0"),
+    ]
+    out = {r["rule"]: r for r in implication_report(df, rules).collect()}
+    rf = out["returned_final"]
+    assert rf["n_rows"] == 5 and rf["n_antecedent"] == 3
+    assert rf["n_violations"] == 1
+    assert rf["support"] == 0.6
+    assert rf["confidence"] == pytest.approx(round(2 / 3, 6))
+    assert out["null_status_cheap"]["n_antecedent"] == 1
+    assert out["null_status_cheap"]["n_violations"] == 0
+    nf = out["never_fires"]
+    assert nf["n_antecedent"] == 0 and nf["confidence"] is None
+
+    sc = spark.sparkContext
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    implication_report(df, rules).collect()
+    after = sc.statusTracker().getJobIdsForGroup(None)
+    assert len(after) - len(before) <= 2  # one fused agg (+ AQE stage)
+
+    with pytest.raises(ValueError, match="distinct"):
+        implication_report(df, [("a", "1=1", "1=1"), ("a", "1=1", "1=1")])
+    with pytest.raises(ValueError, match="non-empty"):
+        implication_report(df, [])

@@ -224,3 +224,36 @@ def test_event_transitions_matrix(spark):
         ).collect()
     }
     assert nt == {("a", "b"): 1, ("b", "__end__"): 1}
+
+
+def test_sessionize_gap_assignment(spark):
+    """Per-key gap sessions: ids are 1-based and increment past the gap;
+    keys are independent; NULL ts rows drop; id tiebreak pins ties."""
+    from pyspark_data_quality_spark.operators.funnel import sessionize
+
+    df = _events(spark, [
+        (1, "2024-01-01 00:00:00", "a"),
+        (1, "2024-01-01 00:10:00", "b"),     # 600s gap: same session
+        (1, "2024-01-01 01:10:00", "c"),     # 3600s gap: new session
+        (1, "2024-01-01 01:10:30", "d"),
+        (2, "2024-01-01 00:00:00", "a"),     # fresh key: session 1
+        (2, None, "x"),                      # no timestamp: excluded
+    ])
+    out = sessionize(df, "user_id", "ts", gap_seconds=1800)
+    got = {(r["user_id"], r["event_type"]): r["session_id"]
+           for r in out.collect()}
+    assert got == {
+        (1, "a"): 1, (1, "b"): 1, (1, "c"): 2, (1, "d"): 2, (2, "a"): 1,
+    }
+    # exactly-at-gap is the SAME session (strict > opens a new one)
+    edge = _events(spark, [
+        (3, "2024-01-01 00:00:00", "a"), (3, "2024-01-01 00:30:00", "b"),
+    ])
+    e = sessionize(edge, "user_id", "ts", gap_seconds=1800).collect()
+    assert {r["session_id"] for r in e} == {1}
+
+    with pytest.raises(ValueError, match="gap_seconds"):
+        sessionize(df, "user_id", "ts", gap_seconds=0)
+    with pytest.raises(ValueError, match="session_id"):
+        sessionize(df.withColumn("session_id", F.lit(1)),
+                   "user_id", "ts", gap_seconds=10)

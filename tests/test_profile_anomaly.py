@@ -853,3 +853,46 @@ def test_heavy_hitters_exact_regime_and_bounds(spark):
         heavy_hitters(df, "v", k=10, capacity=5)
     with _pt.raises(ValueError, match="not in df"):
         heavy_hitters(df, "nope")
+
+
+def test_association_matrix_cramers_v(spark):
+    """Hand-checkable contingency tables: perfect association gives
+    V=1, independence gives V=0 (chi2=0), a constant column yields NULL
+    V, and NULL is a real category."""
+    from pyspark_data_quality_spark.operators.profile import (
+        association_matrix,
+    )
+
+    rows = []
+    # a<->b perfectly associated (a determines b and vice versa);
+    # c independent of a (balanced 2x2); d constant
+    for i in range(40):
+        a = "x" if i % 2 == 0 else "y"
+        b = "u" if a == "x" else "v"
+        c = "p" if (i // 2) % 2 == 0 else "q"
+        rows.append((a, b, c, "const"))
+    df = spark.createDataFrame(rows, "a string, b string, c string, d string")
+    out = {
+        (r["col_a"], r["col_b"]): r
+        for r in association_matrix(df, ["a", "b", "c", "d"]).collect()
+    }
+    assert len(out) == 6
+    assert out[("a", "b")]["cramers_v"] == 1.0
+    assert out[("a", "b")]["chi2"] == 40.0  # chi2 = n for a perfect 2x2
+    assert out[("a", "c")]["cramers_v"] == 0.0
+    assert out[("a", "d")]["cramers_v"] is None  # constant side
+    assert out[("a", "b")]["dof"] == 1
+
+    # NULL category: a NULL exactly when b=='v' -> still perfect
+    withnull = df.withColumn(
+        "a", F.when(F.col("b") == "v", None).otherwise(F.col("a"))
+    )
+    nv = {
+        (r["col_a"], r["col_b"]): r
+        for r in association_matrix(withnull, ["a", "b"]).collect()
+    }
+    assert nv[("a", "b")]["cramers_v"] == 1.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least 2"):
+        association_matrix(df, ["a"])
