@@ -68,6 +68,7 @@ NESTED_LOOP_OK = {
     "dq_group_freshness",        # 1-row global-freshness broadcast
     "dq_histogram",              # 1-row min/max bounds broadcast
     "dq_numeric_drift",          # two 1-row stats frames joined
+    "dq_heavy",                  # 1-row undercount-bound broadcast
 }
 
 

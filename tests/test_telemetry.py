@@ -156,3 +156,56 @@ def test_cap_per_group_ranks_only_offenders(spark):
     # count agg partials + the 5000 offender rows; ranking ALL 7000 rows
     # plus counts would exceed this bound
     assert s["shuffle_records_written"] < 5000 + 3 * 2001 + 100
+
+
+def test_heavy_hitters_shuffle_bounded_by_capacity(spark):
+    """heavy_hitters' claim: the shuffle carries per-partition MG
+    summaries (<= partitions x (capacity+1) rows), never the input rows
+    — cardinality does not move the bill."""
+    from pyspark_data_quality_spark.operators.profile import heavy_hitters
+
+    n = 50_000
+    cap = 16
+    parts = 8
+    # skewed: 4 hot values carry 60% of rows over a 9000-value tail
+    # (uniform data would legitimately yield an EMPTY summary — nothing
+    # is heavy — so the telemetry probe uses the operator's actual
+    # use case)
+    df = spark.range(n, numPartitions=parts).select(
+        F.when(F.col("id") % 10 < 6,
+               F.concat(F.lit("hot"), F.col("id") % 4))
+        .otherwise(F.concat(F.lit("u"), F.col("id") % 9000))
+        .alias("v")
+    )
+    out = heavy_hitters(df, "v", k=8, capacity=cap)
+    rows, metrics = measured_collect(out)
+    got = {r["value"] for r in rows}
+    assert {"hot0", "hot1", "hot2", "hot3"} <= got
+    s = summarize_metrics(metrics)
+    # summary rows (+ sentinel) per partition, x2 for the merge
+    # exchange's partial-agg side; the 50k inputs never shuffle
+    assert 0 < s["shuffle_records_written"] <= 3 * parts * (cap + 2)
+
+
+def test_association_matrix_shuffle_carries_cells(spark):
+    """association_matrix's claim: the one real exchange moves
+    contingency CELLS (vocabulary product), not rows — partial
+    aggregation collapses the exploded pairs map-side."""
+    from pyspark_data_quality_spark.operators.profile import (
+        association_matrix,
+    )
+
+    n = 30_000
+    df = spark.range(n, numPartitions=6).select(
+        (F.col("id") % 4).cast("string").alias("a"),
+        (F.col("id") % 3).cast("string").alias("b"),
+        (F.col("id") % 5).cast("string").alias("c"),
+    )
+    out = association_matrix(df, ["a", "b", "c"])
+    rows, metrics = measured_collect(out)
+    assert len(rows) == 3
+    s = summarize_metrics(metrics)
+    # cells: 3 pairs x <=20 cells = 60 max distinct; x partitions of
+    # map-side partials + the tiny margin/agg exchanges downstream —
+    # never the 90k exploded rows
+    assert 0 < s["shuffle_records_written"] < n / 20
