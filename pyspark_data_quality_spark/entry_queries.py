@@ -4034,6 +4034,50 @@ def dq_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_tsplit",
+    """
+    WITH lab AS (
+      SELECT CASE
+               WHEN ts IS NULL THEN NULL
+               WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+               WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'embargo'
+               ELSE 'test' END AS split,
+             ts
+      FROM events
+    )
+    SELECT split, count(*) AS n,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
+    FROM lab GROUP BY split ORDER BY split
+    """,
+)
+def dq_tsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal split with embargo (operators/split.py time_split):
+    events cut at 2024-01-20 with a 48h embargo, summarized per label —
+    the split is two timestamp comparisons, so the oracle replays it
+    as a CASE verbatim; per-label bounds prove the boundary semantics
+    (train ends before the cut, test starts at embargo end)."""
+    from .operators.split import time_split
+
+    ev = load_table(spark, "events", sf_dir)
+    lab = time_split(
+        ev, "ts", train_end="2024-01-20 00:00:00",
+        embargo_seconds=48 * 3600,
+    )
+    return (
+        lab.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.min(F.col("ts").cast("timestamp")).cast("long"))
+            .alias("first_epoch"),
+            F.floor(F.max(F.col("ts").cast("timestamp")).cast("long"))
+            .alias("last_epoch"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
     "dq_sess",
     """
     WITH e AS (

@@ -41,7 +41,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bottom_k_sketch", "corpus_overlap"]
+__all__ = ["bottom_k_sketch", "corpus_overlap", "overlap_from_sketches"]
 
 _HEX_WIDTH = 15
 _SPACE = float(16 ** _HEX_WIDTH)
@@ -105,6 +105,30 @@ def corpus_overlap(
     spark = SparkSession.getActiveSession() or a.sparkSession
     sa = bottom_k_sketch(a, col, k)
     sb = bottom_k_sketch(b, col, k)
+    return overlap_from_sketches(spark, sa, sb, k, round_to=round_to)
+
+
+def overlap_from_sketches(
+    spark: SparkSession,
+    sa: list[str],
+    sb: list[str],
+    k: int,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """The estimator tail of :func:`corpus_overlap`, over two
+    already-built sketches — the INCREMENTAL shape: persist each
+    corpus/day/source sketch once (it is a ≤ k-row string list; a
+    one-column parquet file holds it), then compare any two without
+    rescanning either corpus. Sketches built with different ``k`` can
+    be compared at the smaller ``k`` by truncation — each is, by
+    definition, the bottom-k' of its set for any k' ≤ k."""
+    if any(len(h) != _HEX_WIDTH for h in (*sa, *sb)):
+        raise ValueError(
+            "overlap_from_sketches: sketch entries must be "
+            f"{_HEX_WIDTH}-char md5-hex values from bottom_k_sketch"
+        )
+    sa, sb = sorted(sa)[:k], sorted(sb)[:k]
 
     def frac(h: str) -> float:
         return int(h, 16) / _SPACE

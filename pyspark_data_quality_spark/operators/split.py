@@ -817,3 +817,49 @@ def matched_sample(
         .filter(bucket < F.col("_ms_bound"))
         .drop("_ms_stratum", "_ms_bound")
     )
+
+
+def time_split(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    train_end: str,
+    embargo_seconds: int = 0,
+    label_col: str = "split",
+) -> DataFrame:
+    """Temporal train/test split with an embargo gap — the
+    leakage-safe convention for time-dependent data (public: the
+    purge/embargo idea from López de Prado's time-series CV):
+    everything strictly before ``train_end`` is ``train``; rows inside
+    ``[train_end, train_end + embargo_seconds)`` are labeled
+    ``embargo`` (excluded from BOTH sides — near-boundary rows carry
+    information across it via autocorrelation/label horizons);
+    everything at/after the embargo is ``test``. A NULL timestamp gets
+    a NULL label (no silent bucket).
+
+    A hash split (deterministic_split) answers "are these populations
+    exchangeable?"; THIS answers "can the model see the future?" — use
+    this one whenever rows are time-ordered observations.
+
+    Pure expression tree (two timestamp comparisons), no shuffle, no
+    action; ``train_end`` is an ISO timestamp string evaluated in the
+    session timezone.
+    """
+    if embargo_seconds < 0:
+        raise ValueError("time_split: embargo_seconds must be >= 0")
+    if label_col in df.columns:
+        raise ValueError(
+            f"time_split: column {label_col!r} already exists on df"
+        )
+    ts = F.col(ts_col).cast("timestamp")
+    cut = F.lit(train_end).cast("timestamp")
+    test_start = cut + F.expr(
+        f"INTERVAL {int(embargo_seconds)} SECONDS"
+    )
+    label = (
+        F.when(ts.isNull(), F.lit(None).cast("string"))
+        .when(ts < cut, F.lit("train"))
+        .when(ts < test_start, F.lit("embargo"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(label_col, label)

@@ -62,3 +62,26 @@ def test_overlap_sketch_regime_accuracy_and_determinism(spark):
         _ids(spark, 0, 100), _ids(spark, 0, 0), "v", k=64
     ).collect()[0]
     assert er["n_b_est"] == 0.0 and er["containment_a"] == 0.0
+
+
+def test_overlap_from_sketches_incremental(spark):
+    """Persisted-sketch composition: comparing stored sketches equals
+    comparing the corpora directly, truncation compares mixed-k
+    sketches, and malformed entries are refused."""
+    from pyspark_data_quality_spark.operators.overlap import (
+        overlap_from_sketches,
+    )
+
+    a, b = _ids(spark, 0, 300), _ids(spark, 150, 450)
+    direct = corpus_overlap(a, b, "v", k=128).collect()[0]
+    sa, sb = bottom_k_sketch(a, "v", 128), bottom_k_sketch(b, "v", 128)
+    via = overlap_from_sketches(spark, sa, sb, 128).collect()[0]
+    assert via.asDict() == direct.asDict()
+
+    # mixed k: a k=256 sketch truncates to its bottom-128 exactly
+    sa256 = bottom_k_sketch(a, "v", 256)
+    mixed = overlap_from_sketches(spark, sa256, sb, 128).collect()[0]
+    assert mixed.asDict() == direct.asDict()
+
+    with pytest.raises(ValueError, match="md5-hex"):
+        overlap_from_sketches(spark, ["xyz"], sb, 128)

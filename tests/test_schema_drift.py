@@ -1130,3 +1130,40 @@ def test_candidate_keys_exact_and_approx(spark):
         candidate_keys(df, max_width=2, max_combos=5)
     with pytest.raises(ValueError, match="not in df"):
         candidate_keys(df, ["nope"])
+
+
+def test_time_split_embargo(spark):
+    """Boundary semantics: strict < train_end is train, the embargo
+    window excludes both sides, at/after embargo-end is test; zero
+    embargo degenerates to a two-way cut; NULL ts gets NULL label."""
+    from pyspark_data_quality_spark.operators.split import time_split
+
+    df = spark.createDataFrame(
+        [(1, "2024-06-30 23:59:59"), (2, "2024-07-01 00:00:00"),
+         (3, "2024-07-01 11:59:59"), (4, "2024-07-01 12:00:00"),
+         (5, None)],
+        "id int, ts string",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    out = {
+        r["id"]: r["split"]
+        for r in time_split(
+            df, "ts", train_end="2024-07-01 00:00:00",
+            embargo_seconds=12 * 3600,
+        ).collect()
+    }
+    assert out == {1: "train", 2: "embargo", 3: "embargo",
+                   4: "test", 5: None}
+
+    zero = {
+        r["id"]: r["split"]
+        for r in time_split(
+            df, "ts", train_end="2024-07-01 00:00:00"
+        ).collect()
+    }
+    assert zero[1] == "train" and zero[2] == "test" and zero[3] == "test"
+
+    with pytest.raises(ValueError, match="embargo_seconds"):
+        time_split(df, "ts", train_end="2024-01-01", embargo_seconds=-1)
+    with pytest.raises(ValueError, match="already exists"):
+        time_split(df.withColumn("split", F.lit("x")), "ts",
+                   train_end="2024-01-01")
