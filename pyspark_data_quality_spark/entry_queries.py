@@ -4034,6 +4034,106 @@ def dq_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_c2st",
+    r"""
+    WITH sides AS (
+      SELECT concat('c', CAST(doc_id AS VARCHAR)) AS uid,
+             concat(text, ' zzdrift') AS text, 'cur' AS side
+      FROM documents WHERE doc_id >= 250
+      UNION ALL
+      SELECT concat('r', CAST(doc_id AS VARCHAR)), text, 'ref'
+      FROM documents WHERE doc_id < 250
+    ), parts AS (
+      SELECT *,
+             CASE WHEN CAST(concat('0x',
+                    substr(md5(concat(uid, 'clsdrift')), 1, 8)) AS BIGINT)
+                    % 10000 < 5000
+                  THEN 'fit' ELSE 'eval' END AS part,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM sides
+    ),
+    fit AS (SELECT * FROM parts WHERE part = 'fit'),
+    ev  AS (SELECT * FROM parts WHERE part = 'eval'),
+    toks AS (SELECT side AS label, unnest(toks) AS feature FROM fit),
+    cnt AS (SELECT label, feature, count(*) AS c FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT count(DISTINCT feature) AS v FROM cnt),
+    totals AS (SELECT label, sum(c) AS total FROM cnt GROUP BY 1),
+    doc_counts AS (
+      SELECT side AS label, count(*) AS docs FROM fit GROUP BY 1
+    ),
+    classes AS (
+      SELECT d.label,
+             ln(d.docs) - ln((SELECT sum(docs) FROM doc_counts))
+               AS log_prior,
+             -ln(coalesce(t.total, 0) + (SELECT v FROM vocab)) AS log_oov
+      FROM doc_counts d LEFT JOIN totals t USING (label)
+    ),
+    feats AS (SELECT feature, label, ln(c + 1.0) AS delta FROM cnt),
+    doc_feats AS (SELECT uid, unnest(toks) AS feature FROM ev),
+    matched AS (
+      SELECT df.uid, f.label, sum(f.delta) AS delta_sum
+      FROM doc_feats df JOIN feats f USING (feature) GROUP BY 1, 2
+    ),
+    ntok AS (SELECT uid, side, coalesce(len(toks), 0) AS n FROM ev),
+    scores AS (
+      SELECT nt.uid, nt.side, c.label,
+             c.log_prior + nt.n * c.log_oov + coalesce(m.delta_sum, 0)
+               AS score
+      FROM ntok nt
+      CROSS JOIN classes c
+      LEFT JOIN matched m ON m.uid = nt.uid AND m.label = c.label
+    ),
+    margins AS (
+      SELECT uid, side,
+             round(max(CASE WHEN label = 'cur' THEN score END)
+                   - max(CASE WHEN label = 'ref' THEN score END), 6)
+               AS margin
+      FROM scores GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT side,
+             CAST(rank() OVER (ORDER BY margin) AS DOUBLE)
+               + (count(*) OVER (PARTITION BY margin) - 1) / 2.0 AS r
+      FROM margins
+    ),
+    agg AS (
+      SELECT sum(CASE WHEN side = 'cur' THEN r END) AS rsum,
+             sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS nc,
+             sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS nr,
+             (SELECT count(*) FROM fit) AS n_fit
+      FROM ranked
+    )
+    SELECT CAST(n_fit AS BIGINT) AS n_fit,
+           CAST(nc AS BIGINT) AS n_eval_cur,
+           CAST(nr AS BIGINT) AS n_eval_ref,
+           CAST(round((rsum - nc * (nc + 1) / 2.0)
+                      / CAST(nc * nr AS DOUBLE), 6) AS DOUBLE) AS auc,
+           (round((rsum - nc * (nc + 1) / 2.0)
+                  / CAST(nc * nr AS DOUBLE), 6) >= 0.6) AS drifted
+    FROM agg
+    """,
+)
+def dq_c2st(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier two-sample drift test (operators/drift.py
+    classifier_drift): documents >= 250 with a planted drift token vs
+    the rest — md5 fit/eval split, NB train + score (the certified
+    dq_nb_scores math), rounded margins, tied-rank Mann-Whitney AUC.
+    DuckDB replays the entire protocol: split hash, classifier math,
+    midranks and the AUC fold."""
+    from .operators.drift import classifier_drift
+
+    docs = load_table(spark, "documents", sf_dir)
+    cur = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" zzdrift")).alias("text")
+    )
+    ref = docs.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    return classifier_drift(cur, ref, "text", "doc_id")
+
+
+@query(
     "dq_tsplit",
     """
     WITH lab AS (

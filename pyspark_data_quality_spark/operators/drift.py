@@ -1054,3 +1054,129 @@ def mmd_drift(
             ).alias("mmd"),
         )
     )
+
+
+def classifier_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    train_fraction: float = 0.5,
+    num_buckets: int | None = None,
+    smoothing: float = 1.0,
+    min_count: int = 1,
+    threshold: float = 0.6,
+    salt: str = "clsdrift",
+    round_to: int = 6,
+) -> DataFrame:
+    """Classifier two-sample drift test (public: Lopez-Paz & Oquab
+    2017, "Revisiting classifier two-sample tests"): train a classifier
+    to tell ``cur`` from ``ref``; if it can beat coin-flipping on held
+    out data, the corpora differ — in ANY text property the features
+    see, which is what makes this the catch-all drift monitor when you
+    don't know which marginal to watch (PSI/KS audit one column at a
+    time; this audits the joint).
+
+    Protocol, fully deterministic: rows get side labels and a
+    ``md5(uid||salt)`` hash split into fit/eval (``train_fraction``);
+    an NB classifier (operators/classify.py — two groupBys to train,
+    explode + broadcast join to score) fits on the fit rows; eval rows
+    score a margin = log-score(cur) − log-score(ref); AUC over the
+    margins via the tied-rank Mann-Whitney statistic. Output one row:
+    ``n_fit``, ``n_eval_cur``, ``n_eval_ref``, ``auc``, ``drifted``
+    (auc ≥ threshold). Identical corpora → AUC ≈ 0.5; AUC NULL when an
+    eval side is empty.
+
+    Scale shape: training and scoring are the certified NB shapes; the
+    one new exchange is the rank window over EVAL MARGINS — a global
+    sort of (uid, margin) pairs, ~16 bytes/row on the eval fraction
+    only. At extreme scale, eval on a deterministic sub-fraction (feed
+    smaller frames); the statistic only needs enough rows to separate
+    AUC from 0.5.
+
+    ``id_col`` values must be unique WITHIN each side; sides are
+    disambiguated internally, so cur/ref may share ids.
+    """
+    from .classify import score_nb_classifier, train_nb_classifier
+    from .split import split_assignment
+
+    if not 0 < train_fraction < 1:
+        raise ValueError(
+            "classifier_drift: train_fraction must be in (0, 1)"
+        )
+    sides = []
+    for name, df_ in (("cur", cur), ("ref", ref)):
+        if id_col not in df_.columns or text_col not in df_.columns:
+            raise ValueError(
+                f"classifier_drift: {id_col!r}/{text_col!r} missing "
+                f"from the {name} side"
+            )
+        sides.append(
+            df_.select(
+                F.concat(F.lit(name[0]), F.col(id_col).cast("string"))
+                .alias("_uid"),
+                F.col(text_col).alias("_text"),
+                F.lit(name).alias("_side"),
+            )
+        )
+    both = sides[0].unionByName(sides[1]).withColumn(
+        "_part",
+        split_assignment(
+            F.col("_uid"),
+            {"fit": train_fraction, "eval": 1 - train_fraction},
+            salt=salt,
+        ),
+    )
+    fit = both.filter(F.col("_part") == "fit")
+    ev = both.filter(F.col("_part") == "eval")
+    model = train_nb_classifier(
+        fit, "_text", "_side",
+        num_buckets=num_buckets, smoothing=smoothing, min_count=min_count,
+    )
+    scored = score_nb_classifier(ev, model, "_text", ["_uid", "_side"])
+    # margins are ROUNDED before ranking: a doc's log-score sums in
+    # nondeterministic partial-agg order, so unrounded low bits would
+    # break ties differently run to run (and engine to engine in the
+    # oracle replay); at round_to decimals equal-content docs tie
+    # exactly and the midrank correction applies deterministically
+    margins = scored.groupBy("_uid", "_side").agg(
+        F.round(
+            F.max(F.when(F.col("label") == "cur", F.col("score")))
+            - F.max(F.when(F.col("label") == "ref", F.col("score"))),
+            round_to,
+        ).alias("_margin")
+    )
+    # tied-rank Mann-Whitney AUC: rank() gives the tie group's minimum
+    # rank; averaging in (tie_count-1)/2 yields midranks, the standard
+    # ties correction
+    w = Window.orderBy("_margin")
+    ties = Window.partitionBy("_margin")
+    ranked = margins.select(
+        "_side",
+        (
+            F.rank().over(w).cast("double")
+            + (F.count(F.lit(1)).over(ties) - 1) / 2.0
+        ).alias("_r"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("_side") == "cur", F.col("_r"))).alias("_rsum"),
+        F.sum((F.col("_side") == "cur").cast("long")).alias("n_eval_cur"),
+        F.sum((F.col("_side") == "ref").cast("long")).alias("n_eval_ref"),
+    )
+    n_fit = fit.groupBy().agg(F.count(F.lit(1)).alias("n_fit"))
+    nc, nr = F.col("n_eval_cur"), F.col("n_eval_ref")
+    auc = F.round(
+        F.try_divide(
+            F.col("_rsum") - nc * (nc + 1) / 2.0, (nc * nr).cast("double")
+        ),
+        round_to,
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_fit))
+        .select(
+            "n_fit", "n_eval_cur", "n_eval_ref",
+            auc.alias("auc"),
+            (auc >= threshold).alias("drifted"),
+        )
+    )

@@ -1167,3 +1167,42 @@ def test_time_split_embargo(spark):
     with pytest.raises(ValueError, match="already exists"):
         time_split(df.withColumn("split", F.lit("x")), "ts",
                    train_end="2024-01-01")
+
+
+def test_classifier_drift_detects_and_nulls(spark):
+    """Separable corpora push AUC to ~1; identical-distribution sides
+    sit near 0.5; determinism across runs; empty eval side -> NULL."""
+    from pyspark_data_quality_spark.operators.drift import classifier_drift
+
+    words_a = ["spark", "shuffle", "partition", "catalyst", "executor"]
+    words_b = ["violin", "sonata", "orchestra", "tempo", "aria"]
+    rows_a = [(i, " ".join(words_a[j % 5] for j in range(i, i + 7)))
+              for i in range(120)]
+    rows_b = [(i, " ".join(words_b[j % 5] for j in range(i, i + 7)))
+              for i in range(120)]
+    cur = spark.createDataFrame(rows_a, "id int, text string")
+    ref = spark.createDataFrame(rows_b, "id int, text string")
+    r1 = classifier_drift(cur, ref, "text", "id").collect()[0]
+    assert r1["auc"] is not None and r1["auc"] > 0.95 and r1["drifted"]
+    assert r1["n_eval_cur"] > 0 and r1["n_eval_ref"] > 0
+    assert r1["n_fit"] + r1["n_eval_cur"] + r1["n_eval_ref"] == 240
+    # deterministic: same inputs, same statistic
+    r2 = classifier_drift(cur.repartition(7), ref, "text", "id").collect()[0]
+    assert r1.asDict() == r2.asDict()
+
+    # same distribution both sides: no separation signal
+    same = classifier_drift(
+        cur, cur.withColumn("id", F.col("id") + 1000), "text", "id"
+    ).collect()[0]
+    assert same["auc"] is not None and abs(same["auc"] - 0.5) < 0.2
+    assert not same["drifted"]
+
+    # empty side -> NULL auc, never a crash
+    empty = classifier_drift(cur, ref.filter("id < 0"), "text", "id")
+    e = empty.collect()[0]
+    assert e["auc"] is None and e["n_eval_ref"] == 0
+
+    with pytest.raises(ValueError, match="train_fraction"):
+        classifier_drift(cur, ref, "text", "id", train_fraction=1.0)
+    with pytest.raises(ValueError, match="missing"):
+        classifier_drift(cur.drop("text"), ref, "text", "id")
