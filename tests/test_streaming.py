@@ -546,3 +546,59 @@ def test_streaming_bloom_dedup_against_static_corpus(spark, sf_dir, tmp_path):
     assert got == expected
     # every historical doc is caught (no false negatives)
     assert not any(i < 100 for i in got)
+
+
+def test_streaming_heavy_hitters_state_across_batches(spark, tmp_path):
+    """MG summaries persist as shard state: counts accumulate across
+    micro-batches (maxFilesPerTrigger=1 forces two), each value lives
+    in exactly one shard, and the batch operator agrees in the exact
+    regime. Decrement regime still bounds true counts."""
+    import pandas as pd
+
+    from pyspark_data_quality_spark.streaming.topk import (
+        streaming_heavy_hitters,
+    )
+
+    src_dir = tmp_path / "hh_src"
+    src_dir.mkdir()
+    rows1 = [("a",)] * 30 + [("b",)] * 10 + [("c",)] * 5
+    rows2 = [("a",)] * 20 + [("b",)] * 15 + [("d",)] * 3
+    spark.createDataFrame(rows1, "v string").coalesce(1).write.parquet(
+        str(src_dir / "f1")
+    )
+    spark.createDataFrame(rows2, "v string").coalesce(1).write.parquet(
+        str(src_dir / "f2")
+    )
+    stream = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    out = streaming_heavy_hitters(stream, "v", capacity=64, num_shards=4)
+    sink = _run_stream(spark, out, output_mode="update")
+    pdf = sink.toPandas()
+    # exact regime: no decrements, so per (shard, value) the LATEST
+    # (= max) count_min is the cumulative exact count
+    latest = pdf.groupby(["shard", "value"])["count_min"].max()
+    totals = latest.groupby("value").sum().to_dict()
+    assert totals == {"a": 50, "b": 25, "c": 5, "d": 3}
+    assert (pdf["count_max"] == pdf["count_min"]).all()  # err stays 0
+    # one shard per value — the union-of-shards contract
+    assert (pdf.groupby("value")["shard"].nunique() == 1).all()
+
+    # decrement regime: bounds still contain the true counts
+    tight = streaming_heavy_hitters(
+        spark.readStream.schema("v string").parquet(str(src_dir / "*")),
+        "v", capacity=1, num_shards=1,
+    )
+    tp = _run_stream(spark, tight, output_mode="update").toPandas()
+    exact = {"a": 50, "b": 25, "c": 5, "d": 3}
+    last = tp.drop_duplicates(subset=["value"], keep="last")
+    for _, r in last.iterrows():
+        assert r["count_min"] <= exact[r["value"]] <= r["count_max"]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not a stream"):
+        streaming_heavy_hitters(
+            spark.createDataFrame(rows1, "v string"), "v"
+        )
