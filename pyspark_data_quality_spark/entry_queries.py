@@ -1169,6 +1169,39 @@ def dq_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@query("dq_phash")  # rows-only: DCT perceptual hashing is not SQL-expressible
+def dq_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs (multimodal/media.py media_phash +
+    phash_near_dup_pairs) over the fixture payloads (text bytes,
+    deterministic fake decoder): pHash -> banded Hamming join. Exact
+    duplicate payloads land at hamming 0; fake-decoder determinism and
+    the banding guarantee are unit-tested (tests/test_multimodal.py).
+
+    Near-dups are PLANTED (every 10th doc gets a copy with byte 50
+    flipped, id + 1,000,000) — the fixture has no byte-identical
+    payloads, and under the tiled fake decoder only a same-length
+    small edit is perceptually close. Short docs tile the edit into
+    more pixels, so not every variant lands within 6 bits (measured at
+    sf0.01: 43/50 do) — the entry certifies the pipeline shape;
+    recall floors live in the unit tests."""
+    from .multimodal.media import media_phash, phash_near_dup_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("data"),
+    )
+    variants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("media_id"),
+        F.concat(
+            F.substring("text", 1, 49), F.lit("~"),
+            F.expr("substring(text, 51, 2147483647)"),
+        ).cast("binary").alias("data"),
+    )
+    hashed = media_phash(base.unionByName(variants), decoder="fake")
+    return phash_near_dup_pairs(hashed, max_hamming=6)
+
+
 @query("dq_simhash_pairs")  # rows-only: banded SimHash is approximate
 def dq_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_dup_pairs

@@ -414,3 +414,142 @@ def media_dedup(
             df.filter(F.col(data_col).isNull())
         )
     return df.filter(F.col(data_col).isNotNull()).join(keep, id_col, "anti")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (pHash) + banded near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the classic JPEG/pHash transform)."""
+    k = np.arange(n).reshape(-1, 1)
+    x = np.arange(n).reshape(1, -1)
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    d[0, :] /= np.sqrt(2.0)
+    return d
+
+
+def media_phash(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    decoder: str = "fake",
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+) -> DataFrame:
+    """64-bit perceptual hash per image payload — the public pHash
+    recipe (decode to ``hash_size*highfreq_factor`` grayscale, 2-D
+    DCT-II, keep the top-left ``hash_size²`` low-frequency block,
+    threshold against its median, pack the bits): near-identical images
+    (recompression, mild resize/brightness) land within a few bits,
+    which is what byte-exact :func:`media_dedup` cannot see.
+
+    One ``mapInPandas`` pass (numpy DCT per payload — the transform is
+    two small matmuls, no scipy); output ``(id_col, phash long)``.
+    NULL payloads yield a NULL phash. ``decoder`` follows
+    :func:`decode_image` (this container: 'fake', deterministic).
+    """
+    n = hash_size * highfreq_factor
+    if hash_size * hash_size != 64:
+        raise ValueError(
+            "media_phash: hash_size must be 8 (64-bit hash contract)"
+        )
+    dct = _dct_matrix(n)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                ids.append(mid)
+                if data is None:
+                    hashes.append(None)
+                    continue
+                px = decode_image(
+                    bytes(data), height=n, width=n, channels=1,
+                    decoder=decoder,
+                ).reshape(n, n).astype(np.float64)
+                low = (dct @ px @ dct.T)[:hash_size, :hash_size]
+                bits = (low > np.median(low)).flatten()
+                h = np.uint64(0)
+                for b in bits:
+                    h = np.uint64(h << np.uint64(1)) | np.uint64(int(b))
+                hashes.append(int(h.astype(np.int64)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), F.col(data_col)
+    ).mapInPandas(gen, schema="media_id long, phash long")
+
+
+def phash_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    phash_col: str = "phash",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate image pairs by pHash Hamming distance, WITHOUT a
+    cross join: the 64 hash bits split into ``max_hamming + 1`` bands,
+    and by pigeonhole any pair within ``max_hamming`` bits agrees on at
+    least one whole band — so candidates come from equi-joins on
+    (band_index, band_value), exactly the SimHash banding argument
+    (operators/dedup.py). Exact ``bit_count(xor)`` then verifies each
+    candidate; output (id_a, id_b, hamming), id_a < id_b.
+
+    Scale shape: each row explodes to ``max_hamming + 1`` (band, value)
+    rows; the join shuffles those ~16-byte rows on the band key; cost ∝
+    candidates sharing a band, never |rows|².
+    """
+    bands = max_hamming + 1
+    if not 1 <= bands <= 64:
+        raise ValueError(
+            "phash_near_dup_pairs: max_hamming must be in [0, 63]"
+        )
+    bounds = [round(i * 64 / bands) for i in range(bands + 1)]
+    h = F.col(phash_col)
+    entries = []
+    for i in range(bands):
+        lo, hi = bounds[i], bounds[i + 1]
+        width = hi - lo
+        mask = (1 << width) - 1
+        entries.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(h, lo).bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+        )
+    keyed = (
+        df.filter(h.isNotNull())
+        .select(F.col(id_col).alias("_id"), h.alias("_h"),
+                F.explode(F.array(*entries)).alias("_b"))
+        .select("_id", "_h", "_b.band", "_b.val")
+    )
+    left = keyed.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"),
+        "band", "val",
+    )
+    right = keyed.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"),
+        "band", "val",
+    )
+    return (
+        left.join(right, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(
+                F.col("_ha").bitwiseXOR(F.col("_hb"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )

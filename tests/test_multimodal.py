@@ -193,3 +193,43 @@ def test_media_dedup_null_payloads_all_survive(spark):
     assert surv == [1, 3, 4]
     dups = sorted(r["media_id"] for r in media_dedup(df, mode="dups").collect())
     assert dups == [2]
+
+
+def test_media_phash_and_near_dup_pairs(spark):
+    """pHash determinism (same payload -> same hash), single-pixel
+    perturbation lands within a few bits, unrelated payloads do not
+    pair at a tight threshold, NULL payloads yield NULL hash, and the
+    banded join finds exactly the planted near-dups."""
+    import random
+
+    from pyspark_data_quality_spark.multimodal.media import (
+        media_phash,
+        phash_near_dup_pairs,
+    )
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(256) for _ in range(1024))
+    near = base[:-1] + bytes([base[-1] ^ 0x01])   # one byte differs
+    other = bytes(rng.randrange(256) for _ in range(1024))
+    rows = [(1, base), (2, base), (3, near), (4, other), (5, None)]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    hashed = media_phash(df, decoder="fake")
+    got = {r["media_id"]: r["phash"] for r in hashed.collect()}
+    assert got[1] == got[2]            # determinism / exact dup
+    assert got[5] is None
+    ham = bin((got[1] ^ got[3]) & ((1 << 64) - 1)).count("1")
+    assert 0 <= ham <= 6               # one-pixel change: a few bits
+    far = bin((got[1] ^ got[4]) & ((1 << 64) - 1)).count("1")
+    assert far > 6                     # unrelated content stays far
+
+    pairs = phash_near_dup_pairs(hashed, max_hamming=6).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found[(1, 2)] == 0
+    assert (1, 3) in found and (2, 3) in found
+    assert not any(4 in p for p in found)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="hash_size"):
+        media_phash(df, hash_size=4)
+    with _pt.raises(ValueError, match="max_hamming"):
+        phash_near_dup_pairs(hashed, max_hamming=64)
