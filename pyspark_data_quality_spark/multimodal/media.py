@@ -456,6 +456,11 @@ def media_phash(
         raise ValueError(
             "media_phash: hash_size must be 8 (64-bit hash contract)"
         )
+    if highfreq_factor < 1:
+        raise ValueError(
+            "media_phash: highfreq_factor must be >= 1 (it sets the "
+            f"decode size hash_size*highfreq_factor), got {highfreq_factor}"
+        )
     dct = _dct_matrix(n)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -518,13 +523,16 @@ def phash_near_dup_pairs(
     for i in range(bands):
         lo, hi = bounds[i], bounds[i + 1]
         width = hi - lo
-        mask = (1 << width) - 1
+        # width == 64 (max_hamming=0, one band) means the band IS the
+        # hash — and (1<<64)-1 does not fit a LongType literal, so the
+        # mask must be skipped, not built.
+        if width == 64:
+            val = h
+        else:
+            mask = (1 << width) - 1
+            val = F.shiftrightunsigned(h, lo).bitwiseAND(F.lit(mask))
         entries.append(
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(h, lo).bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
+            F.struct(F.lit(i).alias("band"), val.alias("val"))
         )
     keyed = (
         df.filter(h.isNotNull())

@@ -105,7 +105,9 @@ def corpus_overlap(
     spark = SparkSession.getActiveSession() or a.sparkSession
     sa = bottom_k_sketch(a, col, k)
     sb = bottom_k_sketch(b, col, k)
-    return overlap_from_sketches(spark, sa, sb, k, round_to=round_to)
+    return overlap_from_sketches(
+        spark, sa, sb, k, build_k=k, round_to=round_to
+    )
 
 
 def overlap_from_sketches(
@@ -114,6 +116,7 @@ def overlap_from_sketches(
     sb: list[str],
     k: int,
     *,
+    build_k: int | None = None,
     round_to: int = 6,
 ) -> DataFrame:
     """The estimator tail of :func:`corpus_overlap`, over two
@@ -121,12 +124,24 @@ def overlap_from_sketches(
     corpus/day/source sketch once (it is a ≤ k-row string list; a
     one-column parquet file holds it), then compare any two without
     rescanning either corpus. Sketches built with different ``k`` can
-    be compared at the smaller ``k`` by truncation — each is, by
-    definition, the bottom-k' of its set for any k' ≤ k."""
+    be compared at the SMALLER ``k`` by truncation — each is, by
+    definition, the bottom-k' of its set for any k' ≤ k. The UPWARD
+    direction is invalid and undetectable from the sketch alone: a
+    sketch built with k=128 over a huge corpus is indistinguishable
+    from the full value set of a 128-distinct corpus, so requesting
+    k=256 would silently floor the estimate at 128. Pass ``build_k``
+    (the smaller of the two sketches' build parameters) whenever it is
+    known — ``k > build_k`` then raises instead of under-estimating."""
     if any(len(h) != _HEX_WIDTH for h in (*sa, *sb)):
         raise ValueError(
             "overlap_from_sketches: sketch entries must be "
             f"{_HEX_WIDTH}-char md5-hex values from bottom_k_sketch"
+        )
+    if build_k is not None and k > build_k:
+        raise ValueError(
+            f"overlap_from_sketches: k={k} exceeds build_k={build_k} — "
+            "a sketch only supports comparison at k' <= its build k "
+            "(re-sketch the corpora with the larger k instead)"
         )
     sa, sb = sorted(sa)[:k], sorted(sb)[:k]
 

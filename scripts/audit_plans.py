@@ -69,6 +69,7 @@ NESTED_LOOP_OK = {
     "dq_histogram",              # 1-row min/max bounds broadcast
     "dq_numeric_drift",          # two 1-row stats frames joined
     "dq_heavy",                  # 1-row undercount-bound broadcast
+    "dq_c2st",                   # NB class-spine + 1-row broadcasts
 }
 
 

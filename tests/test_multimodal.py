@@ -233,3 +233,19 @@ def test_media_phash_and_near_dup_pairs(spark):
         media_phash(df, hash_size=4)
     with _pt.raises(ValueError, match="max_hamming"):
         phash_near_dup_pairs(hashed, max_hamming=64)
+    with _pt.raises(ValueError, match="highfreq_factor"):
+        media_phash(df, highfreq_factor=0)
+
+    # max_hamming=0 = exact-dup mode: one full-width band (the 64-bit
+    # mask must not be built as a Long literal) — exactly the
+    # equal-hash pairs, nothing else
+    exact = phash_near_dup_pairs(hashed, max_hamming=0).collect()
+    want = sorted(
+        (a, b, 0)
+        for a in got for b in got
+        if a < b and got[a] is not None and got[a] == got[b]
+    )
+    assert sorted(
+        (r["id_a"], r["id_b"], r["hamming"]) for r in exact
+    ) == want
+    assert (1, 2, 0) in want and not any(4 in p[:2] for p in want)

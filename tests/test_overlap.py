@@ -85,3 +85,13 @@ def test_overlap_from_sketches_incremental(spark):
 
     with pytest.raises(ValueError, match="md5-hex"):
         overlap_from_sketches(spark, ["xyz"], sb, 128)
+
+    # upward k is invalid (a small-k sketch is indistinguishable from a
+    # small corpus): declaring build_k makes the misuse loud
+    with pytest.raises(ValueError, match="exceeds build_k"):
+        overlap_from_sketches(spark, sa, sb, 256, build_k=128)
+    # downward with build_k declared stays fine
+    ok = overlap_from_sketches(
+        spark, sa256, sb, 128, build_k=128
+    ).collect()[0]
+    assert ok.asDict() == direct.asDict()
