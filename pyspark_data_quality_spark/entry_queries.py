@@ -6458,6 +6458,277 @@ def dq_group_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+
+
+@query(
+    "dq_retention",
+    """
+    WITH base AS (
+      SELECT user_id AS u,
+             CAST(floor(floor(epoch(date_trunc('day', ts)) / 86400) / 7)
+                  AS BIGINT) AS p
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), firsts AS (SELECT u, min(p) AS cohort FROM base GROUP BY u),
+    act AS (SELECT DISTINCT u, p FROM base),
+    joined AS (
+      SELECT f.cohort, a.p - f.cohort AS period_offset
+      FROM act a JOIN firsts f USING (u)
+      WHERE a.p - f.cohort <= 8
+    ), sizes AS (
+      SELECT cohort, count(*) AS n_cohort FROM firsts GROUP BY cohort
+    ), mat AS (
+      SELECT cohort, period_offset, count(*) AS n_active
+      FROM joined GROUP BY 1, 2
+    )
+    SELECT m.cohort, m.period_offset, s.n_cohort, m.n_active,
+           CAST(round(m.n_active / CAST(s.n_cohort AS DOUBLE), 6)
+                AS DOUBLE) AS retention
+    FROM mat m JOIN sizes s USING (cohort)
+    ORDER BY cohort, period_offset
+    """,
+)
+def dq_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/retention.py
+    retention_matrix) over the event log: users bucketed by
+    first-touch week, share still active k weeks on (offset capped at
+    8). Periods are integer epoch-week indices, so both engines do
+    identical integer arithmetic; the offset-0 rows are a built-in
+    retention=1.0 self-check."""
+    from .operators.retention import retention_matrix
+
+    ev = load_table(spark, "events", sf_dir)
+    return retention_matrix(
+        ev, user_col="user_id", ts_col="ts", period_days=7, max_offset=8
+    )
+
+
+@query(
+    "dq_kappa",
+    """
+    WITH lab AS (
+      SELECT CASE WHEN length(text) >= 500 THEN 'pass' ELSE 'fail' END
+               AS a,
+             CASE WHEN strpos(text, ' the ') > 0 THEN 'pass' ELSE 'fail'
+               END AS b
+      FROM documents WHERE text IS NOT NULL
+    ), n AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS n_agree
+      FROM lab
+    ), ma AS (SELECT a AS cat, count(*) AS na FROM lab GROUP BY a),
+    mb AS (SELECT b AS cat, count(*) AS nb FROM lab GROUP BY b),
+    pe AS (
+      SELECT sum(CAST(na AS DOUBLE) * nb) AS pe_num
+      FROM ma JOIN mb USING (cat)
+    )
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(round(n_agree / CAST(n_rows AS DOUBLE), 6) AS DOUBLE)
+             AS observed_agreement,
+           CAST(round(pe_num / (CAST(n_rows AS DOUBLE) * n_rows), 6)
+                AS DOUBLE) AS expected_agreement,
+           CAST(round(
+             (n_agree / CAST(n_rows AS DOUBLE)
+              - pe_num / (CAST(n_rows AS DOUBLE) * n_rows))
+             / (1 - pe_num / (CAST(n_rows AS DOUBLE) * n_rows)), 6)
+             AS DOUBLE) AS kappa
+    FROM n, pe
+    """,
+)
+def dq_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (operators/consistency.py
+    agreement_report): Cohen's kappa between two independent quality
+    gates over the documents table — a length gate and an
+    English-marker gate. Both engines build identical labels, then the
+    oracle replays the po/pe/kappa arithmetic from its own confusion
+    marginals."""
+    from .operators.consistency import agreement_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    lab = docs.filter(F.col("text").isNotNull()).select(
+        F.when(F.length("text") >= 500, F.lit("pass"))
+        .otherwise(F.lit("fail")).alias("gate_len"),
+        F.when(F.locate(" the ", F.col("text")) > 0, F.lit("pass"))
+        .otherwise(F.lit("fail")).alias("gate_en"),
+    )
+    return agreement_report(lab, "gate_len", "gate_en")
+
+
+@query(
+    "dq_calibration",
+    """
+    WITH pair AS (
+      SELECT least(length(text) / 2000.0, 1.0) AS s,
+             CASE WHEN length(text) >= 1000 THEN 1.0 ELSE 0.0 END AS y
+      FROM documents WHERE text IS NOT NULL
+    ), binned AS (
+      SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin, s, y
+      FROM pair
+    ), per AS (
+      SELECT bin, count(*) AS n, avg(s) AS ms, avg(y) AS pr
+      FROM binned GROUP BY bin
+    )
+    SELECT bin, n,
+           CAST(round(ms, 6) AS DOUBLE) AS mean_score,
+           CAST(round(pr, 6) AS DOUBLE) AS positive_rate,
+           CAST(round(abs(ms - pr), 6) AS DOUBLE) AS abs_gap
+    FROM per
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS bin, CAST(sum(n) AS BIGINT) AS n,
+           CAST(round(sum(ms * n) / sum(n), 6) AS DOUBLE) AS mean_score,
+           CAST(round(sum(pr * n) / sum(n), 6) AS DOUBLE)
+             AS positive_rate,
+           CAST(round(sum(abs(ms - pr) * n) / sum(n), 6) AS DOUBLE)
+             AS abs_gap
+    FROM per
+    ORDER BY bin
+    """,
+)
+def dq_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score calibration / ECE (operators/classify.py
+    calibration_report): a [0,1] length-derived quality score binned
+    into deciles against a binary length label; per-bin reliability
+    rows plus the bin=-1 ECE summary. The label is a deterministic
+    function of the score's own input, so the diagram shape (pure-0
+    bins below 0.5, pure-1 above) is itself a cross-engine
+    invariant."""
+    from .operators.classify import calibration_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        F.least(F.length("text") / F.lit(2000.0), F.lit(1.0))
+        .alias("score"),
+        (F.length("text") >= 1000).cast("int").alias("label"),
+    )
+    return calibration_report(scored, "score", "label", bins=10)
+
+
+@query(
+    "dq_triangles",
+    """
+    WITH raw AS (
+      SELECT o_orderkey % 61 AS src, o_custkey % 61 AS dst FROM orders
+    ), e AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM raw
+      WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL
+    ), sym AS (
+      SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+    )
+    SELECT s1.a AS node, count(*) AS n_triangles
+    FROM sym s1
+    JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+    JOIN e ON e.u = s1.b AND e.v = s2.b
+    GROUP BY s1.a
+    ORDER BY node
+    """,
+)
+def dq_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py triangle_counts)
+    over a deterministic order↔customer residue graph (keys mod 61 —
+    the distinct edge set is bounded by the node domain, so cost is
+    SF-stable). The oracle counts by the independent neighbor-pair
+    method (for each node, connected neighbor pairs), cross-checking
+    the degree-oriented wedge algorithm with different math."""
+    from .operators.graph import triangle_counts
+
+    orders = load_table(spark, "orders", sf_dir)
+    edges = orders.select(
+        (F.col("o_orderkey") % 61).alias("src"),
+        (F.col("o_custkey") % 61).alias("dst"),
+    )
+    return triangle_counts(edges).orderBy("node")
+
+
+@query(
+    "dq_joinability",
+    """
+    WITH vals AS (
+      SELECT 'ord' AS t,
+             substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS h
+      FROM orders WHERE o_custkey IS NOT NULL
+      UNION ALL
+      SELECT 'cust', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+      FROM customer WHERE c_custkey IS NOT NULL
+      UNION ALL
+      SELECT 'brand', substr(md5(p_brand), 1, 15)
+      FROM part WHERE p_brand IS NOT NULL
+    ), dvals AS (SELECT DISTINCT t, h FROM vals),
+    sk AS (
+      SELECT t, h FROM (
+        SELECT t, h,
+               row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+        FROM dvals
+      ) q WHERE rn <= 512
+    ), sides AS (SELECT t, count(*) AS kk, max(h) AS th FROM sk GROUP BY t),
+    pairs AS (
+      SELECT a.t AS a, b.t AS b
+      FROM (SELECT DISTINCT t FROM sk) a, (SELECT DISTINCT t FROM sk) b
+      WHERE a.t <> b.t
+    ), pu AS (
+      SELECT p.a, p.b, s.h,
+             max(CASE WHEN s.t = p.a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN s.t = p.b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.t = p.a OR s.t = p.b
+      GROUP BY p.a, p.b, s.h
+    ), pu_k AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY a, b ORDER BY h) AS rn
+        FROM pu
+      ) q WHERE rn <= 512
+    ), ust AS (
+      SELECT a, b, count(*) AS ku, max(h) AS thu,
+             sum(in_a * in_b) AS ik
+      FROM pu_k GROUP BY a, b
+    ), est AS (
+      SELECT u.a, u.b,
+        CASE WHEN sa.kk < 512 THEN CAST(sa.kk AS DOUBLE)
+             ELSE 511.0 / (CAST(concat('0x', sa.th) AS UBIGINT)
+                           / 1152921504606846976.0) END AS d_a,
+        CASE WHEN sb.kk < 512 THEN CAST(sb.kk AS DOUBLE)
+             ELSE 511.0 / (CAST(concat('0x', sb.th) AS UBIGINT)
+                           / 1152921504606846976.0) END AS d_b,
+        CASE WHEN u.ku < 512 THEN CAST(u.ku AS DOUBLE)
+             ELSE 511.0 / (CAST(concat('0x', u.thu) AS UBIGINT)
+                           / 1152921504606846976.0) END AS d_u,
+        CASE WHEN u.ku > 0 THEN CAST(u.ik AS DOUBLE) / u.ku
+             ELSE 0.0 END AS jac
+      FROM ust u
+      JOIN sides sa ON sa.t = u.a
+      JOIN sides sb ON sb.t = u.b
+    )
+    SELECT a, b,
+           CAST(round(d_a, 6) AS DOUBLE) AS n_a_est,
+           CAST(round(d_b, 6) AS DOUBLE) AS n_b_est,
+           CAST(round(jac, 6) AS DOUBLE) AS jaccard_est,
+           CAST(round(CASE WHEN d_a > 0 THEN jac * d_u / d_a
+                           ELSE 0.0 END, 6) AS DOUBLE) AS containment
+    FROM est ORDER BY containment DESC, a, b
+    """,
+)
+def dq_joinability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-column discovery (operators/overlap.py joinability_report)
+    across three candidate columns: orders.o_custkey, customer
+    .c_custkey and part.p_brand at k=512. The FK→PK direction
+    (ord→cust) must read containment 1.0, the reverse reads the
+    customers-with-orders share, and the brand column pairs with
+    nothing — the report ranks all six directed pairs. DuckDB rebuilds
+    the same bottom-k sketches and replays every estimator."""
+    from .operators.overlap import joinability_report
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    return joinability_report(
+        spark,
+        [
+            ("ord", orders, "o_custkey"),
+            ("cust", cust, "c_custkey"),
+            ("brand", part, "p_brand"),
+        ],
+        k=512,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, not hand-maintained.
 #

@@ -48,6 +48,7 @@ __all__ = [
     "predict_nb",
     "uncertainty_sample",
     "crossval_nb",
+    "calibration_report",
 ]
 
 
@@ -452,3 +453,98 @@ def crossval_nb(
     return df.sparkSession.createDataFrame(
         out, "fold int, n_docs long, n_correct long, accuracy double"
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) for a
+    probabilistic score against a binary outcome — "when the filter
+    says 0.9, is it right 90% of the time?" (public: Guo et al. 2017
+    "On Calibration of Modern Neural Networks"). A quality classifier
+    whose scores drive keep/drop thresholds is only as good as its
+    calibration: a miscalibrated 0.9 silently shifts the corpus mix.
+
+    ``score_col`` must lie in [0, 1] (rows outside raise — a loud
+    signal the caller passed raw margins; squash them first);
+    ``label_col`` is boolean or 0/1. Scores bin into ``bins``
+    equal-width buckets (score 1.0 folds into the top bin); output is
+    one row per non-empty bin — ``bin`` index, ``n``, ``mean_score``,
+    ``positive_rate``, ``abs_gap`` — plus one summary row (bin = -1)
+    whose ``abs_gap`` is the ECE: Σ (n_b / n) · |mean_score_b −
+    positive_rate_b|.
+
+    Scale shape: ONE groupBy over at most ``bins`` keys (partial aggs
+    collapse everything map-side), then a 1-row total broadcast for the
+    ECE weights; nothing scales with row count. The range check rides
+    the same scan as the binning — ANSI mode turns the violation into
+    a query error via ``raise_error``, no extra action.
+    """
+    if bins < 1:
+        raise ValueError(f"calibration_report: bins must be >= 1, got {bins}")
+    s = F.col(score_col).cast("double")
+    checked = F.when(
+        s.isNull() | ((s >= 0.0) & (s <= 1.0)), s
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"calibration_report: {score_col} outside [0, 1]: "
+                ),
+                s.cast("string"),
+            )
+        )
+    )
+    pair = (
+        df.select(
+            checked.alias("_s"),
+            F.col(label_col).cast("int").cast("double").alias("_y"),
+        )
+        .filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+        .select(
+            F.least(
+                F.floor(F.col("_s") * bins).cast("long"), F.lit(bins - 1)
+            ).alias("bin"),
+            "_s",
+            "_y",
+        )
+    )
+    per_bin = pair.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_s").alias("_ms"),
+        F.avg("_y").alias("_pr"),
+    )
+    total = per_bin.agg(F.sum("n").alias("_n_total"))
+    binned = per_bin.crossJoin(F.broadcast(total)).select(
+        "bin",
+        "n",
+        "_ms",
+        "_pr",
+        (F.abs(F.col("_ms") - F.col("_pr"))).alias("_gap"),
+        F.col("_n_total"),
+    )
+    detail = binned.select(
+        "bin",
+        "n",
+        F.round("_ms", round_to).alias("mean_score"),
+        F.round("_pr", round_to).alias("positive_rate"),
+        F.round("_gap", round_to).alias("abs_gap"),
+    )
+    ece = binned.agg(
+        F.lit(-1).cast("long").alias("bin"),
+        F.sum("n").alias("n"),
+        F.round(F.try_divide(F.sum(F.col("_ms") * F.col("n")),
+                             F.sum("n")), round_to).alias("mean_score"),
+        F.round(F.try_divide(F.sum(F.col("_pr") * F.col("n")),
+                             F.sum("n")), round_to).alias("positive_rate"),
+        F.round(
+            F.try_divide(F.sum(F.col("_gap") * F.col("n")), F.sum("n")),
+            round_to,
+        ).alias("abs_gap"),
+    )
+    return detail.unionByName(ece).orderBy("bin")

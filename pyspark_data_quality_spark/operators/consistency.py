@@ -713,3 +713,77 @@ def implication_report(
         )
         .orderBy("rule")
     )
+
+
+def agreement_report(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Inter-rater agreement between two categorical label columns —
+    Cohen's kappa (public: Cohen 1960), the standard chance-corrected
+    score for "do two annotators / two heuristic gates / a model and
+    its referee actually agree, beyond what their marginals force?".
+    Raw accuracy flatters skewed labelers (two gates that both say
+    'pass' 95% of the time agree 90%+ by luck alone); kappa subtracts
+    that chance floor.
+
+    One row: ``n_rows`` (non-NULL-pair rows), ``observed_agreement``
+    p_o, ``expected_agreement`` p_e = Σ_c p_a(c)·p_b(c), and ``kappa``
+    = (p_o − p_e) / (1 − p_e) (NULL when p_e = 1: both raters are
+    constant and agreement is undefined, not perfect).
+
+    Scale shape: p_o is one fused aggregation over the pair; the
+    marginals are two groupBys over the (tiny) label domain joined on
+    category — every shuffle carries at most |domain| rows, then three
+    1-row frames combine via the whitelisted constant-fan-out join.
+    Rows where either side is NULL are excluded (an abstaining rater
+    is not a disagreeing rater).
+
+    Reference parity: no agreement surface in the reference; extension
+    alongside implication_report (one-directional rules) — kappa is
+    the symmetric "same verdict" counterpart.
+    """
+    require_columns(df, [col_a, col_b])
+    pair = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(
+        F.col(col_a).cast("string").alias("_a"),
+        F.col(col_b).cast("string").alias("_b"),
+    )
+    po = pair.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("_a") == F.col("_b"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("_n_agree"),
+    )
+    ma = pair.groupBy(F.col("_a").alias("_cat")).agg(
+        F.count(F.lit(1)).alias("_na")
+    )
+    mb = pair.groupBy(F.col("_b").alias("_cat")).agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    pe = ma.join(mb, "_cat").agg(
+        F.sum(F.col("_na").cast("double") * F.col("_nb")).alias("_pe_num")
+    )
+    out = po.crossJoin(pe).select(
+        "n_rows",
+        F.round(F.try_divide(F.col("_n_agree"), F.col("n_rows")), round_to)
+        .alias("observed_agreement"),
+        F.try_divide(
+            F.col("_pe_num"),
+            F.col("n_rows").cast("double") * F.col("n_rows"),
+        ).alias("_pe"),
+        F.try_divide(F.col("_n_agree"), F.col("n_rows")).alias("_po"),
+    )
+    return out.select(
+        "n_rows",
+        "observed_agreement",
+        F.round("_pe", round_to).alias("expected_agreement"),
+        F.round(
+            F.try_divide(F.col("_po") - F.col("_pe"), 1.0 - F.col("_pe")),
+            round_to,
+        ).alias("kappa"),
+    )

@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_counts"]
 
 
 def pagerank(
@@ -158,3 +158,91 @@ def pagerank(
         return ranks.select("node", F.col("_r").alias(rank_col))
     finally:
         e.unpersist()
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an UNDIRECTED graph
+    — the classic cohesion/community signal (a near-dup cluster whose
+    pair graph is triangle-dense is one document family; a link graph's
+    triangle count feeds clustering coefficients and spam detection).
+
+    Algorithm: degree-ordered edge orientation (public: the standard
+    MapReduce/Cohen triangle scheme; Suri & Vassilvitskii 2011). Edges
+    canonicalize to undirected distinct pairs (self-loops and NULLs
+    dropped), then each edge orients from its (degree, node)-smaller
+    endpoint to the larger — a total order, so the oriented graph is
+    acyclic and every triangle has exactly ONE wedge node with two
+    out-edges. Wedges (a→b, a→c) joined against the canonical
+    undirected edge set (does b—c exist?) count each triangle exactly
+    once; exploding the three corners attributes it to its nodes.
+
+    Scale shape: orientation bounds every node's out-degree by
+    O(sqrt(E)), so the wedge self-join — the only superlinear step —
+    generates at most E^1.5 candidate rows (the theoretical optimum for
+    exact counting), shuffled on the (b, c) pair key; everything else
+    is |E|-row hash joins on node keys. The canonical edge set feeds
+    degrees, orientation and closure, so it is ``localCheckpoint``-ed
+    once (this operator is EAGER, like dedup_components): the raw
+    input is scanned once, and every downstream reuse — including the
+    wedge self-join's two sides — reads the checkpointed edges instead
+    of rescanning the source. Output covers nodes in ≥1
+    triangle; isolated/acyclic nodes are absent (left-join the node
+    frame and coalesce to 0 when the dense output matters).
+
+    Reference parity: no graph surface in the reference; extension
+    alongside pagerank (authority) and dedup_components (reachability).
+    """
+    # the canonical edge set feeds degrees, orientation AND closure —
+    # localCheckpoint it once (same contract as dedup_components) so
+    # the raw input is scanned once, not once per reuse
+    e = (
+        edges.filter(
+            F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+            & (F.col(src_col) != F.col(dst_col))
+        )
+        .select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("_u").alias("_n"))
+        .unionAll(e.select(F.col("_v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    du = deg.select(F.col("_n").alias("_u"), F.col("_d").alias("_du"))
+    dv = deg.select(F.col("_n").alias("_v"), F.col("_d").alias("_dv"))
+    lower_u = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))
+    )
+    oriented = (
+        e.join(du, "_u").join(dv, "_v")
+        .select(
+            F.when(lower_u, F.col("_u")).otherwise(F.col("_v")).alias("_a"),
+            F.when(lower_u, F.col("_v")).otherwise(F.col("_u")).alias("_b"),
+        )
+    )
+    w1 = oriented.select(F.col("_a").alias("_x"), F.col("_b").alias("_y"))
+    w2 = oriented.select(F.col("_a").alias("_x"), F.col("_b").alias("_z"))
+    wedges = w1.join(w2, "_x").filter(F.col("_y") < F.col("_z"))
+    # close against the CANONICAL edge set (u < v by node order): the
+    # wedge endpoints are node-ordered, but the oriented edge between
+    # them may run either way (orientation is degree-first), so the
+    # oriented frame would miss half the closures.
+    closing = e.select(F.col("_u").alias("_y"), F.col("_v").alias("_z"))
+    tris = wedges.join(closing, ["_y", "_z"])
+    return (
+        tris.select(
+            F.explode(F.array("_x", "_y", "_z")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -41,7 +41,12 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bottom_k_sketch", "corpus_overlap", "overlap_from_sketches"]
+__all__ = [
+    "bottom_k_sketch",
+    "corpus_overlap",
+    "overlap_from_sketches",
+    "joinability_report",
+]
 
 _HEX_WIDTH = 15
 _SPACE = float(16 ** _HEX_WIDTH)
@@ -171,3 +176,63 @@ def overlap_from_sketches(
     )
     # round JVM-side (HALF_UP, oracle-matching) — never in Python
     return row.select(*[F.round(c, round_to).alias(c) for c in row.columns])
+
+
+def joinability_report(
+    spark: SparkSession,
+    tables: list[tuple[str, DataFrame, str]],
+    *,
+    k: int = 1024,
+    round_to: int = 6,
+) -> DataFrame:
+    """Join-column discovery across a data lake: for every ordered pair
+    of (table, column) candidates, how much of A's value set is
+    CONTAINED in B's — the signal that ranks "these two columns join"
+    without ever joining them (public lineage: Aurum / LSH Ensemble
+    joinability search; the estimator here is the same bottom-k sketch
+    as :func:`corpus_overlap`).
+
+    ``tables`` is a list of (name, df, col); each side is sketched
+    ONCE (one scan per input, k hashes to the driver), then all
+    n·(n−1) directed pairs are estimated driver-side from the cached
+    sketches — adding a table to a 50-table catalog costs one scan,
+    not 50 joins. Output per ordered pair: ``a``, ``b`` (names),
+    ``n_a_est``, ``n_b_est``, ``jaccard_est``, ``containment`` (share
+    of A's distinct values present in B — the "A's FK hits B's PK"
+    direction when ≈ 1), sorted containment-descending.
+
+    Estimates are deterministic (sketches are pure functions of value
+    sets), so the DuckDB oracle replays them exactly; NULL values are
+    ignored on every side. Names must be unique — the report keys on
+    them.
+    """
+    if len(tables) < 2:
+        raise ValueError("joinability_report: need at least 2 tables")
+    names = [n for n, _, _ in tables]
+    if len(set(names)) != len(names):
+        raise ValueError(f"joinability_report: duplicate names in {names}")
+    sketches = {
+        name: bottom_k_sketch(df, col, k) for name, df, col in tables
+    }
+    rows = []
+    for a in names:
+        for b in names:
+            if a == b:
+                continue
+            est = overlap_from_sketches(
+                spark, sketches[a], sketches[b], k,
+                build_k=k, round_to=round_to,
+            ).collect()[0]
+            rows.append(
+                (
+                    a, b,
+                    est["n_a_est"], est["n_b_est"],
+                    est["jaccard_est"], est["containment_a"],
+                )
+            )
+    out = spark.createDataFrame(
+        rows,
+        "a string, b string, n_a_est double, n_b_est double, "
+        "jaccard_est double, containment double",
+    )
+    return out.orderBy(F.desc("containment"), "a", "b")

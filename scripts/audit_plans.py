@@ -70,6 +70,8 @@ NESTED_LOOP_OK = {
     "dq_numeric_drift",          # two 1-row stats frames joined
     "dq_heavy",                  # 1-row undercount-bound broadcast
     "dq_c2st",                   # NB class-spine + 1-row broadcasts
+    "dq_kappa",                  # three 1-row agreement frames joined
+    "dq_calibration",            # 1-row bin-total broadcast
 }
 
 

@@ -350,3 +350,41 @@ def test_predict_nb_single_class_model(spark):
     for r in pred:
         assert r.predicted == "only"
         assert r.margin == 0.0  # top-2 absent -> margin degrades to 0
+
+
+def test_calibration_report_hand_checked(spark):
+    """Reliability bins + ECE against hand-computed values; score 1.0
+    folds into the top bin; out-of-range scores raise; NULLs drop."""
+    from pyspark_data_quality_spark.operators.classify import (
+        calibration_report,
+    )
+
+    rows = [
+        # bin 0 of 2 ([0, .5)): scores .1 .2 .3 .4, labels 1 0 0 0
+        (0.1, 1), (0.2, 0), (0.3, 0), (0.4, 0),
+        # bin 1 ([.5, 1]): scores .6 .8 1.0, labels 1 1 0
+        (0.6, 1), (0.8, 1), (1.0, 0),
+        (None, 1), (0.5, None),                       # dropped
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = calibration_report(df, "s", "y", bins=2).collect()
+    by = {r["bin"]: r for r in out}
+    assert set(by) == {-1, 0, 1}
+    b0, b1, tot = by[0], by[1], by[-1]
+    assert (b0["n"], b0["mean_score"], b0["positive_rate"]) == (4, 0.25, 0.25)
+    assert b0["abs_gap"] == 0.0
+    assert (b1["n"], b1["mean_score"], b1["positive_rate"]) == (
+        3, 0.8, round(2 / 3, 6)
+    )
+    gap1 = abs(0.8 - 2 / 3)
+    assert b1["abs_gap"] == round(gap1, 6)
+    assert tot["n"] == 7
+    assert tot["abs_gap"] == round((4 * 0.0 + 3 * gap1) / 7, 6)  # ECE
+
+    import pytest as _pt
+    with _pt.raises(Exception, match="outside"):
+        calibration_report(
+            spark.createDataFrame([(1.5, 1)], "s double, y int"), "s", "y"
+        ).collect()
+    with _pt.raises(ValueError, match="bins"):
+        calibration_report(df, "s", "y", bins=0)

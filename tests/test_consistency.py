@@ -517,3 +517,35 @@ def test_implication_report_fused(spark):
         implication_report(df, [("a", "1=1", "1=1"), ("a", "1=1", "1=1")])
     with pytest.raises(ValueError, match="non-empty"):
         implication_report(df, [])
+
+
+def test_agreement_report_hand_checked(spark):
+    """Cohen's kappa against a hand-computed confusion matrix, NULL
+    exclusion, and the constant-rater NULL convention."""
+    from pyspark_data_quality_spark.operators.consistency import (
+        agreement_report,
+    )
+
+    # confusion: yes/yes 4, yes/no 1, no/yes 1, no/no 4 -> n=10
+    rows = (
+        [("y", "y")] * 4 + [("y", "n")] + [("n", "y")] + [("n", "n")] * 4
+        + [(None, "y"), ("y", None)]                     # excluded
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = agreement_report(df, "a", "b").collect()[0]
+    # po = 8/10; marginals a: y5 n5, b: y5 n5 -> pe = .25+.25 = .5
+    assert r["n_rows"] == 10
+    assert r["observed_agreement"] == 0.8
+    assert r["expected_agreement"] == 0.5
+    assert r["kappa"] == round((0.8 - 0.5) / 0.5, 6)  # 0.6
+
+    # constant raters: pe = 1 -> kappa undefined (NULL), not 1.0
+    const = spark.createDataFrame(
+        [("y", "y")] * 3, "a string, b string"
+    )
+    rc = agreement_report(const, "a", "b").collect()[0]
+    assert rc["observed_agreement"] == 1.0
+    assert rc["kappa"] is None
+
+    with pytest.raises(Exception, match="not found"):
+        agreement_report(df, "a", "zzz")

@@ -179,3 +179,37 @@ def test_pagerank_weighted_walk(spark):
 
     with pytest.raises(ValueError, match="not in edges"):
         pagerank(df, weight_col="nope")
+
+
+def test_triangle_counts_k4_and_hygiene(spark):
+    """K4 has 4 triangles (3 per node); self-loops, reversed
+    duplicates, NULL endpoints and pendant nodes are ignored."""
+    from pyspark_data_quality_spark.operators.graph import triangle_counts
+
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges += [(2, 1), (3, 3), (4, 5), (None, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = sorted(
+        (r["node"], r["n_triangles"])
+        for r in triangle_counts(df).collect()
+    )
+    assert got == [(1, 3), (2, 3), (3, 3), (4, 3)]
+
+
+def test_triangle_counts_triangle_free(spark):
+    """A path and a star have no triangles -> empty output; a single
+    3-cycle with degree ties counts once per corner."""
+    from pyspark_data_quality_spark.operators.graph import triangle_counts
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5)], "src int, dst int"
+    )
+    assert triangle_counts(path).count() == 0
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = sorted(
+        (r["node"], r["n_triangles"])
+        for r in triangle_counts(cyc).collect()
+    )
+    assert got == [("a", 1), ("b", 1), ("c", 1)]

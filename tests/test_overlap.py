@@ -95,3 +95,32 @@ def test_overlap_from_sketches_incremental(spark):
         spark, sa256, sb, 128, build_k=128
     ).collect()[0]
     assert ok.asDict() == direct.asDict()
+
+
+def test_joinability_report_fk_direction(spark):
+    """FK⊂PK containment reads ~1 in the FK→PK direction only; names
+    key the report and must be unique."""
+    from pyspark_data_quality_spark.operators.overlap import (
+        joinability_report,
+    )
+
+    pk = _ids(spark, 0, 200)                      # all values
+    fk = _ids(spark, 0, 120)                      # strict subset
+    other = _ids(spark, 500, 700)                 # disjoint
+    out = joinability_report(
+        spark,
+        [("fk", fk, "v"), ("pk", pk, "v"), ("other", other, "v")],
+        k=256,
+    ).collect()
+    got = {(r["a"], r["b"]): r for r in out}
+    assert len(got) == 6
+    assert got[("fk", "pk")]["containment"] == 1.0
+    assert got[("pk", "fk")]["containment"] == round(120 / 200, 6)
+    assert got[("fk", "other")]["containment"] == 0.0
+    # sorted containment-descending
+    assert out[0]["containment"] == 1.0
+
+    with pytest.raises(ValueError, match="duplicate"):
+        joinability_report(spark, [("x", pk, "v"), ("x", fk, "v")])
+    with pytest.raises(ValueError, match="at least 2"):
+        joinability_report(spark, [("x", pk, "v")])

@@ -139,8 +139,14 @@ def test_registry_bench_line_budget():
     realistic = json.loads(
         suite_line(83.0, {k: 1.0 for k in ENTRY_QUERIES}, sf=0.1)
     )
+    # The char budget is FIXED (driver tail), so the keep-count is
+    # ~constant (~108 at current name lengths) while the suite grows —
+    # a percentage floor would inevitably decay below any threshold.
+    # Guard the absolute detail window instead: at least 100 entries
+    # of per-query detail on stdout, always (plus invariant #1 above:
+    # the dropped ones are never the slow ones).
     kept = len(ENTRY_QUERIES) - realistic.get("dropped", 0)
-    assert kept >= 0.75 * len(ENTRY_QUERIES), (
+    assert kept >= min(len(ENTRY_QUERIES), 100), (
         f"uniform-1s suite line keeps only {kept}/{len(ENTRY_QUERIES)} "
         "entries — per-query detail is eroding; shorten entry names"
     )
