@@ -470,20 +470,24 @@ def calibration_report(
     whose scores drive keep/drop thresholds is only as good as its
     calibration: a miscalibrated 0.9 silently shifts the corpus mix.
 
-    ``score_col`` must lie in [0, 1] (rows outside raise — a loud
-    signal the caller passed raw margins; squash them first);
-    ``label_col`` is boolean or 0/1. Scores bin into ``bins``
-    equal-width buckets (score 1.0 folds into the top bin); output is
-    one row per non-empty bin — ``bin`` index, ``n``, ``mean_score``,
-    ``positive_rate``, ``abs_gap`` — plus one summary row (bin = -1)
-    whose ``abs_gap`` is the ECE: Σ (n_b / n) · |mean_score_b −
-    positive_rate_b|.
+    ``score_col`` must lie in [0, 1] and ``label_col`` in {0, 1} /
+    boolean — rows outside either raise IN-PLAN (a loud signal the
+    caller passed raw margins or {-1,1} labels; squash them first).
+    Scores bin into ``bins`` equal-width buckets (score 1.0 folds into
+    the top bin); output is one row per non-empty bin — ``bin`` index,
+    ``n``, ``mean_score``, ``positive_rate``, ``abs_gap`` — plus one
+    summary row (bin = -1) whose ``abs_gap`` is the ECE: Σ (n_b / n) ·
+    |mean_score_b − positive_rate_b|. Rows where score or label is
+    NULL are dropped; if nothing remains the result is EMPTY (0 rows),
+    not a NULL-filled summary.
 
     Scale shape: ONE groupBy over at most ``bins`` keys (partial aggs
-    collapse everything map-side), then a 1-row total broadcast for the
-    ECE weights; nothing scales with row count. The range check rides
-    the same scan as the binning — ANSI mode turns the violation into
-    a query error via ``raise_error``, no extra action.
+    collapse everything map-side), whose ≤ ``bins``-row result is
+    collected driver-side (parameter-bounded, docs/SCALE.md invariant
+    #1) — this operator is EAGER — and re-emitted as a local frame so
+    the detail rows and the ECE summary never rescan the source;
+    rounding stays JVM-side (HALF_UP). The range checks ride the same
+    scan as the binning via ``raise_error``; no extra action.
     """
     if bins < 1:
         raise ValueError(f"calibration_report: bins must be >= 1, got {bins}")
@@ -500,11 +504,21 @@ def calibration_report(
             )
         )
     )
-    pair = (
-        df.select(
-            checked.alias("_s"),
-            F.col(label_col).cast("int").cast("double").alias("_y"),
+    y = F.col(label_col).cast("int").cast("double")
+    y_checked = F.when(
+        y.isNull() | (y == 0.0) | (y == 1.0), y
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"calibration_report: {label_col} not in {{0, 1}}: "
+                ),
+                y.cast("string"),
+            )
         )
+    )
+    pair = (
+        df.select(checked.alias("_s"), y_checked.alias("_y"))
         .filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
         .select(
             F.least(
@@ -519,14 +533,17 @@ def calibration_report(
         F.avg("_s").alias("_ms"),
         F.avg("_y").alias("_pr"),
     )
-    total = per_bin.agg(F.sum("n").alias("_n_total"))
-    binned = per_bin.crossJoin(F.broadcast(total)).select(
-        "bin",
-        "n",
-        "_ms",
-        "_pr",
-        (F.abs(F.col("_ms") - F.col("_pr"))).alias("_gap"),
-        F.col("_n_total"),
+    # <= bins rows: collect once, re-emit locally — detail + summary
+    # derive from this tiny frame instead of rescanning the source
+    spark = df.sparkSession
+    rows = [(r["bin"], r["n"], r["_ms"], r["_pr"])
+            for r in per_bin.collect()]
+    local = spark.createDataFrame(
+        rows, "bin long, n long, _ms double, _pr double"
+    )
+    binned = local.select(
+        "bin", "n", "_ms", "_pr",
+        F.abs(F.col("_ms") - F.col("_pr")).alias("_gap"),
     )
     detail = binned.select(
         "bin",
@@ -535,6 +552,8 @@ def calibration_report(
         F.round("_pr", round_to).alias("positive_rate"),
         F.round("_gap", round_to).alias("abs_gap"),
     )
+    if not rows:
+        return detail  # empty input -> empty report, same schema
     ece = binned.agg(
         F.lit(-1).cast("long").alias("bin"),
         F.sum("n").alias("n"),

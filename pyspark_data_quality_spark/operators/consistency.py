@@ -735,35 +735,46 @@ def agreement_report(
     = (p_o − p_e) / (1 − p_e) (NULL when p_e = 1: both raters are
     constant and agreement is undefined, not perfect).
 
-    Scale shape: p_o is one fused aggregation over the pair; the
-    marginals are two groupBys over the (tiny) label domain joined on
-    category — every shuffle carries at most |domain| rows, then three
-    1-row frames combine via the whitelisted constant-fan-out join.
-    Rows where either side is NULL are excluded (an abstaining rater
-    is not a disagreeing rater).
+    Scale shape: the source is scanned ONCE — a single
+    groupBy(a, b).count() collapses everything to the confusion matrix
+    (≤ |domain|² rows, partial-agg'd map-side), which is
+    ``localCheckpoint``-ed (this operator is EAGER, like
+    triangle_counts) so p_o, both marginals and p_e all derive from
+    the tiny materialized matrix; the three 1-row frames combine via
+    the whitelisted constant-fan-out join. Rows where either side is
+    NULL are excluded (an abstaining rater is not a disagreeing
+    rater).
 
     Reference parity: no agreement surface in the reference; extension
     alongside implication_report (one-directional rules) — kappa is
     the symmetric "same verdict" counterpart.
     """
     require_columns(df, [col_a, col_b])
-    pair = df.filter(
-        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
-    ).select(
-        F.col(col_a).cast("string").alias("_a"),
-        F.col(col_b).cast("string").alias("_b"),
+    cm = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .select(
+            F.col(col_a).cast("string").alias("_a"),
+            F.col(col_b).cast("string").alias("_b"),
+        )
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()
     )
-    po = pair.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(
-            F.when(F.col("_a") == F.col("_b"), F.lit(1)).otherwise(F.lit(0))
+    po = cm.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("n_rows"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_a") == F.col("_b"), F.col("_c"))
+                .otherwise(F.lit(0))
+            ),
+            F.lit(0),
         ).alias("_n_agree"),
     )
-    ma = pair.groupBy(F.col("_a").alias("_cat")).agg(
-        F.count(F.lit(1)).alias("_na")
+    ma = cm.groupBy(F.col("_a").alias("_cat")).agg(
+        F.sum("_c").alias("_na")
     )
-    mb = pair.groupBy(F.col("_b").alias("_cat")).agg(
-        F.count(F.lit(1)).alias("_nb")
+    mb = cm.groupBy(F.col("_b").alias("_cat")).agg(
+        F.sum("_c").alias("_nb")
     )
     pe = ma.join(mb, "_cat").agg(
         F.sum(F.col("_na").cast("double") * F.col("_nb")).alias("_pe_num")

@@ -115,6 +115,35 @@ def corpus_overlap(
     )
 
 
+def _estimate(
+    sa: list[str], sb: list[str], k: int
+) -> tuple[float, float, float, float, float, float, float]:
+    """Pure-Python estimator core over two sketches (raw, UNROUNDED):
+    (d_a, d_b, d_u, jaccard, intersection, containment_a,
+    containment_b). Deterministic — both overlap_from_sketches and
+    joinability_report emit these through a JVM-side F.round."""
+    sa, sb = sorted(sa)[:k], sorted(sb)[:k]
+
+    def frac(h: str) -> float:
+        return int(h, 16) / _SPACE
+
+    def d_est(sk: list[str]) -> float:
+        if len(sk) < k:
+            return float(len(sk))  # sketch IS the value set
+        return (k - 1) / frac(sk[-1])
+
+    set_a, set_b = set(sa), set(sb)
+    union = sorted(set_a | set_b)[:k]
+    d_a, d_b = d_est(sa), d_est(sb)
+    d_u = float(len(union)) if len(union) < k else (k - 1) / frac(union[-1])
+    inter_k = sum(1 for h in union if h in set_a and h in set_b)
+    jac = inter_k / len(union) if union else 0.0
+    inter_est = jac * d_u
+    cont_a = inter_est / d_a if d_a > 0 else 0.0
+    cont_b = inter_est / d_b if d_b > 0 else 0.0
+    return (d_a, d_b, d_u, jac, inter_est, cont_a, cont_b)
+
+
 def overlap_from_sketches(
     spark: SparkSession,
     sa: list[str],
@@ -148,28 +177,8 @@ def overlap_from_sketches(
             "a sketch only supports comparison at k' <= its build k "
             "(re-sketch the corpora with the larger k instead)"
         )
-    sa, sb = sorted(sa)[:k], sorted(sb)[:k]
-
-    def frac(h: str) -> float:
-        return int(h, 16) / _SPACE
-
-    def d_est(sk: list[str]) -> float:
-        if len(sk) < k:
-            return float(len(sk))  # sketch IS the value set
-        return (k - 1) / frac(sk[-1])
-
-    set_a, set_b = set(sa), set(sb)
-    union = sorted(set_a | set_b)[:k]
-    d_a, d_b = d_est(sa), d_est(sb)
-    d_u = float(len(union)) if len(union) < k else (k - 1) / frac(union[-1])
-    inter_k = sum(1 for h in union if h in set_a and h in set_b)
-    jac = inter_k / len(union) if union else 0.0
-    inter_est = jac * d_u
-    cont_a = inter_est / d_a if d_a > 0 else 0.0
-    cont_b = inter_est / d_b if d_b > 0 else 0.0
-
     row = spark.createDataFrame(
-        [(d_a, d_b, d_u, jac, inter_est, cont_a, cont_b)],
+        [_estimate(sa, sb, k)],
         "n_a_est double, n_b_est double, n_union_est double, "
         "jaccard_est double, intersection_est double, "
         "containment_a double, containment_b double",
@@ -193,13 +202,17 @@ def joinability_report(
     as :func:`corpus_overlap`).
 
     ``tables`` is a list of (name, df, col); each side is sketched
-    ONCE (one scan per input, k hashes to the driver), then all
-    n·(n−1) directed pairs are estimated driver-side from the cached
-    sketches — adding a table to a 50-table catalog costs one scan,
-    not 50 joins. Output per ordered pair: ``a``, ``b`` (names),
-    ``n_a_est``, ``n_b_est``, ``jaccard_est``, ``containment`` (share
-    of A's distinct values present in B — the "A's FK hits B's PK"
-    direction when ≈ 1), sorted containment-descending.
+    ONCE (one scan + one ≤ k-row collect per input), every unordered
+    pair is estimated once in pure Python from the cached sketches
+    (the reverse direction is the same estimate read the other way),
+    and ONE local frame carries all n·(n−1) directed rows — adding a
+    table to a 50-table catalog costs one scan, not 50 joins, and the
+    whole report is a single Spark job after the sketches. Output per
+    ordered pair: ``a``, ``b`` (names), ``n_a_est``, ``n_b_est``,
+    ``jaccard_est``, ``containment`` (share of A's distinct values
+    present in B — the "A's FK hits B's PK" direction when ≈ 1),
+    sorted containment-descending; rounding happens JVM-side
+    (HALF_UP, oracle-matching).
 
     Estimates are deterministic (sketches are pure functions of value
     sets), so the DuckDB oracle replays them exactly; NULL values are
@@ -215,24 +228,22 @@ def joinability_report(
         name: bottom_k_sketch(df, col, k) for name, df, col in tables
     }
     rows = []
-    for a in names:
-        for b in names:
-            if a == b:
-                continue
-            est = overlap_from_sketches(
-                spark, sketches[a], sketches[b], k,
-                build_k=k, round_to=round_to,
-            ).collect()[0]
-            rows.append(
-                (
-                    a, b,
-                    est["n_a_est"], est["n_b_est"],
-                    est["jaccard_est"], est["containment_a"],
-                )
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            d_a, d_b, _d_u, jac, _inter, c_a, c_b = _estimate(
+                sketches[a], sketches[b], k
             )
+            rows.append((a, b, d_a, d_b, jac, c_a))
+            rows.append((b, a, d_b, d_a, jac, c_b))
     out = spark.createDataFrame(
         rows,
         "a string, b string, n_a_est double, n_b_est double, "
         "jaccard_est double, containment double",
+    ).select(
+        "a", "b",
+        F.round("n_a_est", round_to).alias("n_a_est"),
+        F.round("n_b_est", round_to).alias("n_b_est"),
+        F.round("jaccard_est", round_to).alias("jaccard_est"),
+        F.round("containment", round_to).alias("containment"),
     )
     return out.orderBy(F.desc("containment"), "a", "b")

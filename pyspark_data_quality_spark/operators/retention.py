@@ -15,7 +15,11 @@ Spark-first shape (three hash shuffles, all on bounded keys):
 - the activity⟵first-touch equi-join re-uses the user-hash layout both
   sides were just shuffled into (no extra exchange under AQE), and the
   final ``groupBy(cohort, offset)`` emits at most cohorts×periods rows
-  — the matrix itself is tiny no matter how big the log is.
+  — the matrix itself is tiny no matter how big the log is. It is
+  ``localCheckpoint``-ed (the operator is EAGER, like triangle_counts)
+  and cohort sizes read from its offset-0 rows — every cohort user is
+  active in their own first period by definition — so the per-user min
+  never runs twice.
 
 Periods are integer indices (epoch days floor-divided by the period
 length), which keeps the arithmetic engine-portable (DuckDB replays it
@@ -84,11 +88,17 @@ def retention_matrix(
     )
     if max_offset is not None:
         joined = joined.filter(F.col("period_offset") <= max_offset)
-    cohort_sizes = firsts.groupBy("cohort").agg(
-        F.count(F.lit(1)).alias("n_cohort")
+    # the matrix is tiny (cohorts × offsets) — localCheckpoint it (this
+    # operator is EAGER) so cohort sizes derive from ITS offset-0 rows
+    # (every cohort user is active at offset 0 by definition) instead
+    # of re-running the per-user min over the full log a second time
+    active = (
+        joined.groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .localCheckpoint()
     )
-    active = joined.groupBy("cohort", "period_offset").agg(
-        F.count(F.lit(1)).alias("n_active")
+    cohort_sizes = active.filter(F.col("period_offset") == 0).select(
+        "cohort", F.col("n_active").alias("n_cohort")
     )
     return (
         active.join(F.broadcast(cohort_sizes), "cohort")

@@ -388,3 +388,34 @@ def test_calibration_report_hand_checked(spark):
         ).collect()
     with _pt.raises(ValueError, match="bins"):
         calibration_report(df, "s", "y", bins=0)
+
+
+def test_calibration_report_label_guard_and_empty(spark):
+    """Labels outside {0,1} raise in-plan (the {-1,1} margin
+    convention must not silently corrupt positive_rate); all-NULL
+    input yields an EMPTY report, not a NULL-filled summary row."""
+    from pyspark_data_quality_spark.operators.classify import (
+        calibration_report,
+    )
+
+    bad = spark.createDataFrame([(0.5, -1)], "s double, y int")
+    import pytest as _pt
+    with _pt.raises(Exception, match="not in"):
+        calibration_report(bad, "s", "y").collect()
+
+    empty = spark.createDataFrame(
+        [(None, 1), (0.5, None)], "s double, y int"
+    )
+    out = calibration_report(empty, "s", "y")
+    assert out.count() == 0
+    assert out.columns == [
+        "bin", "n", "mean_score", "positive_rate", "abs_gap"
+    ]
+
+    # boolean labels keep working
+    b = spark.createDataFrame(
+        [(0.95, True), (0.05, False)], "s double, y boolean"
+    )
+    rows = {r["bin"]: r for r in calibration_report(b, "s", "y").collect()}
+    assert rows[9]["positive_rate"] == 1.0
+    assert rows[0]["positive_rate"] == 0.0
