@@ -209,3 +209,46 @@ def test_association_matrix_shuffle_carries_cells(spark):
     # map-side partials + the tiny margin/agg exchanges downstream —
     # never the 90k exploded rows
     assert 0 < s["shuffle_records_written"] < n / 20
+
+
+def test_single_scan_analytics_never_rescan_source(spark, sf_dir):
+    """The round-9 single-scan contracts: calibration_report,
+    agreement_report and retention_matrix materialize their tiny
+    intermediate (driver collect / localCheckpoint) during
+    construction, so the RETURNED plan reads the materialized form —
+    zero parquet rescans of the source remain."""
+    from pyspark_data_quality_spark.operators.classify import (
+        calibration_report,
+    )
+    from pyspark_data_quality_spark.operators.consistency import (
+        agreement_report,
+    )
+    from pyspark_data_quality_spark.operators.retention import (
+        retention_matrix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        F.least(F.length("text") / F.lit(2000.0), F.lit(1.0)).alias("s"),
+        (F.length("text") >= 1000).cast("int").alias("y"),
+    )
+    lab = docs.select(
+        F.when(F.length("text") >= 500, "p").otherwise("f").alias("a"),
+        F.when(F.length("text") >= 800, "p").otherwise("f").alias("b"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    for out in (
+        calibration_report(scored, "s", "y"),
+        agreement_report(lab, "a", "b"),
+        retention_matrix(
+            ev.select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts")
+            )
+        ),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan" not in plan and "Scan parquet" not in plan, (
+            f"returned plan still rescans the source:\n{plan[:500]}"
+        )
+        assert out.count() >= 0  # and it actually runs
