@@ -6738,6 +6738,254 @@ def dq_joinability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "dq_dup_rate",
+    """
+    WITH per AS (
+      SELECT o_orderstatus, o_custkey, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_distinct,
+           CAST(round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6)
+                AS DOUBLE) AS dup_ratio
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+)
+def dq_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment duplicate rate (operators/uniqueness.py
+    dup_rate_by_group): repeated customers per order status — the
+    'which source double-sends' face of UniqueCheck, previously
+    pytest-only. Two-level aggregation; the shuffle carries distinct
+    (status, customer) keys."""
+    from .operators.uniqueness import dup_rate_by_group
+
+    orders = load_table(spark, "orders", sf_dir)
+    return dup_rate_by_group(orders, ["o_custkey"], ["o_orderstatus"])
+
+
+@query(
+    "dq_ks_group",
+    f"""
+    WITH a AS (
+      SELECT o_orderpriority AS grp, round(o_totalprice, -2) AS x,
+             count(*) AS n_a
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{_DRIFT_SPLIT}'
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ), b AS (
+      SELECT o_orderpriority AS grp, round(o_totalprice, -2) AS x,
+             count(*) AS n_b
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}'
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT coalesce(a.grp, b.grp) AS grp, coalesce(a.x, b.x) AS x,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+      FROM a FULL OUTER JOIN b ON a.grp = b.grp AND a.x = b.x
+    ), c AS (
+      SELECT grp,
+             abs(coalesce(sum(n_a) OVER w * 1.0
+                          / nullif(sum(n_a) OVER g, 0), 0)
+                 - coalesce(sum(n_b) OVER w * 1.0
+                            / nullif(sum(n_b) OVER g, 0), 0)) AS d,
+             n_a, n_b
+      FROM j
+      WINDOW w AS (PARTITION BY grp ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             g AS (PARTITION BY grp)
+    )
+    SELECT CAST(grp AS VARCHAR) AS grp,
+           CAST(round(max(d), 6) AS DOUBLE) AS ks,
+           CAST(sum(n_a) AS BIGINT) AS n_cur,
+           CAST(sum(n_b) AS BIGINT) AS n_ref
+    FROM c GROUP BY grp ORDER BY grp
+    """,
+)
+def dq_ks_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment two-sample KS (operators/drift.py ks_by_group):
+    o_totalprice drift post- vs pre-1998H2 WITHIN each order priority
+    — the numeric complement of dq_group_psi, previously pytest-only.
+    The distributed prefix-sum ECDF must agree with the oracle's
+    windowed cumulative sums per group."""
+    from .operators.drift import ks_by_group
+
+    orders = load_table(spark, "orders", sf_dir)
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    return ks_by_group(
+        orders.filter(F.col("o_orderdate") >= split),
+        orders.filter(F.col("o_orderdate") < split),
+        "o_totalprice", "o_orderpriority", quantize=-2,
+    )
+
+
+@query(
+    "dq_gopher",
+    rf"""
+    WITH base AS (
+      SELECT source, coalesce(text, '') AS t,
+             list_filter(string_split(
+               trim(regexp_replace(lower(coalesce(text, '')),
+                                   '\s+', ' ', 'g')), ' '),
+               x -> x != '') AS toks,
+             list_filter(list_transform(
+               string_split(coalesce(text, ''), chr(10)),
+               x -> trim(x)), x -> x != '') AS lines
+      FROM documents
+    ), sig AS (
+      SELECT source,
+        CASE WHEN len(toks) > 0
+             THEN round(len(list_filter(toks,
+                    t -> regexp_matches(t, '[a-zA-Z]'))) * 1.0
+                  / len(toks), 6)
+             ELSE 0.0 END AS alpha_word_ratio,
+        CASE WHEN len(lines) > 0
+             THEN round(len(list_filter(lines,
+                    ln -> regexp_matches(ln, '^[•\-\*]\s'))) * 1.0
+                  / len(lines), 6)
+             ELSE 0.0 END AS bullet_line_ratio,
+        CASE WHEN len(lines) > 0
+             THEN round(len(list_filter(lines,
+                    ln -> regexp_matches(ln, '(\.\.\.|…)\s*$'))) * 1.0
+                  / len(lines), 6)
+             ELSE 0.0 END AS ellipsis_line_ratio,
+        CASE WHEN len(toks) > 0
+             THEN round((len(t) - len(replace(t, '#', ''))
+                         + len(regexp_extract_all(t, '(\.\.\.|…)')))
+                        * 1.0 / len(toks), 6)
+             ELSE 0.0 END AS symbol_word_ratio
+      FROM base
+    ), gated AS (
+      SELECT *,
+        CASE WHEN alpha_word_ratio >= 0.8 AND bullet_line_ratio <= 0.9
+              AND ellipsis_line_ratio <= 0.3
+              AND symbol_word_ratio <= 0.1
+             THEN 1.0 ELSE 0.0 END AS p
+      FROM sig
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(round(avg(alpha_word_ratio), 6) AS DOUBLE) AS avg_alpha,
+           CAST(round(avg(bullet_line_ratio), 6) AS DOUBLE)
+             AS avg_bullet,
+           CAST(round(avg(ellipsis_line_ratio), 6) AS DOUBLE)
+             AS avg_ellipsis,
+           CAST(round(avg(symbol_word_ratio), 6) AS DOUBLE)
+             AS avg_symbol,
+           CAST(round(avg(p), 6) AS DOUBLE) AS pass_rate
+    FROM gated GROUP BY source ORDER BY source
+    """,
+)
+def dq_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher static quality gates (functions/text.py gopher_signals /
+    gopher_pass), previously pytest-only: per-source signal averages
+    and the paper-threshold pass rate. Pure expression trees — zero
+    shuffles beyond the final per-source aggregate; the oracle replays
+    every per-document ratio (rounded per doc, like the operator)
+    before averaging."""
+    from .functions.text import gopher_pass, gopher_signals
+
+    docs = load_table(spark, "documents", sf_dir)
+    g = gopher_signals(F.col("text"))
+    sig = docs.select(
+        "source",
+        g.getField("alpha_word_ratio").alias("alpha_word_ratio"),
+        g.getField("bullet_line_ratio").alias("bullet_line_ratio"),
+        g.getField("ellipsis_line_ratio").alias("ellipsis_line_ratio"),
+        g.getField("symbol_word_ratio").alias("symbol_word_ratio"),
+        gopher_pass(F.col("text")).cast("double").alias("p"),
+    )
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("alpha_word_ratio"), 6).alias("avg_alpha"),
+            F.round(F.avg("bullet_line_ratio"), 6).alias("avg_bullet"),
+            F.round(F.avg("ellipsis_line_ratio"), 6).alias("avg_ellipsis"),
+            F.round(F.avg("symbol_word_ratio"), 6).alias("avg_symbol"),
+            F.round(F.avg("p"), 6).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dq_language_mix",
+    f"""
+    WITH pair AS (
+      SELECT a.doc_id, concat_ws(chr(10), a.text, b.text) AS mixed
+      FROM documents a
+      JOIN documents b ON (a.doc_id + 7) % 500 = b.doc_id
+    ), lines AS (
+      SELECT doc_id,
+             unnest(list_filter(list_transform(
+               string_split(mixed, chr(10)), x -> trim(x)),
+               x -> x <> '')) AS line
+      FROM pair
+    ), tok AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               trim(regexp_replace(lower(line), '\\s+', ' ', 'g')), ' '),
+               x -> x != '') AS toks
+      FROM lines
+    ), hits AS (
+      SELECT doc_id, {_SQL_LANG_HITS} FROM tok
+    ), pred AS (
+      SELECT doc_id, {_SQL_LANG_PRED} AS lang FROM hits
+    ), cnt AS (
+      SELECT doc_id, lang, count(*) AS n FROM pred GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, lang AS top_lang, n AS top_n,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, lang DESC) AS rn
+      FROM cnt
+    ), agg AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_lines,
+             sum(n * ln(n)) AS nlogn
+      FROM cnt GROUP BY 1
+    )
+    SELECT p.doc_id,
+           coalesce(a.n_lines, 0) AS n_lines,
+           t.top_lang,
+           CAST(round(t.top_n * 1.0 / a.n_lines, 6) AS DOUBLE)
+             AS top_lang_share,
+           CAST(round(ln(a.n_lines) - a.nlogn / a.n_lines, 6) AS DOUBLE)
+             AS lang_entropy
+    FROM pair p
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+)
+def dq_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level language mix (operators/text.py language_mix),
+    previously pytest-only: every document concatenated with a rotated
+    partner ((doc_id+7) % 500) so multi-line, possibly code-switched
+    inputs exist at every SF. Per-line lang_id votes, majority
+    language (ties to the higher code), share and entropy — the oracle
+    replays the n-gram lang heuristic per LINE and the streaming
+    entropy identity."""
+    from .operators.text import language_mix
+
+    docs = load_table(spark, "documents", sf_dir)
+    b = docs.select(
+        F.col("doc_id").alias("_bid"), F.col("text").alias("_btext")
+    )
+    paired = (
+        docs.select("doc_id", "text")
+        .join(b, ((F.col("doc_id") + 7) % 500) == F.col("_bid"))
+        .select(
+            "doc_id",
+            F.concat_ws("\n", "text", "_btext").alias("mixed"),
+        )
+    )
+    return language_mix(paired, "mixed", "doc_id").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, not hand-maintained.
 #
