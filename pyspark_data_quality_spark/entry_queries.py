@@ -6986,6 +6986,85 @@ def dq_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_mix(paired, "mixed", "doc_id").orderBy("doc_id")
 
 
+
+
+@query(
+    "dq_clean_lines",
+    """
+    WITH pair AS (
+      SELECT a.doc_id,
+             concat_ws(chr(10), a.text, b.text, a.text) AS mixed
+      FROM documents a
+      JOIN documents b ON (a.doc_id + 13) % 500 = b.doc_id
+    ), lines AS (
+      SELECT doc_id, trim(x) AS line
+      FROM pair, unnest(string_split(mixed, chr(10))) AS t(x)
+    ), kept AS (
+      SELECT DISTINCT doc_id, line FROM lines
+      WHERE line <> ''
+        AND len(list_filter(regexp_split_to_array(line, '\\s+'),
+                            w -> w <> '')) >= 3
+        AND regexp_matches(line, '[.!?"。！？]\\s*$')
+    ), agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len(line)) AS BIGINT) AS chars,
+             md5(string_agg(line, chr(10) ORDER BY line)) AS lmd5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           coalesce(a.n, 0) AS n_lines_kept,
+           CASE WHEN a.n IS NULL THEN 0
+                ELSE CAST(a.chars + a.n - 1 AS BIGINT) END AS n_chars_kept,
+           a.lmd5 AS lines_md5
+    FROM pair p LEFT JOIN agg a USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+)
+def dq_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning (functions/text.py clean_lines),
+    previously pytest-only: documents concatenated with a rotated
+    partner AND themselves ((doc_id+13) % 500), so repeated-line
+    dedup, the >=3-word floor and the terminal-punctuation gate all
+    fire at every SF. Output is order-insensitive on purpose (kept
+    count, kept chars incl. joins, md5 of the SORTED kept lines):
+    array_distinct keeps first occurrence while the oracle's DISTINCT
+    is unordered, so only order-free projections are comparable."""
+    from .functions.text import clean_lines
+
+    docs = load_table(spark, "documents", sf_dir)
+    b = docs.select(
+        F.col("doc_id").alias("_bid"), F.col("text").alias("_btext")
+    )
+    cleaned = clean_lines(
+        F.col("mixed"), min_words=3, require_terminal_punct=True
+    )
+    empty_or_null = F.col("_c").isNull() | (F.col("_c") == "")
+    return (
+        docs.select("doc_id", "text")
+        .join(b, ((F.col("doc_id") + 13) % 500) == F.col("_bid"))
+        .select(
+            "doc_id",
+            F.concat_ws("\n", "text", "_btext", "text").alias("mixed"),
+        )
+        .select("doc_id", cleaned.alias("_c"))
+        .select(
+            "doc_id",
+            F.when(empty_or_null, F.lit(0))
+            .otherwise(F.size(F.split("_c", r"\n")))
+            .cast("long").alias("n_lines_kept"),
+            F.when(empty_or_null, F.lit(0))
+            .otherwise(F.length("_c")).cast("long").alias("n_chars_kept"),
+            F.when(empty_or_null, F.lit(None).cast("string"))
+            .otherwise(
+                F.md5(
+                    F.array_join(F.array_sort(F.split("_c", r"\n")), "\n")
+                )
+            ).alias("lines_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, not hand-maintained.
 #
