@@ -7065,6 +7065,84 @@ def dq_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "dq_readability",
+    r"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             list_filter(string_split(
+               trim(regexp_replace(lower(coalesce(text, '')),
+                                   '\s+', ' ', 'g')), ' '),
+               x -> x != '') AS toks
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id,
+        CAST(len(list_filter(list_transform(
+               regexp_split_to_array(t, '[.!?]+'), x -> trim(x)),
+               x -> x <> '')) AS BIGINT) AS n_sentences,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(toks,
+               t2 -> greatest(1, len(regexp_extract_all(t2,
+                                     '[aeiouy]+'))))), 0) AS BIGINT)
+          AS n_syllables
+      FROM base
+    )
+    SELECT doc_id, n_sentences, n_words, n_syllables,
+           CAST(round(206.835
+                 - 1.015 * (n_words * 1.0 / nullif(n_sentences, 0))
+                 - 84.6 * (n_syllables * 1.0 / nullif(n_words, 0)), 6)
+                AS DOUBLE) AS flesch_reading_ease,
+           CAST(round(0.39 * (n_words * 1.0 / nullif(n_sentences, 0))
+                 + 11.8 * (n_syllables * 1.0 / nullif(n_words, 0))
+                 - 15.59, 6) AS DOUBLE) AS fk_grade
+    FROM cnt ORDER BY doc_id
+    """,
+)
+def dq_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch / Flesch-Kincaid readability
+    (operators/text.py readability_profile): sentence, word and
+    vowel-group syllable counts plus both scores, replayed count by
+    count in the oracle. Pure expression trees riding the scan."""
+    from .operators.text import readability_profile
+
+    docs = load_table(spark, "documents", sf_dir)
+    return readability_profile(docs).orderBy("doc_id")
+
+
+@query(
+    "dq_interarrival",
+    """
+    WITH s AS (
+      SELECT event_type AS k, epoch_us(ts) / 1000000.0 AS sec
+      FROM events WHERE ts IS NOT NULL
+    ), g AS (
+      SELECT k, sec - lag(sec) OVER (PARTITION BY k ORDER BY sec) AS gap
+      FROM s
+    )
+    SELECT k AS event_type,
+           count(*) AS n_events,
+           count(gap) AS n_gaps,
+           CAST(round(avg(gap), 6) AS DOUBLE) AS mean_gap_s,
+           CAST(round(stddev_samp(gap), 6) AS DOUBLE) AS sd_gap_s,
+           CAST(round(stddev_samp(gap) / nullif(avg(gap), 0), 6)
+                AS DOUBLE) AS cv,
+           CAST(round(max(gap), 6) AS DOUBLE) AS max_gap_s
+    FROM g GROUP BY k ORDER BY k
+    """,
+)
+def dq_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival shape (operators/rollup.py
+    interarrival_stats): gap mean/stddev/CV/max — metronomic vs bursty
+    traffic. Gap multisets depend only on the sorted timestamps, so
+    tied arrivals cannot flip the oracle comparison."""
+    from .operators.rollup import interarrival_stats
+
+    ev = load_table(spark, "events", sf_dir)
+    return interarrival_stats(ev, ["event_type"], "ts")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, not hand-maintained.
 #

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: granularities accepted by date_trunc in both Spark and DuckDB
 SUPPORTED_LEVELS = ("minute", "hour", "day", "week", "month", "quarter", "year")
@@ -222,3 +223,63 @@ def trend_fit(
         )
     )
     return out.orderBy(*(group_cols or [])) if group_cols else out
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key inter-arrival statistics: gap mean / sample stddev /
+    coefficient of variation / max over consecutive event gaps — the
+    traffic-shape signal behind bot detection (CV ≈ 0 = metronomic
+    scraper; CV > 1 = bursty human/incident traffic) and feed-health
+    monitoring (max_gap = the worst silent window).
+
+    One key-partitioned lag window (the sort each key's gaps need
+    anyway) + one groupBy. Tied timestamps are safe: gaps depend only
+    on the SORTED multiset of timestamps, so tie order cannot change
+    any output (a tie contributes a 0-gap either way). Keys with < 2
+    events report ``n_gaps = 0`` and NULL gap stats; NULL timestamps
+    are ignored.
+
+    Output: key cols + ``n_events``, ``n_gaps``, ``mean_gap_s``,
+    ``sd_gap_s`` (sample stddev; NULL when n_gaps < 2), ``cv`` =
+    sd/mean (NULL when mean is 0), ``max_gap_s``. Seconds as doubles
+    (sub-second timestamps keep their fraction).
+
+    Reference parity: no arrival-shape surface in the reference;
+    extension alongside rolling_stats (value shape over time) and
+    sequence_gaps (id-space holes).
+    """
+    if not key_cols:
+        raise ValueError("interarrival_stats: key_cols must be non-empty")
+    sec = (
+        F.col(ts_col).cast("timestamp").cast("double")
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_s").asc())
+    gapped = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(*key_cols, sec.alias("_s"))
+        .withColumn("_gap", F.col("_s") - F.lag("_s").over(w))
+    )
+    return (
+        gapped.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("_gap").alias("n_gaps"),
+            F.round(F.avg("_gap"), round_to).alias("mean_gap_s"),
+            F.round(F.stddev_samp("_gap"), round_to).alias("sd_gap_s"),
+            F.round(
+                F.try_divide(
+                    F.stddev_samp("_gap"),
+                    F.when(F.avg("_gap") != 0.0, F.avg("_gap")),
+                ),
+                round_to,
+            ).alias("cv"),
+            F.round(F.max("_gap"), round_to).alias("max_gap_s"),
+        )
+        .orderBy(*[F.col(k).asc_nulls_first() for k in key_cols])
+    )

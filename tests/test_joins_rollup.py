@@ -282,3 +282,45 @@ def test_trend_fit_hand_computed(spark):
         trend_fit(df.withColumn("t", F.current_timestamp()), "t", "y")
     with _pt.raises(ValueError, match="not in df"):
         trend_fit(df, "nope", "y")
+
+
+def test_interarrival_stats_hand_checked(spark):
+    """Gaps, CV and the <2-event / tie / NULL-ts conventions."""
+    import datetime as dt
+
+    from pyspark_data_quality_spark.operators.rollup import (
+        interarrival_stats,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # key a: gaps 10, 10, 40 -> mean 20, sd samp ~17.320508
+        ("a", t0),
+        ("a", t0 + dt.timedelta(seconds=10)),
+        ("a", t0 + dt.timedelta(seconds=20)),
+        ("a", t0 + dt.timedelta(seconds=60)),
+        # key b: tie -> single 0 gap; sd NULL (n_gaps < 2 is false: 1 gap)
+        ("b", t0), ("b", t0),
+        # key c: single event -> no gaps
+        ("c", t0),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = {r["k"]: r for r in interarrival_stats(df, ["k"], "ts").collect()}
+    a = out["a"]
+    assert (a["n_events"], a["n_gaps"]) == (4, 3)
+    assert a["mean_gap_s"] == 20.0
+    assert a["sd_gap_s"] == round((300.0) ** 0.5, 6)  # var=((100+100+400)-3*400)/2
+    assert a["cv"] == round((300.0 ** 0.5) / 20.0, 6)
+    assert a["max_gap_s"] == 40.0
+    b = out["b"]
+    assert (b["n_gaps"], b["mean_gap_s"], b["sd_gap_s"], b["cv"]) == (
+        1, 0.0, None, None
+    )
+    c = out["c"]
+    assert (c["n_events"], c["n_gaps"], c["mean_gap_s"]) == (1, 0, None)
+    assert "d" not in out  # NULL ts ignored -> no rows at all
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="key_cols"):
+        interarrival_stats(df, [], "ts")

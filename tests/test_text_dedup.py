@@ -1617,3 +1617,35 @@ def test_ivf_pq_topk_composition(spark, vecs):
     assert sorted(map(tuple, full.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_readability_profile_hand_checked(spark):
+    """Flesch / FK against hand counts; zero-sentence and empty docs
+    report NULL scores."""
+    from pyspark_data_quality_spark.operators.text import (
+        readability_profile,
+    )
+
+    rows = [
+        # "the cat sat. it ran away!" -> 2 sentences, 6 words,
+        # syllables: the(1) cat(1) sat(1) it(1) ran(1) away(2) = 7
+        (1, "The cat sat. It ran away!"),
+        (2, "word word word"),      # 1 "sentence" (no delim -> 1 seg), 3 words
+        (3, ""),                     # empty: 0/0/0, NULL scores
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in readability_profile(df).collect()}
+    r1 = out[1]
+    assert (r1["n_sentences"], r1["n_words"], r1["n_syllables"]) == (2, 6, 7)
+    wps, spw = 6 / 2, 7 / 6
+    assert r1["flesch_reading_ease"] == round(
+        206.835 - 1.015 * wps - 84.6 * spw, 6
+    )
+    assert r1["fk_grade"] == round(0.39 * wps + 11.8 * spw - 15.59, 6)
+    r2 = out[2]
+    assert (r2["n_sentences"], r2["n_words"]) == (1, 3)
+    r3, r4 = out[3], out[4]
+    for r in (r3, r4):
+        assert (r["n_sentences"], r["n_words"], r["n_syllables"]) == (0, 0, 0)
+        assert r["flesch_reading_ease"] is None and r["fk_grade"] is None
