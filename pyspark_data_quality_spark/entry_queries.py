@@ -7143,6 +7143,52 @@ def dq_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interarrival_stats(ev, ["event_type"], "ts")
 
 
+
+
+@query("dq_segment_health")
+def dq_segment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite per-segment health report (pipelines/segment_health.py
+    segment_health_report) over events split pre/post the drift date:
+    completeness + freshness + duplicate-rate + PSI + KS sections in
+    one long-format routable frame. Rows-only by the curation
+    precedent — every section's math is individually oracle-certified
+    (dq_group_completeness, dq_group_freshness, dq_dup_rate,
+    dq_group_psi, dq_ks_group); this entry certifies the COMPOSITION
+    stays runnable and row-stable under the driver."""
+    from .pipelines.segment_health import segment_health_report
+
+    ev = load_table(spark, "events", sf_dir)
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    ts = F.col("ts").cast("timestamp")
+    cur = ev.filter(ts >= split)
+    ref = ev.filter(ts < split)
+    return segment_health_report(
+        cur,
+        "event_type",
+        ref=ref,
+        completeness_cols=["value", "user_id"],
+        ts_col="ts",
+        unique_keys=["user_id", "ts"],
+        psi_cols=["user_id"],
+        ks_col="value",
+    ).orderBy("segment", "check", "column")
+
+
+@query("dq_corpus_card")
+def dq_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release data card (pipelines/corpus_card.py corpus_report):
+    volume / quality / duplication / language / vocabulary sections as
+    one long frame over the documents table. Rows-only by the curation
+    precedent — the underlying profile and each section's aggregates
+    are oracle-certified via dq_text_profile / dq_quality_summary /
+    dq_lang_dist / dq_exact_dedup / dq_vocab; this entry certifies the
+    composed card."""
+    from .pipelines.corpus_card import corpus_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    return corpus_report(docs).orderBy("section", "metric")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, not hand-maintained.
 #

@@ -56,15 +56,27 @@ def segment_health_report(
     ks_col: str | None = None,
     ks_threshold: float = 0.1,
     round_to: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """One long-format health report over ``cur``'s segments; drift
-    sections (``psi_cols``, ``ks_col``) additionally need ``ref``."""
+    sections (``psi_cols``, ``ks_col``) additionally need ``ref``.
+
+    ``persist=True`` (default) caches ``cur``/``ref`` for the report's
+    duration: each requested section is a different aggregation shape,
+    so without it a k-section report scans the source k times — the
+    same contract as corpus_report."""
     if (psi_cols or ks_col) and ref is None:
         raise ValueError(
             "segment_health_report: psi_cols/ks_col need a ref frame"
         )
     if not any([completeness_cols, ts_col, unique_keys, psi_cols, ks_col]):
         raise ValueError("segment_health_report: no sections requested")
+    if persist:
+        from pyspark import StorageLevel
+
+        cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+        if ref is not None:
+            ref = ref.persist(StorageLevel.MEMORY_AND_DISK)
     seg = F.col(group_col).cast("string")
     parts: list[DataFrame] = []
 

@@ -72,6 +72,8 @@ NESTED_LOOP_OK = {
     "dq_c2st",                   # NB class-spine + 1-row broadcasts
     "dq_kappa",                  # three 1-row agreement frames joined
     "dq_calibration",            # 1-row bin-total broadcast
+    "dq_segment_health",         # constituents' 1-row global broadcasts
+    "dq_corpus_card",            # 1-row card-section aggregates
 }
 
 
