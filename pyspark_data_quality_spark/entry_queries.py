@@ -7189,6 +7189,127 @@ def dq_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(docs).orderBy("section", "metric")
 
 
+
+
+@query(
+    "dq_encoding",
+    """
+    WITH inj AS (
+      SELECT doc_id,
+             concat(coalesce(text, ''),
+                    CASE WHEN doc_id % 4 = 0 THEN ' cafÃ© � x'
+                         ELSE '' END) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '�'))
+                + len(regexp_extract_all(t, '[-]'))
+                + len(regexp_extract_all(t, '[ÂÃ][-¿]'))
+                AS BIGINT) AS n_artifacts
+    FROM inj ORDER BY doc_id
+    """,
+)
+def dq_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage scan (functions/text.py
+    encoding_artifact_count), previously pytest-only: U+FFFD, C1
+    control characters and UTF-8-as-latin-1 mojibake digraphs, with
+    deterministic artifacts injected into every fourth document so
+    the three detectors all fire at every SF. Both engines count the
+    same literal character classes."""
+    from .functions.text import encoding_artifact_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    damaged = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(' cafÃ© � x\x85'))
+        .otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        encoding_artifact_count(damaged).alias("n_artifacts"),
+    ).orderBy("doc_id")
+
+
+
+
+@query(
+    "dq_url_normalize",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN 'not a url'
+                  ELSE concat('HTTPS://WWW.', source, '.Example.COM:8443',
+                              '/CaseSensitive/Path', CAST(doc_id AS VARCHAR),
+                              '?utm_source=news&id=', CAST(doc_id AS VARCHAR),
+                              '&utm_campaign=x&ref=tw#Frag')
+             END AS url
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id, url,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(url, '#.*$', '', 'g'),
+                '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '\1', 'g'),
+              '&{2,}', '&', 'g'),
+            '\?&', '?', 'g'),
+          '[?&]$', '', 'g') AS u
+      FROM raw
+    ), parts AS (
+      SELECT doc_id, url, u,
+        nullif(regexp_extract(u, '://(?:[^/?#@]*@)?([^:/?#]+)', 1), '')
+          AS host,
+        strpos(u, '://') AS sep,
+        CASE WHEN strpos(u, '://') > 0
+             THEN substr(u, strpos(u, '://') + 3) END AS after
+      FROM stripped
+    ), bounds AS (
+      SELECT doc_id, url, u, host, sep,
+        coalesce(
+          sep + 2 + least(
+            CASE WHEN strpos(after, '/') > 0 THEN strpos(after, '/') END,
+            CASE WHEN strpos(after, '?') > 0 THEN strpos(after, '?') END
+          ) - 1,
+          len(u)) AS auth_end
+      FROM parts
+    )
+    SELECT doc_id,
+           CASE WHEN host IS NOT NULL AND sep > 0
+                THEN concat(lower(substr(u, 1, auth_end)),
+                            substr(u, auth_end + 1))
+                ELSE u END AS norm_url,
+           lower(host) AS host
+    FROM bounds ORDER BY doc_id
+    """,
+)
+def dq_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host extraction (functions/text.py
+    normalize_url / url_host), previously pytest-only: synthesized
+    URLs with tracking params, mixed-case scheme+authority, fragments
+    and a case-sensitive path — plus a malformed row every tenth doc
+    (passthrough branch, NULL host). The oracle replays the full
+    regex chain and the authority-end arithmetic; both engines must
+    lowercase exactly the scheme+authority span and nothing else."""
+    from .functions.text import normalize_url, url_host
+
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id").cast("string")
+    url = F.when(F.col("doc_id") % 10 == 0, F.lit("not a url")).otherwise(
+        F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"),
+            F.lit(".Example.COM:8443/CaseSensitive/Path"), did,
+            F.lit("?utm_source=news&id="), did,
+            F.lit("&utm_campaign=x&ref=tw#Frag"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        normalize_url(url).alias("norm_url"),
+        url_host(url).alias("host"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, not hand-maintained.
 #
