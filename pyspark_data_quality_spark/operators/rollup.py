@@ -260,9 +260,11 @@ def interarrival_stats(
         F.col(ts_col).cast("timestamp").cast("double")
     )
     w = Window.partitionBy(*key_cols).orderBy(F.col("_s").asc())
+    # filter on the CASTED value: a raw value that casts to NULL must
+    # be ignored like a NULL timestamp, not counted as an event
     gapped = (
-        df.filter(F.col(ts_col).isNotNull())
-        .select(*key_cols, sec.alias("_s"))
+        df.select(*key_cols, sec.alias("_s"))
+        .filter(F.col("_s").isNotNull())
         .withColumn("_gap", F.col("_s") - F.lag("_s").over(w))
     )
     return (

@@ -61,10 +61,14 @@ def segment_health_report(
     """One long-format health report over ``cur``'s segments; drift
     sections (``psi_cols``, ``ks_col``) additionally need ``ref``.
 
-    ``persist=True`` (default) caches ``cur``/``ref`` for the report's
-    duration: each requested section is a different aggregation shape,
-    so without it a k-section report scans the source k times — the
-    same contract as corpus_report."""
+    ``persist=True`` (default) prunes ``cur``/``ref`` to the columns
+    the requested sections actually read, then caches them: each
+    section is a different aggregation shape, so without the cache a
+    k-section report scans the source k times, and without the prune
+    the cache would materialize every column of a wide table. The
+    cache is evicted by Spark's LRU/ContextCleaner; hold the pruned
+    frames yourself (persist=False + your own persist) when you need
+    deterministic unpersist — same contract as corpus_report."""
     if (psi_cols or ks_col) and ref is None:
         raise ValueError(
             "segment_health_report: psi_cols/ks_col need a ref frame"
@@ -74,9 +78,23 @@ def segment_health_report(
     if persist:
         from pyspark import StorageLevel
 
-        cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+        used = [group_col]
+        for cols in (completeness_cols, unique_keys, psi_cols):
+            used += cols or []
+        if ts_col:
+            used.append(ts_col)
+        if ks_col:
+            used.append(ks_col)
+        cur_cols = list(dict.fromkeys(c for c in used if c in cur.columns))
+        cur = cur.select(*cur_cols).persist(StorageLevel.MEMORY_AND_DISK)
         if ref is not None:
-            ref = ref.persist(StorageLevel.MEMORY_AND_DISK)
+            ref_used = [group_col] + (psi_cols or [])
+            if ks_col:
+                ref_used.append(ks_col)
+            ref_cols = list(dict.fromkeys(
+                c for c in ref_used if c in ref.columns
+            ))
+            ref = ref.select(*ref_cols).persist(StorageLevel.MEMORY_AND_DISK)
     seg = F.col(group_col).cast("string")
     parts: list[DataFrame] = []
 

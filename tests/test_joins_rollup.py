@@ -310,7 +310,7 @@ def test_interarrival_stats_hand_checked(spark):
     a = out["a"]
     assert (a["n_events"], a["n_gaps"]) == (4, 3)
     assert a["mean_gap_s"] == 20.0
-    assert a["sd_gap_s"] == round((300.0) ** 0.5, 6)  # var=((100+100+400)-3*400)/2
+    assert a["sd_gap_s"] == round((300.0) ** 0.5, 6)  # var=((100+100+1600)-3*400)/2
     assert a["cv"] == round((300.0 ** 0.5) / 20.0, 6)
     assert a["max_gap_s"] == 40.0
     b = out["b"]
