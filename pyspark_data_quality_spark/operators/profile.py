@@ -963,3 +963,133 @@ def association_matrix(
         ).alias("cramers_v"),
     )
     return out.orderBy("col_a", "col_b")
+
+
+def pattern_profile(
+    df: DataFrame,
+    columns: list[str],
+    *,
+    k: int | None = None,
+    collapse_runs: bool = False,
+) -> DataFrame:
+    """Format-mask mining: the dominant character-class patterns per
+    column — ``Customer#000000001`` profiles as ``Aa#9``-style masks so
+    one report surfaces mixed id formats, stray whitespace, or a second
+    date layout hiding in a "clean" column.
+
+    Masks map ``[A-Z]``→``A``, ``[a-z]``→``a``, ``[0-9]``→``9`` (other
+    characters kept verbatim); ``collapse_runs=True`` additionally
+    squeezes repeats (``AAA``→``A+``) so variable-length ids share one
+    mask. NULLs profile as a NULL mask row — their share is part of the
+    format story.
+
+    Same scale shape as :func:`top_values`: every row contributes one
+    (column, mask) pair via an exploded map, so ALL columns profile in
+    ONE shuffle keyed by (column, mask); mask cardinality is tiny by
+    construction (formats, not values). Output:
+    ``(column, mask, n, ratio[, rank])`` — ratio over the column's total
+    row count; pass ``k`` to keep only each column's top-k masks (rank
+    window runs on the aggregated histogram, ties broken by mask).
+    """
+
+    def _mask(c: str):
+        m = F.regexp_replace(F.col(c).cast("string"), "[A-Z]", "A")
+        m = F.regexp_replace(m, "[a-z]", "a")
+        m = F.regexp_replace(m, "[0-9]", "9")
+        if collapse_runs:
+            m = F.regexp_replace(m, "A{2,}", "A+")
+            m = F.regexp_replace(m, "a{2,}", "a+")
+            m = F.regexp_replace(m, "9{2,}", "9+")
+        return m
+
+    pairs = df.select(
+        F.explode(
+            F.create_map(
+                *[x for c in columns for x in (F.lit(c), _mask(c))]
+            )
+        ).alias("column", "mask")
+    )
+    counted = pairs.groupBy("column", "mask").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_col = Window.partitionBy("column")
+    out = counted.withColumn(
+        "ratio", F.round(F.col("n") / F.sum("n").over(w_col), 6)
+    )
+    if k is not None:
+        w = Window.partitionBy("column").orderBy(
+            F.col("n").desc(), F.col("mask").asc_nulls_last()
+        )
+        out = out.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+        return out.orderBy("column", "rank")
+    return out.orderBy("column", F.col("n").desc(), F.col("mask").asc_nulls_last())
+
+
+def concentration_report(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group share concentration of a non-negative quantity: Gini
+    coefficient, top-decile share, and max single-row share — "how much
+    of this language's corpus is a few giant documents?".
+
+    Gini uses the exact rank formula ``G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n``
+    with ``i`` the 1-based ascending value rank. Ranks among tied values
+    are arbitrary, but every permutation of a tied block contributes the
+    same Σ i·xᵢ, so the statistic (and the oracle hash) is tie-stable.
+    Top-decile share counts the ``max(1, ⌊n/10⌋)`` largest rows.
+
+    ONE scan: NULL rows ride the same window pass in their own
+    ``(group, is_null)`` partition (so they never perturb the non-null
+    ranks) and fold into the final groupBy as ``n_null`` — no second
+    pass over the base table. The window is partition-parallel by
+    group; no global sort. Output per group:
+    ``(group..., n, n_null, total, gini, top_decile_share, max_share)``.
+    """
+    x = F.col(value_col).cast("double")
+    w_rank = Window.partitionBy(*group_cols, x.isNull()).orderBy(x.asc())
+    w_grp = Window.partitionBy(*group_cols, x.isNull())
+    ranked = df.select(
+        *group_cols,
+        x.alias("_x"),
+        F.row_number().over(w_rank).alias("_i"),
+        F.count(F.lit(1)).over(w_grp).alias("_n"),
+    )
+    k_top = F.greatest(F.lit(1), F.floor(F.col("_n") / 10))
+    nn = F.col("_x").isNotNull()
+    per_group = ranked.groupBy(*group_cols).agg(
+        F.coalesce(F.max(F.when(nn, F.col("_n"))), F.lit(0)).alias("n"),
+        F.sum(F.when(~nn, 1).otherwise(0)).alias("n_null"),
+        F.sum("_x").alias("_total"),
+        F.sum(F.when(nn, F.col("_i") * F.col("_x"))).alias("_iwx"),
+        F.sum(
+            F.when(nn & (F.col("_i") > F.col("_n") - k_top), F.col("_x"))
+        ).alias("_top"),
+        F.max("_x").alias("_max"),
+    )
+    return (
+        per_group
+        .select(
+            *group_cols,
+            F.col("n"),
+            F.col("n_null"),
+            F.round("_total", round_to).alias("total"),
+            F.round(
+                F.lit(2.0) * F.col("_iwx") / (F.col("n") * F.col("_total"))
+                - (F.col("n") + F.lit(1.0)) / F.col("n"),
+                round_to,
+            ).alias("gini"),
+            F.round(F.col("_top") / F.col("_total"), round_to).alias(
+                "top_decile_share"
+            ),
+            F.round(F.col("_max") / F.col("_total"), round_to).alias(
+                "max_share"
+            ),
+        )
+        .orderBy(*group_cols)
+    )

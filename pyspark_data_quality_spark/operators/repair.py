@@ -523,3 +523,99 @@ def value_clusters(
         .filter(F.col("n_values") >= min_values)
         .orderBy("fingerprint")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    col: str,
+    ref: DataFrame,
+    group_cols: list[str],
+    *,
+    ref_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Map a column onto a reference distribution per group: each value
+    is replaced by the reference value at the same ECDF position — the
+    drift REPAIR next to the drift detectors (numeric_drift/ks flag a
+    shifted feed; this re-anchors it to the reference shape so a
+    downstream model keeps seeing the distribution it was trained on).
+
+    Exact step-function mapping, integer-only boundary math: a current
+    row's tie-inclusive rank ``cnt_le`` (count of rows ≤ it in its
+    group, RANGE window — tie-stable by construction) picks reference
+    position ``idx = ⌈cnt_le · n_ref / n_cur⌉`` via integer ceil
+    division (no float ECDF, so no ulp-boundary flips against the
+    oracle), and the normalized value is the reference's idx-th
+    smallest. The value at a sorted position is well-defined under
+    ties even though row_number among equal values is not.
+
+    NULL handling without a second scan: NULL rows ride the same window
+    pass in their own ``(group, is_null)`` partition and come out with a
+    NULL normalized value. Groups absent from the reference also emit
+    NULL.
+
+    Scale: both sides sort WITHIN group partitions only (no global
+    window; pick group_cols that shard — empty ``group_cols`` is
+    refused); the reference's per-group counts are a tiny broadcast
+    onto the current frame so ``idx`` is a LEFT-side column and the
+    mapping stays a strict equi-join on (group, idx) — never a
+    per-group nested loop. The reference is read twice (count agg +
+    rank projection); references are samples, current frames are the
+    100 TB side, which is touched once.
+
+    Output: input columns + ``<col>_qn`` (override via ``out_col``).
+    """
+    if not group_cols:
+        raise ValueError(
+            "quantile_normalize: group_cols must be non-empty — an "
+            "ungrouped mapping is a single global sort; bucket first"
+        )
+    ref_col = ref_col or col
+    out_col = out_col or f"{col}_qn"
+    x = F.col(col)
+    rx = F.col(ref_col)
+
+    w_le = (
+        Window.partitionBy(*group_cols, x.isNull())
+        .orderBy(x.asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy(*group_cols, x.isNull())
+    cur = df.withColumn("_cnt_le", F.count(F.lit(1)).over(w_le)).withColumn(
+        "_n_cur", F.count(F.lit(1)).over(w_n)
+    )
+
+    ref_nn = ref.filter(rx.isNotNull())
+    ref_counts = ref_nn.groupBy(
+        *[F.col(c).alias(f"_c_{c}") for c in group_cols]
+    ).agg(F.count(F.lit(1)).alias("_n_ref"))
+    cur = cur.join(
+        F.broadcast(ref_counts),
+        [F.col(c).eqNullSafe(F.col(f"_c_{c}")) for c in group_cols],
+        "left",
+    )
+    # integer ceil division: idx = floor((cnt_le*n_ref + n_cur - 1)/n_cur)
+    cur = cur.withColumn(
+        "_idx",
+        F.when(
+            x.isNotNull() & F.col("_n_ref").isNotNull(),
+            F.floor(
+                (F.col("_cnt_le") * F.col("_n_ref") + F.col("_n_cur") - 1)
+                / F.col("_n_cur")
+            ),
+        ),
+    )
+    ranked_ref = ref_nn.select(
+        *[F.col(c).alias(f"_g_{c}") for c in group_cols],
+        rx.alias("_rv"),
+        F.row_number()
+        .over(Window.partitionBy(*group_cols).orderBy(rx.asc()))
+        .alias("_ridx"),
+    )
+    joined = cur.join(
+        ranked_ref,
+        [F.col(c).eqNullSafe(F.col(f"_g_{c}")) for c in group_cols]
+        + [F.col("_idx") == F.col("_ridx")],
+        "left",
+    )
+    return joined.select(*df.columns, F.col("_rv").alias(out_col))

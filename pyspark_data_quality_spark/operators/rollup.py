@@ -285,3 +285,101 @@ def interarrival_stats(
         )
         .orderBy(*[F.col(k).asc_nulls_first() for k in key_cols])
     )
+
+
+def acf_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    lags: list[int] | None = None,
+    bucket_seconds: int = 3600,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key autocorrelation of the event-count series — does this
+    feed have a real periodicity (daily ACF spike), sticky load
+    (slow-decaying ACF), or white-noise arrivals (ACF ≈ 0)? The batch
+    complement of the streaming seasonal monitor: a seasonality you can
+    SEE before you pick its period.
+
+    The series is the per-bucket EVENT COUNT (``bucket = ⌊epoch /
+    bucket_seconds⌋``) — integer-exact, so the only float arithmetic is
+    the final centered products and the statistic reproduces bit-stably
+    from any aggregation order after rounding. For each requested lag k:
+
+        acf_k = Σ_t (x_t − μ)(x_{t+k} − μ) / Σ_t (x_t − μ)²
+
+    with μ and the denominator over the key's FULL series (the standard
+    biased estimator) and the numerator over bucket pairs (t, t+k) that
+    BOTH exist — empty buckets are gaps, not zeros, and ``n_pairs``
+    reports how much support each lag actually had (a lag no pair
+    survives, e.g. beyond the series span, emits no row).
+
+    Scale: one groupBy shrinks events to |keys|×|buckets| count rows;
+    per-key moments are a second tiny agg broadcast back; the lag match
+    is an equi-join on (key, bucket+k) after exploding the lag list —
+    every shuffle is keyed by (key, bucket) over the ALREADY-aggregated
+    frame, never the raw events. No windows over raw data, no UDFs.
+
+    Output: key cols + ``(lag, n_buckets, n_pairs, acf)``; ``acf`` is
+    NULL for a constant series (zero variance).
+    """
+    if lags is None:
+        lags = [1, 2, 3]
+    if any(k <= 0 for k in lags):
+        raise ValueError("acf_profile: lags must be positive")
+    bkt = F.floor(
+        F.col(ts_col).cast("timestamp").cast("double") / F.lit(float(bucket_seconds))
+    ).cast("long")
+    # the bucket-count frame feeds THREE consumers (moments, lag side,
+    # lead side): checkpoint it so raw events are scanned exactly once
+    # (single-scan contract, tests/test_telemetry.py)
+    hourly = (
+        df.select(*key_cols, bkt.alias("_b"))
+        .filter(F.col("_b").isNotNull())
+        .groupBy(*key_cols, "_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("_x"))
+        .localCheckpoint()
+    )
+    stats = hourly.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.avg("_x").alias("_mu"),
+        F.sum(F.pow(F.col("_x"), 2)).alias("_sx2"),
+        F.sum("_x").alias("_sx"),
+    )
+    # Σ(x−μ)² = Σx² − (Σx)²/n, all terms from the one stats row
+    stats = stats.withColumn(
+        "_ss", F.col("_sx2") - F.col("_sx") * F.col("_sx") / F.col("n_buckets")
+    )
+    lag_df = hourly.withColumn(
+        "lag", F.explode(F.array(*[F.lit(int(k)) for k in lags]))
+    )
+    lead = hourly.select(
+        *[F.col(c).alias(f"_r_{c}") for c in key_cols],
+        F.col("_b").alias("_rb"),
+        F.col("_x").alias("_rx"),
+    )
+    join_cond = [F.col(c) == F.col(f"_r_{c}") for c in key_cols] + [
+        F.col("_b") + F.col("lag") == F.col("_rb")
+    ]
+    pairs = lag_df.join(lead, join_cond, "inner")
+    num = pairs.join(F.broadcast(stats), key_cols).groupBy(
+        *key_cols, "lag"
+    ).agg(
+        F.max("n_buckets").alias("n_buckets"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (F.col("_x") - F.col("_mu")) * (F.col("_rx") - F.col("_mu"))
+        ).alias("_num"),
+        F.max("_ss").alias("_ss"),
+    )
+    return num.select(
+        *key_cols,
+        "lag",
+        "n_buckets",
+        "n_pairs",
+        F.round(
+            F.try_divide(F.col("_num"), F.when(F.col("_ss") > 0, F.col("_ss"))),
+            round_to,
+        ).alias("acf"),
+    ).orderBy(*key_cols, "lag")

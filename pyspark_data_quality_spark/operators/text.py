@@ -1310,3 +1310,62 @@ def readability_profile(
             ).alias("fk_grade"),
         )
     )
+
+
+def compression_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    redundancy signal (Gopher-style filters drop documents whose bytes
+    compress too well: boilerplate, keyword stuffing, generated spam;
+    and flag the opposite tail: binary junk that does not compress at
+    all). Deterministic for a fixed ``level`` (zlib's DEFLATE output is
+    a pure function of input + level in CPython's bundled zlib).
+
+    mapInPandas (Arrow-batched — codecs are the documented slow-path
+    exception, same as the media decoders); the pass is embarrassingly
+    parallel per partition, no shuffle at all, and appends three columns:
+
+    - ``n_bytes`` — UTF-8 byte length (NULL text → NULL),
+    - ``n_compressed`` — ``len(zlib.compress(bytes, level))``,
+    - ``compression_ratio`` — ``n_compressed / n_bytes`` (NULL for NULL
+      or empty text; < ~0.4 is suspiciously repetitive prose, ≥ 1.0 is
+      incompressible/near-random payload).
+    """
+    import zlib
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+            T.StructField("compression_ratio", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            nb, nc, ratio = [], [], []
+            for text in pdf[text_col]:
+                if text is None:
+                    nb.append(None)
+                    nc.append(None)
+                    ratio.append(None)
+                    continue
+                raw = text.encode("utf-8")
+                comp = zlib.compress(raw, level)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                ratio.append(len(comp) / len(raw) if raw else None)
+            out = pdf.copy()
+            out["n_bytes"] = nb
+            out["n_compressed"] = nc
+            out["compression_ratio"] = ratio
+            yield out
+
+    return df.mapInPandas(gen, out_schema)
