@@ -7311,6 +7311,266 @@ def dq_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-9 second analytics batch: format masks, concentration, A/B stats,
+# autocorrelation, quantile normalization, compression signal.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_pattern_profile",
+    """
+    WITH pairs AS (
+      SELECT 'c_mktsegment' AS "column",
+             regexp_replace(regexp_replace(regexp_replace(
+               CAST(c_mktsegment AS VARCHAR),
+               '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g')
+             AS mask
+      FROM customer
+      UNION ALL
+      SELECT 'c_name',
+             regexp_replace(regexp_replace(regexp_replace(
+               CAST(c_name AS VARCHAR),
+               '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g')
+      FROM customer
+    )
+    SELECT "column", mask, count(*) AS n,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY "column"), 6) AS ratio
+    FROM pairs GROUP BY "column", mask
+    ORDER BY "column", n DESC, mask
+    """,
+)
+def dq_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-mask mining (operators/profile.py pattern_profile): the
+    dominant character-class patterns of customer name/segment — mixed
+    id layouts surface as extra mask rows. The oracle replays the
+    A/a/9 regexp chain and the per-column share windows verbatim."""
+    from .operators.profile import pattern_profile
+
+    cust = load_table(spark, "customer", sf_dir)
+    return pattern_profile(cust, ["c_name", "c_mktsegment"])
+
+
+@query(
+    "dq_concentration",
+    """
+    WITH nn AS (
+      SELECT lang, CAST(n_chars AS DOUBLE) AS x
+      FROM documents WHERE n_chars IS NOT NULL
+    ), ranked AS (
+      SELECT lang, x,
+             row_number() OVER (PARTITION BY lang ORDER BY x) AS i,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM nn
+    ), agg AS (
+      SELECT lang, max(n) AS n, sum(x) AS total, sum(i * x) AS iwx,
+             sum(CASE WHEN i > n - greatest(1, n // 10) THEN x END) AS topx,
+             max(x) AS mx
+      FROM ranked GROUP BY lang
+    ), nulls AS (
+      SELECT lang, count(*) AS n_null
+      FROM documents WHERE n_chars IS NULL GROUP BY lang
+    )
+    SELECT a.lang, a.n,
+           coalesce(nl.n_null, 0) AS n_null,
+           round(total, 6) AS total,
+           round(2.0 * iwx / (a.n * total) - (a.n + 1.0) / a.n, 6) AS gini,
+           round(topx / total, 6) AS top_decile_share,
+           round(mx / total, 6) AS max_share
+    FROM agg a LEFT JOIN nulls nl USING (lang)
+    ORDER BY a.lang
+    """,
+)
+def dq_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language size concentration (operators/profile.py
+    concentration_report): exact rank-formula Gini + top-decile and
+    max single-document shares of the corpus bytes — "is this slice a
+    few giant documents?". Σ i·xᵢ stays integer-exact in doubles, so
+    the oracle reproduces the statistic bit-for-bit after round(6)."""
+    from .operators.profile import concentration_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    return concentration_report(docs, ["lang"], "n_chars")
+
+
+@query(
+    "dq_ab_test",
+    """
+    WITH t AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS variant,
+             value AS m,
+             CASE WHEN value > 50 THEN 1 ELSE 0 END AS s
+      FROM events WHERE user_id IS NOT NULL
+    ), g AS (
+      SELECT variant, count(m) AS n, avg(m) AS mean, var_samp(m) AS var,
+             CAST(sum(s) AS BIGINT) AS succ, count(*) AS n_rows
+      FROM t GROUP BY variant
+    ), a AS (SELECT * FROM g ORDER BY variant LIMIT 1),
+       b AS (SELECT * FROM g ORDER BY variant DESC LIMIT 1)
+    SELECT a.variant AS variant_a, b.variant AS variant_b,
+           a.n AS n_a, b.n AS n_b,
+           round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+           round(a.mean - b.mean, 6) AS mean_diff,
+           round((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 6) AS welch_t,
+           round(pow(a.var / a.n + b.var / b.n, 2)
+                 / (pow(a.var / a.n, 2) / (a.n - 1)
+                    + pow(b.var / b.n, 2) / (b.n - 1)), 6) AS welch_df,
+           round(a.succ * 1.0 / a.n_rows, 6) AS rate_a,
+           round(b.succ * 1.0 / b.n_rows, 6) AS rate_b,
+           round(a.succ * 1.0 / a.n_rows
+                 - b.succ * 1.0 / b.n_rows, 6) AS rate_diff,
+           round((a.succ * 1.0 / a.n_rows - b.succ * 1.0 / b.n_rows)
+                 / sqrt(((a.succ + b.succ) * 1.0 / (a.n_rows + b.n_rows))
+                        * (1 - (a.succ + b.succ) * 1.0
+                               / (a.n_rows + b.n_rows))
+                        * (1.0 / a.n_rows + 1.0 / b.n_rows)), 6) AS prop_z,
+           abs((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n)) > 1.96
+             AS significant
+    FROM a CROSS JOIN b
+    """,
+)
+def dq_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-variant experiment readout (operators/abtest.py
+    ab_test_report): users hash into even/odd cohorts; Welch's t on the
+    event value and the pooled two-proportion z on the value>50
+    conversion flag, the full closed-form math replayed by the oracle
+    from the same one-pass per-variant aggregates."""
+    from .operators.abtest import ab_test_report
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    return ab_test_report(
+        ev,
+        F.when(F.col("user_id") % 2 == 0, F.lit("even")).otherwise("odd"),
+        "value",
+        F.col("value") > 50,
+    )
+
+
+@query(
+    "dq_acf",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 1000000.0 / 3600) AS BIGINT) AS bkt,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, bkt
+    ), stats AS (
+      SELECT event_type, count(*) AS n_buckets, avg(x) AS mu,
+             sum(x * x) - sum(x) * sum(x) / count(*) AS ss
+      FROM b GROUP BY event_type
+    ), l AS (SELECT * FROM (VALUES (1), (2), (24)) AS t(lag))
+    SELECT b1.event_type, l.lag,
+           max(s.n_buckets) AS n_buckets,
+           count(*) AS n_pairs,
+           round(sum((b1.x - s.mu) * (b2.x - s.mu))
+                 / (CASE WHEN max(s.ss) > 0 THEN max(s.ss) END), 6) AS acf
+    FROM b b1
+    CROSS JOIN l
+    JOIN b b2 ON b2.event_type = b1.event_type AND b2.bkt = b1.bkt + l.lag
+    JOIN stats s ON s.event_type = b1.event_type
+    GROUP BY b1.event_type, l.lag
+    ORDER BY b1.event_type, l.lag
+    """,
+)
+def dq_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic autocorrelation (operators/rollup.py acf_profile):
+    per-event-type ACF of hourly event counts at lags 1 h / 2 h / 24 h
+    — the daily-period fingerprint. The series is integer-exact, so the
+    oracle reproduces μ, Σ(x−μ)² and every centered product from the
+    same hourly counts."""
+    from .operators.rollup import acf_profile
+
+    ev = load_table(spark, "events", sf_dir)
+    return acf_profile(ev, ["event_type"], "ts", lags=[1, 2, 24])
+
+
+@query(
+    "dq_quantile_norm",
+    """
+    WITH cur AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16'
+    ), ref AS (
+      SELECT event_type, value FROM events
+      WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL
+    ), rc AS (
+      SELECT event_type, count(*) AS n_ref FROM ref GROUP BY event_type
+    ), rr AS (
+      SELECT event_type, value AS rv,
+             row_number() OVER (PARTITION BY event_type ORDER BY value)
+               AS ridx
+      FROM ref
+    ), c2 AS (
+      SELECT c.event_id, c.event_type, c.value,
+             count(*) OVER (
+               PARTITION BY c.event_type, c.value IS NULL
+               ORDER BY c.value
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cnt_le,
+             count(*) OVER (
+               PARTITION BY c.event_type, c.value IS NULL
+             ) AS n_cur
+      FROM cur c
+    ), idxd AS (
+      SELECT event_id, event_type, value,
+             CASE WHEN value IS NOT NULL AND n_ref IS NOT NULL
+                  THEN (cnt_le * n_ref + n_cur - 1) // n_cur END AS idx
+      FROM c2 LEFT JOIN rc USING (event_type)
+    )
+    SELECT i.event_id, i.event_type, i.value, rr.rv AS value_qn
+    FROM idxd i
+    LEFT JOIN rr ON rr.event_type = i.event_type AND rr.ridx = i.idx
+    ORDER BY i.event_id
+    """,
+)
+def dq_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift repair (operators/repair.py quantile_normalize): post-split
+    event values re-anchored onto each event type's pre-split value
+    distribution by exact per-group ECDF position — integer
+    ceil-division boundaries, so the oracle's window replay cannot
+    disagree on a quantile edge. NULL values pass through with a NULL
+    normalized value."""
+    from .operators.repair import quantile_normalize
+
+    ev = load_table(spark, "events", sf_dir)
+    split = F.lit("2024-01-16").cast("timestamp")
+    cur = ev.filter(F.col("ts") >= split).select(
+        "event_id", "event_type", "value"
+    )
+    ref = ev.filter(F.col("ts") < split)
+    return quantile_normalize(cur, "value", ref, ["event_type"]).orderBy(
+        "event_id"
+    )
+
+
+@query("dq_compression")
+def dq_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redundancy signal (operators/text.py compression_profile): zlib
+    level-6 byte/compressed-byte counts and ratio per document.
+    Rows-only: DuckDB exposes no DEFLATE primitive, so there is no SQL
+    replay — determinism (fixed level, pure function of the bytes) and
+    the signal's direction (repetitive ≪ random) are pinned by
+    tests/test_analytics2.py instead."""
+    from .operators.text import compression_profile
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        compression_profile(docs, "text")
+        .select(
+            "doc_id",
+            "n_bytes",
+            "n_compressed",
+            F.round("compression_ratio", 6).alias("compression_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, not hand-maintained.
 #
 # The driver's correctness harness certifies exactly the FIRST 50 entries of

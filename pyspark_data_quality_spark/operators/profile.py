@@ -1079,17 +1079,35 @@ def concentration_report(
             F.col("n"),
             F.col("n_null"),
             F.round("_total", round_to).alias("total"),
+            # try_divide: an all-zero or all-NULL group (total 0 / n 0)
+            # reports NULL shares instead of an ANSI divide-by-zero
             F.round(
-                F.lit(2.0) * F.col("_iwx") / (F.col("n") * F.col("_total"))
-                - (F.col("n") + F.lit(1.0)) / F.col("n"),
+                F.try_divide(
+                    F.lit(2.0) * F.col("_iwx"),
+                    F.when(
+                        F.col("n") * F.col("_total") != 0,
+                        F.col("n") * F.col("_total"),
+                    ),
+                )
+                - F.try_divide(
+                    F.col("n") + F.lit(1.0), F.when(F.col("n") > 0, F.col("n"))
+                ),
                 round_to,
             ).alias("gini"),
-            F.round(F.col("_top") / F.col("_total"), round_to).alias(
-                "top_decile_share"
-            ),
-            F.round(F.col("_max") / F.col("_total"), round_to).alias(
-                "max_share"
-            ),
+            F.round(
+                F.try_divide(
+                    F.col("_top"),
+                    F.when(F.col("_total") != 0, F.col("_total")),
+                ),
+                round_to,
+            ).alias("top_decile_share"),
+            F.round(
+                F.try_divide(
+                    F.col("_max"),
+                    F.when(F.col("_total") != 0, F.col("_total")),
+                ),
+                round_to,
+            ).alias("max_share"),
         )
         .orderBy(*group_cols)
     )

@@ -63,6 +63,7 @@ NESTED_LOOP_OK = {
     "dq_corpus_kl",              # 1-row group-total broadcast
     "dq_matched_sample",         # 1-row limiting-stratum scale broadcast
     "dq_emb_drift",              # two 1-row mean vectors joined
+    "dq_ab_test",                # two 1-row variant aggregates joined
     "dq_keyness",                # 1-row corpus-total broadcast
     "dq_group_completeness",     # 1-row global-ratio broadcast
     "dq_group_freshness",        # 1-row global-freshness broadcast

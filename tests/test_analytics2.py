@@ -241,3 +241,12 @@ def test_compression_profile_deterministic(spark):
 
     expect = len(zlib.compress(("abcabcabc" * 50).encode(), 6))
     assert a["n_compressed"] == b["n_compressed"] == expect
+
+
+def test_concentration_all_zero_group_is_null_not_error(spark):
+    df = spark.createDataFrame(
+        [("z", 0.0), ("z", 0.0)], ["g", "x"]
+    )
+    r = concentration_report(df, ["g"], "x").collect()[0]
+    assert r["n"] == 2 and r["total"] == 0.0
+    assert r["gini"] is None and r["max_share"] is None
