@@ -252,3 +252,35 @@ def test_single_scan_analytics_never_rescan_source(spark, sf_dir):
             f"returned plan still rescans the source:\n{plan[:500]}"
         )
         assert out.count() >= 0  # and it actually runs
+
+
+def test_single_scan_second_batch_never_rescan_source(spark, sf_dir):
+    """Round-9 second batch single-scan contracts: acf_profile
+    checkpoints the bucket-count frame (which feeds moments + BOTH lag
+    join sides) and ab_test_report checkpoints the 2-row per-variant
+    aggregate (which feeds min- and max-variant splits) — so each
+    RETURNED plan reads only the materialized form, zero parquet
+    rescans of the raw events."""
+    from pyspark_data_quality_spark.operators.abtest import ab_test_report
+    from pyspark_data_quality_spark.operators.rollup import acf_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    for out in (
+        acf_profile(ev, ["event_type"], "ts", lags=[1, 2]),
+        ab_test_report(
+            ev.filter(F.col("user_id").isNotNull()),
+            F.when(F.col("user_id") % 2 == 0, F.lit("e")).otherwise("o"),
+            "value",
+            F.col("value") > 50,
+        ),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan" not in plan and "Scan parquet" not in plan, (
+            f"returned plan still rescans the source:\n{plan[:500]}"
+        )
+        assert out.count() >= 0
