@@ -533,6 +533,7 @@ def quantile_normalize(
     *,
     ref_col: str | None = None,
     out_col: str | None = None,
+    ref_max_per_group: int | None = None,
 ) -> DataFrame:
     """Map a column onto a reference distribution per group: each value
     is replaced by the reference value at the same ECDF position — the
@@ -563,6 +564,15 @@ def quantile_normalize(
     rank projection); references are samples, current frames are the
     100 TB side, which is touched once.
 
+    ``ref_max_per_group=m`` bounds the ranked-reference join side for
+    HUGE references: each group is reduced to its ``min(m, n_ref)``
+    evenly-spaced order statistics (positions ``⌈j·n_ref/m⌉``,
+    j = 1..m — selected and renumbered by the exact integer staircase
+    ``⌊r·m/n_ref⌋``, no float quantiles) and the mapping proceeds
+    against that reduced table. When ``m ≥ n_ref`` the reduction is the
+    identity, so results are bit-identical to the unbounded mode; below
+    that, resolution degrades gracefully to m quantile steps per group.
+
     Output: input columns + ``<col>_qn`` (override via ``out_col``).
     """
     if not group_cols:
@@ -585,22 +595,38 @@ def quantile_normalize(
         "_n_cur", F.count(F.lit(1)).over(w_n)
     )
 
+    if ref_max_per_group is not None and ref_max_per_group < 1:
+        raise ValueError(
+            "quantile_normalize: ref_max_per_group must be >= 1"
+        )
     ref_nn = ref.filter(rx.isNotNull())
     ref_counts = ref_nn.groupBy(
         *[F.col(c).alias(f"_c_{c}") for c in group_cols]
     ).agg(F.count(F.lit(1)).alias("_n_ref"))
+    if ref_max_per_group is not None:
+        # the counts frame feeds BOTH the current side and the
+        # reduction filter below — materialize so ref is still read
+        # exactly twice (counts + rank projection)
+        ref_counts = ref_counts.localCheckpoint()
+
+    def _m_eff(n_ref_col):
+        if ref_max_per_group is None:
+            return n_ref_col
+        return F.least(F.lit(int(ref_max_per_group)), n_ref_col)
+
     cur = cur.join(
         F.broadcast(ref_counts),
         [F.col(c).eqNullSafe(F.col(f"_c_{c}")) for c in group_cols],
         "left",
     )
-    # integer ceil division: idx = floor((cnt_le*n_ref + n_cur - 1)/n_cur)
+    # integer ceil division: idx = floor((cnt_le*m_eff + n_cur - 1)/n_cur)
     cur = cur.withColumn(
         "_idx",
         F.when(
             x.isNotNull() & F.col("_n_ref").isNotNull(),
             F.floor(
-                (F.col("_cnt_le") * F.col("_n_ref") + F.col("_n_cur") - 1)
+                (F.col("_cnt_le") * _m_eff(F.col("_n_ref"))
+                 + F.col("_n_cur") - 1)
                 / F.col("_n_cur")
             ),
         ),
@@ -612,6 +638,26 @@ def quantile_normalize(
         .over(Window.partitionBy(*group_cols).orderBy(rx.asc()))
         .alias("_ridx"),
     )
+    if ref_max_per_group is not None:
+        # keep only positions ⌈j·n_ref/m_eff⌉ (j = 1..m_eff) and renumber
+        # them 1..m_eff — both via the integer staircase ⌊r·m_eff/n_ref⌋,
+        # which strictly increases exactly at the selected positions
+        rr = ranked_ref.join(
+            F.broadcast(ref_counts),
+            [
+                F.col(f"_g_{c}").eqNullSafe(F.col(f"_c_{c}"))
+                for c in group_cols
+            ],
+            "inner",
+        )
+        me = _m_eff(F.col("_n_ref"))
+        lvl = F.floor(F.col("_ridx") * me / F.col("_n_ref"))
+        prev = F.floor((F.col("_ridx") - 1) * me / F.col("_n_ref"))
+        ranked_ref = rr.filter(lvl > prev).select(
+            *[F.col(f"_g_{c}") for c in group_cols],
+            F.col("_rv"),
+            lvl.alias("_ridx"),
+        )
     joined = cur.join(
         ranked_ref,
         [F.col(c).eqNullSafe(F.col(f"_g_{c}")) for c in group_cols]

@@ -250,3 +250,37 @@ def test_concentration_all_zero_group_is_null_not_error(spark):
     r = concentration_report(df, ["g"], "x").collect()[0]
     assert r["n"] == 2 and r["total"] == 0.0
     assert r["gini"] is None and r["max_share"] is None
+
+
+def test_quantile_normalize_sketched_reference(spark):
+    # m >= n_ref: bit-identical to the unbounded mapping
+    cur = spark.createDataFrame(
+        [("g", float(v)) for v in [11, 22, 33, 44, 55, 66]], ["g", "x"]
+    )
+    ref = spark.createDataFrame(
+        [("g", float(v)) for v in [1, 2, 3, 4, 5]], ["g", "x"]
+    )
+    full = sorted(
+        (r["x"], r["x_qn"])
+        for r in quantile_normalize(cur, "x", ref, ["g"]).collect()
+    )
+    same = sorted(
+        (r["x"], r["x_qn"])
+        for r in quantile_normalize(
+            cur, "x", ref, ["g"], ref_max_per_group=50
+        ).collect()
+    )
+    assert full == same
+    # m=2 over n_ref=5 keeps positions ceil(2.5)=3 and 5 -> values 3, 5;
+    # idx = ceil(cnt_le*2/6) maps the lower half to 3, upper half to 5
+    red = {r["x"]: r["x_qn"] for r in quantile_normalize(
+        cur, "x", ref, ["g"], ref_max_per_group=2
+    ).collect()}
+    assert red == {11.0: 3.0, 22.0: 3.0, 33.0: 3.0,
+                   44.0: 5.0, 55.0: 5.0, 66.0: 5.0}
+
+
+def test_quantile_normalize_sketch_rejects_bad_m(spark):
+    df = spark.createDataFrame([("g", 1.0)], ["g", "x"])
+    with pytest.raises(ValueError, match="ref_max_per_group"):
+        quantile_normalize(df, "x", df, ["g"], ref_max_per_group=0)
