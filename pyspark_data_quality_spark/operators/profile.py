@@ -986,7 +986,12 @@ def pattern_profile(
     Same scale shape as :func:`top_values`: every row contributes one
     (column, mask) pair via an exploded map, so ALL columns profile in
     ONE shuffle keyed by (column, mask); mask cardinality is tiny by
-    construction (formats, not values). Output:
+    construction (formats, not values).
+
+    Reference parity: the reference's only format check is per-rule
+    regex matching (``checks/base_check.py`` + validity roadmap in
+    ``core/_enums.py:11-25``); DISCOVERING the formats is an extension
+    in that declared validity dimension. Output:
     ``(column, mask, n, ratio[, rank])`` — ratio over the column's total
     row count; pass ``k`` to keep only each column's top-k masks (rank
     window runs on the aggregated histogram, ties broken by mask).
@@ -1048,7 +1053,11 @@ def concentration_report(
     ``(group, is_null)`` partition (so they never perturb the non-null
     ranks) and fold into the final groupBy as ``n_null`` — no second
     pass over the base table. The window is partition-parallel by
-    group; no global sort. Output per group:
+    group; no global sort.
+
+    Reference parity: no distribution-shape surface in the reference
+    (ratios only, ``checks/completeness_checks``); extension alongside
+    the profiler family. Output per group:
     ``(group..., n, n_null, total, gini, top_decile_share, max_share)``.
     """
     x = F.col(value_col).cast("double")

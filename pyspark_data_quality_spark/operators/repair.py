@@ -574,6 +574,10 @@ def quantile_normalize(
     that, resolution degrades gracefully to m quantile steps per group.
 
     Output: input columns + ``<col>_qn`` (override via ``out_col``).
+
+    Reference parity: the reference detects but never repairs
+    (``result_obj.py:31-70`` exposes valid/invalid splits only);
+    extension in the repair family alongside impute/winsorize.
     """
     if not group_cols:
         raise ValueError(

@@ -323,6 +323,10 @@ def acf_profile(
 
     Output: key cols + ``(lag, n_buckets, n_pairs, acf)``; ``acf`` is
     NULL for a constant series (zero variance).
+
+    Reference parity: no temporal surface in the reference (see
+    ``dq_manager.py:14-50`` — batch ratios only); extension alongside
+    interarrival_stats and the streaming seasonal monitor.
     """
     if lags is None:
         lags = [1, 2, 3]

@@ -1334,6 +1334,10 @@ def compression_profile(
     - ``compression_ratio`` — ``n_compressed / n_bytes`` (NULL for NULL
       or empty text; < ~0.4 is suspiciously repetitive prose, ≥ 1.0 is
       incompressible/near-random payload).
+
+    Reference parity: no text-content surface in the reference;
+    extension in the quality-signal family (Gopher/C4 lineage)
+    alongside repetition_signals and gopher_signals.
     """
     import zlib
 

@@ -371,3 +371,33 @@ def test_round7b_ops_on_empty_inputs(spark, empty_docs):
     assert salted_join(
         fact, dim_empty, ["k"], how="left", hot_threshold=1
     ).count() == 1
+
+
+def test_second_analytics_batch_empty(spark, empty_docs):
+    from pyspark_data_quality_spark.operators.abtest import ab_test_report
+    from pyspark_data_quality_spark.operators.profile import (
+        concentration_report,
+        pattern_profile,
+    )
+    from pyspark_data_quality_spark.operators.repair import (
+        quantile_normalize,
+    )
+    from pyspark_data_quality_spark.operators.rollup import acf_profile
+    from pyspark_data_quality_spark.operators.text import (
+        compression_profile,
+    )
+
+    assert pattern_profile(empty_docs, ["text"]).count() == 0
+    assert concentration_report(empty_docs, ["doc_id"], "doc_id").count() == 0
+    assert compression_profile(empty_docs, "text").count() == 0
+    empty_ev = spark.createDataFrame(
+        [], "k string, ts timestamp, v double"
+    )
+    assert acf_profile(empty_ev, ["k"], "ts", lags=[1]).count() == 0
+    assert quantile_normalize(
+        empty_ev, "v", empty_ev, ["k"]
+    ).count() == 0
+    # ab_test_report REQUIRES two variants — empty input is a loud
+    # ValueError (0 variants), not a silent empty frame
+    with pytest.raises(ValueError, match="exactly 2"):
+        ab_test_report(empty_ev, "k", "v")
