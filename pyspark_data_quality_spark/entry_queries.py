@@ -7570,6 +7570,58 @@ def dq_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_kcore",
+    f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id,
+             list_distinct([substr(norm, i, 3) FOR i IN range(1, len(norm) - 1)]) AS grams
+      FROM (SELECT doc_id, {_SQL_NORM} AS norm FROM documents WHERE doc_id < 100)
+      WHERE len(norm) >= 3
+    ), pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+            len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+    ), dir AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), peel(step, v) AS (
+      SELECT 0, src FROM (SELECT DISTINCT src FROM dir)
+      UNION ALL
+      SELECT p.step + 1, p.v FROM peel p
+      WHERE p.step < 40
+        AND (SELECT count(*) FROM dir e JOIN peel q
+             ON q.step = p.step AND q.v = e.dst WHERE e.src = p.v) >= 2
+    ), core AS (SELECT v FROM peel WHERE step = 40)
+    SELECT e.src AS id, CAST(count(*) AS BIGINT) AS degree
+    FROM dir e JOIN core a ON a.v = e.src JOIN core b ON b.v = e.dst
+    GROUP BY e.src ORDER BY id
+    """,
+)
+def dq_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup pair graph (operators/graph.py k_core:
+    distributed wave peeling, localCheckpoint-ed rounds) over the SAME
+    deterministic exact n-gram Jaccard edges as dq_components — the
+    density lens that separates template farms (rings/cliques survive)
+    from pairwise-only matches (peeled). The oracle replays the peeling
+    as a bounded-step recursive CTE: each wave keeps vertices with >= 2
+    surviving neighbors, and step 40 (past the fixpoint for this
+    bounded subset) carries the core; degrees are recomputed inside the
+    core on both sides."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import k_core
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < 100
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.5,
+        use_lsh_blocking=False,
+    )
+    return k_core(pairs, 2).orderBy("id")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, not hand-maintained.
 #

@@ -246,3 +246,78 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 100,
+) -> DataFrame:
+    """The ``k``-core of an undirected graph: the maximal subgraph in
+    which EVERY node keeps at least ``k`` neighbors — the standard
+    density lens on a near-dup pair graph (2-core = template farms and
+    boilerplate rings; pairwise-only matches fall away), complementing
+    :func:`triangle_counts` (local density) and connected components
+    (mere reachability).
+
+    Classic distributed wave peeling: repeatedly delete nodes of degree
+    < ``k`` until a fixpoint. Per round: one degree ``groupBy`` over the
+    surviving directed edges + two semi-joins against the keep set, with
+    the edge frame ``localCheckpoint``-ed so lineage stays O(1) across
+    rounds (the dedup_components / pagerank loop contract) and the
+    convergence check is the checkpoint's count. Input pairs are
+    symmetrized and deduplicated; self-loops and NULL endpoints are
+    dropped. Converges in at most |V| rounds — pathological chains peel
+    two ends per round, so ``max_iter`` exhaustion raises loudly rather
+    than returning a frame that is not actually a core.
+
+    Output: ``(id, degree)`` — surviving nodes with their WITHIN-CORE
+    degree (≥ k by construction).
+
+    Reference parity: no graph surface in the reference; extension in
+    the dedup-diagnostics family.
+    """
+    if k < 1:
+        raise ValueError("k_core: k must be >= 1")
+    s, d = F.col(src_col), F.col(dst_col)
+    half = pairs.select(s.alias("_s"), d.alias("_d")).filter(
+        s.isNotNull() & d.isNotNull() & (s != d)
+    )
+    edges = (
+        half.union(half.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        keep = (
+            edges.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("_s")
+        )
+        pruned = edges.join(keep, "_s", "left_semi").join(
+            keep.select(F.col("_s").alias("_d")), "_d", "left_semi"
+        )
+        pruned = pruned.localCheckpoint()
+        n_after = pruned.count()
+        converged = n_after in (n_edges, 0)  # empty graph IS a fixpoint
+        edges, n_edges = pruned, n_after
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"k_core: no fixpoint within max_iter={max_iter} rounds — "
+            "raise max_iter (wave peeling needs up to |V| rounds on "
+            "chain-like graphs)"
+        )
+    return (
+        edges.groupBy(F.col("_s").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy("id")
+    )

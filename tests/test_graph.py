@@ -213,3 +213,51 @@ def test_triangle_counts_triangle_free(spark):
         for r in triangle_counts(cyc).collect()
     )
     assert got == [("a", 1), ("b", 1), ("c", 1)]
+
+
+# ------------------------------------------------------------------- k-core
+def test_k_core_triangle_with_tail(spark):
+    from pyspark_data_quality_spark.operators.graph import k_core
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["id_a", "id_b"]
+    )
+    out = {r["id"]: r["degree"] for r in k_core(pairs, 2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}  # tail 4-5 peels away
+
+
+def test_k_core_complete_graph_and_empty_core(spark):
+    from pyspark_data_quality_spark.operators.graph import k_core
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        ["id_a", "id_b"],
+    )
+    out = {r["id"]: r["degree"] for r in k_core(k4, 3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+    # k above max degree -> empty core, not an error
+    assert k_core(k4, 4).count() == 0
+
+
+def test_k_core_chain_peels_in_waves_and_max_iter_is_loud(spark):
+    from pyspark_data_quality_spark.operators.graph import k_core
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["id_a", "id_b"]
+    )
+    assert k_core(chain, 2).count() == 0  # full chain dissolves
+    with pytest.raises(RuntimeError, match="max_iter"):
+        k_core(chain, 2, max_iter=2)
+
+
+def test_k_core_ignores_self_loops_nulls_and_duplicate_pairs(spark):
+    from pyspark_data_quality_spark.operators.graph import k_core
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (None, 2), (2, 3), (1, 3)],
+        "id_a bigint, id_b bigint",
+    )
+    out = {r["id"]: r["degree"] for r in k_core(pairs, 2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(pairs, 0)
