@@ -969,3 +969,106 @@ def test_language_mix_per_line(spark):
         assert out[i].n_lines == 0
         assert out[i].top_lang is None
         assert out[i].lang_entropy is None
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_gini_bounds_and_python_model(spark, vals):
+    """concentration_report's Gini matches the pure-Python rank formula
+    and stays in [0, 1 - 1/n] for non-negative values."""
+    from pyspark_data_quality_spark.operators.profile import (
+        concentration_report,
+    )
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals], ["g", "x"])
+    r = concentration_report(df, ["g"], "x").collect()[0]
+    n, total = len(vals), sum(vals)
+    if total == 0:
+        assert r["gini"] is None
+        return
+    xs = sorted(vals)
+    iwx = sum((i + 1) * x for i, x in enumerate(xs))
+    expect = 2.0 * iwx / (n * total) - (n + 1.0) / n
+    assert r["gini"] == pytest.approx(round(expect, 6), abs=2e-6)
+    # 6-dp output rounding can sit half an ulp above the exact bound
+    assert -1e-6 <= r["gini"] <= 1 - 1 / n + 1e-6
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=9),
+                    min_size=3, max_size=24),
+    lag=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=12, deadline=None)
+def test_acf_bounded_and_matches_python_model(spark, counts, lag):
+    """acf_profile on a gapless integer series matches the textbook
+    biased estimator and |acf| <= 1 (Cauchy-Schwarz)."""
+    from pyspark_data_quality_spark.operators.rollup import acf_profile
+
+    rows = []
+    for h, c in enumerate(counts):
+        for j in range(c):
+            rows.append(("k", f"2024-01-01 {h:02d}:{j:02d}:00"))
+    df = spark.createDataFrame(rows, ["k", "ts"]).select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {r["lag"]: r for r in
+           acf_profile(df, ["k"], "ts", lags=[lag]).collect()}
+    n = len(counts)
+    mu = sum(counts) / n
+    ss = sum((c - mu) ** 2 for c in counts)
+    if lag >= n:
+        assert lag not in out
+        return
+    num = sum(
+        (counts[t] - mu) * (counts[t + lag] - mu) for t in range(n - lag)
+    )
+    got = out[lag]["acf"]
+    if ss == 0:
+        assert got is None
+        return
+    assert got == pytest.approx(round(num / ss, 6), abs=2e-6)
+    assert abs(got) <= 1 + 1e-9
+
+
+@given(
+    cur_vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1, max_size=25,
+    ),
+    ref_vals=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False),
+        min_size=1, max_size=25,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_quantile_normalize_invariants(spark, cur_vals, ref_vals):
+    """Outputs are reference values; the mapping is monotone in the
+    input; max input maps to the reference max."""
+    from pyspark_data_quality_spark.operators.repair import (
+        quantile_normalize,
+    )
+
+    cur = spark.createDataFrame(
+        [("g", float(v)) for v in cur_vals], ["g", "x"]
+    )
+    ref = spark.createDataFrame(
+        [("g", float(v)) for v in ref_vals], ["g", "x"]
+    )
+    got = sorted(
+        (r["x"], r["x_qn"])
+        for r in quantile_normalize(cur, "x", ref, ["g"]).collect()
+    )
+    ref_set = set(ref_vals)
+    for _, qn in got:
+        assert qn in ref_set
+    # monotone: sorted by input -> outputs sorted too
+    outs = [qn for _, qn in got]
+    assert outs == sorted(outs)
+    assert outs[-1] == max(ref_vals)  # cnt_le = n_cur -> idx = n_ref
