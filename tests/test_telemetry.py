@@ -284,3 +284,29 @@ def test_single_scan_second_batch_never_rescan_source(spark, sf_dir):
             f"returned plan still rescans the source:\n{plan[:500]}"
         )
         assert out.count() >= 0
+
+
+def test_pattern_profile_shuffles_masks_not_values(spark, sf_dir):
+    """pattern_profile's scale claim at runtime: the shuffle carries
+    (column, mask) PARTIALS — format cardinality — not the data. Bytes
+    written must be a small constant multiple of (#partitions ×
+    #distinct masks), orders of magnitude under the source bytes."""
+    from pyspark_data_quality_spark.operators.profile import pattern_profile
+
+    ids = spark.range(20_000).select(
+        F.format_string("User#%08d", F.col("id")).alias("uid"),
+        F.concat(F.lit("REGION-"), (F.col("id") % 7).cast("string")).alias(
+            "seg"
+        ),
+    )
+    src_bytes = ids.agg(F.sum(F.length("uid") + F.length("seg"))).first()[0]
+    out = pattern_profile(ids, ["uid", "seg"])
+    rows, metrics = measured_collect(out)
+    s = summarize_metrics(metrics)
+    n_masks = len(rows)  # 2: one mask per column
+    n_parts = ids.rdd.getNumPartitions()
+    assert n_masks == 2 and s["shuffle_records_written"] > 0
+    # partial agg bound: each map task emits at most its local masks
+    # (+ the rank/order exchanges over the tiny aggregated frame)
+    assert s["shuffle_records_written"] <= 3 * (n_parts + 1) * n_masks
+    assert s["shuffle_bytes_written"] < src_bytes / 50
