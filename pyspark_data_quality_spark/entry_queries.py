@@ -7371,14 +7371,17 @@ def dq_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, count(*) AS n_null
       FROM documents WHERE n_chars IS NULL GROUP BY lang
     )
-    SELECT a.lang, a.n,
+    SELECT d.lang, coalesce(a.n, 0) AS n,
            coalesce(nl.n_null, 0) AS n_null,
-           round(total, 6) AS total,
-           round(2.0 * iwx / (a.n * total) - (a.n + 1.0) / a.n, 6) AS gini,
-           round(topx / total, 6) AS top_decile_share,
-           round(mx / total, 6) AS max_share
-    FROM agg a LEFT JOIN nulls nl USING (lang)
-    ORDER BY a.lang
+           round(a.total, 6) AS total,
+           round(2.0 * a.iwx / (a.n * a.total) - (a.n + 1.0) / a.n, 6)
+             AS gini,
+           round(a.topx / a.total, 6) AS top_decile_share,
+           round(a.mx / a.total, 6) AS max_share
+    FROM (SELECT DISTINCT lang FROM documents) d
+    LEFT JOIN agg a ON a.lang IS NOT DISTINCT FROM d.lang
+    LEFT JOIN nulls nl ON nl.lang IS NOT DISTINCT FROM d.lang
+    ORDER BY d.lang
     """,
 )
 def dq_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7516,14 +7519,17 @@ def dq_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS n_cur
       FROM cur c
     ), idxd AS (
-      SELECT event_id, event_type, value,
-             CASE WHEN value IS NOT NULL AND n_ref IS NOT NULL
-                  THEN (cnt_le * n_ref + n_cur - 1) // n_cur END AS idx
-      FROM c2 LEFT JOIN rc USING (event_type)
+      SELECT c2.event_id, c2.event_type, c2.value,
+             CASE WHEN c2.value IS NOT NULL AND rc.n_ref IS NOT NULL
+                  THEN (c2.cnt_le * rc.n_ref + c2.n_cur - 1) // c2.n_cur
+             END AS idx
+      FROM c2 LEFT JOIN rc
+        ON rc.event_type IS NOT DISTINCT FROM c2.event_type
     )
     SELECT i.event_id, i.event_type, i.value, rr.rv AS value_qn
     FROM idxd i
-    LEFT JOIN rr ON rr.event_type = i.event_type AND rr.ridx = i.idx
+    LEFT JOIN rr ON rr.event_type IS NOT DISTINCT FROM i.event_type
+                AND rr.ridx = i.idx
     ORDER BY i.event_id
     """,
 )

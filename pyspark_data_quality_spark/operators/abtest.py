@@ -45,9 +45,10 @@ def ab_test_report(
     experiment-assignment bug, the thing this operator exists to catch.
 
     Output columns: ``variant_a variant_b n_a n_b mean_a mean_b
-    mean_diff welch_t welch_df`` plus, when ``success_col`` is given,
-    ``rate_a rate_b rate_diff prop_z`` and a ``significant`` flag on
-    ``|welch_t| > critical``.
+    mean_diff welch_t welch_df`` (plus ``rate_a rate_b rate_diff
+    prop_z`` when ``success_col`` is given), always ending with a
+    ``significant`` flag on ``|welch_t| > critical`` (NULL when t is
+    undefined — zero variance or a single-sample arm).
     """
     v = F.col(variant_col) if isinstance(variant_col, str) else variant_col
     x = F.col(metric_col).cast("double")
@@ -85,11 +86,23 @@ def ab_test_report(
         *[F.col(c).alias(f"{c}_b") for c in side_cols]
     )
     j = a.crossJoin(b)  # 1-row × 1-row
-    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
-    welch_t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
-    welch_df = (se2 * se2) / (
-        F.pow(F.col("var_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
-        + F.pow(F.col("var_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    # try_divide throughout: a zero-variance experiment (se2 = 0) or a
+    # single-sample arm (n-1 = 0) reports NULL t/df, not an ANSI
+    # DIVIDE_BY_ZERO that kills the job
+    se2 = F.try_divide(F.col("var_a"), F.col("n_a")) + F.try_divide(
+        F.col("var_b"), F.col("n_b")
+    )
+    welch_t = F.try_divide(
+        F.col("mean_a") - F.col("mean_b"),
+        F.when(se2 > 0, F.sqrt(se2)),
+    )
+    welch_df = F.try_divide(
+        se2 * se2,
+        F.when(
+            (F.col("n_a") > 1) & (F.col("n_b") > 1),
+            F.pow(F.col("var_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+            + F.pow(F.col("var_b") / F.col("n_b"), 2) / (F.col("n_b") - 1),
+        ),
     )
     out = [
         F.col("variant_a"),
@@ -110,11 +123,12 @@ def ab_test_report(
         pool = (F.col("succ_a") + F.col("succ_b")) / (
             F.col("n_rows_a") + F.col("n_rows_b")
         )
-        z = (p_a - p_b) / F.sqrt(
-            pool
-            * (1 - pool)
-            * (1.0 / F.col("n_rows_a") + 1.0 / F.col("n_rows_b"))
+        # pool 0 or 1 (no or all conversions in BOTH arms) is a valid
+        # readout: z is undefined -> NULL, never a divide-by-zero
+        z_den = pool * (1 - pool) * (
+            1.0 / F.col("n_rows_a") + 1.0 / F.col("n_rows_b")
         )
+        z = F.try_divide(p_a - p_b, F.when(z_den > 0, F.sqrt(z_den)))
         out += [
             F.round(p_a, round_to).alias("rate_a"),
             F.round(p_b, round_to).alias("rate_b"),

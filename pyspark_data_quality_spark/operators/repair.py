@@ -623,16 +623,14 @@ def quantile_normalize(
         [F.col(c).eqNullSafe(F.col(f"_c_{c}")) for c in group_cols],
         "left",
     )
-    # integer ceil division: idx = floor((cnt_le*m_eff + n_cur - 1)/n_cur)
-    cur = cur.withColumn(
+    # integer ceil division via SQL `div` (floor(a/b) would route through
+    # a DOUBLE and flip by one past 2^53 — the exact ulp-edge this
+    # operator promises away; `div` stays in longs like DuckDB's `//`)
+    cur = cur.withColumn("_m", _m_eff(F.col("_n_ref"))).withColumn(
         "_idx",
         F.when(
             x.isNotNull() & F.col("_n_ref").isNotNull(),
-            F.floor(
-                (F.col("_cnt_le") * _m_eff(F.col("_n_ref"))
-                 + F.col("_n_cur") - 1)
-                / F.col("_n_cur")
-            ),
+            F.expr("(_cnt_le * _m + _n_cur - 1) div _n_cur"),
         ),
     )
     ranked_ref = ref_nn.select(
@@ -654,9 +652,10 @@ def quantile_normalize(
             ],
             "inner",
         )
-        me = _m_eff(F.col("_n_ref"))
-        lvl = F.floor(F.col("_ridx") * me / F.col("_n_ref"))
-        prev = F.floor((F.col("_ridx") - 1) * me / F.col("_n_ref"))
+        rr = rr.withColumn("_me", _m_eff(F.col("_n_ref")))
+        # long-domain staircase (`div`, same 2^53 rationale as above)
+        lvl = F.expr("(_ridx * _me) div _n_ref")
+        prev = F.expr("((_ridx - 1) * _me) div _n_ref")
         ranked_ref = rr.filter(lvl > prev).select(
             *[F.col(f"_g_{c}") for c in group_cols],
             F.col("_rv"),

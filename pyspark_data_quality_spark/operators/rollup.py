@@ -332,6 +332,9 @@ def acf_profile(
         lags = [1, 2, 3]
     if any(k <= 0 for k in lags):
         raise ValueError("acf_profile: lags must be positive")
+    # dedup: a repeated lag would double _num/n_pairs in the merged
+    # (key, lag) group and silently emit 2x the true autocorrelation
+    lags = sorted({int(k) for k in lags})
     bkt = F.floor(
         F.col(ts_col).cast("timestamp").cast("double") / F.lit(float(bucket_seconds))
     ).cast("long")

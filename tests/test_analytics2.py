@@ -284,3 +284,68 @@ def test_quantile_normalize_sketch_rejects_bad_m(spark):
     df = spark.createDataFrame([("g", 1.0)], ["g", "x"])
     with pytest.raises(ValueError, match="ref_max_per_group"):
         quantile_normalize(df, "x", df, ["g"], ref_max_per_group=0)
+
+
+def test_ab_test_degenerate_experiments_report_null_not_error(spark):
+    # zero variance in both arms -> NULL t/df/significant, no ANSI error
+    const = spark.createDataFrame(
+        [("a", 5.0, True), ("a", 5.0, False),
+         ("b", 5.0, True), ("b", 5.0, True)],
+        ["v", "m", "s"],
+    )
+    r = ab_test_report(const, "v", "m", "s").collect()[0]
+    assert r["welch_t"] is None and r["welch_df"] is None
+    assert r["significant"] is None
+    # zero conversions in BOTH arms -> NULL prop_z, rates 0
+    nosucc = spark.createDataFrame(
+        [("a", 1.0, False), ("a", 2.0, False),
+         ("b", 3.0, False), ("b", 5.0, False)],
+        ["v", "m", "s"],
+    )
+    r = ab_test_report(nosucc, "v", "m", "s").collect()[0]
+    assert r["prop_z"] is None
+    assert r["rate_a"] == 0.0 and r["rate_b"] == 0.0
+    assert r["welch_t"] is not None  # means still differ
+    # single-sample arm -> var undefined -> NULL t, no error
+    single = spark.createDataFrame(
+        [("a", 1.0, True), ("b", 2.0, False), ("b", 3.0, False)],
+        ["v", "m", "s"],
+    )
+    r = ab_test_report(single, "v", "m", "s").collect()[0]
+    assert r["welch_t"] is None and r["welch_df"] is None
+
+
+def test_ab_test_metric_only_schema(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 6.0)], ["v", "m"]
+    )
+    out = ab_test_report(df, "v", "m")
+    assert out.columns == [
+        "variant_a", "variant_b", "n_a", "n_b", "mean_a", "mean_b",
+        "mean_diff", "welch_t", "welch_df", "significant",
+    ]
+    assert out.count() == 1
+
+
+def test_acf_duplicate_lags_deduped(spark):
+    rows = []
+    for h in range(8):
+        for j in range(1 if h % 2 == 0 else 3):
+            rows.append(("k", f"2024-01-01 {h:02d}:00:{j:02d}"))
+    df = spark.createDataFrame(rows, ["k", "ts"]).select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    once = acf_profile(df, ["k"], "ts", lags=[1]).collect()
+    twice = acf_profile(df, ["k"], "ts", lags=[1, 1]).collect()
+    assert len(twice) == 1
+    assert twice[0]["acf"] == once[0]["acf"]
+    assert twice[0]["n_pairs"] == once[0]["n_pairs"]
+
+
+def test_concentration_all_null_group_emits_zero_row(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("z", None), ("z", None)], ["g", "x"]
+    )
+    rows = {r["g"]: r for r in concentration_report(df, ["g"], "x").collect()}
+    assert rows["z"]["n"] == 0 and rows["z"]["n_null"] == 2
+    assert rows["z"]["gini"] is None and rows["z"]["total"] is None
