@@ -27,6 +27,9 @@ instead of a count-action per stage, and the dropped rows remain
 available for quarantine. Statuses: kept, null_text, wrong_lang,
 low_quality, model_rejected (only with ``quality_model``: predicted
 label outside ``model_keep_labels`` or margin below ``model_margin``),
+bad_compression (only with ``compression_band=(lo, hi)``: zlib
+compression ratio outside the band — the Gopher-style redundancy
+filter, one extra Arrow pass over surviving text),
 ref_dup (incremental mode: fingerprint already in the ``reference``
 corpus), exact_dup, near_dup, contaminated, rebalanced_out (only with
 ``rebalance_target``: sampled out by the distribution-matching stage).
@@ -87,6 +90,7 @@ def curate_corpus(
     quality_model=None,
     model_keep_labels: tuple[str, ...] = (),
     model_margin: float = 0.0,
+    compression_band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns EVERY input row annotated
     with ``status_col`` (and ``split_col`` for kept rows) plus the
@@ -188,6 +192,48 @@ def curate_corpus(
             "_model_rej", F.lit(None).cast("boolean")
         )
 
+    # optional compression-redundancy gate (default off): zlib ratio
+    # outside [lo, hi] drops as bad_compression — the Gopher-style band
+    # filter for boilerplate/keyword-stuffing (too compressible) and
+    # binary junk (incompressible). Runs AFTER the cheap gates + model
+    # (never compresses rejected text) and BEFORE dedup (shingling never
+    # touches a rejected document); ONE extra Arrow pass shipping only
+    # (id, text) of the surviving rows. NULL/empty text has no ratio and
+    # is never dropped here (the null_text gate already owns it).
+    if compression_band is not None:
+        from ..operators.text import compression_profile
+
+        lo, hi = compression_band
+        if not 0.0 <= float(lo) < float(hi):
+            raise ValueError(
+                "curate_corpus: compression_band must be (lo, hi) "
+                "with 0 <= lo < hi"
+            )
+        ratio = compression_profile(
+            passed.select(F.col(id_col), F.col(text_col)), text_col
+        )
+        comp_drops = _pin(
+            ratio.filter(
+                F.col("compression_ratio").isNotNull()
+                & (
+                    (F.col("compression_ratio") < F.lit(float(lo)))
+                    | (F.col("compression_ratio") > F.lit(float(hi)))
+                )
+            )
+            .select(id_col)
+            .withColumn("_bad_comp", F.lit(True))
+        )
+        annotated = annotated.join(comp_drops, id_col, "left")
+        passed = annotated.filter(
+            F.col(status_col).isNull()
+            & F.col("_model_rej").isNull()
+            & F.col("_bad_comp").isNull()
+        )
+    else:
+        annotated = annotated.withColumn(
+            "_bad_comp", F.lit(None).cast("boolean")
+        )
+
     # incremental mode: rows whose fingerprint already exists in the
     # REFERENCE corpus (yesterday's curated data) drop as ref_dup before
     # any in-batch work — the daily-batch shape where re-curating history
@@ -229,6 +275,7 @@ def curate_corpus(
         passed = annotated.filter(
             F.col(status_col).isNull()
             & F.col("_model_rej").isNull()
+            & F.col("_bad_comp").isNull()
             & F.col("_ref_dup").isNull()
         )
     else:
@@ -260,6 +307,7 @@ def curate_corpus(
         F.col(status_col).isNull()
         & F.col("_ref_dup").isNull()
         & F.col("_model_rej").isNull()
+        & F.col("_bad_comp").isNull()
         & F.col("_exact_dup").isNull()
     )
 
@@ -280,6 +328,7 @@ def curate_corpus(
         F.col(status_col).isNull()
         & F.col("_ref_dup").isNull()
         & F.col("_model_rej").isNull()
+        & F.col("_bad_comp").isNull()
         & F.col("_exact_dup").isNull()
         & F.col("_near_dup").isNull()
     )
@@ -350,6 +399,7 @@ def curate_corpus(
     status = F.coalesce(
         F.col(status_col),
         F.when(F.col("_model_rej"), F.lit("model_rejected")),
+        F.when(F.col("_bad_comp"), F.lit("bad_compression")),
         F.when(F.col("_ref_dup"), F.lit("ref_dup")),
         F.when(F.col("_exact_dup"), F.lit("exact_dup")),
         F.when(F.col("_near_dup"), F.lit("near_dup")),
@@ -372,8 +422,8 @@ def curate_corpus(
             ),
         )
         .drop(
-            "_model_rej", "_ref_dup", "_exact_dup", "_near_dup",
-            "_contaminated", "_rebal_keep",
+            "_model_rej", "_bad_comp", "_ref_dup", "_exact_dup",
+            "_near_dup", "_contaminated", "_rebal_keep",
         )
     )
 

@@ -435,3 +435,47 @@ def test_curation_ref_dups_do_not_influence_near_dedup(spark):
     # ref_dup and therefore never entered the MinHash stage
     assert by_id[2] == "kept"
     assert by_id[3] == "kept"
+
+
+def test_curation_compression_gate(spark):
+    from pyspark_data_quality_spark.pipelines.curation import (
+        curate_corpus,
+        curation_stats,
+    )
+
+    good_a = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through different fields with various words appearing once each"
+    )
+    good_b = (
+        "meanwhile a completely separate paragraph discusses harvest "
+        "logistics near the coastal village where fishermen mend nets"
+    )
+    spammy = "buy cheap now " * 120  # compresses extremely well
+    rows = [(1, good_a), (2, good_b), (3, spammy)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate_corpus(
+        docs,
+        languages=None,
+        min_quality=0.0,
+        compression_band=(0.2, 1.2),
+        persist=False,
+    )
+    st = {r["doc_id"]: r["curation_status"] for r in out.collect()}
+    assert st[3] == "bad_compression"
+    assert st[1] == "kept" and st[2] == "kept"
+    # default off: no bad_compression status, identical statuses otherwise
+    off = curate_corpus(
+        docs, languages=None, min_quality=0.0, persist=False
+    )
+    st_off = {r["doc_id"]: r["curation_status"] for r in off.collect()}
+    assert st_off[3] != "bad_compression"
+    # stats roll the new status like any other
+    assert any(
+        r["curation_status"] == "bad_compression"
+        for r in curation_stats(out).collect()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compression_band"):
+        curate_corpus(docs, compression_band=(0.9, 0.5), persist=False)
