@@ -1072,3 +1072,63 @@ def test_quantile_normalize_invariants(spark, cur_vals, ref_vals):
     outs = [qn for _, qn in got]
     assert outs == sorted(outs)
     assert outs[-1] == max(ref_vals)  # cnt_le = n_cur -> idx = n_ref
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=string.ascii_letters + string.digits + " -#._@",
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_pattern_masks_match_python_model(spark, texts):
+    """pattern_profile's A/a/9 mask histogram equals the pure-Python
+    regex chain (Java and Python agree on explicit ASCII classes)."""
+    import re as _re
+    from collections import Counter
+
+    from pyspark_data_quality_spark.operators.profile import pattern_profile
+
+    def mask(s):
+        return _re.sub(
+            "[0-9]", "9", _re.sub("[a-z]", "a", _re.sub("[A-Z]", "A", s))
+        )
+
+    df = spark.createDataFrame([(t,) for t in texts], ["v"])
+    got = {
+        (r["mask"], r["n"]) for r in pattern_profile(df, ["v"]).collect()
+    }
+    expect = set(Counter(mask(t) for t in texts).items())
+    assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.text(min_size=0, max_size=200), min_size=1, max_size=15
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_compression_profile_matches_zlib_model(spark, texts):
+    """compression_profile reproduces len(zlib.compress(utf8, 6)) for
+    arbitrary unicode text, including empty strings."""
+    import zlib as _zlib
+
+    from pyspark_data_quality_spark.operators.text import compression_profile
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["i", "t"])
+    rows = {r["i"]: r for r in compression_profile(df, "t").collect()}
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        assert rows[i]["n_bytes"] == len(raw)
+        assert rows[i]["n_compressed"] == len(_zlib.compress(raw, 6))
+        if raw:
+            assert rows[i]["compression_ratio"] == pytest.approx(
+                len(_zlib.compress(raw, 6)) / len(raw)
+            )
+        else:
+            assert rows[i]["compression_ratio"] is None
