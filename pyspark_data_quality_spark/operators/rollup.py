@@ -294,6 +294,8 @@ def acf_profile(
     *,
     lags: list[int] | None = None,
     bucket_seconds: int = 3600,
+    value_col: str | None = None,
+    agg: str = "sum",
     round_to: int = 6,
 ) -> DataFrame:
     """Per-key autocorrelation of the event-count series — does this
@@ -302,10 +304,18 @@ def acf_profile(
     complement of the streaming seasonal monitor: a seasonality you can
     SEE before you pick its period.
 
-    The series is the per-bucket EVENT COUNT (``bucket = ⌊epoch /
-    bucket_seconds⌋``) — integer-exact, so the only float arithmetic is
-    the final centered products and the statistic reproduces bit-stably
-    from any aggregation order after rounding. For each requested lag k:
+    The default series is the per-bucket EVENT COUNT (``bucket =
+    ⌊epoch / bucket_seconds⌋``) — integer-exact, so the only float
+    arithmetic is the final centered products and the statistic
+    reproduces bit-stably from any aggregation order after rounding.
+    ``value_col`` switches the series to the per-bucket ``agg``
+    (``sum``/``avg``/``min``/``max``) of a metric instead — the ACF of
+    a LEVEL, not a rate (NULL metric values are ignored by the
+    aggregate; an all-NULL bucket still exists with a NULL level and
+    drops out of the moment sums like a gap). Float caveat applies:
+    summed doubles are aggregation-order-sensitive at the ulp level,
+    which round_to absorbs in practice but is not bit-certifiable the
+    way counts are. For each requested lag k:
 
         acf_k = Σ_t (x_t − μ)(x_{t+k} − μ) / Σ_t (x_t − μ)²
 
@@ -335,17 +345,25 @@ def acf_profile(
     # dedup: a repeated lag would double _num/n_pairs in the merged
     # (key, lag) group and silently emit 2x the true autocorrelation
     lags = sorted({int(k) for k in lags})
+    if agg not in ("sum", "avg", "min", "max"):
+        raise ValueError(f"acf_profile: unsupported agg {agg!r}")
     bkt = F.floor(
         F.col(ts_col).cast("timestamp").cast("double") / F.lit(float(bucket_seconds))
     ).cast("long")
-    # the bucket-count frame feeds THREE consumers (moments, lag side,
+    if value_col is None:
+        level = F.count(F.lit(1)).cast("double").alias("_x")
+        cols = [bkt.alias("_b")]
+    else:
+        level = getattr(F, agg)(F.col("_v")).cast("double").alias("_x")
+        cols = [bkt.alias("_b"), F.col(value_col).alias("_v")]
+    # the bucket-level frame feeds THREE consumers (moments, lag side,
     # lead side): checkpoint it so raw events are scanned exactly once
     # (single-scan contract, tests/test_telemetry.py)
     hourly = (
-        df.select(*key_cols, bkt.alias("_b"))
+        df.select(*key_cols, *cols)
         .filter(F.col("_b").isNotNull())
         .groupBy(*key_cols, "_b")
-        .agg(F.count(F.lit(1)).cast("double").alias("_x"))
+        .agg(level)
         .localCheckpoint()
     )
     stats = hourly.groupBy(*key_cols).agg(

@@ -349,3 +349,23 @@ def test_concentration_all_null_group_emits_zero_row(spark):
     rows = {r["g"]: r for r in concentration_report(df, ["g"], "x").collect()}
     assert rows["z"]["n"] == 0 and rows["z"]["n_null"] == 2
     assert rows["z"]["gini"] is None and rows["z"]["total"] is None
+
+
+def test_acf_metric_series_mode(spark):
+    # hourly metric levels 10,30,10,30,... -> same ACF as counts 1,3
+    rows = []
+    for h in range(10):
+        v = 10.0 if h % 2 == 0 else 30.0
+        rows.append(("k", f"2024-01-01 {h:02d}:00:00", v))
+        rows.append(("k", f"2024-01-01 {h:02d}:30:00", None))  # ignored
+    df = spark.createDataFrame(rows, ["k", "ts", "v"]).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {r["lag"]: r for r in acf_profile(
+        df, ["k"], "ts", lags=[1, 2], value_col="v", agg="avg"
+    ).collect()}
+    # mean 20, dev +-10: lag1 = -9/10, lag2 = +8/10
+    assert out[1]["acf"] == pytest.approx(-0.9, abs=1e-6)
+    assert out[2]["acf"] == pytest.approx(0.8, abs=1e-6)
+    with pytest.raises(ValueError, match="unsupported agg"):
+        acf_profile(df, ["k"], "ts", value_col="v", agg="median")
