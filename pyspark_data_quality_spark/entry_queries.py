@@ -4616,7 +4616,8 @@ def dq_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_values,
            CAST(sum(n) AS BIGINT) AS n_rows,
            max(CASE WHEN rk = 1 THEN value END) AS canonical,
-           list_slice(list_sort(list(value)), 1, 10) AS values
+           array_to_string(list_slice(list_sort(list(value)), 1, 10),
+                           '|') AS values
     FROM ranked
     GROUP BY fingerprint
     HAVING count(*) >= 2
@@ -4628,7 +4629,13 @@ def dq_vclust(spark: SparkSession, sf_dir: str) -> DataFrame:
     value_clusters) over part names plus deterministic casing and
     token-order variants (upper for p_partkey%7, token-reversed for
     %11) — the variants collapse into their base name's cluster, and
-    DuckDB replays normalize→cluster→canonical verbatim."""
+    DuckDB replays normalize→cluster→canonical verbatim. The operator's
+    ``values`` member list stays an array for API users; the ENTRY
+    serializes it to a '|'-joined string because the driver's oracle
+    canonicalizer (pandas sort_values) cannot hash list cells — the
+    r9 red-row lesson: certified entries project atomic columns only
+    (enforced by tests/test_registry.py::test_entry_outputs_are_atomic).
+    """
     from .operators.repair import value_clusters
 
     p = load_table(spark, "part", sf_dir)
@@ -4640,7 +4647,9 @@ def dq_vclust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.reverse(F.split(F.col("p_name"), " ")), " ")
         .alias("v")
     )
-    return value_clusters(base.unionAll(up).unionAll(rev), "v")
+    return value_clusters(base.unionAll(up).unionAll(rev), "v").withColumn(
+        "values", F.array_join("values", "|")
+    )
 
 
 @query(

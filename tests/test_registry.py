@@ -52,9 +52,18 @@ def test_registry_window_invariants():
         for k in verdicts:
             last_seen[k] = max(last_seen.get(k, 0), rnum)
 
-    never = [k for k in ks if k not in last_seen]
+    # content-stale entries (oracle SQL edited since last certification)
+    # count as never-certified: their recorded verdict is for different
+    # semantics (same derivation as _apply_cert_order)
+    from pyspark_data_quality_spark.entry_queries import (
+        _stale_by_oracle_content,
+    )
+
+    stale_sql = _stale_by_oracle_content()
+    never = [k for k in ks if k not in last_seen or k in stale_sql]
     # 1. every never-certified entry leads the registry (first slots)
-    assert ks[: len(never)] == never == _CERT_PRIORITY
+    assert ks[: len(never)] == never
+    assert sorted(never) == sorted(_CERT_PRIORITY)
     # ... and they all FIT in the driver's window, or some new entry
     # cannot receive a verdict this round
     assert len(never) <= CERT_WINDOW, (
@@ -261,6 +270,37 @@ def test_sketch_tolerance_entry_meets_floors(spark, sf_dir):
             f"{r['grp']}: distinct_rel_err {r['distinct_rel_err']} or "
             f"max_rank_err {r['max_rank_err']} out of tolerance"
         )
+
+
+def test_entry_outputs_are_atomic(spark, sf_dir):
+    """Every registry entry must project ONLY atomic-typed columns.
+
+    The driver's oracle canonicalizer sorts the collected result with
+    pandas ``sort_values`` over all columns, which raises ``TypeError:
+    unhashable type`` on list/map/struct cells — r9's single red row
+    (dq_vclust) was a correct operator whose entry exposed an
+    ``array<string>`` column. Operators may keep collection-typed API
+    faces; ENTRIES serialize them (array_join etc.) before the driver
+    sees them. Building each frame also smoke-checks that every entry
+    still constructs at sf0.001."""
+    from pyspark.sql import types as T
+
+    from pyspark_data_quality_spark.entry_queries import ENTRY_QUERIES
+
+    offenders = {}
+    for name, fn in ENTRY_QUERIES.items():
+        df = fn(spark, sf_dir)
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"entries with non-atomic output columns (driver cannot hash "
+        f"them): {offenders}"
+    )
 
 
 def test_oracle_content_hash_staleness():
