@@ -504,16 +504,23 @@ def calibration_report(
             )
         )
     )
-    y = F.col(label_col).cast("int").cast("double")
+    # cast to double DIRECTLY — an int-first cast would truncate a
+    # fractional label (0.7 -> 0) and silently pass the {0,1} check,
+    # and a non-numeric string would cast to NULL and silently drop;
+    # both must raise per the documented contract. A non-NULL raw that
+    # casts to NULL (or to anything other than 0/1) hits the error arm
+    # (the when-condition is NULL/false for it).
+    raw = F.col(label_col)
+    y = raw.cast("double")
     y_checked = F.when(
-        y.isNull() | (y == 0.0) | (y == 1.0), y
+        raw.isNull() | (y == 0.0) | (y == 1.0), y
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(
                     f"calibration_report: {label_col} not in {{0, 1}}: "
                 ),
-                y.cast("string"),
+                F.coalesce(raw.cast("string"), F.lit("NULL-after-cast")),
             )
         )
     )

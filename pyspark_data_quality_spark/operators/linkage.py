@@ -140,17 +140,32 @@ def record_linkage(
         )
     # one similarity column per comparator: sim_<a-col>, falling back to
     # sim_<a-col>_<method> when the same source column is compared twice
-    # (the standard multi-comparator Fellegi-Sunter layout)
+    # (the standard multi-comparator Fellegi-Sunter layout). Duplication
+    # is detected on the (a-col, method) KEY, not the derived name — a
+    # name-based check misses an exact repeat (two identical
+    # {a:'x', method:'exact'} entries would get sim_x / sim_x_exact and
+    # silently double-weight that field in the score).
     sim_names: list[str] = []
+    seen_keys: set[tuple[str, str]] = set()
     for c in comparators:
+        key = (c["a"], c["method"])
+        if key in seen_keys:
+            raise ValueError(
+                f"record_linkage: comparator (a={key[0]!r}, "
+                f"method={key[1]!r}) appears twice — drop the duplicate "
+                "or adjust its weight instead"
+            )
+        seen_keys.add(key)
         base = f"sim_{c['a']}"
         name = base if base not in sim_names else f"{base}_{c['method']}"
-        if name in sim_names:
-            raise ValueError(
-                f"record_linkage: comparator output {name!r} collides — "
-                "the same column+method appears twice"
-            )
         sim_names.append(name)
+    if len(set(sim_names)) != len(sim_names):
+        # defensive: a column literally named '<col>_<method>' colliding
+        # with a disambiguated name (sim_x_exact vs column 'x_exact')
+        raise ValueError(
+            f"record_linkage: derived similarity names collide: "
+            f"{sim_names} — rename the conflicting input column"
+        )
     for side, df_, cols in (
         ("a", a, [a_id] + [p[0] for p in blocking]
          + [c["a"] for c in comparators]),

@@ -311,8 +311,11 @@ def acf_profile(
     ``value_col`` switches the series to the per-bucket ``agg``
     (``sum``/``avg``/``min``/``max``) of a metric instead — the ACF of
     a LEVEL, not a rate (NULL metric values are ignored by the
-    aggregate; an all-NULL bucket still exists with a NULL level and
-    drops out of the moment sums like a gap). Float caveat applies:
+    aggregate; a bucket whose values are ALL NULL is removed from the
+    series entirely — same treatment as an empty bucket, so
+    ``n_buckets``, the moments, and the lag pairs all see the same
+    non-null series; a NULL level left in would inflate the variance
+    denominator and bias acf toward 0). Float caveat applies:
     summed doubles are aggregation-order-sensitive at the ulp level,
     which round_to absorbs in practice but is not bit-certifiable the
     way counts are. For each requested lag k:
@@ -364,6 +367,11 @@ def acf_profile(
         .filter(F.col("_b").isNotNull())
         .groupBy(*key_cols, "_b")
         .agg(level)
+        # an all-NULL bucket (value_col mode) is a GAP, not a level:
+        # drop it here so every consumer (n_buckets, moments, both lag
+        # sides) sees the identical non-null series — keeping it would
+        # oversize the _ss denominator and count unpairable lag slots
+        .filter(F.col("_x").isNotNull())
         .localCheckpoint()
     )
     stats = hourly.groupBy(*key_cols).agg(

@@ -369,3 +369,39 @@ def test_acf_metric_series_mode(spark):
     assert out[2]["acf"] == pytest.approx(0.8, abs=1e-6)
     with pytest.raises(ValueError, match="unsupported agg"):
         acf_profile(df, ["k"], "ts", value_col="v", agg="median")
+
+
+def test_acf_all_null_bucket_is_a_gap(spark):
+    """A bucket whose metric values are ALL NULL must behave exactly
+    like an EMPTY bucket: out of n_buckets, out of the moments, out of
+    the lag pairs. The r9 advice bug: the NULL level stayed in
+    n_buckets, inflating the variance denominator (_ss uses
+    n_buckets) and biasing acf toward 0."""
+    import numpy as np
+
+    # hours 0,1,3,4 carry levels; hour 2's values are all NULL
+    levels = {0: 5.0, 1: 9.0, 3: 2.0, 4: 8.0}
+    rows = []
+    for h in range(5):
+        v = levels.get(h)  # None for hour 2
+        rows.append(("k", f"2024-01-01 0{h}:00:00", v))
+        rows.append(("k", f"2024-01-01 0{h}:30:00", None))
+    df = spark.createDataFrame(rows, ["k", "ts", "v"]).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("v").cast("double").alias("v"),
+    )
+    out = {r["lag"]: r for r in acf_profile(
+        df, ["k"], "ts", lags=[1], value_col="v", agg="max"
+    ).collect()}
+    r = out[1]
+    # identical to physically deleting hour 2 from the series
+    x = np.array(sorted(levels))  # bucket indexes 0,1,3,4
+    v = np.array([levels[b] for b in sorted(levels)])
+    mu = v.mean()
+    ss = ((v - mu) ** 2).sum()
+    pairs = [(i, j) for i in range(4) for j in range(4)
+             if x[j] - x[i] == 1]  # (0,1) and (3,4)
+    num = sum((v[i] - mu) * (v[j] - mu) for i, j in pairs)
+    assert r["n_buckets"] == 4
+    assert r["n_pairs"] == len(pairs) == 2
+    assert r["acf"] == pytest.approx(num / ss, abs=1e-6)

@@ -419,3 +419,25 @@ def test_calibration_report_label_guard_and_empty(spark):
     rows = {r["bin"]: r for r in calibration_report(b, "s", "y").collect()}
     assert rows[9]["positive_rate"] == 1.0
     assert rows[0]["positive_rate"] == 0.0
+
+    # a FRACTIONAL label must raise, not truncate to 0 and pass (the
+    # r9 advice bug: cast('int').cast('double') silently floored 0.7)
+    frac = spark.createDataFrame([(0.5, 0.7)], "s double, y double")
+    with _pt.raises(Exception, match="not in"):
+        calibration_report(frac, "s", "y").collect()
+
+    # a non-numeric string label must raise loudly, never cast to NULL
+    # and silently drop (ANSI cast error or the in-plan guard — either
+    # way the job fails instead of shrinking the denominator)
+    txt = spark.createDataFrame([(0.5, "abc")], "s double, y string")
+    with _pt.raises(Exception):
+        calibration_report(txt, "s", "y").collect()
+
+    # numeric strings that ARE 0/1 still work (cast parity)
+    oks = spark.createDataFrame(
+        [(0.95, "1"), (0.05, "0")], "s double, y string"
+    )
+    rows = {r["bin"]: r
+            for r in calibration_report(oks, "s", "y").collect()}
+    assert rows[9]["positive_rate"] == 1.0
+    assert rows[0]["positive_rate"] == 0.0

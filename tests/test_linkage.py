@@ -126,13 +126,15 @@ def test_record_linkage_self_and_validation(spark):
         record_linkage(
             df, df, "id", "id", blocking=[("blk", "blk")], comparators=comps
         )
-    # a third duplicate exhausts the method-suffix fallback: refused
-    with pytest.raises(ValueError, match="collides"):
+    # an exact duplicate (same column AND method) would silently
+    # double-weight that field in the score: refused on the repeat
+    # itself, not via the derived-name fallback (which would have
+    # minted sim_v / sim_v_exact and let it through)
+    with pytest.raises(ValueError, match="appears twice"):
         record_linkage(
             df, df.withColumnRenamed("id", "rid"), "id", "rid",
             blocking=[("blk", "blk")],
             comparators=[
-                {"a": "v", "b": "v", "method": "exact"},
                 {"a": "v", "b": "v", "method": "exact"},
                 {"a": "v", "b": "v", "method": "exact"},
             ],
