@@ -68,7 +68,19 @@ def segment_health_report(
     the cache would materialize every column of a wide table. The
     cache is evicted by Spark's LRU/ContextCleaner; hold the pruned
     frames yourself (persist=False + your own persist) when you need
-    deterministic unpersist — same contract as corpus_report."""
+    deterministic unpersist — same contract as corpus_report.
+
+    The completeness and freshness sections share ONE per-segment base
+    aggregate (row count + per-column non-null counts + latest ts in a
+    single groupBy, checkpointed at |segments| rows) and derive their
+    global comparison points FROM that base (global ratio = Σ non-null
+    / Σ rows; global latest = max of segment maxes — integer/max
+    algebra, bit-identical to the standalone operators' full-scan
+    averages), instead of calling completeness_by_group +
+    freshness_by_group, which would cost two extra source scans and
+    two extra global aggregates. Uniqueness needs its own two-level
+    distinct aggregation and PSI/KS their own cur-vs-ref shapes, so
+    those still delegate to their operators."""
     if (psi_cols or ks_col) and ref is None:
         raise ValueError(
             "segment_health_report: psi_cols/ks_col need a ref frame"
@@ -98,37 +110,70 @@ def segment_health_report(
     seg = F.col(group_col).cast("string")
     parts: list[DataFrame] = []
 
-    if completeness_cols:
-        from ..operators.profile import completeness_by_group
+    base = None
+    if completeness_cols or ts_col is not None:
+        # ONE per-segment pass for completeness + freshness: counts are
+        # integers and max is max, so the global points derive exactly
+        # from the per-segment rows — no second scan, no global agg
+        # over the source. Checkpointed: |segments| rows, 3 consumers.
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in completeness_cols or []:
+            aggs.append(
+                F.sum(F.col(c).isNotNull().cast("long")).alias(f"_nn_{c}")
+            )
+        if ts_col is not None:
+            aggs.append(F.max(ts_col).alias("_latest"))
+        base = cur.groupBy(group_col).agg(*aggs).localCheckpoint()
 
-        comp = completeness_by_group(
-            cur, completeness_cols, [group_col], round_to=round_to
+    if completeness_cols:
+        glob = base.agg(
+            F.sum("_n").alias("_gn"),
+            *[
+                F.sum(f"_nn_{c}").alias(f"_g_{c}")
+                for c in completeness_cols
+            ],
         )
+        long = base.crossJoin(F.broadcast(glob)).select(
+            seg.alias("segment"),
+            F.explode(
+                F.create_map(
+                    *[
+                        x
+                        for c in completeness_cols
+                        for x in (
+                            F.lit(c),
+                            F.struct(
+                                (F.col(f"_nn_{c}") / F.col("_n")).alias("r"),
+                                (F.col(f"_g_{c}") / F.col("_gn")).alias("g"),
+                            ),
+                        )
+                    ]
+                )
+            ).alias("column", "_v"),
+        )
+        lift = F.round(F.col("_v.r") - F.col("_v.g"), round_to)
         parts.append(
-            comp.select(
-                seg.alias("segment"),
+            long.select(
+                "segment",
                 F.lit("completeness").alias("check"),
                 F.col("column"),
-                F.col("lift").alias("value"),
+                lift.alias("value"),
                 F.lit(-float(completeness_tolerance)).alias("threshold"),
-                (F.col("lift") < -float(completeness_tolerance)).alias("flag"),
+                (lift < -float(completeness_tolerance)).alias("flag"),
             )
         )
 
     if ts_col is not None:
-        from ..operators.freshness import freshness_by_group
-
-        fresh = freshness_by_group(
-            cur, ts_col, [group_col], stale_after_seconds=stale_after_seconds
-        )
+        gmax = base.agg(F.max("_latest").alias("_gts"))
+        lag = F.col("_gts").cast("double") - F.col("_latest").cast("double")
         parts.append(
-            fresh.select(
+            base.crossJoin(F.broadcast(gmax)).select(
                 seg.alias("segment"),
                 F.lit("freshness").alias("check"),
                 F.lit(ts_col).alias("column"),
-                F.round("lag_seconds", round_to).alias("value"),
+                F.round(lag, round_to).alias("value"),
                 F.lit(float(stale_after_seconds)).alias("threshold"),
-                F.col("is_stale").alias("flag"),
+                (lag > stale_after_seconds).alias("flag"),
             )
         )
 
