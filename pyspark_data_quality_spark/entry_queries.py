@@ -4617,7 +4617,7 @@ def dq_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n) AS BIGINT) AS n_rows,
            max(CASE WHEN rk = 1 THEN value END) AS canonical,
            array_to_string(list_slice(list_sort(list(value)), 1, 10),
-                           '|') AS values
+                           chr(31)) AS values
     FROM ranked
     GROUP BY fingerprint
     HAVING count(*) >= 2
@@ -4631,10 +4631,14 @@ def dq_vclust(spark: SparkSession, sf_dir: str) -> DataFrame:
     %11) — the variants collapse into their base name's cluster, and
     DuckDB replays normalize→cluster→canonical verbatim. The operator's
     ``values`` member list stays an array for API users; the ENTRY
-    serializes it to a '|'-joined string because the driver's oracle
+    serializes it to a U+001F-joined string because the driver's oracle
     canonicalizer (pandas sort_values) cannot hash list cells — the
     r9 red-row lesson: certified entries project atomic columns only
     (enforced by tests/test_registry.py::test_entry_outputs_are_atomic).
+    The unit separator (chr(31) on the DuckDB side) lies outside every
+    printable column's alphabet, so the serialization stays unambiguous
+    even if this pattern is copied to an entry over free text — a '|'
+    inside a member value would otherwise mask a real mismatch.
     """
     from .operators.repair import value_clusters
 
@@ -4648,7 +4652,7 @@ def dq_vclust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v")
     )
     return value_clusters(base.unionAll(up).unionAll(rev), "v").withColumn(
-        "values", F.array_join("values", "|")
+        "values", F.array_join("values", "\u001f")
     )
 
 

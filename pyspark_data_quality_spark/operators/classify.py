@@ -491,16 +491,20 @@ def calibration_report(
     """
     if bins < 1:
         raise ValueError(f"calibration_report: bins must be >= 1, got {bins}")
-    s = F.col(score_col).cast("double")
+    # same raw-vs-cast pattern as the label guard below: a non-NULL raw
+    # score that casts to NULL (non-numeric string) must raise, not fall
+    # into the NULL-drop arm and silently shrink the denominator.
+    s_raw = F.col(score_col)
+    s = s_raw.cast("double")
     checked = F.when(
-        s.isNull() | ((s >= 0.0) & (s <= 1.0)), s
+        s_raw.isNull() | ((s >= 0.0) & (s <= 1.0)), s
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(
                     f"calibration_report: {score_col} outside [0, 1]: "
                 ),
-                s.cast("string"),
+                F.coalesce(s.cast("string"), F.lit("NULL-after-cast")),
             )
         )
     )

@@ -141,18 +141,21 @@ def record_linkage(
     # one similarity column per comparator: sim_<a-col>, falling back to
     # sim_<a-col>_<method> when the same source column is compared twice
     # (the standard multi-comparator Fellegi-Sunter layout). Duplication
-    # is detected on the (a-col, method) KEY, not the derived name — a
-    # name-based check misses an exact repeat (two identical
-    # {a:'x', method:'exact'} entries would get sim_x / sim_x_exact and
-    # silently double-weight that field in the score).
+    # is detected on the full (a-col, b-col, method) KEY, not the derived
+    # name — a name-based check misses an exact repeat (two identical
+    # {a:'x', b:'y', method:'exact'} entries would get sim_x / sim_x_exact
+    # and silently double-weight that field in the score), while keying on
+    # (a, method) alone would reject the legitimate config that compares
+    # one a-column against two DIFFERENT b-columns with the same method
+    # (a.name vs b.first_name and a.name vs b.last_name, both levenshtein).
     sim_names: list[str] = []
-    seen_keys: set[tuple[str, str]] = set()
+    seen_keys: set[tuple[str, str, str]] = set()
     for c in comparators:
-        key = (c["a"], c["method"])
+        key = (c["a"], c["b"], c["method"])
         if key in seen_keys:
             raise ValueError(
-                f"record_linkage: comparator (a={key[0]!r}, "
-                f"method={key[1]!r}) appears twice — drop the duplicate "
+                f"record_linkage: comparator (a={key[0]!r}, b={key[1]!r}, "
+                f"method={key[2]!r}) appears twice — drop the duplicate "
                 "or adjust its weight instead"
             )
         seen_keys.add(key)

@@ -441,3 +441,18 @@ def test_calibration_report_label_guard_and_empty(spark):
             for r in calibration_report(oks, "s", "y").collect()}
     assert rows[9]["positive_rate"] == 1.0
     assert rows[0]["positive_rate"] == 0.0
+
+    # the SCORE side gets the same raw-vs-cast guard (r10 advice): a
+    # non-numeric string score must raise, not cast to NULL and fall
+    # into the NULL-drop arm
+    txt_s = spark.createDataFrame([("abc", 1)], "s string, y int")
+    with _pt.raises(Exception):
+        calibration_report(txt_s, "s", "y").collect()
+
+    # ...while numeric-string scores keep casting fine
+    ok_s = spark.createDataFrame(
+        [("0.95", 1), ("0.05", 0)], "s string, y int"
+    )
+    rows = {r["bin"]: r
+            for r in calibration_report(ok_s, "s", "y").collect()}
+    assert rows[9]["mean_score"] == 0.95

@@ -139,6 +139,26 @@ def test_record_linkage_self_and_validation(spark):
                 {"a": "v", "b": "v", "method": "exact"},
             ],
         )
+    # same a-column + method against two DIFFERENT b-columns is a
+    # legitimate Fellegi-Sunter config (a.name vs b.first/b.last) —
+    # the duplicate check keys on the full (a, b, method) triple
+    # (r10 advice), so this must NOT be rejected
+    diff_b = record_linkage(
+        df.withColumnRenamed("v", "name"),
+        df.select(
+            F.col("id").alias("rid"), "blk",
+            F.col("v").alias("first"), F.col("v").alias("last"),
+        ),
+        "id", "rid", blocking=[("blk", "blk")], keep_all=True,
+        comparators=[
+            {"a": "name", "b": "first", "method": "levenshtein"},
+            {"a": "name", "b": "last", "method": "levenshtein"},
+        ],
+    )
+    assert "sim_name" in diff_b.columns
+    assert "sim_name_levenshtein" in diff_b.columns
+    assert diff_b.count() > 0
+
     with pytest.raises(ValueError, match="not in side 'b'"):
         record_linkage(
             df, df.drop("v").withColumnRenamed("id", "rid"), "id", "rid",
