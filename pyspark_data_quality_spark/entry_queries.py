@@ -7158,27 +7158,179 @@ def dq_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query("dq_segment_health")
+#: events-table drift split for the segment-health composite: the event
+#: log spans 2024-01 (TESTDATA.md), so the TPC-H 1998 split would leave
+#: an empty ref side — mid-month splits it roughly in half at every SF.
+_EVENTS_SPLIT = "2024-01-16"
+
+_SEGMENT_HEALTH_SQL = f"""
+WITH dmg AS (
+  SELECT event_type, ts,
+         CASE WHEN CAST(concat('0x', substr(md5(
+                  CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 7 = 0
+               AND event_type = 'error'
+              THEN NULL ELSE "value" END AS v,
+         CASE WHEN CAST(concat('0x', substr(md5(
+                  CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 11 = 0
+              THEN NULL ELSE user_id END AS u
+  FROM events
+), cur AS (
+  SELECT * FROM dmg WHERE ts >= TIMESTAMP '{_EVENTS_SPLIT}'
+), ref AS (
+  SELECT * FROM dmg WHERE ts < TIMESTAMP '{_EVENTS_SPLIT}'
+), base AS (
+  SELECT event_type, count(*) AS n,
+         sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS nn_v,
+         sum(CASE WHEN u IS NOT NULL THEN 1 ELSE 0 END) AS nn_u,
+         max(ts) AS latest
+  FROM cur GROUP BY event_type
+), g AS (
+  SELECT sum(n) AS gn, sum(nn_v) AS gv, sum(nn_u) AS gu,
+         max(latest) AS gts
+  FROM base
+), completeness AS (
+  SELECT CAST(event_type AS VARCHAR) AS segment,
+         'completeness' AS "check", colname AS "column",
+         CAST(round(r - gr, 6) AS DOUBLE) AS "value",
+         CAST(-0.05 AS DOUBLE) AS threshold,
+         round(r - gr, 6) < -0.05 AS flag
+  FROM (
+    SELECT event_type, 'value' AS colname,
+           nn_v * 1.0 / n AS r, gv * 1.0 / gn AS gr FROM base, g
+    UNION ALL
+    SELECT event_type, 'user_id',
+           nn_u * 1.0 / n, gu * 1.0 / gn FROM base, g
+  )
+), freshness AS (
+  -- divide-then-subtract, replaying Spark's per-side cast('double')
+  -- (subtract-then-divide could differ by one ulp at a round boundary)
+  SELECT CAST(event_type AS VARCHAR) AS segment,
+         'freshness' AS "check", 'ts' AS "column",
+         CAST(round(epoch_us(gts) / 1000000.0
+                    - epoch_us(latest) / 1000000.0, 6) AS DOUBLE)
+           AS "value",
+         CAST(3600.0 AS DOUBLE) AS threshold,
+         (epoch_us(gts) / 1000000.0 - epoch_us(latest) / 1000000.0)
+           > 3600.0 AS flag
+  FROM base, g
+), dup_per AS (
+  SELECT event_type, u, ts AS kts, count(*) AS n
+  FROM cur GROUP BY 1, 2, 3
+), uniqueness AS (
+  SELECT CAST(event_type AS VARCHAR) AS segment,
+         'uniqueness' AS "check", 'user_id,ts' AS "column",
+         CAST(round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6)
+              AS DOUBLE) AS "value",
+         CAST(0.0 AS DOUBLE) AS threshold,
+         round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6) > 0.0 AS flag
+  FROM dup_per GROUP BY event_type
+), pc AS (
+  SELECT CAST(event_type AS VARCHAR) AS grp,
+         CAST(u AS VARCHAR) AS val,
+         count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type)
+           AS p_cur
+  FROM cur GROUP BY event_type, u
+), pr AS (
+  SELECT CAST(event_type AS VARCHAR) AS grp,
+         CAST(u AS VARCHAR) AS val,
+         count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type)
+           AS p_ref
+  FROM ref GROUP BY event_type, u
+), pj AS (
+  SELECT coalesce(c.grp, r.grp) AS grp,
+         coalesce(p_cur, 0.0) AS p_cur, coalesce(p_ref, 0.0) AS p_ref
+  FROM pc c FULL OUTER JOIN pr r
+    ON c.grp IS NOT DISTINCT FROM r.grp
+   AND c.val IS NOT DISTINCT FROM r.val
+), psi AS (
+  SELECT grp AS segment, 'psi' AS "check", 'user_id' AS "column",
+         CAST(round(sum((greatest(p_cur, 1e-6) - greatest(p_ref, 1e-6))
+               * ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6))), 6)
+              AS DOUBLE) AS "value",
+         CAST(0.25 AS DOUBLE) AS threshold,
+         round(sum((greatest(p_cur, 1e-6) - greatest(p_ref, 1e-6))
+               * ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6))), 6)
+           > 0.25 AS flag
+  FROM pj GROUP BY grp
+), ka AS (
+  SELECT CAST(event_type AS VARCHAR) AS grp, v AS x, count(*) AS n_a
+  FROM cur WHERE v IS NOT NULL GROUP BY 1, 2
+), kb AS (
+  SELECT CAST(event_type AS VARCHAR) AS grp, v AS x, count(*) AS n_b
+  FROM ref WHERE v IS NOT NULL GROUP BY 1, 2
+), kj AS (
+  SELECT coalesce(a.grp, b.grp) AS grp, coalesce(a.x, b.x) AS x,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM ka a FULL OUTER JOIN kb b
+    ON a.grp IS NOT DISTINCT FROM b.grp AND a.x = b.x
+), kc AS (
+  SELECT grp,
+         abs(coalesce(sum(n_a) OVER w * 1.0
+                      / nullif(sum(n_a) OVER gg, 0), 0)
+             - coalesce(sum(n_b) OVER w * 1.0
+                        / nullif(sum(n_b) OVER gg, 0), 0)) AS d
+  FROM kj
+  WINDOW w AS (PARTITION BY grp ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         gg AS (PARTITION BY grp)
+), ks AS (
+  SELECT grp AS segment, 'ks' AS "check", 'value' AS "column",
+         CAST(round(max(d), 6) AS DOUBLE) AS "value",
+         CAST(0.1 AS DOUBLE) AS threshold,
+         round(max(d), 6) > 0.1 AS flag
+  FROM kc GROUP BY grp
+)
+SELECT * FROM completeness
+UNION ALL SELECT * FROM freshness
+UNION ALL SELECT * FROM uniqueness
+UNION ALL SELECT * FROM psi
+UNION ALL SELECT * FROM ks
+ORDER BY segment, "check", "column"
+"""
+
+
+@query("dq_segment_health", _SEGMENT_HEALTH_SQL)
 def dq_segment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite per-segment health report (pipelines/segment_health.py
-    segment_health_report) over events split pre/post the drift date:
-    completeness + freshness + duplicate-rate + PSI + KS sections in
-    one long-format routable frame. Rows-only by the curation
-    precedent — every section's math is individually oracle-certified
-    (dq_group_completeness, dq_group_freshness, dq_dup_rate,
-    dq_group_psi, dq_ks_group); this entry certifies the COMPOSITION
-    stays runnable and row-stable under the driver."""
+    segment_health_report) over events split pre/post 2024-01-16 (the
+    log's mid-month), with md5-deterministic damage planted the same
+    way as dq_group_completeness: value goes NULL only inside the
+    'error' segment (bucket%7), user_id uniformly (bucket%11) — so the
+    completeness section has real lifts to certify. The DuckDB oracle
+    replays ALL FIVE sections (completeness lift, freshness lag vs the
+    global max, duplicate ratio of (user_id, ts), per-segment PSI of
+    user_id, per-segment KS of value) into the same long format —
+    closing the r10 'certified via constituents' gap: the composite's
+    inlined base-aggregate math is now hash-certified end-to-end, not
+    argued from dq_group_completeness/dq_group_freshness/dq_dup_rate/
+    dq_group_psi/dq_ks_group (each of which stays certified on its
+    own). tests/test_curation.py::test_segment_health_constituent_parity
+    additionally pins the inlined math to the standalone operators."""
     from .pipelines.segment_health import segment_health_report
 
     ev = load_table(spark, "events", sf_dir)
-    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
-    ts = F.col("ts").cast("timestamp")
-    cur = ev.filter(ts >= split)
-    ref = ev.filter(ts < split)
-    return segment_health_report(
-        cur,
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long")
+    )
+    dmg = ev.select(
         "event_type",
-        ref=ref,
+        "ts",
+        F.when(
+            (bucket % 7 == 0) & (F.col("event_type") == "error"),
+            F.lit(None),
+        ).otherwise(F.col("value")).alias("value"),
+        F.when(bucket % 11 == 0, F.lit(None))
+        .otherwise(F.col("user_id")).alias("user_id"),
+    )
+    split = F.lit(_EVENTS_SPLIT).cast("timestamp")
+    ts = F.col("ts").cast("timestamp")
+    return segment_health_report(
+        dmg.filter(ts >= split),
+        "event_type",
+        ref=dmg.filter(ts < split),
         completeness_cols=["value", "user_id"],
         ts_col="ts",
         unique_keys=["user_id", "ts"],
@@ -7187,19 +7339,130 @@ def dq_segment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("segment", "check", "column")
 
 
-@query("dq_corpus_card")
+_CORPUS_CARD_SQL = (
+    _SQL_PROFILE_CTE
+    + r"""
+    , gbase AS (
+      SELECT coalesce(text, '') AS t,
+             list_filter(string_split(
+               trim(regexp_replace(lower(coalesce(text, '')),
+                                   '\s+', ' ', 'g')), ' '),
+               x -> x != '') AS gtoks,
+             list_filter(list_transform(
+               string_split(coalesce(text, ''), chr(10)),
+               x -> trim(x)), x -> x != '') AS lines
+      FROM documents
+    ), gsig AS (
+      SELECT
+        CASE WHEN len(gtoks) > 0
+             THEN round(len(list_filter(gtoks,
+                    t -> regexp_matches(t, '[a-zA-Z]'))) * 1.0
+                  / len(gtoks), 6)
+             ELSE 0.0 END AS alpha_word_ratio,
+        CASE WHEN len(lines) > 0
+             THEN round(len(list_filter(lines,
+                    ln -> regexp_matches(ln, '^[•\-\*]\s'))) * 1.0
+                  / len(lines), 6)
+             ELSE 0.0 END AS bullet_line_ratio,
+        CASE WHEN len(lines) > 0
+             THEN round(len(list_filter(lines,
+                    ln -> regexp_matches(ln, '(\.\.\.|…)\s*$'))) * 1.0
+                  / len(lines), 6)
+             ELSE 0.0 END AS ellipsis_line_ratio,
+        CASE WHEN len(gtoks) > 0
+             THEN round((len(t) - len(replace(t, '#', ''))
+                         + len(regexp_extract_all(t, '(\.\.\.|…)')))
+                        * 1.0 / len(gtoks), 6)
+             ELSE 0.0 END AS symbol_word_ratio
+      FROM gbase
+    ), gop AS (
+      SELECT avg(CASE WHEN alpha_word_ratio >= 0.8
+                       AND bullet_line_ratio <= 0.9
+                       AND ellipsis_line_ratio <= 0.3
+                       AND symbol_word_ratio <= 0.1
+                      THEN 1.0 ELSE 0.0 END) AS gopher_share
+      FROM gsig
+    ), agg AS (
+      SELECT count(*) AS n_docs,
+             sum(token_count) AS total_tokens,
+             avg(token_count) AS avg_tokens,
+             median(token_count) AS p50_tokens,
+             avg(CASE WHEN coalesce(token_count, 0) = 0
+                      THEN 1.0 ELSE 0.0 END) AS empty_share,
+             avg(quality_score) AS avg_quality,
+             avg(CASE WHEN quality_score < 0.75
+                      THEN 1.0 ELSE 0.0 END) AS low_quality_share,
+             avg(stopword_ratio) AS avg_stopword_ratio,
+             avg(punct_ratio) AS avg_punct_ratio,
+             count(DISTINCT fingerprint_md5) AS n_fp
+      FROM scored
+    ), nulltext AS (
+      SELECT avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END)
+               AS null_text_share
+      FROM base
+    ), vocab_cnt AS (
+      SELECT count(DISTINCT tk) AS v
+      FROM (SELECT unnest(toks) AS tk FROM tok)
+    ), langs AS (
+      SELECT lang_pred, count(*) AS n FROM scored
+      GROUP BY 1 ORDER BY n DESC, lang_pred ASC LIMIT 5
+    )
+    SELECT * FROM (
+      SELECT 'volume' AS section, 'avg_tokens' AS metric,
+             CAST(round(avg_tokens, 6) AS DOUBLE) AS value,
+             CAST(NULL AS VARCHAR) AS text_value
+      FROM agg
+      UNION ALL SELECT 'volume', 'empty_share',
+        CAST(round(empty_share, 6) AS DOUBLE), NULL FROM agg
+      UNION ALL SELECT 'volume', 'n_docs',
+        CAST(n_docs AS DOUBLE), NULL FROM agg
+      UNION ALL SELECT 'volume', 'null_text_share',
+        CAST(round(null_text_share, 6) AS DOUBLE), NULL FROM nulltext
+      UNION ALL SELECT 'volume', 'p50_tokens',
+        CAST(round(p50_tokens, 6) AS DOUBLE), NULL FROM agg
+      UNION ALL SELECT 'volume', 'total_tokens',
+        CAST(total_tokens AS DOUBLE), NULL FROM agg
+      UNION ALL SELECT 'quality', 'avg_punct_ratio',
+        CAST(round(avg_punct_ratio, 6) AS DOUBLE), NULL FROM agg
+      UNION ALL SELECT 'quality', 'avg_quality',
+        CAST(round(avg_quality, 6) AS DOUBLE), NULL FROM agg
+      UNION ALL SELECT 'quality', 'avg_stopword_ratio',
+        CAST(round(avg_stopword_ratio, 6) AS DOUBLE), NULL FROM agg
+      UNION ALL SELECT 'quality', 'gopher_pass_share',
+        CAST(round(gopher_share, 6) AS DOUBLE), NULL FROM gop
+      UNION ALL SELECT 'quality', 'low_quality_share',
+        CAST(round(low_quality_share, 6) AS DOUBLE), NULL FROM agg
+      UNION ALL SELECT 'duplication', 'exact_dup_ratio',
+        CAST(round(1.0 - n_fp / CAST(n_docs AS DOUBLE), 6) AS DOUBLE),
+        NULL FROM agg
+      UNION ALL SELECT 'language', coalesce(lang_pred, 'unknown'),
+        CAST(round(n * 1.0 / (SELECT n_docs FROM agg), 6) AS DOUBLE),
+        lang_pred FROM langs
+      UNION ALL SELECT 'vocab', 'distinct_tokens',
+        CAST(v AS DOUBLE), NULL FROM vocab_cnt
+    ) ORDER BY section, metric
+    """
+)
+
+
+@query("dq_corpus_card", _CORPUS_CARD_SQL)
 def dq_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The release data card (pipelines/corpus_card.py corpus_report):
     volume / quality / duplication / language / vocabulary sections as
-    one long frame over the documents table. Rows-only by the curation
-    precedent — the underlying profile and each section's aggregates
-    are oracle-certified via dq_text_profile / dq_quality_summary /
-    dq_lang_dist / dq_exact_dedup / dq_vocab; this entry certifies the
-    composed card."""
+    one long frame over the documents table, run with
+    ``exact_vocab=True`` so the vocab row is an exact distinct count
+    the DuckDB oracle can replay (the default HLL face stays the 100 TB
+    path; its ~2% tolerance is floor-tested in dq_sketch_tol's family).
+    The oracle recomputes every section from the shared per-document
+    profile CTE (the dq_text_profile face) plus the dq_gopher signal
+    replay — closing the r9/r10 'composite certified via constituents'
+    gap for the card."""
     from .pipelines.corpus_card import corpus_report
 
     docs = load_table(spark, "documents", sf_dir)
-    return corpus_report(docs).orderBy("section", "metric")
+    return corpus_report(docs, exact_vocab=True).orderBy(
+        "section", "metric"
+    )
 
 
 

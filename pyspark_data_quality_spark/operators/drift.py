@@ -293,6 +293,7 @@ def ks_by_group(
     *,
     quantize: int | None = None,
     round_to: int = 6,
+    sort: bool = True,
 ) -> DataFrame:
     """Per-SEGMENT two-sample KS: one row per group with the KS
     statistic of ``col`` WITHIN that segment, cur vs ref — the numeric
@@ -307,8 +308,19 @@ def ks_by_group(
     outer join); cumulative counts run as the distributed prefix sum
     keyed by (partition, group) with a small (group, partition)-offsets
     broadcast, so no task ever windows a whole segment's support even
-    when one segment dominates the corpus.
+    when one segment dominates the corpus. The range-partitioned
+    histogram is persisted across its two consumers (local prefix sums
+    + per-partition totals): without the cache the count+range subtree
+    executes twice, and — worse — the range boundaries would be
+    re-SAMPLED independently for each consumer, so a boundary flip
+    between the two runs could misalign the offset join. The cache is
+    LRU-evicted (same contract as pipelines/corpus_card.py); it holds
+    the collapsed (group, value) histogram, never the input rows.
+    ``sort=False`` skips the final global sort for composites that
+    re-sort the union themselves (pipelines/segment_health.py).
     """
+    from pyspark import StorageLevel
+
     x = F.col(col)
     v = F.round(x, quantize) if quantize is not None else x
     g = F.col(group_col).cast("string")
@@ -327,9 +339,11 @@ def ks_by_group(
         .groupBy("grp", "x")
         .agg(F.sum("_a").alias("n_a"), F.sum("_b").alias("n_b"))
     )
-    ranged = j.repartitionByRange(
-        F.col("grp").asc_nulls_first(), F.col("x").asc()
-    ).withColumn("_pid", F.spark_partition_id())
+    ranged = (
+        j.repartitionByRange(F.col("grp").asc_nulls_first(), F.col("x").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     w_local = (
         Window.partitionBy("_pid", "grp")
         .orderBy("x")
@@ -375,7 +389,7 @@ def ks_by_group(
         F.try_divide(F.col("_cb_loc") + F.col("_ob"), F.col("_gb")),
         F.lit(0.0),
     )
-    return (
+    out = (
         local.join(
             F.broadcast(offsets),
             F.col("grp").eqNullSafe(F.col("_ogrp"))
@@ -393,8 +407,8 @@ def ks_by_group(
             F.sum("_na").alias("n_cur"),
             F.sum("_nb").alias("n_ref"),
         )
-        .orderBy(F.col("grp").asc_nulls_first())
     )
+    return out.orderBy(F.col("grp").asc_nulls_first()) if sort else out
 
 
 def wasserstein_1d(
@@ -505,6 +519,7 @@ def psi_by_group(
     eps: float = DEFAULT_EPS,
     threshold: float = 0.25,
     round_to: int = 6,
+    sort: bool = True,
 ) -> DataFrame:
     """Per-SEGMENT PSI: one row per (group, column) with the PSI of that
     column's value mix WITHIN the segment, cur vs ref — drift that is
@@ -516,20 +531,27 @@ def psi_by_group(
     A segment present on only one side still reports: the missing
     side's ratios clamp to ``eps``, so an appeared/vanished segment
     shows up as maximal drift rather than silently dropping out. The
-    NULL segment is a segment (null-safe group join); a real NULL value
-    stays a distinct bucket from the string ``'NULL'``.
+    NULL segment is a segment, and a real NULL value stays a distinct
+    bucket from the string ``'NULL'`` (NULL group/value keys aggregate
+    like any other key under groupBy semantics).
 
-    Scale shape: each side reduces to (group, column, value) counts in
-    ONE exploded-map shuffle (map-side combine; the shuffle carries
-    segment x vocabulary, never the corpus), merged by a null-safe
-    full-outer join on the (group, value) spine, then one bounded
-    groupBy for the per-segment sums.
+    Scale shape: the sides union ONCE with a one-hot side tag, so both
+    reduce to (group, column, value, n_cur, n_ref) counts in a SINGLE
+    exploded-map shuffle (map-side combine; the shuffle carries
+    segment x vocabulary, never the corpus). The union replaces the
+    former per-side aggregations + null-safe full-outer join — the
+    tagged groupBy aligns the two histograms by construction — and the
+    per-(group, column) totals ride a window over the same hash
+    partitioning, so the whole operator is two shuffles instead of
+    five regardless of how many columns it profiles. ``sort=False``
+    skips the final global sort for composites that re-sort the union
+    themselves (pipelines/segment_health.py).
     """
     if not columns:
         raise ValueError("psi_by_group: columns must be non-empty")
 
-    def side(df: DataFrame, name: str) -> DataFrame:
-        pairs = df.select(
+    def side(df: DataFrame, a: int, b: int) -> DataFrame:
+        return df.select(
             F.col(group_col).cast("string").alias("grp"),
             F.explode(
                 F.create_map(
@@ -540,38 +562,39 @@ def psi_by_group(
                     ]
                 )
             ).alias("column", "value"),
-        )
-        w_total = F.sum("n").over(Window.partitionBy("grp", "column"))
-        return (
-            pairs.groupBy("grp", "column", "value")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn(name, F.col("n") / w_total)
-            .drop("n")
+            F.lit(a).alias("_a"),
+            F.lit(b).alias("_b"),
         )
 
-    c = side(cur, "p_cur").alias("cv")
-    r = side(ref, "p_ref").alias("rv")
-    joined = c.join(
-        r,
-        F.col("cv.grp").eqNullSafe(F.col("rv.grp"))
-        & (F.col("cv.column") == F.col("rv.column"))
-        & F.col("cv.value").eqNullSafe(F.col("rv.value")),
-        "full_outer",
-    ).select(
-        F.coalesce(F.col("cv.grp"), F.col("rv.grp")).alias("grp"),
-        F.coalesce(F.col("cv.column"), F.col("rv.column")).alias("column"),
-        F.coalesce("p_cur", F.lit(0.0)).alias("p_cur"),
-        F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
+    counts = (
+        side(cur, 1, 0)
+        .unionByName(side(ref, 0, 1))
+        .groupBy("grp", "column", "value")
+        .agg(F.sum("_a").alias("_nc"), F.sum("_b").alias("_nr"))
+    )
+    w = Window.partitionBy("grp", "column")
+    # try_divide: a (group, column) present on only one side has a zero
+    # total on the other -> NULL ratio; coalesce 0.0 reproduces the old
+    # full-outer-join's missing-side semantics before the eps clamp.
+    joined = counts.select(
+        "grp",
+        "column",
+        F.coalesce(
+            F.try_divide(F.col("_nc"), F.sum("_nc").over(w)), F.lit(0.0)
+        ).alias("p_cur"),
+        F.coalesce(
+            F.try_divide(F.col("_nr"), F.sum("_nr").over(w)), F.lit(0.0)
+        ).alias("p_ref"),
     )
     pc = F.greatest(F.col("p_cur"), F.lit(eps))
     pr = F.greatest(F.col("p_ref"), F.lit(eps))
-    return (
+    out = (
         joined.withColumn("_term", (pc - pr) * F.log(pc / pr))
         .groupBy("grp", "column")
         .agg(F.round(F.sum("_term"), round_to).alias("psi"))
         .withColumn("drifted", F.col("psi") > threshold)
-        .orderBy("grp", "column")
     )
+    return out.orderBy("grp", "column") if sort else out
 
 
 def quantile_drift(

@@ -156,6 +156,7 @@ def dup_rate_by_group(
     group_cols: list[str],
     *,
     round_to: int = 6,
+    sort: bool = True,
 ) -> DataFrame:
     """Per-segment duplicate rate of ``key_cols``: one row per group
     with ``(n_rows, n_distinct, dup_ratio)`` where ``dup_ratio =
@@ -169,7 +170,9 @@ def dup_rate_by_group(
     then a bounded per-group count — so the shuffle carries distinct
     keys, never repeated payloads. NULL group keys and NULL key values
     group like any other value (groupBy semantics), matching the
-    framework's NULL-is-an-identity convention.
+    framework's NULL-is-an-identity convention. ``sort=False`` skips
+    the final global sort for composites that re-sort the union
+    themselves (pipelines/segment_health.py).
     """
     if not key_cols or not group_cols:
         raise ValueError(
@@ -178,7 +181,7 @@ def dup_rate_by_group(
     per = df.groupBy(
         *group_cols, *[F.col(k).alias(f"_k_{k}") for k in key_cols]
     ).agg(F.count(F.lit(1)).alias("_n"))
-    return (
+    out = (
         per.groupBy(*group_cols)
         .agg(
             F.sum("_n").alias("n_rows"),
@@ -190,5 +193,7 @@ def dup_rate_by_group(
                 F.lit(1.0) - F.col("n_distinct") / F.col("n_rows"), round_to
             ),
         )
-        .orderBy(*[F.col(c).asc_nulls_first() for c in group_cols])
     )
+    if not sort:
+        return out
+    return out.orderBy(*[F.col(c).asc_nulls_first() for c in group_cols])

@@ -43,8 +43,16 @@ def corpus_report(
     low_quality_threshold: float = 0.75,
     round_to: int = 6,
     persist: bool = True,
+    exact_vocab: bool = False,
 ) -> DataFrame:
-    """One long-format corpus card; see module docstring for sections."""
+    """One long-format corpus card; see module docstring for sections.
+
+    ``exact_vocab=True`` swaps the vocab section's HLL sketch for an
+    EXACT distinct count (metric renamed ``distinct_tokens``) — the
+    certification face (the DuckDB oracle can replay an exact count,
+    not a sketch). Default stays approximate: an exact distinct over a
+    100 TB corpus' vocabulary is a full extra shuffle for a card
+    number whose consumers tolerate ~2% error."""
     from pyspark import StorageLevel
 
     from ..operators.text import text_profile
@@ -139,12 +147,19 @@ def corpus_report(
 
     from ..functions.text import tokenize
 
+    distinct_agg = (
+        F.count_distinct("_t") if exact_vocab
+        else F.approx_count_distinct("_t")
+    )
     vocab = (
         profiled.select(F.explode(tokenize(text_col)).alias("_t"))
-        .agg(F.approx_count_distinct("_t").alias("_v"))
+        .agg(distinct_agg.alias("_v"))
         .select(
             F.lit("vocab").alias("section"),
-            F.lit("approx_distinct_tokens").alias("metric"),
+            F.lit(
+                "distinct_tokens" if exact_vocab
+                else "approx_distinct_tokens"
+            ).alias("metric"),
             F.col("_v").cast("double").alias("value"),
             F.lit(None).cast("string").alias("text_value"),
         )

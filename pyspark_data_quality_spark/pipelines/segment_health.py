@@ -110,12 +110,13 @@ def segment_health_report(
     seg = F.col(group_col).cast("string")
     parts: list[DataFrame] = []
 
-    base = None
+    base = glob = None
     if completeness_cols or ts_col is not None:
         # ONE per-segment pass for completeness + freshness: counts are
         # integers and max is max, so the global points derive exactly
         # from the per-segment rows — no second scan, no global agg
-        # over the source. Checkpointed: |segments| rows, 3 consumers.
+        # over the source. Checkpointed: |segments| rows, 2 consumers
+        # (the 1-row global aggregate + the exploded long frame).
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in completeness_cols or []:
             aggs.append(
@@ -124,56 +125,68 @@ def segment_health_report(
         if ts_col is not None:
             aggs.append(F.max(ts_col).alias("_latest"))
         base = cur.groupBy(group_col).agg(*aggs).localCheckpoint()
-
-    if completeness_cols:
-        glob = base.agg(
-            F.sum("_n").alias("_gn"),
-            *[
+        # ONE 1-row global frame serves both sections (fused sums +
+        # max over the checkpointed base instead of one single-
+        # partition aggregate per section)
+        gaggs = []
+        if completeness_cols:
+            gaggs.append(F.sum("_n").alias("_gn"))
+            gaggs += [
                 F.sum(f"_nn_{c}").alias(f"_g_{c}")
                 for c in completeness_cols
-            ],
-        )
-        long = base.crossJoin(F.broadcast(glob)).select(
-            seg.alias("segment"),
-            F.explode(
-                F.create_map(
-                    *[
-                        x
-                        for c in completeness_cols
-                        for x in (
-                            F.lit(c),
-                            F.struct(
-                                (F.col(f"_nn_{c}") / F.col("_n")).alias("r"),
-                                (F.col(f"_g_{c}") / F.col("_gn")).alias("g"),
-                            ),
-                        )
-                    ]
-                )
-            ).alias("column", "_v"),
-        )
-        lift = F.round(F.col("_v.r") - F.col("_v.g"), round_to)
-        parts.append(
-            long.select(
-                "segment",
-                F.lit("completeness").alias("check"),
-                F.col("column"),
-                lift.alias("value"),
-                F.lit(-float(completeness_tolerance)).alias("threshold"),
-                (lift < -float(completeness_tolerance)).alias("flag"),
-            )
-        )
+            ]
+        if ts_col is not None:
+            gaggs.append(F.max("_latest").alias("_gts"))
+        glob = base.agg(*gaggs)
 
-    if ts_col is not None:
-        gmax = base.agg(F.max("_latest").alias("_gts"))
-        lag = F.col("_gts").cast("double") - F.col("_latest").cast("double")
+    if base is not None:
+        # completeness + freshness rows come out of ONE crossJoin +
+        # explode over the shared (base x glob) frame — one consumer of
+        # the 1-row global aggregate instead of one crossJoin (and one
+        # duplicated SinglePartition agg subtree) per section
+        row_structs = []
+        for c in completeness_cols or []:
+            lift = F.round(
+                F.col(f"_nn_{c}") / F.col("_n")
+                - F.col(f"_g_{c}") / F.col("_gn"),
+                round_to,
+            )
+            row_structs.append(
+                F.struct(
+                    F.lit("completeness").alias("check"),
+                    F.lit(c).alias("column"),
+                    lift.alias("value"),
+                    F.lit(-float(completeness_tolerance)).alias("threshold"),
+                    (lift < -float(completeness_tolerance)).alias("flag"),
+                )
+            )
+        if ts_col is not None:
+            lag = (
+                F.col("_gts").cast("double")
+                - F.col("_latest").cast("double")
+            )
+            row_structs.append(
+                F.struct(
+                    F.lit("freshness").alias("check"),
+                    F.lit(ts_col).alias("column"),
+                    F.round(lag, round_to).alias("value"),
+                    F.lit(float(stale_after_seconds)).alias("threshold"),
+                    (lag > stale_after_seconds).alias("flag"),
+                )
+            )
         parts.append(
-            base.crossJoin(F.broadcast(gmax)).select(
+            base.crossJoin(F.broadcast(glob))
+            .select(
                 seg.alias("segment"),
-                F.lit("freshness").alias("check"),
-                F.lit(ts_col).alias("column"),
-                F.round(lag, round_to).alias("value"),
-                F.lit(float(stale_after_seconds)).alias("threshold"),
-                (lag > stale_after_seconds).alias("flag"),
+                F.explode(F.array(*row_structs)).alias("_r"),
+            )
+            .select(
+                "segment",
+                F.col("_r.check").alias("check"),
+                F.col("_r.column").alias("column"),
+                F.col("_r.value").alias("value"),
+                F.col("_r.threshold").alias("threshold"),
+                F.col("_r.flag").alias("flag"),
             )
         )
 
@@ -181,7 +194,7 @@ def segment_health_report(
         from ..operators.uniqueness import dup_rate_by_group
 
         dup = dup_rate_by_group(
-            cur, unique_keys, [group_col], round_to=round_to
+            cur, unique_keys, [group_col], round_to=round_to, sort=False
         )
         parts.append(
             dup.select(
@@ -199,7 +212,7 @@ def segment_health_report(
 
         psi = psi_by_group(
             cur, ref, psi_cols, group_col,
-            threshold=psi_threshold, round_to=round_to,
+            threshold=psi_threshold, round_to=round_to, sort=False,
         )
         parts.append(
             psi.select(
@@ -215,7 +228,9 @@ def segment_health_report(
     if ks_col is not None:
         from ..operators.drift import ks_by_group
 
-        ks = ks_by_group(cur, ref, ks_col, group_col, round_to=round_to)
+        ks = ks_by_group(
+            cur, ref, ks_col, group_col, round_to=round_to, sort=False
+        )
         parts.append(
             ks.select(
                 F.col("grp").alias("segment"),
