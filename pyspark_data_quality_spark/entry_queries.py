@@ -7904,6 +7904,197 @@ def dq_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(pairs, 2).orderBy("id")
 
 
+@query(
+    "dq_pagerank",
+    """
+    WITH RECURSIVE
+    e AS MATERIALIZED (
+      SELECT l_suppkey % 59 AS src, l_partkey % 61 AS dst, 1.0 AS w
+      FROM lineitem
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node
+      FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ),
+    deg AS MATERIALIZED (
+      SELECT src AS node, sum(w) AS deg FROM e GROUP BY src
+    ),
+    params AS MATERIALIZED (SELECT count(*) * 1.0 AS n FROM nodes),
+    pr AS (
+      SELECT 0 AS step, node, 1.0 / (SELECT n FROM params) AS r
+      FROM nodes
+      UNION ALL
+      SELECT p.step + 1, p.node,
+             (1.0 - 0.85) / pm.n
+             + 0.85 * (coalesce(c.inr, 0.0) + dg.dtot / pm.n)
+      FROM pr p
+      CROSS JOIN params pm
+      LEFT JOIN (
+         SELECT e.dst AS node, sum(p2.r * e.w / d.deg) AS inr
+         FROM pr p2
+         JOIN deg d ON p2.node = d.node
+         JOIN e ON e.src = p2.node
+         GROUP BY e.dst
+      ) c ON c.node = p.node
+      CROSS JOIN (
+         SELECT coalesce(sum(p3.r), 0.0) AS dtot
+         FROM pr p3 LEFT JOIN deg d3 ON p3.node = d3.node
+         WHERE d3.node IS NULL
+      ) dg
+      WHERE p.step < 8
+    )
+    SELECT node, CAST(round(r, 6) AS DOUBLE) AS rank
+    FROM pr WHERE step = 8 ORDER BY node
+    """,
+)
+def dq_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph authority (operators/graph.py pagerank), previously
+    pytest-only: 8 power-iteration steps over the supplier->part
+    multigraph (l_suppkey%59 -> l_partkey%61 — parallel edges kept,
+    exactly as the operator treats them, and nodes 59/60 exist only as
+    destinations, so the dangling fold-back is exercised). The oracle
+    replays every iteration as a DuckDB recursive CTE (MATERIALIZED
+    base CTEs per the r9 inlining gotcha): same (1-d)/N + d*(in +
+    dangling/N) update, same divide-before-subtract float path, so the
+    round-6 ranks hash-match — a full-value certification of an
+    iterative operator, not a floor."""
+    from .operators.graph import pagerank
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = li.select(
+        (F.col("l_suppkey") % 59).alias("src"),
+        (F.col("l_partkey") % 61).alias("dst"),
+    )
+    return (
+        pagerank(edges, iterations=8)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy("node")
+    )
+
+
+@query("dq_mmd")  # rows-only: seeded-RFF estimate, engine-specific by design
+def dq_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel two-sample embedding drift (operators/drift.py mmd_drift),
+    previously pytest-only: the 'null' config splits the embeddings by
+    vec_id parity (same distribution -> MMD near 0) and the 'shifted'
+    config compares against the same vectors displaced by +0.5 in every
+    dimension (a mean shift the RBF kernel must see). Rows-only: the
+    RFF estimate is seeded-random, so there is no SQL oracle — the
+    enforced invariant (tests/test_registry.py) is the ordering floor:
+    shifted MMD must exceed 10x the null MMD, and the null MMD must
+    stay under 0.05. NumPy replay parity is pinned separately in
+    tests/test_schema_drift.py."""
+    from pyspark.sql.window import Window
+
+    from .operators.drift import mmd_drift
+
+    emb = _emb_double(spark, sf_dir)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    shifted = odd.select(
+        F.transform(F.col("embedding"), lambda x: x + F.lit(0.5))
+        .alias("embedding")
+    )
+    null_row = mmd_drift(
+        even, odd, "embedding", num_features=128, dim=64, seed=7
+    ).select(F.lit("null_split").alias("config"), "*")
+    shift_row = mmd_drift(
+        even, shifted, "embedding", num_features=128, dim=64, seed=7
+    ).select(F.lit("mean_shift").alias("config"), "*")
+    out = null_row.unionByName(shift_row)
+    null_mmd = F.max(F.when(F.col("config") == "null_split", F.col("mmd")))
+    w = Window.partitionBy()
+    return out.select(
+        "*",
+        (
+            (null_mmd.over(w) < 0.05)
+            & (
+                F.max(
+                    F.when(F.col("config") == "mean_shift", F.col("mmd"))
+                ).over(w)
+                > 10 * null_mmd.over(w)
+            )
+        ).alias("meets_floor"),
+    ).orderBy("config")
+
+
+@query("dq_zorder")  # rows-only: quantile boundaries are run-wobbly
+def dq_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout clustering (operators/zorder.py zorder_by),
+    previously pytest-only: orders re-clustered along the Morton curve
+    of (o_orderkey, o_totalprice) into 16 range partitions, vs the same
+    table sorted by o_orderkey alone (o_orderkey is dense at every SF;
+    a sparse key like o_custkey has too few distinct values at sf0.001
+    for stable equi-depth buckets). Per layout, one summary row of the
+    mean/max fraction of each column's GLOBAL range spanned per
+    partition — the parquet min/max pruning proxy: a filter on a column
+    prunes a partition iff the partition's span excludes it. Floors
+    (enforced in tests/test_registry.py): the z-layout keeps BOTH mean
+    spans <= 0.5 (every column prunable), the single-sort layout leaves
+    the second column's mean span > 0.9 (the failure mode z-ordering
+    fixes). Rows-only: approxQuantile bucket boundaries wobble run to
+    run, so spans are floored, not hashed; the exact Morton interleave
+    is pinned bit-for-bit in tests/test_zorder.py."""
+    from .operators.zorder import zorder_by
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    def spans(df: DataFrame, layout: str) -> DataFrame:
+        boxed = df.select(
+            F.spark_partition_id().alias("_pid"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        per = boxed.groupBy("_pid").agg(
+            (F.max("o_orderkey") - F.min("o_orderkey"))
+            .cast("double").alias("_sa"),
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("_sb"),
+        )
+        glob = orders.agg(
+            (F.max("o_orderkey") - F.min("o_orderkey"))
+            .cast("double").alias("_ga"),
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("_gb"),
+        )
+        return per.crossJoin(F.broadcast(glob)).agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.round(F.avg(F.col("_sa") / F.col("_ga")), 6)
+            .alias("mean_span_orderkey"),
+            F.round(F.avg(F.col("_sb") / F.col("_gb")), 6)
+            .alias("mean_span_price"),
+            F.round(F.max(F.col("_sa") / F.col("_ga")), 6)
+            .alias("max_span_orderkey"),
+            F.round(F.max(F.col("_sb") / F.col("_gb")), 6)
+            .alias("max_span_price"),
+        )
+
+    z = spans(
+        zorder_by(
+            orders, ["o_orderkey", "o_totalprice"],
+            bits=8, num_partitions=16,
+        ),
+        "zorder",
+    )
+    s = spans(
+        orders.repartitionByRange(16, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        "sorted_orderkey",
+    )
+    both = z.unionByName(s)
+    return both.select(
+        "*",
+        F.when(
+            F.col("layout") == "zorder",
+            (F.col("mean_span_orderkey") <= 0.5)
+            & (F.col("mean_span_price") <= 0.5),
+        )
+        .otherwise(F.col("mean_span_price") > 0.9)
+        .alias("meets_floor"),
+    ).orderBy("layout")
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, not hand-maintained.
 #
@@ -7978,8 +8169,12 @@ def _stale_by_oracle_content() -> set:
     an entry's Spark code AND oracle were rewritten in tandem, but the
     50-slot rotation had already pushed it out of the window, so its
     ledger 'pass' certified the OLD semantics. Content-hash mismatch now
-    forces such entries back to the head of the window. Entries absent
-    from the snapshot are not flagged (no baseline to compare)."""
+    forces such entries back to the head of the window. An entry with
+    oracle SQL but NO snapshot record is also flagged: its only recorded
+    verdict predates the oracle (a rows-only entry upgraded to a hash
+    compare — the r11 composite certifications), so that verdict says
+    nothing about the SQL. Only a missing/unreadable snapshot FILE
+    disables the check entirely (bootstrap)."""
     import json as _json
     import os as _os
 
@@ -7993,7 +8188,7 @@ def _stale_by_oracle_content() -> set:
     return {
         k
         for k, sql in ORACLE_SQL.items()
-        if k in snap and snap[k] != oracle_sql_hash(sql)
+        if k not in snap or snap[k] != oracle_sql_hash(sql)
     }
 
 

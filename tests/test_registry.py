@@ -243,6 +243,42 @@ def test_semantic_recall_entry_meets_floors(spark, sf_dir):
     assert by["clusters=4"] > by["clusters=16 (entry)"]
 
 
+def test_mmd_entry_meets_floor(spark, sf_dir):
+    """dq_mmd's enforced invariant: the seeded-RFF MMD must separate a
+    genuine mean shift from a same-distribution split by 10x, with the
+    null split staying under 0.05 — the rows-only entry's floor."""
+    from pyspark_data_quality_spark.entry_queries import ENTRY_QUERIES
+
+    rows = {r["config"]: r
+            for r in ENTRY_QUERIES["dq_mmd"](spark, sf_dir).collect()}
+    assert set(rows) == {"null_split", "mean_shift"}
+    for r in rows.values():
+        assert r["meets_floor"], (
+            f"{r['config']}: mmd {r['mmd']} (null "
+            f"{rows['null_split']['mmd']}, shift "
+            f"{rows['mean_shift']['mmd']})"
+        )
+    assert rows["mean_shift"]["mmd"] > rows["null_split"]["mmd"]
+
+
+def test_zorder_entry_meets_floor(spark, sf_dir):
+    """dq_zorder's enforced invariant: the Morton layout keeps BOTH
+    clustering columns' mean per-partition span <= 0.5 of the global
+    range, while the single-column sort leaves the second column
+    unprunable (mean span > 0.9) — the pruning-proxy floor."""
+    from pyspark_data_quality_spark.entry_queries import ENTRY_QUERIES
+
+    rows = {r["layout"]: r
+            for r in ENTRY_QUERIES["dq_zorder"](spark, sf_dir).collect()}
+    assert set(rows) == {"zorder", "sorted_orderkey"}
+    for r in rows.values():
+        assert r["meets_floor"], r
+    z, s = rows["zorder"], rows["sorted_orderkey"]
+    # the z-layout must beat the single-sort on the SECOND column by a
+    # wide margin — that differential IS the data-skipping claim
+    assert z["mean_span_price"] < s["mean_span_price"] / 2
+
+
 def test_curation_floor_entry_meets_floor(spark, sf_dir):
     """dq_curation_floor certifies the exact MinHash config
     curate_corpus ships; with it, every approximate stage in the
