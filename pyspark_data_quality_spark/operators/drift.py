@@ -28,29 +28,6 @@ from pyspark.sql.window import Window
 DEFAULT_EPS = 1e-6
 
 
-def _value_ratios(df: DataFrame, columns: list[str], side: str) -> DataFrame:
-    # map values keep real NULLs (no 'NULL'-string sentinel): a genuine
-    # NULL bucket can never collide with a literal 'NULL' value
-    pairs = df.select(
-        F.explode(
-            F.create_map(
-                *[
-                    x
-                    for c in columns
-                    for x in (F.lit(c), F.col(c).cast("string"))
-                ]
-            )
-        ).alias("column", "value")
-    )
-    w_total = F.sum("n").over(Window.partitionBy("column"))
-    return (
-        pairs.groupBy("column", "value")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(side, F.col("n") / w_total)
-        .drop("n")
-    )
-
-
 def categorical_drift(
     cur: DataFrame,
     ref: DataFrame,
@@ -62,21 +39,51 @@ def categorical_drift(
     """Per-(column, value) drift detail:
     ``(column, value, p_cur, p_ref, psi_term)`` where ``psi_term =
     (p_cur - p_ref) * ln(p_cur / p_ref)`` with both ratios clamped to at
-    least ``eps``. Values absent on a side get ratio 0 (clamped)."""
-    c = _value_ratios(cur, columns, "p_cur").alias("cv")
-    r = _value_ratios(ref, columns, "p_ref").alias("rv")
-    # null-safe value match so the NULL bucket merges across sides
-    # instead of appearing once per side with the other ratio at 0
-    joined = c.join(
-        r,
-        (F.col("cv.column") == F.col("rv.column"))
-        & F.col("cv.value").eqNullSafe(F.col("rv.value")),
-        "full_outer",
-    ).select(
-        F.coalesce(F.col("cv.column"), F.col("rv.column")).alias("column"),
-        F.coalesce(F.col("cv.value"), F.col("rv.value")).alias("value"),
-        F.coalesce("p_cur", F.lit(0.0)).alias("p_cur"),
-        F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
+    least ``eps``. Values absent on a side get ratio 0 (clamped).
+
+    Scale shape (r11, same fusion as :func:`psi_by_group`): the sides
+    union ONCE with a one-hot tag, so both histograms materialize in a
+    SINGLE exploded-map shuffle with map-side combine — the tagged
+    groupBy aligns the two sides by construction, replacing the former
+    per-side aggregations + null-safe full-outer join; per-column
+    totals ride a window over the same hash partitioning. Map values
+    keep real NULLs (no 'NULL'-string sentinel): a genuine NULL bucket
+    can never collide with a literal 'NULL' value."""
+
+    def side(df: DataFrame, a: int, b: int) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.create_map(
+                    *[
+                        x
+                        for c in columns
+                        for x in (F.lit(c), F.col(c).cast("string"))
+                    ]
+                )
+            ).alias("column", "value"),
+            F.lit(a).alias("_a"),
+            F.lit(b).alias("_b"),
+        )
+
+    counts = (
+        side(cur, 1, 0)
+        .unionByName(side(ref, 0, 1))
+        .groupBy("column", "value")
+        .agg(F.sum("_a").alias("_nc"), F.sum("_b").alias("_nr"))
+    )
+    w = Window.partitionBy("column")
+    # try_divide: a column present on only one side has a zero total on
+    # the other -> NULL ratio; coalesce 0.0 reproduces the old full-
+    # outer-join's missing-side semantics before the eps clamp.
+    joined = counts.select(
+        "column",
+        "value",
+        F.coalesce(
+            F.try_divide(F.col("_nc"), F.sum("_nc").over(w)), F.lit(0.0)
+        ).alias("p_cur"),
+        F.coalesce(
+            F.try_divide(F.col("_nr"), F.sum("_nr").over(w)), F.lit(0.0)
+        ).alias("p_ref"),
     )
     pc = F.greatest(F.col("p_cur"), F.lit(eps))
     pr = F.greatest(F.col("p_ref"), F.lit(eps))
@@ -190,19 +197,20 @@ def ks_statistic(
     """
     x = F.col(col)
 
-    def side(df: DataFrame, name: str) -> DataFrame:
+    def side(df: DataFrame, a: int, b: int) -> DataFrame:
         v = F.round(x, quantize) if quantize is not None else x
-        return (
-            df.filter(x.isNotNull())
-            .select(v.alias("x"))
-            .groupBy("x")
-            .agg(F.count(F.lit(1)).alias(name))
+        return df.filter(x.isNotNull()).select(
+            v.alias("x"), F.lit(a).alias("_a"), F.lit(b).alias("_b")
         )
 
-    j = side(cur, "n_a").join(side(ref, "n_b"), "x", "full_outer").select(
-        "x",
-        F.coalesce("n_a", F.lit(0)).alias("n_a"),
-        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    # one tagged union-groupBy materializes BOTH sides' histograms in a
+    # single shuffle (map-side combine) — the former per-side groupBys +
+    # full-outer join, fused (same r11 move as psi_by_group)
+    j = (
+        side(cur, 1, 0)
+        .unionByName(side(ref, 0, 1))
+        .groupBy("x")
+        .agg(F.sum("_a").alias("n_a"), F.sum("_b").alias("n_b"))
     )
 
     if method == "single_task":
@@ -226,11 +234,18 @@ def ks_statistic(
         raise ValueError(f"ks_statistic: unknown method {method!r}")
 
     # --- distributed prefix sum -------------------------------------------
-    # Range partitioning orders partitions by x (RangePartitioner's sample
-    # sketch is seeded per-partition-index, so both uses of this exchange
-    # see identical boundaries; AQE reuses the exchange anyway).
-    ranged = j.repartitionByRange(F.col("x").asc()).withColumn(
-        "_pid", F.spark_partition_id()
+    # Persisted across its two consumers (local prefix sums + the
+    # per-partition totals): the cache materializes the collapsed
+    # (value, count) histogram ONCE — without it the union-groupBy +
+    # range-exchange subtree executes twice, and the range boundaries
+    # would be re-sampled per consumer (same fix as ks_by_group, r11;
+    # LRU-evicted, corpus never cached — only its distinct support).
+    from pyspark import StorageLevel
+
+    ranged = (
+        j.repartitionByRange(F.col("x").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     w_local = (
         Window.partitionBy("_pid")
@@ -762,12 +777,19 @@ def corpus_divergence(
     (the corpus includes the group), so no smoothing is needed and KL is
     finite and >= 0.
 
-    Shape: ONE explode + (group, token) count groupBy; the corpus
-    distribution reduces the SAME counted frame by token (second shuffle
-    over distinct (group, token) pairs, not raw tokens); totals join back
-    hash-keyed, the grand total broadcasts from a 1-row agg. Output one
-    row per group: (group, n_tokens, n_distinct_tokens, kl_vs_corpus).
+    Shape: ONE explode + (group, token) count groupBy, PERSISTED — the
+    counted frame feeds four consumers (corpus reduction, group totals,
+    grand total, final join); without the cache the corpus-sized
+    explode subtree re-executes per consumer (measured: 4 source scans
+    for one report, r11). The cache holds distinct (group, token)
+    pairs — vocabulary x groups, never the corpus — and is LRU-evicted
+    (the corpus_report contract). The corpus distribution reduces the
+    cached frame by token; totals join back hash-keyed; the grand
+    total broadcasts from a 1-row agg. Output one row per group:
+    (group, n_tokens, n_distinct_tokens, kl_vs_corpus).
     """
+    from pyspark import StorageLevel
+
     from ..functions.text import tokenize
 
     pairs = (
@@ -775,6 +797,7 @@ def corpus_divergence(
                   F.explode(tokenize(text_col)).alias("_t"))
         .groupBy(group_col, "_t")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     from ..plans.joins import join_null_safe
 
@@ -886,22 +909,24 @@ def value_set_drift(
     One row per column: ``(column, n_cur_values, n_ref_values, n_new,
     n_gone, jaccard)`` — jaccard of the two distinct-value sets.
 
-    Shape: each side collapses through ONE exploded column->value pass
-    (the top_values/skew_report trick: all columns in one shuffle),
-    then a null-safe full outer join on the (column, value) spine —
-    vocabulary-sized, never corpus-sized. NULL is tracked as a value
-    in its own right (a real NULL, joined with ``eqNullSafe``) so it
-    can never collide with a literal ``'NULL'`` string in the data.
+    Shape (r11, the psi_by_group fusion): the sides union ONCE with a
+    one-hot tag through ONE exploded column->value pass (the
+    top_values/skew_report trick: all columns in one shuffle), and a
+    single (column, value) groupBy with max() one-hots replaces the
+    former per-side distinct()s + null-safe full-outer join — the
+    shuffle carries vocabulary, never the corpus, exactly once. NULL
+    is tracked as a value in its own right (a real NULL groupBy key)
+    so it can never collide with a literal ``'NULL'`` string.
     """
     if not cols:
         raise ValueError("value_set_drift: cols must be non-empty")
 
-    def _values(df: DataFrame, tag: str) -> DataFrame:
+    def _values(df: DataFrame, a: int, b: int) -> DataFrame:
         # array-of-structs, not create_map: both carry real NULL values
         # (see top_values/column_entropy for the map shape), but here we
-        # need one (column, value) ROW per cell to feed distinct() — a
-        # map would require explode(map) anyway, and the struct array
-        # exploded once is the same single shuffle with fewer steps.
+        # need one (column, value) ROW per cell — a map would require
+        # explode(map) anyway, and the struct array exploded once is the
+        # same single shuffle with fewer steps.
         pair = F.explode(
             F.array(
                 *[
@@ -913,54 +938,31 @@ def value_set_drift(
                 ]
             )
         ).alias("p")
-        return (
-            df.select(pair)
-            .select("p.column", "p.value")
-            .distinct()
-            .withColumn(tag, F.lit(True))
+        return df.select(pair).select(
+            "p.column",
+            "p.value",
+            F.lit(a).alias("_a"),
+            F.lit(b).alias("_b"),
         )
 
-    cv = _values(cur, "_in_cur").alias("cv")
-    rv = _values(ref, "_in_ref").alias("rv")
-    joined = cv.join(
-        rv,
-        (F.col("cv.column") == F.col("rv.column"))
-        & F.col("cv.value").eqNullSafe(F.col("rv.value")),
-        "full_outer",
-    ).select(
-        F.coalesce(F.col("cv.column"), F.col("rv.column")).alias("column"),
-        F.col("cv._in_cur").alias("_in_cur"),
-        F.col("rv._in_ref").alias("_in_ref"),
+    present = (
+        _values(cur, 1, 0)
+        .unionByName(_values(ref, 0, 1))
+        .groupBy("column", "value")
+        .agg(F.max("_a").alias("_ic"), F.max("_b").alias("_ir"))
     )
+    in_cur = F.col("_ic") == 1
+    in_ref = F.col("_ir") == 1
     return (
-        joined.groupBy("column")
+        present.groupBy("column")
         .agg(
-            F.sum(F.col("_in_cur").isNotNull().cast("long")).alias(
-                "n_cur_values"
-            ),
-            F.sum(F.col("_in_ref").isNotNull().cast("long")).alias(
-                "n_ref_values"
-            ),
-            F.sum(
-                (
-                    F.col("_in_cur").isNotNull()
-                    & F.col("_in_ref").isNull()
-                ).cast("long")
-            ).alias("n_new"),
-            F.sum(
-                (
-                    F.col("_in_cur").isNull()
-                    & F.col("_in_ref").isNotNull()
-                ).cast("long")
-            ).alias("n_gone"),
+            F.sum(in_cur.cast("long")).alias("n_cur_values"),
+            F.sum(in_ref.cast("long")).alias("n_ref_values"),
+            F.sum((in_cur & ~in_ref).cast("long")).alias("n_new"),
+            F.sum((~in_cur & in_ref).cast("long")).alias("n_gone"),
             F.round(
                 F.try_divide(
-                    F.sum(
-                        (
-                            F.col("_in_cur").isNotNull()
-                            & F.col("_in_ref").isNotNull()
-                        ).cast("long")
-                    ),
+                    F.sum((in_cur & in_ref).cast("long")),
                     F.count(F.lit(1)),
                 ),
                 round_to,
