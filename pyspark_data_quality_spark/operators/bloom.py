@@ -303,6 +303,14 @@ def dedup_against_bloom(
         keep = ~F.col("_maybe") if mode == "survivors" else F.col("_maybe")
         return probed.filter(keep).drop("_fp", "_maybe")
 
+    # persisted: the probed batch feeds up to three consumers (candidate
+    # set, cleared rows, confirmed-new anti-join) — without the cache the
+    # batch scan + fingerprint + bitmap probe re-execute per consumer.
+    # The batch is the SMALL incremental side by contract (the reference
+    # stays scan-only), so caching it is bounded; LRU-evicted.
+    from pyspark import StorageLevel
+
+    probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
     cand = probed.filter(F.col("_maybe"))
     cand_fp = cand.select("_fp").distinct()
     # True intersection: reference SCAN semi-joined against the broadcast

@@ -139,8 +139,18 @@ def train_nb_classifier(
         F.col(label_col).alias("label"),
         F.explode(_featurize(text_col, num_buckets)).alias("feature"),
     )
-    cnt = toks.groupBy("label", "feature").agg(
-        F.count(F.lit(1)).alias("_cnt")
+    # persisted: the (label, feature) count frame feeds up to four
+    # consumers (hapax filter, vocab size, per-class totals, the model's
+    # feature deltas) — without the cache the corpus-sized tokenize +
+    # explode + groupBy subtree re-executes per consumer. The cache
+    # holds vocabulary x classes rows, never the corpus; LRU-evicted
+    # (the corpus_report contract).
+    from pyspark import StorageLevel
+
+    cnt = (
+        toks.groupBy("label", "feature")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if min_count > 1:
         keep = (

@@ -116,11 +116,12 @@ def numeric_drift(
     from .profile import histogram
 
     if lo is None or hi is None:
-        # bounds ride from a 1-row agg via broadcast — no driver action
+        # bounds ride from a 1-row agg via broadcast; localCheckpoint-ed
+        # so its two histogram consumers don't each re-scan ref
         b = ref.agg(
             F.min(F.col(col)).cast("double").alias("_blo"),
             F.max(F.col(col)).cast("double").alias("_bhi"),
-        )
+        ).localCheckpoint()
         h_ref = _hist_with_bounds(ref, col, bins, b)
         h_cur = _hist_with_bounds(cur, col, bins, b)
     else:
@@ -455,10 +456,13 @@ def wasserstein_1d(
     window work.
     """
     if lo is None or hi is None:
+        # localCheckpoint: the 1-row bounds agg has three consumers
+        # (both histograms + the final width join) — without it each
+        # re-scans ref for min/max
         b = ref.agg(
             F.min(F.col(col)).cast("double").alias("_blo"),
             F.max(F.col(col)).cast("double").alias("_bhi"),
-        )
+        ).localCheckpoint()
     else:
         from pyspark.sql import Row
 
@@ -854,12 +858,36 @@ def embedding_drift(
     portable, same contract as the scalar drift oracles).
     """
     def _dims(df: DataFrame, mean_name: str, n_name: str):
-        d = df.select(
-            F.posexplode(F.col(vec_col)).alias("dim", "_v")
-        ).groupBy("dim").agg(
-            F.round(F.avg("_v"), round_to).alias(mean_name)
+        # posexplode_OUTER so the row count rides the same scan as the
+        # means: a NULL/empty vector emits one NULL-dim row, every other
+        # row emits its dims, so n_rows = count(dim 0) + count(dim NULL)
+        # — identical to the old separate count(*) pass, which re-scanned
+        # the corpus (r11). The D+1-row result localCheckpoints for its
+        # two consumers; the mean excludes the NULL-dim bucket.
+        all_dims = (
+            df.select(
+                F.posexplode_outer(F.col(vec_col)).alias("dim", "_v")
+            )
+            .groupBy("dim")
+            .agg(
+                F.round(F.avg("_v"), round_to).alias(mean_name),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .localCheckpoint()
         )
-        n = df.select(F.count(F.lit(1)).alias(n_name))
+        d = all_dims.filter(F.col("dim").isNotNull()).drop("_n")
+        n = all_dims.agg(
+            (
+                F.coalesce(
+                    F.max(F.when(F.col("dim") == 0, F.col("_n"))),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.max(F.when(F.col("dim").isNull(), F.col("_n"))),
+                    F.lit(0),
+                )
+            ).alias(n_name)
+        )
         return d, n
 
     cdim, cn = _dims(cur, "_mc", "n_cur")
@@ -1039,15 +1067,27 @@ def mmd_drift(
     rff = pandas_udf(z, "array<double>")
 
     def _side(df: DataFrame, mean_name: str, n_name: str):
+        # the vector count rides the SAME feature groupBy as the means
+        # (each vector emits exactly one row per feature index, so any
+        # feature's row count IS the vector count) and the D-row result
+        # is localCheckpoint-ed — one Arrow z-pass per side total,
+        # where a separate count() consumer used to re-run it (r11)
         vecs = df.filter(F.col(vec_col).isNotNull()).select(
             rff(F.col(vec_col)).alias("_z")
         )
         means = (
             vecs.select(F.posexplode("_z").alias("feature", "_v"))
             .groupBy("feature")
-            .agg(F.avg("_v").alias(mean_name))
+            .agg(
+                F.avg("_v").alias(mean_name),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .localCheckpoint()
         )
-        return means, vecs.agg(F.count(F.lit(1)).alias(n_name))
+        n = means.agg(
+            F.coalesce(F.max("_n"), F.lit(0)).alias(n_name)
+        )
+        return means.drop("_n"), n
 
     cmean, cn = _side(cur, "_mc", "n_cur")
     rmean, rn = _side(ref, "_mr", "n_ref")
@@ -1145,13 +1185,25 @@ def classifier_drift(
                 F.lit(name).alias("_side"),
             )
         )
-    both = sides[0].unionByName(sides[1]).withColumn(
-        "_part",
-        split_assignment(
-            F.col("_uid"),
-            {"fit": train_fraction, "eval": 1 - train_fraction},
-            salt=salt,
-        ),
+    from pyspark import StorageLevel
+
+    # persisted: the tagged/split union is re-derived by four source-
+    # level consumers (NB training reads the fit rows twice — token
+    # counts + class priors —, scoring reads the eval rows, and the
+    # n_fit count reads fit again); without the cache each one re-scans
+    # BOTH input tables (measured: 16 scans for one report, r11). The
+    # cache holds the pruned (uid, text, side, part) projection only.
+    both = (
+        sides[0].unionByName(sides[1])
+        .withColumn(
+            "_part",
+            split_assignment(
+                F.col("_uid"),
+                {"fit": train_fraction, "eval": 1 - train_fraction},
+                salt=salt,
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     fit = both.filter(F.col("_part") == "fit")
     ev = both.filter(F.col("_part") == "eval")

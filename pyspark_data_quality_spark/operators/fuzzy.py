@@ -90,6 +90,11 @@ def fuzzy_match_pairs(
     # global frequency order; ties broken by the gram itself so the rank
     # is total and both sides of a pair agree on it
     freq = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_f"))
+    from pyspark import StorageLevel
+
+    # persisted: the prefix frame self-joins (both sides of the candidate
+    # join read it) — without the cache the gram explode + frequency join
+    # + rank window execute once per join side; <= prefix rows per id
     ranked = (
         grams.join(freq, "_g")
         .withColumn(
@@ -100,6 +105,7 @@ def fuzzy_match_pairs(
         )
         .filter(F.col("_rn") <= prefix)
         .select("_id", "_s", "_len", "_g")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     a, b = ranked.alias("a"), ranked.alias("b")
@@ -119,7 +125,12 @@ def fuzzy_match_pairs(
         .distinct()
     )
 
-    shorts = base.filter(F.col("_ng") <= q * k).select("_id", "_s", "_len")
+    # persisted for the same reason: the short-string fallback self-joins
+    shorts = (
+        base.filter(F.col("_ng") <= q * k)
+        .select("_id", "_s", "_len")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sa, sb = shorts.alias("sa"), shorts.alias("sb")
     short_cands = (
         sa.join(

@@ -653,9 +653,18 @@ def unigram_logprob(
     """
     from ..functions.text import tokenize
 
+    from pyspark import StorageLevel
+
     ref = reference if reference is not None else df
     ref_toks = ref.select(F.explode(tokenize(text_col)).alias("term"))
-    vocab = ref_toks.groupBy("term").agg(F.count(F.lit(1)).alias("_rc"))
+    # persisted: the |vocab|-row count frame feeds the totals agg AND
+    # the scoring join — without the cache the reference explode +
+    # groupBy re-executes (one extra corpus scan); LRU-evicted
+    vocab = (
+        ref_toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_rc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     totals = vocab.agg(
         F.sum("_rc").alias("_n_ref"),
         F.count(F.lit(1)).alias("_v"),
@@ -741,8 +750,15 @@ def bigram_logprob(
     ref_big = ref.select(F.explode(_bigrams(text_col)).alias("_bg")).select(
         F.col("_bg.0").alias("_a"), F.col("_bg.1").alias("_b")
     )
-    big_counts = ref_big.groupBy("_a", "_b").agg(
-        F.count(F.lit(1)).alias("_rbc")
+    from pyspark import StorageLevel
+
+    # persisted: the |distinct bigrams|-row model feeds the predecessor
+    # totals AND the scoring join — without the cache the reference
+    # bigram explode + groupBy re-executes per consumer; LRU-evicted
+    big_counts = (
+        ref_big.groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_rbc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # predecessor totals derive from the bigram counts — no rescan; the
     # LAST token of each doc never leads a bigram, so this is c(a,·),
@@ -1115,10 +1131,17 @@ def distinctive_terms(
 
     if k < 1:
         raise ValueError("distinctive_terms: k must be >= 1")
+    from pyspark import StorageLevel
+
+    # persisted: the (group, token) count frame feeds four consumers
+    # (token marginals, group marginals, grand total, the G2 join) —
+    # without the cache the corpus-sized explode subtree re-executes
+    # per consumer (same fix as corpus_divergence, r11); LRU-evicted
     pairs = (
         df.select(F.col(group_col), F.explode(tokenize(text_col)).alias("_t"))
         .groupBy(group_col, "_t")
         .agg(F.count(F.lit(1)).alias("_a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tok_totals = pairs.groupBy("_t").agg(F.sum("_a").alias("_ta"))
     grp_totals = pairs.groupBy(group_col).agg(F.sum("_a").alias("_ga"))
