@@ -8040,6 +8040,14 @@ def dq_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_totalprice"
     )
+    # layout-independent global ranges, computed ONCE (localCheckpoint:
+    # 1 row, two layout consumers — entries execute immediately, so the
+    # eager job is the query itself, not a surprise)
+    glob = orders.agg(
+        (F.max("o_orderkey") - F.min("o_orderkey"))
+        .cast("double").alias("_ga"),
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("_gb"),
+    ).localCheckpoint()
 
     def spans(df: DataFrame, layout: str) -> DataFrame:
         boxed = df.select(
@@ -8051,11 +8059,6 @@ def dq_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("o_orderkey") - F.min("o_orderkey"))
             .cast("double").alias("_sa"),
             (F.max("o_totalprice") - F.min("o_totalprice")).alias("_sb"),
-        )
-        glob = orders.agg(
-            (F.max("o_orderkey") - F.min("o_orderkey"))
-            .cast("double").alias("_ga"),
-            (F.max("o_totalprice") - F.min("o_totalprice")).alias("_gb"),
         )
         return per.crossJoin(F.broadcast(glob)).agg(
             F.lit(layout).alias("layout"),

@@ -60,12 +60,25 @@ class NBModel:
     ``features``: (feature, label, delta) — one row per (seen feature,
     class); at most V×C rows where V ≤ ``num_buckets`` when hashing.
     ``classes``: (label, log_prior, log_oov) — C rows.
+
+    A freshly TRAINED model's frames derive from a persisted count
+    frame (see train_nb_classifier); call :meth:`unpersist` when done
+    with a model you will not score again in this application —
+    cached blocks stay reachable (and disk-tier blocks uncollected)
+    for as long as the model's lineage is referenced.
     """
 
     features: DataFrame
     classes: DataFrame
     num_buckets: int | None
     smoothing: float
+    _cached: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        """Release the training-time cache backing this model's frames
+        (no-op for loaded models, whose frames come from parquet)."""
+        if self._cached is not None:
+            self._cached.unpersist()
 
     def save(self, path: str) -> None:
         """Persist as two parquet datasets + params encoded in the
@@ -143,8 +156,11 @@ def train_nb_classifier(
     # consumers (hapax filter, vocab size, per-class totals, the model's
     # feature deltas) — without the cache the corpus-sized tokenize +
     # explode + groupBy subtree re-executes per consumer. The cache
-    # holds vocabulary x classes rows, never the corpus; LRU-evicted
-    # (the corpus_report contract).
+    # holds vocabulary x classes rows, never the corpus. It stays
+    # REACHABLE through the returned model's lineage (memory blocks can
+    # demote under pressure, but disk-tier blocks are not collected
+    # while referenced) — long-lived callers release it explicitly via
+    # NBModel.unpersist().
     from pyspark import StorageLevel
 
     cnt = (
@@ -194,6 +210,7 @@ def train_nb_classifier(
         classes=classes,
         num_buckets=num_buckets,
         smoothing=float(smoothing),
+        _cached=cnt,
     )
 
 
@@ -514,7 +531,14 @@ def calibration_report(
                 F.lit(
                     f"calibration_report: {score_col} outside [0, 1]: "
                 ),
-                F.coalesce(s.cast("string"), F.lit("NULL-after-cast")),
+                # fall back to the RAW value so a non-numeric string
+                # ('abc', '0,95') is named in the error, not masked as
+                # NULL-after-cast
+                F.coalesce(
+                    s.cast("string"),
+                    s_raw.cast("string"),
+                    F.lit("NULL"),
+                ),
             )
         )
     )

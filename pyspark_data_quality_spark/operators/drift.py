@@ -28,6 +28,32 @@ from pyspark.sql.window import Window
 DEFAULT_EPS = 1e-6
 
 
+def _tagged_counts(
+    cur_rows: DataFrame,
+    ref_rows: DataFrame,
+    keys: list[str],
+    a: str,
+    b: str,
+) -> DataFrame:
+    """THE two-sided fusion convention (r11), shared by every cur-vs-ref
+    operator in this module: one-hot side tags + union + per-key groupBy
+    collapse BOTH sides' counts in a SINGLE map-side-combined shuffle.
+    This replaces the per-side aggregation + null-safe full-outer-join
+    shape — the union aligns the histograms by construction (a key
+    missing on one side simply counts 0 there), NULL keys group like
+    any other key, and changing the missing-side convention has exactly
+    one place to land."""
+    tagged = (
+        cur_rows.withColumn("_a", F.lit(1)).withColumn("_b", F.lit(0))
+        .unionByName(
+            ref_rows.withColumn("_a", F.lit(0)).withColumn("_b", F.lit(1))
+        )
+    )
+    return tagged.groupBy(*keys).agg(
+        F.sum("_a").alias(a), F.sum("_b").alias(b)
+    )
+
+
 def categorical_drift(
     cur: DataFrame,
     ref: DataFrame,
@@ -50,7 +76,7 @@ def categorical_drift(
     keep real NULLs (no 'NULL'-string sentinel): a genuine NULL bucket
     can never collide with a literal 'NULL' value."""
 
-    def side(df: DataFrame, a: int, b: int) -> DataFrame:
+    def side(df: DataFrame) -> DataFrame:
         return df.select(
             F.explode(
                 F.create_map(
@@ -60,16 +86,11 @@ def categorical_drift(
                         for x in (F.lit(c), F.col(c).cast("string"))
                     ]
                 )
-            ).alias("column", "value"),
-            F.lit(a).alias("_a"),
-            F.lit(b).alias("_b"),
+            ).alias("column", "value")
         )
 
-    counts = (
-        side(cur, 1, 0)
-        .unionByName(side(ref, 0, 1))
-        .groupBy("column", "value")
-        .agg(F.sum("_a").alias("_nc"), F.sum("_b").alias("_nr"))
+    counts = _tagged_counts(
+        side(cur), side(ref), ["column", "value"], "_nc", "_nr"
     )
     w = Window.partitionBy("column")
     # try_divide: a column present on only one side has a zero total on
@@ -116,12 +137,16 @@ def numeric_drift(
     from .profile import histogram
 
     if lo is None or hi is None:
-        # bounds ride from a 1-row agg via broadcast; localCheckpoint-ed
-        # so its two histogram consumers don't each re-scan ref
+        # bounds ride from a 1-row agg via broadcast; persisted (LAZY,
+        # lineage-recomputable) so its two histogram consumers don't
+        # each re-scan ref — localCheckpoint would trigger an eager job
+        # at construction time and break on executor loss
+        from pyspark import StorageLevel
+
         b = ref.agg(
             F.min(F.col(col)).cast("double").alias("_blo"),
             F.max(F.col(col)).cast("double").alias("_bhi"),
-        ).localCheckpoint()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         h_ref = _hist_with_bounds(ref, col, bins, b)
         h_cur = _hist_with_bounds(cur, col, bins, b)
     else:
@@ -198,21 +223,14 @@ def ks_statistic(
     """
     x = F.col(col)
 
-    def side(df: DataFrame, a: int, b: int) -> DataFrame:
+    def side(df: DataFrame) -> DataFrame:
         v = F.round(x, quantize) if quantize is not None else x
-        return df.filter(x.isNotNull()).select(
-            v.alias("x"), F.lit(a).alias("_a"), F.lit(b).alias("_b")
-        )
+        return df.filter(x.isNotNull()).select(v.alias("x"))
 
     # one tagged union-groupBy materializes BOTH sides' histograms in a
     # single shuffle (map-side combine) — the former per-side groupBys +
-    # full-outer join, fused (same r11 move as psi_by_group)
-    j = (
-        side(cur, 1, 0)
-        .unionByName(side(ref, 0, 1))
-        .groupBy("x")
-        .agg(F.sum("_a").alias("n_a"), F.sum("_b").alias("n_b"))
-    )
+    # full-outer join, fused (_tagged_counts)
+    j = _tagged_counts(side(cur), side(ref), ["x"], "n_a", "n_b")
 
     if method == "single_task":
         cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
@@ -341,20 +359,12 @@ def ks_by_group(
     v = F.round(x, quantize) if quantize is not None else x
     g = F.col(group_col).cast("string")
 
-    def side(df: DataFrame, a: int, b: int) -> DataFrame:
+    def side(df: DataFrame) -> DataFrame:
         return df.filter(x.isNotNull()).select(
-            g.alias("grp"),
-            v.alias("x"),
-            F.lit(a).alias("_a"),
-            F.lit(b).alias("_b"),
+            g.alias("grp"), v.alias("x")
         )
 
-    j = (
-        side(cur, 1, 0)
-        .unionByName(side(ref, 0, 1))
-        .groupBy("grp", "x")
-        .agg(F.sum("_a").alias("n_a"), F.sum("_b").alias("n_b"))
-    )
+    j = _tagged_counts(side(cur), side(ref), ["grp", "x"], "n_a", "n_b")
     ranged = (
         j.repartitionByRange(F.col("grp").asc_nulls_first(), F.col("x").asc())
         .withColumn("_pid", F.spark_partition_id())
@@ -456,13 +466,15 @@ def wasserstein_1d(
     window work.
     """
     if lo is None or hi is None:
-        # localCheckpoint: the 1-row bounds agg has three consumers
-        # (both histograms + the final width join) — without it each
-        # re-scans ref for min/max
+        # persisted (LAZY, lineage-recomputable): the 1-row bounds agg
+        # has three consumers (both histograms + the final width join)
+        # — without the cache each re-scans ref for min/max
+        from pyspark import StorageLevel
+
         b = ref.agg(
             F.min(F.col(col)).cast("double").alias("_blo"),
             F.max(F.col(col)).cast("double").alias("_bhi"),
-        ).localCheckpoint()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     else:
         from pyspark.sql import Row
 
@@ -569,7 +581,7 @@ def psi_by_group(
     if not columns:
         raise ValueError("psi_by_group: columns must be non-empty")
 
-    def side(df: DataFrame, a: int, b: int) -> DataFrame:
+    def side(df: DataFrame) -> DataFrame:
         return df.select(
             F.col(group_col).cast("string").alias("grp"),
             F.explode(
@@ -581,15 +593,10 @@ def psi_by_group(
                     ]
                 )
             ).alias("column", "value"),
-            F.lit(a).alias("_a"),
-            F.lit(b).alias("_b"),
         )
 
-    counts = (
-        side(cur, 1, 0)
-        .unionByName(side(ref, 0, 1))
-        .groupBy("grp", "column", "value")
-        .agg(F.sum("_a").alias("_nc"), F.sum("_b").alias("_nr"))
+    counts = _tagged_counts(
+        side(cur), side(ref), ["grp", "column", "value"], "_nc", "_nr"
     )
     w = Window.partitionBy("grp", "column")
     # try_divide: a (group, column) present on only one side has a zero
@@ -862,8 +869,11 @@ def embedding_drift(
         # means: a NULL/empty vector emits one NULL-dim row, every other
         # row emits its dims, so n_rows = count(dim 0) + count(dim NULL)
         # — identical to the old separate count(*) pass, which re-scanned
-        # the corpus (r11). The D+1-row result localCheckpoints for its
-        # two consumers; the mean excludes the NULL-dim bucket.
+        # the corpus (r11). The D+1-row result persists (LAZY,
+        # lineage-recomputable) for its two consumers; the mean excludes
+        # the NULL-dim bucket.
+        from pyspark import StorageLevel
+
         all_dims = (
             df.select(
                 F.posexplode_outer(F.col(vec_col)).alias("dim", "_v")
@@ -873,7 +883,7 @@ def embedding_drift(
                 F.round(F.avg("_v"), round_to).alias(mean_name),
                 F.count(F.lit(1)).alias("_n"),
             )
-            .localCheckpoint()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         d = all_dims.filter(F.col("dim").isNotNull()).drop("_n")
         n = all_dims.agg(
@@ -949,7 +959,7 @@ def value_set_drift(
     if not cols:
         raise ValueError("value_set_drift: cols must be non-empty")
 
-    def _values(df: DataFrame, a: int, b: int) -> DataFrame:
+    def _values(df: DataFrame) -> DataFrame:
         # array-of-structs, not create_map: both carry real NULL values
         # (see top_values/column_entropy for the map shape), but here we
         # need one (column, value) ROW per cell — a map would require
@@ -966,21 +976,13 @@ def value_set_drift(
                 ]
             )
         ).alias("p")
-        return df.select(pair).select(
-            "p.column",
-            "p.value",
-            F.lit(a).alias("_a"),
-            F.lit(b).alias("_b"),
-        )
+        return df.select(pair).select("p.column", "p.value")
 
-    present = (
-        _values(cur, 1, 0)
-        .unionByName(_values(ref, 0, 1))
-        .groupBy("column", "value")
-        .agg(F.max("_a").alias("_ic"), F.max("_b").alias("_ir"))
+    present = _tagged_counts(
+        _values(cur), _values(ref), ["column", "value"], "_ic", "_ir"
     )
-    in_cur = F.col("_ic") == 1
-    in_ref = F.col("_ir") == 1
+    in_cur = F.col("_ic") > 0
+    in_ref = F.col("_ir") > 0
     return (
         present.groupBy("column")
         .agg(
@@ -1070,8 +1072,11 @@ def mmd_drift(
         # the vector count rides the SAME feature groupBy as the means
         # (each vector emits exactly one row per feature index, so any
         # feature's row count IS the vector count) and the D-row result
-        # is localCheckpoint-ed — one Arrow z-pass per side total,
-        # where a separate count() consumer used to re-run it (r11)
+        # persists (LAZY, lineage-recomputable) — one Arrow z-pass per
+        # side total, where a separate count() consumer used to re-run
+        # it (r11)
+        from pyspark import StorageLevel
+
         vecs = df.filter(F.col(vec_col).isNotNull()).select(
             rff(F.col(vec_col)).alias("_z")
         )
@@ -1082,7 +1087,7 @@ def mmd_drift(
                 F.avg("_v").alias(mean_name),
                 F.count(F.lit(1)).alias("_n"),
             )
-            .localCheckpoint()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n = means.agg(
             F.coalesce(F.max("_n"), F.lit(0)).alias(n_name)

@@ -159,15 +159,27 @@ def record_linkage(
                 "or adjust its weight instead"
             )
         seen_keys.add(key)
-        base = f"sim_{c['a']}"
-        name = base if base not in sim_names else f"{base}_{c['method']}"
+        # name fallback chain: sim_<a> -> sim_<a>_<method> ->
+        # sim_<a>_<b>_<method>, so THREE-plus comparators sharing the
+        # same (a, method) against different b-columns (legal under the
+        # triple key above) still derive distinct output names
+        for name in (
+            f"sim_{c['a']}",
+            f"sim_{c['a']}_{c['method']}",
+            f"sim_{c['a']}_{c['b']}_{c['method']}",
+        ):
+            if name not in sim_names:
+                break
         sim_names.append(name)
     if len(set(sim_names)) != len(sim_names):
         # defensive: a column literally named '<col>_<method>' colliding
-        # with a disambiguated name (sim_x_exact vs column 'x_exact')
+        # with a disambiguated name (sim_x_exact vs column 'x_exact'),
+        # or the full fallback chain exhausted by pathological repeats
         raise ValueError(
             f"record_linkage: derived similarity names collide: "
-            f"{sim_names} — rename the conflicting input column"
+            f"{sim_names} — rename the conflicting input column or "
+            "drop the comparator whose (a, b, method) renders the "
+            "same name"
         )
     for side, df_, cols in (
         ("a", a, [a_id] + [p[0] for p in blocking]

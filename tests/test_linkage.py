@@ -159,6 +159,26 @@ def test_record_linkage_self_and_validation(spark):
     assert "sim_name_levenshtein" in diff_b.columns
     assert diff_b.count() > 0
 
+    # THREE comparators sharing (a, method): the name fallback chain
+    # extends to sim_<a>_<b>_<method> instead of tripping the defensive
+    # collision check with a misleading rename-your-column error
+    three = record_linkage(
+        df.withColumnRenamed("v", "name"),
+        df.select(
+            F.col("id").alias("rid"), "blk",
+            F.col("v").alias("first"), F.col("v").alias("mid"),
+            F.col("v").alias("last"),
+        ),
+        "id", "rid", blocking=[("blk", "blk")], keep_all=True,
+        comparators=[
+            {"a": "name", "b": "first", "method": "levenshtein"},
+            {"a": "name", "b": "mid", "method": "levenshtein"},
+            {"a": "name", "b": "last", "method": "levenshtein"},
+        ],
+    )
+    assert "sim_name_last_levenshtein" in three.columns
+    assert three.count() > 0
+
     with pytest.raises(ValueError, match="not in side 'b'"):
         record_linkage(
             df, df.drop("v").withColumnRenamed("id", "rid"), "id", "rid",
