@@ -274,9 +274,18 @@ def value_histogram_stats(
     # totals table — no task ever windows a whole column's histogram, so
     # even ONE high-cardinality column (prices: |distinct| ~ |rows|)
     # never funnels through a single reducer.
-    ranged = hist.repartitionByRange(
-        F.col("column").asc(), F.col("d").asc()
-    ).withColumn("_pid", F.spark_partition_id())
+    # persisted across its two prefix-sum consumers (local cumulative
+    # counts + per-(partition, column) totals): without the cache the
+    # scan + explode + histogram + range-exchange subtree executes
+    # twice AND the range boundaries re-sample per consumer (the
+    # ks_by_group r11 fix); holds the collapsed histogram, never rows
+    from pyspark import StorageLevel
+
+    ranged = (
+        hist.repartitionByRange(F.col("column").asc(), F.col("d").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     w_local = (
         Window.partitionBy("_pid", "column")
         .orderBy("d")
