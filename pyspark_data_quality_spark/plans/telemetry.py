@@ -30,10 +30,18 @@ __all__ = ["measured_collect", "harvest_plan_metrics", "summarize_metrics"]
 
 
 def harvest_plan_metrics(df: DataFrame) -> list[dict[str, Any]]:
-    """Post-action metric rows, one per physical operator:
+    """Post-action metric rows, one per DISTINCT physical operator:
     ``{"node": str, "depth": int, "metrics": {name: value}}`` in
-    pre-order. Run an action on ``df`` first."""
+    pre-order. Run an action on ``df`` first.
+
+    Distinct by plan-node id: a persisted frame's cached child plan is
+    REACHABLE from every InMemoryTableScan that consumes it, but its
+    SQLMetric accumulators are one set of objects — walking each
+    textual appearance would sum the same scan N times and report an
+    N-fold phantom rescan (r11: the shared-subtree caches made this
+    visible). Each physical node is emitted once."""
     out: list[dict[str, Any]] = []
+    seen: set[int] = set()
 
     def walk(node, depth):
         name = node.nodeName()
@@ -43,6 +51,10 @@ def harvest_plan_metrics(df: DataFrame) -> list[dict[str, Any]]:
         if "QueryStage" in name:
             walk(node.plan(), depth)
             return
+        node_id = node.id()
+        if node_id in seen:
+            return
+        seen.add(node_id)
         metrics = {}
         it = node.metrics().iterator()
         while it.hasNext():
@@ -95,6 +107,9 @@ def summarize_metrics(metric_rows: list[dict[str, Any]]) -> dict[str, int]:
         if node == "BroadcastExchange":
             totals["broadcast_bytes"] += int(m.get("dataSize", 0))
         totals["spill_bytes"] += int(m.get("spillSize", 0))
-        if "Scan" in node:
+        # SOURCE scans only: InMemoryTableScan is a cache READ, not a
+        # rescan of the data — counting it as a scan reports an N-fold
+        # phantom re-read for every persisted frame with N consumers
+        if "Scan" in node and "InMemory" not in node:
             totals["scan_output_rows"] += int(m.get("numOutputRows", 0))
     return totals

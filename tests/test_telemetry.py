@@ -310,3 +310,63 @@ def test_pattern_profile_shuffles_masks_not_values(spark, sf_dir):
     # (+ the rank/order exchanges over the tiny aggregated frame)
     assert s["shuffle_records_written"] <= 3 * (n_parts + 1) * n_masks
     assert s["shuffle_bytes_written"] < src_bytes / 50
+
+
+def test_shared_subtrees_scan_once(spark, sf_dir):
+    """The r11 shared-subtree caches at runtime: operators whose
+    intermediates feed multiple consumers must scan their parquet
+    sources ONCE per logical side — the executed plan's total
+    scan_output_rows stays at (rows actually read), not a multiple of
+    it. Before the persists, classifier_drift read its sources 8x
+    (16 scans for cur+ref) and corpus_divergence 4x."""
+    from pyspark_data_quality_spark.operators.drift import (
+        classifier_drift,
+        corpus_divergence,
+        ks_statistic,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+
+    # classifier_drift: each side scanned once (persisted tagged split)
+    out = classifier_drift(
+        docs.filter(F.col("doc_id") <= half),
+        docs.filter(F.col("doc_id") > half),
+        "text",
+        "doc_id",
+    )
+    rows, metrics = measured_collect(out)
+    s = summarize_metrics(metrics)
+    assert rows[0]["n_fit"] > 0
+    assert s["scan_output_rows"] <= n_docs, (
+        f"classifier_drift rescanned its sources: "
+        f"{s['scan_output_rows']} scanned rows for {n_docs} input rows"
+    )
+
+    # corpus_divergence: one scan feeds all four count consumers
+    out = corpus_divergence(docs, "text", "source")
+    rows, metrics = measured_collect(out)
+    s = summarize_metrics(metrics)
+    assert len(rows) > 0
+    assert s["scan_output_rows"] <= n_docs, (
+        f"corpus_divergence rescanned: {s['scan_output_rows']} rows "
+        f"for {n_docs} input rows"
+    )
+
+    # ks_statistic (partitioned): the persisted ranged histogram serves
+    # both prefix-sum consumers — each side's scan runs once
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_ev = ev.count()
+    out = ks_statistic(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+    )
+    rows, metrics = measured_collect(out)
+    s = summarize_metrics(metrics)
+    assert rows[0]["ks"] is not None
+    assert s["scan_output_rows"] <= n_ev, (
+        f"ks_statistic rescanned: {s['scan_output_rows']} rows for "
+        f"{n_ev} input rows"
+    )
