@@ -37,6 +37,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 #: quadratic). `--assert` fails on a nested loop appearing anywhere else.
 NESTED_LOOP_OK = {
     "dq_topk_bruteforce",        # brute-force baseline (documented)
+    "dq_mmd",                    # 1-row n/gamma/mmd2 stat broadcasts x2 configs
+    "dq_zorder",                 # 1-row global-range broadcast per layout
     "dq_embedding_pairs_exact",  # O(n²) oracle baseline, fixed 500 rows
     "dq_ngram_jaccard",          # exact-path baseline, fixed 100 docs
     "dq_neardup_recall",         # harness ground truths (bounded subsets)

@@ -9,7 +9,10 @@ RUN AT ROUND START, before editing any oracle SQL: entries certified in
 the newest CORRECTNESS round were certified against the code as it stood
 then, so their CURRENT hashes are the certified hashes. (Seeding all
 entries is only correct immediately after a full local oracle gate —
-pass --seed-all then.)  python scripts/make_cert_ledger.py [--seed-all]
+pass --seed-all then.) At ROUND END, after oracle edits, pass
+--render-only: it regenerates the schedule without refreshing hashes,
+so edited-after-cert entries stay flagged into the next round's window.
+python scripts/make_cert_ledger.py [--seed-all | --render-only]
 """
 
 from __future__ import annotations
@@ -121,6 +124,14 @@ def main() -> None:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}: {len(ks)} entries, {len(rounds)} recorded rounds")
 
+    if "--render-only" in sys.argv[1:]:
+        # round-END mode: regenerate the schedule WITHOUT touching the
+        # hash snapshot. A non-seed refresh here would bless oracle SQL
+        # edited AFTER the driver's round-start certification (the cert
+        # was for the pre-edit SQL), silently un-flagging entries that
+        # must re-enter the window — the r11 dq_vclust near-miss.
+        print("oracle_sql_hashes.json: unchanged (--render-only)")
+        return
     latest = rounds[-1][1] if rounds else None
     n_upd = refresh_hash_snapshot(latest, "--seed-all" in sys.argv[1:])
     print(f"oracle_sql_hashes.json: {n_upd} entries refreshed")
