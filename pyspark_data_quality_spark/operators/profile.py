@@ -213,6 +213,7 @@ def value_histogram_stats(
     *,
     quantiles: tuple[float, ...] = (),
     round_to: int | None = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact distinct counts AND exact type-7 interpolated quantiles for
     ``columns`` from ONE exploded-pairs shuffle — no Catalyst Expand, no
@@ -274,18 +275,22 @@ def value_histogram_stats(
     # totals table — no task ever windows a whole column's histogram, so
     # even ONE high-cardinality column (prices: |distinct| ~ |rows|)
     # never funnels through a single reducer.
-    # persisted across its two prefix-sum consumers (local cumulative
-    # counts + per-(partition, column) totals): without the cache the
-    # scan + explode + histogram + range-exchange subtree executes
-    # twice AND the range boundaries re-sample per consumer (the
-    # ks_by_group r11 fix); holds the collapsed histogram, never rows
-    from pyspark import StorageLevel
+    # persisted (default) across its two prefix-sum consumers (local
+    # cumulative counts + per-(partition, column) totals): without the
+    # cache the scan + explode + histogram + range-exchange subtree
+    # executes twice AND the range boundaries re-sample per consumer
+    # (the ks_by_group r11 fix). The cache holds the collapsed
+    # histogram — which for a high-cardinality column can approach
+    # |rows| — and is LRU-/session-scoped like the package's other
+    # operator caches; callers looping this over many frames in one
+    # session pass persist=False (double work, zero cache residue).
+    ranged = hist.repartitionByRange(
+        F.col("column").asc(), F.col("d").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    if persist:
+        from pyspark import StorageLevel
 
-    ranged = (
-        hist.repartitionByRange(F.col("column").asc(), F.col("d").asc())
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+        ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
     w_local = (
         Window.partitionBy("_pid", "column")
         .orderBy("d")

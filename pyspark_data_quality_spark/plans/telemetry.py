@@ -30,18 +30,19 @@ __all__ = ["measured_collect", "harvest_plan_metrics", "summarize_metrics"]
 
 
 def harvest_plan_metrics(df: DataFrame) -> list[dict[str, Any]]:
-    """Post-action metric rows, one per DISTINCT physical operator:
+    """Post-action metric rows, one per physical operator:
     ``{"node": str, "depth": int, "metrics": {name: value}}`` in
     pre-order. Run an action on ``df`` first.
 
-    Distinct by plan-node id: a persisted frame's cached child plan is
-    REACHABLE from every InMemoryTableScan that consumes it, but its
-    SQLMetric accumulators are one set of objects — walking each
-    textual appearance would sum the same scan N times and report an
-    N-fold phantom rescan (r11: the shared-subtree caches made this
-    visible). Each physical node is emitted once."""
+    Caveat for persisted frames (r11): ``InMemoryTableScan`` is a LEAF
+    here — the cached child plan is not reachable via ``children()``,
+    so the work done to MATERIALIZE a cache (its source scans, its
+    shuffles) is invisible to this walk; only the cache READS appear
+    (their ``numOutputRows`` = rows served from the cache). Summaries
+    must therefore treat InMemoryTableScan as a cache read, not a
+    source scan (see :func:`summarize_metrics`), and a fully-cached
+    plan legitimately reports scan_output_rows=0."""
     out: list[dict[str, Any]] = []
-    seen: set[int] = set()
 
     def walk(node, depth):
         name = node.nodeName()
@@ -51,10 +52,6 @@ def harvest_plan_metrics(df: DataFrame) -> list[dict[str, Any]]:
         if "QueryStage" in name:
             walk(node.plan(), depth)
             return
-        node_id = node.id()
-        if node_id in seen:
-            return
-        seen.add(node_id)
         metrics = {}
         it = node.metrics().iterator()
         while it.hasNext():

@@ -124,6 +124,13 @@ def main() -> None:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}: {len(ks)} entries, {len(rounds)} recorded rounds")
 
+    if "--render-only" in sys.argv[1:] and "--seed-all" in sys.argv[1:]:
+        raise SystemExit(
+            "make_cert_ledger: --seed-all and --render-only are mutually "
+            "exclusive (seed blesses every current hash, render-only "
+            "touches none) — pick the one that matches where you are in "
+            "the round"
+        )
     if "--render-only" in sys.argv[1:]:
         # round-END mode: regenerate the schedule WITHOUT touching the
         # hash snapshot. A non-seed refresh here would bless oracle SQL

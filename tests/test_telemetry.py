@@ -313,12 +313,17 @@ def test_pattern_profile_shuffles_masks_not_values(spark, sf_dir):
 
 
 def test_shared_subtrees_scan_once(spark, sf_dir):
-    """The r11 shared-subtree caches at runtime: operators whose
-    intermediates feed multiple consumers must scan their parquet
-    sources ONCE per logical side — the executed plan's total
-    scan_output_rows stays at (rows actually read), not a multiple of
-    it. Before the persists, classifier_drift read its sources 8x
-    (16 scans for cur+ref) and corpus_divergence 4x."""
+    """The r11 shared-subtree caches, pinned at the plan level: the
+    final executed plan must consume the persisted intermediate
+    (InMemoryTableScan leaves) rather than inlining N copies of the
+    source subtree. Dropping any of the persists re-inlines the parquet
+    scans into the returned plan — classifier_drift showed 16 visible
+    FileSourceScans before the fix — and scan_output_rows (SOURCE scans
+    only; cache reads excluded) jumps past the input row count, failing
+    the bound below. What this deliberately does NOT claim: cache
+    MATERIALIZATION work is invisible to the plan walk (see
+    harvest_plan_metrics), so a cache-eviction recompute at runtime is
+    out of scope here — the contract pinned is the plan shape."""
     from pyspark_data_quality_spark.operators.drift import (
         classifier_drift,
         corpus_divergence,
