@@ -595,10 +595,20 @@ def tfidf_top_terms(
 
     from ..functions.text import tokenize
 
+    from pyspark import StorageLevel
+
     pairs = df.select(
         F.col(id_col), F.explode(tokenize(text_col)).alias("term")
     )
-    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persisted: the (doc, term) count frame feeds the document-
+    # frequency reduction AND the scoring join — without the cache the
+    # corpus explode re-executes per consumer (shared-subtree
+    # convention, docs/SCALE.md invariant 6); LRU-evicted
+    tf = (
+        pairs.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
     scored = (
