@@ -177,6 +177,77 @@ def test_psi_properties(spark, cur, ref):
     assert self_psi == 0.0
 
 
+def _py_psi_by_group(cur_rows, ref_rows, eps=1e-6):
+    """Naive reference for psi_by_group over one column 'v' grouped by
+    'g': per-side ratio dicts + explicit full-outer alignment — the
+    pre-r11 shape the tagged-union fusion must reproduce exactly."""
+    from collections import Counter, defaultdict
+
+    def ratios(rows):
+        counts = defaultdict(Counter)
+        for g, v in rows:
+            counts[g][v] += 1
+        return {
+            g: {v: n / sum(c.values()) for v, n in c.items()}
+            for g, c in counts.items()
+        }
+
+    pc, pr = ratios(cur_rows), ratios(ref_rows)
+    out = {}
+    for g in set(pc) | set(pr):
+        total = 0.0
+        for v in set(pc.get(g, {})) | set(pr.get(g, {})):
+            a = max(pc.get(g, {}).get(v, 0.0), eps)
+            b = max(pr.get(g, {}).get(v, 0.0), eps)
+            total += (a - b) * math.log(a / b)
+        out[g] = round(total, 6)
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    cur=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", None]),
+            st.sampled_from(["a", "b", "c", None]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    ref=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "z", None]),
+            st.sampled_from(["a", "b", None]),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+)
+def test_psi_by_group_matches_naive_join_model(spark, cur, ref):
+    """The r11 tagged-union fusion must be value-identical to the naive
+    per-side-ratios + full-outer-join formulation it replaced —
+    adversarial on NULL groups, NULL values, one-sided groups, and an
+    entirely EMPTY ref side."""
+    from pyspark_data_quality_spark.operators.drift import psi_by_group
+
+    schema = "g string, v string"
+    c = spark.createDataFrame(cur, schema)
+    r = spark.createDataFrame(ref, schema) if ref else spark.createDataFrame(
+        [], schema
+    )
+    got = {
+        row["grp"]: row["psi"]
+        for row in psi_by_group(c, r, ["v"], "g").collect()
+    }
+    want = _py_psi_by_group(cur, ref)
+    # abs=2e-6: both sides round to 6 decimals but Spark's F.round is
+    # HALF_UP while Python's is banker's — a value landing exactly on a
+    # .5 boundary may legitimately differ by one final-digit ulp
+    assert set(got) == set(want), (cur, ref)
+    for g in want:
+        assert got[g] == pytest.approx(want[g], abs=2e-6), (g, cur, ref)
+
+
 @settings(max_examples=5, deadline=None)
 @given(st.lists(st.integers(0, 10_000_000), min_size=1, max_size=60, unique=True))
 def test_split_partitions_ids(spark, ids):
