@@ -248,6 +248,75 @@ def test_psi_by_group_matches_naive_join_model(spark, cur, ref):
         assert got[g] == pytest.approx(want[g], abs=2e-6), (g, cur, ref)
 
 
+def _py_ks_by_group(cur_rows, ref_rows):
+    """Naive per-group two-sample KS over (g, x) tuples: classic ECDF
+    max-gap with NULL x dropped and a one-sided group reading 1.0 —
+    the contract the distributed prefix sum must reproduce."""
+    from collections import defaultdict
+
+    sides = defaultdict(lambda: ([], []))
+    for i, rows in enumerate((cur_rows, ref_rows)):
+        for g, x in rows:
+            if x is not None:
+                sides[g][i].append(x)
+    out = {}
+    for g, (a, b) in sides.items():
+        support = sorted(set(a) | set(b))
+        ca = cb = 0.0
+        d = 0.0
+        for x in support:
+            ca += a.count(x) / len(a) if a else 0.0
+            cb += b.count(x) / len(b) if b else 0.0
+            d = max(d, abs(ca - cb))
+        out[g] = (round(d, 6), len(a), len(b))
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    cur=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", None]),
+            st.one_of(st.none(), st.integers(0, 6).map(float)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    ref=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "z", None]),
+            st.one_of(st.none(), st.integers(0, 6).map(float)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_ks_by_group_matches_naive_ecdf_model(spark, cur, ref):
+    """The distributed per-group prefix-sum KS (range partitions, local
+    cumulative windows, broadcast offsets, persisted histogram) must
+    equal the one-machine ECDF max-gap — adversarial on NULL groups,
+    NULL values, tied values, and groups present on only one side
+    (which must read KS 1.0, not NULL)."""
+    from pyspark_data_quality_spark.operators.drift import ks_by_group
+
+    schema = "g string, x double"
+    c = spark.createDataFrame(cur, schema)
+    r = spark.createDataFrame(ref, schema)
+    want = _py_ks_by_group(cur, ref)
+    got = {
+        row["grp"]: (row["ks"], row["n_cur"], row["n_ref"])
+        for row in ks_by_group(c, r, "x", "g").collect()
+    }
+    # groups where BOTH sides have only NULL x produce no histogram
+    # rows on either engine — drop them from the reference too
+    want = {g: v for g, v in want.items() if v[1] + v[2] > 0}
+    assert set(got) == set(want), (cur, ref)
+    for g, (d, na, nb) in want.items():
+        ks, n_cur, n_ref = got[g]
+        assert (n_cur, n_ref) == (na, nb), (g, cur, ref)
+        assert ks == pytest.approx(d, abs=2e-6), (g, cur, ref)
+
+
 @settings(max_examples=5, deadline=None)
 @given(st.lists(st.integers(0, 10_000_000), min_size=1, max_size=60, unique=True))
 def test_split_partitions_ids(spark, ids):
