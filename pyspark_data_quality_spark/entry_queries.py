@@ -998,12 +998,22 @@ def dq_curation_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
            event_type,
            count(*) AS n_events,
-           CAST(round(avg(value), 6) AS DOUBLE) AS avg_value,
+           CAST(round(round(sum(value), 6) / count(*), 6) AS DOUBLE)
+             AS avg_value,
            CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
 def dq_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling hourly windows (streaming/windows.py windowed_counts,
+    batch face). The certified ``avg_value`` derives from the ROUNDED
+    window sum (round(sum,6)/n, re-rounded) on BOTH engines instead of
+    each engine rounding its own avg(value): an sf0.1 window hit
+    sum/n = 1391.13/32 = 43.4728125 — exactly on the round-6 half
+    boundary, where the engines' different summation orders flipped
+    the final digit (r11 tri-SF sweep). Dividing the already-matching
+    rounded sum by the exact integer count makes the quotient the SAME
+    double on both engines, so its rounding can never diverge."""
     from .streaming import windowed_counts
 
     events = load_table(spark, "events", sf_dir)
@@ -1013,7 +1023,11 @@ def dq_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         F.col("window_start").cast("long").alias("window_epoch"),
-        "event_type", "n_events", "avg_value", "sum_value",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value") / F.col("n_events"), 6)
+        .alias("avg_value"),
+        "sum_value",
     )
 
 
