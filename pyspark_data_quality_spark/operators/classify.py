@@ -131,6 +131,7 @@ def train_nb_classifier(
     num_buckets: int | None = None,
     smoothing: float = 1.0,
     min_count: int = 1,
+    persist: bool = True,
 ) -> NBModel:
     """Train on ``df`` (one row per labeled document). NULL-labeled rows
     are excluded (an unlabeled document defines no class); NULL/empty
@@ -160,13 +161,14 @@ def train_nb_classifier(
     # REACHABLE through the returned model's lineage (memory blocks can
     # demote under pressure, but disk-tier blocks are not collected
     # while referenced) — long-lived callers release it explicitly via
-    # NBModel.unpersist().
-    from pyspark import StorageLevel
+    # NBModel.unpersist(), or train with persist=False (plans/cache.py
+    # contract: the count subtree then recomputes per consumer).
+    from ..plans.cache import maybe_persist
 
-    cnt = (
+    cnt = maybe_persist(
         toks.groupBy("label", "feature")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .agg(F.count(F.lit(1)).alias("_cnt")),
+        persist,
     )
     if min_count > 1:
         keep = (
@@ -311,7 +313,9 @@ def score_nb_classifier(
     pass once per branch. ``persist_features=True`` caches it
     (MEMORY_AND_DISK — the projection is ids + token arrays, far
     smaller than the documents) when the input is expensive to rescan;
-    unpersist happens at GC like the other optional persists.
+    the cache lives until session end (plans/cache.py contract), so
+    long-lived sessions should keep the default False or unpersist the
+    input themselves.
     """
     feats = model.features
     if broadcast_model:

@@ -127,13 +127,16 @@ def numeric_drift(
     hi: float | None = None,
     eps: float = DEFAULT_EPS,
     round_to: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """Binned PSI for a numeric column: both sides histogrammed with the
     SAME bounds (explicit ``lo``/``hi``, else the REFERENCE side's
     min/max — the convention that makes "new data escaped the old range"
     show up as mass in the clamped edge bins), then the categorical PSI
     formula per bin. Output: ``(bin, p_cur, p_ref, psi_term)``.
+    ``persist`` gates the bounds cache (plans/cache.py contract).
     """
+    from ..plans.cache import maybe_persist
     from .profile import histogram
 
     if lo is None or hi is None:
@@ -141,12 +144,13 @@ def numeric_drift(
         # lineage-recomputable) so its two histogram consumers don't
         # each re-scan ref — localCheckpoint would trigger an eager job
         # at construction time and break on executor loss
-        from pyspark import StorageLevel
-
-        b = ref.agg(
-            F.min(F.col(col)).cast("double").alias("_blo"),
-            F.max(F.col(col)).cast("double").alias("_bhi"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        b = maybe_persist(
+            ref.agg(
+                F.min(F.col(col)).cast("double").alias("_blo"),
+                F.max(F.col(col)).cast("double").alias("_bhi"),
+            ),
+            persist,
+        )
         h_ref = _hist_with_bounds(ref, col, bins, b)
         h_cur = _hist_with_bounds(cur, col, bins, b)
     else:
@@ -196,6 +200,7 @@ def ks_statistic(
     quantize: int | None = None,
     round_to: int = 6,
     method: str = "partitioned",
+    persist: bool = True,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic: max |ECDF_cur - ECDF_ref|
     over the combined support. One row: (ks, n_cur, n_ref).
@@ -253,18 +258,20 @@ def ks_statistic(
         raise ValueError(f"ks_statistic: unknown method {method!r}")
 
     # --- distributed prefix sum -------------------------------------------
-    # Persisted across its two consumers (local prefix sums + the
-    # per-partition totals): the cache materializes the collapsed
-    # (value, count) histogram ONCE — without it the union-groupBy +
-    # range-exchange subtree executes twice, and the range boundaries
-    # would be re-sampled per consumer (same fix as ks_by_group, r11;
-    # LRU-evicted, corpus never cached — only its distinct support).
-    from pyspark import StorageLevel
+    # Pinned across its two consumers (local prefix sums + the
+    # per-partition totals): materializes the collapsed (value, count)
+    # histogram ONCE — without a pin the union-groupBy + range-exchange
+    # subtree executes twice, and the range boundaries would be
+    # re-sampled per consumer (same fix as ks_by_group, r11). Never the
+    # corpus — only its distinct support. Lifetime: plans/cache.py;
+    # pass persist=False in long-lived looping sessions.
+    from ..plans.cache import pin_partitions
 
-    ranged = (
-        j.repartitionByRange(F.col("x").asc())
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ranged = pin_partitions(
+        j.repartitionByRange(F.col("x").asc()).withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+        persist,
     )
     w_local = (
         Window.partitionBy("_pid")
@@ -328,6 +335,7 @@ def ks_by_group(
     quantize: int | None = None,
     round_to: int = 6,
     sort: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
     """Per-SEGMENT two-sample KS: one row per group with the KS
     statistic of ``col`` WITHIN that segment, cur vs ref — the numeric
@@ -343,17 +351,18 @@ def ks_by_group(
     keyed by (partition, group) with a small (group, partition)-offsets
     broadcast, so no task ever windows a whole segment's support even
     when one segment dominates the corpus. The range-partitioned
-    histogram is persisted across its two consumers (local prefix sums
-    + per-partition totals): without the cache the count+range subtree
+    histogram is pinned across its two consumers (local prefix sums
+    + per-partition totals): without the pin the count+range subtree
     executes twice, and — worse — the range boundaries would be
     re-SAMPLED independently for each consumer, so a boundary flip
-    between the two runs could misalign the offset join. The cache is
-    LRU-evicted (same contract as pipelines/corpus_card.py); it holds
-    the collapsed (group, value) histogram, never the input rows.
-    ``sort=False`` skips the final global sort for composites that
-    re-sort the union themselves (pipelines/segment_health.py).
+    between the two runs could misalign the offset join. The pin holds
+    the collapsed (group, value) histogram, never the input rows;
+    lifetime per plans/cache.py (``persist=False`` in long-lived
+    looping sessions). ``sort=False`` skips the final global sort for
+    composites that re-sort the union themselves
+    (pipelines/segment_health.py).
     """
-    from pyspark import StorageLevel
+    from ..plans.cache import pin_partitions
 
     x = F.col(col)
     v = F.round(x, quantize) if quantize is not None else x
@@ -365,10 +374,11 @@ def ks_by_group(
         )
 
     j = _tagged_counts(side(cur), side(ref), ["grp", "x"], "n_a", "n_b")
-    ranged = (
-        j.repartitionByRange(F.col("grp").asc_nulls_first(), F.col("x").asc())
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ranged = pin_partitions(
+        j.repartitionByRange(
+            F.col("grp").asc_nulls_first(), F.col("x").asc()
+        ).withColumn("_pid", F.spark_partition_id()),
+        persist,
     )
     w_local = (
         Window.partitionBy("_pid", "grp")
@@ -446,6 +456,7 @@ def wasserstein_1d(
     lo: float | None = None,
     hi: float | None = None,
     round_to: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """Binned 1-D Wasserstein-1 (earth-mover) distance between the two
     distributions of ``col``: W1 = bin_width * sum_b |CDF_cur(b) -
@@ -468,13 +479,17 @@ def wasserstein_1d(
     if lo is None or hi is None:
         # persisted (LAZY, lineage-recomputable): the 1-row bounds agg
         # has three consumers (both histograms + the final width join)
-        # — without the cache each re-scans ref for min/max
-        from pyspark import StorageLevel
+        # — without the cache each re-scans ref for min/max. Lifetime:
+        # plans/cache.py.
+        from ..plans.cache import maybe_persist
 
-        b = ref.agg(
-            F.min(F.col(col)).cast("double").alias("_blo"),
-            F.max(F.col(col)).cast("double").alias("_bhi"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        b = maybe_persist(
+            ref.agg(
+                F.min(F.col(col)).cast("double").alias("_blo"),
+                F.max(F.col(col)).cast("double").alias("_bhi"),
+            ),
+            persist,
+        )
     else:
         from pyspark.sql import Row
 
@@ -778,6 +793,7 @@ def corpus_divergence(
     group_col: str,
     *,
     round_to: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """Per-group KL divergence of the unigram token distribution against
     the WHOLE corpus — "which source/language/shard reads differently from
@@ -793,22 +809,22 @@ def corpus_divergence(
     grand total, final join); without the cache the corpus-sized
     explode subtree re-executes per consumer (measured: 4 source scans
     for one report, r11). The cache holds distinct (group, token)
-    pairs — vocabulary x groups, never the corpus — and is LRU-evicted
-    (the corpus_report contract). The corpus distribution reduces the
-    cached frame by token; totals join back hash-keyed; the grand
-    total broadcasts from a 1-row agg. Output one row per group:
+    pairs — vocabulary x groups, never the corpus; lifetime per
+    plans/cache.py (``persist=False`` in long-lived looping sessions).
+    The corpus distribution reduces the cached frame by token; totals
+    join back hash-keyed; the grand total broadcasts from a 1-row agg.
+    Output one row per group:
     (group, n_tokens, n_distinct_tokens, kl_vs_corpus).
     """
-    from pyspark import StorageLevel
-
     from ..functions.text import tokenize
+    from ..plans.cache import maybe_persist
 
-    pairs = (
+    pairs = maybe_persist(
         df.select(F.col(group_col),
                   F.explode(tokenize(text_col)).alias("_t"))
         .groupBy(group_col, "_t")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .agg(F.count(F.lit(1)).alias("_c")),
+        persist,
     )
     from ..plans.joins import join_null_safe
 
@@ -844,6 +860,7 @@ def embedding_drift(
     vec_col: str,
     *,
     round_to: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """Embedding-space drift between two vector corpora: did the
     representation of the data move? The batch-level complement to the
@@ -870,11 +887,11 @@ def embedding_drift(
         # row emits its dims, so n_rows = count(dim 0) + count(dim NULL)
         # — identical to the old separate count(*) pass, which re-scanned
         # the corpus (r11). The D+1-row result persists (LAZY,
-        # lineage-recomputable) for its two consumers; the mean excludes
-        # the NULL-dim bucket.
-        from pyspark import StorageLevel
+        # lineage-recomputable, plans/cache.py lifetime) for its two
+        # consumers; the mean excludes the NULL-dim bucket.
+        from ..plans.cache import maybe_persist
 
-        all_dims = (
+        all_dims = maybe_persist(
             df.select(
                 F.posexplode_outer(F.col(vec_col)).alias("dim", "_v")
             )
@@ -882,8 +899,8 @@ def embedding_drift(
             .agg(
                 F.round(F.avg("_v"), round_to).alias(mean_name),
                 F.count(F.lit(1)).alias("_n"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            ),
+            persist,
         )
         d = all_dims.filter(F.col("dim").isNotNull()).drop("_n")
         n = all_dims.agg(
@@ -1012,6 +1029,7 @@ def mmd_drift(
     dim: int | None = None,
     seed: int = 42,
     round_to: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """Kernel two-sample test between two embedding corpora: the squared
     Maximum Mean Discrepancy under a Gaussian RBF kernel, estimated with
@@ -1072,22 +1090,22 @@ def mmd_drift(
         # the vector count rides the SAME feature groupBy as the means
         # (each vector emits exactly one row per feature index, so any
         # feature's row count IS the vector count) and the D-row result
-        # persists (LAZY, lineage-recomputable) — one Arrow z-pass per
-        # side total, where a separate count() consumer used to re-run
-        # it (r11)
-        from pyspark import StorageLevel
+        # persists (LAZY, lineage-recomputable, plans/cache.py
+        # lifetime) — one Arrow z-pass per side total, where a separate
+        # count() consumer used to re-run it (r11)
+        from ..plans.cache import maybe_persist
 
         vecs = df.filter(F.col(vec_col).isNotNull()).select(
             rff(F.col(vec_col)).alias("_z")
         )
-        means = (
+        means = maybe_persist(
             vecs.select(F.posexplode("_z").alias("feature", "_v"))
             .groupBy("feature")
             .agg(
                 F.avg("_v").alias(mean_name),
                 F.count(F.lit(1)).alias("_n"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            ),
+            persist,
         )
         n = means.agg(
             F.coalesce(F.max("_n"), F.lit(0)).alias(n_name)
@@ -1139,6 +1157,7 @@ def classifier_drift(
     threshold: float = 0.6,
     salt: str = "clsdrift",
     round_to: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """Classifier two-sample drift test (public: Lopez-Paz & Oquab
     2017, "Revisiting classifier two-sample tests"): train a classifier
@@ -1190,15 +1209,17 @@ def classifier_drift(
                 F.lit(name).alias("_side"),
             )
         )
-    from pyspark import StorageLevel
+    from ..plans.cache import maybe_persist
 
     # persisted: the tagged/split union is re-derived by four source-
     # level consumers (NB training reads the fit rows twice — token
     # counts + class priors —, scoring reads the eval rows, and the
     # n_fit count reads fit again); without the cache each one re-scans
     # BOTH input tables (measured: 16 scans for one report, r11). The
-    # cache holds the pruned (uid, text, side, part) projection only.
-    both = (
+    # cache holds the pruned (uid, text, side, part) projection only;
+    # lifetime per plans/cache.py, and the flag threads through to the
+    # NB model's internal count cache too.
+    both = maybe_persist(
         sides[0].unionByName(sides[1])
         .withColumn(
             "_part",
@@ -1207,14 +1228,15 @@ def classifier_drift(
                 {"fit": train_fraction, "eval": 1 - train_fraction},
                 salt=salt,
             ),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ),
+        persist,
     )
     fit = both.filter(F.col("_part") == "fit")
     ev = both.filter(F.col("_part") == "eval")
     model = train_nb_classifier(
         fit, "_text", "_side",
         num_buckets=num_buckets, smoothing=smoothing, min_count=min_count,
+        persist=persist,
     )
     scored = score_nb_classifier(ev, model, "_text", ["_uid", "_side"])
     # margins are ROUNDED before ranking: a doc's log-score sums in

@@ -64,9 +64,13 @@ def fuzzy_match_pairs(
     max_distance: int = 1,
     q: int = 2,
     lowercase: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
     """All pairs with ``levenshtein <= max_distance`` (exact result,
     blocked plan). Output: (id_a, id_b, distance), id_a < id_b.
+    ``persist`` gates the two self-join input caches (plans/cache.py
+    contract; the ranked-prefix order is a total order, so an
+    unpersisted re-execution is identical, just double work).
     """
     if max_distance < 0:
         raise ValueError("fuzzy_match_pairs: max_distance must be >= 0")
@@ -90,12 +94,12 @@ def fuzzy_match_pairs(
     # global frequency order; ties broken by the gram itself so the rank
     # is total and both sides of a pair agree on it
     freq = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_f"))
-    from pyspark import StorageLevel
+    from ..plans.cache import maybe_persist
 
     # persisted: the prefix frame self-joins (both sides of the candidate
     # join read it) — without the cache the gram explode + frequency join
     # + rank window execute once per join side; <= prefix rows per id
-    ranked = (
+    ranked = maybe_persist(
         grams.join(freq, "_g")
         .withColumn(
             "_rn",
@@ -104,8 +108,8 @@ def fuzzy_match_pairs(
             ),
         )
         .filter(F.col("_rn") <= prefix)
-        .select("_id", "_s", "_len", "_g")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("_id", "_s", "_len", "_g"),
+        persist,
     )
 
     a, b = ranked.alias("a"), ranked.alias("b")
@@ -126,10 +130,10 @@ def fuzzy_match_pairs(
     )
 
     # persisted for the same reason: the short-string fallback self-joins
-    shorts = (
+    shorts = maybe_persist(
         base.filter(F.col("_ng") <= q * k)
-        .select("_id", "_s", "_len")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("_id", "_s", "_len"),
+        persist,
     )
     sa, sb = shorts.alias("sa"), shorts.alias("sb")
     short_cands = (

@@ -139,8 +139,8 @@ def record_linkage(
             "side first (e.g. b.withColumnRenamed)"
         )
     # one similarity column per comparator: sim_<a-col>, falling back to
-    # sim_<a-col>_<method> when the same source column is compared twice
-    # (the standard multi-comparator Fellegi-Sunter layout). Duplication
+    # sim_<a-col>_<b-col>_<method> when the same source column is compared
+    # twice (the standard multi-comparator Fellegi-Sunter layout). Duplication
     # is detected on the full (a-col, b-col, method) KEY, not the derived
     # name — a name-based check misses an exact repeat (two identical
     # {a:'x', b:'y', method:'exact'} entries would get sim_x / sim_x_exact
@@ -159,14 +159,18 @@ def record_linkage(
                 "or adjust its weight instead"
             )
         seen_keys.add(key)
-        # name fallback chain: sim_<a> -> sim_<a>_<method> ->
-        # sim_<a>_<b>_<method>, so THREE-plus comparators sharing the
-        # same (a, method) against different b-columns (legal under the
-        # triple key above) still derive distinct output names
+        # name fallback chain: sim_<a> -> sim_<a>_<b>_<method> ->
+        # sim_<a>_<method>. The FULLY QUALIFIED form comes second (r11
+        # advice): comparators sharing (a, method) against different
+        # b-columns are exactly the case where a bare sim_<a>_<method>
+        # would be ambiguous — which b-column it refers to would depend
+        # on comparator order. The b-less form survives only as the
+        # defensive tail for underscore-pathological column names that
+        # render two qualified names identical.
         for name in (
             f"sim_{c['a']}",
-            f"sim_{c['a']}_{c['method']}",
             f"sim_{c['a']}_{c['b']}_{c['method']}",
+            f"sim_{c['a']}_{c['method']}",
         ):
             if name not in sim_names:
                 break

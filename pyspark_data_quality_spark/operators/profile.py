@@ -275,22 +275,23 @@ def value_histogram_stats(
     # totals table — no task ever windows a whole column's histogram, so
     # even ONE high-cardinality column (prices: |distinct| ~ |rows|)
     # never funnels through a single reducer.
-    # persisted (default) across its two prefix-sum consumers (local
-    # cumulative counts + per-(partition, column) totals): without the
-    # cache the scan + explode + histogram + range-exchange subtree
-    # executes twice AND the range boundaries re-sample per consumer
-    # (the ks_by_group r11 fix). The cache holds the collapsed
-    # histogram — which for a high-cardinality column can approach
-    # |rows| — and is LRU-/session-scoped like the package's other
-    # operator caches; callers looping this over many frames in one
-    # session pass persist=False (double work, zero cache residue).
-    ranged = hist.repartitionByRange(
-        F.col("column").asc(), F.col("d").asc()
-    ).withColumn("_pid", F.spark_partition_id())
-    if persist:
-        from pyspark import StorageLevel
+    # pinned (plans/cache.py) across its two prefix-sum consumers
+    # (local cumulative counts + per-(partition, column) totals):
+    # without a pin the scan + explode + histogram + range-exchange
+    # subtree executes twice AND the range boundaries re-sample per
+    # consumer (the ks_by_group r11 fix) — which is why persist=False
+    # falls back to a lazy localCheckpoint rather than a plain lazy
+    # frame. The pinned frame holds the collapsed histogram, which for
+    # a high-cardinality column can approach |rows|; persist=True lives
+    # until session end, persist=False until the result is GC'd.
+    from ..plans.cache import pin_partitions
 
-        ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    ranged = pin_partitions(
+        hist.repartitionByRange(
+            F.col("column").asc(), F.col("d").asc()
+        ).withColumn("_pid", F.spark_partition_id()),
+        persist,
+    )
     w_local = (
         Window.partitionBy("_pid", "column")
         .orderBy("d")

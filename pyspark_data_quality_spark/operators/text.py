@@ -573,6 +573,7 @@ def tfidf_top_terms(
     *,
     k: int = 3,
     round_to: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """Per-document top-``k`` terms by TF-IDF — the keyword-extraction
     signal for search indexing, near-dup triage, and topic drift.
@@ -594,8 +595,7 @@ def tfidf_top_terms(
     from pyspark.sql.window import Window
 
     from ..functions.text import tokenize
-
-    from pyspark import StorageLevel
+    from ..plans.cache import maybe_persist
 
     pairs = df.select(
         F.col(id_col), F.explode(tokenize(text_col)).alias("term")
@@ -603,11 +603,11 @@ def tfidf_top_terms(
     # persisted: the (doc, term) count frame feeds the document-
     # frequency reduction AND the scoring join — without the cache the
     # corpus explode re-executes per consumer (shared-subtree
-    # convention, docs/SCALE.md invariant 6); LRU-evicted
-    tf = (
+    # convention, docs/SCALE.md invariant 6); plans/cache.py lifetime
+    tf = maybe_persist(
         pairs.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .agg(F.count(F.lit(1)).alias("tf")),
+        persist,
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
@@ -644,6 +644,7 @@ def unigram_logprob(
     *,
     reference: DataFrame | None = None,
     round_to: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """Per-document mean unigram negative log-probability — the
     perplexity-style quality signal (CCNet-lineage): documents whose
@@ -662,18 +663,18 @@ def unigram_logprob(
     Output: (id_col, n_tokens, nll) — NULL nll for empty/null docs.
     """
     from ..functions.text import tokenize
-
-    from pyspark import StorageLevel
+    from ..plans.cache import maybe_persist
 
     ref = reference if reference is not None else df
     ref_toks = ref.select(F.explode(tokenize(text_col)).alias("term"))
     # persisted: the |vocab|-row count frame feeds the totals agg AND
     # the scoring join — without the cache the reference explode +
-    # groupBy re-executes (one extra corpus scan); LRU-evicted
-    vocab = (
+    # groupBy re-executes (one extra corpus scan); plans/cache.py
+    # lifetime
+    vocab = maybe_persist(
         ref_toks.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("_rc"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .agg(F.count(F.lit(1)).alias("_rc")),
+        persist,
     )
     totals = vocab.agg(
         F.sum("_rc").alias("_n_ref"),
@@ -722,6 +723,7 @@ def bigram_logprob(
     *,
     reference: DataFrame | None = None,
     round_to: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """Per-document mean bigram negative log-probability — the
     context-aware upgrade of :func:`unigram_logprob`: a document whose
@@ -760,15 +762,16 @@ def bigram_logprob(
     ref_big = ref.select(F.explode(_bigrams(text_col)).alias("_bg")).select(
         F.col("_bg.0").alias("_a"), F.col("_bg.1").alias("_b")
     )
-    from pyspark import StorageLevel
+    from ..plans.cache import maybe_persist
 
     # persisted: the |distinct bigrams|-row model feeds the predecessor
     # totals AND the scoring join — without the cache the reference
-    # bigram explode + groupBy re-executes per consumer; LRU-evicted
-    big_counts = (
+    # bigram explode + groupBy re-executes per consumer; plans/cache.py
+    # lifetime
+    big_counts = maybe_persist(
         ref_big.groupBy("_a", "_b")
-        .agg(F.count(F.lit(1)).alias("_rbc"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .agg(F.count(F.lit(1)).alias("_rbc")),
+        persist,
     )
     # predecessor totals derive from the bigram counts — no rescan; the
     # LAST token of each doc never leads a bigram, so this is c(a,·),
@@ -1116,6 +1119,7 @@ def distinctive_terms(
     k: int = 10,
     min_count: int = 2,
     round_to: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """Keyness analysis: the tokens most OVER-represented in each group
     versus the rest of the corpus, ranked by Dunning's log-likelihood
@@ -1141,17 +1145,18 @@ def distinctive_terms(
 
     if k < 1:
         raise ValueError("distinctive_terms: k must be >= 1")
-    from pyspark import StorageLevel
+    from ..plans.cache import maybe_persist
 
     # persisted: the (group, token) count frame feeds four consumers
     # (token marginals, group marginals, grand total, the G2 join) —
     # without the cache the corpus-sized explode subtree re-executes
-    # per consumer (same fix as corpus_divergence, r11); LRU-evicted
-    pairs = (
+    # per consumer (same fix as corpus_divergence, r11); plans/cache.py
+    # lifetime
+    pairs = maybe_persist(
         df.select(F.col(group_col), F.explode(tokenize(text_col)).alias("_t"))
         .groupBy(group_col, "_t")
-        .agg(F.count(F.lit(1)).alias("_a"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .agg(F.count(F.lit(1)).alias("_a")),
+        persist,
     )
     tok_totals = pairs.groupBy("_t").agg(F.sum("_a").alias("_ta"))
     grp_totals = pairs.groupBy(group_col).agg(F.sum("_a").alias("_ga"))

@@ -66,9 +66,10 @@ def segment_health_report(
     section is a different aggregation shape, so without the cache a
     k-section report scans the source k times, and without the prune
     the cache would materialize every column of a wide table. The
-    cache is evicted by Spark's LRU/ContextCleaner; hold the pruned
-    frames yourself (persist=False + your own persist) when you need
-    deterministic unpersist — same contract as corpus_report.
+    cache lives until session end (plans/cache.py contract — Spark
+    does NOT LRU-evict cache entries); hold the pruned frames yourself
+    (persist=False + your own persist) when you need deterministic
+    unpersist — same contract as corpus_report.
 
     The completeness and freshness sections share ONE per-segment base
     aggregate (row count + per-column non-null counts + latest ts in a

@@ -67,6 +67,23 @@ def refresh_hash_snapshot(latest_round: dict | None, seed_all: bool) -> int:
 
 
 def main() -> None:
+    # flag validation FIRST: an invalid invocation must not have already
+    # rewritten the ledger file by the time it errors out
+    flags = set(sys.argv[1:])
+    unknown = flags - {"--seed-all", "--render-only"}
+    if unknown:
+        raise SystemExit(
+            f"make_cert_ledger: unknown flag(s) {sorted(unknown)} "
+            "(valid: --seed-all, --render-only)"
+        )
+    if "--render-only" in flags and "--seed-all" in flags:
+        raise SystemExit(
+            "make_cert_ledger: --seed-all and --render-only are mutually "
+            "exclusive (seed blesses every current hash, render-only "
+            "touches none) — pick the one that matches where you are in "
+            "the round"
+        )
+
     rounds: list[tuple[int, dict]] = []
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -124,13 +141,6 @@ def main() -> None:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}: {len(ks)} entries, {len(rounds)} recorded rounds")
 
-    if "--render-only" in sys.argv[1:] and "--seed-all" in sys.argv[1:]:
-        raise SystemExit(
-            "make_cert_ledger: --seed-all and --render-only are mutually "
-            "exclusive (seed blesses every current hash, render-only "
-            "touches none) — pick the one that matches where you are in "
-            "the round"
-        )
     if "--render-only" in sys.argv[1:]:
         # round-END mode: regenerate the schedule WITHOUT touching the
         # hash snapshot. A non-seed refresh here would bless oracle SQL

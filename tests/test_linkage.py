@@ -108,7 +108,7 @@ def test_record_linkage_self_and_validation(spark):
     assert got[(1, 1)] == 1.0
 
     # same source column under two comparators: second name gets the
-    # method suffix instead of colliding
+    # fully qualified <b>_<method> suffix instead of colliding
     two = record_linkage(
         df, df.withColumnRenamed("id", "rid"), "id", "rid",
         blocking=[("blk", "blk")], keep_all=True,
@@ -117,7 +117,7 @@ def test_record_linkage_self_and_validation(spark):
             {"a": "v", "b": "v", "method": "token_jaccard"},
         ],
     )
-    assert "sim_v" in two.columns and "sim_v_token_jaccard" in two.columns
+    assert "sim_v" in two.columns and "sim_v_v_token_jaccard" in two.columns
 
     with pytest.raises(ValueError, match="blocking"):
         record_linkage(df, df, "id", "rid", blocking=[], comparators=comps)
@@ -156,11 +156,15 @@ def test_record_linkage_self_and_validation(spark):
         ],
     )
     assert "sim_name" in diff_b.columns
-    assert "sim_name_levenshtein" in diff_b.columns
+    # the disambiguated name is FULLY QUALIFIED (r11 advice): a bare
+    # sim_name_levenshtein would leave which b-column it scores
+    # order-dependent
+    assert "sim_name_last_levenshtein" in diff_b.columns
+    assert "sim_name_levenshtein" not in diff_b.columns
     assert diff_b.count() > 0
 
-    # THREE comparators sharing (a, method): the name fallback chain
-    # extends to sim_<a>_<b>_<method> instead of tripping the defensive
+    # THREE comparators sharing (a, method): every disambiguated name
+    # carries its b-column instead of tripping the defensive
     # collision check with a misleading rename-your-column error
     three = record_linkage(
         df.withColumnRenamed("v", "name"),
@@ -176,6 +180,7 @@ def test_record_linkage_self_and_validation(spark):
             {"a": "name", "b": "last", "method": "levenshtein"},
         ],
     )
+    assert "sim_name_mid_levenshtein" in three.columns
     assert "sim_name_last_levenshtein" in three.columns
     assert three.count() > 0
 
