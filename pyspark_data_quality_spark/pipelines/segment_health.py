@@ -124,7 +124,17 @@ def segment_health_report(
                 F.sum(F.col(c).isNotNull().cast("long")).alias(f"_nn_{c}")
             )
         if ts_col is not None:
-            aggs.append(F.max(ts_col).alias("_latest"))
+            # normalize to epoch-seconds doubles AT THE AGGREGATE:
+            # DATE and parquet's TIMESTAMP_NTZ cannot cast straight to
+            # double (the dq_zorder gotcha), but every temporal type
+            # casts to TIMESTAMP, and timestamp->double is epoch
+            # seconds — identity for an already-timestamp column under
+            # the UTC session TZ
+            aggs.append(
+                F.max(
+                    F.col(ts_col).cast("timestamp").cast("double")
+                ).alias("_latest")
+            )
         base = cur.groupBy(group_col).agg(*aggs).localCheckpoint()
         # ONE 1-row global frame serves both sections (fused sums +
         # max over the checkpointed base instead of one single-
@@ -162,10 +172,9 @@ def segment_health_report(
                 )
             )
         if ts_col is not None:
-            lag = (
-                F.col("_gts").cast("double")
-                - F.col("_latest").cast("double")
-            )
+            # _latest/_gts are already epoch-second doubles (see the
+            # base aggregate)
+            lag = F.col("_gts") - F.col("_latest")
             row_structs.append(
                 F.struct(
                     F.lit("freshness").alias("check"),

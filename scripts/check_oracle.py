@@ -79,6 +79,15 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # isolate entries: internal operator caches (plans/cache.py)
+            # are session-lived — without this, a 169-entry gate run
+            # accumulates every entry's cache residue (same hygiene as
+            # bench.py's per-query clearCache)
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(spark_rows)} rows, no oracle) "
                   f"[{time.time()-t0:.1f}s]")

@@ -1,0 +1,97 @@
+"""Plan-shape regression pins for the composite pipelines.
+
+The r10/r11 shuffle diets (segment_health 27 -> 23 -> 12, the tagged-
+union drift fusion, the shared-subtree caches) were verified by ad-hoc
+`scripts/audit_plans.py` runs; this test makes the wins regression-
+proof: if a rewrite re-introduces a per-section source scan or an
+unfused cur-vs-ref shape, the Exchange/Scan count rises and the pin
+fails loudly with the offending plan's counts.
+
+Budgets are CEILINGS with one unit of slack over the audited r11
+values (AQE and partition-count differences can legally add a local
+exchange), not exact counts — the goal is catching +5-shuffle
+regressions, not blocking a ±1 replan.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _counts(df):
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+    def ops(pattern: str) -> int:
+        # formatted explain lists operators in the tree AND the details
+        # section — count distinct operator ids (audit_plans.py's rule)
+        return len(set(re.findall(rf"\((\d+)\) (?:{pattern})", plan)))
+
+    return {
+        "shuffles": ops("Exchange"),
+        "scans": ops("Scan parquet"),
+        "row_python": ops("BatchEvalPython"),
+    }
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def test_segment_health_shuffle_budget(spark, orders):
+    from pyspark_data_quality_spark.pipelines.segment_health import (
+        segment_health_report,
+    )
+
+    cur = orders.filter(F.col("o_orderkey") % 2 == 0)
+    ref = orders.filter(F.col("o_orderkey") % 2 == 1)
+    report = segment_health_report(
+        cur,
+        group_col="o_orderstatus",
+        completeness_cols=["o_totalprice", "o_custkey"],
+        ts_col="o_orderdate",
+        unique_keys=["o_orderkey"],
+        psi_cols=["o_orderpriority"],
+        ks_col="o_totalprice",
+        ref=ref,
+    )
+    c = _counts(report)
+    assert c["shuffles"] <= 13, c  # audited r11: 12
+    assert c["row_python"] == 0, c
+    # the prune+persist contract: each side contributes ONE logical scan
+    # however many sections consume it
+    assert c["scans"] <= 2, c
+    assert report.count() > 0
+    spark.catalog.clearCache()
+
+
+def test_corpus_card_shuffle_budget(spark, docs):
+    from pyspark_data_quality_spark.pipelines.corpus_card import corpus_report
+
+    card = corpus_report(docs.limit(500), "text")
+    c = _counts(card)
+    assert c["shuffles"] <= 10, c  # audited r11: 9
+    assert c["row_python"] == 0, c
+    assert card.count() > 0
+    spark.catalog.clearCache()
+
+
+def test_curation_shuffle_budget(spark, docs):
+    from pyspark_data_quality_spark.pipelines.curation import curate_corpus
+
+    curated = curate_corpus(docs.limit(500), text_col="text", id_col="doc_id")
+    c = _counts(curated)
+    assert c["shuffles"] <= 17, c  # audited r11: 16
+    assert c["row_python"] == 0, c
+    assert curated.count() >= 0
+    spark.catalog.clearCache()
