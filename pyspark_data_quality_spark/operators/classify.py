@@ -212,7 +212,7 @@ def train_nb_classifier(
         classes=classes,
         num_buckets=num_buckets,
         smoothing=float(smoothing),
-        _cached=cnt,
+        _cached=cnt if persist else None,
     )
 
 
@@ -227,6 +227,7 @@ def train_quality_model(
     min_count: int = 2,
     max_per_class: int | None = None,
     id_col: str | None = None,
+    persist: bool = True,
 ) -> NBModel:
     """CCNet-style weak supervision in one call: label the corpus with
     two heuristic predicates (``good_filter`` / ``bad_filter`` — Column
@@ -286,6 +287,7 @@ def train_quality_model(
         num_buckets=num_buckets,
         smoothing=smoothing,
         min_count=min_count,
+        persist=persist,
     )
 
 
@@ -479,6 +481,10 @@ def crossval_nb(
             )
             .first()
         )
+        # the fold is fully consumed by the .first() above — release the
+        # fold model's training cache NOW, or a k-fold run strands k
+        # session-lived cache entries (plans/cache.py contract)
+        model.unpersist()
         n, c = stats["n_docs"], stats["n_correct"] or 0
         out.append((i, n, c, round(c / n, 6) if n else None))
     return df.sparkSession.createDataFrame(

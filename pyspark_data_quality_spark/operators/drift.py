@@ -645,6 +645,7 @@ def quantile_drift(
     *,
     quantiles: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
     round_to: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """Quantile-shift drift report: EXACT interpolated quantiles of both
     sides at each requested level, with absolute and relative shifts —
@@ -669,7 +670,8 @@ def quantile_drift(
         v.alias("_v_cur"), pad.alias("_v_ref")
     ).unionByName(ref.select(pad.alias("_v_cur"), v.alias("_v_ref")))
     stats = value_histogram_stats(
-        combined, ["_v_cur", "_v_ref"], quantiles=quantiles, round_to=None
+        combined, ["_v_cur", "_v_ref"], quantiles=quantiles, round_to=None,
+        persist=persist,
     ).filter(F.col("stat") != "distinct_count")
     # conditional-agg pivot, NOT a self-join of the stats frame — a join
     # would duplicate the whole histogram subtree in the plan

@@ -47,6 +47,7 @@ def profile_columns(
     exact_quantiles: bool = False,
     strategy: str = "fused",
     round_to: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """Profile ``columns`` (default: all leaf columns) in ONE aggregation
     pass. Returns long format ``(column, stat, value)`` sorted by
@@ -70,7 +71,8 @@ def profile_columns(
     """
     if strategy == "pairs":
         return _profile_columns_pairs(
-            df, columns, quantiles=quantiles, round_to=round_to
+            df, columns, quantiles=quantiles, round_to=round_to,
+            persist=persist,
         )
     if strategy != "fused":
         raise ValueError(f"profile_columns: unknown strategy {strategy!r}")
@@ -136,6 +138,7 @@ def _profile_columns_pairs(
     *,
     quantiles: tuple[float, ...],
     round_to: int,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact profile via the pairs shape (see :func:`profile_columns`).
 
@@ -201,7 +204,7 @@ def _profile_columns_pairs(
 
     # --- branch B: exploded pairs -> per-column value histogram --------
     pairs_stats = value_histogram_stats(
-        df, cols, quantiles=quantiles, round_to=round_to
+        df, cols, quantiles=quantiles, round_to=round_to, persist=persist
     )
 
     return moments.unionByName(pairs_stats).orderBy("column", "stat")

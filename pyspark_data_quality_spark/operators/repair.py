@@ -178,6 +178,7 @@ def winsorize(
     exact: bool = False,
     suffix: str = "",
     flag_col: str | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Clamp each column to its [``lower``, ``upper``] quantile band —
     the standard heavy-tail repair before a numeric column feeds a model
@@ -209,7 +210,8 @@ def winsorize(
         from .profile import value_histogram_stats
 
         stats = value_histogram_stats(
-            df, columns, quantiles=(float(lower), float(upper)), round_to=None
+            df, columns, quantiles=(float(lower), float(upper)),
+            round_to=None, persist=persist,
         )
         bounds = stats.groupBy().agg(
             *[

@@ -239,7 +239,8 @@ def segment_health_report(
         from ..operators.drift import ks_by_group
 
         ks = ks_by_group(
-            cur, ref, ks_col, group_col, round_to=round_to, sort=False
+            cur, ref, ks_col, group_col, round_to=round_to, sort=False,
+            persist=persist,
         )
         parts.append(
             ks.select(

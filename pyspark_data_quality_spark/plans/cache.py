@@ -56,7 +56,5 @@ def pin_partitions(df: DataFrame, persist: bool) -> DataFrame:
     consumers re-executing a ``repartitionByRange`` could sample
     different range boundaries and misalign the offset join."""
     if persist:
-        from pyspark import StorageLevel
-
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
+        return maybe_persist(df, True)
     return df.localCheckpoint(eager=False)

@@ -17,7 +17,11 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from pyspark_data_quality_spark.operators.bloom import dedup_against_bloom
-from pyspark_data_quality_spark.operators.classify import train_nb_classifier
+from pyspark_data_quality_spark.operators.classify import (
+    crossval_nb,
+    train_nb_classifier,
+    train_quality_model,
+)
 from pyspark_data_quality_spark.operators.drift import (
     classifier_drift,
     corpus_divergence,
@@ -26,10 +30,18 @@ from pyspark_data_quality_spark.operators.drift import (
     ks_statistic,
     mmd_drift,
     numeric_drift,
+    quantile_drift,
     wasserstein_1d,
 )
 from pyspark_data_quality_spark.operators.fuzzy import fuzzy_match_pairs
-from pyspark_data_quality_spark.operators.profile import value_histogram_stats
+from pyspark_data_quality_spark.operators.profile import (
+    profile_columns,
+    value_histogram_stats,
+)
+from pyspark_data_quality_spark.operators.repair import winsorize
+from pyspark_data_quality_spark.pipelines.segment_health import (
+    segment_health_report,
+)
 from pyspark_data_quality_spark.operators.text import (
     bigram_logprob,
     distinctive_terms,
@@ -123,6 +135,32 @@ CASES = [
     ("value_histogram_stats", lambda d, **kw: value_histogram_stats(
         d, ["score", "lang"], **kw
     )),
+    # transitive cachers (r12 review): public entry points that cache
+    # only through a gated callee must still thread the flag
+    ("train_quality_model", lambda d, **kw: train_quality_model(
+        d, "text",
+        good_filter=F.col("score") > 6, bad_filter=F.col("score") <= 2,
+        num_buckets=None, **kw
+    ).features),
+    # strategy='pairs' is the branch that reaches value_histogram_stats;
+    # the default 'fused' strategy is a single agg with nothing to cache
+    ("profile_columns", lambda d, **kw: profile_columns(
+        d, ["score", "lang"], strategy="pairs", **kw
+    )),
+    ("quantile_drift", lambda d, **kw: quantile_drift(
+        d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1"), "score", **kw
+    )),
+    ("winsorize_exact", lambda d, **kw: winsorize(
+        d.select("doc_id", "score"), ["score"], exact=True, **kw
+    )),
+    ("segment_health_report", lambda d, **kw: segment_health_report(
+        d.filter("doc_id % 2 = 0"),
+        group_col="lang",
+        completeness_cols=["text"],
+        ks_col="score",
+        ref=d.filter("doc_id % 2 = 1"),
+        **kw
+    )),
 ]
 
 
@@ -147,4 +185,14 @@ def test_train_nb_classifier_persist_false(spark, docs):
     m = train_nb_classifier(docs, "text", "lang", persist=False)
     m.features.collect()
     m.classes.collect()
+    assert _cache_empty(spark)
+    m.unpersist()  # must be a harmless no-op on an uncached model
+
+
+def test_crossval_nb_releases_fold_caches(spark, docs):
+    # crossval consumes each fold eagerly and unpersists the fold model
+    # (r12 review) — a k-fold run must leave ZERO CacheManager entries
+    spark.catalog.clearCache()
+    out = crossval_nb(docs, "text", "lang", "doc_id", folds=3)
+    assert out.count() == 3
     assert _cache_empty(spark)
