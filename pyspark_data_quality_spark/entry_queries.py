@@ -8119,6 +8119,84 @@ def dq_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("layout")
 
 
+@query(
+    "dq_nfc_normalize",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             coalesce(text, '') || ' ' || CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'e' || chr(769) || ' cafe' || chr(769)
+               WHEN 1 THEN 'A' || chr(778) || ' angstrom ' || chr(8491)
+               WHEN 2 THEN 's' || chr(775) || chr(803) || ' dots'
+               WHEN 3 THEN chr(4352) || chr(4449) || ' hangul'
+               ELSE 'plain ascii'
+             END AS t
+      FROM documents
+    ), norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(nfc_normalize(t), '\s+', ' ', 'g'))
+               AS text_nfc,
+             trim(regexp_replace(t, '\s+', ' ', 'g')) AS t_ws
+      FROM aug
+    )
+    SELECT doc_id,
+           text_nfc,
+           text_nfc <> t_ws AS changed,
+           CAST(length(text_nfc) AS BIGINT) AS n_chars
+    FROM norm ORDER BY doc_id
+    """,
+)
+def dq_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization repair (operators/repair.py
+    normalize_text): every document gets a deterministic denormalized
+    suffix cycling through the UAX #15 hard cases — combining acute
+    (composes to U+00E9), combining ring + the ANGSTROM SIGN
+    singleton (both -> U+00C5), out-of-order dot marks (canonical
+    REORDER then compose to U+1E69), Hangul jamo (compose to a
+    syllable), and a pure-ASCII control row — then the Arrow kernel
+    normalizes and the package whitespace convention collapses. The
+    DuckDB oracle replays with nfc_normalize (independent UAX #15
+    implementation), hash-certifying composition, singleton mapping,
+    canonical reordering, Hangul composition, the ASCII fast path, and
+    the codepoint length convention on every row. ``changed`` isolates
+    the normalization delta from the whitespace collapse."""
+    from .operators.repair import normalize_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    # DECOMPOSED on purpose, as explicit escapes (an editor auto-
+    # composing this source would silently kill the test); the oracle
+    # builds the identical sequences with chr()
+    suffix = F.element_at(
+        F.array(
+            F.lit("e\u0301 cafe\u0301"),
+            F.lit("A\u030a angstrom \u212b"),
+            F.lit("s\u0307\u0323 dots"),
+            F.lit("\u1100\u1161 hangul"),
+            F.lit("plain ascii"),
+        ),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(" "), suffix
+        ).alias("t"),
+    )
+    out = normalize_text(
+        aug, "t", form="NFC", collapse_whitespace=True, out_col="text_nfc"
+    )
+    t_ws = F.trim(F.regexp_replace(F.col("t"), r"\s+", " "))
+    return (
+        out.select(
+            "doc_id",
+            "text_nfc",
+            (F.col("text_nfc") != t_ws).alias("changed"),
+            F.length("text_nfc").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, not hand-maintained.
 #

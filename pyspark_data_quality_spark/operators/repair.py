@@ -291,6 +291,79 @@ def redact_pii(
     return df.withColumn(out_col or f"{text_col}_redacted", col)
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    form: str = "NFC",
+    strip_controls: bool = False,
+    collapse_whitespace: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode-normalize a text column — the corpus-prep step every
+    C4/CCNet-lineage pipeline runs before tokenizing or fingerprinting:
+    the same visible string can arrive composed (``é``) or decomposed
+    (``e`` + U+0301), and every downstream exact operator (dedup
+    fingerprints, contamination grams, vocabulary counts) treats the
+    two as DIFFERENT documents until they are normalized to one form.
+
+    ``form``: NFC (default — canonical composition, the web/W3C norm),
+    NFD, NFKC (also folds compatibility forms: ligatures, full-width,
+    superscripts — lossy, use for matching not for display), NFKD.
+    ``strip_controls`` removes control/format characters (Cc+Cf) except
+    tab/newline/CR AFTER normalization — mojibake and bidi-spoofing
+    residue. ``collapse_whitespace`` then applies the package's
+    whitespace convention (``\\s+`` -> one space, trimmed; ASCII
+    semantics, same as functions/text.py tokenize). ``out_col`` writes
+    alongside instead of overwriting.
+
+    Scale shape: one Arrow-batched pandas UDF projection — no shuffle,
+    composes into the scan stage like any column expression. Python is
+    unavoidable (Spark has no normalization expression), but the kernel
+    takes two fast paths that skip the table walk for almost every real
+    document: ``str.isascii()`` (C-speed; ASCII is normalization-
+    invariant in every form) and ``unicodedata.is_normalized`` (quick
+    check, no allocation for already-normal strings). Control stripping
+    and whitespace collapse stay JVM-side as ``regexp_replace``.
+
+    Oracle parity: Python's ``unicodedata`` and DuckDB's
+    ``nfc_normalize`` both implement UAX #15; verified to agree on
+    composition, canonical reordering, and Hangul (dq_nfc_normalize).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"normalize_text: unknown form {form!r}")
+    if text_col not in df.columns:
+        raise ValueError(f"normalize_text: no such column {text_col!r}")
+
+    def _kernel(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(t):
+            if t is None or t.isascii():
+                return t
+            if unicodedata.is_normalized(form, t):
+                return t
+            return unicodedata.normalize(form, t)
+
+        return s.map(one, na_action="ignore")
+
+    _kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    norm = pandas_udf(_kernel, "string")
+
+    col = norm(F.col(text_col))
+    if strip_controls:
+        # Java regex class intersection: all Cc+Cf EXCEPT \t\n\r (kept:
+        # they are layout, not noise, and collapse_whitespace handles
+        # them when asked)
+        col = F.regexp_replace(col, r"[\p{Cc}\p{Cf}&&[^\t\n\r]]", "")
+    if collapse_whitespace:
+        col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return df.withColumn(out_col or text_col, col)
+
+
 def mahalanobis_outliers(
     df: DataFrame,
     cols: list[str],

@@ -1165,6 +1165,80 @@ def test_redact_pii(spark):
     )
 
 
+def test_normalize_text(spark):
+    import unicodedata
+
+    from pyspark_data_quality_spark.operators.repair import normalize_text
+
+    # inputs DECOMPOSED via explicit escapes; expectations composed
+    df = spark.createDataFrame(
+        [
+            (1, "cafe\u0301 zoo"),          # combining acute -> U+00E9
+            (2, "\u212b lab"),               # ANGSTROM singleton -> U+00C5
+            (3, "s\u0307\u0323 marks"),      # canonical reorder + compose
+            (4, "\u1100\u1161 syllable"),    # Hangul jamo -> U+AC00
+            (5, "plain ascii"),              # fast path: untouched
+            (6, None),                       # null passes through
+            (7, "a\u200bb\tc"),              # ZWSP is Cf; tab is kept
+        ],
+        ["i", "text"],
+    )
+    got = {
+        r["i"]: r["text"]
+        for r in normalize_text(df, "text", form="NFC").collect()
+    }
+    assert got[1] == "caf\u00e9 zoo"
+    assert got[2] == "\u00c5 lab"
+    assert got[3] == "\u1e69 marks"
+    assert got[4] == "\uac00 syllable"
+    assert got[5] == "plain ascii"
+    assert got[6] is None
+    # idempotence: NFC of NFC is a fixed point
+    twice = normalize_text(
+        normalize_text(df, "text"), "text"
+    ).collect()
+    assert {r["i"]: r["text"] for r in twice} == got
+
+    # strip_controls removes Cc/Cf EXCEPT tab/newline/CR
+    sc = {
+        r["i"]: r["t"]
+        for r in normalize_text(
+            df, "text", strip_controls=True, out_col="t"
+        ).collect()
+    }
+    assert sc[7] == "ab\tc"
+    # ... and collapse_whitespace then folds the kept tab
+    cw = {
+        r["i"]: r["t"]
+        for r in normalize_text(
+            df, "text", strip_controls=True,
+            collapse_whitespace=True, out_col="t",
+        ).collect()
+    }
+    assert cw[7] == "ab c"
+
+    # NFKC additionally folds compatibility forms (ligature fi)
+    lig = spark.createDataFrame([(1, "\ufb01le")], ["i", "text"])
+    assert (
+        normalize_text(lig, "text", form="NFKC").collect()[0]["text"]
+        == "file"
+    )
+    # NFC leaves the ligature alone (canonical-only)
+    assert (
+        normalize_text(lig, "text", form="NFC").collect()[0]["text"]
+        == "\ufb01le"
+    )
+    # parity with the stdlib on every non-ASCII case (the driver oracle
+    # replays the same math through DuckDB nfc_normalize)
+    for i, t in [(1, "cafe\u0301 zoo"), (3, "s\u0307\u0323 marks")]:
+        assert got[i] == unicodedata.normalize("NFC", t)
+
+    with pytest.raises(ValueError, match="unknown form"):
+        normalize_text(df, "text", form="NFX")
+    with pytest.raises(ValueError, match="no such column"):
+        normalize_text(df, "nope")
+
+
 def test_zipf_profile_properties(spark):
     from pyspark_data_quality_spark.operators.text import zipf_profile
 
