@@ -8148,7 +8148,7 @@ def dq_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dq_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization repair (operators/repair.py
-    normalize_text): every document gets a deterministic denormalized
+    unicode_normalize): every document gets a deterministic denormalized
     suffix cycling through the UAX #15 hard cases — combining acute
     (composes to U+00E9), combining ring + the ANGSTROM SIGN
     singleton (both -> U+00C5), out-of-order dot marks (canonical
@@ -8160,7 +8160,7 @@ def dq_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical reordering, Hangul composition, the ASCII fast path, and
     the codepoint length convention on every row. ``changed`` isolates
     the normalization delta from the whitespace collapse."""
-    from .operators.repair import normalize_text
+    from .operators.repair import unicode_normalize
 
     docs = load_table(spark, "documents", sf_dir)
     # DECOMPOSED on purpose, as explicit escapes (an editor auto-
@@ -8182,7 +8182,7 @@ def dq_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("text"), F.lit("")), F.lit(" "), suffix
         ).alias("t"),
     )
-    out = normalize_text(
+    out = unicode_normalize(
         aug, "t", form="NFC", collapse_whitespace=True, out_col="text_nfc"
     )
     t_ws = F.trim(F.regexp_replace(F.col("t"), r"\s+", " "))

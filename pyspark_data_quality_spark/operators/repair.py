@@ -291,7 +291,7 @@ def redact_pii(
     return df.withColumn(out_col or f"{text_col}_redacted", col)
 
 
-def normalize_text(
+def unicode_normalize(
     df: DataFrame,
     text_col: str = "text",
     *,
@@ -334,9 +334,9 @@ def normalize_text(
     from pyspark.sql.functions import pandas_udf
 
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
-        raise ValueError(f"normalize_text: unknown form {form!r}")
+        raise ValueError(f"unicode_normalize: unknown form {form!r}")
     if text_col not in df.columns:
-        raise ValueError(f"normalize_text: no such column {text_col!r}")
+        raise ValueError(f"unicode_normalize: no such column {text_col!r}")
 
     def _kernel(s: pd.Series) -> pd.Series:
         import unicodedata

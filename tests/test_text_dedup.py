@@ -1165,10 +1165,10 @@ def test_redact_pii(spark):
     )
 
 
-def test_normalize_text(spark):
+def test_unicode_normalize(spark):
     import unicodedata
 
-    from pyspark_data_quality_spark.operators.repair import normalize_text
+    from pyspark_data_quality_spark.operators.repair import unicode_normalize
 
     # inputs DECOMPOSED via explicit escapes; expectations composed
     df = spark.createDataFrame(
@@ -1185,7 +1185,7 @@ def test_normalize_text(spark):
     )
     got = {
         r["i"]: r["text"]
-        for r in normalize_text(df, "text", form="NFC").collect()
+        for r in unicode_normalize(df, "text", form="NFC").collect()
     }
     assert got[1] == "caf\u00e9 zoo"
     assert got[2] == "\u00c5 lab"
@@ -1194,15 +1194,15 @@ def test_normalize_text(spark):
     assert got[5] == "plain ascii"
     assert got[6] is None
     # idempotence: NFC of NFC is a fixed point
-    twice = normalize_text(
-        normalize_text(df, "text"), "text"
+    twice = unicode_normalize(
+        unicode_normalize(df, "text"), "text"
     ).collect()
     assert {r["i"]: r["text"] for r in twice} == got
 
     # strip_controls removes Cc/Cf EXCEPT tab/newline/CR
     sc = {
         r["i"]: r["t"]
-        for r in normalize_text(
+        for r in unicode_normalize(
             df, "text", strip_controls=True, out_col="t"
         ).collect()
     }
@@ -1210,7 +1210,7 @@ def test_normalize_text(spark):
     # ... and collapse_whitespace then folds the kept tab
     cw = {
         r["i"]: r["t"]
-        for r in normalize_text(
+        for r in unicode_normalize(
             df, "text", strip_controls=True,
             collapse_whitespace=True, out_col="t",
         ).collect()
@@ -1220,12 +1220,12 @@ def test_normalize_text(spark):
     # NFKC additionally folds compatibility forms (ligature fi)
     lig = spark.createDataFrame([(1, "\ufb01le")], ["i", "text"])
     assert (
-        normalize_text(lig, "text", form="NFKC").collect()[0]["text"]
+        unicode_normalize(lig, "text", form="NFKC").collect()[0]["text"]
         == "file"
     )
     # NFC leaves the ligature alone (canonical-only)
     assert (
-        normalize_text(lig, "text", form="NFC").collect()[0]["text"]
+        unicode_normalize(lig, "text", form="NFC").collect()[0]["text"]
         == "\ufb01le"
     )
     # parity with the stdlib on every non-ASCII case (the driver oracle
@@ -1234,9 +1234,9 @@ def test_normalize_text(spark):
         assert got[i] == unicodedata.normalize("NFC", t)
 
     with pytest.raises(ValueError, match="unknown form"):
-        normalize_text(df, "text", form="NFX")
+        unicode_normalize(df, "text", form="NFX")
     with pytest.raises(ValueError, match="no such column"):
-        normalize_text(df, "nope")
+        unicode_normalize(df, "nope")
 
 
 def test_zipf_profile_properties(spark):
