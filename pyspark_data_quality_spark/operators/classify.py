@@ -170,6 +170,11 @@ def train_nb_classifier(
         .agg(F.count(F.lit(1)).alias("_cnt")),
         persist,
     )
+    # capture the release handle BEFORE any reassignment: unpersist()
+    # only uncaches a plan that sameResults the frame it's called on,
+    # so handing _cached the post-semi-join derivative would make the
+    # release a silent no-op for min_count > 1 (r12 review)
+    cached = cnt if persist else None
     if min_count > 1:
         keep = (
             cnt.groupBy("feature")
@@ -212,7 +217,7 @@ def train_nb_classifier(
         classes=classes,
         num_buckets=num_buckets,
         smoothing=float(smoothing),
-        _cached=cnt if persist else None,
+        _cached=cached,
     )
 
 

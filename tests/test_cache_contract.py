@@ -191,8 +191,24 @@ def test_train_nb_classifier_persist_false(spark, docs):
 
 def test_crossval_nb_releases_fold_caches(spark, docs):
     # crossval consumes each fold eagerly and unpersists the fold model
-    # (r12 review) — a k-fold run must leave ZERO CacheManager entries
+    # (r12 review) — a k-fold run must leave ZERO CacheManager entries.
+    # min_count=2 is the regression face: the semi-join pruning path
+    # reassigns the count frame, and a release handle captured AFTER
+    # the reassignment would be a silent no-op (unpersist only uncaches
+    # a plan that sameResults the frame it's called on)
     spark.catalog.clearCache()
-    out = crossval_nb(docs, "text", "lang", "doc_id", folds=3)
+    out = crossval_nb(docs, "text", "lang", "doc_id", folds=3, min_count=2)
     assert out.count() == 3
     assert _cache_empty(spark)
+
+
+def test_nbmodel_unpersist_releases_pruned_path(spark, docs):
+    spark.catalog.clearCache()
+    m = train_nb_classifier(docs, "text", "lang", min_count=2)
+    m.features.collect()
+    assert not _cache_empty(spark)
+    m.unpersist()
+    assert _cache_empty(spark), (
+        "NBModel.unpersist() must release the persisted count frame "
+        "even when min_count pruning derived a new plan from it"
+    )
