@@ -296,6 +296,7 @@ def unicode_normalize(
     text_col: str = "text",
     *,
     form: str = "NFC",
+    casefold: bool = False,
     strip_controls: bool = False,
     collapse_whitespace: bool = False,
     out_col: str | None = None,
@@ -310,6 +311,11 @@ def unicode_normalize(
     ``form``: NFC (default — canonical composition, the web/W3C norm),
     NFD, NFKC (also folds compatibility forms: ligatures, full-width,
     superscripts — lossy, use for matching not for display), NFKD.
+    ``casefold=True`` (pair it with form='NFKC') builds the Unicode
+    caseless MATCH KEY — normalize, full casefold (U+1E9E -> 'ss',
+    dotted-I -> 'i'+combining dot, beyond what lower() does), then
+    re-normalize because casefolding can denormalize — the standard
+    recipe for unicode-robust dedup/join keys, NOT a display form.
     ``strip_controls`` removes control/format characters (Cc+Cf) except
     tab/newline/CR AFTER normalization — mojibake and bidi-spoofing
     residue. ``collapse_whitespace`` then applies the package's
@@ -342,9 +348,17 @@ def unicode_normalize(
         import unicodedata
 
         def one(t):
-            if t is None or t.isascii():
+            if t is None:
                 return t
-            if unicodedata.is_normalized(form, t):
+            if casefold:
+                # normalize -> casefold -> re-normalize: folding can
+                # denormalize (the UAX #31 caseless-match recipe)
+                if t.isascii():
+                    return t.lower()
+                return unicodedata.normalize(
+                    form, unicodedata.normalize(form, t).casefold()
+                )
+            if t.isascii() or unicodedata.is_normalized(form, t):
                 return t
             return unicodedata.normalize(form, t)
 

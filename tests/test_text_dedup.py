@@ -1233,6 +1233,23 @@ def test_unicode_normalize(spark):
     for i, t in [(1, "cafe\u0301 zoo"), (3, "s\u0307\u0323 marks")]:
         assert got[i] == unicodedata.normalize("NFC", t)
 
+    # casefold=True builds the caseless match key: full folding goes
+    # beyond lower() (capital sharp s -> 'ss'), ASCII takes the cheap
+    # .lower() path, and the result re-normalizes after folding
+    fold_df = spark.createDataFrame(
+        [(1, "STRA\u1e9eE"), (2, "Plain ASCII"), (3, "CAFE\u0301")],
+        ["i", "text"],
+    )
+    folded = {
+        r["i"]: r["text"]
+        for r in unicode_normalize(
+            fold_df, "text", form="NFKC", casefold=True
+        ).collect()
+    }
+    assert folded[1] == "strasse"
+    assert folded[2] == "plain ascii"
+    assert folded[3] == "caf\u00e9"
+
     with pytest.raises(ValueError, match="unknown form"):
         unicode_normalize(df, "text", form="NFX")
     with pytest.raises(ValueError, match="no such column"):
