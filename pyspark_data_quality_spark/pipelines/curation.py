@@ -91,6 +91,7 @@ def curate_corpus(
     model_keep_labels: tuple[str, ...] = (),
     model_margin: float = 0.0,
     compression_band: tuple[float, float] | None = None,
+    unicode_form: str | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns EVERY input row annotated
     with ``status_col`` (and ``split_col`` for kept rows) plus the
@@ -109,6 +110,11 @@ def curate_corpus(
     ``reference`` if both are given), so the daily batch dedups against
     100 TB of history by reading a hashes-only frame. A virgin state
     directory is treated as "no history".
+
+    ``unicode_form`` (default off) UAX #15-normalizes ``text_col``
+    before anything reads it (operators/repair.py unicode_normalize):
+    composed vs decomposed forms of the same visible string otherwise
+    carry different fingerprints and survive dedup as distinct docs.
 
     ``rebalance_target`` (default off) adds a final distribution-
     matching stage (operators/split.py matched_sample) over the
@@ -130,6 +136,15 @@ def curate_corpus(
     from ..operators.dedup import minhash_near_dup_pairs
     from ..operators.split import split_assignment
     from ..operators.text import contamination_pairs, text_profile
+
+    if unicode_form is not None:
+        # opt-in pre-step (default off so the certified no-normalize
+        # oracles are untouched): UAX #15 normalization BEFORE
+        # profiling/fingerprinting, so composed and decomposed forms of
+        # the same visible text dedup as one document
+        from ..operators.repair import unicode_normalize
+
+        docs = unicode_normalize(docs, text_col, form=unicode_form)
 
     def _pin(small: DataFrame) -> DataFrame:
         # Drop-lists are tiny (ids only) but their plans embed the

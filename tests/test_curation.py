@@ -67,6 +67,36 @@ def test_curate_corpus_statuses(spark, corpus):
     assert sum(stats.values()) == 8
 
 
+def test_curate_corpus_unicode_form(spark):
+    # composed vs decomposed forms of the SAME visible text: without
+    # normalization they carry different fingerprints and both survive;
+    # unicode_form="NFC" folds them into one exact-dup group
+    base = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps while the fox runs away into the quiet forest tonight"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base + " caf\u00e9"),          # composed U+00E9
+            (2, base + " cafe\u0301"),          # decomposed e + U+0301
+        ],
+        "doc_id long, text string",
+    )
+    plain = {
+        r["doc_id"]: r["curation_status"]
+        for r in curate_corpus(docs, languages=None).collect()
+    }
+    # near-dup MAY catch them (1-token diff), exact dedup must NOT
+    assert "exact_dup" not in plain.values()
+    normed = {
+        r["doc_id"]: r["curation_status"]
+        for r in curate_corpus(
+            docs, languages=None, unicode_form="NFC"
+        ).collect()
+    }
+    assert sorted(normed.values()) == ["exact_dup", "kept"]
+
+
 def test_curate_corpus_no_probes_deterministic(spark, corpus):
     a = curate_corpus(corpus).collect()
     b = curate_corpus(corpus).collect()

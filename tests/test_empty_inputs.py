@@ -194,6 +194,12 @@ def test_redact_zipf_empty(spark, empty_docs):
     from pyspark_data_quality_spark.operators.text import zipf_profile
 
     assert redact_pii(empty_docs, "text").count() == 0
+    from pyspark_data_quality_spark.operators.repair import unicode_normalize
+
+    assert unicode_normalize(
+        empty_docs, "text", form="NFKC", casefold=True,
+        strip_controls=True, collapse_whitespace=True,
+    ).count() == 0
     e = spark.createDataFrame([], "doc_id bigint, text string, lang string")
     assert zipf_profile(e, "text", "lang").count() == 0
     # ungrouped empty corpus: one row of nulls/zeros is fine, but it must
