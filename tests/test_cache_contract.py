@@ -202,6 +202,64 @@ def test_crossval_nb_releases_fold_caches(spark, docs):
     assert _cache_empty(spark)
 
 
+def test_pinned_prefix_sum_stress(spark):
+    # the persist=False localCheckpoint pin under the shape where a
+    # re-sampled repartitionByRange would actually misalign offsets:
+    # high-cardinality doubles, one dominant group, and far more range
+    # partitions than the conftest default. Both persist faces must
+    # agree with each other AND with a driver-side exact KS.
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    n = 20000
+    base = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 8, F.lit("big"))
+        .otherwise((F.col("id") % 10).cast("string"))
+        .alias("grp"),
+        (
+            F.sin(F.col("id").cast("double")) * 1000.0
+            + F.col("id").cast("double") / 7.0
+        ).alias("x"),
+    ).repartition(32)
+    cur = base.filter(F.col("id") % 2 == 0)
+    ref = base.filter(F.col("id") % 2 == 1)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        a = {
+            r["grp"]: r["ks"]
+            for r in ks_by_group(cur, ref, "x", "grp").collect()
+        }
+        b = {
+            r["grp"]: r["ks"]
+            for r in ks_by_group(
+                cur, ref, "x", "grp", persist=False
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.catalog.clearCache()
+    assert a == b
+    # exact driver-side ECDF model on the dominant group
+    cx = sorted(
+        r["x"] for r in cur.filter(F.col("grp") == "big").collect()
+    )
+    rx = sorted(
+        r["x"] for r in ref.filter(F.col("grp") == "big").collect()
+    )
+    support = sorted(set(cx) | set(rx))
+    ks = max(
+        abs(
+            bisect.bisect_right(cx, v) / len(cx)
+            - bisect.bisect_right(rx, v) / len(rx)
+        )
+        for v in support
+    )
+    assert abs(a["big"] - round(ks, 6)) < 1e-9
+
+
 def test_nbmodel_unpersist_releases_pruned_path(spark, docs):
     spark.catalog.clearCache()
     m = train_nb_classifier(docs, "text", "lang", min_count=2)
