@@ -338,9 +338,9 @@ def score_nb_classifier(
         F.size(F.coalesce(F.col("_feats"), F.array().cast("array<string>"))),
     )
     if persist_features:
-        from pyspark import StorageLevel
+        from ..plans.cache import maybe_persist
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = maybe_persist(base, True)
     matched = (
         base.select(*id_cols, F.explode("_feats").alias("feature"))
         .join(feats, "feature")

@@ -283,8 +283,9 @@ def value_histogram_stats(
     # without a pin the scan + explode + histogram + range-exchange
     # subtree executes twice AND the range boundaries re-sample per
     # consumer (the ks_by_group r11 fix) — which is why persist=False
-    # falls back to a lazy localCheckpoint rather than a plain lazy
-    # frame. The pinned frame holds the collapsed histogram, which for
+    # falls back to a localCheckpoint (eager under AQE, plans/cache.py)
+    # rather than a plain lazy frame. The pinned frame holds the
+    # collapsed histogram, which for
     # a high-cardinality column can approach |rows|; persist=True lives
     # until session end, persist=False until the result is GC'd.
     from ..plans.cache import pin_partitions

@@ -343,6 +343,14 @@ def unicode_normalize(
         raise ValueError(f"unicode_normalize: unknown form {form!r}")
     if text_col not in df.columns:
         raise ValueError(f"unicode_normalize: no such column {text_col!r}")
+    dtype = dict(df.dtypes)[text_col]
+    if dtype != "string":
+        # fail loud at the driver — a non-string column would otherwise
+        # die mid-job inside the Arrow kernel with an executor traceback
+        raise ValueError(
+            f"unicode_normalize: column {text_col!r} is {dtype}, not "
+            "string — cast it first"
+        )
 
     def _kernel(s: pd.Series) -> pd.Series:
         import unicodedata

@@ -53,13 +53,10 @@ def corpus_report(
     not a sketch). Default stays approximate: an exact distinct over a
     100 TB corpus' vocabulary is a full extra shuffle for a card
     number whose consumers tolerate ~2% error."""
-    from pyspark import StorageLevel
-
     from ..operators.text import text_profile
+    from ..plans.cache import maybe_persist
 
-    profiled = text_profile(df, text_col)
-    if persist:
-        profiled = profiled.persist(StorageLevel.MEMORY_AND_DISK)
+    profiled = maybe_persist(text_profile(df, text_col), persist)
 
     def long_rows(section: str, metrics: dict) -> DataFrame:
         # reshape a 1-row aggregate into (section, metric, value) rows

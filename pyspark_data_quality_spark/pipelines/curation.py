@@ -131,11 +131,10 @@ def curate_corpus(
     source when the downstream actions are done, or pass
     ``persist=False`` to keep the plan fully lazy.
     """
-    from pyspark import StorageLevel
-
     from ..operators.dedup import minhash_near_dup_pairs
     from ..operators.split import split_assignment
     from ..operators.text import contamination_pairs, text_profile
+    from ..plans.cache import maybe_persist
 
     if unicode_form is not None:
         # opt-in pre-step (default off so the certified no-normalize
@@ -153,11 +152,9 @@ def curate_corpus(
         # unpersisted list re-runs its whole subtree once per consumer
         # (measured: the MinHash stage executed twice — once for the
         # near-dup join, once inside contamination's input plan).
-        return small.persist(StorageLevel.MEMORY_AND_DISK) if persist else small
+        return maybe_persist(small, persist)
 
-    prof = text_profile(docs, text_col)
-    if persist:
-        prof = prof.persist(StorageLevel.MEMORY_AND_DISK)
+    prof = maybe_persist(text_profile(docs, text_col), persist)
     # quality gates BEFORE language: junk text language-IDs as 'und', and
     # "low_quality" is the actionable status for it, not "wrong_lang"
     gate = (

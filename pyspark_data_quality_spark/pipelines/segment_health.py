@@ -89,7 +89,7 @@ def segment_health_report(
     if not any([completeness_cols, ts_col, unique_keys, psi_cols, ks_col]):
         raise ValueError("segment_health_report: no sections requested")
     if persist:
-        from pyspark import StorageLevel
+        from ..plans.cache import maybe_persist
 
         used = [group_col]
         for cols in (completeness_cols, unique_keys, psi_cols):
@@ -99,7 +99,7 @@ def segment_health_report(
         if ks_col:
             used.append(ks_col)
         cur_cols = list(dict.fromkeys(c for c in used if c in cur.columns))
-        cur = cur.select(*cur_cols).persist(StorageLevel.MEMORY_AND_DISK)
+        cur = maybe_persist(cur.select(*cur_cols), True)
         if ref is not None:
             ref_used = [group_col] + (psi_cols or [])
             if ks_col:
@@ -107,7 +107,7 @@ def segment_health_report(
             ref_cols = list(dict.fromkeys(
                 c for c in ref_used if c in ref.columns
             ))
-            ref = ref.select(*ref_cols).persist(StorageLevel.MEMORY_AND_DISK)
+            ref = maybe_persist(ref.select(*ref_cols), True)
     seg = F.col(group_col).cast("string")
     parts: list[DataFrame] = []
 

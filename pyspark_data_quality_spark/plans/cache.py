@@ -25,10 +25,17 @@ site:
   back on ``spark_partition_id``, so every consumer must observe the
   same ``repartitionByRange`` boundary sample) go through
   :func:`pin_partitions`: with ``persist=False`` they fall back to a
-  lazy ``localCheckpoint`` — materialized once, blocks released by the
-  ContextCleaner when the result frame is garbage-collected, at the
-  documented cost of cutting lineage (a lost executor fails the job
-  instead of recomputing; the default persisted path keeps lineage).
+  ``localCheckpoint`` — materialized once, blocks released by the
+  ContextCleaner when the result frame is garbage-collected. Two
+  documented costs (measured on PySpark 4.1.2): lineage is cut (a lost
+  executor fails the job instead of recomputing; the default persisted
+  path keeps lineage), and even with ``eager=False`` the checkpoint is
+  NOT lazy under AQE — compiling to the checkpointable RDD materializes
+  the upstream shuffle stages AT CALL TIME, so the operator does its
+  heavy work when constructed rather than when consumed (same total
+  work for callers that consume the result, which every operator here
+  does immediately; the escape hatch trades call-site laziness for
+  zero CacheManager residue).
 """
 
 from __future__ import annotations
@@ -50,11 +57,13 @@ def maybe_persist(df: DataFrame, persist: bool) -> DataFrame:
 def pin_partitions(df: DataFrame, persist: bool) -> DataFrame:
     """Materialize-once pin for frames whose partition identity must be
     shared by every consumer (prefix-sum offset joins). ``persist=True``
-    -> CacheManager persist (lineage kept, explicit lifetime);
-    ``persist=False`` -> lazy ``localCheckpoint`` (GC-scoped blocks, no
-    CacheManager residue, lineage cut). Never a plain lazy frame: two
-    consumers re-executing a ``repartitionByRange`` could sample
-    different range boundaries and misalign the offset join."""
+    -> CacheManager persist (lineage kept, explicit lifetime, lazy);
+    ``persist=False`` -> ``localCheckpoint`` (GC-scoped blocks, no
+    CacheManager residue, lineage cut, and EAGER under AQE — upstream
+    stages run at call time; see the module docstring). Never a plain
+    lazy frame: two consumers re-executing a ``repartitionByRange``
+    could sample different range boundaries and misalign the offset
+    join."""
     if persist:
         return maybe_persist(df, True)
     return df.localCheckpoint(eager=False)

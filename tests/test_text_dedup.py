@@ -1254,6 +1254,8 @@ def test_unicode_normalize(spark):
         unicode_normalize(df, "text", form="NFX")
     with pytest.raises(ValueError, match="no such column"):
         unicode_normalize(df, "nope")
+    with pytest.raises(ValueError, match="not\\s+string"):
+        unicode_normalize(df, "i")
 
 
 def test_zipf_profile_properties(spark):
