@@ -1250,6 +1250,14 @@ def test_unicode_normalize(spark):
     assert folded[2] == "plain ascii"
     assert folded[3] == "caf\u00e9"
 
+    # astral-plane (SMP) chars must survive the Arrow round trip and
+    # coexist with normalization in the same string
+    astral = spark.createDataFrame(
+        [(1, "\U0001f600 cafe\u0301 \U0001d11e")], ["i", "text"]
+    )
+    a = unicode_normalize(astral, "text", form="NFC").collect()[0]["text"]
+    assert a == "\U0001f600 caf\u00e9 \U0001d11e"
+
     with pytest.raises(ValueError, match="unknown form"):
         unicode_normalize(df, "text", form="NFX")
     with pytest.raises(ValueError, match="no such column"):
