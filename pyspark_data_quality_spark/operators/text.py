@@ -1411,3 +1411,78 @@ def compression_profile(
             yield out
 
     return df.mapInPandas(gen, out_schema)
+
+
+def unicode_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    form: str = "NFC",
+) -> DataFrame:
+    """Corpus Unicode-health report — the DIAGNOSTIC sibling of
+    ``operators/repair.py unicode_normalize`` (detect before repair,
+    the same pairing as pii_summary -> redact_pii): ONE row counting
+    the documents each normalization concern touches.
+
+    Columns: ``n_docs``, ``n_null``, ``n_non_ascii``,
+    ``n_denormalized`` (not in ``form`` — the docs unicode_normalize
+    would rewrite), ``n_with_controls`` (Cc/Cf beyond tab/newline/CR —
+    the SAME Java regex class the repair op strips, so the two agree
+    by construction), ``n_with_astral`` (supplementary-plane chars:
+    emoji/rare CJK — the tell that byte-offset tooling will misbehave),
+    ``n_with_replacement`` (U+FFFD — upstream decode damage already
+    baked into the text).
+
+    Scale shape: every predicate except the normalization check is a
+    JVM ``regexp_like``/``contains`` expression inside codegen; the
+    ``form`` check is one Arrow-batched boolean kernel with the same
+    ASCII/is_normalized fast paths as the repair op. One scan, one
+    fused 1-row aggregate.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unicode_profile: unknown form {form!r}")
+    if text_col not in df.columns:
+        raise ValueError(f"unicode_profile: no such column {text_col!r}")
+    dtype = dict(df.dtypes)[text_col]
+    if dtype != "string":
+        raise ValueError(
+            f"unicode_profile: column {text_col!r} is {dtype}, not "
+            "string — cast it first"
+        )
+
+    def _denorm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: not (
+                t.isascii() or unicodedata.is_normalized(form, t)
+            ),
+            na_action="ignore",
+        )
+
+    _denorm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    denorm = pandas_udf(_denorm, "boolean")
+
+    t = F.col(text_col)
+
+    def n(flag) -> Column:
+        # outer coalesce: sum over an EMPTY corpus is NULL, and a
+        # zero-doc report must read as zeros, not nulls
+        return F.coalesce(
+            F.sum(F.coalesce(flag.cast("long"), F.lit(0))), F.lit(0)
+        )
+
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(t.isNull().cast("long")), F.lit(0)).alias("n_null"),
+        n(t.rlike(r"[^\x00-\x7F]")).alias("n_non_ascii"),
+        n(denorm(t)).alias("n_denormalized"),
+        # the repair op's exact strip class (Java character-class
+        # intersection — keep in sync with unicode_normalize)
+        n(t.rlike(r"[\p{Cc}\p{Cf}&&[^\t\n\r]]")).alias("n_with_controls"),
+        n(t.rlike(r"[\x{10000}-\x{10FFFF}]")).alias("n_with_astral"),
+        n(t.contains("�")).alias("n_with_replacement"),
+    )

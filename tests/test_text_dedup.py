@@ -1266,6 +1266,70 @@ def test_unicode_normalize(spark):
         unicode_normalize(df, "i")
 
 
+def test_unicode_profile(spark):
+    import duckdb
+
+    from pyspark_data_quality_spark.operators.text import unicode_profile
+
+    # fixture rows as (python string, duckdb construction) pairs so the
+    # engine comparison runs on IDENTICAL inputs
+    cases = [
+        ("plain ascii", "'plain ascii'"),
+        ("caf\u00e9 composed", "'caf' || chr(233) || ' composed'"),
+        ("cafe\u0301 decomposed", "'cafe' || chr(769) || ' decomposed'"),
+        ("zw\u200bsp", "'zw' || chr(8203) || 'sp'"),
+        ("bell\x07", "'bell' || chr(7)"),
+        ("emoji \U0001f600", "'emoji ' || chr(128512)"),
+        ("damaged \ufffd here", "'damaged ' || chr(65533) || ' here'"),
+        ("tab\tkept\nok", "'tab' || chr(9) || 'kept' || chr(10) || 'ok'"),
+        (None, "NULL"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], ["i", "text"]
+    )
+    row = unicode_profile(df, "text").collect()[0]
+    assert row["n_docs"] == 9
+    assert row["n_null"] == 1
+    assert row["n_non_ascii"] == 5
+    assert row["n_denormalized"] == 1     # only the decomposed cafe
+    assert row["n_with_controls"] == 2    # ZWSP + BEL; tab/newline kept
+    assert row["n_with_astral"] == 1
+    assert row["n_with_replacement"] == 1
+
+    # independent engine replay: DuckDB computes the same counts from
+    # identically-constructed strings (RE2 + nfc_normalize)
+    sql_rows = " UNION ALL ".join(f"SELECT {d} AS t" for _, d in cases)
+    got = duckdb.sql(
+        f"""
+        WITH docs AS ({sql_rows})
+        SELECT count(*) AS n_docs,
+               sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS n_null,
+               sum(CASE WHEN regexp_matches(t, '[^\\x00-\\x7F]')
+                   THEN 1 ELSE 0 END) AS n_non_ascii,
+               sum(CASE WHEN nfc_normalize(t) <> t
+                   THEN 1 ELSE 0 END) AS n_denormalized,
+               sum(CASE WHEN regexp_matches(t,
+                   '[\\x{{00}}-\\x{{08}}\\x{{0B}}\\x{{0C}}\\x{{0E}}-\\x{{1F}}\\x{{7F}}]|[\\x{{200B}}-\\x{{200F}}]')
+                   THEN 1 ELSE 0 END) AS n_with_controls,
+               sum(CASE WHEN regexp_matches(t, '[\\x{{10000}}-\\x{{10FFFF}}]')
+                   THEN 1 ELSE 0 END) AS n_with_astral,
+               sum(CASE WHEN contains(t, chr(65533))
+                   THEN 1 ELSE 0 END) AS n_with_replacement
+        FROM docs
+        """
+    ).fetchone()
+    assert tuple(row) == tuple(got)
+
+    with pytest.raises(ValueError, match="unknown form"):
+        unicode_profile(df, "text", form="NFX")
+    with pytest.raises(ValueError, match="not\\s+string"):
+        unicode_profile(df, "i")
+    # empty corpus: one row of zeros, no divide/first() failures
+    empty = spark.createDataFrame([], "i long, text string")
+    z = unicode_profile(empty, "text").collect()[0]
+    assert z["n_docs"] == 0 and z["n_denormalized"] == 0
+
+
 def test_zipf_profile_properties(spark):
     from pyspark_data_quality_spark.operators.text import zipf_profile
 
