@@ -143,11 +143,18 @@ def numeric_drift(
         # bounds ride from a 1-row agg via broadcast; persisted (LAZY,
         # lineage-recomputable) so its two histogram consumers don't
         # each re-scan ref — localCheckpoint would trigger an eager job
-        # at construction time and break on executor loss
+        # at construction time and break on executor loss. finite()
+        # bounds: Spark max returns NaN/Infinity as the GREATEST value,
+        # so one bad reference row would collapse the histogram width
+        # to NaN and every bin with it — masking the very drift this
+        # measures (measured, r12); non-finite data rows still clamp
+        # into the edge bins below.
+        from ..functions.expr import finite
+
         b = maybe_persist(
             ref.agg(
-                F.min(F.col(col)).cast("double").alias("_blo"),
-                F.max(F.col(col)).cast("double").alias("_bhi"),
+                F.min(finite(F.col(col))).cast("double").alias("_blo"),
+                F.max(finite(F.col(col))).cast("double").alias("_bhi"),
             ),
             persist,
         )
@@ -180,7 +187,13 @@ def numeric_drift(
 
 def _hist_with_bounds(df: DataFrame, col: str, bins: int, bounds: DataFrame):
     x = F.col(col)
-    base = df.filter(x.isNotNull()).join(F.broadcast(bounds))
+    # NaN rows are missing data for a histogram (no position on the
+    # line — the old coalesce silently dumped them in bin 0); ±Inf rows
+    # KEEP counting: the bin clamp puts them in the edge bins, the
+    # documented escaped-mass convention
+    base = df.filter(x.isNotNull() & ~F.isnan(x.cast("double"))).join(
+        F.broadcast(bounds)
+    )
     width = (F.col("_bhi") - F.col("_blo")) / F.lit(float(bins))
     raw = F.floor(F.try_divide(x.cast("double") - F.col("_blo"), width))
     bin_c = (
@@ -229,8 +242,13 @@ def ks_statistic(
     x = F.col(col)
 
     def side(df: DataFrame) -> DataFrame:
+        # NaN excluded like NULL: it has no place in an ECDF ordering
+        # (Spark sorts it greatest; a NaN support value would make the
+        # KS statistic itself NaN)
         v = F.round(x, quantize) if quantize is not None else x
-        return df.filter(x.isNotNull()).select(v.alias("x"))
+        return df.filter(
+            x.isNotNull() & ~F.isnan(x.cast("double"))
+        ).select(v.alias("x"))
 
     # one tagged union-groupBy materializes BOTH sides' histograms in a
     # single shuffle (map-side combine) — the former per-side groupBys +
@@ -369,7 +387,10 @@ def ks_by_group(
     g = F.col(group_col).cast("string")
 
     def side(df: DataFrame) -> DataFrame:
-        return df.filter(x.isNotNull()).select(
+        # NaN excluded like NULL (ks_statistic convention)
+        return df.filter(
+            x.isNotNull() & ~F.isnan(x.cast("double"))
+        ).select(
             g.alias("grp"), v.alias("x")
         )
 
@@ -481,12 +502,13 @@ def wasserstein_1d(
         # has three consumers (both histograms + the final width join)
         # — without the cache each re-scans ref for min/max. Lifetime:
         # plans/cache.py.
+        from ..functions.expr import finite
         from ..plans.cache import maybe_persist
 
         b = maybe_persist(
             ref.agg(
-                F.min(F.col(col)).cast("double").alias("_blo"),
-                F.max(F.col(col)).cast("double").alias("_bhi"),
+                F.min(finite(F.col(col))).cast("double").alias("_blo"),
+                F.max(finite(F.col(col))).cast("double").alias("_bhi"),
             ),
             persist,
         )

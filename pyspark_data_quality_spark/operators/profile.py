@@ -248,6 +248,13 @@ def value_histogram_stats(
     numeric = [c for c in columns if isinstance(fields[c], NumericType)]
     cols = columns
 
+    # the double repr feeds QUANTILES (interpolated ranks): NaN has no
+    # rank position, and Spark would sort it greatest — one NaN near
+    # the top rank would make an upper quantile (and winsorize's clamp
+    # bound) NaN. NaN stays visible through the STRING repr's distinct
+    # count; only its quantile contribution is dropped (finite()).
+    from ..functions.expr import finite
+
     pair = F.explode(
         F.array(
             *[
@@ -255,7 +262,7 @@ def value_histogram_stats(
                     F.lit(c).alias("column"),
                     F.col(c).cast("string").alias("s"),
                     (
-                        F.col(c).cast("double")
+                        finite(F.col(c).cast("double"))
                         if c in numeric
                         else F.lit(None).cast("double")
                     ).alias("d"),

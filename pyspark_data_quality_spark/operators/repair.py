@@ -24,10 +24,16 @@ _STRATEGIES = ("mean", "median", "mode", "constant")
 
 
 def _stat_expr(col: str, strategy: str):
+    # statistics over FINITE values only (functions/expr.py finite):
+    # avg/percentile do not skip NaN, so one NaN row would otherwise
+    # make the fill statistic NaN and spread the damage to every
+    # formerly-NULL row
+    from ..functions.expr import finite
+
     if strategy == "mean":
-        return F.avg(F.col(col))
+        return F.avg(finite(F.col(col)))
     if strategy == "median":
-        return F.percentile(F.col(col), F.lit(0.5))
+        return F.percentile(finite(F.col(col)), F.lit(0.5))
     raise AssertionError(strategy)
 
 
@@ -138,15 +144,25 @@ def flag_outliers(
     """
     if method not in ("zscore", "iqr"):
         raise ValueError(f"flag_outliers: unknown method {method!r}")
+    from ..functions.expr import finite
+
     x = F.col(col)
+    # statistics over FINITE values only (functions/expr.py finite):
+    # Spark's avg/stddev/percentile do not skip NaN, so one NaN row
+    # would otherwise poison the stats — mean=NaN makes every score
+    # NaN, and NaN compares greater than any threshold, flagging the
+    # ENTIRE column (measured, r12). The non-finite rows themselves
+    # still score against the clean stats: NaN/±Inf scores exceed any
+    # finite threshold, so exactly they get flagged — which is right.
+    xf = finite(x)
     if method == "zscore":
-        stat_exprs = {"_m": F.avg(x), "_s": F.stddev_samp(x)}
+        stat_exprs = {"_m": F.avg(xf), "_s": F.stddev_samp(xf)}
         score = F.try_divide(F.abs(x - F.col("_m")), F.col("_s"))
         flag = F.when(x.isNotNull(), F.coalesce(score > threshold, F.lit(False)))
     else:
         stat_exprs = {
-            "_q1": F.percentile(x, F.lit(0.25)),
-            "_q3": F.percentile(x, F.lit(0.75)),
+            "_q1": F.percentile(xf, F.lit(0.25)),
+            "_q3": F.percentile(xf, F.lit(0.75)),
         }
         iqr = F.col("_q3") - F.col("_q1")
         lo = F.col("_q1") - threshold * iqr
@@ -226,16 +242,20 @@ def winsorize(
             ]
         )
     else:
+        # finite() guard: percentile sketches do not skip NaN, and a
+        # NaN landing on the upper rank would make the clamp bound NaN
+        from ..functions.expr import finite
+
         bounds = df.agg(
             *[
                 e
                 for c in columns
                 for e in (
                     F.percentile_approx(
-                        F.col(c), F.lit(float(lower))
+                        finite(F.col(c)), F.lit(float(lower))
                     ).alias(f"_lo_{c}"),
                     F.percentile_approx(
-                        F.col(c), F.lit(float(upper))
+                        finite(F.col(c)), F.lit(float(upper))
                     ).alias(f"_hi_{c}"),
                 )
             ]
@@ -426,8 +446,13 @@ def mahalanobis_outliers(
     for c in cols:
         present = present & F.col(c).isNotNull()
 
+    from ..functions.expr import finite
+
     def _cc(c: str) -> Column:
-        return F.when(present, F.col(c).cast("double"))
+        # finite() guard: one NaN row would poison every covariance,
+        # making every distance NaN — and NaN compares greater than
+        # any threshold, flagging the whole table
+        return finite(F.when(present, F.col(c).cast("double")))
 
     aggs = [F.avg(_cc(c)).alias(f"_m_{c}") for c in cols]
     for i, a in enumerate(cols):
@@ -512,25 +537,31 @@ def normalize_columns(
     if missing:
         raise ValueError(f"normalize_columns: unknown columns {missing}")
 
+    from ..functions.expr import finite
+
     aggs = []
     for c in cols:
+        # finite() guards throughout: avg/stddev/percentile/max do not
+        # skip NaN (and max treats NaN/Inf as greatest), so one bad row
+        # would otherwise poison the whole column's scaling parameters
+        cf = finite(F.col(c))
         if method == "zscore":
             aggs += [
-                F.avg(c).alias(f"_mu_{c}"),
-                F.stddev_samp(c).alias(f"_sd_{c}"),
+                F.avg(cf).alias(f"_mu_{c}"),
+                F.stddev_samp(cf).alias(f"_sd_{c}"),
             ]
         elif method == "robust":
             aggs += [
-                F.percentile_approx(c, 0.5).alias(f"_mu_{c}"),
+                F.percentile_approx(cf, 0.5).alias(f"_mu_{c}"),
                 (
-                    F.percentile_approx(c, 0.75)
-                    - F.percentile_approx(c, 0.25)
+                    F.percentile_approx(cf, 0.75)
+                    - F.percentile_approx(cf, 0.25)
                 ).alias(f"_sd_{c}"),
             ]
         else:
             aggs += [
-                F.min(c).alias(f"_lo_{c}"),
-                F.max(c).alias(f"_hi_{c}"),
+                F.min(cf).alias(f"_lo_{c}"),
+                F.max(cf).alias(f"_hi_{c}"),
             ]
     if group_by:
         stats = df.groupBy(*group_by).agg(*aggs)

@@ -1,0 +1,143 @@
+"""NaN/±Infinity-adversarial sweep (r12).
+
+The NULL-adversarial property sweep (test_properties.py) misses a
+separate poisoning class: Spark's avg/stddev/percentile/min/max skip
+NULLs but NOT NaN, and its ordering treats NaN as the GREATEST value.
+Measured consequences before the `functions/expr.finite` guards: ONE
+NaN row made flag_outliers(zscore) flag EVERY row (mean=NaN -> every
+score NaN -> NaN > threshold is true); ONE NaN/Inf row in a drift
+REFERENCE collapsed numeric_drift's histogram to a single bin with
+PSI 0 — masking the drift outright.
+
+Contract pinned here: statistics are computed over FINITE values only;
+the non-finite rows themselves still behave as anomalous (outlier
+flags fire on exactly them) or as missing/edge mass per the operator's
+documented convention (NaN out of histograms and ECDFs, ±Inf clamped
+into edge bins).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+NAN, INF = float("nan"), float("inf")
+
+
+@pytest.fixture(scope="module")
+def clean(spark):
+    return spark.createDataFrame(
+        [Row(i=i, x=float(i % 7)) for i in range(40)]
+    )
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    rows = [Row(i=i, x=float(i % 7)) for i in range(40)] + [
+        Row(i=100, x=NAN),
+        Row(i=101, x=INF),
+        Row(i=102, x=-INF),
+        Row(i=103, x=None),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_flag_outliers_not_poisoned(spark, dirty):
+    from pyspark_data_quality_spark.operators.repair import flag_outliers
+
+    for method in ("zscore", "iqr"):
+        out = flag_outliers(dirty, "x", method=method).collect()
+        flagged = sorted(r["i"] for r in out if r["is_outlier"])
+        assert flagged == [100, 101, 102], (method, flagged)
+
+
+def test_numeric_drift_survives_dirty_reference(spark, clean, dirty):
+    from pyspark_data_quality_spark.operators.drift import numeric_drift
+
+    # dirty REFERENCE: bounds must come from its finite values, so the
+    # clean current side still spreads over multiple bins
+    bins = numeric_drift(clean, dirty, "x").collect()
+    assert len(bins) > 3
+    assert all(not math.isnan(r["psi_term"]) for r in bins)
+    # dirty CURRENT side: NaN drops, ±Inf clamps into the edge bins —
+    # total current mass accounts for 42 of the 44 rows (NaN + NULL out)
+    bins2 = numeric_drift(dirty, clean, "x").collect()
+    assert abs(sum(r["p_cur"] for r in bins2) - 1.0) < 1e-6
+
+
+def test_ks_and_wasserstein_drop_nan_keep_inf(spark, clean, dirty):
+    from pyspark_data_quality_spark.operators.drift import (
+        ks_by_group,
+        ks_statistic,
+        wasserstein_1d,
+    )
+
+    r = ks_statistic(dirty, clean, "x").collect()[0]
+    assert r["n_cur"] == 42  # 40 finite + 2 Inf; NaN and NULL excluded
+    assert not math.isnan(r["ks"]) and 0.0 <= r["ks"] <= 1.0
+    w = wasserstein_1d(dirty, clean, "x").collect()[0]
+    assert not math.isnan(w["w1"])
+    g = ks_by_group(
+        dirty.withColumn("g", F.lit("a")),
+        clean.withColumn("g", F.lit("a")),
+        "x",
+        "g",
+    ).collect()[0]
+    assert g["n_cur"] == 42 and not math.isnan(g["ks"])
+
+
+def test_winsorize_bounds_finite(spark, dirty):
+    from pyspark_data_quality_spark.operators.repair import winsorize
+
+    for exact in (False, True):
+        got = winsorize(
+            dirty.select("x"), ["x"], exact=exact, flag_col="clamped"
+        ).collect()
+        vals = [r["x"] for r in got if r["x"] is not None]
+        finite_vals = [v for v in vals if not math.isnan(v)]
+        # ±Inf rows clamp into the finite band; NaN passes through
+        # un-clamped (it is damage to surface, not a tail to trim)
+        assert max(finite_vals) < INF and min(finite_vals) > -INF
+
+
+def test_impute_and_normalize_not_poisoned(spark, dirty):
+    from pyspark_data_quality_spark.operators.repair import (
+        impute,
+        normalize_columns,
+    )
+
+    filled = {r["i"]: r["x"] for r in impute(dirty, ["x"]).collect()}
+    assert filled[103] is not None and math.isfinite(filled[103])
+    normed = normalize_columns(dirty, ["x"], method="zscore").collect()
+    clean_scaled = [
+        r["x_norm"] for r in normed if r["i"] < 100
+    ]
+    assert all(v is not None and math.isfinite(v) for v in clean_scaled)
+
+
+def test_mahalanobis_not_poisoned(spark, dirty):
+    from pyspark_data_quality_spark.operators.repair import (
+        mahalanobis_outliers,
+    )
+
+    d2 = dirty.withColumn("y", (F.col("i") * 37 % 11).cast("double"))
+    out = mahalanobis_outliers(d2, ["x", "y"]).collect()
+    flagged = sorted(r["i"] for r in out if r["is_outlier"])
+    # the clean rows must not be flagged; the non-finite rows must be
+    assert all(i >= 100 for i in flagged) and 100 in flagged
+
+
+def test_quantile_stats_nan_immune(spark, dirty):
+    from pyspark_data_quality_spark.operators.profile import (
+        value_histogram_stats,
+    )
+
+    rows = value_histogram_stats(
+        dirty, ["x"], quantiles=(0.5, 0.95)
+    ).collect()
+    by_stat = {r["stat"]: r["value"] for r in rows}
+    assert not math.isnan(by_stat["q0.5"])
+    assert not math.isnan(by_stat["q0.95"])
+    # NaN still shows up in the DISTINCT count (visible, not hidden)
+    assert by_stat["distinct_count"] >= 8
