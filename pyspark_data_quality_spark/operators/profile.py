@@ -403,11 +403,18 @@ def histogram(
     edge bins (standard monitoring semantics: a runaway tail still
     lands in the histogram rather than disappearing).
     """
+    from ..functions.expr import finite
+
     x = F.col(col)
-    base = df.filter(x.isNotNull())
+    # NaN rows carry no bin position (dropped like NULL); ±Inf rows
+    # clamp into the edge bins; auto-bounds come from FINITE values
+    # only, else one bad row makes the width NaN/Inf and collapses
+    # every bin (the numeric_drift r12 hardening)
+    base = df.filter(x.isNotNull() & ~F.isnan(x.cast("double")))
     if lo is None or hi is None:
         bounds = base.agg(
-            F.min(x).cast("double").alias("_lo"), F.max(x).cast("double").alias("_hi")
+            F.min(finite(x)).cast("double").alias("_lo"),
+            F.max(finite(x)).cast("double").alias("_hi"),
         )
         base = base.join(F.broadcast(bounds))
         lo_c, hi_c = F.col("_lo"), F.col("_hi")
