@@ -750,8 +750,13 @@ def test_adversarial_impute_null_group(spark, adv_cur):
         ).collect()
     }
     assert got[7] == 4.0          # g2 mean over {4.0}
-    assert math.isnan(got[5])     # NULL group mean over {NaN} = NaN, not lost
-    assert math.isnan(got[4])     # NaN is a value, not a null to fill
+    # r12 finite-statistics contract (SCALE.md invariant 8): the fill
+    # statistic comes from FINITE values only, so a group whose values
+    # are all NaN has a NULL statistic and leaves its null in place
+    # (missing stays visibly missing) instead of converting it to NaN —
+    # and one NaN among finite group values no longer poisons the fill
+    assert got[5] is None         # NULL group: only value is NaN -> no fill
+    assert math.isnan(got[4])     # NaN is a value, never rewritten
     assert got[8] == 5.0          # string-'NULL' group untouched
 
     # mode, grouped: exercises the null-safe mode join back
