@@ -50,8 +50,15 @@ def ab_test_report(
     ``significant`` flag on ``|welch_t| > critical`` (NULL when t is
     undefined — zero variance or a single-sample arm).
     """
+    from ..functions.expr import finite
+
     v = F.col(variant_col) if isinstance(variant_col, str) else variant_col
-    x = F.col(metric_col).cast("double")
+    # FINITE metric values only (SCALE.md invariant 8): one NaN metric
+    # row would make the arm's mean/variance NaN, and a NaN Welch t
+    # compares greater than any critical value — a guaranteed false
+    # 'significant'. NaN metric rows drop from n/mean/var exactly like
+    # NULL rows; conversion proportions still count every assigned row.
+    x = finite(F.col(metric_col).cast("double"))
     aggs = [
         F.count(x).alias("n"),
         F.avg(x).alias("mean"),

@@ -57,11 +57,19 @@ def zscore_anomalies(
     zscore, is_anomaly. A zero/undefined stddev yields a null zscore and
     no flag (a flat history then any value is "infinitely" surprising —
     callers wanting that use rate_of_change)."""
+    from ..functions.expr import finite
+
     tw = _trailing(partition_cols, order_cols, lookback)
     x = F.col(value_col)
-    mean = F.avg(x).over(tw)
-    std = F.stddev_samp(x).over(tw)
-    n = F.count(x).over(tw)
+    # baseline over FINITE trailing values only (SCALE.md invariant 8):
+    # one NaN metric would otherwise poison the trailing mean for the
+    # next `lookback` rows — and NaN z-scores compare greater than any
+    # threshold, flagging that whole stretch. The NaN row itself still
+    # scores NaN against the clean baseline and is flagged: correct.
+    xf = finite(x)
+    mean = F.avg(xf).over(tw)
+    std = F.stddev_samp(xf).over(tw)
+    n = F.count(xf).over(tw)
     z = F.try_divide(x - mean, std)
     return (
         df.withColumn("baseline_mean", F.round(mean, round_to))
@@ -90,13 +98,19 @@ def iqr_anomalies(
     """Tukey-fence outliers: x outside [q1 - k*iqr, q3 + k*iqr] of the
     trailing window's exact quartiles. Adds fence_lo, fence_hi,
     is_anomaly."""
+    from ..functions.expr import finite
+
     tw = _trailing(partition_cols, order_cols, lookback)
     x = F.col(value_col)
-    q1 = F.percentile(x, F.lit(0.25)).over(tw)
-    q3 = F.percentile(x, F.lit(0.75)).over(tw)
+    # fences from FINITE trailing values (invariant 8): a NaN in the
+    # window would make both fences NaN, and under Spark's NaN-is-
+    # greatest comparisons every finite x reads x < NaN as true
+    xf = finite(x)
+    q1 = F.percentile(xf, F.lit(0.25)).over(tw)
+    q3 = F.percentile(xf, F.lit(0.75)).over(tw)
     iqr = q3 - q1
     lo, hi = q1 - F.lit(k) * iqr, q3 + F.lit(k) * iqr
-    n = F.count(x).over(tw)
+    n = F.count(xf).over(tw)
     return (
         df.withColumn("fence_lo", F.round(lo, round_to))
         .withColumn("fence_hi", F.round(hi, round_to))
@@ -216,10 +230,14 @@ def seasonal_anomalies(
     pw = _trailing(
         [*(partition_cols or []), "_phase"], order_cols, lookback_cycles
     )
+    from ..functions.expr import finite
+
     x = F.col(value_col)
-    mean = F.avg(x).over(pw)
-    std = F.stddev(x).over(pw)
-    n = F.count(x).over(pw)
+    # same-phase baseline over FINITE values (invariant 8)
+    xf = finite(x)
+    mean = F.avg(xf).over(pw)
+    std = F.stddev(xf).over(pw)
+    n = F.count(xf).over(pw)
     z = F.try_divide(x - mean, std)
     scored = F.when((n >= min_cycles) & (std > 0), z)
     return (

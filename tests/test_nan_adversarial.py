@@ -141,3 +141,54 @@ def test_quantile_stats_nan_immune(spark, dirty):
     assert not math.isnan(by_stat["q0.95"])
     # NaN still shows up in the DISTINCT count (visible, not hidden)
     assert by_stat["distinct_count"] >= 8
+
+
+def test_trailing_anomaly_detectors_not_poisoned(spark):
+    from pyspark_data_quality_spark.operators.anomaly import (
+        iqr_anomalies,
+        seasonal_anomalies,
+        zscore_anomalies,
+    )
+
+    rows = [Row(t=i, m=float(10 + (i % 3))) for i in range(48)]
+    rows[10] = Row(t=10, m=NAN)   # damage
+    rows[40] = Row(t=40, m=50.0)  # genuine spike
+    df = spark.createDataFrame(rows)
+    # pre-guard behavior: every row whose trailing window contained the
+    # NaN (rows 11..22) was flagged too — NaN baselines compare greater
+    # than any threshold. Post-guard: exactly the damage and the spike.
+    z = zscore_anomalies(df, "m", ["t"], lookback=12).collect()
+    assert sorted(r["t"] for r in z if r["is_anomaly"]) == [10, 40]
+    q = iqr_anomalies(df, "m", ["t"], lookback=12).collect()
+    assert sorted(r["t"] for r in q if r["is_anomaly"]) == [10, 40]
+    # seasonal needs same-phase variance (a zero-stddev baseline never
+    # flags, by contract) — alternate each phase between two levels
+    rows2 = [
+        Row(t=i, m=float(10 + (i % 3) + (0.5 if (i // 3) % 2 else 0.0)))
+        for i in range(48)
+    ]
+    rows2[10] = Row(t=10, m=NAN)
+    rows2[40] = Row(t=40, m=50.0)
+    df2 = spark.createDataFrame(rows2)
+    s = seasonal_anomalies(
+        df2, "m", ["t"], period=3, lookback_cycles=6, min_cycles=2,
+        threshold=3.0,
+    ).collect()
+    flagged = sorted(r["t"] for r in s if r["is_anomaly"])
+    assert 40 in flagged and all(f in (10, 40) for f in flagged)
+
+
+def test_ab_test_arm_not_poisoned(spark):
+    from pyspark_data_quality_spark.operators.abtest import ab_test_report
+
+    ab = spark.createDataFrame(
+        [Row(v="a", x=float(i % 5)) for i in range(30)]
+        + [Row(v="b", x=float(i % 5) + 0.5) for i in range(30)]
+        + [Row(v="a", x=NAN)]
+    )
+    r = ab_test_report(ab, "v", "x").collect()[0]
+    # a NaN metric row drops from the arm like a NULL row: the mean
+    # stays finite and a NaN Welch t can no longer read as significant
+    assert r["n_a"] == 30 and math.isfinite(r["mean_a"])
+    assert r["welch_t"] is not None and math.isfinite(r["welch_t"])
+    assert r["significant"] is False
