@@ -123,6 +123,13 @@ def record_linkage(
     A NULL blocking key never forms candidates (equi-join semantics) —
     records with missing block keys are out of scope by design; widen
     the blocking list (multi-pass union) rather than null-matching.
+
+    .. note:: **Renamed output columns (r12).** When two comparators
+       share an a-column, the second one's similarity column is now the
+       fully-qualified ``sim_<a>_<b>_<method>`` (previously the
+       ambiguous ``sim_<a>_<method>``, whose meaning depended on
+       comparator order). Consumers of the old b-less name must update
+       their references; the name is order-stable going forward.
     """
     if not blocking:
         raise ValueError(

@@ -264,18 +264,33 @@ def winsorize(
 
     def clamp(c: str):
         lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
-        # all-null column -> null bounds -> leave values untouched
+        v = F.col(c)
+        # greatest/least SKIP nulls and order NaN as the GREATEST value,
+        # so a bare least(greatest(v, lo), hi) silently rewrites NULL to
+        # the lower bound and NaN to the upper one — converting damaged
+        # data into legitimate-looking values. Both pass through instead
+        # (they are damage to surface, not tails to trim); null bounds
+        # (all-null column) also leave values untouched.
         return F.when(
-            lo.isNotNull() & hi.isNotNull(),
-            F.least(F.greatest(F.col(c), lo), hi),
-        ).otherwise(F.col(c))
+            v.isNull() | F.isnan(v.cast("double"))
+            | lo.isNull() | hi.isNull(),
+            v,
+        ).otherwise(F.least(F.greatest(v, lo), hi))
 
     if flag_col is not None:
         # flag BEFORE overwriting: F.col is late-bound by name, so this
-        # expression must be attached while the originals are still there
+        # expression must be attached while the originals are still
+        # there. NaN is excluded explicitly: Spark's `=` treats NaN as
+        # equal to itself, but the pass-through contract should not
+        # hinge on that quirk.
         total = None
         for c in columns:
-            f = (F.col(c).isNotNull() & (clamp(c) != F.col(c))).cast("int")
+            v = F.col(c)
+            f = (
+                v.isNotNull()
+                & ~F.isnan(v.cast("double"))
+                & (clamp(c) != v)
+            ).cast("int")
             total = f if total is None else total + f
         out = out.withColumn(flag_col, total)
     for c in columns:

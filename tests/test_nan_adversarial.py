@@ -92,13 +92,21 @@ def test_winsorize_bounds_finite(spark, dirty):
 
     for exact in (False, True):
         got = winsorize(
-            dirty.select("x"), ["x"], exact=exact, flag_col="clamped"
+            dirty, ["x"], exact=exact, flag_col="clamped"
         ).collect()
+        by_i = {r["i"]: r for r in got}
         vals = [r["x"] for r in got if r["x"] is not None]
         finite_vals = [v for v in vals if not math.isnan(v)]
-        # ±Inf rows clamp into the finite band; NaN passes through
-        # un-clamped (it is damage to surface, not a tail to trim)
+        # ±Inf rows clamp into the finite band...
         assert max(finite_vals) < INF and min(finite_vals) > -INF
+        # ...but NaN passes through UN-clamped and NULL stays NULL
+        # (greatest/least would otherwise rewrite them to the bounds —
+        # damage must surface, not be repaired into plausible values),
+        # and neither counts as a clamped row.
+        assert math.isnan(by_i[100]["x"]) and by_i[100]["clamped"] == 0
+        assert by_i[103]["x"] is None and by_i[103]["clamped"] == 0
+        # the ±Inf rows DO count as clamped
+        assert by_i[101]["clamped"] == 1 and by_i[102]["clamped"] == 1
 
 
 def test_impute_and_normalize_not_poisoned(spark, dirty):
