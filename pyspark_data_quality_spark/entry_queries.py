@@ -501,20 +501,6 @@ def dq_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dq_lang_dist",
-    _SQL_PROFILE_CTE
-    + """
-    SELECT lang_pred, count(*) AS n_docs FROM scored GROUP BY lang_pred
-    """,
-)
-def dq_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return text_profile(docs).groupBy("lang_pred").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-
-
-@query(
     "dq_quality_summary",
     _SQL_PROFILE_CTE
     + """
@@ -569,9 +555,7 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dq_topk_bruteforce",
-    """
+_TOPK_BRUTEFORCE_SQL = """
     WITH q AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
       FROM embeddings WHERE vec_id < 10
@@ -588,9 +572,10 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
-    """,
-)
-def dq_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _topk_bruteforce_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import brute_force_topk
 
     emb = _emb_double(spark, sf_dir)
@@ -600,17 +585,16 @@ def dq_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries_df, k=10)
 
 
-@query(
-    "dq_embedding_pairs_exact",
-    """
+_EMBEDDING_PAIRS_EXACT_SQL = """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS DOUBLE) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE a.vec_id < 500 AND b.vec_id < 500
       AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
-    """,
-)
-def dq_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _embedding_pairs_exact_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact high-cosine pairs on a FIXED 500-vector subset — the O(n²)
     brute-force oracle baseline the LSH path is measured against. Bounded
     deliberately: the quadratic plan is the point of comparison, not a
@@ -621,6 +605,47 @@ def dq_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         emb, "embedding", "vec_id", threshold=0.4, brute_force=True
     )
+
+
+@query(
+    "dq_exact_similarity",
+    f"""
+    WITH tk AS ({_TOPK_BRUTEFORCE_SQL}),
+    ep AS ({_EMBEDDING_PAIRS_EXACT_SQL})
+    SELECT 'topk' AS part, query_id, neighbor_id, rank, cosine,
+           CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+    FROM tk
+    UNION ALL
+    SELECT 'pairs', NULL, NULL, NULL, cosine, id_a, id_b
+    FROM ep
+    """,
+)
+def dq_exact_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-similarity certification composite (r13 window
+    rebalance): the former ``dq_topk_bruteforce`` and
+    ``dq_embedding_pairs_exact`` entries unioned under a ``part`` tag
+    — one registry slot now certifies both similarity.py
+    brute_force_topk (cosine top-10 for 10 query vectors, the exact
+    baseline every ANN config's recall is measured against in
+    dq_ann_recall) and dedup.py embedding_near_dup_pairs brute-force
+    mode (all cosine>=0.4 pairs on the fixed 500-vector subset, the
+    ground truth of dq_sem_recall). Each part keeps its original
+    certified projection verbatim; see
+    _topk_bruteforce_part/_embedding_pairs_exact_part."""
+    tk = _topk_bruteforce_part(spark, sf_dir).select(
+        F.lit("topk").alias("part"),
+        "query_id", "neighbor_id", "rank", "cosine",
+        F.lit(None).cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+    )
+    ep = _embedding_pairs_exact_part(spark, sf_dir).select(
+        F.lit("pairs").alias("part"),
+        F.lit(None).cast("long").alias("query_id"),
+        F.lit(None).cast("long").alias("neighbor_id"),
+        F.lit(None).cast("int").alias("rank"),
+        "cosine", "id_a", "id_b",
+    )
+    return tk.unionByName(ep)
 
 
 @query("dq_embedding_pairs_lsh")  # rows-only: approximate op, no SQL oracle
@@ -1031,17 +1056,16 @@ def dq_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dq_event_quality_windows",
-    """
+_EVENT_QUALITY_WINDOWS_SQL = """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
            count(*) AS n_rows,
            CAST(round(avg(CASE WHEN props IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS props_nn_ratio,
            CAST(round(avg(CASE WHEN coalesce(value >= 0.0 AND value <= 10.0, FALSE) THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS val_range_ratio
     FROM events GROUP BY 1
-    """,
-)
-def dq_event_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _event_quality_windows_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-hour DQ pass ratios — the declarative rules' streaming surface
     (windowed_pass_ratios), run here in batch mode for the oracle."""
     from .streaming import windowed_pass_ratios
@@ -1125,27 +1149,6 @@ def dq_fk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return proj(m1.get_metric_results()).unionByName(
         proj(m2.get_metric_results())
-    )
-
-
-@query(
-    "dq_fk_violations",
-    """
-    SELECT c_custkey, c_nationkey, 'customer_nation_fk' AS failed_rules
-    FROM customer c
-    WHERE NOT EXISTS (
-      SELECT 1 FROM nation n
-      WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey <= 2
-    )
-    """,
-)
-def dq_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, customer, _, r2 = _fk_rules(spark, sf_dir)
-    res = DQManager(spark).set_data(customer).add_rule(r2).run()
-    return res.get_invalid_df().select(
-        "c_custkey",
-        "c_nationkey",
-        F.concat_ws(",", F.array_sort("failed_rules")).alias("failed_rules"),
     )
 
 
@@ -1258,9 +1261,7 @@ def dq_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dq_event_sessions",
-    """
+_EVENT_SESSIONS_SQL = """
     WITH s AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -1277,9 +1278,10 @@ def dq_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            CAST(floor(epoch(max(ts))) AS BIGINT) AS last_event_epoch
     FROM g GROUP BY user_id, sess_id
-    """,
-)
-def dq_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _event_sessions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization (session_window, 30-min gap). The oracle is the
     classic gap-and-islands rewrite; the boundary uses >= because Spark
     merges an event into a session only while the gap is STRICTLY below
@@ -1310,41 +1312,7 @@ def dq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, centroids=cents, k=10, nprobe=8)
 
 
-@query(
-    "dq_quality_cube",
-    _SQL_PROFILE_CTE
-    + """
-    SELECT coalesce(source, 'ALL') AS source_grp,
-           coalesce(lang_pred, 'ALL') AS lang_grp,
-           count(*) AS n_docs,
-           CAST(round(avg(quality_score), 6) AS DOUBLE) AS avg_quality
-    FROM scored GROUP BY CUBE(source, lang_pred)
-    """,
-)
-def dq_quality_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality rollup over ALL grouping-set combinations of (source,
-    lang_pred) — one cube aggregation (Expand + single hash agg), the
-    standard shape for multi-dimensional DQ dashboards."""
-    docs = load_table(spark, "documents", sf_dir)
-    prof = text_profile(docs)
-    return (
-        prof.cube("source", "lang_pred")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
-        )
-        .select(
-            F.coalesce(F.col("source"), F.lit("ALL")).alias("source_grp"),
-            F.coalesce(F.col("lang_pred"), F.lit("ALL")).alias("lang_grp"),
-            "n_docs",
-            "avg_quality",
-        )
-    )
-
-
-@query(
-    "dq_winnow_fingerprints",
-    f"""
+_WINNOW_SQL = f"""
     WITH base AS (
       SELECT doc_id, {_SQL_NORM} AS norm FROM documents WHERE doc_id < 100
     ), g AS (
@@ -1356,9 +1324,10 @@ def dq_quality_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g WHERE len(hs) >= 4
     )
     SELECT doc_id, unnest(fps) AS fingerprint FROM fp
-    """,
-)
-def dq_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _winnow_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints, exploded to rows, on a fixed
     100-doc subset (the set is ~0.5/w of chars per doc — bounded work)."""
     from .functions.text import winnow_fingerprints
@@ -1618,9 +1587,7 @@ def _drift_detail_sql(nd: int) -> str:
 """
 
 
-@query(
-    "dq_group_psi",
-    f"""
+_GROUP_PSI_SQL = f"""
     WITH pc AS (
       SELECT CAST(o_orderpriority AS VARCHAR) AS grp,
              'o_orderstatus' AS "column",
@@ -1658,9 +1625,10 @@ def _drift_detail_sql(nd: int) -> str:
                  * ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6))), 6)
              > 0.25 AS drifted
     FROM j GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-)
-def dq_group_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _group_psi_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SEGMENT PSI of o_orderstatus within each o_orderpriority
     segment, post- vs pre-1998H2 — drift localized to one segment that
     a global PSI averages away (operators/drift.py psi_by_group; the
@@ -2794,9 +2762,7 @@ def dq_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dq_sequence_gaps",
-    """
+_SEQUENCE_GAPS_SQL = """
     WITH holed AS (
       SELECT l_orderkey, l_linenumber FROM lineitem
       WHERE NOT (l_linenumber = 2 AND l_orderkey % 3 = 0)
@@ -2809,12 +2775,14 @@ def dq_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, prev AS gap_after, v AS gap_before,
            CAST(v - prev - 1 AS BIGINT) AS n_missing
     FROM lagged WHERE prev IS NOT NULL AND v - prev > 1
-    """,
-)
-def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holes in per-order line numbers after synthetically dropping line 2
-    of every 3rd order (operators/consistency.py sequence_gaps — lag over
-    a window partitioned by the order key)."""
+    """
+
+
+def _sequence_gaps_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holes in per-order line numbers after synthetically dropping line
+    2 of every 3rd order (operators/consistency.py sequence_gaps — lag
+    over a window partitioned by the order key). Certified through the
+    dq_sequence_audit composite."""
     from .operators.consistency import sequence_gaps
 
     li = load_table(spark, "lineitem", sf_dir)
@@ -2824,9 +2792,7 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_gaps(holed, "l_linenumber", ["l_orderkey"])
 
 
-@query(
-    "dq_sequence_completeness",
-    """
+_SEQUENCE_COMPLETENESS_SQL = """
     WITH holed AS (
       SELECT l_orderkey, l_linenumber FROM lineitem
       WHERE NOT (l_linenumber = 2 AND l_orderkey % 3 = 0)
@@ -2840,9 +2806,10 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, n_expected, n_actual,
            n_expected - n_actual AS n_missing
     FROM g WHERE n_expected <> n_actual
-    """,
-)
-def dq_sequence_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _sequence_completeness_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-order sequence coverage over the same synthetic holes, gappy
     orders only (operators/consistency.py sequence_completeness — one
     groupBy, no window)."""
@@ -2854,6 +2821,39 @@ def dq_sequence_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sequence_completeness(holed, "l_linenumber", ["l_orderkey"])
     return out.filter(F.col("n_missing") != 0)
+
+
+@query(
+    "dq_sequence_audit",
+    f"""
+    WITH gaps AS ({_SEQUENCE_GAPS_SQL}),
+    cov AS ({_SEQUENCE_COMPLETENESS_SQL})
+    SELECT coalesce(g.l_orderkey, c.l_orderkey) AS l_orderkey,
+           g.gap_after, g.gap_before,
+           g.n_missing AS n_missing_gap,
+           c.n_expected, c.n_actual, c.n_missing
+    FROM gaps g FULL OUTER JOIN cov c USING (l_orderkey)
+    """,
+)
+def dq_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-integrity certification composite (r13 window
+    rebalance): the former ``dq_sequence_gaps`` and
+    ``dq_sequence_completeness`` entries full-outer-joined on the order
+    key — one registry slot now certifies both consistency.py
+    sequence_gaps (lag window: where the holes sit) and
+    sequence_completeness (span-vs-distinct groupBy: how much is
+    missing) over the same synthetic line-number holes. The join also
+    pins their CROSS-op invariant: with line 2 of every 3rd multi-line
+    order dropped, the two detectors must flag the exact same order
+    set, so no row may have a NULL side."""
+    gaps = _sequence_gaps_part(spark, sf_dir).withColumnRenamed(
+        "n_missing", "n_missing_gap"
+    )
+    cov = _sequence_completeness_part(spark, sf_dir)
+    return gaps.join(cov, "l_orderkey", "full_outer").select(
+        "l_orderkey", "gap_after", "gap_before", "n_missing_gap",
+        "n_expected", "n_actual", "n_missing",
+    )
 
 
 _SKEW_COLS = ["l_orderkey", "l_suppkey", "l_returnflag"]
@@ -2939,8 +2939,7 @@ def _windowed_psi_sql() -> str:
     """
 
 
-@query("dq_windowed_psi", _windowed_psi_sql())
-def dq_windowed_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _windowed_psi_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly PSI of the event-type mix vs a uniform reference — the
     batch face of the streaming drift monitor (streaming/windows.py
     windowed_psi; identical plan on a stream, one state row per window)."""
@@ -2954,6 +2953,72 @@ def dq_windowed_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").cast("long").alias("window_epoch"),
         "n_events", "psi", "drifted",
     )
+
+
+@query(
+    "dq_stream_faces",
+    f"""
+    WITH se AS ({_EVENT_SESSIONS_SQL}),
+    qw AS ({_EVENT_QUALITY_WINDOWS_SQL}),
+    wp AS ({_windowed_psi_sql()})
+    SELECT 'sessions' AS part, user_id, session_start_epoch, n_events,
+           last_event_epoch, CAST(NULL AS BIGINT) AS window_epoch,
+           CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS DOUBLE) AS props_nn_ratio,
+           CAST(NULL AS DOUBLE) AS val_range_ratio,
+           CAST(NULL AS DOUBLE) AS psi,
+           CAST(NULL AS BOOLEAN) AS drifted
+    FROM se
+    UNION ALL
+    SELECT 'quality_windows', NULL, NULL, NULL, NULL, window_epoch,
+           n_rows, props_nn_ratio, val_range_ratio, NULL, NULL
+    FROM qw
+    UNION ALL
+    SELECT 'windowed_psi', NULL, NULL, n_events, NULL, window_epoch,
+           NULL, NULL, NULL, psi, drifted
+    FROM wp
+    """,
+)
+def dq_stream_faces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming batch-face certification composite (r13 window
+    rebalance): the former ``dq_event_sessions``,
+    ``dq_event_quality_windows`` and ``dq_windowed_psi`` entries
+    unioned under a ``part`` tag, NULL-padded to a common schema — one
+    registry slot now certifies three streaming/windows.py faces:
+    session_counts (30-min gap sessionization vs the gap-and-islands
+    oracle), windowed_pass_ratios (per-hour declarative-rule pass
+    ratios) and windowed_psi (hourly event-type PSI vs a uniform
+    reference). Each part keeps its original certified projection
+    verbatim; stream-parity e2e tests for each face stay in
+    tests/test_streaming*.py."""
+    nb = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    se = _event_sessions_part(spark, sf_dir).select(
+        F.lit("sessions").alias("part"),
+        "user_id", "session_start_epoch", "n_events",
+        "last_event_epoch",
+        nb.alias("window_epoch"), nb.alias("n_rows"),
+        nd.alias("props_nn_ratio"), nd.alias("val_range_ratio"),
+        nd.alias("psi"),
+        F.lit(None).cast("boolean").alias("drifted"),
+    )
+    qw = _event_quality_windows_part(spark, sf_dir).select(
+        F.lit("quality_windows").alias("part"),
+        nb.alias("user_id"), nb.alias("session_start_epoch"),
+        nb.alias("n_events"), nb.alias("last_event_epoch"),
+        "window_epoch", "n_rows", "props_nn_ratio", "val_range_ratio",
+        nd.alias("psi"),
+        F.lit(None).cast("boolean").alias("drifted"),
+    )
+    wp = _windowed_psi_part(spark, sf_dir).select(
+        F.lit("windowed_psi").alias("part"),
+        nb.alias("user_id"), nb.alias("session_start_epoch"),
+        "n_events", nb.alias("last_event_epoch"),
+        "window_epoch", nb.alias("n_rows"),
+        nd.alias("props_nn_ratio"), nd.alias("val_range_ratio"),
+        "psi", "drifted",
+    )
+    return se.unionByName(qw).unionByName(wp)
 
 
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -3194,43 +3259,6 @@ def dq_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dq_dedup_bloom",
-    r"""
-    SELECT b.doc_id FROM documents b
-    WHERE b.doc_id >= 250
-      AND NOT EXISTS (
-        SELECT 1 FROM documents r
-        WHERE r.doc_id < 250
-          AND trim(regexp_replace(lower(r.text), '\s+', ' ', 'g'))
-              = trim(regexp_replace(lower(b.text), '\s+', ' ', 'g'))
-      )
-    ORDER BY doc_id
-    """,
-)
-def dq_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same incremental-dedup contract as dq_dedup_against, via the
-    broadcast Bloom prefilter scale path (operators/bloom.py
-    dedup_against_bloom): the reference folds into a fixed-size bitmap
-    (map-side bit_or, shuffle capped at num_bits/64 rows), the batch is
-    probed with pure codegen expressions against the broadcast bitmap,
-    and only the probable hits are exactly verified through two
-    broadcast joins — neither side is ever shuffled by content. Bloom
-    filters have no false negatives, so with exact verification the
-    result is row-for-row identical to the exact anti join and shares
-    its DuckDB oracle verbatim."""
-    from .operators.bloom import dedup_against_bloom
-
-    docs = load_table(spark, "documents", sf_dir)
-    batch = docs.filter(F.col("doc_id") >= 250)
-    ref = docs.filter(F.col("doc_id") < 250)
-    return (
-        dedup_against_bloom(batch, ref, "text", expected_items=300, fpp=0.01)
-        .select("doc_id")
-        .orderBy("doc_id")
-    )
-
-
-@query(
     "dq_nb_scores",
     r"""
     WITH base AS (
@@ -3367,24 +3395,6 @@ def dq_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_match_pairs(
         cust, "c_name", "c_custkey", max_distance=1, q=2
     ).select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))
-
-
-@query("dq_semantic_dedup")  # rows-only: k-means quantizer, no SQL oracle
-def dq_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup over the embeddings table: k-means
-    cluster assignment (deterministic seeded quantizer), within-cluster
-    high-cosine pairs via the capped bucket expansion, exact cosine
-    verify (operators/dedup.py semantic_dedup). Rows-only: approximate
-    by design (cross-cluster pairs are deliberately out of scope); the
-    exact all-pairs twin dq_embedding_pairs_exact is the oracle-certified
-    baseline, and the unit test asserts planted-duplicate recall."""
-    from .operators.dedup import semantic_dedup
-
-    emb = _emb_double(spark, sf_dir)
-    return semantic_dedup(
-        emb, "embedding", "vec_id",
-        threshold=0.4, num_clusters=16, sample_size=512,
-    ).orderBy("id_a", "id_b")
 
 
 @query("dq_sem_recall")  # rows-only: recall harness over semantic dedup
@@ -3575,9 +3585,7 @@ def dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                          n=8, threshold=0.5)
 
 
-@query(
-    "dq_dup_clusters",
-    f"""
+_DUP_CLUSTERS_SQL = f"""
     WITH sizes AS (
       SELECT count(*) AS cluster_size
       FROM documents GROUP BY {_SQL_NORM}
@@ -3586,29 +3594,16 @@ def dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_clusters,
            CAST(sum(cluster_size) AS BIGINT) AS n_docs
     FROM sizes GROUP BY 1 ORDER BY 1
-    """,
-)
-def dq_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _dup_clusters_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate cluster size distribution over documents — the
     dedup planning view (operators/dedup.py dup_cluster_profile)."""
     from .operators.dedup import dup_cluster_profile
 
     docs = load_table(spark, "documents", sf_dir)
     return dup_cluster_profile(docs, "text")
-
-
-@query("dq_sketch_rollup")  # rows-only: HLL/KLL estimates are engine-specific
-def dq_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch profile of l_extendedprice per l_returnflag plus
-    the merged __total__ row — per-group HLL distinct + KLL quantile
-    sketches, grand total from UNIONING the sketches rather than
-    rescanning (operators/profile.py sketch_rollup). Rows-only: sketch
-    estimates are engine-specific; the tolerance-vs-exact assertion
-    lives in the unit test."""
-    from .operators.profile import sketch_rollup
-
-    li = load_table(spark, "lineitem", sf_dir)
-    return sketch_rollup(li, "l_extendedprice", group_by=["l_returnflag"])
 
 
 @query("dq_sketch_tol")  # rows-only: sketch-vs-exact tolerance harness
@@ -4837,9 +4832,7 @@ def dq_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd_chain_audit(iv, ["user_id"], "s", "e")
 
 
-@query(
-    "dq_trans",
-    """
+_TRANS_SQL = """
     WITH s AS (
       SELECT event_type AS f,
              lead(event_type) OVER (PARTITION BY user_id
@@ -4854,9 +4847,10 @@ def dq_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(n / sum(n) OVER (PARTITION BY f), 6) AS DOUBLE)
              AS prob
     FROM m ORDER BY from_state, to_state
-    """,
-)
-def dq_trans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _trans_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix (operators/funnel.py event_transitions)
     over per-user event sequences, terminal ``__end__`` rows included so
     every from-state row sums to 1. event_id is the tie order (the
@@ -6496,9 +6490,7 @@ def dq_group_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
-    "dq_retention",
-    """
+_RETENTION_SQL = """
     WITH base AS (
       SELECT user_id AS u,
              CAST(floor(floor(epoch(date_trunc('day', ts)) / 86400) / 7)
@@ -6521,9 +6513,10 @@ def dq_group_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) AS retention
     FROM mat m JOIN sizes s USING (cohort)
     ORDER BY cohort, period_offset
-    """,
-)
-def dq_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _retention_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix (operators/retention.py
     retention_matrix) over the event log: users bucketed by
     first-touch week, share still active k weeks on (offset capped at
@@ -6539,8 +6532,52 @@ def dq_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dq_kappa",
-    """
+    "dq_user_journeys",
+    f"""
+    WITH tr AS ({_TRANS_SQL}),
+    re AS ({_RETENTION_SQL})
+    SELECT 'transitions' AS part, from_state, to_state, n_transitions,
+           prob, CAST(NULL AS BIGINT) AS cohort,
+           CAST(NULL AS BIGINT) AS period_offset,
+           CAST(NULL AS BIGINT) AS n_cohort,
+           CAST(NULL AS BIGINT) AS n_active,
+           CAST(NULL AS DOUBLE) AS retention
+    FROM tr
+    UNION ALL
+    SELECT 'retention', NULL, NULL, NULL, NULL,
+           cohort, period_offset, n_cohort, n_active, retention
+    FROM re
+    """,
+)
+def dq_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey certification composite (r13 window rebalance):
+    the former ``dq_trans`` and ``dq_retention`` entries unioned under
+    a ``part`` tag, NULL-padded to a common schema — one registry slot
+    now certifies both funnel.py event_transitions (per-user Markov
+    transition matrix with terminal rows) and retention.py
+    retention_matrix (weekly cohort retention, offset cap 8) over the
+    event log. Each part keeps its original certified projection
+    verbatim; see _trans_part/_retention_part."""
+    nb = F.lit(None).cast("long")
+    tr = _trans_part(spark, sf_dir).select(
+        F.lit("transitions").alias("part"),
+        "from_state", "to_state", "n_transitions", "prob",
+        nb.alias("cohort"), nb.alias("period_offset"),
+        nb.alias("n_cohort"), nb.alias("n_active"),
+        F.lit(None).cast("double").alias("retention"),
+    )
+    re_ = _retention_part(spark, sf_dir).select(
+        F.lit("retention").alias("part"),
+        F.lit(None).cast("string").alias("from_state"),
+        F.lit(None).cast("string").alias("to_state"),
+        nb.alias("n_transitions"),
+        F.lit(None).cast("double").alias("prob"),
+        "cohort", "period_offset", "n_cohort", "n_active", "retention",
+    )
+    return tr.unionByName(re_)
+
+
+_KAPPA_SQL = """
     WITH lab AS (
       SELECT CASE WHEN length(text) >= 500 THEN 'pass' ELSE 'fail' END
                AS a,
@@ -6568,9 +6605,10 @@ def dq_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (1 - pe_num / (CAST(n_rows AS DOUBLE) * n_rows)), 6)
              AS DOUBLE) AS kappa
     FROM n, pe
-    """,
-)
-def dq_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _kappa_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-rater agreement (operators/consistency.py
     agreement_report): Cohen's kappa between two independent quality
     gates over the documents table — a length gate and an
@@ -6589,9 +6627,7 @@ def dq_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agreement_report(lab, "gate_len", "gate_en")
 
 
-@query(
-    "dq_calibration",
-    """
+_CALIBRATION_SQL = """
     WITH pair AS (
       SELECT least(length(text) / 2000.0, 1.0) AS s,
              CASE WHEN length(text) >= 1000 THEN 1.0 ELSE 0.0 END AS y
@@ -6617,9 +6653,10 @@ def dq_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS abs_gap
     FROM per
     ORDER BY bin
-    """,
-)
-def dq_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _calibration_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score calibration / ECE (operators/classify.py
     calibration_report): a [0,1] length-derived quality score binned
     into deciles against a binary length label; per-bin reliability
@@ -6639,8 +6676,53 @@ def dq_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dq_triangles",
-    """
+    "dq_label_quality",
+    f"""
+    WITH ka AS ({_KAPPA_SQL}),
+    cal AS ({_CALIBRATION_SQL})
+    SELECT 'kappa' AS part, n_rows, observed_agreement,
+           expected_agreement, kappa,
+           CAST(NULL AS BIGINT) AS bin, CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS mean_score,
+           CAST(NULL AS DOUBLE) AS positive_rate,
+           CAST(NULL AS DOUBLE) AS abs_gap
+    FROM ka
+    UNION ALL
+    SELECT 'calibration', NULL, NULL, NULL, NULL,
+           bin, n, mean_score, positive_rate, abs_gap
+    FROM cal
+    """,
+)
+def dq_label_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality certification composite (r13 window rebalance):
+    the former ``dq_kappa`` and ``dq_calibration`` entries unioned
+    under a ``part`` tag, NULL-padded to a common schema — one registry
+    slot now certifies both consistency.py agreement_report (Cohen's
+    kappa between two quality gates) and classify.py
+    calibration_report (decile reliability diagram + bin=-1 ECE). Each
+    part keeps its original certified projection verbatim; see
+    _kappa_part/_calibration_part."""
+    ka = _kappa_part(spark, sf_dir).select(
+        F.lit("kappa").alias("part"),
+        "n_rows", "observed_agreement", "expected_agreement", "kappa",
+        F.lit(None).cast("long").alias("bin"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("mean_score"),
+        F.lit(None).cast("double").alias("positive_rate"),
+        F.lit(None).cast("double").alias("abs_gap"),
+    )
+    cal = _calibration_part(spark, sf_dir).select(
+        F.lit("calibration").alias("part"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.lit(None).cast("double").alias("observed_agreement"),
+        F.lit(None).cast("double").alias("expected_agreement"),
+        F.lit(None).cast("double").alias("kappa"),
+        "bin", "n", "mean_score", "positive_rate", "abs_gap",
+    )
+    return ka.unionByName(cal)
+
+
+_TRIANGLES_SQL = """
     WITH raw AS (
       SELECT o_orderkey % 61 AS src, o_custkey % 61 AS dst FROM orders
     ), e AS (
@@ -6656,9 +6738,10 @@ def dq_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN e ON e.u = s1.b AND e.v = s2.b
     GROUP BY s1.a
     ORDER BY node
-    """,
-)
-def dq_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _triangles_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.py triangle_counts)
     over a deterministic order↔customer residue graph (keys mod 61 —
     the distinct edge set is bounded by the node domain, so cost is
@@ -6767,9 +6850,7 @@ def dq_joinability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
-    "dq_dup_rate",
-    """
+_DUP_RATE_SQL = """
     WITH per AS (
       SELECT o_orderstatus, o_custkey, count(*) AS n
       FROM orders GROUP BY 1, 2
@@ -6780,9 +6861,10 @@ def dq_joinability(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6)
                 AS DOUBLE) AS dup_ratio
     FROM per GROUP BY 1 ORDER BY 1
-    """,
-)
-def dq_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _dup_rate_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment duplicate rate (operators/uniqueness.py
     dup_rate_by_group): repeated customers per order status — the
     'which source double-sends' face of UniqueCheck, previously
@@ -6795,8 +6877,49 @@ def dq_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dq_ks_group",
+    "dq_dup_profile",
     f"""
+    WITH dr AS ({_DUP_RATE_SQL}),
+    dc AS ({_DUP_CLUSTERS_SQL})
+    SELECT 'dup_rate' AS part, o_orderstatus, n_rows, n_distinct,
+           dup_ratio, CAST(NULL AS BIGINT) AS cluster_size,
+           CAST(NULL AS BIGINT) AS n_clusters,
+           CAST(NULL AS BIGINT) AS n_docs
+    FROM dr
+    UNION ALL
+    SELECT 'dup_clusters', NULL, NULL, NULL, NULL,
+           cluster_size, n_clusters, n_docs
+    FROM dc
+    """,
+)
+def dq_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-profile certification composite (r13 window
+    rebalance): the former ``dq_dup_rate`` and ``dq_dup_clusters``
+    entries unioned under a ``part`` tag, NULL-padded to a common
+    schema — one registry slot now certifies both uniqueness.py
+    dup_rate_by_group (per-segment duplicate rate over orders) and
+    dedup.py dup_cluster_profile (exact-dup cluster size distribution
+    over documents). Each part keeps its original certified projection
+    verbatim; see _dup_rate_part/_dup_clusters_part."""
+    dr = _dup_rate_part(spark, sf_dir).select(
+        F.lit("dup_rate").alias("part"),
+        "o_orderstatus", "n_rows", "n_distinct", "dup_ratio",
+        F.lit(None).cast("long").alias("cluster_size"),
+        F.lit(None).cast("long").alias("n_clusters"),
+        F.lit(None).cast("long").alias("n_docs"),
+    )
+    dc = _dup_clusters_part(spark, sf_dir).select(
+        F.lit("dup_clusters").alias("part"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_distinct"),
+        F.lit(None).cast("double").alias("dup_ratio"),
+        "cluster_size", "n_clusters", "n_docs",
+    )
+    return dr.unionByName(dc)
+
+
+_KS_GROUP_SQL = f"""
     WITH a AS (
       SELECT o_orderpriority AS grp, round(o_totalprice, -2) AS x,
              count(*) AS n_a
@@ -6832,9 +6955,10 @@ def dq_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_a) AS BIGINT) AS n_cur,
            CAST(sum(n_b) AS BIGINT) AS n_ref
     FROM c GROUP BY grp ORDER BY grp
-    """,
-)
-def dq_ks_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _ks_group_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment two-sample KS (operators/drift.py ks_by_group):
     o_totalprice drift post- vs pre-1998H2 WITHIN each order priority
     — the numeric complement of dq_group_psi, previously pytest-only.
@@ -6852,8 +6976,37 @@ def dq_ks_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dq_gopher",
-    rf"""
+    "dq_group_drift",
+    f"""
+    WITH ks AS ({_KS_GROUP_SQL}),
+    psi AS ({_GROUP_PSI_SQL})
+    SELECT ks.grp, ks.ks, ks.n_cur, ks.n_ref,
+           psi."column" AS psi_column, psi.psi, psi.drifted
+    FROM ks JOIN psi ON psi.grp = ks.grp
+    """,
+)
+def dq_group_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment drift certification composite (r13 window
+    rebalance): the former ``dq_ks_group`` and ``dq_group_psi``
+    entries joined on the segment key — one registry slot now
+    certifies both drift.py ks_by_group (numeric ECDF drift of
+    o_totalprice, distributed prefix-sum) and psi_by_group
+    (categorical o_orderstatus PSI) within each order priority, post-
+    vs pre-1998H2. Inner join: both ops must emit exactly one row per
+    priority segment, so a missing segment on either side fails the
+    row count."""
+    ks = _ks_group_part(spark, sf_dir)
+    psi = _group_psi_part(spark, sf_dir).select(
+        F.col("grp").alias("_pgrp"),
+        F.col("column").alias("psi_column"),
+        "psi", "drifted",
+    )
+    return ks.join(psi, ks["grp"] == psi["_pgrp"]).select(
+        "grp", "ks", "n_cur", "n_ref", "psi_column", "psi", "drifted",
+    )
+
+
+_GOPHER_SQL = rf"""
     WITH base AS (
       SELECT source, coalesce(text, '') AS t,
              list_filter(string_split(
@@ -6905,9 +7058,10 @@ def dq_ks_group(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS avg_symbol,
            CAST(round(avg(p), 6) AS DOUBLE) AS pass_rate
     FROM gated GROUP BY source ORDER BY source
-    """,
-)
-def dq_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _gopher_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher static quality gates (functions/text.py gopher_signals /
     gopher_pass), previously pytest-only: per-source signal averages
     and the paper-threshold pass rate. Pure expression trees — zero
@@ -7015,9 +7169,7 @@ def dq_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
-    "dq_clean_lines",
-    """
+_CLEAN_LINES_SQL = """
     WITH pair AS (
       SELECT a.doc_id,
              concat_ws(chr(10), a.text, b.text, a.text) AS mixed
@@ -7045,9 +7197,10 @@ def dq_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
            a.lmd5 AS lines_md5
     FROM pair p LEFT JOIN agg a USING (doc_id)
     ORDER BY p.doc_id
-    """,
-)
-def dq_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _clean_lines_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line cleaning (functions/text.py clean_lines),
     previously pytest-only: documents concatenated with a rotated
     partner AND themselves ((doc_id+13) % 500), so repeated-line
@@ -7094,9 +7247,7 @@ def dq_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
-    "dq_readability",
-    r"""
+_READABILITY_SQL = r"""
     WITH base AS (
       SELECT doc_id, coalesce(text, '') AS t,
              list_filter(string_split(
@@ -7125,9 +7276,10 @@ def dq_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + 11.8 * (n_syllables * 1.0 / nullif(n_words, 0))
                  - 15.59, 6) AS DOUBLE) AS fk_grade
     FROM cnt ORDER BY doc_id
-    """,
-)
-def dq_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _readability_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Flesch / Flesch-Kincaid readability
     (operators/text.py readability_profile): sentence, word and
     vowel-group syllable counts plus both scores, replayed count by
@@ -7139,8 +7291,64 @@ def dq_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dq_interarrival",
-    """
+    "dq_doc_quality",
+    f"""
+    WITH rd AS ({_READABILITY_SQL}),
+    go AS ({_GOPHER_SQL})
+    SELECT 'readability' AS part, doc_id, CAST(NULL AS VARCHAR) AS source,
+           n_sentences, n_words, n_syllables, flesch_reading_ease,
+           fk_grade, CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS DOUBLE) AS avg_alpha,
+           CAST(NULL AS DOUBLE) AS avg_bullet,
+           CAST(NULL AS DOUBLE) AS avg_ellipsis,
+           CAST(NULL AS DOUBLE) AS avg_symbol,
+           CAST(NULL AS DOUBLE) AS pass_rate
+    FROM rd
+    UNION ALL
+    SELECT 'gopher', NULL, source, NULL, NULL, NULL, NULL, NULL,
+           n_docs, avg_alpha, avg_bullet, avg_ellipsis, avg_symbol,
+           pass_rate
+    FROM go
+    """,
+)
+def dq_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-quality certification composite (r13 window rebalance):
+    the former ``dq_readability`` and ``dq_gopher`` entries unioned
+    under a ``part`` tag, NULL-padded to a common schema — one registry
+    slot now certifies both text.py readability_profile (per-doc
+    Flesch / FK-grade, count-by-count oracle) and functions/text.py
+    gopher_signals / gopher_pass (per-source Gopher static gates).
+    Each part keeps its original certified projection verbatim; see
+    _readability_part/_gopher_part."""
+    rd = _readability_part(spark, sf_dir).select(
+        F.lit("readability").alias("part"),
+        "doc_id",
+        F.lit(None).cast("string").alias("source"),
+        "n_sentences", "n_words", "n_syllables",
+        "flesch_reading_ease", "fk_grade",
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("double").alias("avg_alpha"),
+        F.lit(None).cast("double").alias("avg_bullet"),
+        F.lit(None).cast("double").alias("avg_ellipsis"),
+        F.lit(None).cast("double").alias("avg_symbol"),
+        F.lit(None).cast("double").alias("pass_rate"),
+    )
+    go = _gopher_part(spark, sf_dir).select(
+        F.lit("gopher").alias("part"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "source",
+        F.lit(None).cast("long").alias("n_sentences"),
+        F.lit(None).cast("long").alias("n_words"),
+        F.lit(None).cast("long").alias("n_syllables"),
+        F.lit(None).cast("double").alias("flesch_reading_ease"),
+        F.lit(None).cast("double").alias("fk_grade"),
+        "n_docs", "avg_alpha", "avg_bullet", "avg_ellipsis",
+        "avg_symbol", "pass_rate",
+    )
+    return rd.unionByName(go)
+
+
+_INTERARRIVAL_SQL = """
     WITH s AS (
       SELECT event_type AS k, epoch_us(ts) / 1000000.0 AS sec
       FROM events WHERE ts IS NOT NULL
@@ -7157,9 +7365,10 @@ def dq_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) AS cv,
            CAST(round(max(gap), 6) AS DOUBLE) AS max_gap_s
     FROM g GROUP BY k ORDER BY k
-    """,
-)
-def dq_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _interarrival_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type inter-arrival shape (operators/rollup.py
     interarrival_stats): gap mean/stddev/CV/max — metronomic vs bursty
     traffic. Gap multisets depend only on the sorted timestamps, so
@@ -7481,9 +7690,7 @@ def dq_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
-    "dq_encoding",
-    """
+_ENCODING_SQL = """
     WITH inj AS (
       SELECT doc_id,
              concat(coalesce(text, ''),
@@ -7497,9 +7704,10 @@ def dq_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + len(regexp_extract_all(t, '[ÂÃ][-¿]'))
                 AS BIGINT) AS n_artifacts
     FROM inj ORDER BY doc_id
-    """,
-)
-def dq_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _encoding_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-damage scan (functions/text.py
     encoding_artifact_count), previously pytest-only: U+FFFD, C1
     control characters and UTF-8-as-latin-1 mojibake digraphs, with
@@ -7522,9 +7730,7 @@ def dq_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
-    "dq_url_normalize",
-    r"""
+_URL_NORMALIZE_SQL = r"""
     WITH raw AS (
       SELECT doc_id,
              CASE WHEN doc_id % 10 = 0 THEN 'not a url'
@@ -7571,9 +7777,10 @@ def dq_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE u END AS norm_url,
            lower(host) AS host
     FROM bounds ORDER BY doc_id
-    """,
-)
-def dq_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _url_normalize_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + host extraction (functions/text.py
     normalize_url / url_host), previously pytest-only: synthesized
     URLs with tracking params, mixed-case scheme+authority, fragments
@@ -7600,15 +7807,79 @@ def dq_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "dq_text_cleanup",
+    f"""
+    WITH cl AS ({_CLEAN_LINES_SQL}),
+    ur AS ({_URL_NORMALIZE_SQL}),
+    en AS ({_ENCODING_SQL}),
+    wn AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+             md5(string_agg(fingerprint, ',' ORDER BY fingerprint))
+               AS fingerprints_md5
+      FROM ({_WINNOW_SQL}) GROUP BY doc_id
+    )
+    SELECT cl.doc_id, cl.n_lines_kept, cl.n_chars_kept, cl.lines_md5,
+           ur.norm_url, ur.host, en.n_artifacts,
+           wn.n_fingerprints, wn.fingerprints_md5
+    FROM cl
+    JOIN ur ON ur.doc_id = cl.doc_id
+    JOIN en ON en.doc_id = cl.doc_id
+    LEFT JOIN wn ON wn.doc_id = cl.doc_id
+    """,
+)
+def dq_text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-cleanup certification composite (r13 window rebalance):
+    the former ``dq_clean_lines``, ``dq_url_normalize``,
+    ``dq_encoding`` and ``dq_winnow_fingerprints`` entries joined on
+    doc_id — one registry slot now certifies four functions/text.py
+    kernels: clean_lines (C4-style line filtering, order-free
+    projections), normalize_url/url_host (tracking-param stripping +
+    authority lowercasing), encoding_artifact_count (mojibake /
+    replacement-char scan) and winnow_fingerprints (rolling-hash
+    winnowing, digested per doc as count + md5 of the sorted
+    fingerprint set — only docs < 100 carry fingerprints, hence the
+    LEFT join). Each part keeps its original certified projection
+    verbatim; see _clean_lines_part/_url_normalize_part/
+    _encoding_part/_winnow_part."""
+    from .functions.text import winnow_fingerprints
+
+    cl = _clean_lines_part(spark, sf_dir)
+    ur = _url_normalize_part(spark, sf_dir)
+    en = _encoding_part(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < 100
+    )
+    fps = winnow_fingerprints("text", k=5, w=4)
+    wn = (
+        docs.select("doc_id", fps.alias("_fps"))
+        .filter(F.size("_fps") > 0)
+        .select(
+            F.col("doc_id").alias("_wid"),
+            F.size("_fps").cast("long").alias("n_fingerprints"),
+            F.md5(F.array_join(F.array_sort("_fps"), ","))
+            .alias("fingerprints_md5"),
+        )
+    )
+    return (
+        cl.join(ur, "doc_id")
+        .join(en, "doc_id")
+        .join(wn, cl["doc_id"] == wn["_wid"], "left")
+        .select(
+            "doc_id", "n_lines_kept", "n_chars_kept", "lines_md5",
+            "norm_url", "host", "n_artifacts", "n_fingerprints",
+            "fingerprints_md5",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-9 second analytics batch: format masks, concentration, A/B stats,
 # autocorrelation, quantile normalization, compression signal.
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "dq_pattern_profile",
-    """
+_PATTERN_PROFILE_SQL = """
     WITH pairs AS (
       SELECT 'c_mktsegment' AS "column",
              regexp_replace(regexp_replace(regexp_replace(
@@ -7628,9 +7899,10 @@ def dq_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sum(count(*)) OVER (PARTITION BY "column"), 6) AS ratio
     FROM pairs GROUP BY "column", mask
     ORDER BY "column", n DESC, mask
-    """,
-)
-def dq_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _pattern_profile_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format-mask mining (operators/profile.py pattern_profile): the
     dominant character-class patterns of customer name/segment — mixed
     id layouts surface as extra mask rows. The oracle replays the
@@ -7641,9 +7913,7 @@ def dq_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pattern_profile(cust, ["c_name", "c_mktsegment"])
 
 
-@query(
-    "dq_concentration",
-    """
+_CONCENTRATION_SQL = """
     WITH nn AS (
       SELECT lang, CAST(n_chars AS DOUBLE) AS x
       FROM documents WHERE n_chars IS NOT NULL
@@ -7672,9 +7942,10 @@ def dq_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN agg a ON a.lang IS NOT DISTINCT FROM d.lang
     LEFT JOIN nulls nl ON nl.lang IS NOT DISTINCT FROM d.lang
     ORDER BY d.lang
-    """,
-)
-def dq_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _concentration_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language size concentration (operators/profile.py
     concentration_report): exact rank-formula Gini + top-decile and
     max single-document shares of the corpus bytes — "is this slice a
@@ -7684,6 +7955,53 @@ def dq_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return concentration_report(docs, ["lang"], "n_chars")
+
+
+@query(
+    "dq_value_shape",
+    f"""
+    WITH con AS ({_CONCENTRATION_SQL}),
+    pat AS ({_PATTERN_PROFILE_SQL})
+    SELECT 'concentration' AS part, lang, n, n_null, total, gini,
+           top_decile_share, max_share,
+           CAST(NULL AS VARCHAR) AS col_name,
+           CAST(NULL AS VARCHAR) AS mask, CAST(NULL AS DOUBLE) AS ratio
+    FROM con
+    UNION ALL
+    SELECT 'pattern', NULL, n, NULL, NULL, NULL, NULL, NULL,
+           "column", mask, ratio
+    FROM pat
+    """,
+)
+def dq_value_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-shape certification composite (r13 window rebalance): the
+    former ``dq_concentration`` and ``dq_pattern_profile`` entries
+    unioned under a ``part`` tag, NULL-padded to a common schema — one
+    registry slot now certifies both profile.py concentration_report
+    (per-language Gini / top-decile / max shares of corpus bytes) and
+    pattern_profile (A/a/9 format-mask mining over customer columns).
+    Each part keeps its original certified projection verbatim; see
+    _concentration_part/_pattern_profile_part."""
+    nd = F.lit(None).cast("double")
+    con = _concentration_part(spark, sf_dir).select(
+        F.lit("concentration").alias("part"),
+        "lang", "n", "n_null", "total", "gini", "top_decile_share",
+        "max_share",
+        F.lit(None).cast("string").alias("col_name"),
+        F.lit(None).cast("string").alias("mask"),
+        nd.alias("ratio"),
+    )
+    pat = _pattern_profile_part(spark, sf_dir).select(
+        F.lit("pattern").alias("part"),
+        F.lit(None).cast("string").alias("lang"),
+        "n",
+        F.lit(None).cast("long").alias("n_null"),
+        nd.alias("total"), nd.alias("gini"),
+        nd.alias("top_decile_share"), nd.alias("max_share"),
+        F.col("column").alias("col_name"),
+        "mask", "ratio",
+    )
+    return con.unionByName(pat)
 
 
 @query(
@@ -7742,9 +8060,7 @@ def dq_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dq_acf",
-    """
+_ACF_SQL = """
     WITH b AS (
       SELECT event_type,
              CAST(floor(epoch_us(ts) / 1000000.0 / 3600) AS BIGINT) AS bkt,
@@ -7767,9 +8083,10 @@ def dq_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN stats s ON s.event_type = b1.event_type
     GROUP BY b1.event_type, l.lag
     ORDER BY b1.event_type, l.lag
-    """,
-)
-def dq_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _acf_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traffic autocorrelation (operators/rollup.py acf_profile):
     per-event-type ACF of hourly event counts at lags 1 h / 2 h / 24 h
     — the daily-period fingerprint. The series is integer-exact, so the
@@ -7779,6 +8096,56 @@ def dq_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     return acf_profile(ev, ["event_type"], "ts", lags=[1, 2, 24])
+
+
+@query(
+    "dq_timeseries_shape",
+    f"""
+    WITH acf AS ({_ACF_SQL}),
+    ia AS ({_INTERARRIVAL_SQL})
+    SELECT 'acf' AS part, event_type, "lag", n_buckets, n_pairs, acf,
+           CAST(NULL AS BIGINT) AS n_events,
+           CAST(NULL AS BIGINT) AS n_gaps,
+           CAST(NULL AS DOUBLE) AS mean_gap_s,
+           CAST(NULL AS DOUBLE) AS sd_gap_s,
+           CAST(NULL AS DOUBLE) AS cv,
+           CAST(NULL AS DOUBLE) AS max_gap_s
+    FROM acf
+    UNION ALL
+    SELECT 'interarrival', event_type, NULL, NULL, NULL, NULL,
+           n_events, n_gaps, mean_gap_s, sd_gap_s, cv, max_gap_s
+    FROM ia
+    """,
+)
+def dq_timeseries_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-traffic shape certification composite (r13 window
+    rebalance): the former ``dq_acf`` and ``dq_interarrival`` entries
+    unioned under a ``part`` tag, NULL-padded to a common schema — one
+    registry slot now certifies both rollup.py acf_profile (hourly
+    autocorrelation at lags 1/2/24 h) and interarrival_stats (gap
+    mean/stddev/CV/max per event type). Each part keeps its original
+    certified projection verbatim; see _acf_part/_interarrival_part."""
+    acf = _acf_part(spark, sf_dir).select(
+        F.lit("acf").alias("part"),
+        "event_type", "lag", "n_buckets", "n_pairs", "acf",
+        F.lit(None).cast("long").alias("n_events"),
+        F.lit(None).cast("long").alias("n_gaps"),
+        F.lit(None).cast("double").alias("mean_gap_s"),
+        F.lit(None).cast("double").alias("sd_gap_s"),
+        F.lit(None).cast("double").alias("cv"),
+        F.lit(None).cast("double").alias("max_gap_s"),
+    )
+    ia = _interarrival_part(spark, sf_dir).select(
+        F.lit("interarrival").alias("part"),
+        "event_type",
+        F.lit(None).cast("int").alias("lag"),
+        F.lit(None).cast("long").alias("n_buckets"),
+        F.lit(None).cast("long").alias("n_pairs"),
+        F.lit(None).cast("double").alias("acf"),
+        "n_events", "n_gaps", "mean_gap_s", "sd_gap_s", "cv",
+        "max_gap_s",
+    )
+    return acf.unionByName(ia)
 
 
 @query(
@@ -7843,32 +8210,7 @@ def dq_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dq_compression")
-def dq_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Redundancy signal (operators/text.py compression_profile): zlib
-    level-6 byte/compressed-byte counts and ratio per document.
-    Rows-only: DuckDB exposes no DEFLATE primitive, so there is no SQL
-    replay — determinism (fixed level, pure function of the bytes) and
-    the signal's direction (repetitive ≪ random) are pinned by
-    tests/test_analytics2.py instead."""
-    from .operators.text import compression_profile
-
-    docs = load_table(spark, "documents", sf_dir)
-    return (
-        compression_profile(docs, "text")
-        .select(
-            "doc_id",
-            "n_bytes",
-            "n_compressed",
-            F.round("compression_ratio", 6).alias("compression_ratio"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@query(
-    "dq_kcore",
-    f"""
+_KCORE_SQL = f"""
     WITH RECURSIVE g AS (
       SELECT doc_id,
              list_distinct([substr(norm, i, 3) FOR i IN range(1, len(norm) - 1)]) AS grams
@@ -7893,9 +8235,10 @@ def dq_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.src AS id, CAST(count(*) AS BIGINT) AS degree
     FROM dir e JOIN core a ON a.v = e.src JOIN core b ON b.v = e.dst
     GROUP BY e.src ORDER BY id
-    """,
-)
-def dq_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _kcore_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the near-dup pair graph (operators/graph.py k_core:
     distributed wave peeling, localCheckpoint-ed rounds) over the SAME
     deterministic exact n-gram Jaccard edges as dq_components — the
@@ -7916,6 +8259,38 @@ def dq_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         use_lsh_blocking=False,
     )
     return k_core(pairs, 2).orderBy("id")
+
+
+@query(
+    "dq_graph_profile",
+    f"""
+    SELECT 'kcore2' AS part, id, degree AS n FROM ({_KCORE_SQL})
+    UNION ALL
+    SELECT 'triangles' AS part, node AS id, n_triangles AS n
+    FROM ({_TRIANGLES_SQL})
+    """,
+)
+def dq_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-metric certification composite (r13 window rebalance):
+    the former ``dq_kcore`` and ``dq_triangles`` entries unioned under
+    a ``part`` tag — one registry slot now certifies both
+    operators/graph.py k_core (wave peeling over the near-dup doc
+    graph, recursive-CTE oracle) and triangle_counts (degree-oriented
+    wedge counting over the orders residue graph, neighbor-pair
+    oracle). Each part keeps its original certified projection
+    verbatim; see _kcore_part/_triangles_part for the per-part
+    semantics and scale notes."""
+    k = _kcore_part(spark, sf_dir).select(
+        F.lit("kcore2").alias("part"),
+        F.col("id"),
+        F.col("degree").cast("long").alias("n"),
+    )
+    t = _triangles_part(spark, sf_dir).select(
+        F.lit("triangles").alias("part"),
+        F.col("node").alias("id"),
+        F.col("n_triangles").cast("long").alias("n"),
+    )
+    return k.unionByName(t)
 
 
 @query(

@@ -21,7 +21,7 @@ run. At corpus scale the cheaper shape is:
 No false negatives (a Bloom filter never misses a member), so with
 ``exact_verify=True`` the result is row-for-row identical to
 ``dedup_against``; certified against the same DuckDB oracle
-(``dq_dedup_bloom``). ``bloom_probe`` also accepts a STREAMING ``df``:
+(row-identical to ``dq_dedup_against``; equivalence pinned in tests/test_bloom.py). ``bloom_probe`` also accepts a STREAMING ``df``:
 the bitmap is a static broadcast, so a readStream micro-batch filters
 known documents with zero stateful operators and zero stream-side
 shuffle (tests/test_streaming.py

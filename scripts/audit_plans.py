@@ -36,15 +36,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 #: crossJoins that broadcast a 1-ROW aggregate (constant fan-out, not
 #: quadratic). `--assert` fails on a nested loop appearing anywhere else.
 NESTED_LOOP_OK = {
-    "dq_topk_bruteforce",        # brute-force baseline (documented)
+    "dq_exact_similarity",       # brute-force topk + O(n²) pair baselines
+                                 # (former dq_topk_bruteforce /
+                                 # dq_embedding_pairs_exact, fixed subsets)
     "dq_mmd",                    # 1-row n/gamma/mmd2 stat broadcasts x2 configs
     "dq_zorder",                 # 1-row global-range broadcast per layout
-    "dq_embedding_pairs_exact",  # O(n²) oracle baseline, fixed 500 rows
     "dq_ngram_jaccard",          # exact-path baseline, fixed 100 docs
     "dq_neardup_recall",         # harness ground truths (bounded subsets)
     "dq_curation_floor",         # exact ground truth over fixed <=500 docs
     "dq_sem_recall",             # exact baseline over fixed 500 vectors
-    "dq_dedup_bloom",            # 1-row bloom-bitmap broadcast crossJoin
     "dq_contamination_bloom",    # 1-row bloom-bitmap broadcast join
     "dq_nb_scores",              # C-row class-spine broadcast crossJoin
     "dq_wasserstein",            # 1-row total broadcasts
@@ -73,8 +73,8 @@ NESTED_LOOP_OK = {
     "dq_numeric_drift",          # two 1-row stats frames joined
     "dq_heavy",                  # 1-row undercount-bound broadcast
     "dq_c2st",                   # NB class-spine + 1-row broadcasts
-    "dq_kappa",                  # three 1-row agreement frames joined
-    "dq_calibration",            # 1-row bin-total broadcast
+    "dq_label_quality",          # kappa 1-row agreement frames +
+                                 # calibration bin-total broadcast
     "dq_segment_health",         # constituents' 1-row global broadcasts
     "dq_corpus_card",            # 1-row card-section aggregates
 }
