@@ -13,6 +13,7 @@ Rules for oracle-hash stability:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Dict
 
@@ -8570,6 +8571,125 @@ def dq_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dq_unicode_profile",
+    r"""
+    WITH dmg AS (
+      SELECT text
+          || CASE WHEN doc_id % 5 = 0 THEN ' caf' || chr(233)
+                  ELSE '' END
+          || CASE WHEN doc_id % 7 = 0 THEN ' cafe' || chr(769)
+                  ELSE '' END
+          || CASE WHEN doc_id % 11 = 0 THEN chr(8203) ELSE '' END
+          || CASE WHEN doc_id % 13 = 0 THEN ' ' || chr(128512)
+                  ELSE '' END
+          || CASE WHEN doc_id % 17 = 0 THEN ' ' || chr(65533)
+                  ELSE '' END AS t
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(sum(CASE WHEN regexp_matches(t, '[^\x00-\x7F]')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_non_ascii,
+           CAST(sum(CASE WHEN nfc_normalize(t) <> t
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_denormalized,
+           CAST(sum(CASE WHEN regexp_matches(t,
+               '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]|[\x{200B}-\x{200F}]')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_with_controls,
+           CAST(sum(CASE WHEN regexp_matches(t,
+               '[\x{10000}-\x{10FFFF}]') THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_astral,
+           CAST(sum(CASE WHEN contains(t, chr(65533))
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_with_replacement
+    FROM dmg
+    """,
+)
+def dq_unicode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Unicode-health report (operators/text.py
+    unicode_profile) — the diagnostic twin of dq_nfc_normalize's
+    repair op, lifted from its engine-parity pytest
+    (tests/test_text_dedup.py) into the driver window. Deterministic
+    damage is appended by doc_id residue so every counter fires at
+    every SF: a composed e-acute (non-ASCII but normalized), a
+    decomposed combining acute (the denormalized case), a zero-width
+    space (the Cf control class), an astral-plane emoji, and U+FFFD.
+    The DuckDB oracle replays each predicate with its own independent
+    machinery (RE2 classes + nfc_normalize) over identically-built
+    strings; the Cc/Cf check intersects on the injected classes
+    because the fixture text itself is control-free, which the hash
+    certifies."""
+    from .operators.text import unicode_profile
+
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    # explicit escapes on purpose (same rule as dq_nfc_normalize): an
+    # editor auto-composing the source would silently merge the
+    # composed and decomposed cases
+    damaged = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0, F.lit(" caf\u00e9")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit(" cafe\u0301")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit("\u200b")).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" \U0001f600")).otherwise(F.lit("")),
+        F.when(did % 17 == 0, F.lit(" \ufffd")).otherwise(F.lit("")),
+    )
+    return unicode_profile(docs.select(damaged.alias("t")), "t")
+
+
+@query(
+    "dq_warc_extract",
+    r"""
+    WITH d AS (
+      SELECT range AS i FROM range(0, 40) WHERE range % 10 <> 3
+    ), t AS (
+      SELECT i,
+             'Doc ' || i || ' Doc ' || i || ' Paragraph one of doc '
+               || i || ': alpha beta gamma ' || (i * 7)
+               || '. Fish & chips <' || i || '>' AS text
+      FROM d
+    )
+    SELECT 'http://corpus.example/doc/' || i AS url,
+           '2024-01-01T00:00:00Z' AS warc_date,
+           CASE WHEN i % 10 = 7 THEN NULL
+                ELSE 'text/html; charset=utf-8' END AS content_type,
+           text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           md5(text) AS text_md5
+    FROM t ORDER BY i
+    """,
+)
+def dq_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl ingestion path end-to-end (sources/warc.py
+    WarcDataSource + warc_documents): reads the committed
+    two-shard member-per-record ``fixtures/warc/*.warc.gz`` sample
+    (one InputPartition per shard, the CC layout; regenerate with
+    scripts/make_warc_fixture.py) and extracts WET-style text —
+    response-only filtering, HTTP header stripping, declared-vs-
+    sniffed HTML detection (the no-Content-Type docs come through
+    with a NULL type), script/comment/tag removal, entity unescape,
+    whitespace collapse. Every fixture payload is a pure function of
+    the doc index, so the oracle RECOMPUTES the expected extraction
+    from the same formula — counts, full text, and md5 — rather than
+    pinning opaque rows. sf-independent by design: the fixture, not
+    the sf tables, is the input, so the entry certifies identically
+    in the tri-SF sweep."""
+    from .sources.warc import register_warc_source, warc_documents
+
+    fixture_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "warc",
+    )
+    register_warc_source(spark)
+    raw = spark.read.format("warc").load(fixture_dir)
+    docs = warc_documents(raw)
+    return docs.select(
+        "url", "warc_date", "content_type", "text",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    ).orderBy("url")
 
 
 # ---------------------------------------------------------------------------
