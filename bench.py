@@ -78,7 +78,7 @@ def _prev_bench(repo_dir: str, sf: float) -> tuple[str, dict] | None:
 
 
 def suite_line(total: float, timings: dict[str, float], sf: float,
-               budget: int = 1900) -> str:
+               budget: int = 1900, pop: str | None = None) -> str:
     """The LAST stdout line, compact so it fits WHOLE in the driver's
     ~2000-char tail buffer: no spaces, 1-decimal timings, and the uniform
     ``dq_`` prefix stripped from query keys (~3 bytes x 80+ entries of
@@ -113,6 +113,11 @@ def suite_line(total: float, timings: dict[str, float], sf: float,
             "sf": sf,
             "n": len(timings),
         }
+        if pop:
+            # which POPULATION the suite total covers (r12 verdict: a
+            # "full registry" total and a subset/errored run are
+            # non-comparable; make every suite number self-describing)
+            out["pop"] = pop
         if dropped:
             out["dropped"] = dropped
         line = json.dumps(out, separators=(",", ":"))
@@ -258,7 +263,12 @@ def main() -> None:
     print(json.dumps({"metric": "dq_queries_full", "queries": timings}),
           file=sys.stderr)
 
-    line = suite_line(sum(timings.values()), timings, sf)
+    registry_n = len(entry_mod.queries())
+    pop = (
+        "all" if len(timings) == registry_n
+        else f"{len(timings)}/{registry_n}"
+    )
+    line = suite_line(sum(timings.values()), timings, sf, pop=pop)
     if len(line) > 1900:
         print(f"WARNING: suite line {len(line)} chars — the driver tail "
               "buffer will truncate; cut query count or shorten names",

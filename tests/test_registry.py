@@ -110,7 +110,7 @@ def test_registry_bench_line_budget():
     # per query (3-char timings), so the emitted line runs ~160 chars
     # shorter than this bound.
     timings = {k: 99.9 for k in ENTRY_QUERIES}
-    line = suite_line(8291.7, timings, sf=0.1)
+    line = suite_line(8291.7, timings, sf=0.1, pop="all")
     # bounded BY CONSTRUCTION: suite_line truncates the per-query map
     # (slowest-first retention) before it can overflow the driver's
     # ~2000-char tail buffer, whatever the entry count.
@@ -118,6 +118,9 @@ def test_registry_bench_line_budget():
     parsed = json.loads(line)
     assert parsed["n"] == len(ENTRY_QUERIES)  # n covers the FULL suite
     assert parsed["metric"] == "dq_suite_seconds"
+    # population stamp (r12 verdict item 6): a full-registry total and
+    # a subset run must be distinguishable from the JSON alone
+    assert parsed["pop"] == "all"
 
     # Past ~112 entries the full map mathematically exceeds the
     # driver's 2000-char tail whatever the names; suite_line's
