@@ -7708,24 +7708,28 @@ _ENCODING_SQL = """
     """
 
 
-def _encoding_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encoding-damage scan (functions/text.py
-    encoding_artifact_count), previously pytest-only: U+FFFD, C1
-    control characters and UTF-8-as-latin-1 mojibake digraphs, with
-    deterministic artifacts injected into every fourth document so
-    the three detectors all fire at every SF. Both engines count the
-    same literal character classes."""
-    from .functions.text import encoding_artifact_count
-
-    docs = load_table(spark, "documents", sf_dir)
-    damaged = F.concat(
+def _encoding_fixture_col():
+    """The mojibake-injection column shared by _encoding_part and the
+    dq_text_cleanup single-scan projection: U+FFFD, a C1 control and a
+    UTF-8-as-latin-1 digraph appended to every fourth document."""
+    return F.concat(
         F.coalesce(F.col("text"), F.lit("")),
         F.when(F.col("doc_id") % 4 == 0, F.lit(' cafÃ© � x\x85'))
         .otherwise(F.lit("")),
     )
+
+
+def _encoding_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage scan (functions/text.py
+    encoding_artifact_count), previously pytest-only: the three
+    detector classes all fire at every SF via the injected artifacts.
+    Both engines count the same literal character classes."""
+    from .functions.text import encoding_artifact_count
+
+    docs = load_table(spark, "documents", sf_dir)
     return docs.select(
         "doc_id",
-        encoding_artifact_count(damaged).alias("n_artifacts"),
+        encoding_artifact_count(_encoding_fixture_col()).alias("n_artifacts"),
     ).orderBy("doc_id")
 
 
@@ -7781,19 +7785,13 @@ _URL_NORMALIZE_SQL = r"""
     """
 
 
-def _url_normalize_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization + host extraction (functions/text.py
-    normalize_url / url_host), previously pytest-only: synthesized
-    URLs with tracking params, mixed-case scheme+authority, fragments
-    and a case-sensitive path — plus a malformed row every tenth doc
-    (passthrough branch, NULL host). The oracle replays the full
-    regex chain and the authority-end arithmetic; both engines must
-    lowercase exactly the scheme+authority span and nothing else."""
-    from .functions.text import normalize_url, url_host
-
-    docs = load_table(spark, "documents", sf_dir)
+def _url_fixture_col():
+    """The synthesized-URL column shared by _url_normalize_part and the
+    dq_text_cleanup single-scan projection: tracking params, mixed-case
+    scheme+authority, fragment, case-sensitive path, and a malformed
+    row every tenth doc (passthrough branch, NULL host)."""
     did = F.col("doc_id").cast("string")
-    url = F.when(F.col("doc_id") % 10 == 0, F.lit("not a url")).otherwise(
+    return F.when(F.col("doc_id") % 10 == 0, F.lit("not a url")).otherwise(
         F.concat(
             F.lit("HTTPS://WWW."), F.col("source"),
             F.lit(".Example.COM:8443/CaseSensitive/Path"), did,
@@ -7801,6 +7799,18 @@ def _url_normalize_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("&utm_campaign=x&ref=tw#Frag"),
         )
     )
+
+
+def _url_normalize_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host extraction (functions/text.py
+    normalize_url / url_host), previously pytest-only. The oracle
+    replays the full regex chain and the authority-end arithmetic;
+    both engines must lowercase exactly the scheme+authority span and
+    nothing else."""
+    from .functions.text import normalize_url, url_host
+
+    docs = load_table(spark, "documents", sf_dir)
+    url = _url_fixture_col()
     return docs.select(
         "doc_id",
         normalize_url(url).alias("norm_url"),
@@ -7843,29 +7853,42 @@ def dq_text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT join). Each part keeps its original certified projection
     verbatim; see _clean_lines_part/_url_normalize_part/
     _encoding_part/_winnow_part."""
-    from .functions.text import winnow_fingerprints
+    from .functions.text import (
+        encoding_artifact_count,
+        normalize_url,
+        url_host,
+        winnow_fingerprints,
+    )
 
     cl = _clean_lines_part(spark, sf_dir)
-    ur = _url_normalize_part(spark, sf_dir)
-    en = _encoding_part(spark, sf_dir)
-    docs = load_table(spark, "documents", sf_dir).filter(
-        F.col("doc_id") < 100
+    # url + encoding + winnow are pure projections, so they ride ONE
+    # shared scan of documents (the plan-audit discipline: a composite
+    # must not multiply corpus scans the parts don't need); clean_lines
+    # keeps its own scans — its rotated-partner self-join is inherent.
+    docs = load_table(spark, "documents", sf_dir)
+    url = _url_fixture_col()
+    fps = F.when(
+        F.col("doc_id") < 100, winnow_fingerprints("text", k=5, w=4)
     )
-    fps = winnow_fingerprints("text", k=5, w=4)
-    wn = (
-        docs.select("doc_id", fps.alias("_fps"))
-        .filter(F.size("_fps") > 0)
-        .select(
-            F.col("doc_id").alias("_wid"),
-            F.size("_fps").cast("long").alias("n_fingerprints"),
-            F.md5(F.array_join(F.array_sort("_fps"), ","))
-            .alias("fingerprints_md5"),
-        )
+    sig = docs.select(
+        F.col("doc_id").alias("_sid"),
+        normalize_url(url).alias("norm_url"),
+        url_host(url).alias("host"),
+        encoding_artifact_count(_encoding_fixture_col()).alias(
+            "n_artifacts"
+        ),
+        fps.alias("_fps"),
+    ).select(
+        "_sid", "norm_url", "host", "n_artifacts",
+        F.when(F.size("_fps") > 0, F.size("_fps").cast("long"))
+        .alias("n_fingerprints"),
+        F.when(
+            F.size("_fps") > 0,
+            F.md5(F.array_join(F.array_sort("_fps"), ",")),
+        ).alias("fingerprints_md5"),
     )
     return (
-        cl.join(ur, "doc_id")
-        .join(en, "doc_id")
-        .join(wn, cl["doc_id"] == wn["_wid"], "left")
+        cl.join(sig, cl["doc_id"] == sig["_sid"])
         .select(
             "doc_id", "n_lines_kept", "n_chars_kept", "lines_md5",
             "norm_url", "host", "n_artifacts", "n_fingerprints",
