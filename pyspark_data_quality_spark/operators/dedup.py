@@ -365,6 +365,94 @@ def jaccard(a: Column, b: Column) -> Column:
     )
 
 
+def lsh_plan(
+    threshold: float,
+    *,
+    target_recall: float = 0.99,
+    reject_below: float | None = None,
+    max_hashes: int = 512,
+) -> dict:
+    """Choose a MinHash banding configuration for
+    :func:`minhash_near_dup_pairs` instead of guessing one.
+
+    With ``b`` bands of ``r`` rows, a pair of similarity ``s`` becomes
+    an LSH candidate with probability ``1-(1-s^r)^b``. This searches
+    every ``r`` in [1, 32], takes the smallest ``b`` that reaches
+    ``target_recall`` at ``threshold``, keeps the configs that fit in
+    ``max_hashes`` total hashes, and among those picks the one with
+    the lowest candidate probability at ``reject_below`` (default
+    ``threshold - 0.2``) — i.e. the steepest usable S-curve: fewer
+    false candidates means smaller LSH buckets, which is the term that
+    actually scales (bucket² verify cost), so spending hash budget on
+    steepness is usually right.
+
+    Returns a dict usable directly as kwargs plus diagnostics::
+
+        {"num_hashes", "num_bands", "rows_per_band",
+         "recall_at_threshold", "candidate_rate_at_reject", "s_star"}
+
+    ``s_star = (1/b) ** (1/r)`` is the S-curve midpoint — similarity
+    where candidate probability is ~0.63; it should sit at or just
+    below ``threshold``. Driver-side arithmetic only (no Spark): call
+    it once and pass the result to the operator.
+
+    >>> cfg = lsh_plan(0.7)
+    >>> pairs = minhash_near_dup_pairs(df, "text", "doc_id",
+    ...     num_hashes=cfg["num_hashes"], num_bands=cfg["num_bands"],
+    ...     threshold=0.7)
+    """
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"lsh_plan: threshold {threshold} not in (0, 1)")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(
+            f"lsh_plan: target_recall {target_recall} not in (0, 1)"
+        )
+    s0 = reject_below if reject_below is not None else threshold - 0.2
+    s0 = min(max(s0, 1e-6), threshold)
+
+    def candidate_prob(s: float, r: int, b: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    best: dict | None = None
+    for r in range(1, 33):
+        p = threshold**r
+        if p <= 0.0:
+            break
+        # smallest b reaching the recall target at `threshold`
+        b = max(1, math.ceil(math.log1p(-target_recall) / math.log1p(-p)))
+        n = b * r
+        if n > max_hashes:
+            continue
+        cand = {
+            "num_hashes": n,
+            "num_bands": b,
+            "rows_per_band": r,
+            "recall_at_threshold": round(candidate_prob(threshold, r, b), 6),
+            "candidate_rate_at_reject": round(candidate_prob(s0, r, b), 6),
+            "s_star": round((1.0 / b) ** (1.0 / r), 6),
+        }
+        if (
+            best is None
+            or cand["candidate_rate_at_reject"]
+            < best["candidate_rate_at_reject"]
+            or (
+                cand["candidate_rate_at_reject"]
+                == best["candidate_rate_at_reject"]
+                and n < best["num_hashes"]
+            )
+        ):
+            best = cand
+    if best is None:
+        raise ValueError(
+            f"lsh_plan: no (bands, rows) config reaches recall "
+            f"{target_recall} at threshold {threshold} within "
+            f"{max_hashes} hashes — raise max_hashes or lower the target"
+        )
+    return best
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str,

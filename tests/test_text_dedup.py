@@ -1814,3 +1814,54 @@ def test_readability_profile_hand_checked(spark):
     for r in (r3, r4):
         assert (r["n_sentences"], r["n_words"], r["n_syllables"]) == (0, 0, 0)
         assert r["flesch_reading_ease"] is None and r["fk_grade"] is None
+
+
+def test_lsh_plan_advisor(spark):
+    from pyspark_data_quality_spark.operators.dedup import (
+        lsh_plan,
+        minhash_near_dup_pairs,
+    )
+
+    # the docstring's published config class: at threshold 0.7 within a
+    # 128-hash budget the steepest feasible curve is 4 rows per band
+    cfg = lsh_plan(0.7, target_recall=0.999, max_hashes=128)
+    assert cfg["rows_per_band"] == 4
+    assert cfg["num_hashes"] == cfg["num_bands"] * cfg["rows_per_band"]
+    assert cfg["recall_at_threshold"] >= 0.999
+    # closed-form cross-check: 1-(1-t^r)^b
+    t, r, b = 0.7, cfg["rows_per_band"], cfg["num_bands"]
+    assert abs(cfg["recall_at_threshold"] - (1 - (1 - t**r) ** b)) < 1e-6
+    # S-curve midpoint sits below the operating threshold
+    assert cfg["s_star"] < 0.7
+
+    # more hash budget buys a steeper curve (fewer false candidates),
+    # never a worse one
+    wide = lsh_plan(0.7, target_recall=0.999, max_hashes=512)
+    assert (
+        wide["candidate_rate_at_reject"] <= cfg["candidate_rate_at_reject"]
+    )
+    # recall target is always honored
+    for tr in (0.9, 0.99, 0.999):
+        assert lsh_plan(0.8, target_recall=tr)["recall_at_threshold"] >= tr
+
+    with pytest.raises(ValueError, match="threshold"):
+        lsh_plan(1.5)
+    with pytest.raises(ValueError, match="no .bands, rows."):
+        lsh_plan(0.05, target_recall=0.9999, max_hashes=8)
+
+    # the returned config drives the operator directly
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "the quick brown fox jumps over the lazy dog tonight!"),
+            (2, "completely different text about spark and parquet io"),
+        ],
+        ["doc_id", "text"],
+    )
+    small = lsh_plan(0.7, target_recall=0.99, max_hashes=64)
+    pairs = minhash_near_dup_pairs(
+        df, "text", "doc_id",
+        num_hashes=small["num_hashes"], num_bands=small["num_bands"],
+        threshold=0.7,
+    ).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
