@@ -814,7 +814,7 @@ def dq_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify candidates exactly (estimated-jaccard / exact hamming), so
     precision certifies the verify step. The O(n²) hamming ground truth
     is a bounded, documented oracle baseline (125k pairs), the same
-    contract as dq_embedding_pairs_exact. Seeded/deterministic, but not
+    contract as dq_exact_similarity's pairs part. Seeded/deterministic, but not
     SQL-expressible without replaying the LSH in the oracle —
     rows-only by design."""
     from .functions.vectors import simhash_np
@@ -3403,7 +3403,8 @@ def dq_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-dedup quality made driver-visible: precision/recall of
     semantic_dedup's within-cluster pairs against the exact brute-force
     cosine>=0.4 ground truth on the FIXED 500-vector subset
-    dq_embedding_pairs_exact certifies — replacing the unit-test-only
+    dq_exact_similarity's pairs part certifies — replacing the
+    unit-test-only
     planted-duplicate claim with a per-round floor. Two configs: the
     16-cluster entry shape and a 4-cluster recall-tilted shape (fewer
     cluster boundaries to split true pairs across). ``meets_floor`` is a
@@ -3609,7 +3610,7 @@ def _dup_clusters_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dq_sketch_tol")  # rows-only: sketch-vs-exact tolerance harness
 def dq_sketch_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch accuracy made driver-visible: dq_sketch_rollup's HLL
+    """Sketch accuracy made driver-visible: sketch_rollup's HLL
     distinct and KLL quantile estimates checked against the EXACT values
     on the same (lineitem, l_extendedprice, l_returnflag) rollup —
     replacing the unit-test-only tolerance claim with a per-round floor,
@@ -6962,7 +6963,8 @@ _KS_GROUP_SQL = f"""
 def _ks_group_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment two-sample KS (operators/drift.py ks_by_group):
     o_totalprice drift post- vs pre-1998H2 WITHIN each order priority
-    — the numeric complement of dq_group_psi, previously pytest-only.
+    — the numeric complement of the psi part of dq_group_drift,
+    previously pytest-only.
     The distributed prefix-sum ECDF must agree with the oracle's
     windowed cumulative sums per group."""
     from .operators.drift import ks_by_group
@@ -7526,9 +7528,10 @@ def dq_segment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id, per-segment KS of value) into the same long format —
     closing the r10 'certified via constituents' gap: the composite's
     inlined base-aggregate math is now hash-certified end-to-end, not
-    argued from dq_group_completeness/dq_group_freshness/dq_dup_rate/
-    dq_group_psi/dq_ks_group (each of which stays certified on its
-    own). tests/test_curation.py::test_segment_health_constituent_parity
+    argued from its constituents (dq_group_completeness,
+    dq_group_freshness, and the dup-rate / per-segment-PSI / KS parts
+    now certified inside dq_dup_profile and dq_group_drift).
+    tests/test_curation.py::test_segment_health_constituent_parity
     additionally pins the inlined math to the standalone operators."""
     from .pipelines.segment_health import segment_health_report
 
@@ -7678,7 +7681,7 @@ def dq_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle can replay (the default HLL face stays the 100 TB
     path; its ~2% tolerance is floor-tested in dq_sketch_tol's family).
     The oracle recomputes every section from the shared per-document
-    profile CTE (the dq_text_profile face) plus the dq_gopher signal
+    profile CTE (the dq_text_profile face) plus the gopher signal
     replay — closing the r9/r10 'composite certified via constituents'
     gap for the card."""
     from .pipelines.corpus_card import corpus_report
@@ -8698,7 +8701,10 @@ def dq_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the same formula — counts, full text, and md5 — rather than
     pinning opaque rows. sf-independent by design: the fixture, not
     the sf tables, is the input, so the entry certifies identically
-    in the tri-SF sweep."""
+    in the tri-SF sweep. The fixture path is repo-relative
+    (__file__-derived) on purpose — this is the one entry whose input
+    is not reached via sf_dir, and it requires the repo checkout, the
+    same environment the driver contract already assumes."""
     from .sources.warc import register_warc_source, warc_documents
 
     fixture_dir = os.path.join(
