@@ -95,3 +95,36 @@ def test_curation_shuffle_budget(spark, docs):
     assert c["row_python"] == 0, c
     assert curated.count() >= 0
     spark.catalog.clearCache()
+
+
+#: r13 composite registry entries: (shuffle ceiling, scan ceiling),
+#: one unit of slack over the audited r13 values — a rewrite that
+#: re-multiplies corpus scans (the dq_text_cleanup one-scan collapse)
+#: or unfuses a part must fail loudly here.
+_COMPOSITE_BUDGETS = {
+    "dq_text_cleanup": (1, 4),       # audited: 0 / 3
+    "dq_sequence_audit": (4, 3),     # audited: 3 / 2
+    "dq_graph_profile": (9, 1),      # audited: 8 / 0 (checkpointed edges)
+    "dq_group_drift": (9, 5),        # audited: 8 / 4
+    "dq_doc_quality": (4, 3),        # audited: 3 / 2
+    "dq_timeseries_shape": (6, 2),   # audited: 5 / 1 (events scan shared)
+    "dq_label_quality": (7, 1),      # audited: 6 / 0
+    "dq_dup_profile": (7, 3),        # audited: 6 / 2
+    "dq_exact_similarity": (2, 5),   # audited: 1 / 4 (bounded subsets)
+    "dq_stream_faces": (4, 4),       # audited: 3 / 3
+    "dq_user_journeys": (6, 2),      # audited: 5 / 1
+    "dq_value_shape": (7, 3),        # audited: 6 / 2
+    "dq_unicode_profile": (2, 2),    # audited: 1 / 1
+}
+
+
+@pytest.mark.parametrize("name", sorted(_COMPOSITE_BUDGETS))
+def test_composite_entry_plan_budgets(spark, sf_dir, name):
+    from pyspark_data_quality_spark.entry_queries import ENTRY_QUERIES
+
+    max_shuffles, max_scans = _COMPOSITE_BUDGETS[name]
+    c = _counts(ENTRY_QUERIES[name](spark, sf_dir))
+    assert c["shuffles"] <= max_shuffles, (name, c)
+    assert c["scans"] <= max_scans, (name, c)
+    assert c["row_python"] == 0, (name, c)
+    spark.catalog.clearCache()
