@@ -481,7 +481,9 @@ def minhash_near_dup_pairs(
     exact-Jaccard verify on the payloads — no join back to the corpus, so
     the shingle/signature computation executes exactly once.
     With b bands of r rows the candidate recall at similarity s is
-    1-(1-s^r)^b — 32 bands x 4 rows catches s>=0.7 with >99.9% probability.
+    1-(1-s^r)^b — 32 bands x 4 rows catches s>=0.7 with >99.9% probability;
+    :func:`lsh_plan` picks (num_hashes, num_bands) for a target
+    threshold/recall/hash budget instead of hand-tuning.
     Buckets larger than ``max_bucket_size`` are dropped (see
     :func:`cap_buckets`) — run :func:`exact_dedup` first so identical-text
     clusters never reach the LSH stage.
@@ -653,6 +655,22 @@ def simhash_near_dup_pairs(
     dropped per :func:`_bucket_pairs`. ``impl='np'`` computes the simhash
     with one Arrow pass (:func:`..functions.vectors.simhash_np`);
     ``'expr'`` keeps the UDF-free expression simhash."""
+    if num_bands <= max_hamming:
+        # pigeonhole: a pair at distance d can place one differing bit
+        # in each of d bands — with num_bands <= d it may share NO band
+        # and silently never become a candidate (recall loss, not an
+        # error state Spark would surface)
+        raise ValueError(
+            f"simhash_near_dup_pairs: num_bands={num_bands} cannot "
+            f"guarantee recall at max_hamming={max_hamming}; need "
+            f"num_bands >= max_hamming + 1"
+        )
+    if 64 % num_bands:
+        raise ValueError(
+            f"simhash_near_dup_pairs: num_bands={num_bands} must divide "
+            "64 — a remainder leaves high bits outside every band, "
+            "weakening the bucketing for no recall benefit"
+        )
     bits_per_band = 64 // num_bands
     from ..plans.parallelism import ensure_min_partitions
 

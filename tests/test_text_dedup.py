@@ -1865,3 +1865,21 @@ def test_lsh_plan_advisor(spark):
         threshold=0.7,
     ).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+
+
+def test_simhash_banding_guards(spark):
+    from pyspark_data_quality_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame([(0, "some text")], ["doc_id", "text"])
+    # pigeonhole violation: bands <= max_hamming would silently lose
+    # recall, so it must refuse loudly
+    with pytest.raises(ValueError, match="guarantee recall"):
+        simhash_near_dup_pairs(df, "text", "doc_id",
+                               max_hamming=3, num_bands=3)
+    with pytest.raises(ValueError, match="must divide"):
+        simhash_near_dup_pairs(df, "text", "doc_id",
+                               max_hamming=2, num_bands=3)
+    # the default config stays valid
+    assert simhash_near_dup_pairs(df, "text", "doc_id").count() == 0
