@@ -882,10 +882,12 @@ def dq_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              threshold=0.5, num_hashes=64, num_bands=16,
          )),
         ("simhash", "hamming<=8,bands=4 (entry)", 0.2, ham_exact,
-         simhash_near_dup_pairs(docs500, "text", "doc_id", max_hamming=8)),
+         simhash_near_dup_pairs(docs500, "text", "doc_id", max_hamming=8,
+                                allow_probabilistic=True)),
         ("simhash", "hamming<=8,bands=8", 0.8, ham_exact,
          simhash_near_dup_pairs(
              docs500, "text", "doc_id", max_hamming=8, num_bands=8,
+             allow_probabilistic=True,
          )),
     ]
     rows = _eval_configs_concurrently(configs, prec_floor)
@@ -1225,7 +1227,9 @@ def dq_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_dup_pairs
 
     docs = load_table(spark, "documents", sf_dir)
-    return simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=8)
+    return simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=8, allow_probabilistic=True
+    )
 
 
 @query(

@@ -648,22 +648,30 @@ def simhash_near_dup_pairs(
     seed: int = 42,
     max_bucket_size: int | None = 1000,
     impl: str = "np",
+    allow_probabilistic: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates from 16-bit band buckets
     (a pair within hamming<=3 of 64 bits shares at least one of 4 bands by
     pigeonhole), verified by exact hamming distance. Oversized buckets are
     dropped per :func:`_bucket_pairs`. ``impl='np'`` computes the simhash
     with one Arrow pass (:func:`..functions.vectors.simhash_np`);
-    ``'expr'`` keeps the UDF-free expression simhash."""
-    if num_bands <= max_hamming:
-        # pigeonhole: a pair at distance d can place one differing bit
-        # in each of d bands — with num_bands <= d it may share NO band
-        # and silently never become a candidate (recall loss, not an
-        # error state Spark would surface)
+    ``'expr'`` keeps the UDF-free expression simhash.
+
+    The pigeonhole recall GUARANTEE holds only while ``num_bands >=
+    max_hamming + 1``. Configs beyond that (e.g. the registry's
+    ``max_hamming=8`` with 4 bands) are probabilistic — candidate
+    recall depends on how the differing bits distribute across bands —
+    and must say so with ``allow_probabilistic=True``; pair such
+    configs with a measured floor (dq_neardup_recall's pattern) rather
+    than assuming completeness. Without the flag the call refuses
+    loudly instead of silently losing pairs."""
+    if num_bands <= max_hamming and not allow_probabilistic:
         raise ValueError(
             f"simhash_near_dup_pairs: num_bands={num_bands} cannot "
             f"guarantee recall at max_hamming={max_hamming}; need "
-            f"num_bands >= max_hamming + 1"
+            f"num_bands >= max_hamming + 1, or pass "
+            f"allow_probabilistic=True and certify recall with a "
+            f"measured floor"
         )
     if 64 % num_bands:
         raise ValueError(

@@ -125,7 +125,9 @@ def test_simhash(spark, docs):
     sh = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", simhash("text").alias("sh")).collect()}
     assert sh[1] == sh[2]  # same tokens after normalization
     assert sh[5] is None   # empty text -> NULL
-    pairs = simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=16)
+    pairs = simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=16, allow_probabilistic=True
+    )
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got
 
