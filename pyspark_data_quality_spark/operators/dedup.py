@@ -498,6 +498,15 @@ def minhash_near_dup_pairs(
     so building ~70 shingle strings and 64 hash minima per doc as
     expression trees dominated the whole pipeline.
     """
+    if num_hashes % num_bands:
+        # a remainder silently drops hashes from every signature: the
+        # user computed a recall curve for num_hashes but is running
+        # bands*floor(num_hashes/num_bands) — refuse instead
+        raise ValueError(
+            f"minhash_near_dup_pairs: num_hashes={num_hashes} must be "
+            f"divisible by num_bands={num_bands} (use lsh_plan to pick "
+            "a consistent configuration)"
+        )
     rows_per_band = num_hashes // num_bands
     from ..plans.parallelism import ensure_min_partitions
 

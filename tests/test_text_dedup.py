@@ -1885,3 +1885,15 @@ def test_simhash_banding_guards(spark):
                                max_hamming=2, num_bands=3)
     # the default config stays valid
     assert simhash_near_dup_pairs(df, "text", "doc_id").count() == 0
+
+
+def test_minhash_banding_divisibility_guard(spark):
+    from pyspark_data_quality_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame([(0, "some text")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_near_dup_pairs(
+            df, "text", "doc_id", num_hashes=100, num_bands=32
+        )
