@@ -42,8 +42,11 @@ def streaming_zscore(
 ) -> DataFrame:
     """Score every event's ``value_col`` against the running mean/stddev
     of its key's PRIOR events. Output: the key columns + ``ts_col`` +
-    ``value_col`` + ``zscore`` + ``is_anomaly``. Null values pass
-    through unscored and don't touch the statistics."""
+    ``value_col`` + ``zscore`` + ``is_anomaly``. Null AND NaN values
+    pass through unscored and don't touch the statistics (the streaming
+    face masks NaN via ``~np.isnan``; the batch face must match, and a
+    bare window-avg would otherwise be poisoned into flagging every
+    subsequent row — NaN compares greater than any threshold)."""
     x = F.col(value_col)
     if not df.isStreaming:
         tw = (
@@ -51,10 +54,15 @@ def streaming_zscore(
             .orderBy(F.col(ts_col))
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        mean = F.avg(x).over(tw)
-        std = F.stddev_samp(x).over(tw)
-        n = F.count(x).over(tw)
-        z = F.try_divide(x - mean, std)
+        # isnan(NULL) is false, so valid_row stays true for NULLs — they
+        # already yield NULL z via arithmetic; NaN must be masked
+        # explicitly (it poisons avg/stddev and outranks any threshold)
+        valid_row = ~F.isnan(x.cast("double"))
+        xm = F.when(valid_row, x)
+        mean = F.avg(xm).over(tw)
+        std = F.stddev_samp(xm).over(tw)
+        n = F.count(xm).over(tw)
+        z = F.when(valid_row, F.try_divide(x - mean, std))
         return df.select(
             *keys,
             ts_col,
@@ -71,7 +79,7 @@ def streaming_zscore(
 
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = (
-        ", ".join(f"{c} {fields[c]}" for c in [*keys, ts_col, value_col])
+        ", ".join(f"`{c}` {fields[c]}" for c in [*keys, ts_col, value_col])
         + ", zscore double, is_anomaly boolean"
     )
     state_schema = "n long, s double, q double"
@@ -145,15 +153,19 @@ def streaming_cusum(
     rather than re-arming, because a reset breaks the closed form —
     downstream dedup of contiguous alarm runs is a filter, not state.
 
-    Null values pass through unflagged and leave both sums unchanged.
+    Null and NaN values pass through unflagged and leave both sums
+    unchanged (the streaming face masks NaN via ``~np.isnan``; an
+    unmasked batch face would latch both cumulative sums at NaN and
+    alarm forever after one damaged value).
 
     Output: keys + ts + value + ``s_pos`` + ``s_neg`` + ``is_alarm``.
     """
     x = F.col(value_col)
-    d_up = F.when(x.isNotNull(), x - F.lit(target) - F.lit(slack)).otherwise(
+    valid_row = x.isNotNull() & ~F.isnan(x.cast("double"))
+    d_up = F.when(valid_row, x - F.lit(target) - F.lit(slack)).otherwise(
         F.lit(0.0)
     )
-    d_dn = F.when(x.isNotNull(), F.lit(target) - F.lit(slack) - x).otherwise(
+    d_dn = F.when(valid_row, F.lit(target) - F.lit(slack) - x).otherwise(
         F.lit(0.0)
     )
     if not df.isStreaming:
@@ -173,7 +185,7 @@ def streaming_cusum(
             F.round(s_pos, round_to).alias("s_pos"),
             F.round(s_neg, round_to).alias("s_neg"),
             (
-                x.isNotNull()
+                valid_row
                 & (
                     (s_pos > F.lit(threshold))
                     | (s_neg > F.lit(threshold))
@@ -187,7 +199,7 @@ def streaming_cusum(
 
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = (
-        ", ".join(f"{c} {fields[c]}" for c in [*keys, ts_col, value_col])
+        ", ".join(f"`{c}` {fields[c]}" for c in [*keys, ts_col, value_col])
         + ", s_pos double, s_neg double, is_alarm boolean"
     )
     state_schema = "sp double, sn double"

@@ -341,8 +341,13 @@ def running_totals(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from ..plans.compile import require_columns
+
+    # loud typo guard: a missing key would otherwise be silently dropped
+    # from the output schema and surface as a cryptic arity mismatch
+    require_columns(df, [*keys, *([value_col] if value_col else [])])
     key_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
+        f"`{f.name}` {f.dataType.simpleString()}"
         for f in df.schema.fields
         if f.name in keys
     )

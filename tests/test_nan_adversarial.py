@@ -200,3 +200,48 @@ def test_ab_test_arm_not_poisoned(spark):
     assert r["n_a"] == 30 and math.isfinite(r["mean_a"])
     assert r["welch_t"] is not None and math.isfinite(r["welch_t"])
     assert r["significant"] is False
+
+
+def test_streaming_batch_faces_not_poisoned(spark):
+    """The BATCH faces of streaming_zscore/streaming_cusum must mask NaN
+    exactly like their streaming faces (~np.isnan): before the r13 fix a
+    single NaN latched the trailing statistics (zscore) or both
+    cumulative sums (CUSUM) at NaN, and NaN compares greater than any
+    threshold — every subsequent row alarmed forever."""
+    from pyspark_data_quality_spark.streaming import (
+        streaming_cusum,
+        streaming_zscore,
+    )
+
+    rows = [
+        Row(k="a", ts=float(i), x=(NAN if i == 7 else 10.0))
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(rows)
+
+    z = streaming_zscore(df, ["k"], "x", "ts", min_periods=3).collect()
+    by_ts = {r["ts"]: r for r in sorted(z, key=lambda r: r["ts"])}
+    # a flat series must never alarm, before or after the NaN
+    assert not any(r["is_anomaly"] for r in z)
+    # the NaN row itself passes through unscored
+    assert by_ts[7.0]["zscore"] is None
+    # rows after the NaN keep finite statistics (zscore defined = 0/0
+    # guarded to NULL by try_divide on a zero-std flat series)
+    assert all(
+        r["zscore"] is None or not math.isnan(r["zscore"]) for r in z
+    )
+
+    c = streaming_cusum(
+        df, ["k"], "x", "ts", target=10.0, slack=0.1, threshold=2.0
+    ).collect()
+    assert not any(r["is_alarm"] for r in c)
+    assert all(not math.isnan(r["s_pos"]) for r in c)
+    # and a REAL shift after the NaN still alarms (the mask must not
+    # blind the detector)
+    shifted = spark.createDataFrame(
+        rows + [Row(k="a", ts=float(i), x=20.0) for i in range(16, 22)]
+    )
+    c2 = streaming_cusum(
+        shifted, ["k"], "x", "ts", target=10.0, slack=0.1, threshold=2.0
+    ).collect()
+    assert any(r["is_alarm"] for r in c2)
