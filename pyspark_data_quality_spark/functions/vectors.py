@@ -265,10 +265,20 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; NULL when either vector has zero norm."""
+    """Cosine similarity; NULL when either vector has a zero or
+    NON-FINITE norm. The finite guard matters for ranking: an Inf
+    element (or a magnitude whose square overflows) makes the norm Inf
+    and the ratio NaN, and Spark orders NaN ABOVE every real double —
+    one damaged vector would rank as the #1 neighbor of every query.
+    NULL instead sorts last under the DESC windows all the top-k paths
+    use."""
     d = dot(a, b)
     n = norm(a) * norm(b)
-    return F.when(n > 0, d / n)
+    c = F.when(
+        (n > 0) & ~F.isnan(n) & (n < F.lit(float("inf"))), d / n
+    )
+    # belt over braces: mask any residual NaN from the division itself
+    return F.when(~F.isnan(c), c)
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:

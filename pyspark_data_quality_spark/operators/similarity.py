@@ -69,9 +69,14 @@ def brute_force_topk(
     ).select(
         "query_id",
         "neighbor_id",
+        # same finite guard as functions/vectors.cosine_similarity: a
+        # non-finite norm product would yield a NaN that Spark ranks
+        # ABOVE every real similarity — NULL sorts last instead
         F.round(
             F.when(
-                F.col("_cn") * F.col("_qn") > 0,
+                (F.col("_cn") * F.col("_qn") > 0)
+                & ~F.isnan(F.col("_cn") * F.col("_qn"))
+                & (F.col("_cn") * F.col("_qn") < F.lit(float("inf"))),
                 dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
             ),
             6,
@@ -151,10 +156,17 @@ def lsh_topk(
     dim = vector_dim(corpus, vec_col, dim)
     if dim is None:  # empty corpus: empty result with the contract schema
         # query_id keeps the QUERIES frame's id type (the corpus id may
-        # differ — the schema must match the non-empty path's output)
-        return queries.limit(0).crossJoin(corpus.limit(0)).select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(id_col).alias("neighbor_id"),
+        # differ — the schema must match the non-empty path's output).
+        # Each side is projected BEFORE the crossJoin: selecting by bare
+        # name afterwards is ambiguous whenever the queries frame also
+        # carries a column named like the corpus id
+        q0 = queries.limit(0).select(
+            F.col(query_id_col).alias("query_id")
+        )
+        c0 = corpus.limit(0).select(F.col(id_col).alias("neighbor_id"))
+        return q0.crossJoin(c0).select(
+            "query_id",
+            "neighbor_id",
             F.lit(0).alias("rank"),
             F.lit(0.0).alias("cosine"),
         )
@@ -238,6 +250,16 @@ def train_ivf_centroids(
             f"'{vec_col}' vectors) — nothing to train a quantizer on"
         )
     X = np.array([r["v"] for r in rows], dtype=np.float64)
+    # one NaN training vector would otherwise collapse the quantizer:
+    # argmax over an all-NaN similarity row returns position 0, that
+    # centroid goes NaN, and on the next iteration EVERY point assigns
+    # to it — the remaining centroids never move off their random init
+    X = X[np.isfinite(X).all(axis=1)]
+    if not len(X):
+        raise ValueError(
+            "train_ivf_centroids: every sampled vector contains "
+            "non-finite values — nothing to train a quantizer on"
+        )
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     k = min(num_centroids, len(X))
     rng = np.random.RandomState(seed)
@@ -265,7 +287,17 @@ def _nearest_centroids_np(centroids: list[list[float]], nprobe: int):
 
     def f(v):
         out = [None] * len(v)
-        valid = [i for i, x in enumerate(v) if x is not None and len(x) > 0]
+        # non-finite vectors get a NULL assignment (and thus never
+        # surface as search results): a NaN/Inf element would otherwise
+        # poison the batched matmul row and fabricate an arbitrary but
+        # plausible-looking code/list for a damaged vector
+        valid = [
+            i
+            for i, x in enumerate(v)
+            if x is not None
+            and len(x) > 0
+            and np.isfinite(np.asarray(x, dtype=np.float64)).all()
+        ]
         if valid:
             M = np.vstack([np.asarray(v.iloc[i], dtype=np.float64) for i in valid])
             sims = M @ C.T
@@ -377,19 +409,31 @@ def pca_fit(
     vec_col: str = "embedding",
     dim_out: int,
     whiten: bool = False,
+    dim: int | None = None,
 ) -> dict:
     """Fit a PCA projection over an embedding column — the standard
     dimensionality-reduction/whitening step before ANN indexing or
     semantic dedup (smaller vectors, decorrelated components).
 
-    EXACT and distributed in one pass: a mapInPandas kernel emits per
-    Arrow batch the moment partials (count, Σx, Σxxᵀ flattened); Spark
-    reduces them element-wise (one final task folds P partial rows — P
-    is the batch count, so the fold input is P·d² doubles, NOT the
-    data); the d×d eigendecomposition happens driver-side (numpy,
-    microseconds — the IVF-quantizer class of deliberate tiny action).
-    A fused ``covar_samp`` grid was rejected: d=64 needs 2,144 aggregate
-    expressions and Catalyst spends ~35 s compiling them (measured).
+    EXACT and distributed in one pass: a mapInPandas kernel accumulates
+    the moment partials (count, Σx, Σxxᵀ flattened) across its WHOLE
+    partition and emits one packed vector; the partials are then
+    posexploded and summed PER INDEX through a normal hash aggregate —
+    map-side combined, so no single task ever buffers all partials (the
+    previous collect_list fold held partitions·d² doubles in one
+    aggregation buffer: ~470 GB at 1B×768-dim, an OOM by design). The
+    d×d eigendecomposition happens driver-side (numpy, microseconds —
+    the IVF-quantizer class of deliberate tiny action) from the
+    collected 1+d+d² sums. A fused ``covar_samp`` grid was rejected:
+    d=64 needs 2,144 aggregate expressions and Catalyst spends ~35 s
+    compiling them (measured).
+
+    Vectors containing NaN/±Inf are EXCLUDED from the moments (the
+    package-wide finite-statistics contract; one damaged vector would
+    otherwise surface as a LinAlgError from the eigensolver after the
+    full pass), as are vectors whose length differs from the column's
+    dimensionality. Pass ``dim`` to keep model-building action-free;
+    without it a one-row probe resolves d.
 
     Returns a plain-dict model (JSON-serializable — persist it next to
     the corpus): mean, components (dim_out × d), explained_variance_
@@ -398,48 +442,59 @@ def pca_fit(
     import numpy as np
     import pandas as pd
 
+    from ..functions.vectors import vector_dim
+
     if dim_out < 1:
         raise ValueError("pca_fit: dim_out must be >= 1")
-
-    def partials(batches):
-        for pdf in batches:
-            vs = [v for v in pdf[vec_col] if v is not None and len(v)]
-            if not vs:
-                continue
-            X = np.asarray(list(vs), dtype=np.float64)
-            yield pd.DataFrame(
-                {
-                    "n": [len(X)],
-                    "s": [X.sum(axis=0).tolist()],
-                    "ss": [(X.T @ X).ravel().tolist()],
-                }
-            )
-
-    part = df.select(vec_col).mapInPandas(
-        partials, "n long, s array<double>, ss array<double>"
-    )
-    first = part.first()
-    if first is None:
+    d = vector_dim(df, vec_col, dim)
+    if d is None:
         raise ValueError(
             f"pca_fit: no non-null, non-empty '{vec_col}' vectors"
         )
-    d = len(first["s"])
-    zero_s = F.array_repeat(F.lit(0.0), d)
-    zero_ss = F.array_repeat(F.lit(0.0), d * d)
 
-    def _vadd(acc, x):
-        return F.zip_with(acc, x, lambda a, b: a + b)
+    def partials(batches):
+        n_tot = 0
+        s_tot = np.zeros(d, dtype=np.float64)
+        ss_tot = np.zeros(d * d, dtype=np.float64)
+        for pdf in batches:
+            vs = [
+                v for v in pdf[vec_col] if v is not None and len(v) == d
+            ]
+            if not vs:
+                continue
+            X = np.asarray(list(vs), dtype=np.float64)
+            X = X[np.isfinite(X).all(axis=1)]
+            if not len(X):
+                continue
+            n_tot += len(X)
+            s_tot += X.sum(axis=0)
+            ss_tot += (X.T @ X).ravel()
+        if n_tot:
+            yield pd.DataFrame(
+                {
+                    "acc": [
+                        np.concatenate(
+                            ([float(n_tot)], s_tot, ss_tot)
+                        ).tolist()
+                    ]
+                }
+            )
 
-    row = part.agg(
-        F.sum("n").alias("n"),
-        F.reduce(F.collect_list("s"), zero_s, _vadd).alias("s"),
-        F.reduce(F.collect_list("ss"), zero_ss, _vadd).alias("ss"),
-    ).first()
-    n = int(row["n"])
+    part = df.select(vec_col).mapInPandas(partials, "acc array<double>")
+    sums = (
+        part.select(F.posexplode("acc").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    total = np.zeros(1 + d * (d + 1), dtype=np.float64)
+    for r in sums:
+        total[r["idx"]] = r["val"]
+    n = int(total[0])
     if n < 2:
-        raise ValueError("pca_fit: need at least 2 vectors")
-    s = np.asarray(row["s"])
-    ss = np.asarray(row["ss"]).reshape(d, d)
+        raise ValueError("pca_fit: need at least 2 finite vectors")
+    s = total[1 : 1 + d]
+    ss = total[1 + d :].reshape(d, d)
     mu = s / n
     cov = (ss - n * np.outer(mu, mu)) / (n - 1)
     evals, evecs = np.linalg.eigh(cov)  # ascending
@@ -464,18 +519,36 @@ def pca_apply(
     *,
     vec_col: str = "embedding",
     out_col: str = "pca",
+    check_dim: bool = True,
 ) -> DataFrame:
     """Project an embedding column through a :func:`pca_fit` model:
     ``out = (x - mean) @ componentsᵀ`` (divided by √variance when the
     model was fit with ``whiten=True``). One Arrow-vectorized kernel —
     a single matmul per batch, no shuffle; NULL/empty vectors map to
-    NULL."""
+    NULL.
+
+    ``check_dim`` (default) probes one row and FAILS LOUD when the
+    column's dimensionality differs from the model's — a stale model
+    or wrong column would otherwise project every row to NULL and read
+    as 100% missing data downstream. Pass ``check_dim=False`` to keep
+    plan construction action-free (the per-row length mask still maps
+    mismatched vectors to NULL rather than crashing the kernel)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from ..functions.vectors import vector_dim
+
     W = np.asarray(model["components"], dtype=np.float64)
     mu = np.asarray(model["mean"], dtype=np.float64)
+    if check_dim:
+        d_in = vector_dim(df, vec_col)
+        if d_in is not None and d_in != len(mu):
+            raise ValueError(
+                f"pca_apply: column '{vec_col}' is {d_in}-dimensional "
+                f"but the model was fit on {len(mu)} dimensions — "
+                "wrong model or wrong column"
+            )
     scale = None
     if model.get("whiten"):
         ev = np.asarray(model["explained_variance"], dtype=np.float64)
@@ -542,6 +615,15 @@ def train_pq_codebooks(
     if not rows:
         raise ValueError("train_pq_codebooks: empty corpus sample")
     X = np.array([r["v"] for r in rows], dtype=np.float64)
+    # same guard as train_ivf_centroids: one NaN sample poisons the
+    # subvector k-means (NaN codebook rows make every downstream ADC
+    # score NaN, which pandas->Arrow then surfaces as NULL scores)
+    X = X[np.isfinite(X).all(axis=1)]
+    if not len(X):
+        raise ValueError(
+            "train_pq_codebooks: every sampled vector contains "
+            "non-finite values — nothing to train codebooks on"
+        )
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     d = X.shape[1]
     m = num_subvectors
@@ -581,7 +663,17 @@ def _pq_encode_np(codebooks: list[list[list[float]]]):
 
     def f(v):
         out = [None] * len(v)
-        valid = [i for i, x in enumerate(v) if x is not None and len(x) > 0]
+        # non-finite vectors get a NULL assignment (and thus never
+        # surface as search results): a NaN/Inf element would otherwise
+        # poison the batched matmul row and fabricate an arbitrary but
+        # plausible-looking code/list for a damaged vector
+        valid = [
+            i
+            for i, x in enumerate(v)
+            if x is not None
+            and len(x) > 0
+            and np.isfinite(np.asarray(x, dtype=np.float64)).all()
+        ]
         if valid:
             M = np.vstack(
                 [np.asarray(v.iloc[i], dtype=np.float64) for i in valid]
@@ -631,12 +723,26 @@ def _collect_query_batch(
         queries.select(
             F.col(query_id_col).alias("q"), F.col(query_vec_col).alias("v")
         )
-        .filter(F.col(query_vec_col).isNotNull())
+        # null/empty/non-finite queries are DROPPED (they produce no
+        # result rows): an empty array would crash the ragged
+        # np.array build, and a NaN element would make every ADC score
+        # NaN — which Spark ranks above all real scores, fabricating k
+        # confident garbage neighbors for that query
+        .filter(
+            F.col(query_vec_col).isNotNull()
+            & (F.size(query_vec_col) > 0)
+            & F.forall(
+                query_vec_col,
+                lambda x: x.isNotNull()
+                & ~F.isnan(x)
+                & (F.abs(x) < F.lit(float("inf"))),
+            )
+        )
         .limit(max_queries + 1)
         .collect()
     )
     if not qrows:
-        raise ValueError(f"{fn_name}: no query vectors")
+        raise ValueError(f"{fn_name}: no usable (finite) query vectors")
     if len(qrows) > max_queries:
         raise ValueError(
             f"{fn_name}: query batch exceeds max_queries={max_queries}; "
@@ -711,13 +817,19 @@ def pq_topk(
             pdf = pdf[pdf[code_col].notna()]
             if len(pdf) == 0:
                 continue
+            # rows sorted by id so the stable argsort below breaks
+            # score ties on ascending neighbor id — argpartition alone
+            # kept an ARBITRARY tied subset, making the local top-k
+            # (and thus the final result on tie-heavy corpora, e.g.
+            # exact-duplicate codes) nondeterministic across runs
+            pdf = pdf.sort_values(id_col, kind="stable")
             codes = np.vstack(pdf[code_col].to_numpy())  # n × m
             n = len(codes)
             acc = np.zeros((nq, n), dtype=np.float64)
             for j in range(m):
                 acc += luts[:, j, codes[:, j]]
             kk = min(k, n)
-            idx = np.argpartition(-acc, kk - 1, axis=1)[:, :kk]
+            idx = np.argsort(-acc, axis=1, kind="stable")[:, :kk]
             ids = pdf[id_col].to_numpy()
             out_q, out_id, out_s = [], [], []
             for qi in range(nq):

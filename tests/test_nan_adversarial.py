@@ -245,3 +245,66 @@ def test_streaming_batch_faces_not_poisoned(spark):
         shifted, ["k"], "x", "ts", target=10.0, slack=0.1, threshold=2.0
     ).collect()
     assert any(r["is_alarm"] for r in c2)
+
+
+def test_ann_paths_not_poisoned_by_nonfinite_vectors(spark):
+    """One Inf/NaN corpus vector must not become the #1 neighbor of
+    every query: a non-finite norm makes the cosine NaN, and Spark
+    ranks NaN above every real double in DESC order. The guard maps
+    non-finite similarities to NULL (sorted last); damaged QUERY
+    vectors are dropped by the PQ batch collector."""
+    import numpy as np
+
+    from pyspark_data_quality_spark.operators.similarity import (
+        brute_force_topk,
+        pca_apply,
+        pca_fit,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in rng.randn(8)])
+        for i in range(30)
+    ]
+    rows.append(Row(vec_id=100, embedding=[INF] * 8))
+    rows.append(Row(vec_id=101, embedding=[NAN] + [1.0] * 7))
+    corpus = spark.createDataFrame(rows)
+    queries = spark.createDataFrame(
+        [Row(query_id=0, query_vec=rows[0]["embedding"])]
+    )
+
+    top = brute_force_topk(corpus, queries, k=5).collect()
+    ranked = [r["neighbor_id"] for r in top]
+    assert 100 not in ranked and 101 not in ranked
+    assert all(r["cosine"] is not None for r in top)
+    # the damaged vectors surface as NULL cosine, not as neighbors
+    assert top[0]["neighbor_id"] == 0  # self-match stays #1
+
+    # PQ: training ignores the damaged vectors; a NaN query is dropped
+    books = train_pq_codebooks(
+        corpus, num_subvectors=2, codebook_size=8, sample_size=64
+    )
+    codes = pq_encode(corpus, codebooks=books)
+    t = pq_topk(codes, queries, codebooks=books, k=5).collect()
+    assert all(not math.isnan(r["score"]) for r in t)
+    bad_q = spark.createDataFrame(
+        [Row(query_id=9, query_vec=[NAN] * 8)]
+    )
+    with pytest.raises(ValueError, match="finite"):
+        pq_topk(codes, bad_q, codebooks=books, k=5)
+
+    # PCA: the damaged vectors are excluded from the moments instead of
+    # surfacing as an eigensolver LinAlgError after the full pass
+    model = pca_fit(corpus, vec_col="embedding", dim_out=3)
+    assert all(math.isfinite(v) for v in model["mean"])
+    # and a model/column dimensionality mismatch fails loud
+    with pytest.raises(ValueError, match="dimension"):
+        pca_apply(
+            corpus.select(
+                "vec_id", F.slice("embedding", 1, 4).alias("embedding")
+            ),
+            model,
+        )
