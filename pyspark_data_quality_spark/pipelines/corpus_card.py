@@ -58,10 +58,14 @@ def corpus_report(
 
     profiled = maybe_persist(text_profile(df, text_col), persist)
 
-    def long_rows(section: str, metrics: dict) -> DataFrame:
-        # reshape a 1-row aggregate into (section, metric, value) rows
+    def long_rows(entries: list) -> DataFrame:
+        # reshape ONE aggregate over every (section, metric, expr) into
+        # long-format rows — a single agg subtree, so the profiled frame
+        # is scanned once for all scalar card numbers (three per-section
+        # aggregates previously tripled the pass, belying the module
+        # docstring's "single fused aggregate")
         agg = profiled.agg(
-            *[expr.alias(f"_m_{i}") for i, expr in enumerate(metrics.values())]
+            *[expr.alias(f"_m_{i}") for i, (_, _, expr) in enumerate(entries)]
         )
         return agg.select(
             F.explode(
@@ -72,7 +76,7 @@ def corpus_report(
                             F.lit(name).alias("metric"),
                             F.col(f"_m_{i}").cast("double").alias("value"),
                         )
-                        for i, name in enumerate(metrics)
+                        for i, (section, name, _) in enumerate(entries)
                     ]
                 )
             ).alias("_r")
@@ -85,47 +89,40 @@ def corpus_report(
 
     n = F.count(F.lit(1))
     fused = long_rows(
-        "volume",
-        {
-            "n_docs": n,
-            "total_tokens": F.sum("token_count"),
-            "avg_tokens": F.avg("token_count"),
-            "p50_tokens": F.median("token_count"),
-            "empty_share": F.avg(
+        [
+            ("volume", "n_docs", n),
+            ("volume", "total_tokens", F.sum("token_count")),
+            ("volume", "avg_tokens", F.avg("token_count")),
+            ("volume", "p50_tokens", F.median("token_count")),
+            ("volume", "empty_share", F.avg(
                 (F.coalesce(F.col("token_count"), F.lit(0)) == 0).cast(
                     "double"
                 )
-            ),
-            "null_text_share": F.avg(F.col(text_col).isNull().cast("double")),
-        },
-    ).unionByName(
-        long_rows(
-            "quality",
-            {
-                "avg_quality": F.avg("quality_score"),
-                "low_quality_share": F.avg(
-                    (F.col("quality_score") < low_quality_threshold).cast(
-                        "double"
-                    )
-                ),
-                "avg_stopword_ratio": F.avg("stopword_ratio"),
-                "avg_punct_ratio": F.avg("punct_ratio"),
-                # Gopher static-rules gate (functions/text.py
-                # gopher_pass): document-shape pass rate rides the same
-                # fused aggregate — no extra pass
-                "gopher_pass_share": F.avg(
-                    _gopher_pass(text_col).cast("double")
-                ),
-            },
-        )
-    ).unionByName(
-        long_rows(
-            "duplication",
-            {
-                "exact_dup_ratio": F.lit(1.0)
-                - F.try_divide(F.count_distinct("fingerprint"), n)
-            },
-        )
+            )),
+            ("volume", "null_text_share",
+             F.avg(F.col(text_col).isNull().cast("double"))),
+            ("quality", "avg_quality", F.avg("quality_score")),
+            ("quality", "low_quality_share", F.avg(
+                (F.col("quality_score") < low_quality_threshold).cast(
+                    "double"
+                )
+            )),
+            ("quality", "avg_stopword_ratio", F.avg("stopword_ratio")),
+            ("quality", "avg_punct_ratio", F.avg("punct_ratio")),
+            # Gopher static-rules gate (functions/text.py gopher_pass):
+            # document-shape pass rate rides the same fused aggregate
+            ("quality", "gopher_pass_share",
+             F.avg(_gopher_pass(text_col).cast("double"))),
+            # denominator = rows WITH a fingerprint: count_distinct
+            # skips NULLs, so dividing by all rows would report every
+            # null-text document as a duplicate (a 10%-null corpus of
+            # fully distinct texts would read dup_ratio = 0.1)
+            ("duplication", "exact_dup_ratio", F.lit(1.0)
+             - F.try_divide(
+                 F.count_distinct("fingerprint"),
+                 F.count("fingerprint"),
+             )),
+        ]
     )
 
     langs = (

@@ -394,10 +394,15 @@ def curate_corpus(
     if rebalance_target is not None:
         from ..operators.split import matched_sample
 
+        # domain-separated salt: matched_sample and split_assignment
+        # hash the byte-identical md5 bucket of (id || salt), so sharing
+        # the raw salt correlates retention with split assignment — any
+        # stratum kept at fraction <= the train weight would land 100%
+        # in "train" with ZERO val/test rows (silently broken eval)
         keep_ids = _pin(
             matched_sample(
                 passed, id_col, rebalance_col, rebalance_target,
-                salt=salt,
+                salt=salt + "|rebalance",
             )
             .select(id_col)
             .withColumn("_rebal_keep", F.lit(True))

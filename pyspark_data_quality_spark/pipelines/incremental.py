@@ -12,12 +12,20 @@ into it:
 - **vocabulary counts** (token, count) — powers drift/KL checks of the
   new batch against the historical token distribution.
 
-State lives in a plain parquet directory (three subdirs), readable by
-any engine. All three updates are idempotent per batch ONLY if the
-caller dedups batches (state update is a fold, not a set — replaying a
-batch double-counts vocab/sketches; fingerprints are set-semantics and
-safe to replay). Writes go to a temp subdir then swap, so a crashed
-update never leaves a half-written state.
+State lives in a plain parquet directory, readable by any engine:
+versioned subdirectories ``v=<N>/{fingerprints,vocab,sketches}`` with a
+tiny ``_CURRENT`` pointer file naming the committed version. An update
+writes the WHOLE next version before atomically renaming the new
+pointer into place (single-file rename — the only multi-directory-
+atomic primitive a plain filesystem offers), so a crash at ANY point
+leaves the previous version fully intact and internally consistent;
+the delete-then-rename swap this replaces could lose the state outright
+or commit the three frames at different versions. The version before
+last is pruned after commit (readers hold lazy plans over the previous
+version, so exactly one old version is retained). All three updates
+are idempotent per batch ONLY if the caller dedups batches (state
+update is a fold, not a set — replaying a batch double-counts
+vocab/sketches; fingerprints are set-semantics and safe to replay).
 
 At 100 TB: state size is O(distinct docs) hashes + O(|vocab|) +
 O(groups x sketch), all orders of magnitude smaller than the corpus;
@@ -37,6 +45,7 @@ from ..functions.text import doc_fingerprint, tokenize
 _FP = "fingerprints"
 _VOCAB = "vocab"
 _SKETCH = "sketches"
+_CURRENT = "_CURRENT"
 
 
 def _kll_merge_agg(col: str) -> F.Column:
@@ -64,23 +73,47 @@ def _exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
-def _swap_write(df: DataFrame, path: str) -> None:
-    """Write to ``<path>.tmp`` then rename over ``path`` — a reader never
-    sees a half-written state, and a crashed update leaves the previous
-    state intact. (On object stores the rename is a copy; state frames
-    are small by design.)"""
-    spark = df.sparkSession
-    tmp = path + ".tmp"
-    df.write.mode("overwrite").parquet(tmp)
+def _fs(spark: SparkSession, path: str):
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
-    fs = jvm.org.apache.hadoop.fs.Path(tmp).getFileSystem(
-        jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(jsc.hadoopConfiguration())
+
+
+def _read_version(spark: SparkSession, state_dir: str) -> int | None:
+    """Committed state version from the ``_CURRENT`` pointer, or None on
+    a virgin directory."""
+    ptr = _sub(state_dir, _CURRENT)
+    if not _exists(spark, ptr):
+        return None
+    jvm, fs = _fs(spark, ptr)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(ptr))
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream)
+        )
+        return int(reader.readLine().strip())
+    finally:
+        stream.close()
+
+
+def _commit_version(spark: SparkSession, state_dir: str, n: int) -> None:
+    """Atomically point ``_CURRENT`` at version ``n``: write a temp file,
+    rename over the pointer — the single-file rename is the atomic
+    commit for the whole three-frame version."""
+    jvm, fs = _fs(spark, state_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        _sub(state_dir, _CURRENT + ".tmp")
     )
-    dst = jvm.org.apache.hadoop.fs.Path(path)
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(str(n).encode()))
+    finally:
+        out.close()
+    dst = jvm.org.apache.hadoop.fs.Path(_sub(state_dir, _CURRENT))
     if fs.exists(dst):
-        fs.delete(dst, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst)
+        fs.delete(dst, False)
+    fs.rename(tmp, dst)
 
 
 @dataclass
@@ -93,13 +126,17 @@ class CorpusState:
 
 
 def read_state(spark: SparkSession, state_dir: str) -> CorpusState | None:
-    """Load the persisted state, or None when the directory is virgin."""
-    if not _exists(spark, _sub(state_dir, _FP)):
+    """Load the committed state version, or None when the directory is
+    virgin (no ``_CURRENT`` pointer — a crashed first update leaves no
+    pointer, so its partial version directory is invisible)."""
+    v = _read_version(spark, state_dir)
+    if v is None:
         return None
+    vdir = _sub(state_dir, f"v={v}")
     return CorpusState(
-        fingerprints=spark.read.parquet(_sub(state_dir, _FP)),
-        vocab=spark.read.parquet(_sub(state_dir, _VOCAB)),
-        sketches=spark.read.parquet(_sub(state_dir, _SKETCH)),
+        fingerprints=spark.read.parquet(_sub(vdir, _FP)),
+        vocab=spark.read.parquet(_sub(vdir, _VOCAB)),
+        sketches=spark.read.parquet(_sub(vdir, _SKETCH)),
     )
 
 
@@ -144,31 +181,51 @@ def update_corpus_state(
     - sketches: per-group row counts summed, HLL/KLL sketches MERGED —
       the whole point: the historical data is never rescanned.
 
-    Each state frame is materialized (the update reads the directory it
-    overwrites, so the new frame is computed before the swap — the
-    temp-dir write provides that barrier).
+    The whole next version (three frames) is written to a fresh
+    ``v=<N+1>`` directory and committed by one atomic pointer rename —
+    a crash at any point leaves version N fully intact; version N-1 is
+    pruned only after the commit. The batch is persisted across the
+    three derived writes so its source is scanned once, not three
+    times.
     """
-    fp_new, vocab_new, sk_new = _batch_state(batch, text_col, group_col)
-    prior = read_state(spark, state_dir)
-    if prior is not None:
-        fp_new = prior.fingerprints.union(fp_new).distinct()
-        vocab_new = (
-            prior.vocab.unionByName(vocab_new)
-            .groupBy("token")
-            .agg(F.sum("n").alias("n"))
+    v = _read_version(spark, state_dir)
+    batch.persist()
+    try:
+        fp_new, vocab_new, sk_new = _batch_state(
+            batch, text_col, group_col
         )
-        sk_new = (
-            prior.sketches.unionByName(sk_new)
-            .groupBy("group")
-            .agg(
-                F.sum("n").alias("n"),
-                F.hll_union_agg("hll").alias("hll"),
-                _kll_merge_agg("kll").alias("kll"),
+        prior = read_state(spark, state_dir)
+        if prior is not None:
+            fp_new = prior.fingerprints.union(fp_new).distinct()
+            vocab_new = (
+                prior.vocab.unionByName(vocab_new)
+                .groupBy("token")
+                .agg(F.sum("n").alias("n"))
             )
-        )
-    _swap_write(fp_new, _sub(state_dir, _FP))
-    _swap_write(vocab_new, _sub(state_dir, _VOCAB))
-    _swap_write(sk_new, _sub(state_dir, _SKETCH))
+            sk_new = (
+                prior.sketches.unionByName(sk_new)
+                .groupBy("group")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.hll_union_agg("hll").alias("hll"),
+                    _kll_merge_agg("kll").alias("kll"),
+                )
+            )
+        nxt = 0 if v is None else v + 1
+        vdir = _sub(state_dir, f"v={nxt}")
+        fp_new.write.mode("overwrite").parquet(_sub(vdir, _FP))
+        vocab_new.write.mode("overwrite").parquet(_sub(vdir, _VOCAB))
+        sk_new.write.mode("overwrite").parquet(_sub(vdir, _SKETCH))
+        _commit_version(spark, state_dir, nxt)
+    finally:
+        batch.unpersist()
+    # prune: keep the committed version and its predecessor (lazy reader
+    # plans may still reference v-1); anything older is unreachable
+    if v is not None and v >= 1:
+        jvm, fs = _fs(spark, state_dir)
+        old = jvm.org.apache.hadoop.fs.Path(_sub(state_dir, f"v={v - 1}"))
+        if fs.exists(old):
+            fs.delete(old, True)
 
 
 def batch_vs_history(
@@ -189,6 +246,14 @@ def batch_vs_history(
     against the vocab frame reduced to its token column; both state
     sides prune to one column and broadcast when small (AQE decides).
     """
+    from ..operators.split import _check_reserved
+
+    _check_reserved(
+        batch,
+        {"fp", "_seen", "token", "_known", "novel_token_ratio",
+         "is_new_text"},
+        "batch_vs_history",
+    )
     state = read_state(spark, state_dir)
     if state is None:
         raise ValueError(

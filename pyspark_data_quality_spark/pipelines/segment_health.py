@@ -135,7 +135,15 @@ def segment_health_report(
                     F.col(ts_col).cast("timestamp").cast("double")
                 ).alias("_latest")
             )
-        base = cur.groupBy(group_col).agg(*aggs).localCheckpoint()
+        # maybe_persist, not localCheckpoint: base is a plain groupBy
+        # with no load-bearing partition identity, so the cache
+        # contract's lazy persist gives the same single-materialization
+        # guarantee while keeping lineage (a lost executor recomputes
+        # instead of failing) and not firing an eager job at
+        # report-CONSTRUCTION time
+        from ..plans.cache import maybe_persist
+
+        base = maybe_persist(cur.groupBy(group_col).agg(*aggs), persist)
         # ONE 1-row global frame serves both sections (fused sums +
         # max over the checkpointed base instead of one single-
         # partition aggregate per section)

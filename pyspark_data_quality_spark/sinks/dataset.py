@@ -90,6 +90,12 @@ def compact_dataset(
     total = sum(b for _, b in _list_files(spark, src_path))
     n_files = max(1, ceil(total / target_file_bytes))
     df = spark.read.format(fmt).load(src_path)
+    # a hive-partitioned source reads its partition columns back as data
+    # columns; without re-applying partitionBy the compacted copy would
+    # silently LOSE partition pruning (and the round-robin repartition
+    # destroys min/max locality on those columns too) — detect the
+    # partition dirs from the file paths and preserve the layout
+    part_cols = _hive_partition_cols(spark, src_path)
     if zorder_cols:
         from ..operators.zorder import zorder_by
 
@@ -98,8 +104,30 @@ def compact_dataset(
         df = df.repartition(n_files)
         if sort_within:
             df = df.sortWithinPartitions(*sort_within)
-    df.write.mode(mode).format(fmt).save(dst_path)
+    w = df.write.mode(mode).format(fmt)
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.save(dst_path)
     return n_files
+
+
+def _hive_partition_cols(spark: SparkSession, path: str) -> list[str]:
+    """Partition columns of a hive-layout dataset, in directory order,
+    detected from one leaf file path ("k=v" segments) — metadata-only,
+    no Spark job."""
+    from ..operators.layout import _list_files
+
+    for p, _ in _list_files(spark, path):
+        rel = p[len(path.rstrip("/")):].lstrip("/")
+        cols = [
+            seg.split("=", 1)[0]
+            for seg in rel.split("/")[:-1]
+            if "=" in seg
+        ]
+        if cols:
+            return cols
+        return []
+    return []
 
 
 def write_bucketed_table(

@@ -3,9 +3,9 @@ rows (with their failure reasons) to a quarantine area.
 
 The standard production pattern the reference never closed the loop on:
 its ResultObj exposed the two frames but nothing persisted them. Both
-writes share the same upstream plan; rows are classified ONCE (the
-``failed_rules`` projection from result.py) and each sink applies a
-complementary filter — no second pass over the source, no UDFs.
+writes share the same upstream plan; the source is persisted for the
+duration of the two writes, so each sink's complementary filter reads
+the cached batch — one source pass, no UDFs.
 
 Layout: ``<base>/valid/`` (original schema) and ``<base>/invalid/``
 (original schema + ``failed_rules array<string>``), both parquet so the
@@ -33,14 +33,23 @@ def quarantine_route(
         "valid": f"{base_path.rstrip('/')}/valid",
         "invalid": f"{base_path.rstrip('/')}/invalid",
     }
-    for name, df in (
-        ("valid", result.get_valid_df()),
-        ("invalid", result.get_invalid_df(with_reasons=True)),
-    ):
-        w = df.write.mode(mode)
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(paths[name])
+    # persist the source for the duration of the two write actions: the
+    # valid/invalid accessors each build a fresh plan, so an unpersisted
+    # source would be scanned and rule-evaluated once PER SINK — and a
+    # source that changes between the actions (files landing in the
+    # input path) could route a row into both sides or neither
+    result.df.persist()
+    try:
+        for name, df in (
+            ("valid", result.get_valid_df()),
+            ("invalid", result.get_invalid_df(with_reasons=True)),
+        ):
+            w = df.write.mode(mode)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(paths[name])
+    finally:
+        result.df.unpersist()
     return paths
 
 

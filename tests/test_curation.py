@@ -575,3 +575,38 @@ def test_curation_compression_gate(spark):
 
     with _pytest.raises(ValueError, match="compression_band"):
         curate_corpus(docs, compression_band=(0.9, 0.5), persist=False)
+
+
+def test_rebalance_salt_decorrelated_from_split(spark):
+    """Rebalance retention and split assignment hash the same md5 bucket
+    of (id || salt); with a SHARED salt every kept row of a stratum
+    sampled at fraction <= the train weight would have bucket < the
+    train cutoff and land 100% in 'train' — zero val/test rows, a
+    silently broken eval split. The salts are domain-separated now."""
+    from pyspark_data_quality_spark.pipelines.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"document body number {i} with unique text {i * 37}",
+             "web" if i < 400 else "books")
+            for i in range(500)
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = curate_corpus(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        rebalance_col="source",
+        rebalance_target={"web": 0.5, "books": 0.5},
+        salt="s1",
+    ).filter(F.col("curation_status") == "kept")
+    splits = {
+        r["source"]: set()
+        for r in out.select("source").distinct().collect()
+    }
+    for r in out.select("source", "split").collect():
+        splits[r["source"]].add(r["split"])
+    # the DOWN-SAMPLED stratum (web, kept at ~half) must still receive
+    # val/test rows, not train-only
+    assert "val" in splits["web"] or "test" in splits["web"], splits

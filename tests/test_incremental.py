@@ -232,3 +232,44 @@ def test_curate_corpus_reads_persisted_state(spark, tmp_path):
     }
     kept_inc = {k for k, v in {**s1, **s2}.items() if v == "kept"}
     assert kept_once == kept_inc == {1, 2, 11}
+
+
+def test_state_update_is_atomic_and_guards_reserved(spark, tmp_path):
+    """A crashed update (version directory written, pointer not renamed)
+    must be invisible: read_state keeps serving the committed version.
+    The old delete-then-swap could lose the fingerprint set outright
+    mid-update — 100 TB of dedup history gone silently."""
+    import os
+
+    from pyspark_data_quality_spark.pipelines.incremental import (
+        batch_vs_history,
+        read_state,
+        update_corpus_state,
+    )
+
+    sd = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(i, f"doc {i} alpha", "s") for i in range(20)],
+        ["doc_id", "text", "source"],
+    )
+    update_corpus_state(spark, sd, b1)
+    n0 = read_state(spark, sd).fingerprints.count()
+    assert n0 == 20
+
+    # simulate a crash: a half-written NEXT version with no commit
+    orphan = os.path.join(sd, "v=99", "fingerprints")
+    spark.createDataFrame([(1,)], ["fp"]).write.parquet(orphan)
+    assert read_state(spark, sd).fingerprints.count() == n0
+
+    # a second committed update still folds correctly on top
+    b2 = spark.createDataFrame(
+        [(i, f"doc {i} alpha", "s") for i in range(15, 30)],
+        ["doc_id", "text", "source"],
+    )
+    update_corpus_state(spark, sd, b2)
+    assert read_state(spark, sd).fingerprints.count() == 30
+
+    # reserved output/work columns collide loudly, not silently
+    bad = b2.withColumn("fp", F.lit(1))
+    with pytest.raises(Exception, match="fp"):
+        batch_vs_history(spark, sd, bad)

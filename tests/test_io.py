@@ -300,3 +300,32 @@ def test_partitioned_dataset_prunes_at_plan_level(spark, tmp_path):
     pushed = plan.split("PushedFilters")[1].split("]")[0]
     assert "GreaterThan(v" in pushed
     assert scan.count() == 45  # src='a' = odd ids; v>10 keeps 11..99 odd
+
+
+def test_compact_dataset_preserves_hive_partitioning(spark, tmp_path):
+    """Compacting a hive-partitioned dataset must keep the partition
+    layout: the reader recovers partition columns as data columns, and
+    an unpartitioned rewrite would silently lose pruning on every
+    subsequent dt-filtered scan."""
+    from pyspark_data_quality_spark.sinks.dataset import (
+        compact_dataset,
+        write_dataset,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", float(i)) for i in range(300)],
+        ["id", "dt", "v"],
+    )
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_dataset(df, src, partition_by=["dt"])
+    compact_dataset(spark, src, dst, target_file_bytes=1 << 30)
+    import os
+
+    part_dirs = sorted(
+        d for d in os.listdir(dst) if d.startswith("dt=")
+    )
+    assert part_dirs == ["dt=d0", "dt=d1", "dt=d2"]
+    back = spark.read.parquet(dst)
+    assert back.count() == 300
+    assert back.filter(F.col("dt") == "d1").count() == 100
