@@ -238,6 +238,10 @@ def image_features(
         for pdf in batches:
             rows = []
             for mid, data, meta in zip(pdf[id_col], pdf[data_col], pdf[meta_col]):
+                if data is None or meta is None:
+                    # same NULL contract as media_stats/media_phash:
+                    # payload-less rows are skipped, never a worker crash
+                    continue
                 h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
                 px = decode_image(
                     bytes(data), height=h, width=w, channels=c, decoder=decoder
@@ -288,6 +292,8 @@ def resize_images(
         for pdf in batches:
             rows = []
             for mid, data, meta in zip(pdf[id_col], pdf[data_col], pdf[meta_col]):
+                if data is None or meta is None:
+                    continue  # NULL contract: skip, never a worker crash
                 h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
                 px = decode_image(
                     bytes(data), height=h, width=w, channels=c, decoder=decoder
@@ -322,11 +328,17 @@ def frame_sample(
     FRAME (mapInPandas yields more rows than it consumes; no explode needed).
     ``max_frames`` caps per-asset fan-out so one pathological 10-hour video
     cannot blow up a partition."""
+    if every_ms < 1:
+        raise ValueError(
+            f"frame_sample: every_ms must be >= 1, got {every_ms}"
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, data, meta in zip(pdf[id_col], pdf[data_col], pdf[meta_col]):
+                if data is None or meta is None:
+                    continue  # NULL contract: skip, never a worker crash
                 h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
                 dur = int(meta["duration_ms"])
                 n = min(max(dur // every_ms, 1), max_frames)
@@ -362,6 +374,8 @@ def audio_features(
         for pdf in batches:
             rows = []
             for mid, data, meta in zip(pdf[id_col], pdf[data_col], pdf[meta_col]):
+                if data is None or meta is None:
+                    continue  # NULL contract: skip, never a worker crash
                 sr = int(meta["sample_rate"])
                 dur = int(meta["duration_ms"])
                 n = max(int(sr * dur / 1000), 1)
@@ -407,13 +421,21 @@ def media_dedup(
         .select(F.col(id_col), digest.alias("_d"))
         .groupBy("_d")
         .agg(F.min(id_col).alias(id_col))
-        .drop("_d")
+    )
+    # join on (digest, id), not id alone: with non-unique ids an
+    # id-only semi join kept a NULL-payload row twice (once via the
+    # join, once via the union) and retained non-survivor payloads that
+    # happened to share a survivor's id
+    with_d = df.filter(F.col(data_col).isNotNull()).withColumn(
+        "_d", digest
     )
     if mode == "survivors":
-        return df.join(keep, id_col, "semi").unionByName(
-            df.filter(F.col(data_col).isNull())
+        return (
+            with_d.join(keep, [id_col, "_d"], "semi")
+            .drop("_d")
+            .unionByName(df.filter(F.col(data_col).isNull()))
         )
-    return df.filter(F.col(data_col).isNotNull()).join(keep, id_col, "anti")
+    return with_d.join(keep, [id_col, "_d"], "anti").drop("_d")
 
 
 # ---------------------------------------------------------------------------
@@ -466,7 +488,10 @@ def media_phash(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
-            for mid, data in zip(pdf[id_col], pdf[data_col]):
+            # the pre-select below renames id_col to media_id — read the
+            # RENAMED column (reading pdf[id_col] crashed any caller
+            # with a non-default id column)
+            for mid, data in zip(pdf["media_id"], pdf[data_col]):
                 ids.append(mid)
                 if data is None:
                     hashes.append(None)

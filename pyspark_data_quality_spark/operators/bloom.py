@@ -189,6 +189,15 @@ def bloom_probe(
     # builder: dedup_against_bloom hands us an unmaterialized
     # bloom_build plan, and an eager emptiness check would execute the
     # whole reference aggregation twice)
+    # a multi-row bloom frame (e.g. a bitmap parquet accidentally
+    # appended twice) would silently DUPLICATE every probe row through
+    # the join — number the bitmap rows (a one-partition window over a
+    # frame of a few rows) so a second row fails the in-plan guard below
+    from pyspark.sql.window import Window as _W
+
+    bloom = bloom.withColumn(
+        "_bloom_rn", F.row_number().over(_W.orderBy(F.lit(1)))
+    )
     joined = df.join(F.broadcast(bloom), F.lit(True), "left")
     checks = [
         F.getbit(
@@ -210,8 +219,10 @@ def bloom_probe(
     # contract, and a NULL bitmap row (empty bloom frame via the left
     # join above) means there is no bitmap at all — fail the job on
     # either instead
-    params_ok = (F.col("num_bits") == F.lit(num_bits)) & (
-        F.col("num_hashes") == F.lit(num_hashes)
+    params_ok = (
+        (F.col("num_bits") == F.lit(num_bits))
+        & (F.col("num_hashes") == F.lit(num_hashes))
+        & (F.col("_bloom_rn") == 1)
     )
     maybe = F.when(params_ok, maybe).otherwise(
         F.raise_error(
@@ -226,11 +237,15 @@ def bloom_probe(
                 F.coalesce(
                     F.col("num_hashes").cast("string"), F.lit("NULL")
                 ),
-                F.lit(") — NULL/NULL means the bloom frame is EMPTY"),
+                F.lit(") — NULL/NULL means the bloom frame is EMPTY; "
+                      "a mismatch with matching params means it has "
+                      "MULTIPLE rows"),
             )
         ).cast("boolean")
     )
-    return joined.withColumn(out_col, maybe).drop("words", "num_bits", "num_hashes")
+    return joined.withColumn(out_col, maybe).drop(
+        "words", "num_bits", "num_hashes", "_bloom_rn"
+    )
 
 
 def dedup_against_bloom(
@@ -285,8 +300,17 @@ def dedup_against_bloom(
                 "cardinality estimate) or explicit num_bits + num_hashes"
             )
         auto_bits, auto_hashes = bloom_params(expected_items, fpp)
-        num_bits = num_bits if num_bits is not None else auto_bits
-        num_hashes = num_hashes if num_hashes is not None else auto_hashes
+        if num_bits is None:
+            num_bits = auto_bits
+        if num_hashes is None:
+            # optimal k for the bitmap ACTUALLY used, k = (m/n)·ln 2:
+            # the auto hash count is tuned for the auto bitmap size,
+            # and probing a caller-sized (e.g. deliberately small)
+            # bitmap with it saturates the filter — far more false
+            # positives than the requested fpp implies
+            num_hashes = max(
+                1, round(num_bits / expected_items * math.log(2))
+            )
 
     ref_fp = reference.select(
         doc_fingerprint(ref_text_col or text_col).alias("_fp")

@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_counts"]
+__all__ = ["k_core", "pagerank", "triangle_counts"]
 
 
 def pagerank(

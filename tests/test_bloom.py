@@ -181,3 +181,48 @@ def test_dedup_against_bloom_temp_column_clash_raises(spark, sf_dir):
     with_fp = docs.withColumn("_fp", F.lit(1))
     with pytest.raises(ValueError, match="_fp"):
         dedup_against_bloom(with_fp, docs, "text", expected_items=10)
+
+
+def test_bloom_probe_rejects_multirow_bitmap(spark):
+    """A bitmap parquet accidentally written twice used to silently
+    DOUBLE every probe row through the lit(True) join; it now fails
+    loud in-plan."""
+    from pyspark_data_quality_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    ref = spark.createDataFrame([("a",), ("b",)], ["v"])
+    bm = bloom_build(ref, "v", num_bits=256, num_hashes=3)
+    doubled = bm.unionByName(bm)
+    probe = bloom_probe(
+        spark.createDataFrame([("a",)], ["v"]), doubled, "v",
+        num_bits=256, num_hashes=3,
+    )
+    with pytest.raises(Exception, match="MULTIPLE rows|bloom_probe"):
+        probe.collect()
+
+
+def test_dedup_against_bloom_autok_matches_caller_bits(spark):
+    """num_hashes auto-sizing must target the caller's num_bits, not
+    the auto bitmap size: probing a deliberately small bitmap with the
+    auto k saturates it far beyond the requested fpp."""
+    import math
+
+    from pyspark_data_quality_spark.operators.bloom import (
+        dedup_against_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    batch = docs.filter("doc_id >= 20")
+    ref = docs.filter("doc_id < 20")
+    # tiny bitmap (2 bits/item): optimal k = round(2*ln2) = 1, and the
+    # exact-verify path must still return the exact survivor set
+    out = dedup_against_bloom(
+        batch, ref, "text", num_bits=64, expected_items=20
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == list(
+        range(20, 40)
+    )

@@ -249,3 +249,86 @@ def test_media_phash_and_near_dup_pairs(spark):
         (r["id_a"], r["id_b"], r["hamming"]) for r in exact
     ) == want
     assert (1, 2, 0) in want and not any(4 in p[:2] for p in want)
+
+
+def test_phash_nondefault_id_col(spark):
+    """media_phash's generator read the pre-rename id column name — any
+    non-default id_col crashed every task with a KeyError."""
+    from pyspark_data_quality_spark.multimodal.media import media_phash
+
+    df = spark.createDataFrame(
+        [(7, bytearray(b"payload-bytes" * 40))], ["doc_id", "data"]
+    )
+    rows = media_phash(df, id_col="doc_id", decoder="fake").collect()
+    assert rows[0]["media_id"] == 7 and rows[0]["phash"] is not None
+
+
+def test_media_dedup_duplicate_ids_and_null_payloads(spark):
+    """With a NULL-payload row sharing a survivor's id, the old id-only
+    semi join emitted that row TWICE (join + union); dedup now keys on
+    (digest, id)."""
+    from pyspark_data_quality_spark.multimodal.media import media_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"aaa")),
+            (1, None),
+            (2, bytearray(b"aaa")),  # dup of id=1's payload
+            (3, bytearray(b"bbb")),
+        ],
+        "media_id long, data binary",
+    )
+    surv = media_dedup(df, mode="survivors").collect()
+    # survivors: id=1 payload 'aaa', id=3 'bbb', plus the NULL row ONCE
+    assert len(surv) == 3
+    assert sum(1 for r in surv if r["data"] is None) == 1
+    dups = media_dedup(df, mode="dups").collect()
+    assert [r["media_id"] for r in dups] == [2]
+
+
+def test_media_feature_ops_skip_null_payloads(spark):
+    """image/audio/frame ops share media_stats' NULL contract: a NULL
+    payload or meta row is skipped, never a bytes(None) worker crash."""
+    from pyspark_data_quality_spark.multimodal.media import (
+        audio_features,
+        frame_sample,
+        image_features,
+        resize_images,
+    )
+
+    img = spark.createDataFrame(
+        [
+            (1, bytearray(b"x" * 64),
+             {"height": 4, "width": 4, "channels": 1}),
+            (2, None, {"height": 4, "width": 4, "channels": 1}),
+        ],
+        "media_id long, data binary, "
+        "meta struct<height:int,width:int,channels:int>",
+    )
+    assert image_features(img).count() == 1
+    assert resize_images(img, out_width=2, out_height=2).count() == 1
+    vid = spark.createDataFrame(
+        [
+            (1, bytearray(b"v" * 64),
+             {"height": 4, "width": 4, "channels": 1,
+              "duration_ms": 2000}),
+            (2, None,
+             {"height": 4, "width": 4, "channels": 1,
+              "duration_ms": 2000}),
+        ],
+        "media_id long, data binary, meta struct<height:int,width:int,"
+        "channels:int,duration_ms:int>",
+    )
+    assert frame_sample(vid, every_ms=1000).count() == 2  # id=1 only
+    with pytest.raises(ValueError, match="every_ms"):
+        frame_sample(vid, every_ms=0)
+    aud = spark.createDataFrame(
+        [
+            (1, bytearray(b"a" * 64),
+             {"sample_rate": 8000, "duration_ms": 10}),
+            (2, None, {"sample_rate": 8000, "duration_ms": 10}),
+        ],
+        "media_id long, data binary, "
+        "meta struct<sample_rate:int,duration_ms:int>",
+    )
+    assert audio_features(aud).count() == 1
