@@ -24,24 +24,18 @@ def _env(name: str, default: str) -> str:
 class Config:
     """Engine defaults, resolved from the environment at construction.
 
-    - ``dataset`` (DQ_DATASET): default dataset label on metric rows.
-    - ``severity_level`` (DQ_SEVERITY): default rule severity.
-    - ``approx_rsd`` (DQ_APPROX_RSD): relative std-dev for HLL distinct
-      counts (UniqueRule default estimator).
-    - ``max_bucket_size`` (DQ_MAX_BUCKET_SIZE): LSH hot-bucket cap.
-    - ``sf_dir`` (DQ_SF_DIR / SPARK_GRAFT_SF_DIR): fixture table root.
+    - ``dataset`` (DQ_DATASET): default dataset label on metric rows
+      (consulted by ``DQManager``).
+    - ``severity_level`` (DQ_SEVERITY): severity applied by
+      ``DQManager.add_rule`` to rules that did not set one explicitly.
+
+    Only keys the engine actually CONSULTS live here — a previous
+    revision also carried approx_rsd / max_bucket_size / sf_dir that
+    nothing read, which is worse than no configuration: an operator
+    setting the env var got zero effect and no warning. Operator tuning
+    knobs (HLL rsd, LSH bucket caps) stay explicit per-call parameters
+    by design.
     """
 
     dataset: str = field(default_factory=lambda: _env("DATASET", ""))
     severity_level: str = field(default_factory=lambda: _env("SEVERITY", "medium"))
-    approx_rsd: float = field(
-        default_factory=lambda: float(_env("APPROX_RSD", "0.01"))
-    )
-    max_bucket_size: int = field(
-        default_factory=lambda: int(_env("MAX_BUCKET_SIZE", "1000"))
-    )
-    sf_dir: str = field(
-        default_factory=lambda: _env(
-            "SF_DIR", os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-        )
-    )

@@ -51,9 +51,12 @@ METRIC_SCHEMA = StructType(
 
 
 def _utcnow() -> datetime:
-    # Naive UTC: Spark TimestampType stores session-tz-relative naive values;
-    # keeping them naive avoids double conversion on createDataFrame.
-    return datetime.now(timezone.utc).replace(tzinfo=None)
+    # AWARE UTC on purpose: TimestampType.toInternal converts a NAIVE
+    # datetime via time.mktime — the driver's OS timezone, NOT the
+    # session timezone — so naive-UTC values shift by the driver's
+    # offset on any non-UTC machine. An aware value goes through
+    # calendar.timegm: the correct instant everywhere.
+    return datetime.now(timezone.utc)
 
 
 @dataclass

@@ -52,6 +52,17 @@ class DQManager:
         return self.add_rule(rule)
 
     def add_rule(self, rule: Rule) -> "DQManager":
+        if getattr(rule, "severity_level", None) is None:
+            # the one config key beyond `dataset` the engine consults:
+            # rules without an explicit severity inherit DQ_SEVERITY
+            from .core.enums import SeverityLevel
+
+            try:
+                rule.severity_level = SeverityLevel(
+                    self.config.severity_level
+                )
+            except ValueError:
+                rule.severity_level = self.config.severity_level
         self._rules.append(rule)
         return self
 

@@ -52,7 +52,7 @@ class Rule:
         columns: list[str] | None = None,
         threshold: float = 1.0,
         condition: ConditionLike = None,
-        severity_level: SeverityLevel = SeverityLevel.MEDIUM,
+        severity_level: SeverityLevel | None = None,
         dataset: str = "",
         run_id: str = "",
         name: str | None = None,
@@ -60,6 +60,8 @@ class Rule:
         self.columns = list(columns or [])
         self.threshold = float(threshold)
         self.condition = condition
+        # None = "not set explicitly": DQManager.add_rule fills it from
+        # Config (DQ_SEVERITY); the metric build falls back to MEDIUM
         self.severity_level = severity_level
         self.dataset = dataset
         self.run_id = run_id
@@ -136,7 +138,7 @@ class Rule:
             severity_level=(
                 self.severity_level.value
                 if isinstance(self.severity_level, SeverityLevel)
-                else str(self.severity_level)
+                else str(self.severity_level or SeverityLevel.MEDIUM.value)
             ),
             threshold_result=threshold_result if threshold_result is not None else value,
             threshold_range=None,
@@ -153,12 +155,21 @@ class Rule:
         return CheckStatus.SUCCESS if value >= self.threshold else CheckStatus.FAILURE
 
     def scoped_pass_predicate(self, df: DataFrame) -> Optional[Column]:
-        """row_predicate lifted over scope: out-of-scope rows pass."""
+        """row_predicate lifted over scope: out-of-scope rows pass.
+
+        The whole expression is coalesced to True: a NULL scope (e.g. a
+        condition over a NULL column) means OUT of scope. Without the
+        coalesce, ``~NULL | ...`` is NULL and a downstream filter DROPS
+        the row — while the violation path (``scope & ~pred`` = NULL)
+        counts the same row as passing, so get_deduplicated_df would
+        silently lose rows get_valid_df keeps."""
         pred = self.row_predicate(df)
         if pred is None:
             return None
         scope = self.scope(df)
-        return ~scope | F.coalesce(pred, F.lit(False))
+        return F.coalesce(
+            ~scope | F.coalesce(pred, F.lit(False)), F.lit(True)
+        )
 
     def row_violation(self, df: DataFrame) -> Optional[Column]:
         """Boolean Column: True iff the row *fails* this rule (in scope and
@@ -178,4 +189,8 @@ class RunContext:
 
         self.dataset = dataset
         self.run_id = run_id
-        self.run_ts = run_ts or datetime.now(timezone.utc).replace(tzinfo=None)
+        # aware UTC (same rationale as core/models._utcnow): a naive
+        # value is converted through the DRIVER's OS timezone by
+        # TimestampType.toInternal, shifting metric timestamps on any
+        # non-UTC machine
+        self.run_ts = run_ts or datetime.now(timezone.utc)

@@ -31,10 +31,20 @@ def join_null_safe(
     LEFT's key columns; ``right``'s are renamed away and dropped.
     ``broadcast=True`` hints the (renamed) right side.
     """
-    if how == "full_outer" or how == "outer" or how == "full":
+    norm = how.replace("_", "").lower()
+    if norm in ("fullouter", "outer", "full"):
         raise ValueError(
             "join_null_safe: full-outer needs call-site key coalescing "
             "— see operators/diff.py for that shape"
+        )
+    if norm in ("right", "rightouter"):
+        # right-only rows carry their key only in the dropped _gk_
+        # columns — the key VALUE would be silently lost; swap the
+        # sides and use a left join instead
+        raise ValueError(
+            "join_null_safe: right joins lose the right-only rows' key "
+            "values (the output keeps LEFT's key columns) — swap the "
+            "sides and use how='left'"
         )
     shared = (set(right.columns) - set(keys)) & set(left.columns)
     if shared:

@@ -22,7 +22,12 @@ def _with_corrupt(schema: StructType | str) -> StructType:
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     if CORRUPT_COL not in schema.fieldNames():
-        schema = schema.add(CORRUPT_COL, StringType())
+        # COPY before add: StructType.add appends to self.fields and
+        # returns self, so adding on the caller's object would
+        # permanently widen the schema they passed in
+        schema = StructType(list(schema.fields)).add(
+            CORRUPT_COL, StringType()
+        )
     return schema
 
 

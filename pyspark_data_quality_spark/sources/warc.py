@@ -102,6 +102,11 @@ class _WarcReader(DataSourceReader):
                 if os.path.isfile(p)
                 and (".warc" in os.path.basename(p))
             )
+        elif os.path.isfile(self._path):
+            # literal file FIRST: a real path containing glob
+            # metacharacters ("crawl[2024]/seg.warc.gz") would match
+            # nothing as a pattern and raise a spurious not-found
+            paths = [self._path]
         else:
             # no fallback to the raw path: a typo'd literal path must
             # fail HERE on the driver, not per-task in open()

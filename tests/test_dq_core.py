@@ -144,10 +144,10 @@ def test_env_config(spark, monkeypatch):
     from pyspark_data_quality_spark.core.config import Config
 
     monkeypatch.setenv("DQ_DATASET", "from_env")
-    monkeypatch.setenv("DQ_APPROX_RSD", "0.05")
+    monkeypatch.setenv("DQ_SEVERITY", "medium")
     cfg = Config()
     assert cfg.dataset == "from_env"
-    assert cfg.approx_rsd == 0.05
+    assert cfg.severity_level == "medium"
     mgr = DQManager(spark)
     assert mgr.dataset == "from_env"
     # explicit arg wins over env
@@ -240,3 +240,37 @@ def test_dup_rate_by_group(spark):
     assert rows[None]["n_rows"] == 2 and rows[None]["dup_ratio"] == 0.5
     with pytest.raises(ValueError, match="non-empty"):
         dup_rate_by_group(df, [], ["src"])
+
+
+def test_dedup_keeps_rows_with_null_scope(spark):
+    """A NULL scope condition means OUT of scope: the row passes in the
+    valid/invalid classification, and get_deduplicated_df must keep it
+    too — the un-coalesced predicate used to evaluate NULL and silently
+    DROP it from the dedup output only."""
+    from pyspark_data_quality_spark.manager import DQManager
+    from pyspark_data_quality_spark.operators import RangeRule
+
+    df = spark.createDataFrame(
+        [(1, "F", 5.0), (2, None, -1.0), (3, "O", -1.0)],
+        ["id", "status", "v"],
+    )
+    res = (
+        DQManager(spark)
+        .set_data(df)
+        .add_rule(
+            RangeRule(
+                column="v", min_value=0.0, condition="status = 'F'",
+                name="scoped_range",
+            )
+        )
+        .run()
+    )
+    valid_ids = sorted(r["id"] for r in res.get_valid_df().collect())
+    dedup_ids = sorted(
+        r["id"] for r in res.get_deduplicated_df().collect()
+    )
+    # id=2 (NULL status -> NULL scope -> out of scope) passes BOTH ways;
+    # id=3 is in-scope-false only if its status matched — it doesn't, so
+    # it passes too; nothing may differ between the two accessors
+    assert valid_ids == [1, 2, 3]
+    assert dedup_ids == valid_ids
