@@ -1966,14 +1966,233 @@ def _pii_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
-@query("dq_pii_scan", _pii_oracle())
-def dq_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus PII exposure: email/url/phone/ipv4 detector summary in one
-    fused pass (operators/text.py pii_summary)."""
+#: quasi-identifier tuple for the privacy parts: nation + a 2000-unit
+#: account-balance band (6 bands over the generator's -1000..10000 range)
+_PRIVACY_QI = ["c_nationkey", "bal_band"]
+
+
+def _privacy_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(2000.0)).alias("bal_band"),
+        "c_mktsegment",
+    )
+
+
+_PRIVACY_CLS_SQL = """
+    cust AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+             c_mktsegment
+      FROM customer
+    ),
+    cls AS (
+      SELECT c_nationkey, bal_band, count(*) AS sz,
+             count(DISTINCT c_mktsegment) AS dv
+      FROM cust GROUP BY c_nationkey, bal_band
+    )
+    """
+
+
+def _privacy_oracle() -> str:
+    """DuckDB replay of every part: the PII regex summary plus the
+    k-anonymity / l-diversity ladders, the suppression summary and the
+    riskiest-classes head, all recomputed from the same class-size CTE."""
+    ladder = """
+      SELECT t, CAST(sum(sz) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(min({m}) AS BIGINT) AS min_size,
+             CAST(coalesce(sum(CASE WHEN {m} < t THEN sz END), 0)
+                  AS BIGINT) AS rows_below,
+             CAST(coalesce(sum(CASE WHEN {m} < t THEN 1 END), 0)
+                  AS BIGINT) AS classes_below,
+             CAST(round(coalesce(sum(CASE WHEN {m} < t THEN sz END), 0)
+                        * 1.0 / sum(sz), 6) AS DOUBLE) AS pct_rows_below
+      FROM cls CROSS JOIN (SELECT unnest([{ts}]) AS t) GROUP BY t
+    """
+    pad_pii = (
+        "CAST(NULL AS BIGINT) AS threshold, CAST(NULL AS BIGINT) AS n_rows,"
+        " CAST(NULL AS BIGINT) AS n_classes, CAST(NULL AS BIGINT) AS"
+        " min_size, CAST(NULL AS BIGINT) AS rows_below, CAST(NULL AS"
+        " BIGINT) AS classes_below, CAST(NULL AS DOUBLE) AS"
+        " pct_rows_below, CAST(NULL AS VARCHAR) AS qi_key, CAST(NULL AS"
+        " BIGINT) AS class_size"
+    )
+    pad_ladder = "CAST(NULL AS VARCHAR) AS qi_key, CAST(NULL AS BIGINT) AS class_size"
+    pad_detail = (
+        "CAST(NULL AS VARCHAR) AS pii_type, CAST(NULL AS BIGINT) AS"
+        " docs_affected, CAST(NULL AS BIGINT) AS total_matches"
+    )
+    return f"""
+    WITH {_PRIVACY_CLS_SQL},
+    kanon AS ({ladder.format(m="sz", ts="2, 5, 10")}),
+    ldiv AS ({ladder.format(m="dv", ts="2, 3")}),
+    sup AS (
+      SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+             CAST(coalesce(sum(CASE WHEN sz >= 5 THEN 1 END), 0)
+                  AS BIGINT) AS n_classes,
+             CAST(min(CASE WHEN sz >= 5 THEN sz END) AS BIGINT) AS min_size,
+             CAST(coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0)
+                  AS BIGINT) AS rows_below,
+             CAST(round(coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0)
+                        * 1.0 / sum(sz), 6) AS DOUBLE) AS pct_rows_below
+      FROM cls
+    ),
+    risky AS (
+      SELECT concat_ws('|', coalesce(CAST(c_nationkey AS VARCHAR), ''),
+                       coalesce(CAST(bal_band AS VARCHAR), '')) AS qi_key,
+             CAST(sz AS BIGINT) AS class_size
+      FROM cls
+      ORDER BY sz, c_nationkey NULLS FIRST, bal_band NULLS FIRST
+      LIMIT 10
+    )
+    SELECT 'pii' AS part, pii_type, docs_affected, total_matches, {pad_pii}
+    FROM ({_pii_oracle()})
+    UNION ALL
+    SELECT 'kanon', {pad_detail}, t AS threshold, n_rows, n_classes,
+           min_size, rows_below, classes_below, pct_rows_below, {pad_ladder}
+    FROM kanon
+    UNION ALL
+    SELECT 'ldiv', {pad_detail}, t, n_rows, n_classes, min_size,
+           rows_below, classes_below, pct_rows_below, {pad_ladder}
+    FROM ldiv
+    UNION ALL
+    SELECT 'suppress', {pad_detail}, CAST(5 AS BIGINT), n_rows, n_classes,
+           min_size, rows_below, CAST(NULL AS BIGINT), pct_rows_below,
+           {pad_ladder}
+    FROM sup
+    UNION ALL
+    SELECT 'classes', {pad_detail}, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), qi_key, class_size
+    FROM risky
+    """
+
+
+@query("dq_privacy", _privacy_oracle())
+def dq_privacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy certification composite: the former ``dq_pii_scan`` entry
+    (part ``pii``, its certified projection verbatim — operators/text.py
+    pii_summary, one fused regex pass over documents) plus the r13
+    re-identification-risk family (operators/privacy.py) over customer
+    with QI = (nation, 2000-unit balance band):
+
+    - ``kanon``: k-anonymity ladder at k in (2, 5, 10) — one class
+      aggregate + one exploded global row, threshold-count-independent;
+    - ``ldiv``: distinct l-diversity of c_mktsegment at l in (2, 3);
+    - ``suppress``: suppress_below_k(k=5) summary derived from the
+      TRANSFORM OUTPUT (suppressed-row count, surviving-class count and
+      min size — the oracle derives the same numbers from class sizes,
+      so the hash certifies the suppression semantics end-to-end;
+      classes_below is NULL here: class identity is unrecoverable from
+      the suppressed output by design);
+    - ``classes``: the 10 smallest equivalence classes (deterministic
+      size + QI-tuple ordering), serialized to an atomic ``qi_key``.
+
+    Certification-shaped union: each part is independently a single
+    aggregation pass at scale; the shared-scan fusion is deliberately
+    NOT forced so each part keeps its standalone plan."""
+    from .operators.privacy import (
+        kanonymity_report,
+        l_diversity_report,
+        riskiest_classes,
+        suppress_below_k,
+    )
     from .operators.text import pii_summary
 
+    long_null = F.lit(None).cast("long")
+    pad_detail = [
+        F.lit(None).cast("string").alias("pii_type"),
+        long_null.alias("docs_affected"),
+        long_null.alias("total_matches"),
+    ]
+    pad_ladder = [
+        F.lit(None).cast("string").alias("qi_key"),
+        long_null.alias("class_size"),
+    ]
+
     docs = load_table(spark, "documents", sf_dir)
-    return pii_summary(docs, "text")
+    pii = pii_summary(docs, "text").select(
+        F.lit("pii").alias("part"), "pii_type", "docs_affected",
+        "total_matches", long_null.alias("threshold"),
+        long_null.alias("n_rows"), long_null.alias("n_classes"),
+        long_null.alias("min_size"), long_null.alias("rows_below"),
+        long_null.alias("classes_below"),
+        F.lit(None).cast("double").alias("pct_rows_below"),
+        *pad_ladder,
+    )
+
+    cust = _privacy_cust(spark, sf_dir)
+
+    def ladder_part(df: DataFrame, tag: str, label: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("part"), *pad_detail,
+            F.col(label).alias("threshold"), "n_rows", "n_classes",
+            "min_size",
+            F.col(f"rows_below_{label}").alias("rows_below"),
+            F.col(f"classes_below_{label}").alias("classes_below"),
+            F.col(f"pct_rows_below_{label}").alias("pct_rows_below"),
+            *pad_ladder,
+        )
+
+    kanon = ladder_part(
+        kanonymity_report(cust, _PRIVACY_QI, thresholds=(2, 5, 10)),
+        "kanon", "k",
+    )
+    ldiv = ladder_part(
+        l_diversity_report(
+            cust, _PRIVACY_QI, "c_mktsegment", thresholds=(2, 3)
+        ),
+        "ldiv", "l",
+    )
+
+    sup = suppress_below_k(cust, _PRIVACY_QI, k=5)
+    surv = (
+        sup.where(F.col("suppressed") == 0)
+        .groupBy(*_PRIVACY_QI)
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("sz").cast("long").alias("min_size"),
+        )
+    )
+    tot = sup.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum("suppressed"), F.lit(0))
+        .cast("long").alias("rows_below"),
+    )
+    suppress = tot.crossJoin(F.broadcast(surv)).select(
+        F.lit("suppress").alias("part"), *pad_detail,
+        F.lit(5).cast("long").alias("threshold"),
+        "n_rows", "n_classes", "min_size", "rows_below",
+        long_null.alias("classes_below"),
+        F.round(F.try_divide(F.col("rows_below"), F.col("n_rows")), 6)
+        .alias("pct_rows_below"),
+        *pad_ladder,
+    )
+
+    risky = riskiest_classes(cust, _PRIVACY_QI, top=10).select(
+        F.lit("classes").alias("part"), *pad_detail,
+        long_null.alias("threshold"), long_null.alias("n_rows"),
+        long_null.alias("n_classes"), long_null.alias("min_size"),
+        long_null.alias("rows_below"), long_null.alias("classes_below"),
+        F.lit(None).cast("double").alias("pct_rows_below"),
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("c_nationkey").cast("string"), F.lit("")),
+            F.coalesce(F.col("bal_band").cast("string"), F.lit("")),
+        ).alias("qi_key"),
+        F.col("class_size").cast("long").alias("class_size"),
+    )
+
+    return (
+        pii.unionByName(kanon)
+        .unionByName(ldiv)
+        .unionByName(suppress)
+        .unionByName(risky)
+    )
 
 
 @query(

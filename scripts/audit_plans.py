@@ -77,6 +77,8 @@ NESTED_LOOP_OK = {
                                  # calibration bin-total broadcast
     "dq_segment_health",         # constituents' 1-row global broadcasts
     "dq_corpus_card",            # 1-row card-section aggregates
+    "dq_privacy",                # 1-row suppression totals x 1-row
+                                 # surviving-class stats broadcast
 }
 
 
