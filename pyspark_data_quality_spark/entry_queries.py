@@ -2452,9 +2452,7 @@ def dq_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dq_ks",
-    f"""
+_KS_PART_SQL = f"""
     WITH a AS (
       SELECT round(o_totalprice, -2) AS x, count(*) AS n_a FROM orders
       WHERE o_orderdate >= TIMESTAMP '{_DRIFT_SPLIT}'
@@ -2480,20 +2478,224 @@ def dq_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_a) AS BIGINT) AS n_cur,
            CAST(sum(n_b) AS BIGINT) AS n_ref
     FROM c
-    """,
-)
-def dq_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample KS statistic of o_totalprice (quantized to hundreds),
-    post- vs pre-1998H2 (operators/drift.py ks_statistic)."""
-    from .operators.drift import ks_statistic
+    """
+
+_W1_PART_SQL = f"""
+    WITH b AS (
+      SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+             CAST(max(o_totalprice) AS DOUBLE) AS hi
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}'
+        AND o_totalprice IS NOT NULL
+    ), hc AS (
+      SELECT bin, count(*) AS n FROM (
+        SELECT {_HIST_BIN_SQL.format(b1=9, x='o_totalprice', bins=10)} AS bin
+        FROM orders, b
+        WHERE o_orderdate >= TIMESTAMP '{_DRIFT_SPLIT}'
+          AND o_totalprice IS NOT NULL
+      ) GROUP BY bin
+    ), hr AS (
+      SELECT bin, count(*) AS n FROM (
+        SELECT {_HIST_BIN_SQL.format(b1=9, x='o_totalprice', bins=10)} AS bin
+        FROM orders, b
+        WHERE o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}'
+          AND o_totalprice IS NOT NULL
+      ) GROUP BY bin
+    ), j AS (
+      SELECT s.bin, coalesce(hc.n, 0) AS n_a, coalesce(hr.n, 0) AS n_b,
+             b.lo, b.hi
+      FROM range(10) AS s(bin)
+      LEFT JOIN hc ON hc.bin = s.bin
+      LEFT JOIN hr ON hr.bin = s.bin
+      CROSS JOIN b
+    ), c AS (
+      SELECT abs(sum(n_a) OVER w * 1.0 / sum(n_a) OVER ()
+                 - sum(n_b) OVER w * 1.0 / sum(n_b) OVER ())
+               * ((hi - lo) / 10.0) AS dw,
+             n_a, n_b
+      FROM j WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)
+    )
+    SELECT CAST(round(sum(dw), 6) AS DOUBLE) AS w1,
+           CAST(sum(n_a) AS BIGINT) AS n_cur,
+           CAST(sum(n_b) AS BIGINT) AS n_ref
+    FROM c
+    """
+
+_SCREEN_COLS = ["o_totalprice", "o_custkey", "o_shifted"]
+_SCREEN_BINS = 16
+_SCREEN_ALPHA = 0.05
+
+
+def _drift_screen_part_sql() -> str:
+    """DuckDB replay of drift_screen over orders at the standard drift
+    split: binned paired histograms from reference-side bounds, binned
+    KS + PSI per column, the asymptotic two-sample p-value and the BH
+    step-up across the three-column family."""
+    bins, alpha, eps = _SCREEN_BINS, _SCREEN_ALPHA, 1.0e-6
+    bounds = " UNION ALL ".join(
+        f"""SELECT '{c}' AS "column",
+             CAST(min({c}) AS DOUBLE) AS lo,
+             CAST(max({c}) AS DOUBLE) AS hi
+           FROM derived WHERE a = 0 AND {c} IS NOT NULL"""
+        for c in _SCREEN_COLS
+    )
+    lng = " UNION ALL ".join(
+        f"""SELECT '{c}' AS "column", CAST({c} AS DOUBLE) AS v, a
+           FROM derived"""
+        for c in _SCREEN_COLS
+    )
+    return f"""
+    WITH base AS (
+      SELECT CASE WHEN o_orderdate >= TIMESTAMP '{_DRIFT_SPLIT}'
+                  THEN 1 ELSE 0 END AS a,
+             CAST(o_totalprice AS DOUBLE) AS p,
+             CAST(o_custkey AS DOUBLE) AS ck
+      FROM orders
+    ), derived AS (
+      SELECT a, p AS o_totalprice, ck AS o_custkey,
+             CASE WHEN a = 1 THEN p * 1.2 ELSE p END AS o_shifted
+      FROM base
+    ), bnd AS ({bounds}),
+    lng AS ({lng}),
+    binned AS (
+      SELECT lng."column",
+             CAST(least({bins - 1}, greatest(0, coalesce(
+               CAST(floor((v - lo) / nullif((hi - lo) / {bins}.0, 0))
+                    AS BIGINT), 0))) AS INT) AS bin,
+             a
+      FROM lng JOIN bnd USING ("column")
+      WHERE v IS NOT NULL AND NOT isnan(v)
+    ),
+    counts AS (
+      SELECT "column", bin, sum(a) AS n_a, sum(1 - a) AS n_b
+      FROM binned GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT "column", n_a, n_b,
+        abs(coalesce(sum(n_a) OVER w * 1.0 / nullif(sum(n_a) OVER t, 0), 0)
+          - coalesce(sum(n_b) OVER w * 1.0
+                     / nullif(sum(n_b) OVER t, 0), 0)) AS d,
+        (greatest(coalesce(n_a * 1.0 / nullif(sum(n_a) OVER t, 0), 0), {eps})
+         - greatest(coalesce(n_b * 1.0 / nullif(sum(n_b) OVER t, 0), 0),
+                    {eps}))
+          * ln(greatest(coalesce(n_a * 1.0 / nullif(sum(n_a) OVER t, 0), 0),
+                        {eps})
+               / greatest(coalesce(n_b * 1.0
+                                   / nullif(sum(n_b) OVER t, 0), 0),
+                          {eps})) AS term
+      FROM counts
+      WINDOW w AS (PARTITION BY "column" ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             t AS (PARTITION BY "column")
+    ),
+    per AS (
+      SELECT "column", CAST(sum(n_a) AS BIGINT) AS n_cur,
+             CAST(sum(n_b) AS BIGINT) AS n_ref,
+             coalesce(max(d), 0) AS ks, coalesce(sum(term), 0) AS psi
+      FROM c GROUP BY 1
+    ),
+    pv AS (
+      SELECT *, coalesce(least(1.0, 2.0 * exp(-2.0 * ks * ks
+               * (n_cur * n_ref * 1.0 / nullif(n_cur + n_ref, 0)))),
+               1.0) AS p
+      FROM per
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY p, "column") AS bh_rank,
+             count(*) OVER () AS m
+      FROM pv
+    ),
+    kk AS (
+      SELECT max(CASE WHEN p <= bh_rank * {alpha} / m THEN bh_rank END)
+               AS kmax
+      FROM r
+    )
+    SELECT "column", n_cur, n_ref,
+           CAST(round(ks, 6) AS DOUBLE) AS stat,
+           CAST(round(psi, 6) AS DOUBLE) AS psi,
+           CAST(round(p, 6) AS DOUBLE) AS p_value,
+           CAST(bh_rank AS BIGINT) AS bh_rank,
+           CAST(round(bh_rank * {alpha} / m, 6) AS DOUBLE) AS bh_crit,
+           coalesce(bh_rank <= kmax, FALSE) AS drifted
+    FROM r, kk
+    """
+
+
+def _drift_screen_oracle() -> str:
+    pad_screen = (
+        "CAST(NULL AS DOUBLE) AS psi, CAST(NULL AS DOUBLE) AS p_value,"
+        " CAST(NULL AS BIGINT) AS bh_rank, CAST(NULL AS DOUBLE) AS"
+        " bh_crit, CAST(NULL AS BOOLEAN) AS drifted"
+    )
+    return f"""
+    SELECT 'ks' AS part, 'o_totalprice' AS "column", n_cur, n_ref,
+           ks AS stat, {pad_screen}
+    FROM ({_KS_PART_SQL})
+    UNION ALL
+    SELECT 'w1', 'o_totalprice', n_cur, n_ref, w1, {pad_screen}
+    FROM ({_W1_PART_SQL})
+    UNION ALL
+    SELECT 'screen', "column", n_cur, n_ref, stat, psi, p_value,
+           bh_rank, bh_crit, drifted
+    FROM ({_drift_screen_part_sql()})
+    """
+
+
+@query("dq_drift_screen", _drift_screen_oracle())
+def dq_drift_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-drift certification composite at the standard post- vs
+    pre-1998H2 orders split:
+
+    - ``ks``: the former ``dq_ks`` entry verbatim — exact two-sample KS
+      of o_totalprice quantized to hundreds (operators/drift.py
+      ks_statistic, distributed prefix-sum method);
+    - ``w1``: the former ``dq_wasserstein`` entry verbatim — binned
+      Wasserstein-1 with reference-side bounds (wasserstein_1d);
+    - ``screen``: the r13 wide-table screen (drift_screen) over
+      (o_totalprice, o_custkey, o_shifted) where ``o_shifted`` carries
+      a deliberate 1.2x scale shift on the current side only — the BH
+      step-up must flag exactly the planted column at alpha=0.05 while
+      the family's paired histograms materialize in ONE data shuffle.
+    """
+    from .operators.drift import drift_screen, ks_statistic, wasserstein_1d
 
     orders = load_table(spark, "orders", sf_dir)
     split = F.lit(_DRIFT_SPLIT).cast("timestamp")
-    return ks_statistic(
-        orders.filter(F.col("o_orderdate") >= split),
-        orders.filter(F.col("o_orderdate") < split),
-        "o_totalprice", quantize=-2,
+    cur = orders.filter(F.col("o_orderdate") >= split)
+    ref = orders.filter(F.col("o_orderdate") < split)
+
+    null_d = F.lit(None).cast("double")
+    pad_screen = [
+        null_d.alias("psi"), null_d.alias("p_value"),
+        F.lit(None).cast("long").alias("bh_rank"),
+        null_d.alias("bh_crit"),
+        F.lit(None).cast("boolean").alias("drifted"),
+    ]
+
+    ks = ks_statistic(cur, ref, "o_totalprice", quantize=-2).select(
+        F.lit("ks").alias("part"),
+        F.lit("o_totalprice").alias("column"),
+        "n_cur", "n_ref", F.col("ks").alias("stat"), *pad_screen,
     )
+    w1 = wasserstein_1d(cur, ref, "o_totalprice", bins=10).select(
+        F.lit("w1").alias("part"),
+        F.lit("o_totalprice").alias("column"),
+        "n_cur", "n_ref", F.col("w1").alias("stat"), *pad_screen,
+    )
+
+    price = F.col("o_totalprice").cast("double")
+    screen = drift_screen(
+        cur.withColumn("o_shifted", price * 1.2),
+        ref.withColumn("o_shifted", price),
+        _SCREEN_COLS, bins=_SCREEN_BINS, alpha=_SCREEN_ALPHA,
+    ).select(
+        F.lit("screen").alias("part"), "column", "n_cur", "n_ref",
+        F.col("ks").alias("stat"), "psi", "p_value",
+        F.col("bh_rank").cast("long").alias("bh_rank"),
+        "bh_crit", "drifted",
+    )
+    return ks.unionByName(w1).unionByName(screen)
 
 
 @query(
@@ -2691,65 +2893,6 @@ def dq_diff_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cur, ref = _diff_cur_ref(spark, sf_dir)
     return table_diff_columns(cur, ref, ["k"])
-
-
-@query(
-    "dq_wasserstein",
-    f"""
-    WITH b AS (
-      SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
-             CAST(max(o_totalprice) AS DOUBLE) AS hi
-      FROM orders
-      WHERE o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}'
-        AND o_totalprice IS NOT NULL
-    ), hc AS (
-      SELECT bin, count(*) AS n FROM (
-        SELECT {_HIST_BIN_SQL.format(b1=9, x='o_totalprice', bins=10)} AS bin
-        FROM orders, b
-        WHERE o_orderdate >= TIMESTAMP '{_DRIFT_SPLIT}'
-          AND o_totalprice IS NOT NULL
-      ) GROUP BY bin
-    ), hr AS (
-      SELECT bin, count(*) AS n FROM (
-        SELECT {_HIST_BIN_SQL.format(b1=9, x='o_totalprice', bins=10)} AS bin
-        FROM orders, b
-        WHERE o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}'
-          AND o_totalprice IS NOT NULL
-      ) GROUP BY bin
-    ), j AS (
-      SELECT s.bin, coalesce(hc.n, 0) AS n_a, coalesce(hr.n, 0) AS n_b,
-             b.lo, b.hi
-      FROM range(10) AS s(bin)
-      LEFT JOIN hc ON hc.bin = s.bin
-      LEFT JOIN hr ON hr.bin = s.bin
-      CROSS JOIN b
-    ), c AS (
-      SELECT abs(sum(n_a) OVER w * 1.0 / sum(n_a) OVER ()
-                 - sum(n_b) OVER w * 1.0 / sum(n_b) OVER ())
-               * ((hi - lo) / 10.0) AS dw,
-             n_a, n_b
-      FROM j WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND CURRENT ROW)
-    )
-    SELECT CAST(round(sum(dw), 6) AS DOUBLE) AS w1,
-           CAST(sum(n_a) AS BIGINT) AS n_cur,
-           CAST(sum(n_b) AS BIGINT) AS n_ref
-    FROM c
-    """,
-)
-def dq_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binned Wasserstein-1 distance of o_totalprice, post- vs
-    pre-1998H2, bounds from the reference side (operators/drift.py
-    wasserstein_1d — bounded cumulative window over 10 bins)."""
-    from .operators.drift import wasserstein_1d
-
-    orders = load_table(spark, "orders", sf_dir)
-    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
-    return wasserstein_1d(
-        orders.filter(F.col("o_orderdate") >= split),
-        orders.filter(F.col("o_orderdate") < split),
-        "o_totalprice", bins=10,
-    )
 
 
 @query("dq_curation")

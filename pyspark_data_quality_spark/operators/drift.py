@@ -1308,3 +1308,220 @@ def classifier_drift(
             (auc >= threshold).alias("drifted"),
         )
     )
+
+
+def drift_screen(
+    cur: DataFrame,
+    ref: DataFrame,
+    columns: list[str],
+    *,
+    bins: int = 32,
+    alpha: float = 0.05,
+    eps: float = DEFAULT_EPS,
+    round_to: int = 6,
+    persist: bool = True,
+) -> DataFrame:
+    """Wide-table drift SCREENING: binned KS + PSI for MANY numeric
+    columns in ONE data shuffle, with Benjamini–Hochberg false-discovery
+    control across the column family. One row per column:
+    ``(column, n_cur, n_ref, ks, psi, p_value, bh_rank, bh_crit,
+    drifted)``.
+
+    The per-column operators (:func:`ks_statistic`,
+    :func:`numeric_drift`) answer "did THIS column drift?" exactly; at
+    100 TB a monitoring job asks the different question "which of these
+    200 columns drifted?", where per-column exact passes mean 200
+    shuffles and 200 uncorrected tests mean ~10 false alarms per run at
+    alpha=0.05. This operator is the screening shape for that job:
+
+    - **One shuffle for the whole family.** Both sides explode to
+      ``(column, value)`` rows (the profile.top_values map trick), the
+      reference-side bounds broadcast-join in, and a single tagged
+      groupBy on ``(column, bin)`` materializes every column's paired
+      histogram with map-side combine — ≤ ``len(columns) * bins`` rows
+      out of the exchange regardless of input size. All ordered work
+      (CDFs, ranks) happens on that bounded table.
+    - **Binned KS is a lower bound** on the exact statistic (the max is
+      taken over bin edges only), so the derived p-value is
+      conservative: the screen under-flags, never over-flags, relative
+      to the exact test — the correct direction for a triage pass whose
+      hits get the exact single-column treatment next.
+    - **BH step-up across columns**: p-values (one-term asymptotic
+      two-sample tail ``min(1, 2*exp(-2*D^2*n_eff))``,
+      ``n_eff = n_cur*n_ref/(n_cur+n_ref)``) are ranked ascending and
+      compared to ``rank/m * alpha``; every column at or below the
+      largest passing rank is flagged. Deterministic tie-break on
+      (p, column).
+
+    Binning follows the :func:`numeric_drift` conventions: bounds are
+    the REFERENCE side's finite min/max per column (escaped current
+    mass clamps into the edge bins), NULL/NaN values drop out of that
+    column's histogram (they have no position on the line), ±Inf clamps
+    to the edges, and a constant reference column (width 0) degenerates
+    to a single bin — KS 0, PSI 0, p 1, never a divide error.
+    """
+    from ..functions.expr import finite
+    from ..plans.cache import maybe_persist
+
+    if not columns:
+        raise ValueError("drift_screen: columns must be non-empty")
+
+    # one reference pass for every column's finite bounds -> unpivot the
+    # 1-row wide agg to (column, _blo, _bhi); tiny, broadcast below
+    bounds_wide = ref.agg(
+        *[
+            a
+            for c in columns
+            for a in (
+                F.min(finite(F.col(c))).cast("double").alias(f"_lo_{c}"),
+                F.max(finite(F.col(c))).cast("double").alias(f"_hi_{c}"),
+            )
+        ]
+    )
+    bounds = maybe_persist(
+        bounds_wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(f"_lo_{c}").alias("_blo"),
+                            F.col(f"_hi_{c}").alias("_bhi"),
+                        )
+                        for c in columns
+                    ]
+                )
+            ).alias("_b")
+        ).select("_b.*"),
+        persist,
+    )
+
+    def side(df: DataFrame, a: int) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.create_map(
+                    *[
+                        x
+                        for c in columns
+                        for x in (F.lit(c), F.col(c).cast("double"))
+                    ]
+                )
+            ).alias("column", "_v"),
+        ).withColumn("_a", F.lit(a))
+
+    v = F.col("_v")
+    width = (F.col("_bhi") - F.col("_blo")) / F.lit(float(bins))
+    raw = F.floor(F.try_divide(v - F.col("_blo"), width))
+    bin_c = (
+        F.least(
+            F.lit(bins - 1), F.greatest(F.lit(0), F.coalesce(raw, F.lit(0)))
+        ).cast("int")
+    )
+    counts = (
+        side(cur, 1)
+        .unionByName(side(ref, 0))
+        .filter(v.isNotNull() & ~F.isnan(v))
+        .join(F.broadcast(bounds), "column")
+        .select("column", bin_c.alias("bin"), "_a")
+        .groupBy("column", "bin")
+        .agg(
+            F.sum("_a").alias("n_a"),
+            F.sum(F.lit(1) - F.col("_a")).alias("n_b"),
+        )
+    )
+
+    # all ordered work below runs on <= len(columns)*bins rows. No bin
+    # spine needed: a bin empty on BOTH sides carries a flat CDF gap
+    # (the max is unchanged) and a 0-0 PSI term of exactly 0.
+    cum = (
+        Window.partitionBy("column")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("column")
+    cdf_a = F.try_divide(F.sum("n_a").over(cum), F.sum("n_a").over(tot))
+    cdf_b = F.try_divide(F.sum("n_b").over(cum), F.sum("n_b").over(tot))
+    pc = F.greatest(
+        F.coalesce(
+            F.try_divide(F.col("n_a"), F.sum("n_a").over(tot)), F.lit(0.0)
+        ),
+        F.lit(eps),
+    )
+    pr = F.greatest(
+        F.coalesce(
+            F.try_divide(F.col("n_b"), F.sum("n_b").over(tot)), F.lit(0.0)
+        ),
+        F.lit(eps),
+    )
+    per_col = (
+        counts.select(
+            "column",
+            "n_a",
+            "n_b",
+            F.abs(F.coalesce(cdf_a, F.lit(0.0)) - F.coalesce(cdf_b, F.lit(0.0))).alias("_d"),
+            ((pc - pr) * F.log(pc / pr)).alias("_term"),
+        )
+        .groupBy("column")
+        .agg(
+            F.sum("n_a").alias("n_cur"),
+            F.sum("n_b").alias("n_ref"),
+            F.max("_d").alias("_ks"),
+            F.sum("_term").alias("_psi"),
+        )
+    )
+    # column spine: an all-NULL/empty column produces NO histogram rows
+    # and would silently vanish from the report — exactly the column a
+    # drift monitor most needs to surface. Re-seat it with zero counts
+    # so it reports (ks 0, psi 0, p 1, drifted False) instead.
+    spine = cur.sparkSession.createDataFrame(
+        [(c,) for c in columns], "column string"
+    )
+    per_col = spine.join(per_col, "column", "left").select(
+        "column",
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        "_ks",
+        "_psi",
+    )
+    n_eff = F.try_divide(
+        (F.col("n_cur") * F.col("n_ref")).cast("double"),
+        (F.col("n_cur") + F.col("n_ref")).cast("double"),
+    )
+    p_raw = F.least(
+        F.lit(1.0),
+        F.lit(2.0) * F.exp(F.lit(-2.0) * F.col("_ks") * F.col("_ks") * n_eff),
+    )
+    # NULL stats (empty column) coalesce to KS/PSI 0, p 1 — never a NULL
+    # that would poison the BH ordering
+    scored = per_col.select(
+        "column",
+        "n_cur",
+        "n_ref",
+        F.coalesce("_ks", F.lit(0.0)).alias("_ks"),
+        F.coalesce("_psi", F.lit(0.0)).alias("_psi"),
+        F.coalesce(p_raw, F.lit(1.0)).alias("_p"),
+    )
+    m = F.count(F.lit(1)).over(Window.partitionBy())
+    rk = F.row_number().over(Window.orderBy("_p", "column"))
+    ranked = scored.select(
+        "*",
+        rk.alias("bh_rank"),
+        (rk.cast("double") / m * F.lit(alpha)).alias("_crit"),
+    )
+    w_all = Window.partitionBy()
+    k_max = F.max(
+        F.when(F.col("_p") <= F.col("_crit"), F.col("bh_rank"))
+    ).over(w_all)
+    return ranked.select(
+        "column",
+        "n_cur",
+        "n_ref",
+        F.round("_ks", round_to).alias("ks"),
+        F.round("_psi", round_to).alias("psi"),
+        F.round("_p", round_to).alias("p_value"),
+        "bh_rank",
+        F.round("_crit", round_to).alias("bh_crit"),
+        F.coalesce(
+            F.col("bh_rank") <= k_max, F.lit(False)
+        ).alias("drifted"),
+    )

@@ -1206,3 +1206,92 @@ def test_classifier_drift_detects_and_nulls(spark):
         classifier_drift(cur, ref, "text", "id", train_fraction=1.0)
     with pytest.raises(ValueError, match="missing"):
         classifier_drift(cur.drop("text"), ref, "text", "id")
+
+
+def test_drift_screen_flags_only_shifted_columns(spark):
+    """One genuinely shifted column among three: the BH step-up flags it
+    (rank 1) and leaves the same-distribution columns unflagged; every
+    bh_crit renders the rank/m*alpha ladder."""
+    from pyspark_data_quality_spark.operators.drift import drift_screen
+
+    n = 3000
+    base = spark.range(n)
+    ref = base.select(
+        (F.col("id") % 100).cast("double").alias("a"),
+        (F.col("id") % 7).cast("double").alias("b"),
+        ((F.col("id") * 37) % 11).cast("double").alias("c"),
+    )
+    cur = base.select(
+        ((F.col("id") % 100) + 60).cast("double").alias("a"),  # shifted
+        (F.col("id") % 7).cast("double").alias("b"),
+        ((F.col("id") * 37) % 11).cast("double").alias("c"),
+    )
+    rows = {
+        r["column"]: r
+        for r in drift_screen(cur, ref, ["a", "b", "c"], bins=16).collect()
+    }
+    assert rows["a"]["drifted"] and rows["a"]["bh_rank"] == 1
+    assert not rows["b"]["drifted"] and not rows["c"]["drifted"]
+    assert rows["a"]["ks"] > 0.4 and rows["a"]["p_value"] < 0.001
+    # identical distributions -> zero binned KS, p exactly 1
+    assert rows["b"]["ks"] == 0.0 and rows["b"]["p_value"] == 1.0
+    m, alpha = 3, 0.05
+    for r in rows.values():
+        assert r["bh_crit"] == round(r["bh_rank"] * alpha / m, 6)
+        assert r["n_cur"] == n and r["n_ref"] == n
+
+
+def test_drift_screen_nonfinite_constant_and_null_columns(spark):
+    """NaN values drop out of the histogram (n excludes them), +Inf
+    clamps into the top edge bin (still counted), a constant reference
+    column degenerates to one bin without a divide error, and an
+    all-NULL column yields p=1/drifted=False rather than a NULL that
+    would poison the BH ordering."""
+    from pyspark_data_quality_spark.operators.drift import drift_screen
+
+    nan, inf = float("nan"), float("inf")
+    data = [(float(i % 10), 5.0, None) for i in range(100)]
+    ref = spark.createDataFrame(data, "x double, k double, z double")
+    cur = spark.createDataFrame(
+        data[:98] + [(nan, 5.0, None), (inf, 5.0, None)],
+        "x double, k double, z double",
+    )
+    rows = {
+        r["column"]: r
+        for r in drift_screen(cur, ref, ["x", "k", "z"], bins=8).collect()
+    }
+    # NaN dropped: 99 finite values (98 clean + Inf); Inf still counted
+    assert rows["x"]["n_cur"] == 99 and rows["x"]["n_ref"] == 100
+    assert rows["k"]["ks"] == 0.0 and rows["k"]["psi"] == 0.0
+    assert rows["k"]["p_value"] == 1.0 and not rows["k"]["drifted"]
+    assert rows["z"]["n_cur"] == 0 and rows["z"]["n_ref"] == 0
+    assert rows["z"]["p_value"] == 1.0 and not rows["z"]["drifted"]
+
+
+def test_drift_screen_single_shuffle_plan(spark):
+    """The whole column family's paired histogram must materialize in
+    ONE exchange over data-scale rows — the operator's 100-TB claim.
+    Bounded post-aggregation exchanges (windows/ranking over <=
+    columns*bins rows) are fine; a per-column data shuffle is not."""
+    from pyspark_data_quality_spark.operators.drift import drift_screen
+
+    ref = spark.range(2000).select(
+        (F.col("id") % 50).cast("double").alias("a"),
+        (F.col("id") % 3).cast("double").alias("b"),
+        (F.col("id") % 13).cast("double").alias("c"),
+        (F.col("id") % 17).cast("double").alias("d"),
+    )
+    cur = ref.select(
+        (F.col("a") + 10.0).alias("a"), "b", "c", "d"
+    )
+    out = drift_screen(cur, ref, ["a", "b", "c", "d"], bins=16,
+                       persist=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    n_exchange = len(re.findall(r"Exchange (?:hash|range)partitioning",
+                                plan))
+    # 1 data shuffle (column,bin groupBy) + bounded ordered stages:
+    # per-column windows + final agg + BH ranking
+    assert n_exchange <= 5, f"{n_exchange} exchanges:\n{plan[:2000]}"
+    assert len(out.collect()) == 4
