@@ -6034,6 +6034,76 @@ def dq_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_hbos",
+    """
+    WITH base AS (
+      SELECT c_custkey,
+        CAST(CASE WHEN c_custkey % 211 = 0 THEN c_acctbal * 25
+                  ELSE c_acctbal END AS DOUBLE) AS bal,
+        CAST(c_nationkey AS DOUBLE) AS nat
+      FROM customer
+    ), bnd AS (
+      SELECT 'bal' AS col, min(bal) AS lo, max(bal) AS hi FROM base
+      UNION ALL SELECT 'nat', min(nat), max(nat) FROM base
+    ), lng AS (
+      SELECT c_custkey, 'bal' AS col, bal AS v FROM base
+      UNION ALL SELECT c_custkey, 'nat', nat FROM base
+    ), binned AS (
+      SELECT c_custkey, lng.col,
+        CAST(least(15, greatest(0, coalesce(
+          CAST(floor((v - lo) / nullif((hi - lo) / 16.0, 0)) AS BIGINT),
+          0))) AS INT) AS bin
+      FROM lng JOIN bnd ON lng.col = bnd.col
+      WHERE v IS NOT NULL AND NOT isnan(v)
+    ), hist AS (
+      SELECT col, bin, count(*) AS cnt FROM binned GROUP BY 1, 2
+    ), hmax AS (
+      SELECT col, bin, cnt, max(cnt) OVER (PARTITION BY col) AS maxc
+      FROM hist
+    ), scored AS (
+      SELECT b.c_custkey, sum(ln(maxc * 1.0 / cnt)) AS s, count(*) AS n
+      FROM binned b JOIN hmax ON b.col = hmax.col AND b.bin = hmax.bin
+      GROUP BY 1
+    )
+    SELECT c_custkey, CAST(round(s, 6) AS DOUBLE) AS hbos,
+           CAST(n AS BIGINT) AS n_scored
+    FROM scored ORDER BY round(s, 6) DESC, c_custkey LIMIT 20
+    """,
+)
+def dq_hbos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-Based Outlier Score head (operators/repair.py
+    hbos_scores): customers scored over (balance, nationkey) histograms
+    with a deliberate 25x balance inflation planted on every 211th key —
+    the planted rows land alone in sparse bins and must dominate the
+    top-20. Scoring is shuffle-free (one histogram aggregation, then
+    per-column broadcast joins + projection); the oracle recomputes the
+    same ln(max_count/bin_count) sums per row in SQL. The top-20 head is
+    ordered on the ROUNDED score with a key tie-break so the cut is
+    engine-independent."""
+    from .operators.repair import hbos_scores
+
+    cust = load_table(spark, "customer", sf_dir)
+    base = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 211 == 0, F.col("c_acctbal") * 25)
+        .otherwise(F.col("c_acctbal"))
+        .cast("double")
+        .alias("bal"),
+        F.col("c_nationkey").cast("double").alias("nat"),
+    )
+    return (
+        hbos_scores(base, ["bal", "nat"], bins=16)
+        .select(
+            "c_custkey",
+            "hbos",
+            F.col("hbos_cols").cast("long").alias("n_scored"),
+        )
+        .orderBy(F.col("hbos").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
     "dq_media_dedup",
     """
     SELECT doc_id, md5(text) AS digest

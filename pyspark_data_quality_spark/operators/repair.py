@@ -811,3 +811,155 @@ def quantile_normalize(
         "left",
     )
     return joined.select(*df.columns, F.col("_rv").alias(out_col))
+
+
+def hbos_scores(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bins: int = 16,
+    round_to: int = 6,
+    persist: bool = True,
+) -> DataFrame:
+    """Histogram-Based Outlier Score (HBOS, Goldstein & Dengel 2012):
+    per-row anomaly score ``sum_c ln(max_count_c / count_c(bin(x_c)))``
+    over equi-width per-column histograms — the density-based
+    complement to :func:`mahalanobis_outliers` that needs NO covariance
+    collect, NO matrix inversion, and survives constant or dependent
+    columns (a degenerate column just contributes 0 to every row).
+
+    Scale shape — the reason this is the 100-TB default screen:
+
+    1. ONE pass computes every column's finite min/max (1-row agg).
+    2. ONE tagged shuffle builds every column's histogram via the
+       exploded column->value map (≤ ``len(cols) * bins`` rows out).
+    3. Scoring is SHUFFLE-FREE: each column's tiny histogram broadcast-
+       joins back on the row's computed bin index, and the score is a
+       plain projection — the data never re-partitions, so at any scale
+       the cost is one aggregation plus a map-side join per column.
+
+    Conventions match the drift/profile histograms: NULL/NaN values
+    score 0 for that column (and drop out of ``hbos_cols``), ±Inf
+    clamps into the edge bins, bounds come through ``finite()`` so one
+    bad row cannot stretch the axis to NaN, and a constant column
+    (width 0) degenerates to a single bin with score 0 for everyone.
+
+    Output: input columns + ``hbos`` (rounded) + ``hbos_cols`` (how
+    many of ``cols`` actually scored for the row — rank only within
+    equal counts, or require completeness upstream).
+    """
+    from ..functions.expr import finite
+    from ..plans.cache import maybe_persist
+
+    if not cols:
+        raise ValueError("hbos_scores: cols must be non-empty")
+    if bins < 2:
+        raise ValueError("hbos_scores: bins must be >= 2")
+
+    bounds_wide = maybe_persist(
+        df.agg(
+            *[
+                a
+                for c in cols
+                for a in (
+                    F.min(finite(F.col(c))).cast("double").alias(f"_lo_{c}"),
+                    F.max(finite(F.col(c))).cast("double").alias(f"_hi_{c}"),
+                )
+            ]
+        ),
+        persist,
+    )
+
+    def bin_expr(vc: Column, lo: Column, hi: Column) -> Column:
+        width = (hi - lo) / F.lit(float(bins))
+        raw = F.floor(F.try_divide(vc - lo, width))
+        clamped = F.least(
+            F.lit(bins - 1),
+            F.greatest(F.lit(0), F.coalesce(raw, F.lit(0))),
+        ).cast("int")
+        # NULL/NaN must yield a NULL bin (no phantom membership in bin
+        # 0 — the coalesce above only backstops width-0 columns)
+        return F.when(vc.isNotNull() & ~F.isnan(vc), clamped)
+
+    # one tagged shuffle: every column's histogram from the exploded map
+    lng = df.select(
+        F.explode(
+            F.create_map(
+                *[
+                    x
+                    for c in cols
+                    for x in (F.lit(c), F.col(c).cast("double"))
+                ]
+            )
+        ).alias("column", "_v")
+    )
+    bounds_long = bounds_wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"_lo_{c}").alias("_blo"),
+                        F.col(f"_hi_{c}").alias("_bhi"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_b")
+    ).select("_b.*")
+    hist = (
+        lng.join(F.broadcast(bounds_long), "column")
+        .select(
+            "column",
+            bin_expr(
+                F.col("_v"), F.col("_blo"), F.col("_bhi")
+            ).alias("bin"),
+        )
+        .filter(F.col("bin").isNotNull())
+        .groupBy("column", "bin")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    hist = maybe_persist(
+        hist.withColumn(
+            "_s",
+            F.log(
+                F.max("_cnt").over(Window.partitionBy("column"))
+                / F.col("_cnt")
+            ),
+        ),
+        persist,
+    )
+
+    # shuffle-free scoring: the 1-row bounds broadcast in, then each
+    # column's histogram broadcast-joins on the row's bin index
+    out = df.join(F.broadcast(bounds_wide))
+    for c in cols:
+        rhs = (
+            hist.filter(F.col("column") == c)
+            .select(
+                F.col("bin").alias(f"_hb_{c}"),
+                F.col("_s").alias(f"_s_{c}"),
+            )
+        )
+        out = out.join(
+            F.broadcast(rhs),
+            bin_expr(
+                F.col(c).cast("double"),
+                F.col(f"_lo_{c}"),
+                F.col(f"_hi_{c}"),
+            )
+            == F.col(f"_hb_{c}"),
+            "left",
+        )
+    score = None
+    scored = None
+    for c in cols:
+        s = F.coalesce(F.col(f"_s_{c}"), F.lit(0.0))
+        n = F.col(f"_s_{c}").isNotNull().cast("int")
+        score = s if score is None else score + s
+        scored = n if scored is None else scored + n
+    return out.select(
+        *df.columns,
+        F.round(score, round_to).alias("hbos"),
+        scored.alias("hbos_cols"),
+    )

@@ -896,3 +896,68 @@ def test_association_matrix_cramers_v(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="at least 2"):
         association_matrix(df, ["a"])
+
+
+def test_hbos_scores_ranks_planted_outliers(spark):
+    """Rows planted in sparse histogram bins must out-score the dense
+    mass; per-row hbos equals the hand-computed sum of
+    ln(max_count/bin_count) over both columns."""
+    import math
+
+    from pyspark_data_quality_spark.operators.repair import hbos_scores
+
+    # 99 points at x~[0,10), one far point at x=1000 -> its bin holds 1
+    # row vs max 99; y constant -> contributes 0 to everyone
+    rows = [(i, float(i % 10), 5.0) for i in range(99)] + [(99, 1000.0, 5.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {r["id"]: r for r in hbos_scores(df, ["x", "y"], bins=10).collect()}
+    assert out[99]["hbos"] == round(math.log(99.0 / 1.0), 6)
+    assert all(out[i]["hbos"] == 0.0 for i in range(99))
+    assert all(r["hbos_cols"] == 2 for r in out.values())
+
+
+def test_hbos_scores_null_nan_and_empty_validation(spark):
+    """NULL/NaN values score 0 for that column and drop out of
+    hbos_cols; a NaN row cannot poison the bounds (finite() guard);
+    empty cols validates."""
+    import pytest as _pytest
+
+    from pyspark_data_quality_spark.operators.repair import hbos_scores
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 1.0, None), (3, 1.0, nan), (4, 9.0, 1.0)],
+        "id long, x double, y double",
+    )
+    out = {r["id"]: r for r in hbos_scores(df, ["x", "y"], bins=4).collect()}
+    assert out[2]["hbos_cols"] == 1 and out[3]["hbos_cols"] == 1
+    # the NaN row's y contributes nothing; its x bin (3 rows, max 3) = 0
+    assert out[3]["hbos"] == 0.0
+    # x=9 sits alone in the top bin: ln(3/1); y shared by rows 1 and 4
+    import math
+
+    assert out[4]["hbos"] == round(math.log(3.0), 6)
+    with _pytest.raises(ValueError, match="non-empty"):
+        hbos_scores(df, [])
+    with _pytest.raises(ValueError, match="bins"):
+        hbos_scores(df, ["x"], bins=1)
+
+
+def test_hbos_scoring_is_shuffle_free(spark):
+    """The 100-TB claim: after the one histogram aggregation, scoring
+    must be broadcast joins + projection — the DATA never exchanges.
+    The executed plan may contain exchanges only below the (tiny)
+    histogram/bounds subtrees, never between the scan of the scored
+    frame and the output projection."""
+    from pyspark_data_quality_spark.operators.repair import hbos_scores
+
+    df = spark.range(500).select(
+        F.col("id"),
+        (F.col("id") % 37).cast("double").alias("x"),
+        (F.col("id") % 11).cast("double").alias("y"),
+    )
+    out = hbos_scores(df, ["x", "y"], bins=8, persist=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every join the scored rows flow through must be a broadcast join
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert len(out.collect()) == 500
