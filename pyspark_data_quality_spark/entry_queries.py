@@ -2351,33 +2351,114 @@ def dq_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(docs, "doc_id", 0.25).select("doc_id")
 
 
-@query(
-    "dq_fd_check",
+_FD_PAIRS = [
+    ("c_nationkey", "c_mktsegment"),
+    ("c_custkey", "c_mktsegment"),
+    ("c_mktsegment", "c_nationkey"),
+]
+
+
+def _fd_oracle() -> str:
+    """DuckDB replay of both parts: the per-nation violation detail and
+    the g3-confidence discovery sweep over the candidate pairs."""
+    disc = " UNION ALL ".join(
+        f"""
+        SELECT '{a}' AS determinant, '{b}' AS dependent,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0)
+                    AS BIGINT) AS n_violating_classes,
+               CAST(sum(n) - sum(mx) AS BIGINT) AS n_violating_rows,
+               CAST(round(sum(mx) * 1.0 / sum(n), 6) AS DOUBLE)
+                 AS confidence,
+               sum(n) - sum(mx) = 0 AS holds
+        FROM (
+          SELECT x, max(c) AS mx, sum(c) AS n, count(*) AS nd FROM (
+            SELECT {a} AS x, {b} AS y, count(*) AS c
+            FROM customer GROUP BY 1, 2
+          ) GROUP BY x
+        )"""
+        for a, b in _FD_PAIRS
+    )
+    pad_disc = (
+        "CAST(NULL AS VARCHAR) AS determinant, CAST(NULL AS VARCHAR) AS"
+        " dependent, CAST(NULL AS BIGINT) AS n_classes, CAST(NULL AS"
+        " BIGINT) AS n_violating_classes, CAST(NULL AS BIGINT) AS"
+        " n_violating_rows, CAST(NULL AS DOUBLE) AS confidence,"
+        " CAST(NULL AS BOOLEAN) AS holds"
+    )
+    return f"""
+    SELECT 'violations' AS part, CAST(c_nationkey AS BIGINT) AS
+           c_nationkey, n_rows, n_distinct, examples, {pad_disc}
+    FROM (
+      SELECT c_nationkey,
+             count(*) AS n_rows,
+             count(DISTINCT c_mktsegment) AS n_distinct,
+             array_to_string(
+               list_sort(list_distinct(list(c_mktsegment)
+                         FILTER (WHERE c_mktsegment IS NOT NULL)))[1:5],
+               ','
+             ) AS examples
+      FROM customer
+      GROUP BY c_nationkey
+      HAVING count(DISTINCT c_mktsegment) > 1
+    )
+    UNION ALL
+    SELECT 'discovery', CAST(NULL AS BIGINT), n_rows,
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           determinant, dependent, n_classes, n_violating_classes,
+           n_violating_rows, confidence, holds
+    FROM ({disc})
     """
-    SELECT c_nationkey,
-           count(*) AS n_rows,
-           count(DISTINCT c_mktsegment) AS n_distinct,
-           array_to_string(
-             list_sort(list_distinct(list(c_mktsegment)
-                       FILTER (WHERE c_mktsegment IS NOT NULL)))[1:5], ','
-           ) AS examples
-    FROM customer
-    GROUP BY c_nationkey
-    HAVING count(DISTINCT c_mktsegment) > 1
-    """,
-)
+
+
+@query("dq_fd_check", _fd_oracle())
 def dq_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Functional-dependency audit: nations whose customers span >1
-    market segment, i.e. c_nationkey -/-> c_mktsegment
-    (operators/consistency.py fd_violations)."""
-    from .operators.consistency import fd_violations
+    """Functional-dependency certification composite:
+
+    - ``violations``: the original entry verbatim — nations whose
+      customers span >1 market segment, i.e. c_nationkey -/->
+      c_mktsegment in per-group detail (operators/consistency.py
+      fd_violations);
+    - ``discovery``: the r13 g3-confidence sweep (fd_confidence) over
+      three candidate pairs in ONE exploded aggregation — the dirty FD,
+      the key FD (c_custkey -> c_mktsegment must hold exactly), and
+      the reverse direction, certifying that confidence is direction-
+      sensitive and the majority-survivor arithmetic matches SQL.
+    """
+    from .operators.consistency import fd_confidence, fd_violations
 
     cust = load_table(spark, "customer", sf_dir)
-    out = fd_violations(cust, ["c_nationkey"], "c_mktsegment", max_examples=5)
-    return out.select(
-        "c_nationkey", "n_rows", "n_distinct",
+
+    nulls = lambda *specs: [  # noqa: E731
+        F.lit(None).cast(t).alias(n) for n, t in specs
+    ]
+    viol = fd_violations(
+        cust, ["c_nationkey"], "c_mktsegment", max_examples=5
+    ).select(
+        F.lit("violations").alias("part"),
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "n_rows",
+        "n_distinct",
         F.array_join("examples", ",").alias("examples"),
+        *nulls(
+            ("determinant", "string"), ("dependent", "string"),
+            ("n_classes", "long"), ("n_violating_classes", "long"),
+            ("n_violating_rows", "long"), ("confidence", "double"),
+            ("holds", "boolean"),
+        ),
     )
+    disc = fd_confidence(cust, _FD_PAIRS).select(
+        F.lit("discovery").alias("part"),
+        *nulls(
+            ("c_nationkey", "long"),
+        ),
+        "n_rows",
+        *nulls(("n_distinct", "long"), ("examples", "string")),
+        "determinant", "dependent", "n_classes", "n_violating_classes",
+        "n_violating_rows", "confidence", "holds",
+    )
+    return viol.unionByName(disc)
 
 
 @query(

@@ -549,3 +549,73 @@ def test_agreement_report_hand_checked(spark):
 
     with pytest.raises(Exception, match="not found"):
         agreement_report(df, "a", "zzz")
+
+
+def test_fd_confidence_hand_computed(spark):
+    """g3 confidence on a hand-built frame: key->value holds exactly,
+    a dirty FD reports the majority-survivor fraction, and the reverse
+    direction measures its own (different) confidence."""
+    from pyspark_data_quality_spark.operators.consistency import (
+        fd_confidence,
+    )
+
+    rows = [
+        # zip -> city: 10001 clean (3 rows NYC), 10002 dirty (2 LA, 1 SF)
+        (1, "10001", "NYC"), (2, "10001", "NYC"), (3, "10001", "NYC"),
+        (4, "10002", "LA"), (5, "10002", "LA"), (6, "10002", "SF"),
+    ]
+    df = spark.createDataFrame(rows, "id long, zip string, city string")
+    out = {
+        (r["determinant"], r["dependent"]): r
+        for r in fd_confidence(
+            df, [("zip", "city"), ("id", "city"), ("city", "zip")]
+        ).collect()
+    }
+    dirty = out[("zip", "city")]
+    assert dirty["n_rows"] == 6 and dirty["n_classes"] == 2
+    assert dirty["n_violating_classes"] == 1
+    assert dirty["n_violating_rows"] == 1  # the lone SF row
+    assert dirty["confidence"] == round(5 / 6, 6) and not dirty["holds"]
+    key = out[("id", "city")]
+    assert key["holds"] and key["confidence"] == 1.0
+    rev = out[("city", "zip")]  # city -> zip holds here (each city 1 zip)
+    assert rev["holds"] and rev["n_classes"] == 3
+
+
+def test_fd_confidence_null_semantics_and_validation(spark):
+    """NULL is a real group on both sides: consistently-NULL dependents
+    agree, mixed NULL/value violates; a NULL determinant forms its own
+    class. Empty pair list raises."""
+    import pytest as _pytest
+
+    from pyspark_data_quality_spark.operators.consistency import (
+        fd_confidence,
+    )
+
+    rows = [
+        ("a", None), ("a", None),          # consistent NULL dep -> holds
+        ("b", "x"), ("b", None),           # mixed -> 1 violating row
+        (None, "y"), (None, "y"),          # NULL det class, consistent
+    ]
+    df = spark.createDataFrame(rows, "d string, p string")
+    r = fd_confidence(df, [("d", "p")]).collect()[0]
+    assert r["n_rows"] == 6 and r["n_classes"] == 3
+    assert r["n_violating_classes"] == 1 and r["n_violating_rows"] == 1
+    assert r["confidence"] == round(5 / 6, 6) and not r["holds"]
+    with _pytest.raises(ValueError, match="non-empty"):
+        fd_confidence(df, [])
+
+
+def test_fd_confidence_empty_input_keeps_pairs(spark):
+    """An empty frame must still report every requested pair (0 rows,
+    vacuous confidence 1) — a monitoring run on an empty partition
+    should not silently drop its checks."""
+    from pyspark_data_quality_spark.operators.consistency import (
+        fd_confidence,
+    )
+
+    df = spark.createDataFrame([], "a string, b string")
+    rows = fd_confidence(df, [("a", "b"), ("b", "a")]).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_rows"] == 0 and r["confidence"] == 1.0 and r["holds"]
