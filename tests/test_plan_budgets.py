@@ -115,6 +115,14 @@ _COMPOSITE_BUDGETS = {
     "dq_user_journeys": (6, 2),      # audited: 5 / 1
     "dq_value_shape": (7, 3),        # audited: 6 / 2
     "dq_unicode_profile": (2, 2),    # audited: 1 / 1
+    "dq_privacy": (13, 7),           # audited: 12 / 6
+    # static plans below double-count subtrees a runtime
+    # ReusedExchange/cache collapses (ks prefix-sum + w1 + screen each
+    # re-list the orders scan); the pin guards against a +5 regression,
+    # not the dump's double counting
+    "dq_drift_screen": (15, 9),      # audited: 14 / 8
+    "dq_hbos": (4, 4),               # audited: 3 / 3
+    "dq_fd_check": (6, 3),           # audited: 5 / 2
 }
 
 
