@@ -186,19 +186,17 @@ def numeric_drift(
 
 
 def _hist_with_bounds(df: DataFrame, col: str, bins: int, bounds: DataFrame):
-    x = F.col(col)
     # NaN rows are missing data for a histogram (no position on the
-    # line — the old coalesce silently dumped them in bin 0); ±Inf rows
-    # KEEP counting: the bin clamp puts them in the edge bins, the
-    # documented escaped-mass convention
+    # line); ±Inf rows KEEP counting in the edge bins — the shared
+    # conventions now live in operators/hist.clamped_bin
+    from .hist import clamped_bin
+
+    x = F.col(col)
     base = df.filter(x.isNotNull() & ~F.isnan(x.cast("double"))).join(
         F.broadcast(bounds)
     )
-    width = (F.col("_bhi") - F.col("_blo")) / F.lit(float(bins))
-    raw = F.floor(F.try_divide(x.cast("double") - F.col("_blo"), width))
-    bin_c = (
-        F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.coalesce(raw, F.lit(0))))
-        .cast("int")
+    bin_c = clamped_bin(
+        x.cast("double"), F.col("_blo"), F.col("_bhi"), bins
     )
     return base.select(bin_c.alias("bin")).groupBy("bin").agg(
         F.count(F.lit(1)).alias("count")
@@ -1360,69 +1358,36 @@ def drift_screen(
     to the edges, and a constant reference column (width 0) degenerates
     to a single bin — KS 0, PSI 0, p 1, never a divide error.
     """
-    from ..functions.expr import finite
     from ..plans.cache import maybe_persist
+    from .hist import (
+        clamped_bin,
+        explode_values,
+        finite_bounds,
+        unpivot_bounds,
+    )
 
     if not columns:
         raise ValueError("drift_screen: columns must be non-empty")
 
     # one reference pass for every column's finite bounds -> unpivot the
     # 1-row wide agg to (column, _blo, _bhi); tiny, broadcast below
-    bounds_wide = ref.agg(
-        *[
-            a
-            for c in columns
-            for a in (
-                F.min(finite(F.col(c))).cast("double").alias(f"_lo_{c}"),
-                F.max(finite(F.col(c))).cast("double").alias(f"_hi_{c}"),
-            )
-        ]
-    )
     bounds = maybe_persist(
-        bounds_wide.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("column"),
-                            F.col(f"_lo_{c}").alias("_blo"),
-                            F.col(f"_hi_{c}").alias("_bhi"),
-                        )
-                        for c in columns
-                    ]
-                )
-            ).alias("_b")
-        ).select("_b.*"),
-        persist,
+        unpivot_bounds(finite_bounds(ref, columns), columns), persist
     )
 
     def side(df: DataFrame, a: int) -> DataFrame:
-        return df.select(
-            F.explode(
-                F.create_map(
-                    *[
-                        x
-                        for c in columns
-                        for x in (F.lit(c), F.col(c).cast("double"))
-                    ]
-                )
-            ).alias("column", "_v"),
-        ).withColumn("_a", F.lit(a))
+        return explode_values(df, columns).withColumn("_a", F.lit(a))
 
-    v = F.col("_v")
-    width = (F.col("_bhi") - F.col("_blo")) / F.lit(float(bins))
-    raw = F.floor(F.try_divide(v - F.col("_blo"), width))
-    bin_c = (
-        F.least(
-            F.lit(bins - 1), F.greatest(F.lit(0), F.coalesce(raw, F.lit(0)))
-        ).cast("int")
+    bin_c = clamped_bin(
+        F.col("_v"), F.col("_blo"), F.col("_bhi"), bins
     )
     counts = (
         side(cur, 1)
         .unionByName(side(ref, 0))
-        .filter(v.isNotNull() & ~F.isnan(v))
         .join(F.broadcast(bounds), "column")
         .select("column", bin_c.alias("bin"), "_a")
+        # NULL bin = NULL/NaN value: no place in this column's histogram
+        .filter(F.col("bin").isNotNull())
         .groupBy("column", "bin")
         .agg(
             F.sum("_a").alias("n_a"),
@@ -1483,8 +1448,10 @@ def drift_screen(
         "_ks",
         "_psi",
     )
+    # multiply in DOUBLE: n_cur*n_ref as long overflows (ANSI: throws)
+    # past ~3e9 rows per side — exactly this operator's target scale
     n_eff = F.try_divide(
-        (F.col("n_cur") * F.col("n_ref")).cast("double"),
+        F.col("n_cur").cast("double") * F.col("n_ref").cast("double"),
         (F.col("n_cur") + F.col("n_ref")).cast("double"),
     )
     p_raw = F.least(

@@ -848,71 +848,29 @@ def hbos_scores(
     many of ``cols`` actually scored for the row — rank only within
     equal counts, or require completeness upstream).
     """
-    from ..functions.expr import finite
     from ..plans.cache import maybe_persist
+    from .hist import (
+        clamped_bin,
+        explode_values,
+        finite_bounds,
+        unpivot_bounds,
+    )
 
     if not cols:
         raise ValueError("hbos_scores: cols must be non-empty")
     if bins < 2:
         raise ValueError("hbos_scores: bins must be >= 2")
 
-    bounds_wide = maybe_persist(
-        df.agg(
-            *[
-                a
-                for c in cols
-                for a in (
-                    F.min(finite(F.col(c))).cast("double").alias(f"_lo_{c}"),
-                    F.max(finite(F.col(c))).cast("double").alias(f"_hi_{c}"),
-                )
-            ]
-        ),
-        persist,
-    )
-
-    def bin_expr(vc: Column, lo: Column, hi: Column) -> Column:
-        width = (hi - lo) / F.lit(float(bins))
-        raw = F.floor(F.try_divide(vc - lo, width))
-        clamped = F.least(
-            F.lit(bins - 1),
-            F.greatest(F.lit(0), F.coalesce(raw, F.lit(0))),
-        ).cast("int")
-        # NULL/NaN must yield a NULL bin (no phantom membership in bin
-        # 0 — the coalesce above only backstops width-0 columns)
-        return F.when(vc.isNotNull() & ~F.isnan(vc), clamped)
+    bounds_wide = maybe_persist(finite_bounds(df, cols), persist)
 
     # one tagged shuffle: every column's histogram from the exploded map
-    lng = df.select(
-        F.explode(
-            F.create_map(
-                *[
-                    x
-                    for c in cols
-                    for x in (F.lit(c), F.col(c).cast("double"))
-                ]
-            )
-        ).alias("column", "_v")
-    )
-    bounds_long = bounds_wide.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col(f"_lo_{c}").alias("_blo"),
-                        F.col(f"_hi_{c}").alias("_bhi"),
-                    )
-                    for c in cols
-                ]
-            )
-        ).alias("_b")
-    ).select("_b.*")
     hist = (
-        lng.join(F.broadcast(bounds_long), "column")
+        explode_values(df, cols)
+        .join(F.broadcast(unpivot_bounds(bounds_wide, cols)), "column")
         .select(
             "column",
-            bin_expr(
-                F.col("_v"), F.col("_blo"), F.col("_bhi")
+            clamped_bin(
+                F.col("_v"), F.col("_blo"), F.col("_bhi"), bins
             ).alias("bin"),
         )
         .filter(F.col("bin").isNotNull())
@@ -943,10 +901,11 @@ def hbos_scores(
         )
         out = out.join(
             F.broadcast(rhs),
-            bin_expr(
+            clamped_bin(
                 F.col(c).cast("double"),
                 F.col(f"_lo_{c}"),
                 F.col(f"_hi_{c}"),
+                bins,
             )
             == F.col(f"_hb_{c}"),
             "left",

@@ -47,7 +47,9 @@ NESTED_LOOP_OK = {
     "dq_sem_recall",             # exact baseline over fixed 500 vectors
     "dq_contamination_bloom",    # 1-row bloom-bitmap broadcast join
     "dq_nb_scores",              # C-row class-spine broadcast crossJoin
-    "dq_wasserstein",            # 1-row total broadcasts
+    "dq_drift_screen",           # 1-row bounds broadcasts (ks/w1/screen
+                                 # parts, former dq_wasserstein's shape)
+    "dq_hbos",                   # 1-row bounds broadcast before binning
     "dq_winsorize",              # 1-row bounds broadcast
     "dq_join_diagnosis",         # 1-row totals broadcast
     "dq_fuzzy_pairs",            # 1-row threshold broadcast
