@@ -407,3 +407,28 @@ def test_second_analytics_batch_empty(spark, empty_docs):
     # ValueError (0 variants), not a silent empty frame
     with pytest.raises(ValueError, match="exactly 2"):
         ab_test_report(empty_ev, "k", "v")
+
+
+def test_r13_screens_empty(spark):
+    """drift_screen / hbos_scores / fd_confidence on empty frames:
+    every requested column/pair still reports (spine contract), with
+    vacuous statistics rather than NULL poison or a raise."""
+    from pyspark_data_quality_spark.operators.consistency import (
+        fd_confidence,
+    )
+    from pyspark_data_quality_spark.operators.drift import drift_screen
+    from pyspark_data_quality_spark.operators.repair import hbos_scores
+
+    empty = spark.createDataFrame([], "a double, b double")
+
+    rows = {r["column"]: r
+            for r in drift_screen(empty, empty, ["a", "b"]).collect()}
+    assert set(rows) == {"a", "b"}
+    for r in rows.values():
+        assert r["n_cur"] == 0 and r["p_value"] == 1.0
+        assert not r["drifted"]
+
+    assert hbos_scores(empty, ["a", "b"]).count() == 0
+
+    fd = fd_confidence(empty, [("a", "b")]).collect()
+    assert len(fd) == 1 and fd[0]["holds"]
