@@ -3127,25 +3127,55 @@ def dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
              avg(c_acctbal) OVER (PARTITION BY c_mktsegment) AS m,
              stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment) AS sd
       FROM customer
+    ),
+    m1 AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             quantile_cont(c_acctbal, 0.5)
+               OVER (PARTITION BY c_mktsegment) AS med
+      FROM customer
+    ),
+    m2 AS (
+      SELECT *, quantile_cont(abs(c_acctbal - med), 0.5)
+                  OVER (PARTITION BY c_mktsegment) AS mad
+      FROM m1
     )
-    SELECT c_custkey, c_mktsegment,
-           CAST(round(abs(c_acctbal - m) / sd, 6) AS DOUBLE) AS z
+    SELECT 'z' AS part, c_custkey, c_mktsegment,
+           CAST(round(abs(c_acctbal - m) / sd, 6) AS DOUBLE) AS score
     FROM s WHERE abs(c_acctbal - m) / sd > 1.6
+    UNION ALL
+    SELECT 'mad', c_custkey, c_mktsegment,
+           CAST(round(0.6745 * abs(c_acctbal - med) / mad, 6) AS DOUBLE)
+    FROM m2 WHERE 0.6745 * abs(c_acctbal - med) / mad > 1.2
     """,
 )
 def dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-segment z-score outliers in customer balances, flagged rows
-    only (operators/repair.py flag_outliers — keyed window stats, never
-    an unpartitioned window)."""
+    """Univariate outlier certification composite over customer
+    balances per market segment, flagged rows only (operators/repair.py
+    flag_outliers — keyed window stats, never an unpartitioned window):
+
+    - ``z``: the original z-score entry (threshold 1.6), projection
+      verbatim with the score under the shared ``score`` name;
+    - ``mad``: the r13 robust modified z-score (median/MAD, threshold
+      1.2 — the fixture balances are near-uniform, so the conventional
+      3.5 is unreachable by design and would certify an empty part).
+      The oracle replays both medians with windowed quantile_cont.
+    """
     from .operators.repair import flag_outliers
 
     cust = load_table(spark, "customer", sf_dir)
-    out = flag_outliers(
-        cust, "c_acctbal", method="zscore", threshold=1.6,
-        group_by=["c_mktsegment"], score_col="z",
-    )
-    return out.filter(F.col("is_outlier")).select(
-        "c_custkey", "c_mktsegment", "z"
+
+    def flagged(method: str, threshold: float, tag: str) -> DataFrame:
+        out = flag_outliers(
+            cust, "c_acctbal", method=method, threshold=threshold,
+            group_by=["c_mktsegment"], score_col="score",
+        )
+        return out.filter(F.col("is_outlier")).select(
+            F.lit(tag).alias("part"), "c_custkey", "c_mktsegment",
+            "score",
+        )
+
+    return flagged("zscore", 1.6, "z").unionByName(
+        flagged("mad", 1.2, "mad")
     )
 
 

@@ -137,12 +137,22 @@ def flag_outliers(
       conventionally 1.5). Quartiles are EXACT percentiles — right for the
       oracle-checked path; swap in approx_percentile for loose fences over
       very large groups.
+    - ``method='mad'`` (r13): modified z-score ``0.6745 * |x - median|
+      / MAD`` (Iglewicz & Hoaglin) > threshold (conventionally 3.5).
+      The ROBUST fence: mean/stddev and even the IQR move when the
+      contamination is heavy, so the very outliers being hunted relax
+      the z/iqr fences; median and MAD have a 50% breakdown point.
+      Degenerate spread (MAD 0 — half the group identical) flags every
+      deviating row with a NULL score (the deviation is infinite in
+      units of zero spread) instead of silently passing it.
 
     Scale shape mirrors :func:`impute`: per-group statistics via a keyed
-    window (one hash shuffle); global statistics via a 1-row aggregate
-    broadcast back — never an unpartitioned window over data rows.
+    window (one hash shuffle — MAD's two dependent medians ride TWO
+    windows over the SAME partitioning, one exchange); global statistics
+    via 1-row aggregates broadcast back — never an unpartitioned window
+    over data rows.
     """
-    if method not in ("zscore", "iqr"):
+    if method not in ("zscore", "iqr", "mad"):
         raise ValueError(f"flag_outliers: unknown method {method!r}")
     from ..functions.expr import finite
 
@@ -155,6 +165,40 @@ def flag_outliers(
     # still score against the clean stats: NaN/±Inf scores exceed any
     # finite threshold, so exactly they get flagged — which is right.
     xf = finite(x)
+    keys = group_by or []
+    if method == "mad":
+        # two-stage robust stats: the median first, then the median
+        # absolute deviation AROUND it — the second statistic depends
+        # on the first, so it cannot join the single-agg shape above
+        dev_f = finite(F.abs(x - F.col("_med")).cast("double"))
+        if keys:
+            w = Window.partitionBy(*keys)
+            out = df.withColumn(
+                "_med", F.percentile(xf, F.lit(0.5)).over(w)
+            ).withColumn("_mad", F.percentile(dev_f, F.lit(0.5)).over(w))
+        else:
+            med = df.agg(F.percentile(xf, F.lit(0.5)).alias("_med"))
+            out = df.crossJoin(F.broadcast(med))
+            mad = out.agg(F.percentile(dev_f, F.lit(0.5)).alias("_mad"))
+            out = out.crossJoin(F.broadcast(mad))
+        dev = F.abs(x - F.col("_med"))
+        score = F.when(
+            F.col("_mad") > 0, F.lit(0.6745) * dev / F.col("_mad")
+        ).when(dev == 0, F.lit(0.0))
+        # MAD 0 + a real deviation = infinitely many zero-spreads away:
+        # flagged, score NULL (there is no finite modified z to report)
+        flag = F.when(
+            x.isNotNull(),
+            F.coalesce(
+                score > threshold,
+                (F.col("_mad") == 0) & (dev > 0),
+                F.lit(False),
+            ),
+        )
+        out = out.withColumn(flag_col, flag)
+        if score_col is not None:
+            out = out.withColumn(score_col, F.round(score, round_to))
+        return out.drop("_med", "_mad")
     if method == "zscore":
         stat_exprs = {"_m": F.avg(xf), "_s": F.stddev_samp(xf)}
         score = F.try_divide(F.abs(x - F.col("_m")), F.col("_s"))
@@ -170,7 +214,6 @@ def flag_outliers(
         score = F.greatest(lo - x, x - hi)  # distance outside the fence
         flag = F.when(x.isNotNull(), F.coalesce((x < lo) | (x > hi), F.lit(False)))
 
-    keys = group_by or []
     if keys:
         w = Window.partitionBy(*keys)
         out = df

@@ -961,3 +961,46 @@ def test_hbos_scoring_is_shuffle_free(spark):
     # every join the scored rows flow through must be a broadcast join
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert len(out.collect()) == 500
+
+
+def test_flag_outliers_mad_hand_computed(spark):
+    """Modified z-score on a hand frame: median 5, MAD 1 -> x=20 scores
+    0.6745*15 = 10.1175; the same point barely moves the median (robust)
+    while it would stretch a zscore fence."""
+    from pyspark_data_quality_spark.operators.repair import flag_outliers
+
+    vals = [3.0, 4.0, 5.0, 6.0, 7.0, 20.0, None]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, x double")
+    out = {r["id"]: r for r in flag_outliers(
+        df, "x", method="mad", threshold=3.5, score_col="mz"
+    ).collect()}
+    # median of 6 finite = 5.5; deviations |x-5.5| = 2.5,1.5,.5,.5,1.5,14.5
+    # -> MAD = 1.5; mz(20) = 0.6745*14.5/1.5
+    assert out[5]["mz"] == round(0.6745 * 14.5 / 1.5, 6)
+    assert out[5]["is_outlier"] and not out[0]["is_outlier"]
+    assert out[6]["is_outlier"] is None  # NULL never flagged
+
+
+def test_flag_outliers_mad_zero_spread_and_nan(spark):
+    """MAD=0 (majority identical): deviating rows are flagged with a
+    NULL score instead of silently passing; NaN rows flag against the
+    clean stats (finite() guard keeps median/MAD sane)."""
+    from pyspark_data_quality_spark.operators.repair import flag_outliers
+
+    nan = float("nan")
+    rows = [(i, 5.0, "a") for i in range(6)] + [
+        (6, 9.0, "a"), (7, nan, "a"),
+        (8, 1.0, "b"), (9, 2.0, "b"), (10, 3.0, "b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, g string")
+    out = {r["id"]: r for r in flag_outliers(
+        df, "x", method="mad", threshold=3.5, group_by=["g"],
+        score_col="mz",
+    ).collect()}
+    # group a: median 5, MAD 0 -> x=9 flagged with NULL score, 5s clean
+    assert out[6]["is_outlier"] and out[6]["mz"] is None
+    assert not out[0]["is_outlier"] and out[0]["mz"] == 0.0
+    # NaN row: stats not poisoned (group b clean), NaN scores > any t
+    assert out[7]["is_outlier"]
+    assert not out[8]["is_outlier"] and not out[10]["is_outlier"]
