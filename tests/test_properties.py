@@ -1277,3 +1277,121 @@ def test_compression_profile_matches_zlib_model(spark, texts):
             )
         else:
             assert rows[i]["compression_ratio"] is None
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", None]),
+            st.sampled_from(["x", "y", None]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fd_confidence_matches_python_model(spark, rows):
+    """g3 confidence against a pure-Python majority-survivor model,
+    NULL-as-a-group semantics included."""
+    from collections import Counter
+
+    from pyspark_data_quality_spark.operators.consistency import (
+        fd_confidence,
+    )
+
+    df = spark.createDataFrame(rows, "d string, p string")
+    r = fd_confidence(df, [("d", "p")]).collect()[0]
+
+    groups: dict = {}
+    for d, p in rows:
+        groups.setdefault(d, Counter())[p] += 1
+    agree = sum(c.most_common(1)[0][1] for c in groups.values())
+    n = len(rows)
+    assert r["n_rows"] == n and r["n_classes"] == len(groups)
+    assert r["n_violating_rows"] == n - agree
+    assert r["confidence"] == round(agree / n, 6)
+    assert r["holds"] == (agree == n)
+    assert 0.0 <= r["confidence"] <= 1.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_hbos_matches_python_model(spark, vals):
+    """Single-column HBOS against a pure-Python histogram model: same
+    finite bounds, same clamped bins, same ln(max/count) scores."""
+    import math as _math
+
+    from pyspark_data_quality_spark.operators.repair import hbos_scores
+
+    bins = 8
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, x double"
+    )
+    got = {r["id"]: r["hbos"]
+           for r in hbos_scores(df, ["x"], bins=bins).collect()}
+
+    lo, hi = min(vals), max(vals)
+    width = (hi - lo) / bins
+
+    def bin_of(v):
+        if width == 0:
+            return 0
+        return min(bins - 1, max(0, int(_math.floor((v - lo) / width))))
+
+    counts: dict = {}
+    for v in vals:
+        counts[bin_of(v)] = counts.get(bin_of(v), 0) + 1
+    mx = max(counts.values())
+    for i, v in enumerate(vals):
+        assert got[i] == round(_math.log(mx / counts[bin_of(v)]), 6), (
+            i, v, got[i]
+        )
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e4, max_value=1e4,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=5,
+        max_size=50,
+    ),
+    st.integers(min_value=1, max_value=1000),
+)
+def test_drift_screen_null_case_properties(spark, vals, shift):
+    """Identical sides screen to ks=0/p=1/undrifted; a disjoint-support
+    shift screens to ks=1 with the smallest possible p — the two
+    endpoints any screening statistic must honor."""
+    from pyspark_data_quality_spark.operators.drift import drift_screen
+
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "x double"
+    )
+    same = {r["column"]: r
+            for r in drift_screen(df, df, ["x"], bins=8).collect()}
+    assert same["x"]["ks"] == 0.0 and same["x"]["p_value"] == 1.0
+    assert not same["x"]["drifted"]
+
+    span = max(vals) - min(vals)
+    moved = df.select((F.col("x") + span + float(shift)).alias("x"))
+    far = {r["column"]: r
+           for r in drift_screen(moved, df, ["x"], bins=8).collect()}
+    # every shifted value clamps into the TOP edge bin of the reference
+    # axis while the reference mass sits strictly below it only when
+    # the reference itself isn't single-binned; ks is 1 - (ref mass
+    # already in the top bin)/n_ref, and must exceed 0 whenever the
+    # reference occupies >1 bin
+    if span > 0:
+        assert far["x"]["ks"] > 0.0
+        assert far["x"]["p_value"] <= same["x"]["p_value"]
