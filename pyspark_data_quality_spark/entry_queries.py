@@ -3143,9 +3143,16 @@ def dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(abs(c_acctbal - m) / sd, 6) AS DOUBLE) AS score
     FROM s WHERE abs(c_acctbal - m) / sd > 1.6
     UNION ALL
+    -- MAD=0 semantics replicated: deviating rows in a zero-spread
+    -- group are flagged with a NULL score (no finite modified z),
+    -- exactly the operator's documented contract
     SELECT 'mad', c_custkey, c_mktsegment,
-           CAST(round(0.6745 * abs(c_acctbal - med) / mad, 6) AS DOUBLE)
-    FROM m2 WHERE 0.6745 * abs(c_acctbal - med) / mad > 1.2
+           CASE WHEN mad > 0
+                THEN CAST(round(0.6745 * abs(c_acctbal - med) / mad, 6)
+                          AS DOUBLE) END
+    FROM m2
+    WHERE (mad > 0 AND 0.6745 * abs(c_acctbal - med) / mad > 1.2)
+       OR (mad = 0 AND abs(c_acctbal - med) > 0)
     """,
 )
 def dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

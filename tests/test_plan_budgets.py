@@ -123,6 +123,7 @@ _COMPOSITE_BUDGETS = {
     "dq_drift_screen": (15, 9),      # audited: 14 / 8
     "dq_hbos": (4, 4),               # audited: 3 / 3
     "dq_fd_check": (6, 3),           # audited: 5 / 2
+    "dq_outliers": (3, 3),           # audited: 2 / 2 (z + mad parts)
 }
 
 

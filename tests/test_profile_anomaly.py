@@ -964,9 +964,10 @@ def test_hbos_scoring_is_shuffle_free(spark):
 
 
 def test_flag_outliers_mad_hand_computed(spark):
-    """Modified z-score on a hand frame: median 5, MAD 1 -> x=20 scores
-    0.6745*15 = 10.1175; the same point barely moves the median (robust)
-    while it would stretch a zscore fence."""
+    """Modified z-score on a hand frame: the 6 finite values
+    [3,4,5,6,7,20] have median 5.5 and MAD 1.5, so x=20 scores
+    0.6745*14.5/1.5 ≈ 6.52; the far point barely moves the median
+    (robust) while it would stretch a zscore fence."""
     from pyspark_data_quality_spark.operators.repair import flag_outliers
 
     vals = [3.0, 4.0, 5.0, 6.0, 7.0, 20.0, None]
