@@ -375,3 +375,57 @@ def test_shared_subtrees_scan_once(spark, sf_dir):
         f"ks_statistic rescanned: {s['scan_output_rows']} rows for "
         f"{n_ev} input rows"
     )
+
+
+def test_drift_screen_shuffle_is_row_count_invariant(spark):
+    """drift_screen's 100-TB claim, proven at runtime: the shuffled
+    record count is bounded by partitions x columns x bins (map-side
+    combined partials) plus O(columns) post-agg rows — growing the
+    input 10x must NOT grow the shuffle."""
+    from pyspark_data_quality_spark.operators.drift import drift_screen
+
+    def run(n):
+        base = spark.range(n)
+        ref = base.select(
+            (F.col("id") % 97).cast("double").alias("a"),
+            (F.col("id") % 13).cast("double").alias("b"),
+        )
+        cur = ref.select((F.col("a") + 5.0).alias("a"), "b")
+        out = drift_screen(cur, ref, ["a", "b"], bins=16, persist=False)
+        rows, metrics = measured_collect(out)
+        assert len(rows) == 2
+        return summarize_metrics(metrics)["shuffle_records_written"]
+
+    small, big = run(2_000), run(20_000)
+    # map-side combine emits at most (map partitions) x cols x bins
+    # partials; both sides union before the exchange
+    maps = 2 * spark.sparkContext.defaultParallelism
+    cap = maps * 2 * 16 + 128  # partials + BH/agg framing rows
+    assert small <= cap and big <= cap, (small, big, cap)
+    # the invariance itself: 10x rows, same bounded shuffle
+    assert big <= small * 2, (small, big)
+
+
+def test_hbos_scoring_shuffles_only_histogram_partials(spark):
+    """hbos_scores' scale claim at runtime: scoring N rows shuffles
+    ONLY the histogram partials (bounded by partitions x cols x bins);
+    the scored data itself rides broadcast joins, so 10x the rows
+    leaves the shuffle bounded."""
+    from pyspark_data_quality_spark.operators.repair import hbos_scores
+
+    def run(n):
+        df = spark.range(n).select(
+            F.col("id"),
+            (F.col("id") % 53).cast("double").alias("x"),
+            (F.col("id") % 11).cast("double").alias("y"),
+        )
+        out = hbos_scores(df, ["x", "y"], bins=8, persist=False)
+        rows, metrics = measured_collect(out)
+        assert len(rows) == n
+        return summarize_metrics(metrics)["shuffle_records_written"]
+
+    small, big = run(2_000), run(20_000)
+    maps = spark.sparkContext.defaultParallelism
+    cap = maps * 2 * 8 + 128
+    assert small <= cap and big <= cap, (small, big, cap)
+    assert big <= small * 2, (small, big)
