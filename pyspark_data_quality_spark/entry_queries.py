@@ -3424,6 +3424,67 @@ def _windowed_psi_sql() -> str:
     """
 
 
+_NPSI_BINS = 10
+_NPSI_LO, _NPSI_HI = 0.0, 200.0
+
+
+def _windowed_numeric_psi_sql() -> str:
+    width = (_NPSI_HI - _NPSI_LO) / _NPSI_BINS
+    bin_e = (
+        f"least({_NPSI_BINS - 1}, greatest(0, "
+        f"CAST(floor((value - {_NPSI_LO}) / {width}) AS BIGINT)))"
+    )
+    counts = ", ".join(
+        f"CAST(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)"
+        f" AND {bin_e} = {i} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}"
+        for i in range(_NPSI_BINS)
+    )
+    terms = " + ".join(
+        f"(greatest(n{i} * 1.0 / n_events, 1e-6) - 0.1) "
+        f"* ln(greatest(n{i} * 1.0 / n_events, 1e-6) / 0.1)"
+        for i in range(_NPSI_BINS)
+    )
+    known = " - ".join(
+        ["n_events"] + [f"n{i}" for i in range(_NPSI_BINS)]
+    )
+    other = (
+        f"(greatest(({known}) * 1.0 / n_events, 1e-6) - 1e-6) "
+        f"* ln(greatest(({known}) * 1.0 / n_events, 1e-6) / 1e-6)"
+    )
+    return f"""
+    WITH w AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
+             {counts},
+             count(*) AS n_events
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT window_epoch, n_events,
+             CAST(round({terms} + {other}, 6) AS DOUBLE) AS psi
+      FROM w
+    )
+    SELECT window_epoch, n_events, psi, psi > 0.25 AS drifted FROM t
+    """
+
+
+def _windowed_numeric_psi_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly binned PSI of events.value against a fixed uniform
+    10-bin reference on [0, 200) — the numeric face of the streaming
+    drift monitor (streaming/windows.py windowed_numeric_psi; static
+    bounds keep it a single windowed aggregate on a stream)."""
+    from .streaming.windows import windowed_numeric_psi
+
+    events = load_table(spark, "events", sf_dir)
+    out = windowed_numeric_psi(
+        events, "value", _NPSI_LO, _NPSI_HI,
+        [1.0 / _NPSI_BINS] * _NPSI_BINS,
+        ts_col="ts", duration="1 hour",
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "n_events", "psi", "drifted",
+    )
+
+
 def _windowed_psi_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly PSI of the event-type mix vs a uniform reference — the
     batch face of the streaming drift monitor (streaming/windows.py
@@ -3445,7 +3506,8 @@ def _windowed_psi_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH se AS ({_EVENT_SESSIONS_SQL}),
     qw AS ({_EVENT_QUALITY_WINDOWS_SQL}),
-    wp AS ({_windowed_psi_sql()})
+    wp AS ({_windowed_psi_sql()}),
+    np AS ({_windowed_numeric_psi_sql()})
     SELECT 'sessions' AS part, user_id, session_start_epoch, n_events,
            last_event_epoch, CAST(NULL AS BIGINT) AS window_epoch,
            CAST(NULL AS BIGINT) AS n_rows,
@@ -3462,6 +3524,10 @@ def _windowed_psi_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'windowed_psi', NULL, NULL, n_events, NULL, window_epoch,
            NULL, NULL, NULL, psi, drifted
     FROM wp
+    UNION ALL
+    SELECT 'numeric_psi', NULL, NULL, n_events, NULL, window_epoch,
+           NULL, NULL, NULL, psi, drifted
+    FROM np
     """,
 )
 def dq_stream_faces(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3469,11 +3535,14 @@ def dq_stream_faces(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebalance): the former ``dq_event_sessions``,
     ``dq_event_quality_windows`` and ``dq_windowed_psi`` entries
     unioned under a ``part`` tag, NULL-padded to a common schema — one
-    registry slot now certifies three streaming/windows.py faces:
+    registry slot now certifies four streaming/windows.py faces:
     session_counts (30-min gap sessionization vs the gap-and-islands
     oracle), windowed_pass_ratios (per-hour declarative-rule pass
-    ratios) and windowed_psi (hourly event-type PSI vs a uniform
-    reference). Each part keeps its original certified projection
+    ratios), windowed_psi (hourly event-type PSI vs a uniform
+    reference) and, new in r13, windowed_numeric_psi (hourly binned
+    PSI of events.value vs a fixed uniform 10-bin reference on
+    [0, 200) — static bounds keep the stream face a single windowed
+    aggregate). Each part keeps its original certified projection
     verbatim; stream-parity e2e tests for each face stay in
     tests/test_streaming*.py."""
     nb = F.lit(None).cast("long")
@@ -3503,7 +3572,15 @@ def dq_stream_faces(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("props_nn_ratio"), nd.alias("val_range_ratio"),
         "psi", "drifted",
     )
-    return se.unionByName(qw).unionByName(wp)
+    np = _windowed_numeric_psi_part(spark, sf_dir).select(
+        F.lit("numeric_psi").alias("part"),
+        nb.alias("user_id"), nb.alias("session_start_epoch"),
+        "n_events", nb.alias("last_event_epoch"),
+        "window_epoch", nb.alias("n_rows"),
+        nd.alias("props_nn_ratio"), nd.alias("val_range_ratio"),
+        "psi", "drifted",
+    )
+    return se.unionByName(qw).unionByName(wp).unionByName(np)
 
 
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]

@@ -236,6 +236,67 @@ def windowed_psi(
     )
 
 
+def windowed_numeric_psi(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    ref_probs: list[float],
+    *,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    watermark: str = "10 minutes",
+    eps: float = 1e-6,
+    threshold: float = 0.25,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-window binned PSI of a NUMERIC column against fixed
+    reference bin masses — :func:`windowed_psi`'s numeric sibling for
+    the "is this hour's amount/latency/score distribution still shaped
+    like training?" monitor.
+
+    ``[lo, hi)`` and ``ref_probs`` (one mass per equi-width bin,
+    normalized by the delegate) are DRIVER-SIDE CONFIG like the
+    categorical reference — typically a batch ``numeric_drift``/
+    ``histogram`` run over the reference corpus. Static bounds are
+    what make this streaming-legal: no second aggregation to learn
+    them, and every window is comparable to every other. Escaped mass
+    clamps into the edge bins (operators/hist.clamped_bin — the batch
+    drift convention); NULL/NaN mass lands in the "other" bucket whose
+    reference is the eps clamp, so a missing-data surge REGISTERS as
+    drift instead of silently vanishing.
+
+    Same single-windowed-aggregate shape as the categorical face: one
+    state row per window, identical plan on a batch frame.
+    """
+    if len(ref_probs) < 2:
+        raise ValueError(
+            "windowed_numeric_psi: ref_probs needs >= 2 bins"
+        )
+    if not hi > lo:
+        raise ValueError("windowed_numeric_psi: need hi > lo")
+    from ..operators.hist import clamped_bin
+
+    bins = len(ref_probs)
+    b = clamped_bin(
+        F.col(value_col).cast("double"),
+        F.lit(float(lo)),
+        F.lit(float(hi)),
+        bins,
+    )
+    return windowed_psi(
+        df.withColumn("_bin", b.cast("string")),
+        "_bin",
+        {str(i): p for i, p in enumerate(ref_probs)},
+        ts_col=ts_col,
+        duration=duration,
+        watermark=watermark,
+        eps=eps,
+        threshold=threshold,
+        round_to=round_to,
+    )
+
+
 def dedup_within_watermark(
     df: DataFrame,
     keys: list[str],

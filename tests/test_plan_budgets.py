@@ -111,7 +111,7 @@ _COMPOSITE_BUDGETS = {
     "dq_label_quality": (7, 1),      # audited: 6 / 0
     "dq_dup_profile": (7, 3),        # audited: 6 / 2
     "dq_exact_similarity": (2, 5),   # audited: 1 / 4 (bounded subsets)
-    "dq_stream_faces": (4, 4),       # audited: 3 / 3
+    "dq_stream_faces": (5, 5),       # audited r13+numeric_psi: 4 / 4
     "dq_user_journeys": (6, 2),      # audited: 5 / 1
     "dq_value_shape": (7, 3),        # audited: 6 / 2
     "dq_unicode_profile": (2, 2),    # audited: 1 / 1

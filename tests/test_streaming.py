@@ -602,3 +602,77 @@ def test_streaming_heavy_hitters_state_across_batches(spark, tmp_path):
         streaming_heavy_hitters(
             spark.createDataFrame(rows1, "v string"), "v"
         )
+
+
+def test_windowed_numeric_psi_batch_values(spark):
+    """Hand-computed binned PSI: a window matching the reference bins
+    reads ~0; a window with all mass clamped into the top edge bin
+    drifts; NULL/NaN mass lands in the other bucket (registers, never
+    vanishes). Config validation raises."""
+    import math
+
+    from pyspark_data_quality_spark.streaming.windows import (
+        windowed_numeric_psi,
+    )
+
+    nan = float("nan")
+    rows = (
+        # hour 0: one value per bin of [0,4) x 2 bins -> uniform
+        [(1, "2024-01-01 00:01:00", 1.0), (2, "2024-01-01 00:02:00", 3.0)]
+        # hour 1: everything far above hi -> clamped into top bin
+        + [(3, "2024-01-01 01:01:00", 99.0),
+           (4, "2024-01-01 01:02:00", 500.0)]
+        # hour 2: NULL + NaN only -> all mass in "other"
+        + [(5, "2024-01-01 02:01:00", None),
+           (6, "2024-01-01 02:02:00", nan)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["window_start"].hour: r
+        for r in windowed_numeric_psi(
+            df, "value", 0.0, 4.0, [0.5, 0.5], duration="1 hour"
+        ).collect()
+    }
+    eps = 1e-6
+    assert out[0]["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert out[0]["drifted"] is False
+    shifted = (1.0 - 0.5) * math.log(1.0 / 0.5) + (eps - 0.5) * math.log(
+        eps / 0.5
+    )
+    assert out[1]["psi"] == pytest.approx(round(shifted, 6), abs=1e-6)
+    assert out[1]["drifted"] is True
+    gone = (eps - 0.5) * math.log(eps / 0.5)
+    other = (1.0 - eps) * math.log(1.0 / eps) + 2 * gone
+    assert out[2]["psi"] == pytest.approx(round(other, 6), abs=1e-6)
+
+    with pytest.raises(ValueError, match=">= 2 bins"):
+        windowed_numeric_psi(df, "value", 0.0, 4.0, [1.0])
+    with pytest.raises(ValueError, match="hi > lo"):
+        windowed_numeric_psi(df, "value", 4.0, 4.0, [0.5, 0.5])
+
+
+def test_windowed_numeric_psi_stream_matches_batch(spark, sf_dir, events_dir):
+    from pyspark_data_quality_spark.streaming.windows import (
+        windowed_numeric_psi,
+    )
+
+    ref = [0.1] * 10
+    batch = load_table(spark, "events", sf_dir)
+    expected = {
+        r["window_start"]: (r["n_events"], r["psi"], r["drifted"])
+        for r in windowed_numeric_psi(
+            batch, "value", 0.0, 200.0, ref, duration="1 hour"
+        ).collect()
+    }
+    stream = load_events_stream(spark, events_dir)
+    sdf = windowed_numeric_psi(
+        stream, "value", 0.0, 200.0, ref, duration="1 hour"
+    )
+    assert sdf.isStreaming  # single aggregation: streaming-legal
+    got = {
+        r["window_start"]: (r["n_events"], r["psi"], r["drifted"])
+        for r in _run_stream(spark, sdf).collect()
+    }
+    assert got == expected
