@@ -3392,23 +3392,25 @@ _PSI_REF = {
 }
 
 
-def _windowed_psi_sql() -> str:
-    cats = sorted(_PSI_REF)
-    counts = ", ".join(
-        f"CAST(sum(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS BIGINT)"
-        f" AS n{i}"
-        for i, c in enumerate(cats)
-    )
+def _psi_terms_sql(names_probs: list[tuple[str, float]]) -> str:
+    """The windowed-PSI polynomial over conditional-sum columns plus
+    the eps-referenced "other" bucket — ONE builder shared by the
+    categorical and numeric faces so the formula (eps clamps, other-
+    mass subtraction) can never diverge between their oracles."""
     terms = " + ".join(
-        f"(greatest(n{i} * 1.0 / n_events, 1e-6) - {_PSI_REF[c]}) "
-        f"* ln(greatest(n{i} * 1.0 / n_events, 1e-6) / {_PSI_REF[c]})"
-        for i, c in enumerate(cats)
+        f"(greatest({n} * 1.0 / n_events, 1e-6) - {p}) "
+        f"* ln(greatest({n} * 1.0 / n_events, 1e-6) / {p})"
+        for n, p in names_probs
     )
-    known = " - ".join([f"n_events"] + [f"n{i}" for i in range(len(cats))])
+    known = " - ".join(["n_events"] + [n for n, _ in names_probs])
     other = (
         f"(greatest(({known}) * 1.0 / n_events, 1e-6) - 1e-6) "
         f"* ln(greatest(({known}) * 1.0 / n_events, 1e-6) / 1e-6)"
     )
+    return f"{terms} + {other}"
+
+
+def _windowed_psi_wrap(counts: str, terms: str) -> str:
     return f"""
     WITH w AS (
       SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
@@ -3417,11 +3419,26 @@ def _windowed_psi_sql() -> str:
       FROM events GROUP BY 1
     ), t AS (
       SELECT window_epoch, n_events,
-             CAST(round({terms} + {other}, 6) AS DOUBLE) AS psi
+             CAST(round({terms}, 6) AS DOUBLE) AS psi
       FROM w
     )
     SELECT window_epoch, n_events, psi, psi > 0.25 AS drifted FROM t
     """
+
+
+def _windowed_psi_sql() -> str:
+    cats = sorted(_PSI_REF)
+    counts = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n{i}"
+        for i, c in enumerate(cats)
+    )
+    return _windowed_psi_wrap(
+        counts,
+        _psi_terms_sql(
+            [(f"n{i}", _PSI_REF[c]) for i, c in enumerate(cats)]
+        ),
+    )
 
 
 _NPSI_BINS = 10
@@ -3430,40 +3447,25 @@ _NPSI_LO, _NPSI_HI = 0.0, 200.0
 
 def _windowed_numeric_psi_sql() -> str:
     width = (_NPSI_HI - _NPSI_LO) / _NPSI_BINS
+    # clamp in DOUBLE, cast ONCE after: floor(Inf) is Inf and a direct
+    # BIGINT cast of it is a DuckDB conversion ERROR, while the Spark
+    # face (hist.clamped_bin) saturates ±Inf into the edge bins — the
+    # _HIST_BIN_SQL shape, restated for the value column
     bin_e = (
-        f"least({_NPSI_BINS - 1}, greatest(0, "
-        f"CAST(floor((value - {_NPSI_LO}) / {width}) AS BIGINT)))"
+        f"CAST(least({_NPSI_BINS - 1}, greatest(0, "
+        f"floor((value - {_NPSI_LO}) / {width}))) AS BIGINT)"
     )
     counts = ", ".join(
         f"CAST(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)"
         f" AND {bin_e} = {i} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}"
         for i in range(_NPSI_BINS)
     )
-    terms = " + ".join(
-        f"(greatest(n{i} * 1.0 / n_events, 1e-6) - 0.1) "
-        f"* ln(greatest(n{i} * 1.0 / n_events, 1e-6) / 0.1)"
-        for i in range(_NPSI_BINS)
+    return _windowed_psi_wrap(
+        counts,
+        _psi_terms_sql(
+            [(f"n{i}", 1.0 / _NPSI_BINS) for i in range(_NPSI_BINS)]
+        ),
     )
-    known = " - ".join(
-        ["n_events"] + [f"n{i}" for i in range(_NPSI_BINS)]
-    )
-    other = (
-        f"(greatest(({known}) * 1.0 / n_events, 1e-6) - 1e-6) "
-        f"* ln(greatest(({known}) * 1.0 / n_events, 1e-6) / 1e-6)"
-    )
-    return f"""
-    WITH w AS (
-      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
-             {counts},
-             count(*) AS n_events
-      FROM events GROUP BY 1
-    ), t AS (
-      SELECT window_epoch, n_events,
-             CAST(round({terms} + {other}, 6) AS DOUBLE) AS psi
-      FROM w
-    )
-    SELECT window_epoch, n_events, psi, psi > 0.25 AS drifted FROM t
-    """
 
 
 def _windowed_numeric_psi_part(spark: SparkSession, sf_dir: str) -> DataFrame:

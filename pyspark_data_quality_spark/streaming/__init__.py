@@ -11,6 +11,7 @@ from .windows import (
     session_counts,
     windowed_cardinality,
     windowed_counts,
+    windowed_numeric_psi,
     windowed_pass_ratios,
     windowed_psi,
     windowed_top_values,
@@ -28,6 +29,7 @@ __all__ = [
     "ttl_dedup_confs",
     "windowed_cardinality",
     "windowed_counts",
+    "windowed_numeric_psi",
     "windowed_pass_ratios",
     "windowed_psi",
     "windowed_top_values",
