@@ -45,9 +45,31 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def _latest_bench_round(repo_dir: str) -> int:
+    """Highest N among BENCH_r{N}.json files (0 if none) — the current
+    round is this + 1 (the driver writes BENCH_r{N} after round close)."""
+    import glob
+    import re
+
+    best = 0
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
 def _prev_bench(repo_dir: str, sf: float) -> tuple[str, dict] | None:
     """Latest prior BENCH_r{N}.json with parseable per-query timings at the
-    same sf — the regression baseline (VERDICT r2 item 6)."""
+    same sf — the regression baseline (VERDICT r2 item 6).
+
+    The driver's tail buffer truncates the suite line past ~108 entries
+    (suite_line drops sub-threshold timings), so BENCH_r{N} alone loses a
+    third of the registry at 150 entries (r13 verdict item 7). bench.py
+    therefore also writes ``docs/bench_full.json`` — all entries, full
+    names, full precision, tagged with the round it measured — and the
+    baseline here overlays it when the round tags line up, restoring the
+    complete per-query comparison."""
     import glob
     import re
 
@@ -74,7 +96,19 @@ def _prev_bench(repo_dir: str, sf: float) -> tuple[str, dict] | None:
         n = int(m.group(1))
         if best is None or n > best[0]:
             best = (n, os.path.basename(path), queries)
-    return (best[1], best[2]) if best else None
+    if best is None:
+        return None
+    n, label, queries = best
+    try:
+        with open(os.path.join(repo_dir, "docs", "bench_full.json")) as f:
+            full = json.load(f)
+        if full.get("round") == n and full.get("sf") == sf:
+            # full-precision superset of the (truncated, 1-dp) suite map
+            queries = {**queries, **full.get("queries", {})}
+            label += "+docs/bench_full.json"
+    except (OSError, ValueError):
+        pass
+    return label, queries
 
 
 def suite_line(total: float, timings: dict[str, float], sf: float,
@@ -268,6 +302,32 @@ def main() -> None:
         "all" if len(timings) == registry_n
         else f"{len(timings)}/{registry_n}"
     )
+
+    # ... and to docs/bench_full.json: the driver's tail buffer truncates
+    # both the stderr map and the suite line's per-query detail past ~108
+    # entries, so this committed artifact is the only place ALL 150
+    # timings survive a round (r13 verdict item 7). Tagged with the round
+    # being measured (latest recorded BENCH round + 1) so _prev_bench can
+    # tell whether it describes the same code as BENCH_r{N}.json. Only a
+    # full-registry run may overwrite it — a SPARK_GRAFT_BENCH_ONLY subset
+    # must not clobber the complete map.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    if len(timings) == registry_n and not only_env:
+        full_art = {
+            "metric": "dq_queries_full",
+            "round": _latest_bench_round(repo_dir) + 1,
+            "sf": sf,
+            "pop": pop,
+            "value": round(sum(timings.values()), 3),
+            "queries": {k: timings[k] for k in sorted(timings)},
+        }
+        try:
+            with open(os.path.join(repo_dir, "docs", "bench_full.json"),
+                      "w") as f:
+                json.dump(full_art, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError as e:  # read-only checkout must not kill the bench
+            print(f"bench_full.json not written: {e}", file=sys.stderr)
     line = suite_line(sum(timings.values()), timings, sf, pop=pop)
     if len(line) > 1900:
         print(f"WARNING: suite line {len(line)} chars — the driver tail "

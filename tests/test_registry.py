@@ -183,6 +183,46 @@ def test_registry_bench_line_budget():
     assert min(kept.values()) >= max(dropped_vals)
 
 
+def test_prev_bench_overlays_full_artifact(tmp_path):
+    """_prev_bench must restore the per-query timings the suite line
+    dropped (driver tail truncation) by overlaying docs/bench_full.json —
+    but ONLY when the artifact's round tag matches the newest BENCH file
+    (a stale full map from different code must not pollute the baseline)."""
+    from bench import _latest_bench_round, _prev_bench
+
+    (tmp_path / "docs").mkdir()
+    bench13 = {
+        "parsed": {
+            "sf": 0.1,
+            # suite line keeps slow entries only, 1-dp, dq_-stripped
+            "queries": {"slow_one": 5.0, "kept": 1.2},
+            "dropped": 1,
+        }
+    }
+    (tmp_path / "BENCH_r13.json").write_text(json.dumps(bench13))
+    assert _latest_bench_round(str(tmp_path)) == 13
+
+    # no full artifact: baseline is the truncated map alone
+    label, q = _prev_bench(str(tmp_path), 0.1)
+    assert label == "BENCH_r13.json" and set(q) == {"dq_slow_one", "dq_kept"}
+
+    # matching-round artifact: dropped entry restored, precision upgraded
+    full = {"round": 13, "sf": 0.1,
+            "queries": {"dq_slow_one": 5.041, "dq_kept": 1.217,
+                        "dq_dropped_fast": 0.31}}
+    (tmp_path / "docs" / "bench_full.json").write_text(json.dumps(full))
+    label, q = _prev_bench(str(tmp_path), 0.1)
+    assert label.endswith("+docs/bench_full.json")
+    assert q["dq_dropped_fast"] == 0.31 and q["dq_slow_one"] == 5.041
+
+    # round-tag mismatch (artifact measured r14 code, BENCH still r13):
+    # fall back to the truncated map
+    full["round"] = 14
+    (tmp_path / "docs" / "bench_full.json").write_text(json.dumps(full))
+    label, q = _prev_bench(str(tmp_path), 0.1)
+    assert label == "BENCH_r13.json" and "dq_dropped_fast" not in q
+
+
 def test_ann_recall_entry_meets_floors(spark, sf_dir):
     """dq_ann_recall is the driver-visible ANN quality gate; every
     configured (method, config) row must clear its documented floor on
