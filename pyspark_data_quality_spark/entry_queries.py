@@ -107,7 +107,11 @@ def flagship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("dq_metrics_report")(flagship_report)
-ORACLE_SQL["dq_metrics_report"] = """
+
+#: flagship rule ratios as one DuckDB aggregate — shared verbatim by the
+#: dq_metrics_report oracle and the dq_metric_anomalies 'runs' part
+#: (which replays the SAME framework metrics as the current run)
+_FLAGSHIP_STATS_SQL = """
 WITH li AS (SELECT * FROM lineitem),
 stats AS (
   SELECT
@@ -120,7 +124,9 @@ stats AS (
       (count(DISTINCT CASE WHEN l_returnflag = 'N' THEN l_orderkey END) * 1.0)
       / nullif(count(CASE WHEN l_returnflag = 'N' THEN 1 END), 0), 1.0), 6) AS r_ok_scoped
   FROM li
-)
+)"""
+
+ORACLE_SQL["dq_metrics_report"] = _FLAGSHIP_STATS_SQL + """
 SELECT 'completeness_col_ratio' AS metric_name, 'l_quantity' AS "column",
        'completeness' AS dimension, 'medium' AS severity_level,
        CAST(r_quantity AS DOUBLE) AS value, CAST(0.99 AS DOUBLE) AS threshold,
@@ -1433,14 +1439,36 @@ def dq_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Anomaly detection over metric history (operators/anomaly.py): the
 # windowed event metrics become a per-type daily series; each day is
-# judged against its own trailing week.
+# judged against its own trailing week. Part 'runs' adds the run-over-run
+# DQ metrics regression monitor (the Deequ anomaly-constraint shape).
 # ---------------------------------------------------------------------------
 
+#: the one history series the 'runs' part plants a regression in: its
+#: synthetic history is shifted +0.15 above the framework's current
+#: value, so the current run reads as a catastrophic drop (z ~ -230)
+_REGRESSION_PLANT_KEY = "unique_ratio|l_orderkey"
+#: deterministic run history: 8 prior runs, ~±0.00095 md5 jitter. The
+#: jitter grid is DYADIC ((k%2001-1000)/2^20, exactly representable), so
+#: the 8-run mean can never land exactly on a round(x,6) half-boundary
+#: (min distance ~1.2e-13 >> fp accumulation drift) — a decimal /1e6
+#: grid put one series' mean at exactly x.xxxxxx5 and the two engines'
+#: rounding diverged.
+_REGRESSION_RUNS = 8
 
-@query(
-    "dq_metric_anomalies",
-    """
-    WITH s AS (
+
+def _metric_anomalies_oracle() -> str:
+    """DuckDB replay of both parts: the daily event z-score series and
+    the run-over-run monitor (same flagship ratios as dq_metrics_report,
+    same md5 jitter formula, same status precedence as
+    operators/anomaly.py metrics_regression with direction='down')."""
+    pad_runs = (
+        "CAST(NULL AS BIGINT) AS n_baseline, CAST(NULL AS DOUBLE) AS"
+        " prev_value, CAST(NULL AS DOUBLE) AS change_ratio,"
+        " CAST(NULL AS VARCHAR) AS status"
+    )
+    return f"""
+    {_FLAGSHIP_STATS_SQL},
+    s AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(count(*) AS DOUBLE) AS metric
       FROM events GROUP BY 1, 2
@@ -1452,21 +1480,93 @@ def dq_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
       WINDOW w AS (PARTITION BY event_type ORDER BY day
                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ), cur AS (
+      SELECT 'completeness_col_ratio|l_quantity' AS metric_key,
+             CAST(r_quantity AS DOUBLE) AS value FROM stats
+      UNION ALL SELECT 'completeness_col_ratio|l_extendedprice',
+             CAST(r_extendedprice AS DOUBLE) FROM stats
+      UNION ALL SELECT 'completeness_col_ratio|l_returnflag',
+             CAST(r_returnflag AS DOUBLE) FROM stats
+      UNION ALL SELECT 'completeness_raw_ratio|',
+             CAST(r_row AS DOUBLE) FROM stats
+      UNION ALL SELECT 'unique_ratio|l_orderkey,l_linenumber',
+             CAST(r_pk AS DOUBLE) FROM stats
+      UNION ALL SELECT '{_REGRESSION_PLANT_KEY}',
+             CAST(r_ok_scoped AS DOUBLE) FROM stats
+    ), hist AS (
+      SELECT metric_key,
+             value
+             + (CASE WHEN metric_key = '{_REGRESSION_PLANT_KEY}'
+                     THEN 0.15 ELSE 0.0 END)
+             + (CAST(concat('0x', substr(md5(concat(metric_key, '|',
+                    CAST(gs.run_seq AS VARCHAR))), 1, 6)) AS BIGINT)
+                % 2001 - 1000) / 1048576.0 AS value,
+             gs.run_seq AS run_seq
+      FROM cur CROSS JOIN generate_series(1, {_REGRESSION_RUNS})
+           AS gs(run_seq)
+    ), base AS (
+      SELECT metric_key, avg(value) AS m, stddev_samp(value) AS sd,
+             count(value) AS n, arg_max(value, run_seq) AS prev
+      FROM hist GROUP BY 1
+    ), runs AS (
+      SELECT c.metric_key, c.value, b.m, b.sd, b.n, b.prev,
+             CASE WHEN b.n < 5 THEN 'insufficient_history'
+                  WHEN (CASE WHEN b.sd > 0 THEN (c.value - b.m) / b.sd < -3.0
+                             ELSE c.value < b.m END) THEN 'regression'
+                  ELSE 'ok' END AS status
+      FROM cur c JOIN base b USING (metric_key)
     )
-    SELECT event_type, day, metric,
+    SELECT 'series' AS part, event_type AS series, day, metric,
            CAST(round(m, 6) AS DOUBLE) AS baseline_mean,
            CAST(round(sd, 6) AS DOUBLE) AS baseline_stddev,
            CASE WHEN sd IS NULL OR sd = 0 THEN NULL
                 ELSE CAST(round((metric - m) / sd, 6) AS DOUBLE) END AS zscore,
+           {pad_runs},
            coalesce(n >= 3 AND sd > 0
-                    AND abs((metric - m) / sd) > 2.0, false) AS is_anomaly
+                    AND abs((metric - m) / sd) > 2.0, false) AS is_flag
     FROM z
-    """,
-)
+    UNION ALL
+    SELECT 'runs', metric_key, CAST(NULL AS DATE), value,
+           CAST(round(m, 6) AS DOUBLE),
+           CAST(round(sd, 6) AS DOUBLE),
+           CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                ELSE CAST(round((value - m) / sd, 6) AS DOUBLE) END,
+           CAST(n AS BIGINT),
+           CAST(round(prev, 6) AS DOUBLE),
+           CASE WHEN prev = 0 THEN NULL
+                ELSE CAST(round((value - prev) / prev, 6) AS DOUBLE) END,
+           status,
+           status = 'regression'
+    FROM runs
+    """
+
+
+@query("dq_metric_anomalies", _metric_anomalies_oracle())
 def dq_metric_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily event-count series per event_type, each day z-scored against
-    its trailing 7 days (operators/anomaly.py, zscore_anomalies)."""
-    from .operators.anomaly import zscore_anomalies
+    """Metric-monitoring composite (operators/anomaly.py):
+
+    - part ``series``: the former entry verbatim — daily event-count
+      series per event_type, each day z-scored against its trailing 7
+      days (zscore_anomalies);
+    - part ``runs``: run-over-run DQ metrics regression monitor
+      (metrics_regression, direction='down') — the Deequ
+      anomaly-constraint capstone of the reference's MetricResult design
+      (reference core/models.py:6-20 stores one run; this judges it).
+      Current run = the REAL flagship framework metrics over lineitem
+      (same rules as dq_metrics_report, F3/F6/F9/F14/F17); history = 8
+      md5-deterministic prior runs jittered ±0.001 around the current
+      value, with one series' history shifted +0.15 so the current run
+      is a planted 3σ+ drop. Flags are SF-invariant by construction
+      (the jitter z-score depends only on the key and run index).
+
+    Scale shape: part 'series' is one window pass over an aggregated
+    daily series; part 'runs' shuffles only metric rows (runs x rules),
+    never data-scale rows — the lineitem scan itself is the flagship
+    fused single-agg pass."""
+    from .operators.anomaly import metrics_regression, zscore_anomalies
+
+    long_null = F.lit(None).cast("long")
+    dbl_null = F.lit(None).cast("double")
 
     events = load_table(spark, "events", sf_dir)
     series = (
@@ -1476,13 +1576,65 @@ def dq_metric_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("double").alias("metric"))
     )
-    return zscore_anomalies(
+    sp = zscore_anomalies(
         series, "metric", ["day"], partition_cols=["event_type"],
         lookback=7, threshold=2.0, min_periods=3,
     ).select(
-        "event_type", "day", "metric",
-        "baseline_mean", "baseline_stddev", "zscore", "is_anomaly",
+        F.lit("series").alias("part"),
+        F.col("event_type").alias("series"),
+        "day", "metric", "baseline_mean", "baseline_stddev", "zscore",
+        long_null.alias("n_baseline"), dbl_null.alias("prev_value"),
+        dbl_null.alias("change_ratio"),
+        F.lit(None).cast("string").alias("status"),
+        F.col("is_anomaly").alias("is_flag"),
     )
+
+    cur = flagship_report(spark, sf_dir).select(
+        F.concat_ws("|", "metric_name", "column").alias("metric_key"),
+        F.lit(_REGRESSION_RUNS + 1).alias("run_seq"),
+        F.col("value"),
+    )
+    shift = F.when(
+        F.col("metric_key") == _REGRESSION_PLANT_KEY, F.lit(0.15)
+    ).otherwise(F.lit(0.0))
+    jitter = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    "|", F.col("metric_key"), F.col("run_seq").cast("string")
+                )),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("long") % 2001 - 1000
+    ) / F.lit(1048576.0)
+    hist = (
+        cur.select(
+            "metric_key",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_REGRESSION_RUNS))
+            ).alias("run_seq"),
+            "value",
+        )
+        # same evaluation order as the oracle: (value + shift) + jitter
+        .withColumn("value", F.col("value") + shift + jitter)
+    )
+    rp = metrics_regression(
+        hist, cur, key_cols=["metric_key"], value_col="value",
+        order_col="run_seq", lookback=_REGRESSION_RUNS, threshold=3.0,
+        min_periods=5, direction="down",
+    ).select(
+        F.lit("runs").alias("part"),
+        F.col("metric_key").alias("series"),
+        F.lit(None).cast("date").alias("day"),
+        F.col("value").alias("metric"),
+        "baseline_mean", "baseline_stddev", "zscore",
+        "n_baseline",
+        F.round("prev_value", 6).alias("prev_value"),
+        "change_ratio", "status",
+        F.col("is_regression").alias("is_flag"),
+    )
+    return sp.unionByName(rp)
 
 
 # ---------------------------------------------------------------------------

@@ -124,6 +124,9 @@ _COMPOSITE_BUDGETS = {
     "dq_hbos": (4, 4),               # audited: 3 / 3
     "dq_fd_check": (6, 3),           # audited: 5 / 2
     "dq_outliers": (3, 3),           # audited: 2 / 2 (z + mad parts)
+    # r14: series part (1 window shuffle over the daily agg) + runs part
+    # (rank/agg/join over runs x rules metric rows — never data-scale)
+    "dq_metric_anomalies": (5, 2),   # audited: 4 / 1
 }
 
 

@@ -1005,3 +1005,113 @@ def test_flag_outliers_mad_zero_spread_and_nan(spark):
     # NaN row: stats not poisoned (group b clean), NaN scores > any t
     assert out[7]["is_outlier"]
     assert not out[8]["is_outlier"] and not out[10]["is_outlier"]
+
+
+def _mr_history(spark, series_vals):
+    """history rows: {series: [v_run1, v_run2, ...]} -> one row per run."""
+    rows = [
+        (s, i + 1, v)
+        for s, vals in series_vals.items()
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "metric string, run_seq int, value double")
+
+
+def test_metrics_regression_planted_drop(spark):
+    """The Deequ anomaly-constraint shape: a metric that dropped hard vs
+    a stable trailing history is flagged; a metric inside its band is not;
+    a 2-run series is 'insufficient_history' (VERDICT r13 item 6's
+    planted-regression test)."""
+    from pyspark_data_quality_spark.operators.anomaly import metrics_regression
+
+    hist = _mr_history(spark, {
+        # tight band around 0.99 (stddev ~0.0022)
+        "completeness": [0.99, 0.988, 0.992, 0.99, 0.987, 0.991, 0.99, 0.993],
+        "row_count": [1000.0, 1010.0, 990.0, 1005.0, 995.0, 1000.0, 1002.0, 998.0],
+        "new_metric": [0.5, 0.6],
+    })
+    cur = spark.createDataFrame(
+        [("completeness", 9, 0.82), ("row_count", 9, 1001.0),
+         ("new_metric", 9, 0.0)],
+        "metric string, run_seq int, value double",
+    )
+    out = {r["metric"]: r for r in metrics_regression(
+        hist, cur, key_cols=["metric"], threshold=3.0, min_periods=3,
+    ).collect()}
+    assert out["completeness"]["is_regression"]
+    assert out["completeness"]["status"] == "regression"
+    assert out["completeness"]["zscore"] < -3.0
+    assert out["completeness"]["n_baseline"] == 8
+    assert out["completeness"]["prev_value"] == 0.993
+    assert out["row_count"]["status"] == "ok"
+    assert not out["row_count"]["is_regression"]
+    assert out["new_metric"]["status"] == "insufficient_history"
+    assert not out["new_metric"]["is_regression"]
+
+
+def test_metrics_regression_direction_and_flat_baseline(spark):
+    """direction='down' ignores upward spikes; a FLAT baseline flags any
+    deviation (stddev 0 must not null the verdict out); lookback trims
+    the baseline to the trailing window."""
+    from pyspark_data_quality_spark.operators.anomaly import metrics_regression
+
+    hist = _mr_history(spark, {
+        "up_spike": [0.5, 0.52, 0.48, 0.5, 0.51],
+        "flat": [1.0, 1.0, 1.0, 1.0, 1.0],
+        # early garbage outside lookback=4; trailing 4 are tight at ~10
+        "windowed": [500.0, 9.9, 10.1, 10.0, 10.0],
+    })
+    cur = spark.createDataFrame(
+        [("up_spike", 6, 0.95), ("flat", 6, 0.999), ("windowed", 6, 200.0)],
+        "metric string, run_seq int, value double",
+    )
+    down = {r["metric"]: r for r in metrics_regression(
+        hist, cur, key_cols=["metric"], threshold=3.0, min_periods=3,
+        direction="down", lookback=4,
+    ).collect()}
+    assert down["up_spike"]["status"] == "ok"  # big move, wrong direction
+    assert down["flat"]["status"] == "regression"  # flat history, any drop
+    assert down["flat"]["zscore"] is None  # unscorable, still flagged
+    # lookback=4 excludes the 500.0 run: baseline mean 10, tiny stddev
+    assert down["windowed"]["n_baseline"] == 4
+    assert abs(down["windowed"]["baseline_mean"] - 10.0) < 0.01
+    # 200 is an UP move: not flagged downward...
+    assert down["windowed"]["status"] == "ok"
+    both = {r["metric"]: r for r in metrics_regression(
+        hist, cur, key_cols=["metric"], threshold=3.0, min_periods=3,
+        lookback=4,
+    ).collect()}
+    # ...but flagged under direction='both'
+    assert both["windowed"]["status"] == "regression"
+    assert both["up_spike"]["status"] == "regression"
+
+    with pytest.raises(ValueError, match="direction"):
+        metrics_regression(hist, cur, key_cols=["metric"], direction="side")
+    with pytest.raises(ValueError, match="lookback"):
+        metrics_regression(hist, cur, key_cols=["metric"], lookback=0)
+
+
+def test_metrics_regression_nan_history_not_poisoning(spark):
+    """A NaN run in the history must not poison the baseline (finite()
+    guard): the remaining finite runs still judge the current value, and
+    prev_value skips the NaN run."""
+    from pyspark_data_quality_spark.operators.anomaly import metrics_regression
+
+    nan = float("nan")
+    hist = _mr_history(spark, {
+        "m": [0.99, 0.988, 0.992, 0.99, 0.987, 0.991, 0.99, nan],
+        "unseen": [0.5, 0.6, 0.7],
+    })
+    cur = spark.createDataFrame(
+        [("m", 9, 0.82), ("brand_new", 9, 1.0)],
+        "metric string, run_seq int, value double",
+    )
+    out = {r["metric"]: r for r in metrics_regression(
+        hist, cur, key_cols=["metric"], threshold=3.0, min_periods=3,
+    ).collect()}
+    assert out["m"]["n_baseline"] == 7  # NaN run excluded
+    assert out["m"]["status"] == "regression"
+    assert out["m"]["prev_value"] == 0.99  # latest FINITE value, not NaN
+    # a series with NO history at all: left join keeps it, never scored
+    assert out["brand_new"]["status"] == "insufficient_history"
+    assert out["brand_new"]["n_baseline"] == 0
