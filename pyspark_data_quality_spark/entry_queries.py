@@ -1846,6 +1846,21 @@ _HIST_BIN_SQL = (
 )
 
 
+def _clamped_bin_sql(bins: int, x: str = "v") -> str:
+    """Inf-proof DuckDB replay of ``hist.clamped_bin`` for a ``lo``/``hi``
+    bounds row: clamp in DOUBLE FIRST — least/greatest saturate ±Inf into
+    the edge bins exactly like the Spark face — then ONE outer integer
+    cast (a direct BIGINT cast of floor(Inf) is a DuckDB conversion
+    error, the r13 advisor finding). Width 0 (hi = lo) → bin 0 via
+    nullif/coalesce. Shared by the drift-screen and HBOS oracles; the
+    windowed-PSI oracle restates it with static literal bounds."""
+    return (
+        f"CAST(least({bins - 1}, greatest(0, coalesce("
+        f"floor(({x} - lo) / nullif((hi - lo) / {bins}.0, 0)), 0)))"
+        f" AS INT)"
+    )
+
+
 @query(
     "dq_histogram",
     f"""
@@ -2766,11 +2781,16 @@ def _drift_screen_part_sql() -> str:
     KS + PSI per column, the asymptotic two-sample p-value and the BH
     step-up across the three-column family."""
     bins, alpha, eps = _SCREEN_BINS, _SCREEN_ALPHA, 1.0e-6
+    # bounds over FINITE reference values only, mirroring the Spark
+    # face's finite() routing (r13 advisor: a NaN/±Inf value would
+    # silently diverge the two faces' bin axes — DuckDB max() treats
+    # NaN as greatest, and an Inf bound collapses every width)
     bounds = " UNION ALL ".join(
         f"""SELECT '{c}' AS "column",
              CAST(min({c}) AS DOUBLE) AS lo,
              CAST(max({c}) AS DOUBLE) AS hi
-           FROM derived WHERE a = 0 AND {c} IS NOT NULL"""
+           FROM derived WHERE a = 0 AND {c} IS NOT NULL
+             AND NOT isnan({c}) AND isfinite({c})"""
         for c in _SCREEN_COLS
     )
     lng = " UNION ALL ".join(
@@ -2792,11 +2812,7 @@ def _drift_screen_part_sql() -> str:
     ), bnd AS ({bounds}),
     lng AS ({lng}),
     binned AS (
-      SELECT lng."column",
-             CAST(least({bins - 1}, greatest(0, coalesce(
-               CAST(floor((v - lo) / nullif((hi - lo) / {bins}.0, 0))
-                    AS BIGINT), 0))) AS INT) AS bin,
-             a
+      SELECT lng."column", {_clamped_bin_sql(bins)} AS bin, a
       FROM lng JOIN bnd USING ("column")
       WHERE v IS NOT NULL AND NOT isnan(v)
     ),
@@ -6384,7 +6400,7 @@ def dq_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_hbos",
-    """
+    f"""
     WITH base AS (
       SELECT c_custkey,
         CAST(CASE WHEN c_custkey % 211 = 0 THEN c_acctbal * 25
@@ -6392,16 +6408,16 @@ def dq_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(c_nationkey AS DOUBLE) AS nat
       FROM customer
     ), bnd AS (
+      -- FINITE bounds, mirroring the Spark face's finite() routing
       SELECT 'bal' AS col, min(bal) AS lo, max(bal) AS hi FROM base
+        WHERE NOT isnan(bal) AND isfinite(bal)
       UNION ALL SELECT 'nat', min(nat), max(nat) FROM base
+        WHERE NOT isnan(nat) AND isfinite(nat)
     ), lng AS (
       SELECT c_custkey, 'bal' AS col, bal AS v FROM base
       UNION ALL SELECT c_custkey, 'nat', nat FROM base
     ), binned AS (
-      SELECT c_custkey, lng.col,
-        CAST(least(15, greatest(0, coalesce(
-          CAST(floor((v - lo) / nullif((hi - lo) / 16.0, 0)) AS BIGINT),
-          0))) AS INT) AS bin
+      SELECT c_custkey, lng.col, {_clamped_bin_sql(16)} AS bin
       FROM lng JOIN bnd ON lng.col = bnd.col
       WHERE v IS NOT NULL AND NOT isnan(v)
     ), hist AS (

@@ -1295,3 +1295,57 @@ def test_drift_screen_single_shuffle_plan(spark):
     # per-column windows + final agg + BH ranking
     assert n_exchange <= 5, f"{n_exchange} exchanges:\n{plan[:2000]}"
     assert len(out.collect()) == 4
+
+
+def test_clamped_bin_sql_inf_proof_matches_spark(spark):
+    """The shared DuckDB replay of hist.clamped_bin (_clamped_bin_sql)
+    must survive ±Inf — a direct BIGINT cast of floor(Inf) is a DuckDB
+    conversion ERROR (r13 advisor) — and agree bin-for-bin with the
+    Spark face on adversarial values: ±Inf saturate to the edge bins,
+    NULL/NaN get no bin, width 0 folds to bin 0."""
+    import duckdb
+
+    from pyspark_data_quality_spark.entry_queries import _clamped_bin_sql
+    from pyspark_data_quality_spark.operators.hist import clamped_bin
+
+    inf, nan = float("inf"), float("nan")
+    vals = [-inf, -5.0, 0.0, 3.7, 9.999, 10.0, 25.0, inf, nan, None]
+    lo, hi, bins = 0.0, 10.0, 4
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    spark_bins = [
+        r["bin"]
+        for r in df.select(
+            clamped_bin(F.col("v"), F.lit(lo), F.lit(hi), bins).alias("bin")
+        ).collect()
+    ]
+
+    con = duckdb.connect()
+    sql = f"""
+      WITH lng AS (
+        SELECT unnest([{", ".join(
+            "CAST('nan' AS DOUBLE)" if v is not None and math.isnan(v)
+            else "CAST('inf' AS DOUBLE)" if v == inf
+            else "CAST('-inf' AS DOUBLE)" if v == -inf
+            else "CAST(NULL AS DOUBLE)" if v is None else repr(v)
+            for v in vals
+        )}]) AS v
+      ), bnd AS (SELECT {lo} AS lo, {hi} AS hi)
+      SELECT CASE WHEN v IS NULL OR isnan(v) THEN NULL
+                  ELSE {_clamped_bin_sql(bins)} END AS bin
+      FROM lng CROSS JOIN bnd
+    """
+    duck_bins = [r[0] for r in con.execute(sql).fetchall()]
+    assert duck_bins == spark_bins
+    assert duck_bins[0] == 0 and duck_bins[7] == bins - 1  # ±Inf edges
+    assert duck_bins[8] is None and duck_bins[9] is None   # NaN/NULL
+
+    # width 0 (hi = lo): every finite value folds to bin 0 on both sides
+    z = con.execute(
+        f"SELECT {_clamped_bin_sql(bins)} FROM (SELECT 5.0 AS v) "
+        "CROSS JOIN (SELECT 1.0 AS lo, 1.0 AS hi)"
+    ).fetchone()[0]
+    zs = df.filter("v = 3.7").select(
+        clamped_bin(F.col("v"), F.lit(1.0), F.lit(1.0), bins).alias("b")
+    ).collect()[0]["b"]
+    assert z == 0 and zs == 0
