@@ -59,6 +59,13 @@ def _latest_bench_round(repo_dir: str) -> int:
     return best
 
 
+def _bench_full_name(sf: float) -> str:
+    """Per-sf artifact name: sf renders as in the testdata dir (0.1 ->
+    'sf0.1'), so runs at different scale factors never overwrite each
+    other's complete map."""
+    return f"bench_full_sf{sf:g}.json"
+
+
 def _prev_bench(repo_dir: str, sf: float) -> tuple[str, dict] | None:
     """Latest prior BENCH_r{N}.json with parseable per-query timings at the
     same sf — the regression baseline (VERDICT r2 item 6).
@@ -66,10 +73,15 @@ def _prev_bench(repo_dir: str, sf: float) -> tuple[str, dict] | None:
     The driver's tail buffer truncates the suite line past ~108 entries
     (suite_line drops sub-threshold timings), so BENCH_r{N} alone loses a
     third of the registry at 150 entries (r13 verdict item 7). bench.py
-    therefore also writes ``docs/bench_full.json`` — all entries, full
-    names, full precision, tagged with the round it measured — and the
-    baseline here overlays it when the round tags line up, restoring the
-    complete per-query comparison."""
+    therefore also writes ``docs/bench_full_sf{sf}.json`` — all entries,
+    full names, full precision, per-sf so a quick run at another sf can
+    never clobber the standard sf0.1 map, tagged with the round it
+    measured — and the baseline here FILLS the keys the BENCH map
+    dropped when the round tags line up. BENCH_r{N} stays authoritative
+    for keys present in both: a same-round tag does not mean the same
+    run (a mid-round full bench shares the tag with the driver's
+    round-close run), so only the truncated tail is restored, never the
+    round-close readings replaced."""
     import glob
     import re
 
@@ -99,13 +111,15 @@ def _prev_bench(repo_dir: str, sf: float) -> tuple[str, dict] | None:
     if best is None:
         return None
     n, label, queries = best
+    full_name = _bench_full_name(sf)
     try:
-        with open(os.path.join(repo_dir, "docs", "bench_full.json")) as f:
+        with open(os.path.join(repo_dir, "docs", full_name)) as f:
             full = json.load(f)
         if full.get("round") == n and full.get("sf") == sf:
-            # full-precision superset of the (truncated, 1-dp) suite map
-            queries = {**queries, **full.get("queries", {})}
-            label += "+docs/bench_full.json"
+            # fill ONLY the keys the truncated suite map dropped —
+            # BENCH_r{N} (the round-close run) stays authoritative
+            queries = {**full.get("queries", {}), **queries}
+            label += f"+docs/{full_name}"
     except (OSError, ValueError):
         pass
     return label, queries
@@ -303,14 +317,16 @@ def main() -> None:
         else f"{len(timings)}/{registry_n}"
     )
 
-    # ... and to docs/bench_full.json: the driver's tail buffer truncates
-    # both the stderr map and the suite line's per-query detail past ~108
-    # entries, so this committed artifact is the only place ALL 150
-    # timings survive a round (r13 verdict item 7). Tagged with the round
-    # being measured (latest recorded BENCH round + 1) so _prev_bench can
-    # tell whether it describes the same code as BENCH_r{N}.json. Only a
-    # full-registry run may overwrite it — a SPARK_GRAFT_BENCH_ONLY subset
-    # must not clobber the complete map.
+    # ... and to docs/bench_full_sf{sf}.json: the driver's tail buffer
+    # truncates both the stderr map and the suite line's per-query detail
+    # past ~108 entries, so this committed artifact is the only place ALL
+    # 150 timings survive a round (r13 verdict item 7). Tagged with the
+    # round being measured (latest recorded BENCH round + 1) so
+    # _prev_bench can tell whether it describes the same code as
+    # BENCH_r{N}.json. Only a full-registry run may overwrite it (a
+    # SPARK_GRAFT_BENCH_ONLY subset must not clobber the complete map),
+    # and the name is per-sf (a quick sf0.01 sanity run must not destroy
+    # the sf0.1 map the round comparison needs).
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     if len(timings) == registry_n and not only_env:
         full_art = {
@@ -322,12 +338,12 @@ def main() -> None:
             "queries": {k: timings[k] for k in sorted(timings)},
         }
         try:
-            with open(os.path.join(repo_dir, "docs", "bench_full.json"),
+            with open(os.path.join(repo_dir, "docs", _bench_full_name(sf)),
                       "w") as f:
                 json.dump(full_art, f, indent=1, sort_keys=True)
                 f.write("\n")
         except OSError as e:  # read-only checkout must not kill the bench
-            print(f"bench_full.json not written: {e}", file=sys.stderr)
+            print(f"bench full artifact not written: {e}", file=sys.stderr)
     line = suite_line(sum(timings.values()), timings, sf, pop=pop)
     if len(line) > 1900:
         print(f"WARNING: suite line {len(line)} chars — the driver tail "

@@ -1447,6 +1447,11 @@ def dq_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: synthetic history is shifted +0.15 above the framework's current
 #: value, so the current run reads as a catastrophic drop (z ~ -230)
 _REGRESSION_PLANT_KEY = "unique_ratio|l_orderkey"
+#: monitor tuning, interpolated into BOTH faces so they cannot desync
+#: (direction='down' is structural in each face's flag expression)
+_REGRESSION_SHIFT = 0.15
+_REGRESSION_THRESHOLD = 3.0
+_REGRESSION_MIN_PERIODS = 5
 #: deterministic run history: 8 prior runs, ~±0.00095 md5 jitter. The
 #: jitter grid is DYADIC ((k%2001-1000)/2^20, exactly representable), so
 #: the 8-run mean can never land exactly on a round(x,6) half-boundary
@@ -1497,7 +1502,7 @@ def _metric_anomalies_oracle() -> str:
       SELECT metric_key,
              value
              + (CASE WHEN metric_key = '{_REGRESSION_PLANT_KEY}'
-                     THEN 0.15 ELSE 0.0 END)
+                     THEN {_REGRESSION_SHIFT} ELSE 0.0 END)
              + (CAST(concat('0x', substr(md5(concat(metric_key, '|',
                     CAST(gs.run_seq AS VARCHAR))), 1, 6)) AS BIGINT)
                 % 2001 - 1000) / 1048576.0 AS value,
@@ -1510,8 +1515,11 @@ def _metric_anomalies_oracle() -> str:
       FROM hist GROUP BY 1
     ), runs AS (
       SELECT c.metric_key, c.value, b.m, b.sd, b.n, b.prev,
-             CASE WHEN b.n < 5 THEN 'insufficient_history'
-                  WHEN (CASE WHEN b.sd > 0 THEN (c.value - b.m) / b.sd < -3.0
+             CASE WHEN b.n < {_REGRESSION_MIN_PERIODS}
+                       THEN 'insufficient_history'
+                  WHEN (CASE WHEN b.sd > 0
+                             THEN (c.value - b.m) / b.sd
+                                  < -{_REGRESSION_THRESHOLD}
                              ELSE c.value < b.m END) THEN 'regression'
                   ELSE 'ok' END AS status
       FROM cur c JOIN base b USING (metric_key)
@@ -1595,7 +1603,8 @@ def dq_metric_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value"),
     )
     shift = F.when(
-        F.col("metric_key") == _REGRESSION_PLANT_KEY, F.lit(0.15)
+        F.col("metric_key") == _REGRESSION_PLANT_KEY,
+        F.lit(_REGRESSION_SHIFT),
     ).otherwise(F.lit(0.0))
     jitter = (
         F.conv(
@@ -1621,8 +1630,9 @@ def dq_metric_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rp = metrics_regression(
         hist, cur, key_cols=["metric_key"], value_col="value",
-        order_col="run_seq", lookback=_REGRESSION_RUNS, threshold=3.0,
-        min_periods=5, direction="down",
+        order_col="run_seq", lookback=_REGRESSION_RUNS,
+        threshold=_REGRESSION_THRESHOLD,
+        min_periods=_REGRESSION_MIN_PERIODS, direction="down",
     ).select(
         F.lit("runs").alias("part"),
         F.col("metric_key").alias("series"),
@@ -1852,8 +1862,16 @@ def _clamped_bin_sql(bins: int, x: str = "v") -> str:
     the edge bins exactly like the Spark face — then ONE outer integer
     cast (a direct BIGINT cast of floor(Inf) is a DuckDB conversion
     error, the r13 advisor finding). Width 0 (hi = lo) → bin 0 via
-    nullif/coalesce. Shared by the drift-screen and HBOS oracles; the
-    windowed-PSI oracle restates it with static literal bounds."""
+    nullif/coalesce. Shared by the drift-screen and HBOS oracles.
+
+    Two sibling shapes stay deliberately separate: ``_HIST_BIN_SQL``
+    above (CASE hi = lo idiom — ALSO clamp-then-cast, so Inf-proof) and
+    the windowed-PSI restatement (static literal bounds, no lo/hi
+    columns). Rewriting their certified oracles onto this builder would
+    churn their content hashes for zero semantic change; any FOURTH
+    dynamic-bounds bin replay should use this builder.
+    tests/test_schema_drift.py drives this shape against the Spark face
+    bin-for-bin under ±Inf/NaN/NULL/width-0."""
     return (
         f"CAST(least({bins - 1}, greatest(0, coalesce("
         f"floor(({x} - lo) / nullif((hi - lo) / {bins}.0, 0)), 0)))"

@@ -6,11 +6,14 @@ each new metric value against its own history. These operators take ANY
 metric DataFrame (one row per period, e.g. the output of the windowed
 event checks or a metrics-sink history) and flag anomalous periods.
 
-All three detectors are pure window expressions — one shuffle keyed by
-the series (partition columns), then a per-partition sort; no UDFs, no
-driver-side state. At scale the partition key is the series id, so a
-billion-period history shards by series and each series' window scan is
-linear.
+The four trailing detectors are pure window expressions — one shuffle
+keyed by the series (partition columns), then a per-partition sort; no
+UDFs, no driver-side state. At scale the partition key is the series
+id, so a billion-period history shards by series and each series'
+window scan is linear. :func:`metrics_regression` is the join-based
+fifth: it judges a NEW run's metrics against a separate history frame
+(one window pass + one aggregate over the history, then a key join to
+the current run — still metric-row scale only).
 
 - :func:`zscore_anomalies` — rolling mean/stddev over the TRAILING
   ``lookback`` periods (current excluded, so an anomaly can't mask
@@ -212,9 +215,23 @@ def metrics_regression(
         )
     if lookback < 1:
         raise ValueError("metrics_regression: lookback must be >= 1")
-    for c in ("_rn",):
-        if c in history.columns:
-            raise ValueError(f"metrics_regression: column {c!r} is reserved")
+    if "_rn" in history.columns:
+        raise ValueError("metrics_regression: column '_rn' is reserved")
+    # the join would make these ambiguous (or the final drop would eat
+    # them); round-tripping this function's own output is the natural
+    # collision, so fail loudly instead of AnalysisException-ing deep
+    # inside Catalyst
+    out_cols = {
+        "_mean", "_std", "n_baseline", "prev_value", "baseline_mean",
+        "baseline_stddev", "zscore", "change_ratio", "status",
+        "is_regression",
+    }
+    clash = sorted(out_cols & set(current.columns))
+    if clash:
+        raise ValueError(
+            f"metrics_regression: current frame already has output "
+            f"column(s) {clash} — rename or drop them first"
+        )
 
     w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
     recent = history.withColumn("_rn", F.row_number().over(w)).filter(
@@ -225,10 +242,14 @@ def metrics_regression(
         F.avg(xf).alias("_mean"),
         F.stddev_samp(xf).alias("_std"),
         F.count(xf).alias("n_baseline"),
-        # latest FINITE history value; ties on order_col resolved by max
-        F.max_by(xf, F.when(xf.isNotNull(), F.col(order_col))).alias(
-            "prev_value"
-        ),
+        # latest FINITE history value. Deterministic under duplicate
+        # order_col rows (a double-written sink): struct max is
+        # lexicographic, so ties on the order column resolve to the
+        # GREATEST value — max_by would flap with partition visit order
+        F.max(
+            F.when(xf.isNotNull(), F.struct(F.col(order_col).alias("o"),
+                                            xf.alias("v")))
+        )["v"].alias("prev_value"),
     )
 
     x = F.col(value_col)

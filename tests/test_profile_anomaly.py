@@ -1115,3 +1115,32 @@ def test_metrics_regression_nan_history_not_poisoning(spark):
     # a series with NO history at all: left join keeps it, never scored
     assert out["brand_new"]["status"] == "insufficient_history"
     assert out["brand_new"]["n_baseline"] == 0
+
+
+def test_metrics_regression_reserved_and_tie_determinism(spark):
+    """Round-tripping the function's own output must fail loudly (the
+    join would otherwise throw AMBIGUOUS_REFERENCE deep in Catalyst),
+    and duplicate order_col rows (a double-written sink) must resolve
+    prev_value deterministically to the GREATEST tied value."""
+    from pyspark_data_quality_spark.operators.anomaly import metrics_regression
+
+    hist = _mr_history(spark, {"m": [1.0, 2.0, 3.0, 4.0]})
+    # planted tie: two rows share the max run_seq with different values
+    tie = hist.union(
+        spark.createDataFrame([("m", 4, 0.5)],
+                              "metric string, run_seq int, value double")
+    )
+    cur = spark.createDataFrame([("m", 5, 2.5)],
+                                "metric string, run_seq int, value double")
+    out = metrics_regression(
+        tie, cur, key_cols=["metric"], min_periods=3,
+    ).collect()[0]
+    assert out["prev_value"] == 4.0  # greatest tied value, every run
+    assert out["n_baseline"] == 5
+
+    looped = metrics_regression(hist, cur, key_cols=["metric"])
+    with pytest.raises(ValueError, match="output column"):
+        metrics_regression(hist, looped, key_cols=["metric"])
+    with pytest.raises(ValueError, match="reserved"):
+        metrics_regression(hist.withColumn("_rn", F.lit(1)), cur,
+                           key_cols=["metric"])

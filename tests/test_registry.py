@@ -183,12 +183,16 @@ def test_registry_bench_line_budget():
     assert min(kept.values()) >= max(dropped_vals)
 
 
-def test_prev_bench_overlays_full_artifact(tmp_path):
+def test_prev_bench_fills_from_full_artifact(tmp_path):
     """_prev_bench must restore the per-query timings the suite line
-    dropped (driver tail truncation) by overlaying docs/bench_full.json —
-    but ONLY when the artifact's round tag matches the newest BENCH file
-    (a stale full map from different code must not pollute the baseline)."""
-    from bench import _latest_bench_round, _prev_bench
+    dropped (driver tail truncation) from docs/bench_full_sf{sf}.json —
+    but ONLY the missing keys (BENCH_r{N}, the round-close run, stays
+    authoritative for shared keys: a same-round tag does not mean the
+    same run) and ONLY when the artifact's round tag matches the newest
+    BENCH file (a stale map from different code must not pollute the
+    baseline). The artifact is per-sf so a quick sf0.01 run can never
+    clobber the sf0.1 map."""
+    from bench import _bench_full_name, _latest_bench_round, _prev_bench
 
     (tmp_path / "docs").mkdir()
     bench13 = {
@@ -201,24 +205,36 @@ def test_prev_bench_overlays_full_artifact(tmp_path):
     }
     (tmp_path / "BENCH_r13.json").write_text(json.dumps(bench13))
     assert _latest_bench_round(str(tmp_path)) == 13
+    assert _bench_full_name(0.1) == "bench_full_sf0.1.json"
 
     # no full artifact: baseline is the truncated map alone
     label, q = _prev_bench(str(tmp_path), 0.1)
     assert label == "BENCH_r13.json" and set(q) == {"dq_slow_one", "dq_kept"}
 
-    # matching-round artifact: dropped entry restored, precision upgraded
+    # matching-round artifact: dropped entry restored, but the BENCH
+    # values win for keys present in both (fill, not override)
     full = {"round": 13, "sf": 0.1,
-            "queries": {"dq_slow_one": 5.041, "dq_kept": 1.217,
+            "queries": {"dq_slow_one": 9.999, "dq_kept": 9.999,
                         "dq_dropped_fast": 0.31}}
-    (tmp_path / "docs" / "bench_full.json").write_text(json.dumps(full))
+    art = tmp_path / "docs" / _bench_full_name(0.1)
+    art.write_text(json.dumps(full))
     label, q = _prev_bench(str(tmp_path), 0.1)
-    assert label.endswith("+docs/bench_full.json")
-    assert q["dq_dropped_fast"] == 0.31 and q["dq_slow_one"] == 5.041
+    assert label.endswith("+docs/bench_full_sf0.1.json")
+    assert q["dq_dropped_fast"] == 0.31
+    assert q["dq_slow_one"] == 5.0 and q["dq_kept"] == 1.2
+
+    # a different-sf artifact is a different file: never consulted
+    other = {"round": 13, "sf": 0.01, "queries": {"dq_other": 1.0}}
+    (tmp_path / "docs" / _bench_full_name(0.01)).write_text(
+        json.dumps(other)
+    )
+    label, q = _prev_bench(str(tmp_path), 0.1)
+    assert "dq_other" not in q
 
     # round-tag mismatch (artifact measured r14 code, BENCH still r13):
     # fall back to the truncated map
     full["round"] = 14
-    (tmp_path / "docs" / "bench_full.json").write_text(json.dumps(full))
+    art.write_text(json.dumps(full))
     label, q = _prev_bench(str(tmp_path), 0.1)
     assert label == "BENCH_r13.json" and "dq_dropped_fast" not in q
 
