@@ -9,11 +9,12 @@ from .dataset import (
     write_bucketed_table,
     write_dataset,
 )
-from .metrics import read_metrics, write_metrics
+from .metrics import monitor_metrics, read_metrics, write_metrics
 from .quarantine import quarantine_route, read_quarantine
 
 __all__ = [
     "compact_dataset",
+    "monitor_metrics",
     "quarantine_route",
     "read_dataset",
     "read_metrics",

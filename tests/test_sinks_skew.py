@@ -213,3 +213,58 @@ def test_salted_join_validation(spark):
         salted_join(fact, dim2, ["k"], salt=1)
     with pytest.raises(ValueError, match="keys"):
         salted_join(fact, dim2, [])
+
+
+def test_monitor_metrics_end_to_end(spark, tmp_path):
+    """The full Deequ anomaly-constraint loop: N runs written via
+    write_metrics, then a degraded run judged via monitor_metrics —
+    the dropped metric flags, the stable one does not, and the call is
+    self-masking-proof (current run's rows already in the history are
+    anti-joined out)."""
+    from pyspark_data_quality_spark.sinks import monitor_metrics, write_metrics
+
+    path = str(tmp_path / "metrics")
+
+    def run_metrics(run: int, null_every: int | None):
+        ids = list(range(1, 101))
+        rows = [
+            (i, None if (null_every and i % null_every == 0) else f"n{i}")
+            for i in ids
+        ]
+        df = spark.createDataFrame(rows, ["id", "name"])
+        return (
+            DQManager(spark, dataset="t1", run_id=f"r{run:02d}")
+            .set_data(df)
+            .add_rule(CompletenessColRatioRule(columns=["id", "name"]))
+            .run()
+            .get_metric_results()
+        )
+
+    # 6 healthy runs: id complete, name ~99% complete (every-100th null)
+    for run in range(6):
+        write_metrics(run_metrics(run, null_every=100), path)
+
+    # run 7: name completeness collapses to 75%
+    cur = run_metrics(7, null_every=4)
+    rep = {
+        r["column"]: r
+        for r in monitor_metrics(
+            spark, path, cur, dataset="t1", min_periods=3
+        ).collect()
+    }
+    assert rep["name"]["is_regression"]
+    # flat all-1.0 history + unchanged current: ok, not flagged
+    assert rep["id"]["status"] == "ok" and not rep["id"]["is_regression"]
+    assert rep["name"]["n_baseline"] == 6
+
+    # write-then-monitor order: the current run's own rows must not
+    # enter its baseline (anti-join on run_id)
+    write_metrics(cur, path)
+    rep2 = {
+        r["column"]: r
+        for r in monitor_metrics(
+            spark, path, cur, dataset="t1", min_periods=3
+        ).collect()
+    }
+    assert rep2["name"]["is_regression"]
+    assert rep2["name"]["n_baseline"] == 6  # still 6, not 7
