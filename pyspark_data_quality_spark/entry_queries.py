@@ -13,6 +13,7 @@ Rules for oracle-hash stability:
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 from typing import Dict
@@ -4450,9 +4451,16 @@ def dq_sketch_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: EWMA chart asymptotic half-width L*sigma*sqrt(alpha/(2-alpha)) for
+#: the dq_cusum 'ewma' part (target 50, sigma 50, alpha 0.2, L 3).
+#: Interpolated via repr into the oracle so BOTH faces use the exact
+#: same double (streaming_ewma computes the identical expression).
+_EWMA_ASYM = 3.0 * 50.0 * math.sqrt(0.2 / (2.0 - 0.2))
+
+
 @query(
     "dq_cusum",
-    """
+    f"""
     WITH base AS (
       SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, value,
              CASE WHEN value IS NOT NULL THEN value - 50.0 - 5.0
@@ -4473,22 +4481,62 @@ def dq_sketch_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), e1 AS (
+      -- EWMA closed form: z_t = a^t * (target + alpha * sum_j a^(-j) x_j)
+      -- with j indexing VALID rows (NaN-free fixture: value IS NOT NULL)
+      SELECT user_id, ts_epoch, value,
+             count(CASE WHEN value IS NOT NULL THEN 1 END) OVER w AS t
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), e AS (
+      SELECT user_id, ts_epoch, value, t,
+             sum(CASE WHEN value IS NOT NULL
+                      THEN value * power(1.25, t) END) OVER w AS cum
+      FROM e1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), ez AS (
+      SELECT user_id, ts_epoch, value,
+             CASE WHEN value IS NOT NULL
+                  THEN power(0.8, t) * (50.0 + 0.2 * cum) END AS z,
+             CASE WHEN value IS NOT NULL
+                  THEN {_EWMA_ASYM!r} * sqrt(1.0 - power(0.8, 2 * t))
+             END AS band
+      FROM e
     )
-    SELECT user_id, ts_epoch, value,
+    SELECT 'cusum' AS part, user_id, ts_epoch, value,
            CAST(round(sp, 6) AS DOUBLE) AS s_pos,
            CAST(round(sn, 6) AS DOUBLE) AS s_neg,
+           CAST(NULL AS DOUBLE) AS ewma, CAST(NULL AS DOUBLE) AS band,
            (value IS NOT NULL AND (sp > 200.0 OR sn > 200.0)) AS is_alarm
     FROM s
+    UNION ALL
+    SELECT 'ewma', user_id, ts_epoch, value,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(round(z, 6) AS DOUBLE), CAST(round(band, 6) AS DOUBLE),
+           coalesce(abs(z - 50.0) > band, FALSE)
+    FROM ez
     """,
 )
 def dq_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user CUSUM mean-shift sums over event values (target 50,
-    slack 5, threshold 200) — the batch face of the streaming detector,
-    pure keyed cumsum + running-min windows, certified exactly
-    (streaming/anomaly.py streaming_cusum; stream/batch parity is the
-    unit test). (user_id, epoch second) is unique in the fixture, so the
-    window order is deterministic in both engines."""
-    from .streaming.anomaly import streaming_cusum
+    """Control-chart composite over the same per-user event-value
+    series (user_id < 20; (user_id, epoch second) is unique in the
+    fixture, so the window order is deterministic in both engines):
+
+    - part ``cusum``: Page's mean-shift sums (target 50, slack 5,
+      threshold 200) — pure keyed cumsum + running-min windows
+      (streaming/anomaly.py streaming_cusum);
+    - part ``ewma``: Roberts' EWMA chart (target 50, sigma 50,
+      alpha 0.2, L 3) via the closed-form batch face
+      (streaming_ewma) — valid-count + one scaled cumsum window,
+      exact time-varying control limits.
+
+    Both parts' streaming faces are certified by stream/batch parity
+    unit tests; the oracle replays both closed forms. Fixture series
+    are ≤~100 points per key — far inside the EWMA closed form's
+    ~2476-point overflow horizon (the face raises loudly past it)."""
+    from .streaming.anomaly import streaming_cusum, streaming_ewma
 
     ev = (
         load_table(spark, "events", sf_dir)
@@ -4499,10 +4547,24 @@ def dq_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    return streaming_cusum(
+    dbl_null = F.lit(None).cast("double")
+    cu = streaming_cusum(
         ev, ["user_id"], "value", "ts_epoch",
         target=50.0, slack=5.0, threshold=200.0,
-    ).select("user_id", "ts_epoch", "value", "s_pos", "s_neg", "is_alarm")
+    ).select(
+        F.lit("cusum").alias("part"), "user_id", "ts_epoch", "value",
+        "s_pos", "s_neg", dbl_null.alias("ewma"), dbl_null.alias("band"),
+        "is_alarm",
+    )
+    ew = streaming_ewma(
+        ev, ["user_id"], "value", "ts_epoch",
+        target=50.0, sigma=50.0, alpha=0.2, L=3.0,
+    ).select(
+        F.lit("ewma").alias("part"), "user_id", "ts_epoch", "value",
+        dbl_null.alias("s_pos"), dbl_null.alias("s_neg"),
+        "ewma", "band", "is_alarm",
+    )
+    return cu.unionByName(ew)
 
 
 @query(

@@ -1,7 +1,7 @@
 """Streaming DQ checks (Structured Streaming) — see :mod:`.windows`,
 :mod:`.anomaly`, :mod:`.topk`, :mod:`.ttl`, :mod:`.route`."""
 
-from .anomaly import streaming_cusum, streaming_zscore
+from .anomaly import streaming_cusum, streaming_ewma, streaming_zscore
 from .route import stream_quarantine_route
 from .topk import streaming_heavy_hitters
 from .ttl import dedup_with_ttl, ttl_dedup_confs
@@ -24,6 +24,7 @@ __all__ = [
     "session_counts",
     "stream_quarantine_route",
     "streaming_cusum",
+    "streaming_ewma",
     "streaming_heavy_hitters",
     "streaming_zscore",
     "ttl_dedup_confs",

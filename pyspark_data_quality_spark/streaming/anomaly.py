@@ -124,6 +124,143 @@ def streaming_zscore(
     )
 
 
+def streaming_ewma(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ts_col: str,
+    *,
+    target: float,
+    sigma: float,
+    alpha: float = 0.2,
+    L: float = 3.0,
+    watermark: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key EWMA control chart (Roberts 1959) — the third classic
+    sibling of the z-score (point outliers) and CUSUM (sustained
+    shifts): ``z_t = alpha*x_t + (1-alpha)*z_{t-1}`` seeded at the
+    in-control ``target``, alarmed when ``|z_t - target|`` exceeds the
+    exact time-varying limit ``L*sigma*sqrt(alpha/(2-alpha) *
+    (1-(1-alpha)^(2t)))``. EWMA sits between its siblings: it catches
+    small-to-moderate persistent shifts faster than a z-score while
+    discounting history the (non-resetting) CUSUM never forgets.
+
+    Both faces share one identity — the recurrence has the closed form
+    ``z_t = a^t*(target + alpha*sum_j a^(-j)*x_j)`` with ``a = 1-alpha``
+    and ``j`` indexing VALID observations — so the batch face is pure
+    keyed window expressions (valid-count + one scaled cumsum: no UDF,
+    SQL-expressible, oracle-certifiable exactly) and the streaming face
+    is one vectorized ``pandas.ewm(adjust=False, ignore_na=True)`` pass
+    per Arrow batch, seeded from 12 bytes of state per key (current z +
+    valid count). Null/NaN values pass through unscored and leave the
+    state untouched (same contract as the siblings).
+
+    The batch closed form scales by ``a^(-j)``, which overflows double
+    past ``~240/-log10(a)`` valid points per series (alpha=0.2 → ~2476)
+    — metric series are bounded by time (runs/days), not data volume,
+    so the face RAISES loudly past that horizon instead of silently
+    corrupting; the streaming face runs the literal recurrence and has
+    no horizon. Output: keys + ts + value + ``ewma`` + ``band`` +
+    ``is_alarm``.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("streaming_ewma: alpha must be in (0, 1)")
+    if sigma <= 0 or L <= 0:
+        raise ValueError("streaming_ewma: sigma and L must be > 0")
+    a = 1.0 - alpha
+    asym = L * sigma * math.sqrt(alpha / (2.0 - alpha))
+    x = F.col(value_col)
+    ok = x.isNotNull() & ~F.isnan(x.cast("double"))
+    if not df.isStreaming:
+        max_t = int(240.0 / -math.log10(a))
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        t = F.count(F.when(ok, 1)).over(w)
+        scaled = F.when(ok, x * F.pow(F.lit(1.0 / a), t))
+        cum = F.sum(scaled).over(w)
+        z_raw = F.pow(F.lit(a), t) * (F.lit(target) + F.lit(alpha) * cum)
+        z = (
+            F.when(ok & (t <= max_t), z_raw)
+            .when(
+                ok,
+                F.raise_error(
+                    F.lit(
+                        f"streaming_ewma: series exceeds {max_t} valid "
+                        f"points — the closed-form scaled cumsum "
+                        f"overflows at alpha={alpha}; raise alpha, chunk "
+                        f"the series, or use the streaming face"
+                    )
+                ).cast("double"),
+            )
+        )
+        band = F.when(
+            ok, F.lit(asym) * F.sqrt(F.lit(1.0) - F.pow(F.lit(a), 2 * t))
+        )
+        return df.select(
+            *keys,
+            ts_col,
+            value_col,
+            F.round(z, round_to).alias("ewma"),
+            F.round(band, round_to).alias("band"),
+            F.coalesce(
+                F.abs(z - F.lit(target)) > band, F.lit(False)
+            ).alias("is_alarm"),
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (
+        ", ".join(f"`{c}` {fields[c]}" for c in [*keys, ts_col, value_col])
+        + ", ewma double, band double, is_alarm boolean"
+    )
+    state_schema = "t long, z double"
+
+    def fn(key, pdfs, state):
+        t0, z0 = state.get if state.exists else (0, float(target))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        pdf = batch.sort_values(ts_col, kind="stable")
+        v = pdf[value_col].to_numpy(dtype=float, na_value=math.nan)
+        valid = ~np.isnan(v)
+        # seed the literal recurrence with the carried state: position 0
+        # is z0, so adjust=False + ignore_na=True applies
+        # z = (1-alpha)*z + alpha*x per VALID value and carries z
+        # forward across the NaN gaps
+        seeded = pd.Series(np.concatenate(([z0], v)))
+        ew = (
+            seeded.ewm(alpha=alpha, adjust=False, ignore_na=True)
+            .mean()
+            .to_numpy()[1:]
+        )
+        t = t0 + np.cumsum(valid)
+        with np.errstate(invalid="ignore"):
+            band = asym * np.sqrt(1.0 - np.power(a, 2.0 * t))
+        out = pdf[[*keys, ts_col, value_col]].copy()
+        ewr = pd.array(np.round(ew, round_to), dtype="Float64")
+        ewr[~valid] = pd.NA
+        br = pd.array(np.round(band, round_to), dtype="Float64")
+        br[~valid] = pd.NA
+        out["ewma"] = ewr
+        out["band"] = br
+        out["is_alarm"] = valid & (np.abs(ew - target) > band)
+        state.update(
+            (int(t[-1]) if len(t) else t0,
+             float(ew[-1]) if len(ew) else z0)
+        )
+        yield out
+
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    return src.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_cusum(
     df: DataFrame,
     keys: list[str],

@@ -127,6 +127,9 @@ _COMPOSITE_BUDGETS = {
     # r14: series part (1 window shuffle over the daily agg) + runs part
     # (rank/agg/join over runs x rules metric rows — never data-scale)
     "dq_metric_anomalies": (5, 2),   # audited: 4 / 1
+    # r14: cusum + ewma parts — one keyed window shuffle each over the
+    # same filtered scan (pushed user_id < 20 predicate)
+    "dq_cusum": (3, 3),              # audited: 2 / 2
 }
 
 

@@ -676,3 +676,105 @@ def test_windowed_numeric_psi_stream_matches_batch(spark, sf_dir, events_dir):
         for r in _run_stream(spark, sdf).collect()
     }
     assert got == expected
+
+
+def test_ewma_batch_hand_computed(spark):
+    """Closed-form batch face against the hand recurrence: alpha=0.5,
+    target 10 — z walks 10→10→11.5→12.75 on [10,13,14]; NaN/null rows are
+    unscored and leave the state untouched; validation raises."""
+    from pyspark_data_quality_spark.streaming import streaming_ewma
+
+    rows = [("a", f"2024-01-01 00:0{i}:00", v) for i, v in enumerate(
+        [10.0, 13.0, None, 14.0]
+    )]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {str(r["ts"])[14:16]: r for r in streaming_ewma(
+        df, ["k"], "v", "ts", target=10.0, sigma=2.0, alpha=0.5, L=3.0
+    ).collect()}
+    # z_1 = .5*10+.5*10 = 10; z_2 = .5*13+.5*10 = 11.5; null skipped;
+    # z_3 = .5*14+.5*11.5 = 12.75
+    assert out["00"]["ewma"] == 10.0
+    assert out["01"]["ewma"] == 11.5
+    assert out["02"]["ewma"] is None and out["02"]["is_alarm"] is False
+    assert out["03"]["ewma"] == 12.75
+    # bands: L*sigma*sqrt(a/(2-a))*sqrt(1-(1-a)^(2t)), t = valid index
+    import math
+    asym = 3.0 * 2.0 * math.sqrt(0.5 / 1.5)
+    assert out["00"]["band"] == round(asym * math.sqrt(1 - 0.25), 6)
+    assert out["03"]["band"] == round(asym * math.sqrt(1 - 0.5 ** 6), 6)
+    # |12.75-10| = 2.75 < band ~3.43 -> no alarm yet
+    assert out["03"]["is_alarm"] is False
+
+    with pytest.raises(ValueError, match="alpha"):
+        streaming_ewma(df, ["k"], "v", "ts", target=0, sigma=1, alpha=1.0)
+    with pytest.raises(ValueError, match="sigma"):
+        streaming_ewma(df, ["k"], "v", "ts", target=0, sigma=0.0)
+
+
+def test_ewma_batch_overflow_horizon_raises(spark):
+    """Past ~240/-log10(1-alpha) valid points the closed form's scaled
+    cumsum overflows double — the face must raise loudly, not corrupt."""
+    from pyspark_data_quality_spark.streaming import streaming_ewma
+
+    # alpha=0.99 -> a=0.01 -> horizon = 120 points
+    rows = [("a", i, 1.0) for i in range(130)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    with pytest.raises(Exception, match="exceeds 120 valid points"):
+        streaming_ewma(
+            df, ["k"], "v", "t", target=1.0, sigma=1.0, alpha=0.99
+        ).collect()
+    # one fewer than the horizon: fine
+    ok = streaming_ewma(
+        df.filter("t < 120"), ["k"], "v", "t",
+        target=1.0, sigma=1.0, alpha=0.99,
+    ).collect()
+    assert len(ok) == 120
+
+
+def test_ewma_stream_batch_parity(spark, tmp_path):
+    """availableNow stream == batch face on a shifted series with NaN
+    gaps and two keys; the shifted key alarms, the stable key never."""
+    from pyspark_data_quality_spark.streaming import streaming_ewma
+
+    rows = []
+    for i in range(40):
+        v = 10.0 + (2.5 if i >= 25 else 0.0)
+        rows.append(("a", f"2024-01-01 00:{i:02d}:00", v))
+        rows.append(("b", f"2024-01-01 00:{i:02d}:00", 10.0 - (i % 2) * 0.2))
+    rows.append(("a", "2024-01-01 00:40:00", None))
+    src = spark.createDataFrame(rows, ["k", "ts", "v"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    path = str(tmp_path / "ewma_src")
+    src.write.parquet(path)
+
+    kw = dict(target=10.0, sigma=0.5, alpha=0.2, L=3.0)
+    batch = {
+        (r["k"], str(r["ts"])): (r["ewma"], r["band"], r["is_alarm"])
+        for r in streaming_ewma(
+            spark.read.parquet(path), ["k"], "v", "ts", **kw
+        ).collect()
+    }
+    sdf = streaming_ewma(
+        spark.readStream.schema(src.schema).parquet(path),
+        ["k"], "v", "ts", **kw,
+    )
+    assert sdf.isStreaming
+    out = _run_stream(spark, sdf, output_mode="update")
+    got = {
+        (r["k"], str(r["ts"])): (r["ewma"], r["band"], r["is_alarm"])
+        for r in out.collect()
+    }
+    assert set(got) == set(batch)
+    for key in batch:
+        bz, bb, bf = batch[key]
+        gz, gb, gf = got[key]
+        assert gf == bf, key
+        if bz is None:
+            assert gz is None, key
+        else:
+            assert abs(gz - bz) < 1e-6 and abs(gb - bb) < 1e-6, key
+    assert any(v[2] for k, v in batch.items() if k[0] == "a")
+    assert not any(v[2] for k, v in batch.items() if k[0] == "b")
