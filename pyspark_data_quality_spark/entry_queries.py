@@ -7558,51 +7558,192 @@ def _calibration_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_report(scored, "score", "label", bins=10)
 
 
+#: confident-learning fixture classes; given label = doc_id % 3, the
+#: true label rotates one step on every 37th doc (the planted errors)
+_CL_CLASSES = ["a", "b", "c"]
+
+_CL_SQL = """
+    cl_base AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                  ELSE 'c' END AS given,
+             CASE (CASE WHEN doc_id % 37 = 0 THEN (doc_id + 1) % 3
+                        ELSE doc_id % 3 END)
+                  WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS true_lbl
+      FROM documents
+    ), cl_long AS (
+      SELECT doc_id, given, c.cls,
+             (CASE WHEN c.cls = true_lbl THEN 5.0 ELSE 0.0 END)
+             + (CAST(concat('0x', substr(md5(concat(
+                    CAST(doc_id AS VARCHAR), '|', c.cls)), 1, 6))
+                  AS BIGINT) % 1001 - 500) / 2097152.0 AS score
+      FROM cl_base CROSS JOIN (SELECT unnest(['a','b','c']) AS cls) c
+    ), cl_m AS (
+      SELECT *, max(score) OVER (PARTITION BY doc_id) AS m FROM cl_long
+    ), cl_e AS (SELECT *, exp(score - m) AS e FROM cl_m),
+    cl_p AS (
+      SELECT doc_id, given, cls,
+             e / sum(e) OVER (PARTITION BY doc_id) AS p
+      FROM cl_e
+    ), cl_t AS (
+      SELECT cls, avg(p) AS t FROM cl_p WHERE cls = given GROUP BY cls
+    ), cl_q AS (
+      SELECT p.doc_id, p.given, p.cls, p.p, t.t, (p.p >= t.t) AS qual
+      FROM cl_p p JOIN cl_t t USING (cls)
+    ), cl_r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY qual DESC, p DESC, cls ASC) AS rn
+      FROM cl_q
+    ), cl_doc AS (
+      SELECT doc_id, given,
+             CASE WHEN qual THEN cls ELSE given END AS assigned
+      FROM cl_r WHERE rn = 1
+    ), cl_sum AS (
+      SELECT d.given AS class_given, d.assigned AS class_assigned,
+             CAST(round(t.t, 6) AS DOUBLE) AS threshold,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cl_doc d JOIN cl_t t ON t.cls = d.assigned
+      GROUP BY 1, 2, 3
+    )
+    """
+
+
+def _cl_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning label-error audit (operators/classify.py
+    confident_label_errors) over an md5-deterministic synthetic
+    classifier: scores put ~0.987 probability on each doc's TRUE label
+    (5.0 logit + ±0.00024 dyadic jitter), and every 37th doc's GIVEN
+    label is rotated off the true one — the planted errors. The entry
+    certifies the CONFIDENT JOINT (given x assigned counts + the
+    per-class self-confidence thresholds): off-diagonal cells are
+    exactly the planted docs. The operator itself is classifier-
+    agnostic (tests drive it over real NB scores); the synthetic scores
+    make the full threshold/argmax pipeline DuckDB-replayable without
+    re-deriving the NB model in the oracle."""
+    from .operators.classify import confident_label_errors
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    m = F.col("doc_id") % 3
+    classes = F.array(*[F.lit(c) for c in _CL_CLASSES])
+    tm = F.when(F.col("doc_id") % 37 == 0, (F.col("doc_id") + 1) % 3
+                ).otherwise(m)
+    base = docs.select(
+        "doc_id",
+        F.element_at(classes, (m + 1).cast("int")).alias("given"),
+        F.element_at(classes, (tm + 1).cast("int")).alias("true_lbl"),
+    )
+    jitter = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    "|", F.col("doc_id").cast("string"), F.col("label")
+                )),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("long") % 1001 - 500
+    ) / F.lit(2097152.0)
+    scored = (
+        base.select(
+            "doc_id", "given", "true_lbl",
+            F.explode(classes).alias("label"),
+        )
+        .withColumn(
+            "score",
+            F.when(F.col("label") == F.col("true_lbl"), F.lit(5.0))
+            .otherwise(F.lit(0.0)) + jitter,
+        )
+        .drop("true_lbl")
+    )
+    out = confident_label_errors(
+        scored, id_cols=["doc_id"], label_col="given"
+    )
+    return out.groupBy(
+        F.col("given").alias("class_given"),
+        F.col("assigned_label").alias("class_assigned"),
+    ).agg(
+        F.max("threshold").alias("threshold"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @query(
     "dq_label_quality",
     f"""
     WITH ka AS ({_KAPPA_SQL}),
-    cal AS ({_CALIBRATION_SQL})
+    cal AS ({_CALIBRATION_SQL}),
+    {_CL_SQL}
     SELECT 'kappa' AS part, n_rows, observed_agreement,
            expected_agreement, kappa,
            CAST(NULL AS BIGINT) AS bin, CAST(NULL AS BIGINT) AS n,
            CAST(NULL AS DOUBLE) AS mean_score,
            CAST(NULL AS DOUBLE) AS positive_rate,
-           CAST(NULL AS DOUBLE) AS abs_gap
+           CAST(NULL AS DOUBLE) AS abs_gap,
+           CAST(NULL AS VARCHAR) AS class_given,
+           CAST(NULL AS VARCHAR) AS class_assigned,
+           CAST(NULL AS DOUBLE) AS threshold
     FROM ka
     UNION ALL
     SELECT 'calibration', NULL, NULL, NULL, NULL,
-           bin, n, mean_score, positive_rate, abs_gap
+           bin, n, mean_score, positive_rate, abs_gap,
+           NULL, NULL, NULL
     FROM cal
+    UNION ALL
+    SELECT 'label_errors', NULL, NULL, NULL, NULL,
+           NULL, n, NULL, NULL, NULL,
+           class_given, class_assigned, threshold
+    FROM cl_sum
     """,
 )
 def dq_label_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-quality certification composite (r13 window rebalance):
-    the former ``dq_kappa`` and ``dq_calibration`` entries unioned
-    under a ``part`` tag, NULL-padded to a common schema — one registry
-    slot now certifies both consistency.py agreement_report (Cohen's
-    kappa between two quality gates) and classify.py
-    calibration_report (decile reliability diagram + bin=-1 ECE). Each
-    part keeps its original certified projection verbatim; see
-    _kappa_part/_calibration_part."""
+    """Label-quality certification composite (r13 window rebalance +
+    r14 confident-learning fold): three parts under one ``part`` tag,
+    NULL-padded to a common schema — consistency.py agreement_report
+    (Cohen's kappa between two quality gates), classify.py
+    calibration_report (decile reliability diagram + bin=-1 ECE), and
+    classify.py confident_label_errors' confident joint over a planted
+    synthetic fixture (see _cl_part). Each part keeps its original
+    certified projection verbatim; see _kappa_part/_calibration_part/
+    _cl_part."""
+    str_null = F.lit(None).cast("string")
+    dbl_null = F.lit(None).cast("double")
+    cl_pad = [
+        str_null.alias("class_given"), str_null.alias("class_assigned"),
+        dbl_null.alias("threshold"),
+    ]
     ka = _kappa_part(spark, sf_dir).select(
         F.lit("kappa").alias("part"),
         "n_rows", "observed_agreement", "expected_agreement", "kappa",
         F.lit(None).cast("long").alias("bin"),
         F.lit(None).cast("long").alias("n"),
-        F.lit(None).cast("double").alias("mean_score"),
-        F.lit(None).cast("double").alias("positive_rate"),
-        F.lit(None).cast("double").alias("abs_gap"),
+        dbl_null.alias("mean_score"),
+        dbl_null.alias("positive_rate"),
+        dbl_null.alias("abs_gap"),
+        *cl_pad,
     )
     cal = _calibration_part(spark, sf_dir).select(
         F.lit("calibration").alias("part"),
         F.lit(None).cast("long").alias("n_rows"),
-        F.lit(None).cast("double").alias("observed_agreement"),
-        F.lit(None).cast("double").alias("expected_agreement"),
-        F.lit(None).cast("double").alias("kappa"),
+        dbl_null.alias("observed_agreement"),
+        dbl_null.alias("expected_agreement"),
+        dbl_null.alias("kappa"),
         "bin", "n", "mean_score", "positive_rate", "abs_gap",
+        *cl_pad,
     )
-    return ka.unionByName(cal)
+    cl = _cl_part(spark, sf_dir).select(
+        F.lit("label_errors").alias("part"),
+        F.lit(None).cast("long").alias("n_rows"),
+        dbl_null.alias("observed_agreement"),
+        dbl_null.alias("expected_agreement"),
+        dbl_null.alias("kappa"),
+        F.lit(None).cast("long").alias("bin"),
+        "n",
+        dbl_null.alias("mean_score"),
+        dbl_null.alias("positive_rate"),
+        dbl_null.alias("abs_gap"),
+        "class_given", "class_assigned", "threshold",
+    )
+    return ka.unionByName(cal).unionByName(cl)
 
 
 _TRIANGLES_SQL = """

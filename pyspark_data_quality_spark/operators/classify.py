@@ -627,3 +627,103 @@ def calibration_report(
         ).alias("abs_gap"),
     )
     return detail.unionByName(ece).orderBy("bin")
+
+
+def confident_label_errors(
+    df: DataFrame,
+    *,
+    id_cols: list[str],
+    label_col: str,
+    class_col: str = "label",
+    score_col: str = "score",
+    round_to: int = 6,
+) -> DataFrame:
+    """Confident-learning label-error detection (Northcutt et al. 2021)
+    over ANY classifier's long-format scores: ``df`` holds one row per
+    (example, class) with a raw (log-)score plus the example's GIVEN
+    label; each example's scores softmax into class probabilities, each
+    class gets a self-confidence threshold ``t_j = avg(p_j | given
+    label = j)``, and an example is a probable label error when some
+    OTHER class's probability clears that class's threshold (the
+    confident-joint off-diagonal). Feed it
+    :func:`score_nb_classifier` output joined to the given labels, or
+    any external model's scores.
+
+    Output: one row per example — ``<label_col>`` (given),
+    ``assigned_label`` (argmax among threshold-clearing classes, ties
+    broken by probability then class name; the given label when nothing
+    clears), ``self_confidence`` (p of the given class),
+    ``assigned_confidence``, ``threshold`` (of the assigned class) and
+    ``is_label_issue``. Examples with a NULL given label are scored but
+    never flagged and never contribute to thresholds.
+
+    Scale shape: two chained window passes over ONE shuffle keyed by
+    the example id (softmax + qualifying-argmax rank) plus one
+    class-level aggregate broadcast back — shuffles move (examples x
+    classes) score rows; no data-scale collects, no UDFs."""
+    internal = {"_m", "_e", "_s", "_p", "_t", "_qual", "_rn", "_pg", "_tg"}
+    out_names = {"assigned_label", "self_confidence",
+                 "assigned_confidence", "threshold", "is_label_issue"}
+    clash = sorted((internal | out_names) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"confident_label_errors: input already has column(s) "
+            f"{clash} — rename or drop them first"
+        )
+
+    from pyspark.sql.window import Window
+
+    score = F.col(score_col)
+    given = F.col(label_col)
+    cls = F.col(class_col)
+    w = Window.partitionBy(*id_cols)
+    # softmax with max-subtraction (log-scores run to -hundreds; a bare
+    # exp underflows every class to 0/0)
+    probs = (
+        df.withColumn("_m", F.max(score).over(w))
+        .withColumn("_e", F.exp(score - F.col("_m")))
+        .withColumn("_p", F.col("_e") / F.sum("_e").over(w))
+        .withColumn(
+            "_pg", F.max(F.when(cls == given, F.col("_p"))).over(w)
+        )
+    )
+    thresholds = (
+        probs.filter(cls.eqNullSafe(given))
+        .groupBy(class_col)
+        .agg(F.avg("_p").alias("_t"))
+    )
+    ranked = (
+        probs.join(F.broadcast(thresholds), on=class_col, how="left")
+        .withColumn(
+            "_qual",
+            F.coalesce(F.col("_p") >= F.col("_t"), F.lit(False)),
+        )
+        # the given class's threshold, for the not-flagged output rows
+        .withColumn("_tg", F.max(F.when(cls == given, F.col("_t"))).over(w))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*id_cols).orderBy(
+                    F.col("_qual").desc(), F.col("_p").desc(), cls.asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    assigned = F.when(F.col("_qual"), cls).otherwise(given)
+    issue = given.isNotNull() & F.col("_qual") & (cls != given)
+    return ranked.select(
+        *id_cols,
+        given.alias(label_col),
+        assigned.alias("assigned_label"),
+        F.round("_pg", round_to).alias("self_confidence"),
+        F.round(
+            F.when(F.col("_qual"), F.col("_p")).otherwise(F.col("_pg")),
+            round_to,
+        ).alias("assigned_confidence"),
+        F.round(
+            F.when(F.col("_qual"), F.col("_t")).otherwise(F.col("_tg")),
+            round_to,
+        ).alias("threshold"),
+        F.coalesce(issue, F.lit(False)).alias("is_label_issue"),
+    )

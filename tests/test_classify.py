@@ -456,3 +456,82 @@ def test_calibration_report_label_guard_and_empty(spark):
     rows = {r["bin"]: r
             for r in calibration_report(ok_s, "s", "y").collect()}
     assert rows[9]["mean_score"] == 0.95
+
+
+def test_confident_label_errors_planted(spark):
+    """Confident learning over hand-built scores: 12 examples in 3
+    classes; two have given labels that contradict a confident model
+    (high p for another class) and must flag with that class assigned;
+    borderline examples below the other class's threshold must not."""
+    from pyspark_data_quality_spark.operators.classify import (
+        confident_label_errors,
+    )
+
+    # scores: true class 5.0, others 0.0 -> p_true ~ 0.9866
+    rows = []
+    classes = ["a", "b", "c"]
+    for i in range(12):
+        given = classes[i % 3]
+        true = given
+        if i in (3, 7):            # planted errors: true label rotated
+            true = classes[(i + 1) % 3]
+        for c in classes:
+            rows.append((i, given, c, 5.0 if c == true else 0.0))
+    df = spark.createDataFrame(rows, "ex long, given string, label string, score double")
+    out = {r["ex"]: r for r in confident_label_errors(
+        df, id_cols=["ex"], label_col="given",
+    ).collect()}
+    assert out[3]["is_label_issue"] and out[3]["assigned_label"] == "b"
+    assert out[7]["is_label_issue"] and out[7]["assigned_label"] == "c"
+    clean = [r for ex, r in out.items() if ex not in (3, 7)]
+    assert all(not r["is_label_issue"] for r in clean)
+    assert all(r["assigned_label"] == r["given"] for r in clean)
+    # self-confidence of a clean example ~ e^5/(e^5+2)
+    import math
+    p_true = math.exp(5) / (math.exp(5) + 2)
+    assert abs(out[0]["self_confidence"] - p_true) < 1e-4
+    # planted example's self-confidence is the tiny off-class p
+    assert out[3]["self_confidence"] < 0.05
+    assert out[3]["assigned_confidence"] > 0.9
+    # thresholds are the given-class mean p: class b's threshold blends
+    # 3 confident + 1 planted-low doc
+    assert 0.7 < out[3]["threshold"] < p_true
+
+
+def test_confident_label_errors_nb_integration_and_guards(spark):
+    """End-to-end with the NB classifier: a corpus with one mislabeled
+    doc; the CL pass flags exactly it. NULL given labels are scored but
+    never flagged; reserved output columns raise."""
+    from pyspark_data_quality_spark.operators.classify import (
+        confident_label_errors,
+        score_nb_classifier,
+        train_nb_classifier,
+    )
+
+    en = ["the cat sat on the mat", "a dog and a cat", "the bird flew home",
+          "cats and dogs play", "the mat was warm"]
+    fr = ["le chat est sur le tapis", "un chien et un chat",
+          "l oiseau vole haut", "les chats jouent bien", "le tapis est chaud"]
+    rows = [(i, t, "en") for i, t in enumerate(en)]
+    rows += [(10 + i, t, "fr") for i, t in enumerate(fr)]
+    rows.append((20, "le chat est sur le tapis et le chien et les chats jouent sur le tapis", "en"))  # mislabeled
+    rows.append((21, "completely unseen words entirely", None))  # no label
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    model = train_nb_classifier(docs.filter("lang IS NOT NULL"), "text", "lang")
+    scored = score_nb_classifier(docs, model, "text", ["doc_id"])
+    joined = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    out = {r["doc_id"]: r for r in confident_label_errors(
+        joined, id_cols=["doc_id"], label_col="lang",
+    ).collect()}
+    assert out[20]["is_label_issue"] and out[20]["assigned_label"] == "fr"
+    flagged = [d for d, r in out.items() if r["is_label_issue"]]
+    assert flagged == [20]
+    assert out[21]["is_label_issue"] is False
+    assert out[21]["lang"] is None
+
+    with pytest.raises(ValueError, match="rename or drop"):
+        confident_label_errors(
+            joined.withColumn("is_label_issue", F.lit(True)),
+            id_cols=["doc_id"], label_col="lang",
+        )

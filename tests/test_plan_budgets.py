@@ -108,7 +108,9 @@ _COMPOSITE_BUDGETS = {
     "dq_group_drift": (9, 5),        # audited: 8 / 4
     "dq_doc_quality": (4, 3),        # audited: 3 / 2
     "dq_timeseries_shape": (6, 2),   # audited: 5 / 1 (events scan shared)
-    "dq_label_quality": (7, 1),      # audited: 6 / 0
+    # r14: + confident-learning part (softmax/rank windows + threshold
+    # broadcast + joint agg over docs x 3 classes)
+    "dq_label_quality": (11, 3),     # audited: 10 / 2
     "dq_dup_profile": (7, 3),        # audited: 6 / 2
     "dq_exact_similarity": (2, 5),   # audited: 1 / 4 (bounded subsets)
     "dq_stream_faces": (5, 5),       # audited r13+numeric_psi: 4 / 4
