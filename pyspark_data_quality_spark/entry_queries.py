@@ -9410,18 +9410,93 @@ def dq_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dq_mmd")  # rows-only: seeded-RFF estimate, engine-specific by design
+def _mmd_rff_sql(tag1: str, tag2: str | None = None) -> str:
+    """One md5-derived uniform ``(int(md5(tag)[:6],16)+0.5)/2^24`` —
+    the building block the oracle rebuilds W and b from (mirrors
+    operators/drift.py _md5_rff_weights)."""
+    t = f"concat('{tag1}', i" + (f", '|', {tag2})" if tag2 else ")")
+    return (
+        f"(CAST(concat('0x', substr(md5({t}), 1, 6)) AS BIGINT) + 0.5)"
+        f" / 16777216.0"
+    )
+
+
+_MMD_SQL = f"""
+    WITH feats AS (SELECT unnest(range(128)) AS i),
+    wj AS (
+      SELECT i, dj.j AS j,
+             sqrt(2.0 * 0.015625)
+             * sqrt(-2.0 * ln({_mmd_rff_sql('w1|7|', 'dj.j')}))
+             * cos(2.0 * pi() * {_mmd_rff_sql('w2|7|', 'dj.j')}) AS wij
+      FROM feats, (SELECT unnest(range(64)) AS j) dj
+    ),
+    w AS (SELECT i, list(wij ORDER BY j) AS wrow FROM wj GROUP BY i),
+    bb AS (
+      SELECT i, 2.0 * pi() * {_mmd_rff_sql('b|7|')} AS bi FROM feats
+    ),
+    sides AS (
+      SELECT 'even' AS side, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 2 = 0 AND embedding IS NOT NULL
+      UNION ALL
+      SELECT 'odd', embedding::DOUBLE[]
+      FROM embeddings WHERE vec_id % 2 = 1 AND embedding IS NOT NULL
+      UNION ALL
+      SELECT 'shifted', list_transform(embedding::DOUBLE[], e -> e + 0.5)
+      FROM embeddings WHERE vec_id % 2 = 1 AND embedding IS NOT NULL
+    ),
+    z AS (
+      SELECT s.side, w.i,
+             sqrt(2.0 / 128.0)
+             * cos(list_dot_product(w.wrow, s.v) + bb.bi) AS z
+      FROM sides s CROSS JOIN w JOIN bb ON bb.i = w.i
+    ),
+    m AS (SELECT side, i, avg(z) AS mz, count(*) AS n FROM z GROUP BY 1, 2),
+    pairs AS (
+      SELECT 'null_split' AS config, e.mz AS mc, o.mz AS mr,
+             e.n AS nc, o.n AS nr
+      FROM m e JOIN m o ON e.i = o.i
+      WHERE e.side = 'even' AND o.side = 'odd'
+      UNION ALL
+      SELECT 'mean_shift', e.mz, o.mz, e.n, o.n
+      FROM m e JOIN m o ON e.i = o.i
+      WHERE e.side = 'even' AND o.side = 'shifted'
+    ),
+    per AS (
+      SELECT config, max(nc) AS n_cur, max(nr) AS n_ref,
+             sum((mc - mr) * (mc - mr)) AS mmd2
+      FROM pairs GROUP BY 1
+    ),
+    fl AS (
+      SELECT max(CASE WHEN config = 'null_split'
+                 THEN round(sqrt(greatest(mmd2, 0.0)), 6) END) AS nm,
+             max(CASE WHEN config = 'mean_shift'
+                 THEN round(sqrt(greatest(mmd2, 0.0)), 6) END) AS sm
+      FROM per
+    )
+    SELECT config, CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(128 AS INT) AS num_features,
+           CAST(round(0.015625, 6) AS DOUBLE) AS gamma,
+           CAST(round(mmd2, 6) AS DOUBLE) AS mmd2,
+           CAST(round(sqrt(greatest(mmd2, 0.0)), 6) AS DOUBLE) AS mmd,
+           (SELECT nm < 0.05 AND sm > 10 * nm FROM fl) AS meets_floor
+    FROM per ORDER BY config
+    """
+
+
+@query("dq_mmd", _MMD_SQL)
 def dq_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kernel two-sample embedding drift (operators/drift.py mmd_drift),
-    previously pytest-only: the 'null' config splits the embeddings by
-    vec_id parity (same distribution -> MMD near 0) and the 'shifted'
-    config compares against the same vectors displaced by +0.5 in every
-    dimension (a mean shift the RBF kernel must see). Rows-only: the
-    RFF estimate is seeded-random, so there is no SQL oracle — the
-    enforced invariant (tests/test_registry.py) is the ordering floor:
-    shifted MMD must exceed 10x the null MMD, and the null MMD must
-    stay under 0.05. NumPy replay parity is pinned separately in
-    tests/test_schema_drift.py."""
+    """Kernel two-sample embedding drift (operators/drift.py mmd_drift):
+    the 'null' config splits the embeddings by vec_id parity (same
+    distribution -> MMD near 0) and the 'shifted' config compares
+    against the same vectors displaced by +0.5 in every dimension (a
+    mean shift the RBF kernel must see). r14 upgrade from rows-only to
+    a full hash oracle: weights='md5' derives W/b from Box–Muller over
+    md5 uniforms, so DuckDB rebuilds the exact RFF map (ln/cos/sqrt are
+    libm on both engines; the only cross-engine drift is matmul
+    accumulation order, orders of magnitude under the round-6 margin).
+    The ordering floor (shifted > 10x null, null < 0.05) stays enforced
+    in tests/test_registry.py AND replayed in the oracle's meets_floor."""
     from pyspark.sql.window import Window
 
     from .operators.drift import mmd_drift
@@ -9434,10 +9509,12 @@ def dq_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("embedding")
     )
     null_row = mmd_drift(
-        even, odd, "embedding", num_features=128, dim=64, seed=7
+        even, odd, "embedding", num_features=128, dim=64, seed=7,
+        weights="md5",
     ).select(F.lit("null_split").alias("config"), "*")
     shift_row = mmd_drift(
-        even, shifted, "embedding", num_features=128, dim=64, seed=7
+        even, shifted, "embedding", num_features=128, dim=64, seed=7,
+        weights="md5",
     ).select(F.lit("mean_shift").alias("config"), "*")
     out = null_row.unionByName(shift_row)
     null_mmd = F.max(F.when(F.col("config") == "null_split", F.col("mmd")))

@@ -1041,6 +1041,37 @@ def value_set_drift(
     )
 
 
+def _md5_rff_weights(num_features: int, d: int, g: float, seed: int):
+    """Engine-replayable RFF weights: Box–Muller gaussians and uniform
+    phases from md5-derived uniforms ``(int(md5(tag)[:6], 16) + 0.5) /
+    2^24`` (the +0.5 keeps ln() off exact 0). Driver-side cost is
+    num_features x dim md5 calls — parameter-bounded, never data-scale.
+    Every step (md5 prefix int, ln, cos, sqrt) exists in DuckDB, so a
+    SQL oracle can rebuild W and b bit-for-bit (libm-level)."""
+    import hashlib
+    import math as _math
+
+    import numpy as np
+
+    def u(tag: str) -> float:
+        k = int(hashlib.md5(tag.encode()).hexdigest()[:6], 16)
+        return (k + 0.5) / 16777216.0
+
+    sd = _math.sqrt(2.0 * g)
+    W = np.empty((num_features, d), dtype=np.float64)
+    for i in range(num_features):
+        for j in range(d):
+            u1 = u(f"w1|{seed}|{i}|{j}")
+            u2 = u(f"w2|{seed}|{i}|{j}")
+            W[i, j] = sd * _math.sqrt(-2.0 * _math.log(u1)) * _math.cos(
+                2.0 * _math.pi * u2
+            )
+    b = np.array(
+        [2.0 * _math.pi * u(f"b|{seed}|{i}") for i in range(num_features)]
+    )
+    return W, b
+
+
 def mmd_drift(
     cur: DataFrame,
     ref: DataFrame,
@@ -1050,6 +1081,7 @@ def mmd_drift(
     gamma: float | None = None,
     dim: int | None = None,
     seed: int = 42,
+    weights: str = "rng",
     round_to: int = 6,
     persist: bool = True,
 ) -> DataFrame:
@@ -1071,6 +1103,15 @@ def mmd_drift(
     estimator, >= 0 by construction). ``gamma`` defaults to ``1/dim``
     (the standard scale-free default); W and b are seeded —
     deterministic across runs and engines.
+
+    ``weights`` picks the W/b source: ``'rng'`` (numpy default_rng —
+    fast, but only replayable by numpy) or ``'md5'`` (Box–Muller over
+    md5-derived uniforms ``u = (int(md5(tag)[:6],16)+0.5)/2^24`` with
+    tags ``w1|seed|i|j`` / ``w2|seed|i|j`` / ``b|seed|i``) — the md5
+    form is replayable by ANY engine with md5/ln/cos, which is what
+    lets a SQL oracle certify the whole MMD pipeline exactly rather
+    than floors-only. Same estimator quality: Box–Muller over md5
+    uniforms is i.i.d. N(0,1) for this purpose.
 
     Scale shape: W is ``num_features × dim`` floats generated on the
     DRIVER (parameter-bounded, ships in the UDF closure); each side maps
@@ -1095,9 +1136,16 @@ def mmd_drift(
     g = gamma if gamma is not None else 1.0 / d
     if g <= 0:
         raise ValueError("mmd_drift: gamma must be > 0")
-    rng = np.random.default_rng(seed)
-    W = rng.normal(0.0, np.sqrt(2.0 * g), size=(num_features, d))
-    b = rng.uniform(0.0, 2.0 * np.pi, size=num_features)
+    if weights == "rng":
+        rng = np.random.default_rng(seed)
+        W = rng.normal(0.0, np.sqrt(2.0 * g), size=(num_features, d))
+        b = rng.uniform(0.0, 2.0 * np.pi, size=num_features)
+    elif weights == "md5":
+        W, b = _md5_rff_weights(num_features, d, g, seed)
+    else:
+        raise ValueError(
+            f"mmd_drift: weights must be 'rng' or 'md5', got {weights!r}"
+        )
     scale = np.sqrt(2.0 / num_features)
 
     def z(v):

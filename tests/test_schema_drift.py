@@ -1349,3 +1349,41 @@ def test_clamped_bin_sql_inf_proof_matches_spark(spark):
         clamped_bin(F.col("v"), F.lit(1.0), F.lit(1.0), bins).alias("b")
     ).collect()[0]["b"]
     assert z == 0 and zs == 0
+
+
+def test_mmd_md5_weights_mode(spark):
+    """weights='md5' must be deterministic (same W/b every call, no RNG
+    state), distributionally sane (mean~0, sd~sqrt(2g)), reject unknown
+    modes, and still separate a planted shift like the rng mode."""
+    import numpy as np
+
+    from pyspark_data_quality_spark.operators.drift import (
+        _md5_rff_weights,
+        mmd_drift,
+    )
+
+    W1, b1 = _md5_rff_weights(64, 16, 1.0 / 16, 7)
+    W2, b2 = _md5_rff_weights(64, 16, 1.0 / 16, 7)
+    assert (W1 == W2).all() and (b1 == b2).all()
+    Ws, _ = _md5_rff_weights(64, 16, 1.0 / 16, 8)
+    assert (W1 != Ws).any()  # seed participates in the tags
+    sd = (2.0 / 16) ** 0.5
+    # 64x16 = 1024 draws -> se(mean) ~ 0.011; allow ~3.5 sigma
+    assert abs(W1.mean()) < 0.04 and abs(W1.std() - sd) < 0.03
+    assert (b1 >= 0).all() and (b1 < 2 * np.pi).all()
+
+    rows_a = [([0.0 + i * 0.001] * 8,) for i in range(64)]
+    rows_b = [([3.0 + i * 0.001] * 8,) for i in range(64)]
+    a = spark.createDataFrame(rows_a, "embedding array<double>")
+    b = spark.createDataFrame(rows_b, "embedding array<double>")
+    null_mmd = mmd_drift(
+        a, a, "embedding", num_features=64, dim=8, weights="md5"
+    ).collect()[0]["mmd"]
+    shift_mmd = mmd_drift(
+        a, b, "embedding", num_features=64, dim=8, weights="md5"
+    ).collect()[0]["mmd"]
+    assert null_mmd == 0.0  # identical inputs -> identical feature means
+    assert shift_mmd > 0.5
+
+    with pytest.raises(ValueError, match="weights"):
+        mmd_drift(a, b, "embedding", dim=8, weights="xorshift")
