@@ -637,6 +637,7 @@ def confident_label_errors(
     class_col: str = "label",
     score_col: str = "score",
     round_to: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """Confident-learning label-error detection (Northcutt et al. 2021)
     over ANY classifier's long-format scores: ``df`` holds one row per
@@ -655,12 +656,20 @@ def confident_label_errors(
     clears), ``self_confidence`` (p of the given class),
     ``assigned_confidence``, ``threshold`` (of the assigned class) and
     ``is_label_issue``. Examples with a NULL given label are scored but
-    never flagged and never contribute to thresholds.
+    never flagged and never contribute to thresholds. A NaN score row
+    is treated as ABSENT (finite() routing, SCALE.md invariant 8): its
+    class can never qualify for that example, the remaining classes
+    renormalize over the finite scores, and — critically — the NaN
+    never reaches a threshold average, where one poisoned class would
+    silently disable every detection into it.
 
     Scale shape: two chained window passes over ONE shuffle keyed by
     the example id (softmax + qualifying-argmax rank) plus one
     class-level aggregate broadcast back — shuffles move (examples x
-    classes) score rows; no data-scale collects, no UDFs."""
+    classes) score rows; no data-scale collects, no UDFs. ``persist``
+    caches the softmax frame (it feeds both the threshold aggregate
+    and the probe side; without it the scan + window subtree runs
+    twice) — pass ``persist=False`` to opt out (plans/cache.py)."""
     internal = {"_m", "_e", "_s", "_p", "_t", "_qual", "_rn", "_pg", "_tg"}
     out_names = {"assigned_label", "self_confidence",
                  "assigned_confidence", "threshold", "is_label_issue"}
@@ -673,19 +682,26 @@ def confident_label_errors(
 
     from pyspark.sql.window import Window
 
-    score = F.col(score_col)
+    from ..functions.expr import finite
+    from ..plans.cache import maybe_persist
+
+    # NaN scores become NULL so max/sum/avg skip them (one NaN would
+    # otherwise poison the example's whole softmax AND the class's
+    # threshold average, silently disabling that class's detection)
+    score = finite(F.col(score_col).cast("double"))
     given = F.col(label_col)
     cls = F.col(class_col)
     w = Window.partitionBy(*id_cols)
     # softmax with max-subtraction (log-scores run to -hundreds; a bare
     # exp underflows every class to 0/0)
-    probs = (
+    probs = maybe_persist(
         df.withColumn("_m", F.max(score).over(w))
         .withColumn("_e", F.exp(score - F.col("_m")))
         .withColumn("_p", F.col("_e") / F.sum("_e").over(w))
         .withColumn(
             "_pg", F.max(F.when(cls == given, F.col("_p"))).over(w)
-        )
+        ),
+        persist,
     )
     thresholds = (
         probs.filter(cls.eqNullSafe(given))

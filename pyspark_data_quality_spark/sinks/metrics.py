@@ -64,7 +64,10 @@ def monitor_metrics(
     Rows whose ``run_id`` appears in ``current`` are excluded from the
     history (anti-join, broadcastable one-row side), so the call is
     safe in either order around :func:`write_metrics` — a run never
-    judges, and can never mask, itself. Series key =
+    judges, and can never mask, itself. A pipeline's FIRST EVER run has
+    no history path at all; that case degrades to an empty history
+    (every metric reports ``insufficient_history``) instead of
+    crashing on the missing parquet path. Series key =
     ``(dataset, metric_name, column)``, ordered by ``run_ts``;
     ``direction='down'`` pages on drops only (a metric IMPROVING 3σ is
     not an incident), pass ``'both'`` to flag either way.
@@ -72,7 +75,18 @@ def monitor_metrics(
     Scale shape: the parquet read partition-prunes on ``dataset``, and
     everything downstream shuffles metric rows only (runs x rules) —
     see metrics_regression's contract."""
-    hist = read_metrics(spark, path, dataset=dataset)
+    from pyspark.errors import AnalysisException
+
+    try:
+        hist = read_metrics(spark, path, dataset=dataset)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        # first ever run: the monitor-then-write flow reaches here
+        # before anything exists at `path` — judge against an empty
+        # history rather than crash (metrics_regression then reports
+        # insufficient_history for every series)
+        hist = current.limit(0)
     hist = hist.join(
         current.select("run_id").distinct(), on="run_id", how="left_anti"
     )

@@ -152,8 +152,8 @@ def streaming_ewma(
     keyed window expressions (valid-count + one scaled cumsum: no UDF,
     SQL-expressible, oracle-certifiable exactly) and the streaming face
     is one vectorized ``pandas.ewm(adjust=False, ignore_na=True)`` pass
-    per Arrow batch, seeded from 12 bytes of state per key (current z +
-    valid count). Null/NaN values pass through unscored and leave the
+    per Arrow batch, seeded from 16 bytes of state per key (current z
+    double + valid count long). Null/NaN values pass through unscored and leave the
     state untouched (same contract as the siblings).
 
     The batch closed form scales by ``a^(-j)``, which overflows double

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from pyspark_data_quality_spark.operators.bloom import dedup_against_bloom
 from pyspark_data_quality_spark.operators.classify import (
+    confident_label_errors,
     crossval_nb,
     train_nb_classifier,
     train_quality_model,
@@ -102,6 +103,15 @@ CASES = [
     )),
     ("mmd_drift", lambda d, **kw: mmd_drift(
         _vecs(d, 0), _vecs(d, 1), "v", num_features=8, dim=2, **kw
+    )),
+    ("confident_label_errors", lambda d, **kw: confident_label_errors(
+        d.select("doc_id", "lang").withColumn(
+            "label", F.explode(F.array(F.lit("en"), F.lit("de")))
+        ).withColumn(
+            "score",
+            F.when(F.col("label") == F.col("lang"), 2.0).otherwise(0.0),
+        ),
+        id_cols=["doc_id"], label_col="lang", **kw
     )),
     ("classifier_drift", lambda d, **kw: classifier_drift(
         d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1"),

@@ -535,3 +535,47 @@ def test_confident_label_errors_nb_integration_and_guards(spark):
             joined.withColumn("is_label_issue", F.lit(True)),
             id_cols=["doc_id"], label_col="lang",
         )
+
+
+def test_confident_label_errors_nan_score_not_poisoning(spark):
+    """One NaN score must not poison its class's threshold (finite()
+    routing): detection INTO that class keeps working, the NaN row's
+    own class is treated as absent for its example, and the example's
+    remaining classes renormalize."""
+    from pyspark_data_quality_spark.operators.classify import (
+        confident_label_errors,
+    )
+
+    rows = []
+    classes = ["a", "b"]
+    for i in range(8):
+        given = classes[i % 2]
+        true = given
+        if i == 5:                  # planted: given b, model says a
+            true = "a"
+        # vary the confident logit so no class threshold degenerates to
+        # exactly the clean docs' shared p (identical p's make
+        # p >= avg(p) a 1-ulp coin flip)
+        for c in classes:
+            rows.append((i, given, c,
+                         (3.5 + 0.3 * (i % 3)) if c == true else 0.0))
+    # example 6 (given a): its class-a score is NaN — without the
+    # finite() guard this NaN reaches t_a's average and disables every
+    # detection into class a (including example 5's planted error)
+    rows = [r if not (r[0] == 6 and r[2] == "a")
+            else (6, "a", "a", float("nan")) for r in rows]
+    df = spark.createDataFrame(
+        rows, "ex long, given string, label string, score double"
+    )
+    out = {r["ex"]: r for r in confident_label_errors(
+        df, id_cols=["ex"], label_col="given",
+    ).collect()}
+    assert out[5]["is_label_issue"] and out[5]["assigned_label"] == "a"
+    import math
+    assert not math.isnan(out[5]["threshold"])
+    # the NaN example: class a absent -> b is its only (renormalized)
+    # class, p_b = 1.0; given-a self-confidence is NULL, never flagged
+    # as an ERROR of class a (b's threshold ~0.98 from clean b docs
+    # means p_b=1.0 qualifies, so it reads as a b-assignment)
+    assert out[6]["self_confidence"] is None
+    assert out[6]["assigned_confidence"] == 1.0

@@ -268,3 +268,24 @@ def test_monitor_metrics_end_to_end(spark, tmp_path):
     }
     assert rep2["name"]["is_regression"]
     assert rep2["name"]["n_baseline"] == 6  # still 6, not 7
+
+
+def test_monitor_metrics_first_run_no_history(spark, tmp_path):
+    """The documented monitor-then-write flow must survive the pipeline's
+    FIRST ever run: no parquet at the path yet -> every metric reports
+    insufficient_history instead of PATH_NOT_FOUND."""
+    from pyspark_data_quality_spark.sinks import monitor_metrics
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["id", "name"])
+    cur = (
+        DQManager(spark, dataset="t1", run_id="r0")
+        .set_data(df)
+        .add_rule(CompletenessColRatioRule(columns=["name"]))
+        .run()
+        .get_metric_results()
+    )
+    rep = monitor_metrics(
+        spark, str(tmp_path / "never_written"), cur, dataset="t1"
+    ).collect()
+    assert rep and all(r["status"] == "insufficient_history" for r in rep)
+    assert all(not r["is_regression"] for r in rep)
