@@ -3376,7 +3376,37 @@ def dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dq_json_fields",
     """
-    WITH src AS (
+    WITH cv AS (
+      SELECT doc_id,
+             2 + (doc_id % 3) * 2 AS nt,
+             doc_id % 5 = 0 AS has_sys,
+             CASE WHEN doc_id % 23 = 0 THEN 'malformed'
+                  WHEN doc_id % 19 = 0 THEN 'badrole'
+                  WHEN doc_id % 17 = 0 THEN 'endu'
+                  WHEN doc_id % 13 = 0 THEN 'empty'
+                  WHEN doc_id % 11 = 0 THEN 'dblu'
+                  ELSE 'clean' END AS cls
+      FROM documents
+    ), lint AS (
+      -- expected lint flags derived from the construction itself (an
+      -- INDEPENDENT formulation: ground truth vs Spark's parse+lint)
+      SELECT doc_id,
+             cls <> 'malformed' AS parse_ok,
+             CASE WHEN cls = 'malformed' THEN NULL
+                  ELSE CAST(nt + CASE WHEN has_sys THEN 1 ELSE 0 END
+                            + CASE WHEN cls = 'endu' THEN 1 ELSE 0 END
+                            AS INT) END AS n_turns,
+             cls NOT IN ('malformed', 'badrole') AS roles_valid,
+             cls <> 'malformed' AS system_prefix_ok,
+             cls NOT IN ('malformed', 'badrole') AS starts_with_user,
+             cls NOT IN ('malformed', 'dblu') AS alternation_ok,
+             (cls NOT IN ('malformed', 'endu')
+              AND NOT (cls = 'dblu' AND nt = 2)) AS ends_with_assistant,
+             cls NOT IN ('malformed', 'empty') AS no_empty_content,
+             cls = 'clean' AS conversation_ok
+      FROM cv
+    ),
+    src AS (
       SELECT CASE WHEN event_id % 10 = 0 THEN '{broken'
                   WHEN event_id % 7 = 0 THEN '{"k": "oops"}'
                   ELSE props END AS props
@@ -3402,25 +3432,56 @@ def dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN 1 ELSE 0 END) AS BIGINT) AS t_u
       FROM e
     )
-    SELECT 'k' AS field, n_rows, n_json_null, p_k AS n_present,
-           t_k AS n_typed,
+    SELECT 'fields' AS part, 'k' AS field, n_rows, n_json_null,
+           p_k AS n_present, t_k AS n_typed,
            CAST(round(p_k * 1.0 / (n_rows - n_json_null), 6) AS DOUBLE)
              AS present_ratio,
            CAST(round(t_k * 1.0 / (n_rows - n_json_null), 6) AS DOUBLE)
-             AS typed_ratio
+             AS typed_ratio,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BOOLEAN) AS parse_ok,
+           CAST(NULL AS INT) AS n_turns,
+           CAST(NULL AS BOOLEAN) AS roles_valid,
+           CAST(NULL AS BOOLEAN) AS system_prefix_ok,
+           CAST(NULL AS BOOLEAN) AS starts_with_user,
+           CAST(NULL AS BOOLEAN) AS alternation_ok,
+           CAST(NULL AS BOOLEAN) AS ends_with_assistant,
+           CAST(NULL AS BOOLEAN) AS no_empty_content,
+           CAST(NULL AS BOOLEAN) AS conversation_ok
     FROM w
     UNION ALL
-    SELECT 'u', n_rows, n_json_null, p_u, t_u,
+    SELECT 'fields', 'u', n_rows, n_json_null, p_u, t_u,
            CAST(round(p_u * 1.0 / (n_rows - n_json_null), 6) AS DOUBLE),
-           CAST(round(t_u * 1.0 / (n_rows - n_json_null), 6) AS DOUBLE)
+           CAST(round(t_u * 1.0 / (n_rows - n_json_null), 6) AS DOUBLE),
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
     FROM w
+    UNION ALL
+    SELECT 'conversations', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE),
+           doc_id, parse_ok, n_turns, roles_valid, system_prefix_ok,
+           starts_with_user, alternation_ok, ends_with_assistant,
+           no_empty_content, conversation_ok
+    FROM lint
     """,
 )
 def dq_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON field quality over events.props with synthetic corruption
-    (10% malformed, ~14% wrong-typed): presence + castability per field
-    (operators/semistructured.py json_field_profile — one fused agg)."""
-    from .operators.semistructured import json_field_profile
+    """Semi-structured certification composite (r14 fold):
+
+    - part ``fields``: the former entry verbatim — JSON field quality
+      over events.props with synthetic corruption (10% malformed, ~14%
+      wrong-typed): presence + castability per field
+      (operators/semistructured.py json_field_profile, one fused agg);
+    - part ``conversations``: chat-format lint (conversation_lint) over
+      md5-free residue-constructed transcripts: per doc_id, 2/4/6
+      alternating body turns (+ a system prologue on every 5th doc)
+      serialized with to_json, with one planted violation class by
+      residue precedence — %23 malformed JSON, %19 bad role, %17
+      trailing user turn, %13 empty content, %11 double-user. The
+      oracle derives the EXPECTED flags from the construction itself
+      (ground truth), so the hash certifies Spark's from_json + HOF
+      lint end-to-end against an independent formulation."""
+    from .operators.semistructured import conversation_lint, json_field_profile
 
     ev = load_table(spark, "events", sf_dir)
     corrupted = ev.withColumn(
@@ -3429,9 +3490,84 @@ def dq_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_id") % 7 == 0, F.lit('{"k": "oops"}'))
         .otherwise(F.col("props")),
     )
-    return json_field_profile(
+    fields = json_field_profile(
         corrupted, "props", {"k": "bigint", "u": "double"}
     )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    convs = docs.selectExpr(
+        "doc_id",
+        """
+        CASE WHEN doc_id % 23 = 0 THEN 'malformed'
+             WHEN doc_id % 19 = 0 THEN 'badrole'
+             WHEN doc_id % 17 = 0 THEN 'endu'
+             WHEN doc_id % 13 = 0 THEN 'empty'
+             WHEN doc_id % 11 = 0 THEN 'dblu'
+             ELSE 'clean' END AS cls
+        """,
+        "2 + (doc_id % 3) * 2 AS nt",
+        "doc_id % 5 = 0 AS has_sys",
+    ).selectExpr(
+        "doc_id",
+        "cls",
+        # body turns 1..nt (+1 trailing turn for 'endu' — index nt+1 is
+        # odd, so the natural odd=user parity yields the planted
+        # user-final violation with no special case)
+        """
+        transform(
+          sequence(1, nt + CASE WHEN cls = 'endu' THEN 1 ELSE 0 END),
+          i -> named_struct(
+            'role',
+            CASE WHEN cls = 'badrole' AND i = 1 THEN 'robot'
+                 WHEN cls = 'dblu' AND i = 2 THEN 'user'
+                 WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END,
+            'content',
+            CASE WHEN cls = 'empty' AND i = 2 THEN ''
+                 ELSE concat('m', doc_id, 'x', i) END)
+        ) AS body
+        """,
+        "IF(has_sys, array(named_struct("
+        "'role', 'system', 'content', concat('s', doc_id))), "
+        "array()) AS sys",
+    ).selectExpr(
+        "doc_id",
+        "cls",
+        "to_json(concat(sys, body)) AS j",
+    ).selectExpr(
+        "doc_id",
+        "IF(cls = 'malformed', substr(j, 1, length(j) - 1), j) AS conv",
+    )
+    lint = conversation_lint(convs, "conv", id_cols=["doc_id"])
+
+    str_null = F.lit(None).cast("string")
+    lng_null = F.lit(None).cast("long")
+    dbl_null = F.lit(None).cast("double")
+    bool_null = F.lit(None).cast("boolean")
+    conv_pad = [
+        lng_null.alias("doc_id"), bool_null.alias("parse_ok"),
+        F.lit(None).cast("int").alias("n_turns"),
+        bool_null.alias("roles_valid"),
+        bool_null.alias("system_prefix_ok"),
+        bool_null.alias("starts_with_user"),
+        bool_null.alias("alternation_ok"),
+        bool_null.alias("ends_with_assistant"),
+        bool_null.alias("no_empty_content"),
+        bool_null.alias("conversation_ok"),
+    ]
+    fp = fields.select(
+        F.lit("fields").alias("part"), "field", "n_rows", "n_json_null",
+        "n_present", "n_typed", "present_ratio", "typed_ratio", *conv_pad,
+    )
+    cp = lint.select(
+        F.lit("conversations").alias("part"), str_null.alias("field"),
+        lng_null.alias("n_rows"), lng_null.alias("n_json_null"),
+        lng_null.alias("n_present"), lng_null.alias("n_typed"),
+        dbl_null.alias("present_ratio"), dbl_null.alias("typed_ratio"),
+        "doc_id", "parse_ok", "n_turns", "roles_valid",
+        "system_prefix_ok", "starts_with_user", "alternation_ok",
+        "ends_with_assistant", "no_empty_content", "conversation_ok",
+    )
+    return fp.unionByName(cp)
 
 
 _SEQUENCE_GAPS_SQL = """

@@ -99,3 +99,95 @@ def json_field_profile(
             "typed_ratio"
         ),
     )
+
+
+#: Chat-transcript shape ``conversation_lint`` parses into.
+CONVERSATION_SCHEMA = "array<struct<role:string,content:string>>"
+
+
+def conversation_lint(
+    df: DataFrame,
+    json_col: str,
+    *,
+    id_cols: list[str],
+    allowed_roles: tuple[str, ...] = ("system", "user", "assistant"),
+) -> DataFrame:
+    """Chat-format training-data lint: validate a JSON conversation
+    column (``[{"role": ..., "content": ...}, ...]``) against the
+    structural rules instruction-tuning pipelines assume. Per row:
+
+    - ``parse_ok``: valid JSON of the expected shape with >= 1 turn
+      (``from_json`` yields NULL on malformed input — same loud-absence
+      semantics as :func:`json_field_profile`);
+    - ``n_turns``: total turns (NULL when unparseable);
+    - ``roles_valid``: every role in ``allowed_roles``;
+    - ``system_prefix_ok``: 'system' turns only as the leading turn;
+    - ``starts_with_user`` / ``ends_with_assistant``: over the body
+      (non-system turns) — the pair every SFT collator assumes;
+    - ``alternation_ok``: no two consecutive same-role body turns
+      (``zip_with`` of the body against itself shifted by one);
+    - ``no_empty_content``: no NULL/whitespace-only content anywhere;
+    - ``conversation_ok``: AND of all checks (false when unparseable).
+
+    Scale shape: ONE Jackson parse per row (``from_json``) and pure
+    higher-order-function expressions over the parsed array — no UDFs,
+    no shuffle, the lint rides the scan. The parsed array and its
+    non-system body are bound ONCE as columns (interpreted HOF lambdas
+    have no common-subexpression elimination; re-deriving the body in
+    five checks would re-filter it five times)."""
+    for r in allowed_roles:
+        if not r.replace("_", "").isalnum():
+            raise ValueError(
+                f"conversation_lint: role {r!r} must be alphanumeric"
+            )
+    clash = {"_conv", "_body"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"conversation_lint: column(s) {sorted(clash)} are reserved"
+        )
+    roles_in = ", ".join(f"'{r}'" for r in allowed_roles)
+    parsed = df.withColumn(
+        "_conv", F.from_json(F.col(json_col), CONVERSATION_SCHEMA)
+    ).withColumn(
+        "_body", F.expr("filter(_conv, t -> t.role <> 'system')")
+    )
+    parse_ok = F.col("_conv").isNotNull() & (F.expr("size(_conv)") >= 1)
+    checks = {
+        "roles_valid": F.expr(
+            f"forall(_conv, t -> t.role IN ({roles_in}))"
+        ),
+        "system_prefix_ok": F.expr(
+            "forall(slice(_conv, 2, greatest(size(_conv) - 1, 0)),"
+            " t -> t.role <> 'system')"
+        ),
+        "starts_with_user": F.expr(
+            "size(_body) >= 1 AND element_at(_body, 1).role = 'user'"
+        ),
+        "alternation_ok": F.expr(
+            "NOT exists(zip_with("
+            "  slice(_body, 1, greatest(size(_body) - 1, 0)),"
+            "  slice(_body, 2, greatest(size(_body) - 1, 0)),"
+            "  (x, y) -> x.role = y.role), p -> p)"
+        ),
+        "ends_with_assistant": F.expr(
+            "size(_body) >= 1 AND element_at(_body, -1).role = 'assistant'"
+        ),
+        "no_empty_content": F.expr(
+            "NOT exists(_conv,"
+            " t -> t.content IS NULL OR length(trim(t.content)) = 0)"
+        ),
+    }
+    gated = {
+        name: F.coalesce(F.when(parse_ok, c), F.lit(False))
+        for name, c in checks.items()
+    }
+    all_ok = parse_ok
+    for c in gated.values():
+        all_ok = all_ok & c
+    return parsed.select(
+        *id_cols,
+        F.coalesce(parse_ok, F.lit(False)).alias("parse_ok"),
+        F.when(parse_ok, F.expr("size(_conv)")).alias("n_turns"),
+        *[c.alias(n) for n, c in gated.items()],
+        all_ok.alias("conversation_ok"),
+    )

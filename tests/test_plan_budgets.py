@@ -132,6 +132,9 @@ _COMPOSITE_BUDGETS = {
     # r14: cusum + ewma parts — one keyed window shuffle each over the
     # same filtered scan (pushed user_id < 20 predicate)
     "dq_cusum": (3, 3),              # audited: 2 / 2
+    # r14: fields part (one fused agg) + conversations part (parse +
+    # HOF lint riding the documents scan — zero extra shuffles)
+    "dq_json_fields": (2, 3),        # audited: 1 / 2
 }
 
 

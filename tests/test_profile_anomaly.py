@@ -1144,3 +1144,67 @@ def test_metrics_regression_reserved_and_tie_determinism(spark):
     with pytest.raises(ValueError, match="reserved"):
         metrics_regression(hist.withColumn("_rn", F.lit(1)), cur,
                            key_cols=["metric"])
+
+
+def test_conversation_lint_hand_cases(spark):
+    """Every lint dimension on hand-built transcripts: clean multi-turn
+    (with system prologue), malformed JSON, empty turn, role typo,
+    double-user, mid-conversation system, assistant-first, user-final,
+    empty array, NULL column."""
+    from pyspark_data_quality_spark.operators.semistructured import (
+        conversation_lint,
+    )
+
+    def conv(*turns):
+        import json
+        return json.dumps(
+            [{"role": r, "content": c} for r, c in turns]
+        )
+
+    rows = [
+        (0, conv(("system", "be nice"), ("user", "hi"),
+                 ("assistant", "hello"))),
+        (1, '[{"role": "user", "content": "hi"'),            # malformed
+        (2, conv(("user", "hi"), ("assistant", "  "))),       # empty turn
+        (3, conv(("user", "hi"), ("robot", "beep"))),         # bad role
+        (4, conv(("user", "a"), ("user", "b"),
+                 ("assistant", "c"))),                        # double user
+        (5, conv(("user", "a"), ("system", "late"),
+                 ("assistant", "b"))),                        # system mid
+        (6, conv(("assistant", "first?"), ("user", "hi"))),   # starts wrong
+        (7, conv(("user", "hi"), ("assistant", "yo"),
+                 ("user", "bye"))),                           # ends user
+        (8, "[]"),                                            # zero turns
+        (9, None),                                            # NULL column
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, conv string")
+    out = {r["doc_id"]: r for r in conversation_lint(
+        df, "conv", id_cols=["doc_id"]
+    ).collect()}
+
+    assert out[0]["conversation_ok"] and out[0]["n_turns"] == 3
+    assert not out[1]["parse_ok"] and out[1]["n_turns"] is None
+    assert not out[1]["conversation_ok"]
+    assert out[2]["parse_ok"] and not out[2]["no_empty_content"]
+    assert not out[3]["roles_valid"] and out[3]["parse_ok"]
+    assert not out[4]["alternation_ok"] and out[4]["roles_valid"]
+    assert out[4]["ends_with_assistant"]
+    assert not out[5]["system_prefix_ok"]
+    # the mid-system turn drops from the body, leaving u,a: alternation
+    # judged over the BODY stays ok — the system placement is the crime
+    assert out[5]["alternation_ok"]
+    assert not out[6]["starts_with_user"]
+    assert not out[6]["ends_with_assistant"]  # body ends on the user turn
+    assert not out[7]["ends_with_assistant"] and out[7]["starts_with_user"]
+    assert not out[8]["parse_ok"]  # an empty conversation is not one
+    assert not out[9]["parse_ok"] and not out[9]["conversation_ok"]
+    # exactly one fully-ok row
+    assert [d for d, r in out.items() if r["conversation_ok"]] == [0]
+
+    with pytest.raises(ValueError, match="reserved"):
+        conversation_lint(
+            df.withColumn("_conv", F.lit(1)), "conv", id_cols=["doc_id"]
+        )
+    with pytest.raises(ValueError, match="alphanumeric"):
+        conversation_lint(df, "conv", id_cols=["doc_id"],
+                          allowed_roles=("user';--",))
