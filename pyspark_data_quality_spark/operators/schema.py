@@ -195,3 +195,101 @@ def candidate_keys(
         )
     )
     return out.orderBy("width", "key_cols")
+
+
+#: widenings a reader tolerates transparently in columnar lakes: every
+#: value of the narrow type is exactly representable in the wide one
+#: (bigint->double is NOT here: longs above 2^53 lose precision)
+WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+
+#: change kinds, from harmless to breaking
+UNCHANGED = "unchanged"
+ADDED = "added"
+WIDENED = "widened"
+NARROWED = "narrowed"
+CHANGED = "type_changed"
+REMOVED = "removed"
+
+
+def schema_compat(
+    old: dict[str, str],
+    new: dict[str, str],
+    *,
+    mode: str = "backward",
+) -> "DataFrame":
+    """Schema-EVOLUTION compatibility between two contract versions —
+    the question :func:`schema_report` (one frame vs one contract)
+    doesn't answer: can the fleet tolerate evolving the contract from
+    ``old`` to ``new`` while both producer and consumer generations
+    coexist? Standard schema-registry semantics (Confluent/Avro
+    vocabulary), adapted to columnar-lake types:
+
+    - ``backward``: consumers upgraded to ``new`` must read data still
+      sitting in the lake under ``old`` — columns ADDED in ``new``
+      break (old files never wrote them; no default-value channel in
+      parquet contracts), removals are fine (the new reader stopped
+      asking), and a type move passes iff the OLD value decodes as the
+      NEW type ((old, new) in :data:`WIDENINGS`).
+    - ``forward``: consumers still on ``old`` must read data produced
+      under ``new`` — additions are fine (old readers project past
+      them), removals break, and the move passes iff the NEW value
+      decodes as the OLD type (a narrowing in this table's direction).
+    - ``full``: both generations coexist — only unchanged columns pass.
+
+    Output: one row per column in either version — ``(column,
+    old_type, new_type, change, compatible)`` sorted by name, plus the
+    overall verdict via :func:`schema_compat_ok`. Driver-side metadata
+    only; no data is read at any scale."""
+    if mode not in ("backward", "forward", "full"):
+        raise ValueError(
+            f"schema_compat: mode must be backward/forward/full, got {mode!r}"
+        )
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("schema_compat: no active SparkSession")
+    rows = []
+    for name in sorted(set(old) | set(new)):
+        o, n = old.get(name), new.get(name)
+        if o is None:
+            change = ADDED
+        elif n is None:
+            change = REMOVED
+        elif o == n:
+            change = UNCHANGED
+        elif (o, n) in WIDENINGS:
+            change = WIDENED
+        elif (n, o) in WIDENINGS:
+            change = NARROWED
+        else:
+            change = CHANGED
+        # backward = NEW reader over OLD data: needs old -> new decode
+        # (WIDENED); additions have no value in old files -> break.
+        # forward = OLD reader over NEW data: needs new -> old decode
+        # (NARROWED); removals leave the old reader dangling -> break.
+        back_ok = change in (UNCHANGED, REMOVED, WIDENED)
+        fwd_ok = change in (UNCHANGED, ADDED, NARROWED)
+        ok = {
+            "backward": back_ok,
+            "forward": fwd_ok,
+            "full": back_ok and fwd_ok,
+        }[mode]
+        rows.append((name, o, n, change, ok))
+    return spark.createDataFrame(
+        rows,
+        "column string, old_type string, new_type string,"
+        " change string, compatible boolean",
+    )
+
+
+def schema_compat_ok(
+    old: dict[str, str], new: dict[str, str], *, mode: str = "backward"
+) -> bool:
+    """True iff every column of :func:`schema_compat` is compatible."""
+    report = schema_compat(old, new, mode=mode)
+    return all(r["compatible"] for r in report.collect())

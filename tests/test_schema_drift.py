@@ -1387,3 +1387,54 @@ def test_mmd_md5_weights_mode(spark):
 
     with pytest.raises(ValueError, match="weights"):
         mmd_drift(a, b, "embedding", dim=8, weights="xorshift")
+
+
+def test_schema_compat_registry_semantics(spark):
+    """Confluent/Avro vocabulary on columnar-lake types: backward = the
+    NEW reader over OLD data (widenings pass, additions break);
+    forward = the OLD reader over NEW data (narrowings pass, removals
+    break); full = only unchanged."""
+    from pyspark_data_quality_spark.operators.schema import (
+        schema_compat,
+        schema_compat_ok,
+    )
+
+    old = {"id": "int", "price": "float", "note": "string",
+           "day": "date", "big": "bigint"}
+    new = {"id": "bigint", "price": "float", "tag": "string",
+           "day": "timestamp", "big": "double"}
+
+    rep = {r["column"]: r for r in
+           schema_compat(old, new, mode="backward").collect()}
+    assert rep["id"]["change"] == "widened" and rep["id"]["compatible"]
+    assert rep["day"]["change"] == "widened" and rep["day"]["compatible"]
+    # bigint -> double is NOT a widening (2^53 precision loss)
+    assert rep["big"]["change"] == "type_changed"
+    assert not rep["big"]["compatible"]
+    # new reader needs 'tag', old files never wrote it
+    assert rep["tag"]["change"] == "added" and not rep["tag"]["compatible"]
+    # new reader stopped asking for 'note'
+    assert rep["note"]["change"] == "removed" and rep["note"]["compatible"]
+    assert rep["price"]["change"] == "unchanged"
+
+    fwd = {r["column"]: r for r in
+           schema_compat(old, new, mode="forward").collect()}
+    assert fwd["tag"]["compatible"]          # old reader ignores it
+    assert not fwd["note"]["compatible"]     # old reader left dangling
+    assert not fwd["id"]["compatible"]       # bigint value can't read as int
+    # the mirror direction: narrowing passes forward
+    nar = {r["column"]: r for r in
+           schema_compat({"n": "bigint"}, {"n": "int"},
+                         mode="forward").collect()}
+    assert nar["n"]["change"] == "narrowed" and nar["n"]["compatible"]
+
+    full = {r["column"]: r for r in
+            schema_compat(old, new, mode="full").collect()}
+    assert [c for c, r in full.items() if r["compatible"]] == ["price"]
+
+    assert schema_compat_ok({"a": "int"}, {"a": "bigint"}, mode="backward")
+    assert not schema_compat_ok({"a": "int"}, {"a": "bigint"},
+                                mode="forward")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mode"):
+        schema_compat(old, new, mode="sideways")
