@@ -206,6 +206,13 @@ WIDENINGS = {
     ("int", "bigint"),
     ("float", "double"),
     ("date", "timestamp"),
+    # exact integer -> float promotions: the mantissa covers the whole
+    # integer range (float carries 24 bits -> through smallint; double
+    # carries 53 -> through int). int->float (2^31 > 2^24) and
+    # bigint->double (2^63 > 2^53) are NOT here — those lose values.
+    ("tinyint", "float"), ("tinyint", "double"),
+    ("smallint", "float"), ("smallint", "double"),
+    ("int", "double"),
 }
 
 #: change kinds, from harmless to breaking

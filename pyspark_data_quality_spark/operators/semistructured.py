@@ -116,9 +116,12 @@ def conversation_lint(
     column (``[{"role": ..., "content": ...}, ...]``) against the
     structural rules instruction-tuning pipelines assume. Per row:
 
-    - ``parse_ok``: valid JSON of the expected shape with >= 1 turn
-      (``from_json`` yields NULL on malformed input — same loud-absence
-      semantics as :func:`json_field_profile`);
+    - ``parse_ok``: valid JSON of the expected shape with >= 1 turn —
+      the text must be a real ARRAY (``from_json`` silently wraps a
+      bare object into a singleton array; a corpus of single message
+      objects is a format violation, not a set of 1-turn transcripts)
+      and parse (``from_json`` yields NULL on malformed input — same
+      loud-absence semantics as :func:`json_field_profile`);
     - ``n_turns``: total turns (NULL when unparseable);
     - ``roles_valid``: every role in ``allowed_roles``;
     - ``system_prefix_ok``: 'system' turns only as the leading turn;
@@ -135,6 +138,11 @@ def conversation_lint(
     non-system body are bound ONCE as columns (interpreted HOF lambdas
     have no common-subexpression elimination; re-deriving the body in
     five checks would re-filter it five times)."""
+    if not allowed_roles:
+        raise ValueError(
+            "conversation_lint: allowed_roles must be non-empty (an "
+            "empty IN () would die later as a cryptic ParseException)"
+        )
     for r in allowed_roles:
         if not r.replace("_", "").isalnum():
             raise ValueError(
@@ -151,7 +159,16 @@ def conversation_lint(
     ).withColumn(
         "_body", F.expr("filter(_conv, t -> t.role <> 'system')")
     )
-    parse_ok = F.col("_conv").isNotNull() & (F.expr("size(_conv)") >= 1)
+    # from_json with an array schema silently WRAPS a bare top-level
+    # object into a singleton array — a dataset of single message
+    # objects would lint as clean 1-turn conversations; require the
+    # raw text to actually be an array
+    is_array = F.ltrim(F.col(json_col)).startswith("[")
+    parse_ok = (
+        is_array
+        & F.col("_conv").isNotNull()
+        & (F.expr("size(_conv)") >= 1)
+    )
     checks = {
         "roles_valid": F.expr(
             f"forall(_conv, t -> t.role IN ({roles_in}))"

@@ -1208,3 +1208,27 @@ def test_conversation_lint_hand_cases(spark):
     with pytest.raises(ValueError, match="alphanumeric"):
         conversation_lint(df, "conv", id_cols=["doc_id"],
                           allowed_roles=("user';--",))
+
+
+def test_conversation_lint_rejects_bare_object_and_empty_roles(spark):
+    """A bare message OBJECT is a format violation, not a clean 1-turn
+    transcript (from_json would silently wrap it); empty allowed_roles
+    fails fast."""
+    from pyspark_data_quality_spark.operators.semistructured import (
+        conversation_lint,
+    )
+
+    df = spark.createDataFrame(
+        [(0, '{"role": "user", "content": "hi"}'),
+         (1, '  [{"role": "user", "content": "hi"},'
+             ' {"role": "assistant", "content": "yo"}]')],
+        "doc_id long, conv string",
+    )
+    out = {r["doc_id"]: r for r in conversation_lint(
+        df, "conv", id_cols=["doc_id"]
+    ).collect()}
+    assert not out[0]["parse_ok"] and not out[0]["conversation_ok"]
+    assert out[1]["parse_ok"] and out[1]["conversation_ok"]  # ltrim'd array
+
+    with pytest.raises(ValueError, match="non-empty"):
+        conversation_lint(df, "conv", id_cols=["doc_id"], allowed_roles=())

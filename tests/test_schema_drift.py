@@ -1438,3 +1438,17 @@ def test_schema_compat_registry_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="mode"):
         schema_compat(old, new, mode="sideways")
+
+
+def test_schema_compat_exact_float_promotions(spark):
+    """Integer->float moves pass exactly when the mantissa covers the
+    whole range: int->double yes, int->float no, bigint->double no."""
+    from pyspark_data_quality_spark.operators.schema import schema_compat_ok
+
+    assert schema_compat_ok({"a": "int"}, {"a": "double"}, mode="backward")
+    assert schema_compat_ok({"a": "smallint"}, {"a": "float"},
+                            mode="backward")
+    assert not schema_compat_ok({"a": "int"}, {"a": "float"},
+                                mode="backward")
+    assert not schema_compat_ok({"a": "bigint"}, {"a": "double"},
+                                mode="backward")
