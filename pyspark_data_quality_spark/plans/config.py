@@ -106,3 +106,88 @@ def rules_from_config(
     """Compile a whole suite (e.g. ``json.load`` of a reviewed config
     file) to rule objects, in order."""
     return [rule_from_spec(s, tables=tables) for s in specs]
+
+
+class SuiteRun:
+    """Return bundle of :func:`run_suite` — the check result, its metric
+    rows, and (when a monitor block ran) the run-over-run regression
+    report."""
+
+    __slots__ = ("result", "metrics", "regressions")
+
+    def __init__(self, result, metrics, regressions):
+        self.result = result
+        self.metrics = metrics
+        self.regressions = regressions
+
+
+def run_suite(
+    spark,
+    df: DataFrame,
+    config: Mapping[str, Any],
+    *,
+    tables: Mapping[str, DataFrame] | None = None,
+) -> SuiteRun:
+    """The whole DQ loop as one reviewed config: compile ``rules``,
+    run them as ONE fused aggregation pass (DQManager), and — when the
+    config carries a ``monitor`` block — judge this run's metrics
+    against the persisted history and append them to it. A complete
+    Deequ-style anomaly-constraint pipeline with zero code changes::
+
+        {"dataset": "orders",
+         "rules": [{"type": "completeness", "columns": ["o_custkey"]},
+                   {"type": "range", "column": "o_totalprice",
+                    "min_value": 0}],
+         "monitor": {"path": "s3://dq/metrics/orders",
+                     "lookback": 30, "threshold": 3.0,
+                     "direction": "down", "write": true}}
+
+    ``monitor`` keys: ``path`` (required — the metrics-sink location),
+    ``lookback``/``threshold``/``min_periods``/``direction`` (passed to
+    :func:`..sinks.metrics.monitor_metrics`), ``write`` (default True:
+    append this run's metrics — the run_id anti-join makes the
+    judge/write order immaterial for the VERDICT; pass ``write: false``
+    to gate the append on your own alerting logic, e.g. quarantine a
+    regressed run's metrics instead of recording them).
+
+    Returns a :class:`SuiteRun` with the lazy check ``result``, the
+    ``metrics`` frame (already materialized driver-side by the fused
+    pass), and ``regressions`` (the monitor report, or None without a
+    monitor block)."""
+    specs = config.get("rules", [])
+    if not specs:
+        raise RuleConfigurationError("run_suite: config has no rules")
+    rules = rules_from_config(specs, tables=tables)
+    from ..manager import DQManager
+
+    mgr = DQManager(
+        spark,
+        dataset=str(config.get("dataset", "")),
+        run_id=config.get("run_id"),
+    ).set_data(df)
+    for r in rules:
+        mgr.add_rule(r)
+    result = mgr.run()
+    metrics = result.get_metric_results()
+
+    mon = config.get("monitor")
+    regressions = None
+    if mon is not None:
+        if "path" not in mon:
+            raise RuleConfigurationError(
+                "run_suite: monitor block requires 'path'"
+            )
+        from ..sinks.metrics import monitor_metrics, write_metrics
+
+        kw = {
+            k: mon[k]
+            for k in ("lookback", "threshold", "min_periods", "direction")
+            if k in mon
+        }
+        regressions = monitor_metrics(
+            spark, mon["path"], metrics,
+            dataset=config.get("dataset") or None, **kw,
+        )
+        if mon.get("write", True):
+            write_metrics(metrics, mon["path"])
+    return SuiteRun(result, metrics, regressions)

@@ -274,3 +274,53 @@ def test_dedup_keeps_rows_with_null_scope(spark):
     # it passes too; nothing may differ between the two accessors
     assert valid_ids == [1, 2, 3]
     assert dedup_ids == valid_ids
+
+
+def test_run_suite_with_monitor_block(spark, tmp_path):
+    """The whole config-driven Deequ loop: N healthy runs through
+    run_suite (rules + monitor block), then a degraded run — the
+    regression report flags the dropped completeness metric, the
+    history carries every written run, and write=false gates the
+    append."""
+    from pyspark_data_quality_spark.plans.config import (
+        RuleConfigurationError,
+        run_suite,
+    )
+    from pyspark_data_quality_spark.sinks import read_metrics
+
+    path = str(tmp_path / "suite_metrics")
+
+    def cfg(run, write=True):
+        return {
+            "dataset": "t1",
+            "run_id": f"r{run:02d}",
+            "rules": [{"type": "completeness", "columns": ["id", "name"]}],
+            "monitor": {"path": path, "min_periods": 3, "write": write},
+        }
+
+    def frame(null_every):
+        rows = [
+            (i, None if (null_every and i % null_every == 0) else f"n{i}")
+            for i in range(1, 101)
+        ]
+        return spark.createDataFrame(rows, ["id", "name"])
+
+    for run in range(5):
+        out = run_suite(spark, frame(100), cfg(run))
+        assert out.regressions is not None
+
+    degraded = run_suite(spark, frame(4), cfg(9, write=False))
+    rep = {r["column"]: r for r in degraded.regressions.collect()}
+    assert rep["name"]["is_regression"]
+    assert rep["id"]["status"] == "ok"
+    # write=false: the degraded run never entered the history
+    hist = read_metrics(spark, path, dataset="t1")
+    assert hist.filter("run_id = 'r09'").count() == 0
+    assert hist.select("run_id").distinct().count() == 5
+
+    with pytest.raises(RuleConfigurationError, match="no rules"):
+        run_suite(spark, frame(None), {"rules": []})
+    with pytest.raises(RuleConfigurationError, match="path"):
+        run_suite(spark, frame(None),
+                  {"rules": [{"type": "completeness", "columns": ["id"]}],
+                   "monitor": {}})
