@@ -153,16 +153,47 @@ def run_suite(
     Returns a :class:`SuiteRun` with the lazy check ``result``, the
     ``metrics`` frame (already materialized driver-side by the fused
     pass), and ``regressions`` (the monitor report, or None without a
-    monitor block)."""
+    monitor block). The whole config — rules AND monitor block — is
+    validated BEFORE the fused pass runs: a typo must fail the suite
+    load, never waste the full data scan (same contract as
+    :func:`rule_from_spec`), and an unknown monitor key is a typo that
+    would otherwise silently weaken the alerting gate (``thresold``
+    running at the default 3.0). A retried orchestrator task whose
+    ``run_id`` already reached the history SKIPS the append (with a
+    warning): re-appending would double-weight the run in every future
+    baseline window, shrinking baseline_stddev for the next
+    ``lookback`` runs."""
     specs = config.get("rules", [])
     if not specs:
         raise RuleConfigurationError("run_suite: config has no rules")
     rules = rules_from_config(specs, tables=tables)
+
+    mon = config.get("monitor")
+    if mon is not None:
+        if "path" not in mon:
+            raise RuleConfigurationError(
+                "run_suite: monitor block requires 'path'"
+            )
+        unknown = set(mon) - {
+            "path", "lookback", "threshold", "min_periods",
+            "direction", "write",
+        }
+        if unknown:
+            raise RuleConfigurationError(
+                f"run_suite: unknown monitor key(s) {sorted(unknown)} — "
+                "a typo here would silently weaken the alerting gate"
+            )
+        if mon.get("direction", "down") not in ("both", "down", "up"):
+            raise RuleConfigurationError(
+                "run_suite: monitor direction must be both/down/up, got "
+                f"{mon['direction']!r}"
+            )
+
     from ..manager import DQManager
 
     mgr = DQManager(
         spark,
-        dataset=str(config.get("dataset", "")),
+        dataset=str(config.get("dataset") or ""),
         run_id=config.get("run_id"),
     ).set_data(df)
     for r in rules:
@@ -170,24 +201,52 @@ def run_suite(
     result = mgr.run()
     metrics = result.get_metric_results()
 
-    mon = config.get("monitor")
     regressions = None
     if mon is not None:
-        if "path" not in mon:
-            raise RuleConfigurationError(
-                "run_suite: monitor block requires 'path'"
-            )
-        from ..sinks.metrics import monitor_metrics, write_metrics
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import functions as F
 
+        from ..sinks.metrics import (
+            monitor_metrics,
+            read_metrics,
+            write_metrics,
+        )
+
+        # ONE dataset resolution for write AND monitor: DQManager may
+        # have fallen back to the env-driven Config default, and a
+        # mismatch here would write under dataset=X while the history
+        # read scans the whole path unpruned
+        ds = mgr.dataset or None
         kw = {
             k: mon[k]
             for k in ("lookback", "threshold", "min_periods", "direction")
             if k in mon
         }
-        regressions = monitor_metrics(
-            spark, mon["path"], metrics,
-            dataset=config.get("dataset") or None, **kw,
-        )
+        regressions = monitor_metrics(spark, mon["path"], metrics,
+                                      dataset=ds, **kw)
         if mon.get("write", True):
-            write_metrics(metrics, mon["path"])
+            already = False
+            try:
+                already = (
+                    read_metrics(spark, mon["path"], dataset=ds)
+                    .filter(F.col("run_id") == mgr.run_id)
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+            except AnalysisException as e:
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
+            if already:
+                import warnings
+
+                warnings.warn(
+                    f"run_suite: run_id {mgr.run_id!r} already in the "
+                    "metrics history — skipping the append (a retried "
+                    "task must not double-weight its run in future "
+                    "baselines)",
+                    stacklevel=2,
+                )
+            else:
+                write_metrics(metrics, mon["path"])
     return SuiteRun(result, metrics, regressions)

@@ -324,3 +324,37 @@ def test_run_suite_with_monitor_block(spark, tmp_path):
         run_suite(spark, frame(None),
                   {"rules": [{"type": "completeness", "columns": ["id"]}],
                    "monitor": {}})
+
+
+def test_run_suite_monitor_guards_and_idempotence(spark, tmp_path):
+    """Monitor-block typos fail the suite LOAD (before any scan), the
+    dataset used for the history read matches the one written, and a
+    retried run_id never double-appends."""
+    import warnings as _warnings
+
+    from pyspark_data_quality_spark.plans.config import (
+        RuleConfigurationError,
+        run_suite,
+    )
+    from pyspark_data_quality_spark.sinks import read_metrics
+
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    path = str(tmp_path / "m")
+    base = {"dataset": "t1", "run_id": "rX",
+            "rules": [{"type": "completeness", "columns": ["name"]}]}
+
+    with pytest.raises(RuleConfigurationError, match="thresold"):
+        run_suite(spark, df, {**base, "monitor": {
+            "path": path, "thresold": 2.0}})
+    with pytest.raises(RuleConfigurationError, match="direction"):
+        run_suite(spark, df, {**base, "monitor": {
+            "path": path, "direction": "sideways"}})
+
+    run_suite(spark, df, {**base, "monitor": {"path": path}})
+    # retry with the same run_id: append skipped, loudly
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        run_suite(spark, df, {**base, "monitor": {"path": path}})
+    assert any("double-weight" in str(x.message) for x in w)
+    hist = read_metrics(spark, path, dataset="t1")
+    assert hist.filter("run_id = 'rX'").count() == 1
