@@ -1395,3 +1395,103 @@ def test_drift_screen_null_case_properties(spark, vals, shift):
     if span > 0:
         assert far["x"]["ks"] > 0.0
         assert far["x"]["p_value"] <= same["x"]["p_value"]
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(min_value=-50, max_value=50,
+                      allow_nan=False, allow_infinity=False),
+            st.none(),
+            st.just(float("nan")),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.floats(min_value=0.05, max_value=0.9),
+)
+def test_ewma_closed_form_matches_recurrence(spark, values, alpha):
+    """The batch face's closed form a^t*(target + alpha*sum a^(-j)x_j)
+    must equal the literal z = alpha*x + (1-alpha)*z recurrence (the
+    streaming face's math) on arbitrary series with NULL/NaN gaps —
+    the identity the oracle certification and stream/batch parity both
+    lean on."""
+    from pyspark_data_quality_spark.streaming.anomaly import streaming_ewma
+
+    target = 7.0
+    rows = [("k", i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {
+        r["t"]: r["ewma"]
+        for r in streaming_ewma(
+            df, ["k"], "v", "t", target=target, sigma=1.0, alpha=alpha
+        ).collect()
+    }
+
+    z = target
+    for i, v in enumerate(values):
+        if v is None or math.isnan(v):
+            assert got[i] is None, (i, got[i])
+            continue
+        z = alpha * v + (1.0 - alpha) * z
+        assert got[i] is not None and abs(got[i] - z) < 1e-6, (i, got[i], z)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["m1", "m2", "m3"]),
+        st.lists(
+            st.floats(min_value=-100, max_value=100,
+                      allow_nan=False, allow_infinity=False),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_metrics_regression_matches_python_model(spark, series, lookback):
+    """metrics_regression's baseline stats and verdict must match a
+    pure-Python replay (trailing-lookback mean/stddev, flat-baseline
+    flagging, insufficient-history gating) for arbitrary histories."""
+    import statistics
+
+    from pyspark_data_quality_spark.operators.anomaly import (
+        metrics_regression,
+    )
+
+    hist_rows = [
+        (k, i + 1, v) for k, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    cur_rows = [(k, 99, 1.5) for k in series]
+    hist = spark.createDataFrame(
+        hist_rows, "metric string, run_seq int, value double"
+    )
+    cur = spark.createDataFrame(
+        cur_rows, "metric string, run_seq int, value double"
+    )
+    out = {r["metric"]: r for r in metrics_regression(
+        hist, cur, key_cols=["metric"], lookback=lookback,
+        threshold=3.0, min_periods=3,
+    ).collect()}
+
+    for k, vals in series.items():
+        tail = vals[-lookback:]
+        r = out[k]
+        assert r["n_baseline"] == len(tail)
+        assert abs(r["baseline_mean"] - sum(tail) / len(tail)) < 1e-5
+        assert abs(r["prev_value"] - vals[-1]) < 1e-12
+        if len(tail) < 3:
+            assert r["status"] == "insufficient_history"
+        else:
+            sd = statistics.stdev(tail) if len(tail) > 1 else 0.0
+            if sd > 0:
+                z = (1.5 - sum(tail) / len(tail)) / sd
+                expect = "regression" if abs(z) > 3.0 else "ok"
+            else:
+                expect = ("regression" if 1.5 != tail[0] else "ok")
+            assert r["status"] == expect, (k, tail, r)
