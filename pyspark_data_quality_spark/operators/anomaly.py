@@ -233,7 +233,14 @@ def metrics_regression(
             f"column(s) {clash} — rename or drop them first"
         )
 
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    # value_col desc tiebreaker: with duplicate order_col rows
+    # straddling the lookback cut (the documented double-written-sink
+    # case), which duplicates enter the baseline must not depend on
+    # partition visit order — greatest-value-first matches the struct-
+    # max determinism used for prev_value below
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), F.col(value_col).desc()
+    )
     recent = history.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= lookback
     )

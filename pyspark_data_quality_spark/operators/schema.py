@@ -197,9 +197,14 @@ def candidate_keys(
     return out.orderBy("width", "key_cols")
 
 
-#: widenings a reader tolerates transparently in columnar lakes: every
+#: VALUE-EXACT representability (schema-REGISTRY semantics): every
 #: value of the narrow type is exactly representable in the wide one
-#: (bigint->double is NOT here: longs above 2^53 lose precision)
+#: (bigint->double is NOT here: longs above 2^53 lose precision).
+#: This is a contract-evolution table, NOT a claim that every engine
+#: decodes the physical files transparently — e.g. Spark's vectorized
+#: parquet reader (<4.0) throws on int32 read as int64/timestamp, so
+#: pair a passing verdict with an engine-capability check before
+#: rewriting-in-place is skipped.
 WIDENINGS = {
     ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
     ("smallint", "int"), ("smallint", "bigint"),
@@ -248,6 +253,12 @@ def schema_compat(
       them), removals break, and the move passes iff the NEW value
       decodes as the OLD type (a narrowing in this table's direction).
     - ``full``: both generations coexist — only unchanged columns pass.
+
+    "Decodes" here means VALUE-exact representability per
+    :data:`WIDENINGS` (registry semantics), not that every reader
+    implementation transparently decodes the old physical encoding —
+    verify engine support (or rewrite files) before relying on a
+    passing type-move verdict in a specific lake engine.
 
     Output: one row per column in either version — ``(column,
     old_type, new_type, change, compatible)`` sorted by name, plus the

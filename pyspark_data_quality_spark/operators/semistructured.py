@@ -162,8 +162,12 @@ def conversation_lint(
     # from_json with an array schema silently WRAPS a bare top-level
     # object into a singleton array — a dataset of single message
     # objects would lint as clean 1-turn conversations; require the
-    # raw text to actually be an array
-    is_array = F.ltrim(F.col(json_col)).startswith("[")
+    # raw text to actually be an array. Tested via the first
+    # NON-WHITESPACE char: JSON permits leading \n/\t/\r, which ltrim
+    # (spaces only) would miss, failing legal transcripts.
+    is_array = (
+        F.regexp_extract(F.col(json_col), r"^\s*(.)", 1) == "["
+    )
     parse_ok = (
         is_array
         & F.col("_conv").isNotNull()

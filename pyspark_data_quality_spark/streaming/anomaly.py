@@ -242,9 +242,21 @@ def streaming_ewma(
         with np.errstate(invalid="ignore"):
             band = asym * np.sqrt(1.0 - np.power(a, 2.0 * t))
         out = pdf[[*keys, ts_col, value_col]].copy()
-        ewr = pd.array(np.round(ew, round_to), dtype="Float64")
+        # HALF_UP (away from zero) to match the batch face's F.round —
+        # np.round is half-to-even and would diverge from the batch
+        # face at exact half-boundary values (alarms compare unrounded
+        # values either way, so only the displayed ewma/band differ)
+        scale = 10.0 ** round_to
+
+        def half_up(arr):
+            with np.errstate(invalid="ignore"):
+                return np.copysign(
+                    np.floor(np.abs(arr) * scale + 0.5), arr
+                ) / scale
+
+        ewr = pd.array(half_up(ew), dtype="Float64")
         ewr[~valid] = pd.NA
-        br = pd.array(np.round(band, round_to), dtype="Float64")
+        br = pd.array(half_up(band), dtype="Float64")
         br[~valid] = pd.NA
         out["ewma"] = ewr
         out["band"] = br

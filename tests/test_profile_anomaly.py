@@ -1138,6 +1138,19 @@ def test_metrics_regression_reserved_and_tie_determinism(spark):
     assert out["prev_value"] == 4.0  # greatest tied value, every run
     assert out["n_baseline"] == 5
 
+    # tie STRADDLING the lookback cut: which duplicate enters the
+    # baseline is value-desc deterministic (greatest first), matching
+    # the struct-max rule — not partition-visit-order dependent
+    straddle = spark.createDataFrame(
+        [("m", 1, 10.0), ("m", 1, 0.0), ("m", 2, 2.0), ("m", 3, 3.0)],
+        "metric string, run_seq int, value double",
+    )
+    out2 = metrics_regression(
+        straddle, cur, key_cols=["metric"], lookback=3, min_periods=3,
+    ).collect()[0]
+    assert out2["n_baseline"] == 3
+    assert out2["baseline_mean"] == pytest.approx(5.0)  # {3, 2, 10}
+
     looped = metrics_regression(hist, cur, key_cols=["metric"])
     with pytest.raises(ValueError, match="output column"):
         metrics_regression(hist, looped, key_cols=["metric"])
@@ -1176,6 +1189,10 @@ def test_conversation_lint_hand_cases(spark):
                  ("user", "bye"))),                           # ends user
         (8, "[]"),                                            # zero turns
         (9, None),                                            # NULL column
+        # leading NON-SPACE whitespace (\n/\t) is legal JSON — an
+        # ltrim-based array test (spaces only) would fail this row
+        (10, "\n\t " + conv(("user", "hi"), ("assistant", "yo"))),
+        (11, "   \r\n  "),                                    # all whitespace
     ]
     df = spark.createDataFrame(rows, "doc_id long, conv string")
     out = {r["doc_id"]: r for r in conversation_lint(
@@ -1198,8 +1215,10 @@ def test_conversation_lint_hand_cases(spark):
     assert not out[7]["ends_with_assistant"] and out[7]["starts_with_user"]
     assert not out[8]["parse_ok"]  # an empty conversation is not one
     assert not out[9]["parse_ok"] and not out[9]["conversation_ok"]
-    # exactly one fully-ok row
-    assert [d for d, r in out.items() if r["conversation_ok"]] == [0]
+    assert out[10]["parse_ok"] and out[10]["conversation_ok"]
+    assert not out[11]["parse_ok"] and not out[11]["conversation_ok"]
+    # exactly two fully-ok rows
+    assert [d for d, r in out.items() if r["conversation_ok"]] == [0, 10]
 
     with pytest.raises(ValueError, match="reserved"):
         conversation_lint(

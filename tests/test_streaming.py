@@ -778,3 +778,33 @@ def test_ewma_stream_batch_parity(spark, tmp_path):
             assert abs(gz - bz) < 1e-6 and abs(gb - bb) < 1e-6, key
     assert any(v[2] for k, v in batch.items() if k[0] == "a")
     assert not any(v[2] for k, v in batch.items() if k[0] == "b")
+
+
+def test_ewma_stream_rounding_half_up(spark, tmp_path):
+    """Both faces round HALF_UP (away from zero): alpha=.5, target=0,
+    x=5 puts the ewma EXACTLY on 2.5 (binary-representable), and
+    round_to=0 makes the convention visible — F.round gives 3.0; a
+    half-to-even streaming face (np.round) would emit 2.0."""
+    from pyspark_data_quality_spark.streaming import streaming_ewma
+
+    src = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 5.0),
+         ("a", "2024-01-01 00:01:00", -10.0)],
+        ["k", "ts", "v"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "ewma_half")
+    src.write.parquet(path)
+
+    kw = dict(target=0.0, sigma=1.0, alpha=0.5, L=3.0, round_to=0)
+    batch = {str(r["ts"])[14:16]: r["ewma"] for r in streaming_ewma(
+        spark.read.parquet(path), ["k"], "v", "ts", **kw
+    ).collect()}
+    # z_1 = 2.5 -> 3.0 half-up; z_2 = .5*(-10)+.5*2.5 = -3.75 -> -4.0
+    # (away from zero on the negative side too)
+    assert batch == {"00": 3.0, "01": -4.0}
+    out = _run_stream(spark, streaming_ewma(
+        spark.readStream.schema(src.schema).parquet(path),
+        ["k"], "v", "ts", **kw,
+    ), output_mode="update")
+    got = {str(r["ts"])[14:16]: r["ewma"] for r in out.collect()}
+    assert got == batch
