@@ -779,19 +779,86 @@ def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("method", "config")
 
 
-@query("dq_minhash_pairs")  # rows-only: approximate op, no SQL oracle
+@query(
+    "dq_minhash_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_NORM} AS norm
+      FROM documents WHERE doc_id < 500
+    ), tok AS (
+      SELECT doc_id,
+             list_filter(string_split(norm, ' '), x -> x <> '') AS toks
+      FROM base
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, len(toks) - 1)]) AS ss
+      FROM tok WHERE len(toks) >= 3
+    ), hs AS (
+      SELECT doc_id,
+             [CAST(concat('0x', substr(md5(concat('42:', s)), 1, 15))
+                   AS BIGINT) FOR s IN ss] AS hh
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, hh,
+             [list_min([CAST(concat('0x', substr(md5(concat('42:',
+                          CAST(i AS VARCHAR), ':', CAST(h AS VARCHAR))),
+                          1, 15)) AS BIGINT) FOR h IN hh])
+              FOR i IN range(0, 24)] AS sg
+      FROM hs
+    ), bands AS (
+      SELECT doc_id, hh, t.i AS band,
+             array_to_string(sg[t.i*4+1 : t.i*4+4], ',') AS bkey
+      FROM sig, range(0, 6) t(i)
+    ), sized AS (
+      -- the max_bucket_size=50 hot-bucket guard, replayed
+      SELECT band, bkey FROM bands GROUP BY band, bkey
+      HAVING count(*) >= 2 AND count(*) <= 50
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.hh AS ha, b.hh AS hb
+      FROM bands a
+      JOIN sized s ON a.band = s.band AND a.bkey = s.bkey
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                  AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT id_a, id_b,
+             CAST(round(len(list_intersect(ha, hb)) * 1.0 /
+                        (len(ha) + len(hb)
+                         - len(list_intersect(ha, hb))), 6)
+                  AS DOUBLE) AS jaccard
+      FROM cand
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8
+    """,
+)
 def dq_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs at word-shingle jaccard>=0.8. Word shingles (Broder)
-    rather than char 3-grams: the fixture corpus shares one vocabulary, so
-    char-gram similarity degenerates toward all-pairs (37k pairs at 0.5 on
-    500 docs), while 3-word shingles are discriminative AND ~6x cheaper to
-    hash. 16 bands x 4 rows catches s>=0.8 with ~99.98% probability."""
+    """Near-dup pairs at word-shingle jaccard>=0.8, certified end-to-end
+    by a DuckDB oracle via ``hash_family='md5'`` (the dq_mmd
+    weights='md5' pattern, r15): the oracle independently rebuilds the
+    word 3-shingles, the 24-hash md5 signature (``sig[i] = min
+    md5int("42:i:h")``), the 6-band/4-row bucketing (band key = literal
+    signature slice — equal xxhash64 keys on the Spark side iff equal
+    slices), the max_bucket_size=50 guard, the ordered candidate pairs,
+    and the exact hash-set jaccard verify — so a hash match certifies
+    the WHOLE LSH pipeline value-for-value, not just recall floors.
+
+    Fixed 500-doc subset at every SF: the md5 family costs ~num_hashes
+    digests per shingle on both engines (bounded certification face);
+    the production scale path is blake2b + multiply-shift, recall-
+    certified by dq_neardup_recall at 3 SFs. Word shingles (Broder)
+    rather than char 3-grams: the fixture corpus shares one vocabulary,
+    so char-gram similarity degenerates toward all-pairs. Jaccard here
+    never ties at round-6: set sizes are <=~104, and i/u with u<=104
+    either terminates within 6 decimals or repeats without a half-
+    boundary, so HALF_UP-vs-half-even is moot."""
     from .operators.dedup import minhash_near_dup_pairs
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 500)
     return minhash_near_dup_pairs(
-        docs, "text", "doc_id", num_hashes=64, num_bands=16,
-        shingle="word", shingle_n=3, threshold=0.8,
+        docs, "text", "doc_id", num_hashes=24, num_bands=6,
+        shingle="word", shingle_n=3, threshold=0.8, seed=42,
+        max_bucket_size=50, hash_family="md5",
     )
 
 

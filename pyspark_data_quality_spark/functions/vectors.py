@@ -66,18 +66,33 @@ def hyperplane_keys_np(tables: list[list[list[float]]]):
     return pandas_udf(keys, "array<long>")
 
 
-def shingle_hashes_np(shingle: str = "word", n: int = 3, seed: int = 42):
+def shingle_hashes_np(
+    shingle: str = "word",
+    n: int = 3,
+    seed: int = 42,
+    hash_family: str = "blake2b",
+):
     """Arrow-vectorized shingling: a pandas_udf mapping a text column to
     the DISTINCT 64-bit shingle hashes (``array<long>``; NULL when the text
     yields no shingles).
 
     Normalization matches :func:`..functions.text.normalize_text` (lower,
     collapse whitespace, trim); shingles are ``n``-word joins or char
-    n-grams. Hash = salted blake2b-8 (deterministic across workers, unlike
-    Python's ``hash``). Why a UDF: building shingle STRINGS with
+    n-grams. Why a UDF: building shingle STRINGS with
     slice/array_join expressions is interpreted per element and dominated
     the MinHash pipeline; here the strings never materialize in the plan —
     downstream MinHash and Jaccard verification run on the hash arrays.
+
+    ``hash_family``:
+
+    - ``'blake2b'`` (default, the scale path): salted blake2b-8
+      (deterministic across workers, unlike Python's ``hash``).
+    - ``'md5'``: the engine-portable certification family — h(s) =
+      first 15 hex chars of ``md5("{seed}:" + s)`` as a non-negative
+      60-bit BIGINT, replayable verbatim in DuckDB as
+      ``CAST(concat('0x', substr(md5(concat('{seed}:', s)), 1, 15))
+      AS BIGINT)`` (same trade as mmd_drift's ``weights='md5'``:
+      slower hashing bought full SQL-oracle certification).
     """
     import hashlib
     import re
@@ -85,11 +100,33 @@ def shingle_hashes_np(shingle: str = "word", n: int = 3, seed: int = 42):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if hash_family not in ("blake2b", "md5"):
+        raise ValueError(
+            f"shingle_hashes_np: hash_family must be 'blake2b' or 'md5', "
+            f"got {hash_family!r}"
+        )
     # re.ASCII: Java regex \s (Spark normalize_text) and RE2 \s (DuckDB
     # oracles) are ASCII-only; Python's default unicode \s would collapse
     # NBSP/ideographic spaces they don't, skewing gram sets on CJK text
     ws = re.compile(r"\s+", re.ASCII)
     salt = seed.to_bytes(8, "little", signed=True)
+    md5_prefix = f"{seed}:".encode()
+
+    if hash_family == "md5":
+        def one_hash(s: str) -> int:
+            return int(
+                hashlib.md5(md5_prefix + s.encode("utf-8")).hexdigest()[:15],
+                16,
+            )
+    else:
+        def one_hash(s: str) -> int:
+            return int.from_bytes(
+                hashlib.blake2b(
+                    salt + s.encode("utf-8"), digest_size=8
+                ).digest(),
+                "little",
+                signed=True,
+            )
 
     def f(texts):
         out = [None] * len(texts)
@@ -106,18 +143,53 @@ def shingle_hashes_np(shingle: str = "word", n: int = 3, seed: int = 42):
                 if len(norm) < n:
                     continue
                 items = {norm[j : j + n] for j in range(len(norm) - n + 1)}
-            out[i] = [
-                int.from_bytes(
-                    hashlib.blake2b(salt + s.encode("utf-8"), digest_size=8).digest(),
-                    "little",
-                    signed=True,
-                )
-                for s in items
-            ]
+            out[i] = [one_hash(s) for s in items]
         return pd.Series(out)
 
     f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return pandas_udf(f, "array<long>")
+
+
+def minhash_md5_np(num_hashes: int = 24, seed: int = 42):
+    """Engine-portable MinHash signature from md5-family shingle hashes:
+    a pandas_udf mapping ``array<long>`` (md5-family hashes from
+    :func:`shingle_hashes_np` with ``hash_family='md5'``) to the
+    ``array<long>`` signature with ``sig[i] = min over h of
+    md5int("{seed}:{i}:{h}")`` where ``md5int`` = first 15 hex chars as
+    BIGINT and ``{h}`` is the decimal string of the shingle hash.
+
+    Every step is replayable in DuckDB SQL (list comprehension over
+    ``range(num_hashes)`` + ``md5(concat(...))``), which is the whole
+    point: the full signature→banding→candidate→verify pipeline gets a
+    value-level DuckDB oracle instead of recall floors. ~num_hashes
+    md5 calls per shingle — bound the input (the certification entries
+    use a fixed 500-doc subset); the scale path stays
+    :func:`minhash_rehash_np`.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    prefixes = [f"{seed}:{i}:".encode() for i in range(num_hashes)]
+
+    def sig(hashes):
+        out = [None] * len(hashes)
+        for row, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            encoded = [str(int(h)).encode() for h in hs]
+            out[row] = [
+                min(
+                    int(hashlib.md5(p + e).hexdigest()[:15], 16)
+                    for e in encoded
+                )
+                for p in prefixes
+            ]
+        return pd.Series(out)
+
+    sig.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
+    return pandas_udf(sig, "array<long>")
 
 
 def simhash_np(seed: int = 42):

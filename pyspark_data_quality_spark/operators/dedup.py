@@ -466,6 +466,7 @@ def minhash_near_dup_pairs(
     seed: int = 42,
     max_bucket_size: int | None = 1000,
     impl: str = "np",
+    hash_family: str = "blake2b",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact jaccard >= threshold) via
     MinHash banding.
@@ -497,7 +498,27 @@ def minhash_near_dup_pairs(
     deployments): higher-order-function expressions evaluate INTERPRETED,
     so building ~70 shingle strings and 64 hash minima per doc as
     expression trees dominated the whole pipeline.
+
+    ``hash_family='md5'`` (``impl='np'`` only) swaps both hash kernels
+    for the engine-portable md5 family
+    (:func:`..functions.vectors.minhash_md5_np`) so a DuckDB oracle can
+    replay the ENTIRE pipeline — signature, banding, bucket cap,
+    candidate pairs, exact-jaccard verify — value-for-value
+    (dq_minhash_pairs). Banding/verify code is byte-identical across
+    families; only the two pandas_udf kernels differ. md5 costs
+    ~num_hashes digests per shingle: bound the input (the entry uses a
+    fixed 500-doc subset) and keep blake2b for production corpora.
     """
+    if hash_family not in ("blake2b", "md5"):
+        raise ValueError(
+            f"minhash_near_dup_pairs: hash_family must be 'blake2b' or "
+            f"'md5', got {hash_family!r}"
+        )
+    if hash_family == "md5" and impl != "np":
+        raise ValueError(
+            "minhash_near_dup_pairs: hash_family='md5' requires impl='np' "
+            "(the expression path hashes with engine-specific xxhash64)"
+        )
     if num_hashes % num_bands:
         # a remainder silently drops hashes from every signature: the
         # user computed a recall curve for num_hashes but is running
@@ -512,17 +533,24 @@ def minhash_near_dup_pairs(
 
     df = ensure_min_partitions(df)
     if impl == "np":
-        from ..functions.vectors import minhash_rehash_np, shingle_hashes_np
+        from ..functions.vectors import (
+            minhash_md5_np,
+            minhash_rehash_np,
+            shingle_hashes_np,
+        )
 
         hash_base = df.select(
             F.col(id_col).alias("_id"),
-            shingle_hashes_np(shingle, shingle_n, seed)(F.col(text_col)).alias(
-                "_h"
-            ),
+            shingle_hashes_np(shingle, shingle_n, seed, hash_family)(
+                F.col(text_col)
+            ).alias("_h"),
         ).filter(F.col("_h").isNotNull())
-        base = hash_base.withColumn(
-            "_sig", minhash_rehash_np(num_hashes, seed)(F.col("_h"))
+        sig_udf = (
+            minhash_md5_np(num_hashes, seed)
+            if hash_family == "md5"
+            else minhash_rehash_np(num_hashes, seed)
         )
+        base = hash_base.withColumn("_sig", sig_udf(F.col("_h")))
         verify_col = "_h"
     else:
         shingle_expr = (

@@ -101,6 +101,74 @@ def test_minhash_near_dup(spark, docs):
     assert 1 in kept and 2 not in kept and 4 in kept
 
 
+def test_minhash_md5_family_matches_python_model(spark):
+    """hash_family='md5' (the dq_minhash_pairs certification face) against
+    an INDEPENDENT pure-python replay of the whole pipeline — shingles,
+    md5 signature, banding (literal slice equality), bucket cap, ordered
+    pairs, hash-set jaccard — on a corpus with planted near-dups."""
+    import hashlib
+    import itertools
+    import re
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup
+        (3, base.replace("lazy", "sleepy")),         # near dup
+        (4, "completely different words live here today my friend ok"),
+        (5, None),
+        (6, "too short"),                            # < 3 tokens -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    NH, NB, R, SEED, THR = 24, 6, 4, 7, 0.5
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(
+            df, "text", "doc_id", num_hashes=NH, num_bands=NB,
+            shingle="word", shingle_n=3, threshold=THR, seed=SEED,
+            hash_family="md5",
+        ).collect()
+    }
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def md5int(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    model = {}
+    for did, t in rows:
+        if t is None:
+            continue
+        toks = [x for x in ws.sub(" ", t.lower()).strip().split(" ") if x]
+        if len(toks) < 3:
+            continue
+        ss = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+        hh = {md5int(f"{SEED}:{s}") for s in ss}
+        sig = [min(md5int(f"{SEED}:{i}:{h}") for h in hh) for i in range(NH)]
+        model[did] = (hh, sig)
+    expected = {}
+    for a, b in itertools.combinations(sorted(model), 2):
+        ha, sa = model[a]
+        hb, sb = model[b]
+        shares_band = any(
+            sa[j * R:(j + 1) * R] == sb[j * R:(j + 1) * R] for j in range(NB)
+        )
+        if not shares_band:
+            continue
+        jac = round(len(ha & hb) / len(ha | hb), 6)
+        if jac >= THR:
+            expected[(a, b)] = jac
+    assert got == expected
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+
+    with pytest.raises(ValueError, match="hash_family"):
+        minhash_near_dup_pairs(df, "text", "doc_id", hash_family="sha1")
+    with pytest.raises(ValueError, match="impl='np'"):
+        minhash_near_dup_pairs(
+            df, "text", "doc_id", hash_family="md5", impl="expr"
+        )
+
+
 def test_ngram_jaccard_bruteforce_matches_lsh(spark, docs):
     bf = {
         (r["id_a"], r["id_b"]): r["jaccard"]
