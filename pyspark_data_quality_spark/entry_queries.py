@@ -1757,24 +1757,126 @@ _LINEITEM_CONTRACT = {
              ('l_discount','double'), ('l_returnflag','string'),
              ('l_linestatus','string'), ('l_shipdate','timestamp_ntz'),
              ('l_comment','string')
+    ), contract AS (
+      SELECT coalesce(e."column", a."column") AS "column",
+             e.expected_type, a.actual_type,
+             CASE WHEN a."column" IS NULL THEN 'missing'
+                  WHEN e."column" IS NULL THEN 'unexpected'
+                  WHEN e.expected_type = a.actual_type THEN 'ok'
+                  ELSE 'type_mismatch' END AS status
+      FROM expected e FULL OUTER JOIN actual a ON e."column" = a."column"
+    ),
+    -- evolution part: mutate the ACTUAL schema (remove l_shipdate, add
+    -- l_comment, widen l_linenumber, narrow l_orderkey, break
+    -- l_returnflag) and replay the widening table + verdict matrix
+    mutated AS (
+      SELECT "column",
+             CASE "column" WHEN 'l_linenumber' THEN 'bigint'
+                           WHEN 'l_orderkey' THEN 'int'
+                           WHEN 'l_returnflag' THEN 'double'
+                           ELSE actual_type END AS new_type
+      FROM actual WHERE "column" <> 'l_shipdate'
+      UNION ALL SELECT 'l_comment', 'string'
+    ), widenings(narrow, wide) AS (
+      VALUES ('tinyint','smallint'), ('tinyint','int'),
+             ('tinyint','bigint'), ('smallint','int'),
+             ('smallint','bigint'), ('int','bigint'),
+             ('float','double'), ('date','timestamp'),
+             ('tinyint','float'), ('tinyint','double'),
+             ('smallint','float'), ('smallint','double'),
+             ('int','double')
+    ), pairs AS (
+      SELECT coalesce(o."column", n."column") AS "column",
+             o.actual_type AS old_type, n.new_type
+      FROM actual o FULL OUTER JOIN mutated n ON o."column" = n."column"
+    ), changed AS (
+      SELECT "column", old_type, new_type,
+             CASE WHEN old_type IS NULL THEN 'added'
+                  WHEN new_type IS NULL THEN 'removed'
+                  WHEN old_type = new_type THEN 'unchanged'
+                  WHEN EXISTS (SELECT 1 FROM widenings w
+                               WHERE w.narrow = old_type
+                                 AND w.wide = new_type) THEN 'widened'
+                  WHEN EXISTS (SELECT 1 FROM widenings w
+                               WHERE w.narrow = new_type
+                                 AND w.wide = old_type) THEN 'narrowed'
+                  ELSE 'type_changed' END AS change
+      FROM pairs
+    ), compat AS (
+      SELECT m.mode, c."column", c.old_type, c.new_type, c.change,
+             CASE m.mode
+               WHEN 'backward' THEN
+                 c.change IN ('unchanged', 'removed', 'widened')
+               WHEN 'forward' THEN
+                 c.change IN ('unchanged', 'added', 'narrowed')
+               ELSE c.change = 'unchanged' END AS compatible
+      FROM changed c, (VALUES ('backward'), ('forward'), ('full')) m(mode)
     )
-    SELECT coalesce(e."column", a."column") AS "column",
-           e.expected_type, a.actual_type,
-           CASE WHEN a."column" IS NULL THEN 'missing'
-                WHEN e."column" IS NULL THEN 'unexpected'
-                WHEN e.expected_type = a.actual_type THEN 'ok'
-                ELSE 'type_mismatch' END AS status
-    FROM expected e FULL OUTER JOIN actual a ON e."column" = a."column"
+    SELECT 'contract' AS part, "column", expected_type, actual_type,
+           status, CAST(NULL AS VARCHAR) AS mode,
+           CAST(NULL AS VARCHAR) AS old_type,
+           CAST(NULL AS VARCHAR) AS new_type,
+           CAST(NULL AS VARCHAR) AS change,
+           CAST(NULL AS BOOLEAN) AS compatible
+    FROM contract
+    UNION ALL
+    SELECT 'compat', "column", CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           mode, old_type, new_type, change, compatible
+    FROM compat
     """,
 )
 def dq_schema_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema contract report (operators/schema.py): driver-side
-    metadata comparison, no data read; the oracle rebuilds the same
-    report from DuckDB's DESCRIBE."""
-    from .operators.schema import schema_report
+    """Schema certification composite (operators/schema.py), driver-side
+    metadata only — no data read at any scale:
+
+    - part ``contract``: the original entry verbatim — one frame vs one
+      contract (schema_report); the oracle rebuilds the report from
+      DuckDB's DESCRIBE of the same parquet.
+    - part ``compat`` (r15): schema-EVOLUTION verdicts (schema_compat)
+      between the ACTUAL lineitem schema and a mutated twin planting
+      every change kind — l_shipdate removed, l_comment added,
+      l_linenumber int→bigint (widened), l_orderkey bigint→int
+      (narrowed), l_returnflag string→double (type_changed) — across
+      all three modes, so the full backward/forward/full verdict
+      matrix is hash-certified against an independent SQL restatement
+      of the WIDENINGS table (value-exact representability; registry
+      semantics, see operators/schema.py).
+    """
+    from .operators.schema import schema_compat, schema_report
 
     li = load_table(spark, "lineitem", sf_dir)
-    return schema_report(li, _LINEITEM_CONTRACT)
+    contract = schema_report(li, _LINEITEM_CONTRACT)
+
+    old = {f.name: f.dataType.simpleString() for f in li.schema.fields}
+    new = dict(old)
+    del new["l_shipdate"]
+    new["l_comment"] = "string"
+    new["l_linenumber"] = "bigint"
+    new["l_orderkey"] = "int"
+    new["l_returnflag"] = "double"
+
+    str_null = F.lit(None).cast("string")
+    contract_part = contract.select(
+        F.lit("contract").alias("part"), "column", "expected_type",
+        "actual_type", "status", str_null.alias("mode"),
+        str_null.alias("old_type"), str_null.alias("new_type"),
+        str_null.alias("change"),
+        F.lit(None).cast("boolean").alias("compatible"),
+    )
+    compat_parts = [
+        schema_compat(old, new, mode=m).select(
+            F.lit("compat").alias("part"), "column",
+            str_null.alias("expected_type"), str_null.alias("actual_type"),
+            str_null.alias("status"), F.lit(m).alias("mode"),
+            "old_type", "new_type", "change", "compatible",
+        )
+        for m in ("backward", "forward", "full")
+    ]
+    out = contract_part
+    for p in compat_parts:
+        out = out.unionByName(p)
+    return out
 
 
 _DRIFT_COLS = ["o_orderpriority", "o_orderstatus"]
