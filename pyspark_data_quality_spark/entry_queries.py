@@ -3166,6 +3166,15 @@ def dq_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix.select("doc_id", "mix_source")
 
 
+#: fixed merges table for the dq_token_mix 'bpe' part — hand-traceable
+#: lexicon segmentations: thers->[th,ers]=2, the->[the]=1, and->[and]=1,
+#: tether->[t,e,th,er]=4, sand->[s,and]=2, rest->[r,e,s,t]=4 (the SQL
+#: constants below; independently re-derived in tests/test_bpe.py)
+_BPE_MERGES = [["e", "r"], ["er", "s"], ["t", "h"],
+               ["th", "e"], ["a", "n"], ["an", "d"]]
+_BPE_LEX = ["thers", "the", "and", "tether", "sand", "rest"]
+
+
 @query(
     "dq_token_mix",
     r"""
@@ -3192,32 +3201,96 @@ def dq_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
       FROM n
+    ),
+    -- 'bpe' part: synthetic corpus from doc_id residues over a 6-word
+    -- lexicon; per-word BPE counts under the fixed merges table are
+    -- hand-derived CONSTANTS (ground truth from construction), so the
+    -- hash certifies the greedy min-rank merge kernel end-to-end plus
+    -- the count='bpe' wiring through the mix
+    bsyn AS (
+      SELECT doc_id,
+             'b' || CAST(doc_id % 2 AS VARCHAR) AS source,
+             CAST(list_sum([CASE (doc_id + j) % 6
+                              WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1
+                              WHEN 3 THEN 4 WHEN 4 THEN 2 ELSE 4 END
+                            FOR j IN range(1, 2 + CAST(doc_id % 3 AS INT))])
+                  AS BIGINT) AS mix_tokens,
+             CASE doc_id % 2 WHEN 0 THEN 0.6 ELSE 0.4 END AS sp
+      FROM documents
+    ), bt AS (
+      SELECT source, sum(mix_tokens) AS t, any_value(sp) AS sp
+      FROM bsyn GROUP BY source
+    ), bfeas AS (
+      SELECT CASE WHEN count(*) = 2 THEN min(floor(t / sp)) ELSE 0 END AS ft
+      FROM bt
+    ), bbud AS (
+      SELECT source, floor(sp * ft) AS b FROM bt, bfeas
+    ), bc AS (
+      SELECT bsyn.*,
+             sum(mix_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+      FROM bsyn
     )
-    SELECT c.doc_id, c.source, c.mix_tokens,
+    SELECT 'ws' AS part, c.doc_id, c.source, c.mix_tokens,
            coalesce(c.p IS NOT NULL AND b IS NOT NULL AND e <= b, FALSE)
              AS mix_keep
     FROM c LEFT JOIN bud USING (source)
-    ORDER BY doc_id
+    UNION ALL
+    SELECT 'bpe', bc.doc_id, bc.source, bc.mix_tokens,
+           coalesce(e <= b, FALSE)
+    FROM bc LEFT JOIN bbud USING (source)
     """,
 )
 def dq_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TOKEN-weighted training mix over documents: sources src0/src1/src2
-    at 50/30/20 BY TOKENS — budgets from the feasible total (min over
-    sources of tokens/share), greedy md5-ordered prefix fill per source,
-    every row annotated keep/out (operators/split.py token_budget_mix;
-    distributed prefix-sum method — the oracle is the textbook per-source
-    SQL cumsum)."""
+    """TOKEN-weighted training-mix certification composite
+    (operators/split.py token_budget_mix, distributed prefix-sum
+    method; the oracle is the textbook per-source SQL cumsum):
+
+    - part ``ws``: the original entry — documents sources
+      src0/src1/src2 at 50/30/20 by WHITESPACE tokens.
+    - part ``bpe`` (r15): ``count='bpe'`` over a residue-constructed
+      corpus (words drawn per doc_id from a 6-word lexicon, sources
+      b0/b1 at 60/40) with the fixed :data:`_BPE_MERGES` table. The
+      oracle's token counts are hand-derived constants per lexicon
+      word — ground truth from construction, the conversation-lint
+      pattern — so the hash certifies the real greedy min-rank BPE
+      kernel (functions/bpe.py) AND the mix wiring, not a replay of
+      the kernel by itself.
+    """
     from .operators.split import token_budget_mix
 
     docs = load_table(spark, "documents", sf_dir)
-    out = token_budget_mix(
+    ws = token_budget_mix(
         docs, "doc_id", "source",
         {"src0": 0.5, "src1": 0.3, "src2": 0.2},
         text_col="text",
+    ).select(
+        F.lit("ws").alias("part"), "doc_id", "source", "mix_tokens",
+        "mix_keep",
     )
-    return out.select("doc_id", "source", "mix_tokens", "mix_keep").orderBy(
-        "doc_id"
+
+    lex_sql = ", ".join(f"'{w}'" for w in _BPE_LEX)
+    syn = docs.selectExpr(
+        "doc_id",
+        "concat('b', CAST(doc_id % 2 AS STRING)) AS source",
+        f"""
+        array_join(transform(
+          sequence(1, 1 + CAST(doc_id % 3 AS INT)),
+          j -> element_at(array({lex_sql}),
+                          CAST((doc_id + j) % 6 AS INT) + 1)
+        ), ' ') AS text
+        """,
     )
+    bpe = token_budget_mix(
+        syn, "doc_id", "source", {"b0": 0.6, "b1": 0.4},
+        text_col="text", count="bpe", bpe_merges=_BPE_MERGES,
+    ).select(
+        F.lit("bpe").alias("part"), "doc_id", "source", "mix_tokens",
+        "mix_keep",
+    )
+    return ws.unionByName(bpe)
 
 
 # Synthetic CDC mutation of orders, shared by the diff entries: drop every

@@ -351,6 +351,8 @@ def token_budget_mix(
     keep_col: str = "mix_keep",
     tokens_col: str = "mix_tokens",
     method: str = "partitioned",
+    count: str = "whitespace",
+    bpe_merges: list | None = None,
 ) -> DataFrame:
     """TOKEN-weighted training-mix assembly: annotate each row with
     whether it makes the mix when source proportions are specified in
@@ -382,6 +384,15 @@ def token_budget_mix(
     broadcast) so no single task ever holds a whole source;
     ``method='single_task'`` keeps the textbook per-source window for
     tiny frames and the DuckDB oracle.
+
+    ``count`` picks the token counter applied to ``text_col``:
+    ``'whitespace'`` (default — the fast expression-tree count) or
+    ``'bpe'`` with a ``bpe_merges`` table (from
+    :func:`..functions.bpe.bpe_learn`) — mix recipes are specified in
+    TOKENIZER tokens, and a 10-20% systematic whitespace-count bias
+    shifts every source share; the BPE counter is an Arrow kernel with
+    the merges broadcast in its closure. Ignored when the caller
+    supplies ``token_count_col`` (counts already computed).
     """
     from pyspark.sql.window import Window
 
@@ -400,6 +411,16 @@ def token_budget_mix(
         )
     if method not in ("partitioned", "single_task"):
         raise ValueError(f"token_budget_mix: unknown method {method!r}")
+    if count not in ("whitespace", "bpe"):
+        raise ValueError(
+            f"token_budget_mix: count must be 'whitespace' or 'bpe', "
+            f"got {count!r}"
+        )
+    if count == "bpe" and token_count_col is None and not bpe_merges:
+        raise ValueError(
+            "token_budget_mix: count='bpe' needs a non-empty bpe_merges "
+            "table (train one with functions.bpe.bpe_learn)"
+        )
     _check_reserved(
         df,
         {"_p", "_t", "_sp", "_src", "_budget", "_end", "_pid",
@@ -409,9 +430,14 @@ def token_budget_mix(
     tot = sum(target.values())
     shares = {k: v / tot for k, v in target.items()}
 
-    n_tok = (
-        F.col(token_count_col) if token_count_col else token_count(text_col)
-    )
+    if token_count_col:
+        n_tok = F.col(token_count_col)
+    elif count == "bpe":
+        from ..functions.bpe import bpe_count_np
+
+        n_tok = bpe_count_np(bpe_merges)(F.col(text_col))
+    else:
+        n_tok = token_count(text_col)
 
     def _share_of(src_col):
         # literal share lookup (no join): NULL for non-target sources
