@@ -31,18 +31,18 @@ SURVEY §2.3.
 
 from __future__ import annotations
 
-import re
 from collections import Counter
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_WS = re.compile(r"\s+", re.ASCII)
+from .text import py_tokenize
 
 
 def _words(text: str, lowercase: bool) -> list[str]:
-    norm = _WS.sub(" ", text.lower() if lowercase else text).strip()
-    return [w for w in norm.split(" ") if w]
+    # the shared normalization contract (functions/text.py) — BPE
+    # counts and shingle hashes must tokenize identically
+    return py_tokenize(text, lowercase=lowercase)
 
 
 def _merge_pair(syms: list[str], a: str, b: str) -> list[str]:

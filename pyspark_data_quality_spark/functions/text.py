@@ -40,6 +40,29 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+# python-side twins of normalize_text/tokenize for Arrow kernels — ONE
+# home for the normalization contract so shingle hashes, BPE counts,
+# and the DuckDB oracles can never silently drift apart. re.ASCII: Java
+# regex \s (normalize_text above) and RE2 \s (DuckDB oracles) are
+# ASCII-only; Python's default unicode \s would also collapse
+# NBSP/ideographic spaces they don't, skewing gram sets on CJK text.
+import re as _re  # noqa: E402
+
+_PY_WS = _re.compile(r"\s+", _re.ASCII)
+
+
+def py_normalize_text(text: str, *, lowercase: bool = True) -> str:
+    """Kernel-side :func:`normalize_text` (lower, collapse ASCII
+    whitespace, trim); ``lowercase=False`` skips the case fold."""
+    return _PY_WS.sub(" ", text.lower() if lowercase else text).strip()
+
+
+def py_tokenize(text: str, *, lowercase: bool = True) -> list[str]:
+    """Kernel-side :func:`tokenize`: whitespace words of the normalized
+    text (empty list for empty/whitespace-only input)."""
+    return [w for w in py_normalize_text(text, lowercase=lowercase).split(" ") if w]
+
+
 def tokenize(col: Column | str) -> Column:
     """Whitespace tokenization -> array<string> (empty array for empty text)."""
     c = normalize_text(col)

@@ -95,7 +95,6 @@ def shingle_hashes_np(
       slower hashing bought full SQL-oracle certification).
     """
     import hashlib
-    import re
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -105,10 +104,8 @@ def shingle_hashes_np(
             f"shingle_hashes_np: hash_family must be 'blake2b' or 'md5', "
             f"got {hash_family!r}"
         )
-    # re.ASCII: Java regex \s (Spark normalize_text) and RE2 \s (DuckDB
-    # oracles) are ASCII-only; Python's default unicode \s would collapse
-    # NBSP/ideographic spaces they don't, skewing gram sets on CJK text
-    ws = re.compile(r"\s+", re.ASCII)
+    from .text import py_normalize_text, py_tokenize
+
     salt = seed.to_bytes(8, "little", signed=True)
     md5_prefix = f"{seed}:".encode()
 
@@ -133,13 +130,13 @@ def shingle_hashes_np(
         for i, t in enumerate(texts):
             if t is None:
                 continue
-            norm = ws.sub(" ", t.lower()).strip()
             if shingle == "word":
-                toks = [x for x in norm.split(" ") if x]
+                toks = py_tokenize(t)
                 if len(toks) < n:
                     continue
                 items = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
             else:
+                norm = py_normalize_text(t)
                 if len(norm) < n:
                     continue
                 items = {norm[j : j + n] for j in range(len(norm) - n + 1)}
@@ -202,13 +199,13 @@ def simhash_np(seed: int = 42):
     broadcast instead of 64 interpreted aggregate passes per row.
     """
     import hashlib
-    import re
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    ws = re.compile(r"\s+", re.ASCII)
+    from .text import py_tokenize
+
     salt = seed.to_bytes(8, "little", signed=True)
     bit_idx = np.arange(64, dtype=np.uint64)
     weights = np.uint64(1) << bit_idx
@@ -218,8 +215,7 @@ def simhash_np(seed: int = 42):
         for i, t in enumerate(texts):
             if t is None:
                 continue
-            norm = ws.sub(" ", t.lower()).strip()
-            toks = [x for x in norm.split(" ") if x]
+            toks = py_tokenize(t)
             if not toks:
                 continue
             hs = np.array(

@@ -29,6 +29,34 @@ from pyspark.sql.window import Window
 DEFAULT_MIN_PERIODS = 5
 
 
+def _round_like_spark(arr, nd: int):
+    """Replicate ``F.round`` on doubles for the streaming faces' display
+    columns: Java rounds HALF_UP over the SHORTEST-DECIMAL representation
+    (``BigDecimal.valueOf(double)``). ``np.round`` is half-to-even, and
+    the ``floor(abs*scale+0.5)`` trick rounds the BINARY value (0.285*100
+    = 28.4999... → 0.28 where Spark shows 0.29) — both diverge from the
+    batch face at decimal half-boundaries. Python ``repr(float)`` is the
+    same shortest round-trip decimal as ``Double.toString``, so
+    ``Decimal(repr(x))`` + ``ROUND_HALF_UP`` (ties away from zero, like
+    Java) reproduces F.round exactly. Per-element Decimal, deliberately:
+    metric streams are bounded, and stream/batch display parity beats
+    vectorizing a cosmetic column. Alarms everywhere compare UNROUNDED
+    values, so only the displayed columns are at stake."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-nd)
+    out = np.empty(len(arr), dtype=float)
+    for i, v in enumerate(arr):
+        fv = float(v)
+        out[i] = (
+            fv
+            if math.isnan(fv) or math.isinf(fv)
+            else float(Decimal(repr(fv)).quantize(q, rounding=ROUND_HALF_UP))
+        )
+    return out
+
+
 def streaming_zscore(
     df: DataFrame,
     keys: list[str],
@@ -108,7 +136,7 @@ def streaming_zscore(
             ok = valid & (pn >= 2) & (std > 0)
             flag = ok & (pn >= min_periods) & (np.abs(z) > threshold)
             out = pdf[[*keys, ts_col, value_col]].copy()
-            zr = pd.array(np.round(z, round_to), dtype="Float64")
+            zr = pd.array(_round_like_spark(z, round_to), dtype="Float64")
             zr[~ok] = pd.NA
             out["zscore"] = zr
             out["is_anomaly"] = flag
@@ -242,21 +270,12 @@ def streaming_ewma(
         with np.errstate(invalid="ignore"):
             band = asym * np.sqrt(1.0 - np.power(a, 2.0 * t))
         out = pdf[[*keys, ts_col, value_col]].copy()
-        # HALF_UP (away from zero) to match the batch face's F.round —
-        # np.round is half-to-even and would diverge from the batch
-        # face at exact half-boundary values (alarms compare unrounded
-        # values either way, so only the displayed ewma/band differ)
-        scale = 10.0 ** round_to
-
-        def half_up(arr):
-            with np.errstate(invalid="ignore"):
-                return np.copysign(
-                    np.floor(np.abs(arr) * scale + 0.5), arr
-                ) / scale
-
-        ewr = pd.array(half_up(ew), dtype="Float64")
+        # _round_like_spark: F.round-faithful HALF_UP so the displayed
+        # ewma/band match the batch face bit-for-bit (alarms compare
+        # unrounded values either way)
+        ewr = pd.array(_round_like_spark(ew, round_to), dtype="Float64")
         ewr[~valid] = pd.NA
-        br = pd.array(half_up(band), dtype="Float64")
+        br = pd.array(_round_like_spark(band, round_to), dtype="Float64")
         br[~valid] = pd.NA
         out["ewma"] = ewr
         out["band"] = br
@@ -367,8 +386,8 @@ def streaming_cusum(
         sp = cu - np.minimum(np.minimum.accumulate(cu), 0.0)
         sn = cn - np.minimum(np.minimum.accumulate(cn), 0.0)
         out = pdf[[*keys, ts_col, value_col]].copy()
-        out["s_pos"] = np.round(sp, round_to)
-        out["s_neg"] = np.round(sn, round_to)
+        out["s_pos"] = _round_like_spark(sp, round_to)
+        out["s_neg"] = _round_like_spark(sn, round_to)
         out["is_alarm"] = valid & ((sp > threshold) | (sn > threshold))
         state.update((float(sp[-1]) if len(sp) else sp0,
                       float(sn[-1]) if len(sn) else sn0))

@@ -135,6 +135,18 @@ _COMPOSITE_BUDGETS = {
     # r14: fields part (one fused agg) + conversations part (parse +
     # HOF lint riding the documents scan — zero extra shuffles)
     "dq_json_fields": (2, 3),        # audited: 1 / 2
+    # r15: ws + bpe parts = two full token_budget_mix 'partitioned'
+    # prefix-sum pipelines (range partition + per-source totals +
+    # offsets broadcast each); static dump double-counts subtrees the
+    # runtime ReusedExchange collapses
+    "dq_token_mix": (19, 7),         # audited r15: 18 / 6
+    # r15: contract + compat(x3 modes) — driver-side metadata only,
+    # LocalTableScan unions; any Exchange or parquet scan appearing
+    # here means someone made schema introspection read data
+    "dq_schema_report": (1, 1),      # audited r15: 0 / 0
+    # r15 md5-oracle face: shingle/sig Arrow stages ride the pushed
+    # doc_id<500 scan; ONE bucket shuffle + pair-dedup agg
+    "dq_minhash_pairs": (4, 2),      # audited r15: 3 / 1
 }
 
 

@@ -780,11 +780,36 @@ def test_ewma_stream_batch_parity(spark, tmp_path):
     assert not any(v[2] for k, v in batch.items() if k[0] == "b")
 
 
+def test_round_like_spark_matches_f_round(spark):
+    """The streaming faces' display rounding must equal F.round
+    bit-for-bit — including DECIMAL half-boundaries where both
+    np.round (half-even) and the naive floor(abs*scale+.5) trick
+    (rounds the binary value: 0.285*100 = 28.4999...) diverge from
+    Java's shortest-decimal HALF_UP."""
+    import math
+    import random
+
+    from pyspark_data_quality_spark.streaming.anomaly import _round_like_spark
+
+    vals = [0.285, 1.005, 2.675, -0.285, -1.005, 2.5, -2.5, -3.75,
+            0.1234565, 1e-7, 123456.789, 0.0, -0.0, 1e16,
+            1.0000005, -1.0000005, float("nan"), float("inf")]
+    random.seed(5)
+    vals += [random.uniform(-50, 50) for _ in range(300)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    for nd in (0, 2, 6):
+        want = [r[0] for r in df.select(F.round("v", nd)).collect()]
+        got = list(_round_like_spark(vals, nd))
+        for v, w, g in zip(vals, want, got):
+            assert w == g or (math.isnan(w) and math.isnan(g)), (v, nd, w, g)
+
+
 def test_ewma_stream_rounding_half_up(spark, tmp_path):
-    """Both faces round HALF_UP (away from zero): alpha=.5, target=0,
-    x=5 puts the ewma EXACTLY on 2.5 (binary-representable), and
-    round_to=0 makes the convention visible — F.round gives 3.0; a
-    half-to-even streaming face (np.round) would emit 2.0."""
+    """Both faces round like F.round: x=5/alpha=.5/target=0 puts the
+    ewma EXACTLY on 2.5 (binary half — np.round would emit 2.0, batch
+    3.0), and target=x=0.285/round_to=2 plants a DECIMAL half (binary
+    0.28499..., shortest repr '0.285' — the naive floor(abs*100+.5)
+    trick would emit 0.28, F.round 0.29)."""
     from pyspark_data_quality_spark.streaming import streaming_ewma
 
     src = spark.createDataFrame(
@@ -808,3 +833,20 @@ def test_ewma_stream_rounding_half_up(spark, tmp_path):
     ), output_mode="update")
     got = {str(r["ts"])[14:16]: r["ewma"] for r in out.collect()}
     assert got == batch
+
+    # decimal half-boundary: z_1 = .5*target + .5*x = target exactly
+    src2 = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 0.285)], ["k", "ts", "v"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path2 = str(tmp_path / "ewma_half2")
+    src2.write.parquet(path2)
+    kw2 = dict(target=0.285, sigma=1.0, alpha=0.5, L=3.0, round_to=2)
+    b2 = streaming_ewma(
+        spark.read.parquet(path2), ["k"], "v", "ts", **kw2
+    ).collect()[0]["ewma"]
+    assert b2 == 0.29  # F.round(0.285, 2) — shortest-decimal HALF_UP
+    s2 = _run_stream(spark, streaming_ewma(
+        spark.readStream.schema(src2.schema).parquet(path2),
+        ["k"], "v", "ts", **kw2,
+    ), output_mode="update").collect()[0]["ewma"]
+    assert s2 == b2
