@@ -1296,13 +1296,74 @@ def dq_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(hashed, max_hamming=6)
 
 
-@query("dq_simhash_pairs")  # rows-only: banded SimHash is approximate
+@query(
+    "dq_simhash_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_NORM} AS norm
+      FROM documents WHERE doc_id < 500
+    ), tok AS (
+      SELECT doc_id,
+             list_filter(string_split(norm, ' '), x -> x <> '') AS toks
+      FROM base
+    ), hh AS (
+      SELECT doc_id,
+             [CAST(concat('0x', substr(md5(concat('42:', t)), 1, 16))
+                   AS UBIGINT) FOR t IN toks] AS hs
+      FROM tok WHERE len(toks) >= 1
+    ), sh AS (
+      -- bit j set iff the +1/-1 vote sum over token-hash bit j is
+      -- positive; packed via exact powers of two (HUGEINT sum, then
+      -- the unsigned 64-bit view — band keys and hamming are
+      -- sign-agnostic, so no two's-complement conversion is needed)
+      SELECT doc_id,
+             CAST(list_sum([
+               CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1
+                                        THEN 1 ELSE -1 END
+                                   FOR h IN hs]) > 0
+                    THEN CAST(power(2, j) AS HUGEINT) ELSE 0 END
+               FOR j IN range(0, 64)]) AS UBIGINT) AS p
+      FROM hh
+    ), bands AS (
+      SELECT doc_id, p, b.j AS band,
+             CAST((p >> CAST(b.j * 16 AS UBIGINT)) & 65535 AS BIGINT)
+               AS bkey
+      FROM sh, range(0, 4) b(j)
+    ), sized AS (
+      SELECT band, bkey FROM bands GROUP BY band, bkey
+      HAVING count(*) >= 2 AND count(*) <= 1000
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.p AS pa, b.p AS pb
+      FROM bands a
+      JOIN sized s ON a.band = s.band AND a.bkey = s.bkey
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(pa, pb)) <= 8
+    """,
+)
 def dq_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, certified end-to-end by a DuckDB oracle
+    via ``hash_family='md5'`` (r15, the MinHash-md5 pattern): the
+    oracle independently rebuilds the token multiset, the 64-bit md5
+    vote-packed simhash, the 4x16-bit band keys (logical shifts on the
+    unsigned view — identical bits to Spark's shiftrightunsigned), the
+    bucket-size guard, ordered candidate pairs, and the exact
+    bit_count(xor) hamming verify. The hamming<=8 / 4-band config is
+    probabilistic in RECALL (banding may miss a true pair), but the
+    banding itself is a deterministic function of the hashes — the
+    oracle replays it, so the hash match certifies exactly what the
+    operator computes; measured recall floors for this config live in
+    dq_neardup_recall. Fixed 500-doc subset keeps the face bounded at
+    every SF; the blake2b scale path is the production default."""
     from .operators.dedup import simhash_near_dup_pairs
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 500)
     return simhash_near_dup_pairs(
-        docs, "text", "doc_id", max_hamming=8, allow_probabilistic=True
+        docs, "text", "doc_id", max_hamming=8, num_bands=4, seed=42,
+        allow_probabilistic=True, hash_family="md5",
     )
 
 

@@ -189,7 +189,7 @@ def minhash_md5_np(num_hashes: int = 24, seed: int = 42):
     return pandas_udf(sig, "array<long>")
 
 
-def simhash_np(seed: int = 42):
+def simhash_np(seed: int = 42, hash_family: str = "blake2b"):
     """Arrow-vectorized 64-bit SimHash of the token multiset: a pandas_udf
     mapping text to BIGINT (NULL for token-less text).
 
@@ -197,6 +197,13 @@ def simhash_np(seed: int = 42):
     the +1/-1 vote sum over token-hash bit j is positive) with a salted
     blake2b-8 token hash; the 64 x tokens vote matrix is one numpy
     broadcast instead of 64 interpreted aggregate passes per row.
+
+    ``hash_family='md5'``: the engine-portable certification family —
+    token hash = first 16 hex chars of ``md5("{seed}:" + tok)`` as
+    uint64, replayable in DuckDB as ``CAST(concat('0x',
+    substr(md5(concat('{seed}:', t)), 1, 16)) AS UBIGINT)`` so the
+    whole simhash→banding→hamming pipeline gets a value-level oracle
+    (dq_simhash_pairs; same trade as the MinHash md5 face).
     """
     import hashlib
 
@@ -206,9 +213,30 @@ def simhash_np(seed: int = 42):
 
     from .text import py_tokenize
 
+    if hash_family not in ("blake2b", "md5"):
+        raise ValueError(
+            f"simhash_np: hash_family must be 'blake2b' or 'md5', "
+            f"got {hash_family!r}"
+        )
     salt = seed.to_bytes(8, "little", signed=True)
+    md5_prefix = f"{seed}:".encode()
     bit_idx = np.arange(64, dtype=np.uint64)
     weights = np.uint64(1) << bit_idx
+
+    if hash_family == "md5":
+        def one_hash(x: str) -> int:
+            return int(
+                hashlib.md5(md5_prefix + x.encode("utf-8")).hexdigest()[:16],
+                16,
+            )
+    else:
+        def one_hash(x: str) -> int:
+            return int.from_bytes(
+                hashlib.blake2b(
+                    salt + x.encode("utf-8"), digest_size=8
+                ).digest(),
+                "little",
+            )
 
     def f(texts):
         out = [None] * len(texts)
@@ -218,16 +246,7 @@ def simhash_np(seed: int = 42):
             toks = py_tokenize(t)
             if not toks:
                 continue
-            hs = np.array(
-                [
-                    int.from_bytes(
-                        hashlib.blake2b(salt + x.encode("utf-8"), digest_size=8).digest(),
-                        "little",
-                    )
-                    for x in toks
-                ],
-                dtype=np.uint64,
-            )
+            hs = np.array([one_hash(x) for x in toks], dtype=np.uint64)
             bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
             votes = (2 * bits - 1).sum(axis=0)
             packed = (weights * (votes > 0)).sum(dtype=np.uint64)

@@ -686,6 +686,7 @@ def simhash_near_dup_pairs(
     max_bucket_size: int | None = 1000,
     impl: str = "np",
     allow_probabilistic: bool = False,
+    hash_family: str = "blake2b",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates from 16-bit band buckets
     (a pair within hamming<=3 of 64 bits shares at least one of 4 bands by
@@ -701,7 +702,23 @@ def simhash_near_dup_pairs(
     and must say so with ``allow_probabilistic=True``; pair such
     configs with a measured floor (dq_neardup_recall's pattern) rather
     than assuming completeness. Without the flag the call refuses
-    loudly instead of silently losing pairs."""
+    loudly instead of silently losing pairs.
+
+    ``hash_family='md5'`` (``impl='np'`` only) swaps the token hash for
+    the engine-portable md5 family so a DuckDB oracle can replay the
+    whole simhash→banding→cap→hamming pipeline value-for-value
+    (dq_simhash_pairs); banding/verify code is shared across families.
+    """
+    if hash_family not in ("blake2b", "md5"):
+        raise ValueError(
+            f"simhash_near_dup_pairs: hash_family must be 'blake2b' or "
+            f"'md5', got {hash_family!r}"
+        )
+    if hash_family == "md5" and impl != "np":
+        raise ValueError(
+            "simhash_near_dup_pairs: hash_family='md5' requires impl='np' "
+            "(the expression path hashes with engine-specific xxhash64)"
+        )
     if num_bands <= max_hamming and not allow_probabilistic:
         raise ValueError(
             f"simhash_near_dup_pairs: num_bands={num_bands} cannot "
@@ -723,7 +740,7 @@ def simhash_near_dup_pairs(
     if impl == "np":
         from ..functions.vectors import simhash_np
 
-        sh_col = simhash_np(seed)(F.col(text_col))
+        sh_col = simhash_np(seed, hash_family)(F.col(text_col))
     else:
         sh_col = simhash(text_col, seed=seed)
     base = df.select(

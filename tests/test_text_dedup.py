@@ -169,6 +169,75 @@ def test_minhash_md5_family_matches_python_model(spark):
         )
 
 
+def test_simhash_md5_family_matches_python_model(spark):
+    """hash_family='md5' (the dq_simhash_pairs certification face):
+    operator pairs == an independent python replay of multiset
+    tokenize -> md5 vote-packed simhash -> 4x16-bit banding -> hamming
+    verify, on a corpus with planted near-dups."""
+    import hashlib
+    import itertools
+    import re
+
+    from pyspark_data_quality_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (1, base),
+        (2, base),                                    # identical -> hamming 0
+        (3, base.replace("sigma", "sygma")),          # near dup
+        (4, "utterly different content words here now indeed truly ok"),
+        (5, None),
+        (6, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    SEED, MH, NB = 9, 8, 4
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            df, "text", "doc_id", max_hamming=MH, num_bands=NB,
+            seed=SEED, allow_probabilistic=True, hash_family="md5",
+        ).collect()
+    }
+
+    ws = re.compile(r"\s+", re.ASCII)
+    sigs = {}
+    for did, t in rows:
+        if t is None:
+            continue
+        toks = [x for x in ws.sub(" ", t.lower()).strip().split(" ") if x]
+        if not toks:
+            continue
+        hs = [int(hashlib.md5(f"{SEED}:{x}".encode()).hexdigest()[:16], 16)
+              for x in toks]
+        p = 0
+        for j in range(64):
+            if sum(1 if (h >> j) & 1 else -1 for h in hs) > 0:
+                p |= 1 << j
+        sigs[did] = p
+    expected = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        pa, pb = sigs[a], sigs[b]
+        shares = any(
+            (pa >> (j * 16)) & 0xFFFF == (pb >> (j * 16)) & 0xFFFF
+            for j in range(NB)
+        )
+        ham = bin(pa ^ pb).count("1")
+        if shares and ham <= MH:
+            expected[(a, b)] = ham
+    assert got == expected
+    assert got[(1, 2)] == 0  # exact dup
+
+    with pytest.raises(ValueError, match="hash_family"):
+        simhash_near_dup_pairs(df, "text", "doc_id", hash_family="sha1")
+    with pytest.raises(ValueError, match="impl='np'"):
+        simhash_near_dup_pairs(
+            df, "text", "doc_id", hash_family="md5", impl="expr"
+        )
+
+
 def test_ngram_jaccard_bruteforce_matches_lsh(spark, docs):
     bf = {
         (r["id_a"], r["id_b"]): r["jaccard"]
