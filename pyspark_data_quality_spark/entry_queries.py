@@ -656,14 +656,75 @@ def dq_exact_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tk.unionByName(ep)
 
 
-@query("dq_embedding_pairs_lsh")  # rows-only: approximate op, no SQL oracle
+@query(
+    "dq_embedding_pairs_lsh",
+    """
+    WITH g AS (
+      SELECT t.t, p.p, j.j,
+             sqrt(-2 * ln((CAST(concat('0x', substr(md5(concat(
+                 'hp1|42|', t.t, '|', p.p, '|', j.j)), 1, 6)) AS BIGINT)
+                 + 0.5) / 16777216.0))
+             * cos(2 * pi() * ((CAST(concat('0x', substr(md5(concat(
+                 'hp2|42|', t.t, '|', p.p, '|', j.j)), 1, 6)) AS BIGINT)
+                 + 0.5) / 16777216.0)) AS w
+      FROM range(0, 8) t(t), range(0, 8) p(p), range(0, 64) j(j)
+    ), pl AS (
+      SELECT t, p, list(w ORDER BY j) AS wv FROM g GROUP BY t, p
+    ), emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 500
+    ), bits AS (
+      SELECT e.vec_id, pl.t, pl.p,
+             CASE WHEN list_dot_product(e.v, pl.wv) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM emb e CROSS JOIN pl
+    ), keys AS (
+      -- MSB-first packing, matching hyperplane_bucket_keys' acc*2+bit
+      SELECT vec_id, t,
+             CAST(sum(bit * CAST(power(2, 7 - p) AS BIGINT)) AS BIGINT)
+               AS k
+      FROM bits GROUP BY vec_id, t
+    ), sized AS (
+      SELECT t, k FROM keys GROUP BY t, k
+      HAVING count(*) >= 2 AND count(*) <= 1000
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keys a
+      JOIN sized s ON a.t = s.t AND a.k = s.k
+      JOIN keys b ON a.t = b.t AND a.k = b.k AND a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(round(list_cosine_similarity(a.v, b.v), 6) AS DOUBLE)
+               AS cosine
+      FROM cand c
+      JOIN emb a ON c.id_a = a.vec_id
+      JOIN emb b ON c.id_b = b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+    """,
+)
 def dq_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup pairs, certified end-to-end by
+    a DuckDB oracle via ``planes='md5'`` (r15): the oracle rebuilds all
+    8x8x64 plane weights bit-for-bit with the md5 Box–Muller formula
+    (the dq_mmd ``weights='md5'`` construction), replays the MSB-first
+    sign-bit bucket keys, the bucket-size guard, ordered candidate
+    pairs, and the exact-cosine verify at round-6 (the cosine alignment
+    Spark-vs-DuckDB is separately certified by dq_exact_similarity on
+    the same 500-vector subset). ``impl='expr'`` keeps the sign-bit dot
+    products sequential like the oracle's accumulation; a sign
+    disagreement would need |dot| under ~1e-13 — the same accepted
+    float-boundary hazard class as dq_mmd (BASELINE.md round 15).
+    Banding recall (vs the exact pair set) stays measured in
+    dq_sem_recall/dq_ann_recall; the rng scale path is the production
+    default."""
     from .operators.dedup import embedding_near_dup_pairs
 
-    emb = _emb_double(spark, sf_dir)
+    emb = _emb_double(spark, sf_dir).filter(F.col("vec_id") < 500)
     return embedding_near_dup_pairs(
         emb, "embedding", "vec_id", threshold=0.4, dim=64,
-        num_planes=8, num_tables=8,
+        num_planes=8, num_tables=8, seed=42,
+        planes="md5", impl="expr",
     )
 
 

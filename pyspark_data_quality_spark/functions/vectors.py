@@ -334,6 +334,37 @@ def hyperplane_bucket_keys(vec: Column, tables: list[list[list[float]]]) -> Colu
     )
 
 
+def md5_hyperplanes(
+    num_tables: int, num_planes: int, dim: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """Engine-replayable random hyperplanes: Box–Muller gaussians from
+    md5-derived uniforms ``u = (int(md5(tag)[:6], 16) + 0.5) / 2^24``
+    with tags ``hp1|seed|t|p|j`` / ``hp2|seed|t|p|j`` — the
+    ``_md5_rff_weights`` construction (operators/drift.py, the dq_mmd
+    oracle) applied to hyperplane LSH, so a DuckDB oracle can rebuild
+    every plane weight bit-for-bit (libm-level) and replay the whole
+    bucketing (dq_embedding_pairs_lsh). Driver-side, parameter-bounded:
+    tables x planes x dim md5 calls."""
+    import hashlib
+    import math as _math
+
+    def u(tag: str) -> float:
+        k = int(hashlib.md5(tag.encode()).hexdigest()[:6], 16)
+        return (k + 0.5) / 16777216.0
+
+    return [
+        [
+            [
+                _math.sqrt(-2.0 * _math.log(u(f"hp1|{seed}|{t}|{p}|{j}")))
+                * _math.cos(2.0 * _math.pi * u(f"hp2|{seed}|{t}|{p}|{j}"))
+                for j in range(dim)
+            ]
+            for p in range(num_planes)
+        ]
+        for t in range(num_tables)
+    ]
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b

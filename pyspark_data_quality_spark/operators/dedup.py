@@ -875,6 +875,7 @@ def embedding_near_dup_pairs(
     dim: int | None = None,
     max_bucket_size: int | None = 1000,
     impl: str = "np",
+    planes: str = "rng",
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold.
 
@@ -886,6 +887,14 @@ def embedding_near_dup_pairs(
 
     Pass ``dim`` (embedding width) so plan construction stays action-free;
     without it a one-row probe job runs (:func:`..functions.vectors.vector_dim`).
+
+    ``planes='md5'`` draws the hyperplanes via md5 Box–Muller
+    (:func:`..functions.vectors.md5_hyperplanes`) instead of
+    ``random.Random`` — same gaussian geometry, but every weight is
+    reproducible in SQL, which lets a DuckDB oracle replay the whole
+    bucketing+verify pipeline (dq_embedding_pairs_lsh); pair it with
+    ``impl='expr'`` so the sign-bit dot products accumulate
+    sequentially like the oracle's.
     """
     from ..functions.vectors import (
         cosine_similarity,
@@ -893,6 +902,11 @@ def embedding_near_dup_pairs(
         vector_dim,
     )
 
+    if planes not in ("rng", "md5"):
+        raise ValueError(
+            f"embedding_near_dup_pairs: planes must be 'rng' or 'md5', "
+            f"got {planes!r}"
+        )
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
 
     if brute_force:
@@ -926,14 +940,20 @@ def embedding_near_dup_pairs(
             F.col("_id").alias("id_b"),
             F.lit(0.0).alias("cosine"),
         )
-    import random
+    if planes == "md5":
+        from ..functions.vectors import md5_hyperplanes
 
-    rnd = random.Random(seed)
-    # Fixed random hyperplanes as plan literals (driver-side, deterministic).
-    tables = [
-        [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
-        for _ in range(num_tables)
-    ]
+        tables = md5_hyperplanes(num_tables, num_planes, dim, seed)
+    else:
+        import random
+
+        rnd = random.Random(seed)
+        # Fixed random hyperplanes as plan literals (driver-side,
+        # deterministic).
+        tables = [
+            [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+            for _ in range(num_tables)
+        ]
 
     # no ensure_min_partitions here: the hyperplane kernel is one batched
     # matmul per Arrow batch — measured cheaper to run on few partitions

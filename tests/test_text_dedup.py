@@ -238,6 +238,83 @@ def test_simhash_md5_family_matches_python_model(spark):
         )
 
 
+def test_embedding_lsh_md5_planes_match_python_model(spark):
+    """planes='md5' + impl='expr' (the dq_embedding_pairs_lsh
+    certification face): operator pairs == an independent python replay
+    of the Box-Muller planes, MSB-first sign-bit keys, bucketing, and
+    cosine verify."""
+    import hashlib
+    import itertools
+    import math
+
+    from pyspark_data_quality_spark.functions.vectors import md5_hyperplanes
+    from pyspark_data_quality_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    T, P, D, SEED, THR = 3, 4, 8, 11, 0.8
+    base = [1.0, 0.5, -0.25, 2.0, 0.0, -1.0, 0.75, 0.125]
+    near = list(base)
+    near[2] = -0.2                      # high-cosine neighbor
+    rows = [
+        (1, base), (2, base), (3, near),
+        (4, [(-1.0) ** j * (j + 1.0) for j in range(D)]),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            df, "embedding", "vec_id", threshold=THR, dim=D,
+            num_planes=P, num_tables=T, seed=SEED,
+            planes="md5", impl="expr",
+        ).collect()
+    }
+
+    # independent plane replay straight from the documented formula
+    def u(tag):
+        return (int(hashlib.md5(tag.encode()).hexdigest()[:6], 16) + 0.5) / 16777216.0
+
+    planes = [
+        [[math.sqrt(-2 * math.log(u(f"hp1|{SEED}|{t}|{p}|{j}")))
+          * math.cos(2 * math.pi * u(f"hp2|{SEED}|{t}|{p}|{j}"))
+          for j in range(D)] for p in range(P)]
+        for t in range(T)
+    ]
+    assert planes == md5_hyperplanes(T, P, D, SEED)
+
+    vecs = {i: v for i, v in rows if v is not None}
+    keys = {
+        (i, t): sum(
+            (1 if sum(x * w for x, w in zip(v, planes[t][p])) > 0 else 0)
+            * 2 ** (P - 1 - p)
+            for p in range(P)
+        )
+        for i, v in vecs.items()
+        for t in range(T)
+    }
+    expected = {}
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        if not any(keys[(a, t)] == keys[(b, t)] for t in range(T)):
+            continue
+        va, vb = vecs[a], vecs[b]
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        cos = round(sum(x * y for x, y in zip(va, vb)) / (na * nb), 6)
+        if cos >= THR:
+            expected[(a, b)] = cos
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k] == pytest.approx(expected[k], abs=1e-9)
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got  # planted high-cosine neighbor
+
+    with pytest.raises(ValueError, match="planes"):
+        embedding_near_dup_pairs(
+            df, "embedding", "vec_id", dim=D, planes="xorshift"
+        )
+
+
 def test_ngram_jaccard_bruteforce_matches_lsh(spark, docs):
     bf = {
         (r["id_a"], r["id_b"]): r["jaccard"]
