@@ -728,15 +728,80 @@ def dq_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dq_lsh_topk")  # rows-only: approximate op, no SQL oracle
+@query(
+    "dq_lsh_topk",
+    """
+    WITH g AS (
+      SELECT t.t, p.p, j.j,
+             sqrt(-2 * ln((CAST(concat('0x', substr(md5(concat(
+                 'hp1|42|', t.t, '|', p.p, '|', j.j)), 1, 6)) AS BIGINT)
+                 + 0.5) / 16777216.0))
+             * cos(2 * pi() * ((CAST(concat('0x', substr(md5(concat(
+                 'hp2|42|', t.t, '|', p.p, '|', j.j)), 1, 6)) AS BIGINT)
+                 + 0.5) / 16777216.0)) AS w
+      FROM range(0, 6) t(t), range(0, 12) p(p), range(0, 64) j(j)
+    ), pl AS (
+      SELECT t, p, list(w ORDER BY j) AS wv FROM g GROUP BY t, p
+    ), emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 1000
+    ), q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), ck AS (
+      SELECT e.vec_id, pl.t,
+             CAST(sum(CASE WHEN list_dot_product(e.v, pl.wv) > 0
+                           THEN CAST(power(2, 11 - pl.p) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS k
+      FROM emb e CROSS JOIN pl GROUP BY e.vec_id, pl.t
+    ), sized AS (
+      SELECT t, k FROM ck GROUP BY t, k HAVING count(*) <= 10000
+    ), qk AS (
+      SELECT q.query_id, pl.t,
+             CAST(sum(CASE WHEN list_dot_product(q.qv, pl.wv) > 0
+                           THEN CAST(power(2, 11 - pl.p) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS k
+      FROM q CROSS JOIN pl GROUP BY q.query_id, pl.t
+    ), cand AS (
+      SELECT DISTINCT qk.query_id, ck.vec_id AS neighbor_id
+      FROM qk
+      JOIN sized s ON qk.t = s.t AND qk.k = s.k
+      JOIN ck ON qk.t = ck.t AND qk.k = ck.k
+    ), scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(round(list_cosine_similarity(e.v, q.qv), 6) AS DOUBLE)
+               AS cosine
+      FROM cand c
+      JOIN emb e ON c.neighbor_id = e.vec_id
+      JOIN q ON c.query_id = q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine DESC NULLS LAST, neighbor_id
+             ) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+    """,
+)
 def dq_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k, certified end-to-end by a
+    DuckDB oracle via ``planes='md5'`` (r15): the oracle rebuilds the
+    6x12x64 Box–Muller planes bit-for-bit, replays both the corpus and
+    query bucket keys, the hot-bucket guard, the distinct candidate
+    probe join, the round-6 cosine scoring, and the deterministic
+    (cosine DESC, neighbor_id) top-10 ranking. Corpus bounded at
+    vec_id<1000 so the md5/expr face stays flat across SFs; recall of
+    the rng production config vs brute force stays measured in
+    dq_ann_recall."""
     from .operators.similarity import lsh_topk
 
-    emb = _emb_double(spark, sf_dir)
+    emb = _emb_double(spark, sf_dir).filter(F.col("vec_id") < 1000)
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(emb, queries_df, k=10, dim=64)
+    return lsh_topk(emb, queries_df, k=10, dim=64, seed=42, planes="md5")
 
 
 @query("dq_ann_recall")  # rows-only: recall harness over approximate ANN

@@ -133,9 +133,15 @@ def lsh_topk(
     dim: int | None = None,
     max_bucket_size: int | None = 10000,
     impl: str = "np",
+    planes: str = "rng",
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing at least one
     hyperplane-LSH bucket with the query (any of ``num_tables`` tables).
+
+    ``planes='md5'`` draws the hyperplanes via md5 Box–Muller
+    (:func:`..functions.vectors.md5_hyperplanes`) so a DuckDB oracle
+    can replay the whole probe pipeline (dq_lsh_topk); ``'rng'`` is the
+    production default.
 
     Recall rises with tables, candidate count with 1/planes; 6x12 at
     64-dim gives ~0.9+ recall@10 on uniform data. Output schema matches
@@ -153,6 +159,10 @@ def lsh_topk(
     from ..functions.vectors import vector_dim
     from .dedup import _explode_hyperplane_buckets, cap_buckets
 
+    if planes not in ("rng", "md5"):
+        raise ValueError(
+            f"lsh_topk: planes must be 'rng' or 'md5', got {planes!r}"
+        )
     dim = vector_dim(corpus, vec_col, dim)
     if dim is None:  # empty corpus: empty result with the contract schema
         # query_id keeps the QUERIES frame's id type (the corpus id may
@@ -170,11 +180,16 @@ def lsh_topk(
             F.lit(0).alias("rank"),
             F.lit(0.0).alias("cosine"),
         )
-    rnd = random.Random(seed)
-    tables = [
-        [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
-        for _ in range(num_tables)
-    ]
+    if planes == "md5":
+        from ..functions.vectors import md5_hyperplanes
+
+        tables = md5_hyperplanes(num_tables, num_planes, dim, seed)
+    else:
+        rnd = random.Random(seed)
+        tables = [
+            [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+            for _ in range(num_tables)
+        ]
 
     cb = _explode_hyperplane_buckets(
         corpus.select(

@@ -443,6 +443,16 @@ def test_lsh_topk_recall(spark, vecs):
         assert (q, q) in a and (q, 100 + q) in a
     assert len(a & e) / len(e) >= 0.5
 
+    # md5 planes (the dq_lsh_topk oracle face) keep the same contract:
+    # deterministic ranking, self always recalled
+    m = lsh_topk(vecs, queries, k=3, num_planes=6, num_tables=8,
+                 planes="md5")
+    md = {(r["query_id"], r["neighbor_id"]) for r in m.collect()}
+    for q in range(3):
+        assert (q, q) in md
+    with pytest.raises(ValueError, match="planes"):
+        lsh_topk(vecs, queries, k=3, planes="xorshift")
+
 
 def test_hot_bucket_cap(spark):
     # 300 identical docs (one giant exact-dup cluster) + 2 near-dups.
