@@ -1564,14 +1564,81 @@ def _event_sessions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dq_ivf_topk")  # rows-only: approximate op, no SQL oracle
+@query(
+    "dq_ivf_topk",
+    """
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 1000
+    ), cn AS (
+      -- the entry's centroids ARE the first 32 corpus vectors,
+      -- normalized exactly as _nearest_centroids_np does (1e-12 guard)
+      SELECT vec_id AS cid,
+             list_transform(v, x -> x / greatest(
+               sqrt(list_dot_product(v, v)), 1e-12)) AS cv
+      FROM emb WHERE vec_id < 32
+    ), ca AS (
+      -- corpus assignment: argmax dot, ties to the smallest cid
+      -- (matches the kernel's stable argsort)
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, cn.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, cn.cv) DESC, cn.cid
+               ) AS rn
+        FROM emb e CROSS JOIN cn)
+      WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10
+    ), qp AS (
+      -- each query probes its nprobe=8 nearest lists
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, cn.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.qv, cn.cv) DESC, cn.cid
+               ) AS rn
+        FROM q CROSS JOIN cn)
+      WHERE rn <= 8
+    ), scored AS (
+      SELECT qp.query_id, ca.vec_id AS neighbor_id,
+             CAST(round(list_cosine_similarity(e.v, q.qv), 6) AS DOUBLE)
+               AS cosine
+      FROM qp
+      JOIN ca ON qp.cid = ca.cid
+      JOIN emb e ON ca.vec_id = e.vec_id
+      JOIN q ON qp.query_id = q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine DESC NULLS LAST, neighbor_id
+             ) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+    """,
+)
 def dq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic spherical-k-means quantizer (one tiny
-    training action), then an action-free inverted-file probe query."""
-    from .operators.similarity import ivf_topk, train_ivf_centroids
+    """IVF inverted-file probe, certified end-to-end by a DuckDB oracle
+    (r15): the quantizer for this face is DETERMINISTIC-BY-CONSTRUCTION
+    — the first 32 corpus vectors (one bounded 32-row collect) — so the
+    oracle can replay centroid normalization (1e-12 guard), the
+    stable-tie-break corpus assignment, the nprobe=8 query probe
+    lists, the inverted-list candidate join, round-6 cosine scoring,
+    and the deterministic top-10 ranking. This certifies the PROBE
+    operator (ivf_topk, the action-free per-batch plan); the trained
+    spherical-k-means quantizer (train_ivf_centroids) stays
+    recall-certified in dq_ann_recall, where quantizer quality is the
+    thing being measured. Corpus bounded at vec_id<1000 for flat
+    tri-SF cost."""
+    from .operators.similarity import ivf_topk
 
-    emb = _emb_double(spark, sf_dir)
-    cents = train_ivf_centroids(emb, num_centroids=32, sample_size=2048)
+    emb = _emb_double(spark, sf_dir).filter(F.col("vec_id") < 1000)
+    cents = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 32).orderBy("vec_id").collect()
+    ]
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

@@ -316,7 +316,13 @@ def _nearest_centroids_np(centroids: list[list[float]], nprobe: int):
         if valid:
             M = np.vstack([np.asarray(v.iloc[i], dtype=np.float64) for i in valid])
             sims = M @ C.T
-            top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+            # stable: exact similarity ties resolve to the SMALLEST
+            # centroid id every run (quicksort's tie order is
+            # implementation-defined), matching the SQL-oracle
+            # tie-break (sim DESC, cid ASC) in dq_ivf_topk
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(
+                np.int32
+            )
             for row, i in enumerate(valid):
                 out[i] = top[row].tolist()
         return pd.Series(out)
