@@ -801,7 +801,11 @@ def dq_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(emb, queries_df, k=10, dim=64, seed=42, planes="md5")
+    # impl='expr': sequential sign-bit dots, bit-exact vs the oracle's
+    # accumulation (the np matmul's BLAS order is luck-of-the-build)
+    return lsh_topk(
+        emb, queries_df, k=10, dim=64, seed=42, planes="md5", impl="expr"
+    )
 
 
 @query("dq_ann_recall")  # rows-only: recall harness over approximate ANN

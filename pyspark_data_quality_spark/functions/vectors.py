@@ -334,29 +334,44 @@ def hyperplane_bucket_keys(vec: Column, tables: list[list[list[float]]]) -> Colu
     )
 
 
+def md5_uniform(tag: str) -> float:
+    """Engine-replayable uniform in (0, 1): ``(int(md5(tag)[:6], 16) +
+    0.5) / 2^24`` (the +0.5 keeps ln() off exact 0). THE
+    certification-critical formula shared by every md5-derived random
+    family — RFF weights (operators/drift.py _md5_rff_weights) and LSH
+    hyperplanes alike; any change here must be mirrored in every
+    oracle SQL that replays it."""
+    import hashlib
+
+    k = int(hashlib.md5(tag.encode()).hexdigest()[:6], 16)
+    return (k + 0.5) / 16777216.0
+
+
+def md5_gauss(tag1: str, tag2: str) -> float:
+    """Standard-normal draw via Box–Muller over two :func:`md5_uniform`
+    tags — replayable as ``sqrt(-2*ln(u1)) * cos(2*pi()*u2)`` in any
+    engine with md5/ln/cos."""
+    import math as _math
+
+    return _math.sqrt(-2.0 * _math.log(md5_uniform(tag1))) * _math.cos(
+        2.0 * _math.pi * md5_uniform(tag2)
+    )
+
+
 def md5_hyperplanes(
     num_tables: int, num_planes: int, dim: int, seed: int = 42
 ) -> list[list[list[float]]]:
-    """Engine-replayable random hyperplanes: Box–Muller gaussians from
-    md5-derived uniforms ``u = (int(md5(tag)[:6], 16) + 0.5) / 2^24``
-    with tags ``hp1|seed|t|p|j`` / ``hp2|seed|t|p|j`` — the
-    ``_md5_rff_weights`` construction (operators/drift.py, the dq_mmd
-    oracle) applied to hyperplane LSH, so a DuckDB oracle can rebuild
-    every plane weight bit-for-bit (libm-level) and replay the whole
-    bucketing (dq_embedding_pairs_lsh). Driver-side, parameter-bounded:
-    tables x planes x dim md5 calls."""
-    import hashlib
-    import math as _math
-
-    def u(tag: str) -> float:
-        k = int(hashlib.md5(tag.encode()).hexdigest()[:6], 16)
-        return (k + 0.5) / 16777216.0
-
+    """Engine-replayable random hyperplanes: :func:`md5_gauss` draws
+    with tags ``hp1|seed|t|p|j`` / ``hp2|seed|t|p|j`` — the dq_mmd
+    ``weights='md5'`` construction applied to hyperplane LSH, so a
+    DuckDB oracle can rebuild every plane weight bit-for-bit
+    (libm-level) and replay the whole bucketing
+    (dq_embedding_pairs_lsh, dq_lsh_topk). Driver-side,
+    parameter-bounded: tables x planes x dim md5 calls."""
     return [
         [
             [
-                _math.sqrt(-2.0 * _math.log(u(f"hp1|{seed}|{t}|{p}|{j}")))
-                * _math.cos(2.0 * _math.pi * u(f"hp2|{seed}|{t}|{p}|{j}"))
+                md5_gauss(f"hp1|{seed}|{t}|{p}|{j}", f"hp2|{seed}|{t}|{p}|{j}")
                 for j in range(dim)
             ]
             for p in range(num_planes)

@@ -1048,26 +1048,29 @@ def _md5_rff_weights(num_features: int, d: int, g: float, seed: int):
     num_features x dim md5 calls — parameter-bounded, never data-scale.
     Every step (md5 prefix int, ln, cos, sqrt) exists in DuckDB, so a
     SQL oracle can rebuild W and b bit-for-bit (libm-level)."""
-    import hashlib
     import math as _math
 
     import numpy as np
 
-    def u(tag: str) -> float:
-        k = int(hashlib.md5(tag.encode()).hexdigest()[:6], 16)
-        return (k + 0.5) / 16777216.0
+    from ..functions.vectors import md5_uniform
 
     sd = _math.sqrt(2.0 * g)
     W = np.empty((num_features, d), dtype=np.float64)
     for i in range(num_features):
         for j in range(d):
-            u1 = u(f"w1|{seed}|{i}|{j}")
-            u2 = u(f"w2|{seed}|{i}|{j}")
+            u1 = md5_uniform(f"w1|{seed}|{i}|{j}")
+            u2 = md5_uniform(f"w2|{seed}|{i}|{j}")
+            # multiplication ORDER is part of the certified contract:
+            # the dq_mmd oracle SQL evaluates sd * sqrt(...) * cos(...)
+            # LEFT-TO-RIGHT, and float multiply is not associative —
+            # folding sqrt*cos first moves ~35% of weights by an ulp
+            # and silently thins the round-6 margin (so no md5_gauss
+            # here, which scales by sd AFTER the product)
             W[i, j] = sd * _math.sqrt(-2.0 * _math.log(u1)) * _math.cos(
                 2.0 * _math.pi * u2
             )
     b = np.array(
-        [2.0 * _math.pi * u(f"b|{seed}|{i}") for i in range(num_features)]
+        [2.0 * _math.pi * md5_uniform(f"b|{seed}|{i}") for i in range(num_features)]
     )
     return W, b
 

@@ -147,6 +147,13 @@ _COMPOSITE_BUDGETS = {
     # r15 md5-oracle face: shingle/sig Arrow stages ride the pushed
     # doc_id<500 scan; ONE bucket shuffle + pair-dedup agg
     "dq_minhash_pairs": (4, 2),      # audited r15: 3 / 1
+    # r15 md5-oracle faces for the remaining approximate ops: each is
+    # ONE bucket/candidate shuffle (+dedup agg) over a pushed bounded
+    # scan; ivf is a broadcast probe join with zero corpus shuffle
+    "dq_simhash_pairs": (4, 2),      # audited r15: 3 / 1
+    "dq_embedding_pairs_lsh": (3, 2),  # audited r15: 2 / 1
+    "dq_lsh_topk": (4, 3),           # audited r15: 3 / 2
+    "dq_ivf_topk": (2, 3),           # audited r15: 1 / 2
 }
 
 
