@@ -3698,10 +3698,11 @@ def dq_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN quality_score < 0.3 THEN 'low_quality'
                   WHEN lang_pred <> 'en' THEN 'wrong_lang'
              END AS gate
-      FROM scored
+      FROM scored WHERE doc_id < 1000
     ), refset AS (
       SELECT DISTINCT fingerprint_md5 AS fp FROM scored
-      WHERE doc_id % 10 = 0 AND fingerprint_md5 IS NOT NULL
+      WHERE doc_id % 10 = 0 AND doc_id < 1000
+        AND fingerprint_md5 IS NOT NULL
     ), st1 AS (
       SELECT g.doc_id, g.fingerprint_md5, g.gate,
              (g.gate IS NULL AND r.fp IS NOT NULL) AS is_ref
@@ -3711,18 +3712,68 @@ def dq_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM st1 WHERE gate IS NULL AND NOT is_ref
       GROUP BY fingerprint_md5
     ), st2 AS (
+      -- NULL pre_status = reached the near-dup stage
       SELECT s.doc_id,
              CASE WHEN s.gate IS NOT NULL THEN s.gate
                   WHEN s.is_ref THEN 'ref_dup'
                   WHEN s.doc_id <> v.keep_id THEN 'exact_dup'
-                  ELSE 'kept' END AS curation_status
+             END AS pre_status
       FROM st1 s LEFT JOIN surv v
         ON s.fingerprint_md5 = v.fingerprint_md5
+    ),
+    -- near-dup stage (r15): the md5 MinHash face of dq_minhash_pairs
+    -- replayed over the exact-dedup survivors — word 3-shingles, 32
+    -- hashes / 8 bands, jaccard>=0.6, greedy max-id loser drop
+    nd_sh AS (
+      SELECT t.doc_id,
+             list_distinct([array_to_string(t.toks[i:i+2], ' ')
+                            FOR i IN range(1, len(t.toks) - 1)]) AS ss
+      FROM hits t JOIN st2 ON t.doc_id = st2.doc_id
+      WHERE st2.pre_status IS NULL AND len(t.toks) >= 3
+    ), nd_hs AS (
+      SELECT doc_id,
+             [CAST(concat('0x', substr(md5(concat('42:', s)), 1, 15))
+                   AS BIGINT) FOR s IN ss] AS hh
+      FROM nd_sh
+    ), nd_sig AS (
+      SELECT doc_id, hh,
+             [list_min([CAST(concat('0x', substr(md5(concat('42:',
+                          CAST(i AS VARCHAR), ':', CAST(h AS VARCHAR))),
+                          1, 15)) AS BIGINT) FOR h IN hh])
+              FOR i IN range(0, 32)] AS sg
+      FROM nd_hs
+    ), nd_bands AS (
+      SELECT doc_id, hh, t.i AS band,
+             array_to_string(sg[t.i*4+1 : t.i*4+4], ',') AS bkey
+      FROM nd_sig, range(0, 8) t(i)
+    ), nd_sized AS (
+      SELECT band, bkey FROM nd_bands GROUP BY band, bkey
+      HAVING count(*) >= 2 AND count(*) <= 1000
+    ), nd_cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.hh AS ha, b.hh AS hb
+      FROM nd_bands a
+      JOIN nd_sized s ON a.band = s.band AND a.bkey = s.bkey
+      JOIN nd_bands b ON a.band = b.band AND a.bkey = b.bkey
+                     AND a.doc_id < b.doc_id
+    ), nd_losers AS (
+      SELECT DISTINCT id_b AS doc_id FROM nd_cand
+      WHERE round(len(list_intersect(ha, hb)) * 1.0 /
+                  (len(ha) + len(hb) - len(list_intersect(ha, hb))),
+                  6) >= 0.6
+    ), st3 AS (
+      SELECT st2.doc_id,
+             coalesce(
+               st2.pre_status,
+               CASE WHEN l.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'kept' END
+             ) AS curation_status
+      FROM st2 LEFT JOIN nd_losers l ON st2.doc_id = l.doc_id
     ), bkt AS (
       SELECT doc_id, curation_status,
              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                   AS BIGINT) % 10000 AS bucket
-      FROM st2
+      FROM st3
     )
     SELECT doc_id, curation_status,
            CASE WHEN curation_status = 'kept' THEN
@@ -3734,27 +3785,31 @@ def dq_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dq_curation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic core of the curation pipeline, oracle-certified
-    per ROW: quality/language gates -> incremental ref_dup (reference =
-    every 10th doc, the daily-batch shape) -> exact dedup (min-id
-    survivor per fingerprint, skew-safe groupBy) -> 90/5/5 split for
-    kept rows. The near-dup stage runs with threshold > 1 so it
-    provably drops nothing (MinHash is the one approximate stage —
-    certified separately by recall tests); everything else is the same
-    composed pipelines/curation.py code path dq_curation exercises,
-    here hash-matched against a DuckDB replay of the full status
-    precedence (gate > ref_dup > exact_dup > kept) and md5 split
-    arithmetic."""
+    """The curation pipeline oracle-certified per ROW — since r15
+    INCLUDING the near-dup stage: quality/language gates -> incremental
+    ref_dup (reference = every 10th doc, the daily-batch shape) ->
+    exact dedup (min-id survivor per fingerprint, skew-safe groupBy) ->
+    REAL MinHash near-dup via the engine-portable md5 hash family
+    (word 3-shingles, 32 hashes / 8 bands, jaccard>=0.6, greedy max-id
+    loser drop — the dq_minhash_pairs machinery replayed inside the
+    pipeline oracle) -> 90/5/5 split for kept rows. Every stage of the
+    composed pipelines/curation.py code path is hash-matched against a
+    DuckDB replay of the full status precedence (gate > ref_dup >
+    exact_dup > near_dup > kept) and md5 split arithmetic; the only
+    thing left rows-only in dq_curation is the blake2b production
+    hash family itself. Bounded at doc_id<1000 so the md5 face stays
+    flat across SFs."""
     from .pipelines import curate_corpus
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < 1000
+    )
     ref = docs.filter(F.col("doc_id") % 10 == 0)
     out = curate_corpus(
         docs, min_quality=0.3, languages=("en",),
-        near_dup_threshold=1.5,  # > max jaccard: near-dup stage is a no-op
+        near_dup_threshold=0.6,
         reference=ref,
-        # fixture-scale MinHash config (stage yields nothing; keep cheap)
-        num_hashes=32, num_bands=8,
+        num_hashes=32, num_bands=8, hash_family="md5",
     )
     return out.select("doc_id", "curation_status", "split").orderBy(
         "doc_id"

@@ -72,6 +72,7 @@ def curate_corpus(
     num_bands: int = 16,
     shingle: str = "word",
     shingle_n: int = 3,
+    hash_family: str = "blake2b",
     reference: DataFrame | None = None,
     ref_text_col: str | None = None,
     state_dir: str | None = None,
@@ -323,12 +324,16 @@ def curate_corpus(
         & F.col("_exact_dup").isNull()
     )
 
-    # near dups: greedy min-id survivor over banded MinHash pairs
+    # near dups: greedy min-id survivor over banded MinHash pairs.
+    # hash_family='md5' is the engine-portable certification family
+    # (dq_curation_exact replays the whole stage in SQL); blake2b is
+    # the production default
     pairs = minhash_near_dup_pairs(
         passed, text_col, id_col,
         num_hashes=num_hashes, num_bands=num_bands,
         shingle=shingle, shingle_n=shingle_n,
         threshold=near_dup_threshold,
+        hash_family=hash_family,
     )
     near_drops = _pin(
         pairs.select(F.greatest("id_a", "id_b").alias(id_col))
