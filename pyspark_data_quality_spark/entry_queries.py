@@ -739,7 +739,7 @@ def dq_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              * cos(2 * pi() * ((CAST(concat('0x', substr(md5(concat(
                  'hp2|42|', t.t, '|', p.p, '|', j.j)), 1, 6)) AS BIGINT)
                  + 0.5) / 16777216.0)) AS w
-      FROM range(0, 6) t(t), range(0, 12) p(p), range(0, 64) j(j)
+      FROM range(0, 4) t(t), range(0, 8) p(p), range(0, 64) j(j)
     ), pl AS (
       SELECT t, p, list(w ORDER BY j) AS wv FROM g GROUP BY t, p
     ), emb AS (
@@ -751,7 +751,7 @@ def dq_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ck AS (
       SELECT e.vec_id, pl.t,
              CAST(sum(CASE WHEN list_dot_product(e.v, pl.wv) > 0
-                           THEN CAST(power(2, 11 - pl.p) AS BIGINT)
+                           THEN CAST(power(2, 7 - pl.p) AS BIGINT)
                            ELSE 0 END) AS BIGINT) AS k
       FROM emb e CROSS JOIN pl GROUP BY e.vec_id, pl.t
     ), sized AS (
@@ -759,7 +759,7 @@ def dq_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), qk AS (
       SELECT q.query_id, pl.t,
              CAST(sum(CASE WHEN list_dot_product(q.qv, pl.wv) > 0
-                           THEN CAST(power(2, 11 - pl.p) AS BIGINT)
+                           THEN CAST(power(2, 7 - pl.p) AS BIGINT)
                            ELSE 0 END) AS BIGINT) AS k
       FROM q CROSS JOIN pl GROUP BY q.query_id, pl.t
     ), cand AS (
@@ -788,13 +788,15 @@ def dq_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dq_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k, certified end-to-end by a
     DuckDB oracle via ``planes='md5'`` (r15): the oracle rebuilds the
-    6x12x64 Box–Muller planes bit-for-bit, replays both the corpus and
+    4x8x64 Box–Muller planes bit-for-bit, replays both the corpus and
     query bucket keys, the hot-bucket guard, the distinct candidate
     probe join, the round-6 cosine scoring, and the deterministic
     (cosine DESC, neighbor_id) top-10 ranking. Corpus bounded at
-    vec_id<1000 so the md5/expr face stays flat across SFs; recall of
-    the rng production config vs brute force stays measured in
-    dq_ann_recall."""
+    vec_id<1000 and the plane budget trimmed to 4x8 (the interpreted
+    expr fold is ~tables*planes*dim ops/row — the 6x12 default
+    measured 5.5 s at sf0.1 for zero extra certification value; the
+    oracle replays whatever config runs); recall of the rng production
+    config vs brute force stays measured in dq_ann_recall."""
     from .operators.similarity import lsh_topk
 
     emb = _emb_double(spark, sf_dir).filter(F.col("vec_id") < 1000)
@@ -804,7 +806,8 @@ def dq_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # impl='expr': sequential sign-bit dots, bit-exact vs the oracle's
     # accumulation (the np matmul's BLAS order is luck-of-the-build)
     return lsh_topk(
-        emb, queries_df, k=10, dim=64, seed=42, planes="md5", impl="expr"
+        emb, queries_df, k=10, dim=64, seed=42, planes="md5", impl="expr",
+        num_planes=8, num_tables=4,
     )
 
 
