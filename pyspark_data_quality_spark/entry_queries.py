@@ -818,12 +818,14 @@ def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     over codes only) against the exact brute-force ground truth on the
     same 10 fixture queries the dq_lsh_topk / dq_ivf_topk entries use —
     the near_dup_eval tuning-harness shape (operators/dedup.py) applied
-    to vector search. Six rows: per method the config the entries
-    actually ship, plus one recall-tilted config showing the knob
-    (tables for LSH, nprobe for IVF), plus the m=16 PQ compressed-domain
-    search, plus the IVF-PQ composition (nprobe=16 list pruning OVER the
-    PQ codes) with its own floor — so the recall the pruning gives back
-    is measured, not assumed from the plain-PQ row.
+    to vector search. Seven rows: the LSH/IVF defaults, the md5 4x8
+    face dq_lsh_topk actually ships (r15 — so the certification face's
+    recall is measured, not assumed), one recall-tilted config per
+    knob (tables for LSH, nprobe for IVF), the m=16 PQ
+    compressed-domain search, and the IVF-PQ composition (nprobe=16
+    list pruning OVER the PQ codes) with its own floor — so the recall
+    the pruning gives back is measured, not assumed from the plain-PQ
+    row.
     ``meets_floor`` is a per-config regression guard asserted by
     tests/test_registry.py, NOT a universal quality claim: the fixture
     embeddings are uniform-random — the ADVERSARIAL case for ANN
@@ -868,12 +870,22 @@ def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this fixture and ADC error dominates) minus slack for cross-sf
     # variation
     configs = [
-        ("lsh", "planes=12,tables=6 (entry)", 0.05,
+        ("lsh", "planes=12,tables=6 (default)", 0.05,
          lsh_topk(emb, queries_df, k=10, dim=64)),
+        # the dq_lsh_topk certification face (r15: md5 planes, 4x8) —
+        # measured 0.13/0.16/0.16 @ sf0.001/0.01/0.1, same slack
+        # pattern as the default row (uniform-random fixture = the
+        # adversarial case for ANN)
+        ("lsh", "planes=8,tables=4,md5 (entry)", 0.05,
+         lsh_topk(emb, queries_df, k=10, dim=64,
+                  num_planes=8, num_tables=4, planes="md5")),
         ("lsh", "planes=6,tables=16", 0.4,
          lsh_topk(emb, queries_df, k=10, dim=64,
                   num_planes=6, num_tables=16)),
-        ("ivf", "nprobe=8/32 (entry)", 0.55,
+        # the trained-quantizer shipped default; the dq_ivf_topk ENTRY
+        # certifies the probe plan with construction-deterministic
+        # centroids instead (see its docstring)
+        ("ivf", "nprobe=8/32 (default)", 0.55,
          ivf_topk(emb, queries_df, centroids=cents, k=10, nprobe=8)),
         ("ivf", "nprobe=16/32", 0.75,
          ivf_topk(emb, queries_df, centroids=cents, k=10, nprobe=16)),
@@ -912,6 +924,56 @@ def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("method", "config")
 
 
+def _sql_minhash_ctes(
+    src: str, *, num_hashes: int, num_bands: int, cap: int, p: str = "mh"
+) -> str:
+    """Shared DuckDB replay of the md5 MinHash pipeline — ONE copy of
+    the certification-critical SQL (word-3 shingles from a ``src`` CTE
+    providing ``(doc_id, toks)``, seed-42 md5 hash family per
+    functions/vectors.py, banding, bucket cap, ordered candidate
+    pairs). Used by dq_minhash_pairs AND the dq_curation_exact
+    near-dup stage; a constant drifting between the two copies would
+    silently de-certify one of them. Emits CTEs ``{p}_sh .. {p}_cand``
+    (embed after an existing CTE with a leading comma); callers apply
+    the jaccard threshold to ``{p}_cand``'s (id_a, id_b, ha, hb)."""
+    r = num_hashes // num_bands
+    assert num_hashes % num_bands == 0
+    return f"""
+    {p}_sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, len(toks) - 1)]) AS ss
+      FROM {src} WHERE len(toks) >= 3
+    ), {p}_hs AS (
+      SELECT doc_id,
+             [CAST(concat('0x', substr(md5(concat('42:', s)), 1, 15))
+                   AS BIGINT) FOR s IN ss] AS hh
+      FROM {p}_sh
+    ), {p}_sig AS (
+      SELECT doc_id, hh,
+             [list_min([CAST(concat('0x', substr(md5(concat('42:',
+                          CAST(i AS VARCHAR), ':', CAST(h AS VARCHAR))),
+                          1, 15)) AS BIGINT) FOR h IN hh])
+              FOR i IN range(0, {num_hashes})] AS sg
+      FROM {p}_hs
+    ), {p}_bands AS (
+      SELECT doc_id, hh, t.i AS band,
+             array_to_string(sg[t.i*{r}+1 : t.i*{r}+{r}], ',') AS bkey
+      FROM {p}_sig, range(0, {num_bands}) t(i)
+    ), {p}_sized AS (
+      -- the max_bucket_size hot-bucket guard, replayed
+      SELECT band, bkey FROM {p}_bands GROUP BY band, bkey
+      HAVING count(*) >= 2 AND count(*) <= {cap}
+    ), {p}_cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.hh AS ha, b.hh AS hb
+      FROM {p}_bands a
+      JOIN {p}_sized s ON a.band = s.band AND a.bkey = s.bkey
+      JOIN {p}_bands b ON a.band = b.band AND a.bkey = b.bkey
+                      AND a.doc_id < b.doc_id
+    )"""
+
+
 @query(
     "dq_minhash_pairs",
     f"""
@@ -922,45 +984,15 @@ def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_filter(string_split(norm, ' '), x -> x <> '') AS toks
       FROM base
-    ), sh AS (
-      SELECT doc_id,
-             list_distinct([array_to_string(toks[i:i+2], ' ')
-                            FOR i IN range(1, len(toks) - 1)]) AS ss
-      FROM tok WHERE len(toks) >= 3
-    ), hs AS (
-      SELECT doc_id,
-             [CAST(concat('0x', substr(md5(concat('42:', s)), 1, 15))
-                   AS BIGINT) FOR s IN ss] AS hh
-      FROM sh
-    ), sig AS (
-      SELECT doc_id, hh,
-             [list_min([CAST(concat('0x', substr(md5(concat('42:',
-                          CAST(i AS VARCHAR), ':', CAST(h AS VARCHAR))),
-                          1, 15)) AS BIGINT) FOR h IN hh])
-              FOR i IN range(0, 24)] AS sg
-      FROM hs
-    ), bands AS (
-      SELECT doc_id, hh, t.i AS band,
-             array_to_string(sg[t.i*4+1 : t.i*4+4], ',') AS bkey
-      FROM sig, range(0, 6) t(i)
-    ), sized AS (
-      -- the max_bucket_size=50 hot-bucket guard, replayed
-      SELECT band, bkey FROM bands GROUP BY band, bkey
-      HAVING count(*) >= 2 AND count(*) <= 50
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                      a.hh AS ha, b.hh AS hb
-      FROM bands a
-      JOIN sized s ON a.band = s.band AND a.bkey = s.bkey
-      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-                  AND a.doc_id < b.doc_id
-    ), scored AS (
+    ),
+    {_sql_minhash_ctes('tok', num_hashes=24, num_bands=6, cap=50)},
+    scored AS (
       SELECT id_a, id_b,
              CAST(round(len(list_intersect(ha, hb)) * 1.0 /
                         (len(ha) + len(hb)
                          - len(list_intersect(ha, hb))), 6)
                   AS DOUBLE) AS jaccard
-      FROM cand
+      FROM mh_cand
     )
     SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8
     """,
@@ -3725,41 +3757,18 @@ def dq_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON s.fingerprint_md5 = v.fingerprint_md5
     ),
     -- near-dup stage (r15): the md5 MinHash face of dq_minhash_pairs
-    -- replayed over the exact-dedup survivors — word 3-shingles, 32
-    -- hashes / 8 bands, jaccard>=0.6, greedy max-id loser drop
-    nd_sh AS (
-      SELECT t.doc_id,
-             list_distinct([array_to_string(t.toks[i:i+2], ' ')
-                            FOR i IN range(1, len(t.toks) - 1)]) AS ss
+    -- (the SHARED _sql_minhash_ctes fragment) replayed over the
+    -- exact-dedup survivors — word 3-shingles, 32 hashes / 8 bands,
+    -- jaccard>=0.6, greedy max-id loser drop
+    nd_src AS (
+      SELECT t.doc_id, t.toks
       FROM hits t JOIN st2 ON t.doc_id = st2.doc_id
-      WHERE st2.pre_status IS NULL AND len(t.toks) >= 3
-    ), nd_hs AS (
-      SELECT doc_id,
-             [CAST(concat('0x', substr(md5(concat('42:', s)), 1, 15))
-                   AS BIGINT) FOR s IN ss] AS hh
-      FROM nd_sh
-    ), nd_sig AS (
-      SELECT doc_id, hh,
-             [list_min([CAST(concat('0x', substr(md5(concat('42:',
-                          CAST(i AS VARCHAR), ':', CAST(h AS VARCHAR))),
-                          1, 15)) AS BIGINT) FOR h IN hh])
-              FOR i IN range(0, 32)] AS sg
-      FROM nd_hs
-    ), nd_bands AS (
-      SELECT doc_id, hh, t.i AS band,
-             array_to_string(sg[t.i*4+1 : t.i*4+4], ',') AS bkey
-      FROM nd_sig, range(0, 8) t(i)
-    ), nd_sized AS (
-      SELECT band, bkey FROM nd_bands GROUP BY band, bkey
-      HAVING count(*) >= 2 AND count(*) <= 1000
-    ), nd_cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                      a.hh AS ha, b.hh AS hb
-      FROM nd_bands a
-      JOIN nd_sized s ON a.band = s.band AND a.bkey = s.bkey
-      JOIN nd_bands b ON a.band = b.band AND a.bkey = b.bkey
-                     AND a.doc_id < b.doc_id
-    ), nd_losers AS (
+      WHERE st2.pre_status IS NULL
+    ),
+    """
+    + _sql_minhash_ctes("nd_src", num_hashes=32, num_bands=8, cap=1000,
+                        p="nd")
+    + """, nd_losers AS (
       SELECT DISTINCT id_b AS doc_id FROM nd_cand
       WHERE round(len(list_intersect(ha, hb)) * 1.0 /
                   (len(ha) + len(hb) - len(list_intersect(ha, hb))),

@@ -246,7 +246,7 @@ def test_ann_recall_entry_meets_floors(spark, sf_dir):
     from pyspark_data_quality_spark.entry_queries import ENTRY_QUERIES
 
     rows = ENTRY_QUERIES["dq_ann_recall"](spark, sf_dir).collect()
-    assert len(rows) == 6  # lsh x2, ivf x2, pq, ivf_pq
+    assert len(rows) == 7  # lsh x3 (incl. the md5 entry face), ivf x2, pq, ivf_pq
     for r in rows:
         assert r["meets_floor"], (
             f"{r['method']} {r['config']}: recall {r['recall']} "
@@ -255,11 +255,12 @@ def test_ann_recall_entry_meets_floors(spark, sf_dir):
     # the IVF-PQ composition has its OWN floor row: list-pruning recall
     # loss is measured, never assumed from the plain-PQ row
     assert any(r["method"] == "ivf_pq" for r in rows)
-    # the recall-tilted configs must actually beat the entry configs —
+    # the recall-tilted configs must actually beat the base configs —
     # otherwise the harness isn't showing the knob it claims to show
-    by = {(r["method"], "entry" in r["config"]): r["recall"] for r in rows}
-    assert by[("lsh", False)] > by[("lsh", True)]
-    assert by[("ivf", False)] > by[("ivf", True)]
+    by = {r["config"]: r["recall"] for r in rows}
+    assert by["planes=6,tables=16"] > by["planes=12,tables=6 (default)"]
+    assert by["planes=6,tables=16"] > by["planes=8,tables=4,md5 (entry)"]
+    assert by["nprobe=16/32"] > by["nprobe=8/32 (default)"]
 
 
 def test_neardup_recall_entry_meets_floors(spark, sf_dir):
