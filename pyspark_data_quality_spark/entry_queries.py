@@ -10236,51 +10236,109 @@ def dq_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("config")
 
 
-@query("dq_zorder")  # rows-only: quantile boundaries are run-wobbly
+@query(
+    "dq_zorder",
+    """
+    WITH o AS (
+      SELECT CAST(o_orderkey AS DOUBLE) AS a, o_totalprice AS b
+      FROM orders
+    ), g AS (
+      SELECT min(a) AS mna, max(a) AS mxa,
+             min(b) AS mnb, max(b) AS mxb
+      FROM o
+    ), zb AS (
+      -- width buckets, bits=2: cut points mn + (mx-mn)*i/4 (exact
+      -- dyadic multiples of exact min/max -> bit-identical to the
+      -- Spark face's boundaries='width'), STRICT < bucketing
+      SELECT o.a, o.b,
+             (CASE WHEN g.mna + (g.mxa - g.mna) * 0.25 < o.a THEN 1 ELSE 0 END
+            + CASE WHEN g.mna + (g.mxa - g.mna) * 0.5  < o.a THEN 1 ELSE 0 END
+            + CASE WHEN g.mna + (g.mxa - g.mna) * 0.75 < o.a THEN 1 ELSE 0 END)
+               AS ba,
+             (CASE WHEN g.mnb + (g.mxb - g.mnb) * 0.25 < o.b THEN 1 ELSE 0 END
+            + CASE WHEN g.mnb + (g.mxb - g.mnb) * 0.5  < o.b THEN 1 ELSE 0 END
+            + CASE WHEN g.mnb + (g.mxb - g.mnb) * 0.75 < o.b THEN 1 ELSE 0 END)
+               AS bb
+      FROM o, g
+    ), zg AS (
+      -- Morton interleave, bit b of column j at position b*2+j
+      SELECT a, b,
+             ((ba & 1) * 1 + (bb & 1) * 2
+            + ((ba >> 1) & 1) * 4 + ((bb >> 1) & 1) * 8) AS gid
+      FROM zb
+    ), sg AS (
+      SELECT a, b, ntile(16) OVER (ORDER BY a) AS gid FROM o
+    ), zc AS (
+      SELECT gid, max(a) - min(a) AS sa, max(b) - min(b) AS sb
+      FROM zg GROUP BY gid
+    ), sc AS (
+      SELECT gid, max(a) - min(a) AS sa, max(b) - min(b) AS sb
+      FROM sg GROUP BY gid
+    ), summ AS (
+      SELECT 'zorder' AS layout, count(*) AS n_partitions,
+             CAST(round(avg(sa / (mxa - mna)), 6) AS DOUBLE) AS mean_span_orderkey,
+             CAST(round(avg(sb / (mxb - mnb)), 6) AS DOUBLE) AS mean_span_price,
+             CAST(round(max(sa / (mxa - mna)), 6) AS DOUBLE) AS max_span_orderkey,
+             CAST(round(max(sb / (mxb - mnb)), 6) AS DOUBLE) AS max_span_price
+      FROM zc, g
+      UNION ALL
+      SELECT 'sorted_orderkey', count(*),
+             CAST(round(avg(sa / (mxa - mna)), 6) AS DOUBLE),
+             CAST(round(avg(sb / (mxb - mnb)), 6) AS DOUBLE),
+             CAST(round(max(sa / (mxa - mna)), 6) AS DOUBLE),
+             CAST(round(max(sb / (mxb - mnb)), 6) AS DOUBLE)
+      FROM sc, g
+    )
+    SELECT layout, n_partitions, mean_span_orderkey, mean_span_price,
+           max_span_orderkey, max_span_price,
+           CASE WHEN layout = 'zorder'
+                THEN mean_span_orderkey <= 0.7 AND mean_span_price <= 0.7
+                ELSE mean_span_price > 0.9 END AS meets_floor
+    FROM summ ORDER BY layout
+    """,
+)
 def dq_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order layout clustering (operators/zorder.py zorder_by),
-    previously pytest-only: orders re-clustered along the Morton curve
-    of (o_orderkey, o_totalprice) into 16 range partitions, vs the same
-    table sorted by o_orderkey alone (o_orderkey is dense at every SF;
-    a sparse key like o_custkey has too few distinct values at sf0.001
-    for stable equi-depth buckets). Per layout, one summary row of the
-    mean/max fraction of each column's GLOBAL range spanned per
-    partition — the parquet min/max pruning proxy: a filter on a column
-    prunes a partition iff the partition's span excludes it. Floors
-    (enforced in tests/test_registry.py): the z-layout keeps BOTH mean
-    spans <= 0.7 (alignment-robust: the per-partition Morton boxes
-    straddle bucket transitions, so the observed mean hovers near 0.5
-    at sf0.1 — the DISCRIMINATING claim is the registry test's
-    differential, z-span < 0.7x the sorted layout's span), while the single-sort
-    layout leaves the second column's mean span > 0.9 (the failure
-    mode z-ordering fixes). Rows-only: approxQuantile bucket
-    boundaries wobble run to run, so spans are floored, not hashed;
-    the exact Morton interleave is pinned bit-for-bit in
-    tests/test_zorder.py."""
-    from .operators.zorder import zorder_by
+    """Z-order data-skipping math, hash-certified end-to-end (r15 —
+    previously rows-only because approxQuantile boundaries wobble):
+    ``boundaries='width'`` cuts each column at exact equi-width points
+    derived from exact min/max (bit-identical in any engine: dyadic
+    fractions of one multiply+add), the Morton interleave groups rows
+    into 4x4 z-cells (bits=2 x 2 cols — the LOGICAL partitions a
+    zorder_by write would range-split), and the same per-cell
+    min/max-span analysis runs against ntile(16)-by-orderkey, the
+    single-column-sorted layout. One summary row per layout: the
+    z-layout bounds BOTH columns' mean span fractions (every filtered
+    column prunes), the sorted layout leaves the second column's span
+    near 1 (the failure mode z-ordering fixes). The oracle replays
+    cuts, strict-< bucketing, the interleave, ntile, and the span
+    aggregates; the physical repartitionByRange/write path keeps its
+    executed-plan scan-pruning proof in tests/test_zorder.py, and the
+    equi-DEPTH production default keeps its skew robustness — 'width'
+    is the deterministic face (and the stats-catalog path: pass
+    ``boundaries=dict`` and the writer plans with NO quantile action).
+    """
+    from pyspark.sql.window import Window as _W
+
+    from .operators.zorder import zorder_value
 
     orders = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey", "o_totalprice"
+        F.col("o_orderkey").cast("double").alias("a"),
+        F.col("o_totalprice").alias("b"),
     )
-    # layout-independent global ranges, computed ONCE (localCheckpoint:
-    # 1 row, two layout consumers — entries execute immediately, so the
-    # eager job is the query itself, not a surprise)
+    z = zorder_value(orders, ["a", "b"], bits=2, boundaries="width")
+    zl = orders.withColumn("_g", z)
+    sl = orders.withColumn(
+        "_g", F.ntile(16).over(_W.orderBy(F.col("a")))
+    )
     glob = orders.agg(
-        (F.max("o_orderkey") - F.min("o_orderkey"))
-        .cast("double").alias("_ga"),
-        (F.max("o_totalprice") - F.min("o_totalprice")).alias("_gb"),
+        (F.max("a") - F.min("a")).alias("_ga"),
+        (F.max("b") - F.min("b")).alias("_gb"),
     ).localCheckpoint()
 
     def spans(df: DataFrame, layout: str) -> DataFrame:
-        boxed = df.select(
-            F.spark_partition_id().alias("_pid"),
-            "o_orderkey",
-            "o_totalprice",
-        )
-        per = boxed.groupBy("_pid").agg(
-            (F.max("o_orderkey") - F.min("o_orderkey"))
-            .cast("double").alias("_sa"),
-            (F.max("o_totalprice") - F.min("o_totalprice")).alias("_sb"),
+        per = df.groupBy("_g").agg(
+            (F.max("a") - F.min("a")).alias("_sa"),
+            (F.max("b") - F.min("b")).alias("_sb"),
         )
         return per.crossJoin(F.broadcast(glob)).agg(
             F.lit(layout).alias("layout"),
@@ -10295,22 +10353,7 @@ def dq_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_span_price"),
         )
 
-    z = spans(
-        zorder_by(
-            orders, ["o_orderkey", "o_totalprice"],
-            bits=8, num_partitions=16,
-            # span floors need bucket ORDER, not tight boundaries — the
-            # default 0.001 sketch costs ~4x the entry's useful work
-            relative_error=0.01,
-        ),
-        "zorder",
-    )
-    s = spans(
-        orders.repartitionByRange(16, "o_orderkey")
-        .sortWithinPartitions("o_orderkey"),
-        "sorted_orderkey",
-    )
-    both = z.unionByName(s)
+    both = spans(zl, "zorder").unionByName(spans(sl, "sorted_orderkey"))
     return both.select(
         "*",
         F.when(

@@ -95,6 +95,7 @@ def zorder_value(
     *,
     bits: int = 8,
     relative_error: float = 0.001,
+    boundaries=None,
 ) -> Column:
     """The Morton interleave of the columns' equi-depth bucket ids, as a
     single long Column (requires ``df`` to compute the boundaries — ONE
@@ -106,6 +107,20 @@ def zorder_value(
     boundaries come from quantiles, which strings don't have — hash a
     string column to a long first if you must (you lose range pruning
     on it, which is the point of z-ordering, so usually: don't).
+
+    ``boundaries`` picks where the per-column cut points come from:
+
+    - ``None`` (default): equi-DEPTH via ``approxQuantile`` — skew
+      -robust, but the sketch boundaries wobble run to run;
+    - ``'width'``: exact equi-WIDTH cuts ``min + (max-min) * i/2**bits``
+      from ONE exact min/max aggregate — fully DETERMINISTIC (and
+      engine-replayable: the dq_zorder oracle rebuilds them in SQL),
+      the right choice when the columns are known-unskewed or when a
+      reproducible layout matters more than bucket balance;
+    - ``dict[col, list[float]]``: externally supplied cut points (a
+      stats catalog, yesterday's run) — NO Spark action at plan time,
+      the 100 TB writer path where even one quantile job per write is
+      unwelcome.
     """
     if not cols:
         raise ValueError("zorder_value: cols must be non-empty")
@@ -126,9 +141,43 @@ def zorder_value(
                 "z-ordering needs numeric/date/timestamp columns "
                 "(quantile boundaries) — hash or bucket strings upstream"
             )
-    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    num = df.select(*[_as_double(c, dtypes[c]).alias(c) for c in cols])
-    all_bnds = num.approxQuantile(cols, probs, relative_error)
+    if isinstance(boundaries, dict):
+        missing = [c for c in cols if c not in boundaries]
+        if missing:
+            raise ValueError(
+                f"zorder_value: boundaries dict missing column(s) {missing}"
+            )
+        all_bnds = [[float(b) for b in boundaries[c]] for c in cols]
+    elif boundaries == "width":
+        # exact equi-width cuts from ONE min/max aggregate. i/2**bits is
+        # an exact dyadic rational and the mn + (mx-mn)*q form is a
+        # single multiply+add, so any engine recomputing from the same
+        # min/max gets bit-identical cut points (the dq_zorder oracle
+        # relies on this).
+        num = df.select(*[_as_double(c, dtypes[c]).alias(c) for c in cols])
+        row = num.agg(
+            *[F.min(c).alias(f"_mn_{c}") for c in cols],
+            *[F.max(c).alias(f"_mx_{c}") for c in cols],
+        ).collect()[0]
+        all_bnds = []
+        for c in cols:
+            mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
+            if mn is None or mx is None or mn == mx:
+                all_bnds.append([])
+                continue
+            all_bnds.append(
+                [mn + (mx - mn) * (i / (1 << bits))
+                 for i in range(1, 1 << bits)]
+            )
+    elif boundaries is None:
+        probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        num = df.select(*[_as_double(c, dtypes[c]).alias(c) for c in cols])
+        all_bnds = num.approxQuantile(cols, probs, relative_error)
+    else:
+        raise ValueError(
+            f"zorder_value: boundaries must be None, 'width', or a "
+            f"dict, got {boundaries!r}"
+        )
     z = F.lit(0).cast("long")
     for j, (c, bnds) in enumerate(zip(cols, all_bnds)):
         # constant column (or all-NULL): approxQuantile returns equal
@@ -155,6 +204,7 @@ def zorder_by(
     relative_error: float = 0.001,
     keep_zorder_col: bool = False,
     zorder_col: str = "_zorder",
+    boundaries=None,
 ) -> DataFrame:
     """``df`` re-clustered along the Morton curve of ``cols`` — write the
     result (``write_dataset`` / ``.write``) and each output file covers
@@ -172,7 +222,10 @@ def zorder_by(
             f"zorder_by: column {zorder_col!r} already exists; pass a "
             "different zorder_col"
         )
-    z = zorder_value(df, cols, bits=bits, relative_error=relative_error)
+    z = zorder_value(
+        df, cols, bits=bits, relative_error=relative_error,
+        boundaries=boundaries,
+    )
     out = df.withColumn(zorder_col, z)
     parts = [F.col(zorder_col)]
     out = (

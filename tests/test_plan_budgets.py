@@ -154,6 +154,9 @@ _COMPOSITE_BUDGETS = {
     "dq_embedding_pairs_lsh": (3, 2),  # audited r15: 2 / 1
     "dq_lsh_topk": (4, 3),           # audited r15: 3 / 2
     "dq_ivf_topk": (2, 3),           # audited r15: 1 / 2
+    # r15 deterministic face: width-bounds agg + two logical-group
+    # span aggs (z-cells / ntile) — no repartitionByRange in the entry
+    "dq_zorder": (4, 3),             # audited r15: 3 / 2
 }
 
 

@@ -101,6 +101,45 @@ def test_zorder_validation(spark):
         zorder_by(df.withColumn("_zorder", F.lit(1)), ["a"])
 
 
+def test_zorder_boundaries_modes(spark):
+    """boundaries='width' (exact equi-width from min/max, deterministic
+    — the dq_zorder certification face) and boundaries=dict (external
+    stats-catalog cut points, NO plan-time action) both bucket exactly
+    like an explicit strict-< model; validation is loud."""
+    rows = [(float(v),) for v in [0, 1, 2, 3, 4, 5, 6, 7]]
+    df = spark.createDataFrame(rows, "a double")
+    # width, bits=2 over [0,7]: cuts at 1.75/3.5/5.25 -> buckets
+    # 0,0 | 1,1 | 2,2 | 3,3 (strict <)
+    z = {r["a"]: r["z"] for r in df.select(
+        "a", zorder_value(df, ["a"], bits=2, boundaries="width").alias("z")
+    ).collect()}
+    assert z == {0.0: 0, 1.0: 0, 2.0: 1, 3.0: 1, 4.0: 2, 5.0: 2,
+                 6.0: 3, 7.0: 3}
+    # identical partitioning twice (no sketch wobble)
+    z2 = {r["a"]: r["z"] for r in df.select(
+        "a", zorder_value(df, ["a"], bits=2, boundaries="width").alias("z")
+    ).collect()}
+    assert z == z2
+    # external dict: same cuts supplied by hand, no data-derived state
+    z3 = {r["a"]: r["z"] for r in df.select(
+        "a", zorder_value(
+            df, ["a"], bits=2, boundaries={"a": [1.75, 3.5, 5.25]}
+        ).alias("z")
+    ).collect()}
+    assert z3 == z
+    # constant column under 'width' -> empty cuts -> bucket 0
+    const = spark.createDataFrame([(2.0,), (2.0,)], "a double")
+    zc = [r["z"] for r in const.select(
+        zorder_value(const, ["a"], bits=2, boundaries="width").alias("z")
+    ).collect()]
+    assert zc == [0, 0]
+
+    with pytest.raises(ValueError, match="missing column"):
+        zorder_value(df, ["a"], boundaries={"b": [1.0]})
+    with pytest.raises(ValueError, match="boundaries must be"):
+        zorder_value(df, ["a"], boundaries="depth")
+
+
 def test_zorder_by_preserves_rows_and_drops_key(spark):
     df = spark.range(1000).select(
         (F.col("id") % 37).cast("double").alias("a"),
