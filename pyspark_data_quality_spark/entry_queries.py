@@ -10325,15 +10325,33 @@ def dq_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("double").alias("a"),
         F.col("o_totalprice").alias("b"),
     )
-    z = zorder_value(orders, ["a", "b"], bits=2, boundaries="width")
+    # ONE min/max collect feeds BOTH the width cut points (derived
+    # driver-side with the exact formula the oracle replays — dyadic
+    # q, single multiply+add — then passed via boundaries=dict, the
+    # no-action stats-catalog path) and the global-range literals
+    ext = orders.agg(
+        F.min("a").alias("mna"), F.max("a").alias("mxa"),
+        F.min("b").alias("mnb"), F.max("b").alias("mxb"),
+    ).collect()[0]
+    cuts = {
+        c: [ext["mn" + c] + (ext["mx" + c] - ext["mn" + c]) * (i / 4)
+            for i in range(1, 4)]
+        for c in ("a", "b")
+    }
+    z = zorder_value(orders, ["a", "b"], bits=2, boundaries=cuts)
     zl = orders.withColumn("_g", z)
+    # global un-partitioned ntile: a deliberate CERTIFICATION-FACE
+    # shape (one-task sort over the bounded fixture — deterministic
+    # and SQL-replayable); the scalable physical layout path is
+    # zorder_by's repartitionByRange, proven by executed-plan scan
+    # metrics in tests/test_zorder.py
     sl = orders.withColumn(
         "_g", F.ntile(16).over(_W.orderBy(F.col("a")))
     )
-    glob = orders.agg(
-        (F.max("a") - F.min("a")).alias("_ga"),
-        (F.max("b") - F.min("b")).alias("_gb"),
-    ).localCheckpoint()
+    glob = spark.createDataFrame(
+        [(ext["mxa"] - ext["mna"], ext["mxb"] - ext["mnb"])],
+        "_ga double, _gb double",
+    )
 
     def spans(df: DataFrame, layout: str) -> DataFrame:
         per = df.groupBy("_g").agg(

@@ -9,11 +9,14 @@ ALL dimensions into the same files, so every filtered column prunes
 row groups — the layout trick behind Delta/Iceberg ``OPTIMIZE ZORDER
 BY`` (public), rebuilt here as plain Spark expressions:
 
-1. per-column equi-depth boundaries via ``approxQuantile`` — ONE
-   driver action bounded by ``2**bits`` values per column (the
-   parameter-bounded-collect contract, docs/SCALE.md invariant #1);
-   equi-depth (not equi-width) so skewed columns still spread across
-   the full bucket range;
+1. per-column bucket boundaries — by default equi-depth via
+   ``approxQuantile`` (ONE driver action bounded by ``2**bits`` values
+   per column, the parameter-bounded-collect contract of docs/SCALE.md
+   invariant #1; equi-depth so skewed columns still spread across the
+   full bucket range), or ``boundaries='width'`` (exact deterministic
+   equi-width cuts from one min/max agg), or ``boundaries=dict``
+   (external stats-catalog cuts — NO action at plan time, the per-write
+   zero-overhead path);
 2. bucket assignment + bit interleave as pure integer expressions
    (``size(filter(boundaries, b -> b < x))`` then shift/or folds —
    strictly-below, so the minimum lands in bucket 0; see
@@ -97,9 +100,11 @@ def zorder_value(
     relative_error: float = 0.001,
     boundaries=None,
 ) -> Column:
-    """The Morton interleave of the columns' equi-depth bucket ids, as a
-    single long Column (requires ``df`` to compute the boundaries — ONE
-    ``approxQuantile`` action, bounded by ``len(cols) * 2**bits``).
+    """The Morton interleave of the columns' bucket ids, as a single
+    long Column. Boundary cost depends on ``boundaries``: the default
+    equi-depth runs ONE ``approxQuantile`` action (bounded by
+    ``len(cols) * 2**bits``), ``'width'`` one exact min/max agg, and a
+    dict NO action at all.
 
     Exposed separately from :func:`zorder_by` so the same z-value can
     key a ``repartitionByRange`` bucketing scheme, a sampling stratifier,
@@ -147,17 +152,34 @@ def zorder_value(
             raise ValueError(
                 f"zorder_value: boundaries dict missing column(s) {missing}"
             )
+        cap = (1 << bits) - 1
+        for c in cols:
+            if len(boundaries[c]) > cap:
+                # _bucket_expr clamps to 2**bits-1, so surplus cuts
+                # would silently pile most rows into the top bucket —
+                # a stats catalog built at a different bits setting
+                # must fail loudly, not degenerate the layout
+                raise ValueError(
+                    f"zorder_value: {len(boundaries[c])} cut points for "
+                    f"{c!r} exceed 2**bits-1 = {cap}; rebuild the "
+                    f"boundaries for bits={bits} (or raise bits)"
+                )
         all_bnds = [[float(b) for b in boundaries[c]] for c in cols]
     elif boundaries == "width":
         # exact equi-width cuts from ONE min/max aggregate. i/2**bits is
         # an exact dyadic rational and the mn + (mx-mn)*q form is a
         # single multiply+add, so any engine recomputing from the same
         # min/max gets bit-identical cut points (the dq_zorder oracle
-        # relies on this).
+        # relies on this). finite(): one NaN/Inf value would otherwise
+        # poison max() (NaN sorts above everything), turn every cut
+        # non-finite, and silently collapse the column to bucket 0
+        # (SCALE.md invariant 8).
+        from ..functions.expr import finite
+
         num = df.select(*[_as_double(c, dtypes[c]).alias(c) for c in cols])
         row = num.agg(
-            *[F.min(c).alias(f"_mn_{c}") for c in cols],
-            *[F.max(c).alias(f"_mx_{c}") for c in cols],
+            *[F.min(finite(F.col(c))).alias(f"_mn_{c}") for c in cols],
+            *[F.max(finite(F.col(c))).alias(f"_mx_{c}") for c in cols],
         ).collect()[0]
         all_bnds = []
         for c in cols:
