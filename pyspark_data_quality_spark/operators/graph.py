@@ -58,6 +58,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 15,
     rank_col: str = "rank",
+    combine_parallel_edges: bool = True,
 ) -> DataFrame:
     """Per-node PageRank after ``iterations`` power-iteration steps:
     ``(node, rank)``, ranks summing to ~1.0 (probability semantics, the
@@ -73,6 +74,17 @@ def pagerank(
     with w=1 everywhere — identical math, identical results. Isolated
     nodes never appear in an edge list; include them by unioning
     zero-degree self-loops upstream if their (1-d)/N floor matters.
+
+    ``combine_parallel_edges`` (default on) collapses parallel edges to
+    one ``(src, dst, sum(w))`` row before the iteration loop — the
+    multiplicity-as-weight semantics above, folded once instead of
+    re-shuffled every step. On multigraphs (link counts, event logs)
+    this shrinks every iteration's join+groupBy input from |E| edge
+    occurrences to |distinct (src,dst)| rows; on simple graphs the
+    pre-aggregation is one extra map-side-combining pass over the edge
+    frame that leaves it the same size. Ranks are identical up to
+    float-addition order (``k`` occurrences fold to ``k*w`` before the
+    contribution sum instead of inside it).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("pagerank: damping must be in (0, 1)")
@@ -88,21 +100,22 @@ def pagerank(
         if weight_col
         else F.lit(1.0)
     )
-    e = (
-        edges.select(
-            F.col(src_col).alias("_src"),
-            F.col(dst_col).alias("_dst"),
-            w.alias("_w"),
-        )
-        .filter(
-            F.col("_src").isNotNull()
-            & F.col("_dst").isNotNull()
-            & F.col("_w").isNotNull()
-            & (F.col("_w") > 0)
-        )
-        .repartition(F.col("_src"))
-        .persist()
+    e = edges.select(
+        F.col(src_col).alias("_src"),
+        F.col(dst_col).alias("_dst"),
+        w.alias("_w"),
+    ).filter(
+        F.col("_src").isNotNull()
+        & F.col("_dst").isNotNull()
+        & F.col("_w").isNotNull()
+        & (F.col("_w") > 0)
     )
+    if combine_parallel_edges:
+        # aggregate before the iteration shuffles (map-side combine):
+        # every step then joins/groups |distinct (src,dst)| rows, not
+        # |E| edge occurrences
+        e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w"))
+    e = e.repartition(F.col("_src")).persist()
     try:
         nodes = (
             e.select(F.col("_src").alias("node"))

@@ -73,6 +73,32 @@ def test_pagerank_parallel_edges_weight_contributions(spark):
     )
 
 
+def test_pagerank_combine_parallel_edges_matches_per_edge_fold(spark):
+    # the r15 optimization: parallel edges pre-aggregate to (src, dst,
+    # sum(w)) before the iteration loop. Ranks must match the per-edge
+    # fold (combine off) to float-order tolerance on a multigraph with
+    # heavy multiplicity AND a dangling node
+    multi = (
+        [("a", "b")] * 7 + [("b", "c")] * 3 + [("b", "a")] * 2
+        + [("c", "d")]  # d dangles
+    )
+    df = spark.createDataFrame(multi, "src string, dst string")
+    combined = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=10).collect()
+    }
+    per_edge = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, iterations=10, combine_parallel_edges=False
+        ).collect()
+    }
+    assert set(combined) == set(per_edge)
+    for v in combined:
+        assert combined[v] == pytest.approx(per_edge[v], rel=1e-12), v
+    assert sum(combined.values()) == pytest.approx(1.0, rel=1e-9)
+
+
 def test_pagerank_null_edges_dropped_and_validation(spark):
     edges = spark.createDataFrame(
         [("a", "b"), (None, "b"), ("a", None), ("b", "a")],
