@@ -711,9 +711,12 @@ def dq_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-bit bucket keys, the bucket-size guard, ordered candidate
     pairs, and the exact-cosine verify at round-6 (the cosine alignment
     Spark-vs-DuckDB is separately certified by dq_exact_similarity on
-    the same 500-vector subset). ``impl='expr'`` keeps the sign-bit dot
-    products sequential like the oracle's accumulation; a sign
-    disagreement would need |dot| under ~1e-13 — the same accepted
+    the same 500-vector subset). ``impl='seq'`` (r15) keeps the
+    sign-bit dot products sequential like the oracle's accumulation —
+    bit-identical to the previous ``impl='expr'`` fold (asserted in
+    tests/test_text_dedup.py) but as one Arrow kernel instead of a
+    tables*planes*dim literal tree the driver re-optimized every run; a
+    sign disagreement would need |dot| under ~1e-13 — the same accepted
     float-boundary hazard class as dq_mmd (BASELINE.md round 15).
     Banding recall (vs the exact pair set) stays measured in
     dq_sem_recall/dq_ann_recall; the rng scale path is the production
@@ -724,7 +727,7 @@ def dq_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         emb, "embedding", "vec_id", threshold=0.4, dim=64,
         num_planes=8, num_tables=8, seed=42,
-        planes="md5", impl="expr",
+        planes="md5", impl="seq",
     )
 
 
@@ -803,10 +806,12 @@ def dq_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    # impl='expr': sequential sign-bit dots, bit-exact vs the oracle's
-    # accumulation (the np matmul's BLAS order is luck-of-the-build)
+    # impl='seq' (r15): sequential sign-bit dots, bit-exact vs the
+    # oracle's accumulation (the np matmul's BLAS order is
+    # luck-of-the-build) — the Arrow kernel form of the old 'expr'
+    # fold, minus its fixed ~1s/action plan-optimization cost
     return lsh_topk(
-        emb, queries_df, k=10, dim=64, seed=42, planes="md5", impl="expr",
+        emb, queries_df, k=10, dim=64, seed=42, planes="md5", impl="seq",
         num_planes=8, num_tables=4,
     )
 

@@ -66,6 +66,80 @@ def hyperplane_keys_np(tables: list[list[list[float]]]):
     return pandas_udf(keys, "array<long>")
 
 
+def hyperplane_keys_seq_np(tables: list[list[list[float]]]):
+    """Arrow-vectorized hyperplane LSH keys with DIM-SEQUENTIAL
+    accumulation — bit-identical to the interpreted expression fold
+    (:func:`hyperplane_bucket_keys`) and to a SQL engine's left-to-right
+    ``list_dot_product``, but vectorized over rows.
+
+    Why it exists (r15): the certification faces need the fold's exact
+    accumulation order (``((0+x0*w0)+x1*w1)+...``) so a DuckDB oracle
+    replays the sign bits value-for-value, but the expression fold costs
+    a FIXED ~1s per action in driver-side plan work (tables x planes x
+    dim literal tree re-optimized every run) regardless of row count.
+    Here the planes live in the kernel closure — no plan bloat — and
+    ``acc += M[:, j] * w[p, j]`` accumulates over dims in the identical
+    IEEE order for every row at once. The batched-matmul kernel
+    (:func:`hyperplane_keys_np`) stays the production path; its BLAS
+    accumulation order is unspecified, which is fine when no oracle
+    replays the bits.
+
+    Output matches the expression path's shape AND semantics exactly:
+    ``array<struct<t:int, k:bigint>>``, MSB-first packing (``acc*2 +
+    bit``), and ``k=0`` for a NULL vector, a wrong-width vector, or a
+    vector with NULL elements — in the fold every such dot degenerates
+    to NULL (NULL array / NULL-padded or NULL-propagated products), and
+    ``when(NULL > 0, 1).otherwise(0)`` yields bit 0 on every plane.
+    Here a NULL element becomes NaN, NaN poisons the accumulator, and
+    ``NaN > 0`` is likewise false on every plane — same key 0.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    num_tables = len(tables)
+    num_planes = len(tables[0])
+    dim = len(tables[0][0])
+    planes = np.asarray(tables, dtype=np.float64).reshape(
+        num_tables * num_planes, dim
+    )
+    # MSB-first: plane 0 is the highest bit, exactly acc*2 + bit
+    msb_weights = 1 << np.arange(num_planes - 1, -1, -1, dtype=np.int64)
+
+    def keys(v):
+        out = [None] * len(v)
+        valid = []
+        for i, x in enumerate(v):
+            if x is None or len(x) != dim:
+                # the fold's NULL dot -> bit 0 on every plane -> key 0
+                out[i] = [(t, 0) for t in range(num_tables)]
+            else:
+                valid.append(i)
+        if valid:
+            mat = np.vstack(
+                [
+                    np.asarray(
+                        v.iloc[i], dtype=np.float64
+                    )  # NULL element -> NaN -> poisons acc -> key 0
+                    for i in valid
+                ]
+            )
+            acc = np.zeros((len(valid), num_tables * num_planes))
+            for j in range(dim):
+                # one elementwise multiply-add per dim: every row/plane
+                # accumulates in the same left-to-right IEEE order as
+                # the expression fold and the oracle's list_dot_product
+                acc += mat[:, j : j + 1] * planes[:, j]
+            bits = (acc > 0).reshape(len(valid), num_tables, num_planes)
+            ks = (bits * msb_weights).sum(axis=2).astype(np.int64)
+            for row, i in enumerate(valid):
+                out[i] = [(t, int(k)) for t, k in enumerate(ks[row])]
+        return pd.Series(out)
+
+    keys.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(keys, "array<struct<t:int,k:bigint>>")
+
+
 def shingle_hashes_np(
     shingle: str = "word",
     n: int = 3,

@@ -808,7 +808,12 @@ def ngram_jaccard_pairs(
         )
     # Distinct sets and their sizes are computed once per DOC in the
     # projection below the join; the per-PAIR work is then exactly one
-    # array_intersect (|A∪B| = |A|+|B|−|A∩B|).
+    # array_intersect (|A∪B| = |A|+|B|−|A∩B|). The nested loop streams
+    # the left side's own partitions — spread a single-split input so
+    # the O(n²) intersects don't serialize onto one task (r15).
+    from ..plans.parallelism import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(char_ngrams(text_col, shingle_n)).alias("_sh"),
@@ -845,8 +850,10 @@ def _explode_hyperplane_buckets(
 ) -> DataFrame:
     """(keep_cols..., _t, _k): one row per (row, LSH table). ``impl='np'``
     computes keys with the Arrow-vectorized matrix multiply
-    (:func:`..functions.vectors.hyperplane_keys_np`); ``'expr'`` stays
-    UDF-free via the folded expression."""
+    (:func:`..functions.vectors.hyperplane_keys_np`); ``'seq'`` with the
+    dim-sequential Arrow kernel (bit-identical to the fold/an oracle's
+    sequential dot, r15 — the fast certification-face path); ``'expr'``
+    stays UDF-free via the folded expression."""
     if impl == "np":
         from ..functions.vectors import hyperplane_keys_np
 
@@ -854,11 +861,17 @@ def _explode_hyperplane_buckets(
         return df.select(
             *keep_cols, F.posexplode(keys_udf(F.col(vec_col))).alias("_t", "_k")
         )
-    from ..functions.vectors import hyperplane_bucket_keys
+    if impl == "seq":
+        from ..functions.vectors import hyperplane_keys_seq_np
 
+        bucket_col = hyperplane_keys_seq_np(tables)(F.col(vec_col))
+    else:
+        from ..functions.vectors import hyperplane_bucket_keys
+
+        bucket_col = hyperplane_bucket_keys(F.col(vec_col), tables)
     return df.select(
         *keep_cols,
-        F.explode(hyperplane_bucket_keys(F.col(vec_col), tables)).alias("_b"),
+        F.explode(bucket_col).alias("_b"),
     ).select(*keep_cols, F.col("_b.t").alias("_t"), F.col("_b.k").alias("_k"))
 
 
@@ -911,7 +924,12 @@ def embedding_near_dup_pairs(
 
     if brute_force:
         from ..functions.vectors import dot, norm
+        from ..plans.parallelism import ensure_min_partitions
 
+        # the O(n²) pair scan streams the LEFT side's own partitions — a
+        # single-file corpus would run every interpreted dot on ONE task
+        # (no-op when the scan already has real parallelism, r15)
+        base = ensure_min_partitions(base)
         # norms once per vector, not per pair — identical IEEE expression,
         # one interpreted array-aggregate per pair instead of three
         nb = base.withColumn("_n", norm(F.col("_v")))
@@ -955,9 +973,16 @@ def embedding_near_dup_pairs(
             for _ in range(num_tables)
         ]
 
-    # no ensure_min_partitions here: the hyperplane kernel is one batched
-    # matmul per Arrow batch — measured cheaper to run on few partitions
-    # than to pay the repartition shuffle of the vectors
+    # impl='np': no ensure_min_partitions — the hyperplane kernel is one
+    # batched matmul per Arrow batch, measured cheaper on few partitions
+    # than paying the repartition shuffle of the vectors. impl='expr' is
+    # the opposite (r15): the sign-bit folds evaluate INTERPRETED per
+    # row x table x plane x dim, so a single-file corpus serializes the
+    # whole certification face onto one task — spread it first.
+    if impl == "expr":
+        from ..plans.parallelism import ensure_min_partitions
+
+        base = ensure_min_partitions(base)
     buckets = _explode_hyperplane_buckets(base, "_v", tables, impl, ["_id", "_v"])
     # vectors ride through the pair expansion as payloads (dim*8 bytes per
     # member, bounded by max_bucket_size) — exact-cosine verify without a

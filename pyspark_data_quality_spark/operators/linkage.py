@@ -227,6 +227,22 @@ def record_linkage(
     )
     if broadcast:
         rb = F.broadcast(rb)
+    else:
+        # Pin the blocking exchange (r15): a blocked linkage FANS OUT —
+        # each key joins |block_a| x |block_b| comparator rows — but AQE
+        # sizes post-shuffle partitions from the join's INPUT bytes, so
+        # a few-MB input coalesces to 1-2 tasks that then run every
+        # levenshtein single-threaded (measured 5.4s -> 1s at sf0.1).
+        # An explicit keyed repartition at the session's shuffle
+        # parallelism is the exact exchange the join would plan anyway,
+        # just marked user-specified so AQE leaves its width alone; the
+        # comparator projection stays fused in the join stage.
+        n_shuffle = int(
+            a.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        la = la.repartition(
+            n_shuffle, *[F.col(f"_lbk{i}") for i in range(len(blocking))]
+        )
     cond = None
     for i in range(len(blocking)):
         eq = F.col(f"_lbk{i}") == F.col(f"_rbk{i}")

@@ -50,7 +50,13 @@ def brute_force_topk(
     rows.
     """
     from ..functions.vectors import dot, norm
+    from ..plans.parallelism import ensure_min_partitions
 
+    # The per-pair interpreted dot products run in the corpus scan's own
+    # partitioning (the broadcast join adds no exchange) — a single-file
+    # corpus would score |corpus| x |queries| pairs on ONE task. The
+    # guard is a no-op when the scan already has real parallelism.
+    corpus = ensure_min_partitions(corpus)
     # Norms precomputed ONCE per vector (not per pair): cosine becomes
     # dot/(_cn*_qn) — the identical IEEE expression with 1 array-aggregate
     # per pair instead of 3 (the interpreted HOF evals are the cost).
@@ -191,11 +197,19 @@ def lsh_topk(
             for _ in range(num_tables)
         ]
 
+    cb_in = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    if impl == "expr":
+        # the sign-bit folds evaluate INTERPRETED per row x table x
+        # plane x dim — spread a single-file corpus first (no-op when
+        # the scan already has real parallelism; the np matmul path is
+        # measured cheaper without the repartition, r15)
+        from ..plans.parallelism import ensure_min_partitions
+
+        cb_in = ensure_min_partitions(cb_in)
     cb = _explode_hyperplane_buckets(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-        ),
-        "_cv", tables, impl, ["neighbor_id", "_cv"],
+        cb_in, "_cv", tables, impl, ["neighbor_id", "_cv"],
     )
     cb = cap_buckets(cb, ["_t", "_k"], max_bucket_size)
 

@@ -112,7 +112,11 @@ _COMPOSITE_BUDGETS = {
     # broadcast + joint agg over docs x 3 classes)
     "dq_label_quality": (11, 3),     # audited: 10 / 2
     "dq_dup_profile": (7, 3),        # audited: 6 / 2
-    "dq_exact_similarity": (2, 5),   # audited: 1 / 4 (bounded subsets)
+    # r15-opt: +2-3 round-robin exchanges from ensure_min_partitions in
+    # the brute-force faces — tiny bounded subsets repartitioned so the
+    # interpreted O(n^2) cosine scoring doesn't serialize on the
+    # fixture's single-file scan (idle-median 2.0 -> 1.1 s at sf0.1)
+    "dq_exact_similarity": (4, 5),   # audited r15-opt: 4 / 4
     "dq_stream_faces": (5, 5),       # audited r13+numeric_psi: 4 / 4
     "dq_user_journeys": (6, 2),      # audited: 5 / 1
     "dq_value_shape": (7, 3),        # audited: 6 / 2

@@ -315,6 +315,55 @@ def test_embedding_lsh_md5_planes_match_python_model(spark):
         )
 
 
+def test_hyperplane_seq_kernel_bit_identical_to_expr_fold(spark):
+    """impl='seq' (the r15 Arrow certification-face kernel) must emit
+    BIT-IDENTICAL bucket keys to the interpreted expression fold for
+    every row — same dim-sequential IEEE accumulation order, same
+    MSB-first packing, same NULL (key NULL) and wrong-width (key 0)
+    semantics. The DuckDB oracles replay the fold's exact sign bits, so
+    any divergence here is a certification break, not a perf detail."""
+    import hashlib
+
+    from pyspark_data_quality_spark.functions.vectors import md5_hyperplanes
+    from pyspark_data_quality_spark.operators.dedup import (
+        _explode_hyperplane_buckets,
+    )
+
+    T, P, D, SEED = 4, 8, 16, 7
+    tables = md5_hyperplanes(T, P, D, SEED)
+
+    # deterministic awkward floats: md5-uniforms in (-0.5, 0.5), plus
+    # NULL and wrong-width rows to pin the guard semantics
+    def u(tag):
+        return (
+            int(hashlib.md5(tag.encode()).hexdigest()[:6], 16) + 0.5
+        ) / 16777216.0 - 0.5
+
+    rows = [(i, [u(f"v|{i}|{j}") for j in range(D)]) for i in range(40)]
+    rows += [
+        (100, None),                              # NULL vector
+        (101, [1.0, 2.0]),                        # wrong width
+        (102, [0.0] * D),                         # zero vector
+        (103, [None] + [1.0] * (D - 1)),          # NULL element
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    def keys(impl):
+        out = _explode_hyperplane_buckets(df, "v", tables, impl, ["vec_id"])
+        return {
+            (r["vec_id"], r["_t"]): r["_k"] for r in out.collect()
+        }
+
+    k_expr = keys("expr")
+    k_seq = keys("seq")
+    assert k_seq == k_expr
+    # degenerate rows all fold to key 0 (NULL dot -> bit 0 every plane)
+    for vid in (100, 101, 102, 103):
+        assert k_expr[(vid, 0)] == 0
+    # non-degenerate: the 40 real rows spread over many buckets
+    assert len({v for (i, _), v in k_seq.items() if i < 100}) > 8
+
+
 def test_ngram_jaccard_bruteforce_matches_lsh(spark, docs):
     bf = {
         (r["id_a"], r["id_b"]): r["jaccard"]
