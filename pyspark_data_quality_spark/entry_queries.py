@@ -1199,7 +1199,13 @@ def dq_curation_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # shingle ONCE (checkpoint) and spread the streamed side of the
     # ground-truth nested-loop join: the 500-doc frame is one parquet
-    # split, which would otherwise run the O(n²) pair scan on ONE task
+    # split, which would otherwise run the O(n²) pair scan on ONE task.
+    # r15-opt adjudication: tried swapping this for the exact PPJoin
+    # (set_similarity_join) — pair-identical but 3x SLOWER at this
+    # bounded size (1.1 s vs 3.7 s interleaved A/B at sf0.1): the
+    # prefix-index shuffles + per-doc window cost more than 125k
+    # size-filtered intersects. The nested loop stays; it is bounded at
+    # 500 docs by construction, so it never meets 100 TB.
     sh = (
         docs.select(
             F.col("doc_id").alias("_id"),

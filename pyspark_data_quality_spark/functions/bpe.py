@@ -185,7 +185,9 @@ def bpe_count_np(merges, *, lowercase: bool = True):
         return pd.Series(out, dtype="Int64")
 
     f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    return pandas_udf(f, "long")
+    # deterministic in fact; marked so Catalyst never duplicates the
+    # kernel around pushed filters (see vectors.hyperplane_keys_np)
+    return pandas_udf(f, "long").asNondeterministic()
 
 
 def bpe_encode_np(merges, *, lowercase: bool = True):
@@ -214,4 +216,6 @@ def bpe_encode_np(merges, *, lowercase: bool = True):
         return pd.Series(out)
 
     f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    return pandas_udf(f, "array<string>")
+    # deterministic in fact; marked so Catalyst never duplicates the
+    # kernel around pushed filters (see vectors.hyperplane_keys_np)
+    return pandas_udf(f, "array<string>").asNondeterministic()

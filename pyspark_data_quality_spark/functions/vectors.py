@@ -63,7 +63,13 @@ def hyperplane_keys_np(tables: list[list[list[float]]]):
     # annotations`, which would stringify inline hints and break pyspark's
     # pandas_udf signature inspection).
     keys.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    return pandas_udf(keys, "array<long>")
+    # asNondeterministic on every kernel factory here: the functions ARE
+    # deterministic, but the marking stops Catalyst from DUPLICATING the
+    # expensive kernel when it pushes a filter through — explode()'s
+    # implicit size>0 condition otherwise plans a second ArrowEvalPython
+    # below the exchange whose output is projected away (measured 2x the
+    # kernel per action on the shingle pipelines, r15-opt).
+    return pandas_udf(keys, "array<long>").asNondeterministic()
 
 
 def hyperplane_keys_seq_np(tables: list[list[list[float]]]):
@@ -137,7 +143,8 @@ def hyperplane_keys_seq_np(tables: list[list[list[float]]]):
         return pd.Series(out)
 
     keys.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    return pandas_udf(keys, "array<struct<t:int,k:bigint>>")
+    # deterministic in fact; see hyperplane_keys_np for why it's marked
+    return pandas_udf(keys, "array<struct<t:int,k:bigint>>").asNondeterministic()
 
 
 def shingle_hashes_np(
@@ -218,7 +225,8 @@ def shingle_hashes_np(
         return pd.Series(out)
 
     f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    return pandas_udf(f, "array<long>")
+    # deterministic in fact; see hyperplane_keys_np for why it's marked
+    return pandas_udf(f, "array<long>").asNondeterministic()
 
 
 def minhash_md5_np(num_hashes: int = 24, seed: int = 42):
@@ -260,7 +268,8 @@ def minhash_md5_np(num_hashes: int = 24, seed: int = 42):
         return pd.Series(out)
 
     sig.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
-    return pandas_udf(sig, "array<long>")
+    # deterministic in fact; see hyperplane_keys_np for why it's marked
+    return pandas_udf(sig, "array<long>").asNondeterministic()
 
 
 def simhash_np(seed: int = 42, hash_family: str = "blake2b"):
@@ -328,7 +337,8 @@ def simhash_np(seed: int = 42, hash_family: str = "blake2b"):
         return pd.Series(out)
 
     f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    return pandas_udf(f, "long")
+    # deterministic in fact; see hyperplane_keys_np for why it's marked
+    return pandas_udf(f, "long").asNondeterministic()
 
 
 def minhash_rehash_np(num_hashes: int = 64, seed: int = 42):
@@ -361,7 +371,8 @@ def minhash_rehash_np(num_hashes: int = 64, seed: int = 42):
         return pd.Series(out)
 
     sig.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
-    return pandas_udf(sig, "array<long>")
+    # deterministic in fact; see hyperplane_keys_np for why it's marked
+    return pandas_udf(sig, "array<long>").asNondeterministic()
 
 
 def hyperplane_bucket_keys(vec: Column, tables: list[list[list[float]]]) -> Column:

@@ -1157,7 +1157,9 @@ def mmd_drift(
         return pd.Series(list(feats))
 
     z.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    rff = pandas_udf(z, "array<double>")
+    # deterministic in fact; marked so Catalyst never duplicates the
+    # kernel around pushed filters (see vectors.hyperplane_keys_np)
+    rff = pandas_udf(z, "array<double>").asNondeterministic()
 
     def _side(df: DataFrame, mean_name: str, n_name: str):
         # the vector count rides the SAME feature groupBy as the means

@@ -451,7 +451,9 @@ def unicode_normalize(
         return s.map(one, na_action="ignore")
 
     _kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    norm = pandas_udf(_kernel, "string")
+    # deterministic in fact; marked so Catalyst never duplicates the
+    # kernel around pushed filters (see vectors.hyperplane_keys_np)
+    norm = pandas_udf(_kernel, "string").asNondeterministic()
 
     col = norm(F.col(text_col))
     if strip_controls:

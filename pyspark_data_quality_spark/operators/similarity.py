@@ -342,6 +342,12 @@ def _nearest_centroids_np(centroids: list[list[float]], nprobe: int):
         return pd.Series(out)
 
     f.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    # NOT asNondeterministic (unlike the shingle/hyperplane kernels):
+    # the probe-side list assignment feeds the ivf_topk join key, and a
+    # nondeterministic probe expression disables dynamic partition
+    # pruning on a list-partitioned corpus store — file-level skipping
+    # is worth far more at scale than avoiding a duplicate eval of this
+    # tiny (queries x centroids) kernel
     return pandas_udf(f, "array<int>")
 
 
@@ -604,7 +610,9 @@ def pca_apply(
         return out
 
     project.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    kern = pandas_udf(project, "array<float>")
+    # deterministic in fact; marked so Catalyst never duplicates the
+    # kernel around pushed filters (see vectors.hyperplane_keys_np)
+    kern = pandas_udf(project, "array<float>").asNondeterministic()
     return df.withColumn(out_col, kern(F.col(vec_col)))
 
 
@@ -725,6 +733,10 @@ def _pq_encode_np(codebooks: list[list[list[float]]]):
         return pd.Series(out)
 
     f.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    # NOT asNondeterministic: codes are written to stores / joined on
+    # downstream (same class of planner restrictions as the IVF probe
+    # kernel above), and nothing explodes or filters this column, so
+    # there is no duplicate-eval risk to prevent
     return pandas_udf(f, "array<int>")
 
 

@@ -285,8 +285,14 @@ def contamination_pairs(
         score.__annotations__ = {
             "dgs": pd.Series, "pgs": pd.Series, "return": pd.Series
         }
+        # nondeterministic marking: the containment threshold filter
+        # above would otherwise duplicate the score kernel (guide-§4.4
+        # shape; see vectors.hyperplane_keys_np)
         cont = F.round(
-            pandas_udf(score, "double")(F.col("_dg"), F.col("_pg")), round_to
+            pandas_udf(score, "double").asNondeterministic()(
+                F.col("_dg"), F.col("_pg")
+            ),
+            round_to,
         )
     else:
         def hashed_grams(col: str) -> F.Column:
@@ -1464,6 +1470,10 @@ def unicode_profile(
         )
 
     _denorm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    # NOT asNondeterministic like the other kernels: this one feeds
+    # sum(...) directly and Spark rejects nondeterministic expressions
+    # inside aggregate arguments; it is evaluated once per row in a
+    # single fused agg anyway, so there is no duplication to prevent
     denorm = pandas_udf(_denorm, "boolean")
 
     t = F.col(text_col)

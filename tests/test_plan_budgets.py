@@ -174,3 +174,35 @@ def test_composite_entry_plan_budgets(spark, sf_dir, name):
     assert c["scans"] <= max_scans, (name, c)
     assert c["row_python"] == 0, (name, c)
     spark.catalog.clearCache()
+
+
+def test_kernel_not_duplicated_around_pushed_filters(spark, docs):
+    """r15-opt pin: explode()'s implicit size>0 condition used to be
+    pushed below the exchange as a filter ON the kernel output, planning
+    a SECOND ArrowEvalPython whose result was projected away — every
+    shingle pipeline paid the kernel twice per action. The kernels are
+    marked asNondeterministic (deterministic in fact) precisely to stop
+    that; this pins the single-evaluation plan."""
+    import re
+
+    from pyspark_data_quality_spark.functions.vectors import (
+        shingle_hashes_np,
+    )
+    from pyspark_data_quality_spark.plans.parallelism import (
+        ensure_min_partitions,
+    )
+
+    h = shingle_hashes_np("char", 8, seed=77)
+    q = (
+        ensure_min_partitions(docs)
+        .select(F.col("doc_id"), h(F.col("text")).alias("_dg"))
+        .filter(F.col("_dg").isNotNull())
+        .select("doc_id", F.explode("_dg").alias("g"))
+    )
+    plan = q._jdf.queryExecution().explainString(
+        q.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    arrow_nodes = set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
+    assert len(arrow_nodes) == 1, plan
