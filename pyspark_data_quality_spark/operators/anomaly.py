@@ -282,7 +282,11 @@ def metrics_regression(
         .otherwise(F.lit("ok"))
     )
     return (
-        current.join(base, on=list(key_cols), how="left")
+        # broadcast: ONE aggregated baseline row per series (series =
+        # distinct DQ metric streams, bounded by rules x columns, never
+        # data rows) — the planner sized the aggregate side unknown and
+        # planned a SortMergeJoin of two tiny frames (r15-opt)
+        current.join(F.broadcast(base), on=list(key_cols), how="left")
         .withColumn("baseline_mean", F.round(F.col("_mean"), round_to))
         .withColumn("baseline_stddev", F.round(F.col("_std"), round_to))
         .withColumn("n_baseline", F.coalesce("n_baseline", F.lit(0)))

@@ -870,9 +870,13 @@ def fd_confidence(
         [(i, a, b) for i, (a, b) in enumerate(pairs)],
         "_pid int, determinant string, dependent string",
     )
+    # broadcast the RIGHT side: a left-outer BroadcastHashJoin can only
+    # build right, so the old hint on the spine was unusable and the
+    # planner fell back to a SortMergeJoin of two one-row-per-pair
+    # frames (r15-opt). per_pair is <= len(pairs) aggregated rows.
     return (
-        F.broadcast(spine)
-        .join(per_pair, "_pid", "left")
+        spine
+        .join(F.broadcast(per_pair), "_pid", "left")
         .select(
             "determinant",
             "dependent",

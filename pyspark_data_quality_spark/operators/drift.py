@@ -1494,7 +1494,10 @@ def drift_screen(
     spine = cur.sparkSession.createDataFrame(
         [(c,) for c in columns], "column string"
     )
-    per_col = spine.join(per_col, "column", "left").select(
+    # broadcast the aggregated side (one row per column): the planner
+    # can't size a local-relation spine and planned a SortMergeJoin —
+    # 2 exchanges + 2 sorts for a len(columns)-row join (r15-opt)
+    per_col = spine.join(F.broadcast(per_col), "column", "left").select(
         "column",
         F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
         F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),

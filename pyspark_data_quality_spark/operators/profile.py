@@ -350,7 +350,13 @@ def value_histogram_stats(
     spine = df.sparkSession.createDataFrame(
         [(c,) for c in cols], "column string"
     )
-    per_col = spine.join(h.groupBy("column").agg(*q_aggs), "column", "left")
+    # broadcast: both sides are tiny (one row per column) but the
+    # planner can't size a local-relation spine vs an aggregate and
+    # planned a SortMergeJoin — 2 exchanges + 2 sorts for a
+    # len(columns)-row join (r15-opt)
+    per_col = spine.join(
+        F.broadcast(h.groupBy("column").agg(*q_aggs)), "column", "left"
+    )
 
     def rnd(expr):
         # round_to=None: full precision (callers like winsorize re-round
