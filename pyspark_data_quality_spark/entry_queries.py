@@ -8808,8 +8808,11 @@ def _gopher_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     every per-document ratio (rounded per doc, like the operator)
     before averaging."""
     from .functions.text import gopher_pass, gopher_signals
+    from .plans.parallelism import ensure_min_partitions
 
-    docs = load_table(spark, "documents", sf_dir)
+    # the gopher signal HOF lambdas evaluate interpreted per line/word —
+    # spread the single-split fixture scan (no-op at scale, r15-opt)
+    docs = ensure_min_partitions(load_table(spark, "documents", sf_dir))
     g = gopher_signals(F.col("text"))
     sig = docs.select(
         "source",

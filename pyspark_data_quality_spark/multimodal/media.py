@@ -513,8 +513,13 @@ def media_phash(
                 }
             )
 
-    return df.select(
-        F.col(id_col).alias("media_id"), F.col(data_col)
+    from ..plans.parallelism import ensure_min_partitions
+
+    # decode + DCT per payload is the heavy part — spread a
+    # single-split media file so the kernel doesn't serialize on one
+    # task (no-op at scale, r15-opt)
+    return ensure_min_partitions(
+        df.select(F.col(id_col).alias("media_id"), F.col(data_col))
     ).mapInPandas(gen, schema="media_id long, phash long")
 
 

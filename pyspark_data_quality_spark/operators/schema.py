@@ -119,6 +119,13 @@ def candidate_keys(
         raise ValueError("candidate_keys: no columns to profile")
     if max_width < 1:
         raise ValueError("candidate_keys: max_width must be >= 1")
+    from ..plans.parallelism import ensure_min_partitions
+
+    # the partial aggregation (and in exact mode the per-combo Expand)
+    # runs in the scan's own partitioning — spread a single-split input
+    # so combos x rows don't funnel through one task (no-op at scale,
+    # r15-opt)
+    df = ensure_min_partitions(df.select(*use))
     combos = [
         c
         for w in range(1, min(max_width, len(use)) + 1)

@@ -1243,7 +1243,12 @@ def language_mix(
     collections anywhere; the final spine join returns every input row.
     """
     from ..functions.text import lang_id
+    from ..plans.parallelism import ensure_min_partitions
 
+    # per-line lang_id (a regexp-heavy expression) runs in the scan's
+    # own partitioning — spread a single-split corpus first (no-op at
+    # scale, r15-opt)
+    df = ensure_min_partitions(df)
     lines = df.select(
         F.col(id_col),
         F.explode(
@@ -1315,7 +1320,12 @@ def readability_profile(
     extension alongside text_profile / quality gates.
     """
     from ..functions.text import tokenize
+    from ..plans.parallelism import ensure_min_partitions
 
+    # the sentence/syllable HOF lambdas evaluate INTERPRETED per token —
+    # spread a single-split corpus so they don't serialize on one task
+    # (no-op at scale where the scan has real splits, r15-opt)
+    df = ensure_min_partitions(df)
     c = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokenize(c)  # NULL text counts as empty, not NULL-poisoned
     sentences = F.size(

@@ -106,7 +106,10 @@ _COMPOSITE_BUDGETS = {
     "dq_sequence_audit": (4, 3),     # audited: 3 / 2
     "dq_graph_profile": (9, 1),      # audited: 8 / 0 (checkpointed edges)
     "dq_group_drift": (9, 5),        # audited: 8 / 4
-    "dq_doc_quality": (4, 3),        # audited: 3 / 2
+    # r15-opt: +2 round-robin exchanges (readability + gopher parts
+    # spread the single-split fixture scan so interpreted HOF lambdas
+    # don't serialize on one task; no-op at scale — idle 2.3 -> 1.9 s)
+    "dq_doc_quality": (6, 3),        # audited r15-opt: 5 / 2
     "dq_timeseries_shape": (6, 2),   # audited: 5 / 1 (events scan shared)
     # r14: + confident-learning part (softmax/rank windows + threshold
     # broadcast + joint agg over docs x 3 classes)
