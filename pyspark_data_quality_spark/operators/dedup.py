@@ -1166,6 +1166,10 @@ def set_similarity_join(
             f"set_similarity_join: threshold in (0, 1], got {threshold}"
         )
     t = float(threshold)
+    # no ensure_min_partitions here (r15-opt adjudication): the op's own
+    # token-frequency agg and prefix-index join already redistribute,
+    # and a round-robin spread of the heavy set arrays measured SLOWER
+    # (2.2 -> 2.6-4.0 s interleaved A/B at sf0.1)
     base = (
         df.select(
             F.col(id_col).alias("_id"),

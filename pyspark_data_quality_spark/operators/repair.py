@@ -598,6 +598,12 @@ def normalize_columns(
         raise ValueError(f"normalize_columns: unknown columns {missing}")
 
     from ..functions.expr import finite
+    from ..plans.parallelism import ensure_min_partitions
+
+    # the fused stats aggregate (percentile sketches in 'robust') runs
+    # in the scan's own partitioning — spread a single-split input so
+    # it doesn't serialize on one task (no-op at scale, r15-opt)
+    df = ensure_min_partitions(df)
 
     aggs = []
     for c in cols:

@@ -968,9 +968,13 @@ def ngram_diversity(
     """
     from ..functions.expr import let_bind
     from ..functions.text import tokenize
+    from ..plans.parallelism import ensure_min_partitions
 
     if not ns or any(n < 1 for n in ns):
         raise ValueError("ngram_diversity: ns must be positive ints")
+    # tokenize + explode + partial agg all ride the scan — spread a
+    # single-split corpus first (no-op at scale, r15-opt)
+    df = ensure_min_partitions(df)
     keys = [group_col] if group_col else []
 
     # All n's shingles come from ONE let-bound token array: interpreted
