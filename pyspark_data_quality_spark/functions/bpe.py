@@ -185,9 +185,11 @@ def bpe_count_np(merges, *, lowercase: bool = True):
         return pd.Series(out, dtype="Int64")
 
     f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    # deterministic in fact; marked so Catalyst never duplicates the
-    # kernel around pushed filters (see vectors.hyperplane_keys_np)
-    return pandas_udf(f, "long").asNondeterministic()
+    # NOT asNondeterministic (r15-opt review): the count feeds
+    # aggregations via a plain column, never an explode/filter — no
+    # duplication to prevent, and the marking would block caller-filter
+    # pushdown (see repair.unicode_normalize for the rationale)
+    return pandas_udf(f, "long")
 
 
 def bpe_encode_np(merges, *, lowercase: bool = True):
@@ -216,6 +218,5 @@ def bpe_encode_np(merges, *, lowercase: bool = True):
         return pd.Series(out)
 
     f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    # deterministic in fact; marked so Catalyst never duplicates the
-    # kernel around pushed filters (see vectors.hyperplane_keys_np)
-    return pandas_udf(f, "array<string>").asNondeterministic()
+    # NOT asNondeterministic — same rationale as bpe_count_np above
+    return pandas_udf(f, "array<string>")

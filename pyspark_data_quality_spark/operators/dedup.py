@@ -865,10 +865,16 @@ def _explode_hyperplane_buckets(
         from ..functions.vectors import hyperplane_keys_seq_np
 
         bucket_col = hyperplane_keys_seq_np(tables)(F.col(vec_col))
-    else:
+    elif impl == "expr":
         from ..functions.vectors import hyperplane_bucket_keys
 
         bucket_col = hyperplane_bucket_keys(F.col(vec_col), tables)
+    else:
+        # loud: a typo'd impl used to silently fall through to the
+        # slow interpreted fold (r15-opt review)
+        raise ValueError(
+            f"hyperplane impl must be 'np', 'seq' or 'expr', got {impl!r}"
+        )
     return df.select(
         *keep_cols,
         F.explode(bucket_col).alias("_b"),
@@ -906,8 +912,10 @@ def embedding_near_dup_pairs(
     ``random.Random`` — same gaussian geometry, but every weight is
     reproducible in SQL, which lets a DuckDB oracle replay the whole
     bucketing+verify pipeline (dq_embedding_pairs_lsh); pair it with
-    ``impl='expr'`` so the sign-bit dot products accumulate
-    sequentially like the oracle's.
+    ``impl='seq'`` (the dim-sequential Arrow kernel, r15) so the
+    sign-bit dot products accumulate sequentially like the oracle's —
+    ``impl='expr'`` computes the identical bits as a pure expression
+    fold but pays a fixed ~1 s/action of driver-side plan work.
     """
     from ..functions.vectors import (
         cosine_similarity,

@@ -233,16 +233,23 @@ def record_linkage(
         # sizes post-shuffle partitions from the join's INPUT bytes, so
         # a few-MB input coalesces to 1-2 tasks that then run every
         # levenshtein single-threaded (measured 5.4s -> 1s at sf0.1).
-        # An explicit keyed repartition at the session's shuffle
-        # parallelism is the exact exchange the join would plan anyway,
-        # just marked user-specified so AQE leaves its width alone; the
-        # comparator projection stays fused in the join stage.
-        n_shuffle = int(
-            a.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-        la = la.repartition(
-            n_shuffle, *[F.col(f"_lbk{i}") for i in range(len(blocking))]
-        )
+        # The keyed repartition fires ONLY when the left input has
+        # pathologically few partitions (the single-split fixture case,
+        # same condition as plans/parallelism.ensure_min_partitions):
+        # a real corpus has hundreds of splits, so at scale the join
+        # keeps its own ENSURE_REQUIREMENTS exchange — AQE skew-join
+        # splitting stays available and a small right side can still
+        # auto-broadcast (r15-opt review).
+        try:
+            n_shuffle = int(
+                a.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):  # e.g. "auto" on managed runtimes
+            n_shuffle = a.sparkSession.sparkContext.defaultParallelism
+        if la.rdd.getNumPartitions() * 2 <= n_shuffle:
+            la = la.repartition(
+                n_shuffle, *[F.col(f"_lbk{i}") for i in range(len(blocking))]
+            )
     cond = None
     for i in range(len(blocking)):
         eq = F.col(f"_lbk{i}") == F.col(f"_rbk{i}")

@@ -451,9 +451,13 @@ def unicode_normalize(
         return s.map(one, na_action="ignore")
 
     _kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    # deterministic in fact; marked so Catalyst never duplicates the
-    # kernel around pushed filters (see vectors.hyperplane_keys_np)
-    norm = pandas_udf(_kernel, "string").asNondeterministic()
+    # NOT asNondeterministic (r15-opt review): nothing in-repo explodes
+    # or filters this kernel's output (no duplication to prevent), and
+    # this is a public repair API — the marking would block pushdown of
+    # every caller filter written after unicode_normalize, even on
+    # unrelated columns (a nondeterministic Project field stops
+    # PushPredicateThroughNonJoin entirely)
+    norm = pandas_udf(_kernel, "string")
 
     col = norm(F.col(text_col))
     if strip_controls:

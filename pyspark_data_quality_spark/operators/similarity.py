@@ -610,9 +610,11 @@ def pca_apply(
         return out
 
     project.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    # deterministic in fact; marked so Catalyst never duplicates the
-    # kernel around pushed filters (see vectors.hyperplane_keys_np)
-    kern = pandas_udf(project, "array<float>").asNondeterministic()
+    # NOT asNondeterministic (r15-opt review): public API whose output
+    # is projected/aggregated, never exploded or filtered in-repo — the
+    # marking would only block caller-filter pushdown (see
+    # repair.unicode_normalize for the rationale)
+    kern = pandas_udf(project, "array<float>")
     return df.withColumn(out_col, kern(F.col(vec_col)))
 
 

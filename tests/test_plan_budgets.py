@@ -119,7 +119,7 @@ _COMPOSITE_BUDGETS = {
     # the brute-force faces — tiny bounded subsets repartitioned so the
     # interpreted O(n^2) cosine scoring doesn't serialize on the
     # fixture's single-file scan (idle-median 2.0 -> 1.1 s at sf0.1)
-    "dq_exact_similarity": (4, 5),   # audited r15-opt: 4 / 4
+    "dq_exact_similarity": (5, 5),   # audited r15-opt: 4 / 4 (+1 slack)
     "dq_stream_faces": (5, 5),       # audited r13+numeric_psi: 4 / 4
     "dq_user_journeys": (6, 2),      # audited: 5 / 1
     "dq_value_shape": (7, 3),        # audited: 6 / 2
