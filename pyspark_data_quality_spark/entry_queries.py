@@ -1212,7 +1212,10 @@ def dq_curation_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(word_shingles("text", 3)).alias("_sh"),
         )
         .withColumn("_n", F.size("_sh"))
-        .repartition(32)
+        # scale-adaptive spread (r15-opt): defaultParallelism, not a
+        # constant tuned for local[32] — the driver also benches at
+        # lower core counts
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
     left, right = sh.alias("l"), sh.alias("r")
