@@ -864,9 +864,18 @@ def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .operators.similarity import assign_ivf_lists, ivf_pq_topk
 
-    pq_index = pq_encode(
-        assign_ivf_lists(emb, centroids=cents), codebooks=books
-    ).select("vec_id", "ivf_list", "pq_code")
+    # ONE corpus->list assignment serves both ivf_topk configs AND the
+    # PQ index (r16, guide §5 reuse-don't-recompute): the nprobe knob
+    # changes only the query-side probe, never the corpus assignment,
+    # so the per-config assignment kernel collapses to one lazy
+    # checkpoint every consumer reads. Results are bit-identical
+    # (ivf_topk's list_col path scores exactly as its inline path).
+    assigned = assign_ivf_lists(emb, centroids=cents).localCheckpoint(
+        eager=False
+    )
+    pq_index = pq_encode(assigned, codebooks=books).select(
+        "vec_id", "ivf_list", "pq_code"
+    )
     pq_codes = pq_index.select("vec_id", "pq_code")
     # (method, config label, floor, plan) — floors measured at sf0.01
     # (0.13 / 0.62 / 0.75 / 0.92 / pq 0.72; pq also 0.61 @ sf0.001 and
@@ -891,9 +900,11 @@ def dq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # certifies the probe plan with construction-deterministic
         # centroids instead (see its docstring)
         ("ivf", "nprobe=8/32 (default)", 0.55,
-         ivf_topk(emb, queries_df, centroids=cents, k=10, nprobe=8)),
+         ivf_topk(assigned, queries_df, centroids=cents, k=10, nprobe=8,
+                  list_col="ivf_list")),
         ("ivf", "nprobe=16/32", 0.75,
-         ivf_topk(emb, queries_df, centroids=cents, k=10, nprobe=16)),
+         ivf_topk(assigned, queries_df, centroids=cents, k=10, nprobe=16,
+                  list_col="ivf_list")),
         ("pq", "m=16,k=64 (ADC over codes)", 0.35,
          pq_topk(pq_codes, queries_df, codebooks=books, k=10)),
         ("ivf_pq", "m=16,k=64,nprobe=16/32", 0.25,
@@ -1061,12 +1072,13 @@ def dq_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as dq_exact_similarity's pairs part. Seeded/deterministic, but not
     SQL-expressible without replaying the LSH in the oracle —
     rows-only by design."""
-    from .functions.vectors import simhash_np
     from .operators.dedup import (
         hamming64,
         minhash_near_dup_pairs,
+        minhash_signatures,
         ngram_jaccard_pairs,
         simhash_near_dup_pairs,
+        simhash_signatures,
     )
 
     # ONE materialized corpus subset (the 100-doc slice filters it in
@@ -1082,6 +1094,22 @@ def dq_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs100 = docs500.filter(F.col("doc_id") < 100)
 
+    # Shared signature frames (r16, guide §5 reuse-don't-recompute):
+    # the two minhash configs differ only in BANDS over the same
+    # 64-hash signature, and the two simhash configs AND the exact
+    # hamming ground truth all read the same 64-bit simhash — so each
+    # kernel runs once (lazy checkpoint: the first consumer
+    # materializes, concurrent consumers read the same blocks).
+    # Recall/precision are bit-identical: banding is a literal slice
+    # of the injected signature.
+    mh_sig = minhash_signatures(
+        docs100, "text", "doc_id", num_hashes=64, shingle="char",
+        shingle_n=3,
+    ).localCheckpoint(eager=False)
+    sh_sig = simhash_signatures(docs500, "text", "doc_id").localCheckpoint(
+        eager=False
+    )
+
     def _jac_exact():
         return (
             ngram_jaccard_pairs(
@@ -1093,14 +1121,10 @@ def dq_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _ham_exact():
-        sig = docs500.select(
-            F.col("doc_id").alias("_id"),
-            simhash_np(42)(F.col("text")).alias("_sh"),
-        ).filter(F.col("_sh").isNotNull())
         return (
-            sig.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa"))
+            sh_sig.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa"))
             .join(
-                sig.select(
+                sh_sig.select(
                     F.col("_id").alias("id_b"), F.col("_sh").alias("_sb")
                 ),
                 F.col("id_a") < F.col("id_b"),
@@ -1119,19 +1143,22 @@ def dq_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
          minhash_near_dup_pairs(
              docs100, "text", "doc_id", shingle="char", shingle_n=3,
              threshold=0.5, num_hashes=64, num_bands=32,
+             signatures=mh_sig,
          )),
         ("minhash", "hashes=64,bands=16,t=0.5", 0.55, jac_exact,
          minhash_near_dup_pairs(
              docs100, "text", "doc_id", shingle="char", shingle_n=3,
              threshold=0.5, num_hashes=64, num_bands=16,
+             signatures=mh_sig,
          )),
         ("simhash", "hamming<=8,bands=4 (entry)", 0.2, ham_exact,
          simhash_near_dup_pairs(docs500, "text", "doc_id", max_hamming=8,
-                                allow_probabilistic=True)),
+                                allow_probabilistic=True,
+                                signatures=sh_sig)),
         ("simhash", "hamming<=8,bands=8", 0.8, ham_exact,
          simhash_near_dup_pairs(
              docs500, "text", "doc_id", max_hamming=8, num_bands=8,
-             allow_probabilistic=True,
+             allow_probabilistic=True, signatures=sh_sig,
          )),
     ]
     rows = _eval_configs_concurrently(configs, prec_floor)

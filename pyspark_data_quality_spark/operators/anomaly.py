@@ -171,6 +171,7 @@ def metrics_regression(
     min_periods: int = DEFAULT_MIN_PERIODS,
     direction: str = "both",
     round_to: int = 6,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Run-over-run DQ metric regression monitor — the Deequ
     anomaly-constraint shape the reference's MetricResult design points
@@ -203,7 +204,13 @@ def metrics_regression(
     single baseline row per series, then a key-equi join to the current
     run — all shuffles move metric rows (runs x series), never data-scale
     rows, and the baseline/current sides are both bounded by the rule
-    count so AQE broadcasts them. Baselines use FINITE history values
+    count so AQE broadcasts them. ``broadcast=True`` (default) hints
+    the aggregated baseline side explicitly (the planner cannot size a
+    fresh aggregate and fell back to a sort-merge join of two tiny
+    frames — r15); pass ``broadcast=False`` when ``key_cols`` are
+    per-entity high-cardinality series whose baseline would not fit an
+    executor (the escape-hatch contract every persist kwarg follows).
+    Baselines use FINITE history values
     only (SCALE.md invariant 8: one NaN run would poison the mean and
     flag the next ``lookback`` runs)."""
     from ..functions.expr import finite
@@ -286,7 +293,10 @@ def metrics_regression(
         # distinct DQ metric streams, bounded by rules x columns, never
         # data rows) — the planner sized the aggregate side unknown and
         # planned a SortMergeJoin of two tiny frames (r15-opt)
-        current.join(F.broadcast(base), on=list(key_cols), how="left")
+        current.join(
+            F.broadcast(base) if broadcast else base,
+            on=list(key_cols), how="left",
+        )
         .withColumn("baseline_mean", F.round(F.col("_mean"), round_to))
         .withColumn("baseline_stddev", F.round(F.col("_std"), round_to))
         .withColumn("n_baseline", F.coalesce("n_baseline", F.lit(0)))

@@ -453,6 +453,50 @@ def lsh_plan(
     return best
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 128,
+    shingle_n: int = 3,
+    shingle: str = "char",
+    seed: int = 42,
+    hash_family: str = "blake2b",
+) -> DataFrame:
+    """``(_id, _h, _sig)`` MinHash signature frame — the shingle-hash
+    set and ``num_hashes``-wide signature per document, exactly as
+    :func:`minhash_near_dup_pairs` (``impl='np'``) builds internally.
+
+    Build it ONCE and pass it to several ``minhash_near_dup_pairs``
+    calls via ``signatures=`` when only the BANDING differs between
+    them (bands re-slice the same signature): the expensive
+    shingle+hash kernel then runs once instead of once per
+    configuration — the r16 recall-harness sharing knob. Typically
+    ``localCheckpoint(eager=False)``-ed by the caller so concurrent
+    consumers read one materialization."""
+    from ..functions.vectors import (
+        minhash_md5_np,
+        minhash_rehash_np,
+        shingle_hashes_np,
+    )
+    from ..plans.parallelism import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+    hash_base = df.select(
+        F.col(id_col).alias("_id"),
+        shingle_hashes_np(shingle, shingle_n, seed, hash_family)(
+            F.col(text_col)
+        ).alias("_h"),
+    ).filter(F.col("_h").isNotNull())
+    sig_udf = (
+        minhash_md5_np(num_hashes, seed)
+        if hash_family == "md5"
+        else minhash_rehash_np(num_hashes, seed)
+    )
+    return hash_base.withColumn("_sig", sig_udf(F.col("_h")))
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -467,6 +511,7 @@ def minhash_near_dup_pairs(
     max_bucket_size: int | None = 1000,
     impl: str = "np",
     hash_family: str = "blake2b",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact jaccard >= threshold) via
     MinHash banding.
@@ -508,6 +553,12 @@ def minhash_near_dup_pairs(
     families; only the two pandas_udf kernels differ. md5 costs
     ~num_hashes digests per shingle: bound the input (the entry uses a
     fixed 500-doc subset) and keep blake2b for production corpora.
+
+    ``signatures=`` (r16) injects a prebuilt :func:`minhash_signatures`
+    frame; callers that run several BAND configurations over the same
+    corpus (the dq_neardup_recall harness) pay the shingle+signature
+    kernels once instead of once per configuration. Results are
+    bit-identical: bands are literal slices of the injected signature.
     """
     if hash_family not in ("blake2b", "md5"):
         raise ValueError(
@@ -529,30 +580,36 @@ def minhash_near_dup_pairs(
             "a consistent configuration)"
         )
     rows_per_band = num_hashes // num_bands
-    from ..plans.parallelism import ensure_min_partitions
-
-    df = ensure_min_partitions(df)
-    if impl == "np":
-        from ..functions.vectors import (
-            minhash_md5_np,
-            minhash_rehash_np,
-            shingle_hashes_np,
+    if signatures is not None:
+        # sig-injection (r16): a prebuilt minhash_signatures frame —
+        # only the banding below differs between sharing callers, so
+        # the kernel cost is paid once. The frame must carry the full
+        # num_hashes-wide signature this call bands over.
+        if impl != "np":
+            raise ValueError(
+                "minhash_near_dup_pairs: signatures= requires impl='np' "
+                "(the expression path carries shingle sets, not hash sets)"
+            )
+        missing = {"_id", "_h", "_sig"} - set(signatures.columns)
+        if missing:
+            raise ValueError(
+                f"minhash_near_dup_pairs: signatures frame is missing "
+                f"columns {sorted(missing)} — build it with "
+                "minhash_signatures"
+            )
+        base = signatures
+        verify_col = "_h"
+    elif impl == "np":
+        base = minhash_signatures(
+            df, text_col, id_col,
+            num_hashes=num_hashes, shingle_n=shingle_n, shingle=shingle,
+            seed=seed, hash_family=hash_family,
         )
-
-        hash_base = df.select(
-            F.col(id_col).alias("_id"),
-            shingle_hashes_np(shingle, shingle_n, seed, hash_family)(
-                F.col(text_col)
-            ).alias("_h"),
-        ).filter(F.col("_h").isNotNull())
-        sig_udf = (
-            minhash_md5_np(num_hashes, seed)
-            if hash_family == "md5"
-            else minhash_rehash_np(num_hashes, seed)
-        )
-        base = hash_base.withColumn("_sig", sig_udf(F.col("_h")))
         verify_col = "_h"
     else:
+        from ..plans.parallelism import ensure_min_partitions
+
+        df = ensure_min_partitions(df)
         shingle_expr = (
             word_shingles(text_col, shingle_n)
             if shingle == "word"
@@ -675,6 +732,35 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    seed: int = 42,
+    hash_family: str = "blake2b",
+    impl: str = "np",
+) -> DataFrame:
+    """``(_id, _sh)`` SimHash signature frame, exactly as
+    :func:`simhash_near_dup_pairs` builds internally. Build once and
+    share via its ``signatures=`` knob when several BAND configurations
+    (or an exact-hamming ground truth, dq_neardup_recall's shape) read
+    the same signatures — the banding is a bit-slice of ``_sh``, so
+    results are bit-identical."""
+    from ..plans.parallelism import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+    if impl == "np":
+        from ..functions.vectors import simhash_np
+
+        sh_col = simhash_np(seed, hash_family)(F.col(text_col))
+    else:
+        sh_col = simhash(text_col, seed=seed)
+    return df.select(
+        F.col(id_col).alias("_id"), sh_col.alias("_sh")
+    ).filter(F.col("_sh").isNotNull())
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -687,6 +773,7 @@ def simhash_near_dup_pairs(
     impl: str = "np",
     allow_probabilistic: bool = False,
     hash_family: str = "blake2b",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates from 16-bit band buckets
     (a pair within hamming<=3 of 64 bits shares at least one of 4 bands by
@@ -734,18 +821,20 @@ def simhash_near_dup_pairs(
             "weakening the bucketing for no recall benefit"
         )
     bits_per_band = 64 // num_bands
-    from ..plans.parallelism import ensure_min_partitions
-
-    df = ensure_min_partitions(df)
-    if impl == "np":
-        from ..functions.vectors import simhash_np
-
-        sh_col = simhash_np(seed, hash_family)(F.col(text_col))
+    if signatures is not None:
+        missing = {"_id", "_sh"} - set(signatures.columns)
+        if missing:
+            raise ValueError(
+                f"simhash_near_dup_pairs: signatures frame is missing "
+                f"columns {sorted(missing)} — build it with "
+                "simhash_signatures"
+            )
+        base = signatures
     else:
-        sh_col = simhash(text_col, seed=seed)
-    base = df.select(
-        F.col(id_col).alias("_id"), sh_col.alias("_sh")
-    ).filter(F.col("_sh").isNotNull())
+        base = simhash_signatures(
+            df, text_col, id_col,
+            seed=seed, hash_family=hash_family, impl=impl,
+        )
 
     mask = (1 << bits_per_band) - 1
     buckets = base.select(
@@ -1039,9 +1128,11 @@ def dedup_components(
     the default ``max_iter=20`` that covers diameters beyond 2^15, so
     the previous silent-split risk on pathological chains is gone (the
     warning remains as a backstop). The loop is driver-coordinated with
-    a per-round convergence count (deliberate small actions) and
-    ``localCheckpoint`` to truncate lineage — the standard Spark shape
-    for iterative graph algorithms.
+    ONE action per round (r16): the previous label rides the
+    propagation aggregate, so the convergence count doubles as the
+    ``localCheckpoint`` materialization instead of a separate
+    new-vs-old join — the standard Spark shape for iterative graph
+    algorithms, minus one job per round.
     """
     if max_iter < 1:
         raise ValueError(f"dedup_components: max_iter must be >= 1, got {max_iter}")
@@ -1080,27 +1171,42 @@ def _dedup_components_loop(
     # there. If the graph hasn't converged by then (a chain-shaped
     # cluster), pointer jumping kicks in and the remaining distance
     # collapses geometrically.
+    #
+    # r16 (one action per round, guide §2/§5): the previous label rides
+    # the propagation aggregate as ``_old`` (the labels branch of the
+    # union is the only one tagging it, exactly one non-NULL per
+    # vertex), so the convergence count is a filter over the SAME frame
+    # instead of a separate new-vs-old shuffle join — and with a LAZY
+    # localCheckpoint that count is the action that materializes the
+    # round's checkpoint blocks. Per round: 1 job, not 2-3.
     _PLAIN_ROUNDS = 3
+    lbl_t = labels.schema["lbl"].dataType
     for i in range(max_iter):
         nbr = edges.join(
             labels.select(F.col("v").alias("dst"), F.col("lbl")), "dst"
         ).select(F.col("src").alias("v"), "lbl")
-        prop = labels.union(nbr).groupBy("v").agg(F.min("lbl").alias("lbl"))
+        prop = (
+            labels.select("v", "lbl", F.col("lbl").alias("_old"))
+            .union(nbr.select("v", "lbl", F.lit(None).cast(lbl_t)))
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"), F.max("_old").alias("_old"))
+        )
         if i < _PLAIN_ROUNDS:
-            new_labels = prop.localCheckpoint()
+            flagged = prop
         else:
             # checkpoint BEFORE the self-join: joining a plan containing
             # this union onto itself trips Catalyst's Union constraint
             # rewrite (duplicate attribute ids); the checkpoint makes
             # prop a leaf relation, which self-joins cleanly — and it
-            # truncates the per-round lineage anyway.
-            prop = prop.localCheckpoint()
+            # truncates the per-round lineage anyway. Lazy: the round's
+            # single count action below materializes it.
+            prop = prop.localCheckpoint(eager=False)
             # pointer jumping: lbl := lbl(lbl). Every label is the id of
             # a vertex in the same component (invariant from
             # initialization + min-folding), so composing through the
             # label's own label stays in-component while halving
             # pointer-chain depth each round.
-            new_labels = (
+            flagged = (
                 prop.alias("p")
                 .join(
                     prop.select(
@@ -1114,15 +1220,16 @@ def _dedup_components_loop(
                     F.least(
                         F.col("p.lbl"), F.coalesce("_llbl", F.col("p.lbl"))
                     ).alias("lbl"),
+                    F.col("p._old").alias("_old"),
                 )
-            ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+            )
+        new_labels = flagged.withColumn(
+            "_chg", F.col("lbl") != F.col("_old")
+        ).localCheckpoint(eager=False)
+        # the ONE action of the round: materializes the checkpoint and
+        # returns the convergence count off the same blocks
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.select("v", "lbl")
         if changed == 0:
             break
     else:

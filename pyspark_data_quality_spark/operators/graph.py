@@ -299,10 +299,13 @@ def k_core(
     half = pairs.select(s.alias("_s"), d.alias("_d")).filter(
         s.isNotNull() & d.isNotNull() & (s != d)
     )
+    # lazy checkpoint + count: the count is the action that materializes
+    # the checkpoint blocks — one job, not a checkpoint job plus a
+    # count job (r16, one action per round)
     edges = (
         half.union(half.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_edges = edges.count()
     for _ in range(max_iter):
@@ -317,7 +320,7 @@ def k_core(
         pruned = edges.join(keep, "_s", "left_semi").join(
             keep.select(F.col("_s").alias("_d")), "_d", "left_semi"
         )
-        pruned = pruned.localCheckpoint()
+        pruned = pruned.localCheckpoint(eager=False)
         n_after = pruned.count()
         converged = n_after in (n_edges, 0)  # empty graph IS a fixpoint
         edges, n_edges = pruned, n_after

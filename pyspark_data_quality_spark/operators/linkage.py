@@ -240,13 +240,27 @@ def record_linkage(
         # keeps its own ENSURE_REQUIREMENTS exchange — AQE skew-join
         # splitting stays available and a small right side can still
         # auto-broadcast (r15-opt review).
+        # Known residual (r16 ADVICE, accepted): when the distinct
+        # blocking-key count is below n_shuffle the keyed exchange
+        # leaves partitions empty — but any equi-join on those keys
+        # co-locates them identically, so a round-robin fallback only
+        # helps if the right side broadcasts, and measuring key
+        # cardinality here would cost an eager aggregate per call.
         try:
             n_shuffle = int(
                 a.sparkSession.conf.get("spark.sql.shuffle.partitions")
             )
         except (TypeError, ValueError):  # e.g. "auto" on managed runtimes
             n_shuffle = a.sparkSession.sparkContext.defaultParallelism
-        if la.rdd.getNumPartitions() * 2 <= n_shuffle:
+        from ..plans.parallelism import _stream_partition_estimate
+
+        try:
+            est = _stream_partition_estimate(
+                la._jdf.queryExecution().executedPlan()
+            )
+        except Exception:
+            est = None
+        if est and est * 2 <= n_shuffle:
             la = la.repartition(
                 n_shuffle, *[F.col(f"_lbk{i}") for i in range(len(blocking))]
             )

@@ -155,6 +155,15 @@ def curate_corpus(
         # near-dup join, once inside contamination's input plan).
         return maybe_persist(small, persist)
 
+    # r16 (guide §3, fewer passes over the corpus): each stage used to
+    # LEFT-JOIN its drop-list onto the full annotated frame, so the
+    # final plan carried one corpus-wide join PER STAGE. The lists are
+    # DISJOINT by construction (every stage's input already excludes
+    # all previously-dropped rows), so the final annotation is ONE left
+    # join of their (id, reason) union; each stage still excludes prior
+    # drops from its own input via an anti join on the pinned id list.
+    drop_lists: list[DataFrame] = []
+
     prof = maybe_persist(text_profile(docs, text_col), persist)
     # quality gates BEFORE language: junk text language-IDs as 'und', and
     # "low_quality" is the actionable status for it, not "wrong_lang"
@@ -169,6 +178,17 @@ def curate_corpus(
     )
     annotated = prof.withColumn(status_col, gate)
     passed = annotated.filter(F.col(status_col).isNull())
+
+    def _drop_stage(ids: DataFrame, reason: str) -> None:
+        """Pin a stage's drop-list (ids only, never payloads) and
+        exclude it from every later stage's input."""
+        nonlocal passed
+        d = _pin(
+            ids.select(F.col(id_col))
+            .withColumn("_drop_reason", F.lit(reason))
+        )
+        drop_lists.append(d)
+        passed = passed.join(d.select(id_col), id_col, "left_anti")
 
     # optional model-based quality gate (default off): a trained NB
     # classifier (operators/classify.py) scores the rows that survived
@@ -188,21 +208,12 @@ def curate_corpus(
             score_nb_classifier(passed, quality_model, text_col, [id_col]),
             [id_col],
         )
-        model_drops = _pin(
+        _drop_stage(
             pred.filter(
                 ~F.col("predicted").isin(*model_keep_labels)
                 | (F.col("margin") < F.lit(float(model_margin)))
-            )
-            .select(id_col)
-            .withColumn("_model_rej", F.lit(True))
-        )
-        annotated = annotated.join(model_drops, id_col, "left")
-        passed = annotated.filter(
-            F.col(status_col).isNull() & F.col("_model_rej").isNull()
-        )
-    else:
-        annotated = annotated.withColumn(
-            "_model_rej", F.lit(None).cast("boolean")
+            ),
+            "model_rejected",
         )
 
     # optional compression-redundancy gate (default off): zlib ratio
@@ -225,26 +236,15 @@ def curate_corpus(
         ratio = compression_profile(
             passed.select(F.col(id_col), F.col(text_col)), text_col
         )
-        comp_drops = _pin(
+        _drop_stage(
             ratio.filter(
                 F.col("compression_ratio").isNotNull()
                 & (
                     (F.col("compression_ratio") < F.lit(float(lo)))
                     | (F.col("compression_ratio") > F.lit(float(hi)))
                 )
-            )
-            .select(id_col)
-            .withColumn("_bad_comp", F.lit(True))
-        )
-        annotated = annotated.join(comp_drops, id_col, "left")
-        passed = annotated.filter(
-            F.col(status_col).isNull()
-            & F.col("_model_rej").isNull()
-            & F.col("_bad_comp").isNull()
-        )
-    else:
-        annotated = annotated.withColumn(
-            "_bad_comp", F.lit(None).cast("boolean")
+            ),
+            "bad_compression",
         )
 
     # incremental mode: rows whose fingerprint already exists in the
@@ -278,22 +278,10 @@ def curate_corpus(
                 else ref_fp.union(state_fp).distinct()
             )
     if ref_fp is not None:
-        ref_drops = _pin(
+        _drop_stage(
             passed.select(F.col(id_col), "fingerprint")
-            .join(ref_fp, "fingerprint", "semi")
-            .select(id_col)
-            .withColumn("_ref_dup", F.lit(True))
-        )
-        annotated = annotated.join(ref_drops, id_col, "left")
-        passed = annotated.filter(
-            F.col(status_col).isNull()
-            & F.col("_model_rej").isNull()
-            & F.col("_bad_comp").isNull()
-            & F.col("_ref_dup").isNull()
-        )
-    else:
-        annotated = annotated.withColumn(
-            "_ref_dup", F.lit(None).cast("boolean")
+            .join(ref_fp, "fingerprint", "semi"),
+            "ref_dup",
         )
 
     # exact dups: every id in a fingerprint group except the min drops.
@@ -309,19 +297,10 @@ def curate_corpus(
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias(id_col))
     )
-    exact_drops = _pin(
+    _drop_stage(
         passed.select(F.col(id_col), "fingerprint")
-        .join(survivors, ["fingerprint", id_col], "anti")
-        .select(id_col)
-        .withColumn("_exact_dup", F.lit(True))
-    )
-    annotated = annotated.join(exact_drops, id_col, "left")
-    passed = annotated.filter(
-        F.col(status_col).isNull()
-        & F.col("_ref_dup").isNull()
-        & F.col("_model_rej").isNull()
-        & F.col("_bad_comp").isNull()
-        & F.col("_exact_dup").isNull()
+        .join(survivors, ["fingerprint", id_col], "anti"),
+        "exact_dup",
     )
 
     # near dups: greedy min-id survivor over banded MinHash pairs.
@@ -335,19 +314,9 @@ def curate_corpus(
         threshold=near_dup_threshold,
         hash_family=hash_family,
     )
-    near_drops = _pin(
-        pairs.select(F.greatest("id_a", "id_b").alias(id_col))
-        .distinct()
-        .withColumn("_near_dup", F.lit(True))
-    )
-    annotated = annotated.join(near_drops, id_col, "left")
-    passed = annotated.filter(
-        F.col(status_col).isNull()
-        & F.col("_ref_dup").isNull()
-        & F.col("_model_rej").isNull()
-        & F.col("_bad_comp").isNull()
-        & F.col("_exact_dup").isNull()
-        & F.col("_near_dup").isNull()
+    _drop_stage(
+        pairs.select(F.greatest("id_a", "id_b").alias(id_col)).distinct(),
+        "near_dup",
     )
 
     # optional sub-document boilerplate stage (Lee et al. granularity),
@@ -381,15 +350,10 @@ def curate_corpus(
             passed, probes, text_col, id_col,
             threshold=contamination_threshold,
         )
-        cont_drops = _pin(
-            cont.select(F.col("doc_id").alias(id_col))
-            .distinct()
-            .withColumn("_contaminated", F.lit(True))
+        _drop_stage(
+            cont.select(F.col("doc_id").alias(id_col)).distinct(),
+            "contaminated",
         )
-        annotated = annotated.join(cont_drops, id_col, "left")
-        passed = passed.join(cont_drops, id_col, "left_anti")
-    else:
-        annotated = annotated.withColumn("_contaminated", F.lit(None).cast("boolean"))
 
     # optional mix rebalancing (default off): downsample the SURVIVORS
     # to a target categorical distribution (e.g. a uniform language mix)
@@ -418,14 +382,23 @@ def curate_corpus(
             "_rebal_keep", F.lit(None).cast("boolean")
         )
 
+    # ONE corpus-wide join annotates every stage's outcome: the pinned
+    # (id, reason) lists are disjoint, so their union left-joined once
+    # replaces the former per-stage join chain (the stats consumer now
+    # reads prof + 1 join instead of prof + k joins).
+    if drop_lists:
+        all_drops = drop_lists[0]
+        for d in drop_lists[1:]:
+            all_drops = all_drops.unionByName(d)
+        annotated = annotated.join(all_drops, id_col, "left")
+    else:
+        annotated = annotated.withColumn(
+            "_drop_reason", F.lit(None).cast("string")
+        )
+
     status = F.coalesce(
         F.col(status_col),
-        F.when(F.col("_model_rej"), F.lit("model_rejected")),
-        F.when(F.col("_bad_comp"), F.lit("bad_compression")),
-        F.when(F.col("_ref_dup"), F.lit("ref_dup")),
-        F.when(F.col("_exact_dup"), F.lit("exact_dup")),
-        F.when(F.col("_near_dup"), F.lit("near_dup")),
-        F.when(F.col("_contaminated"), F.lit("contaminated")),
+        F.col("_drop_reason"),
         F.when(
             F.lit(rebalance_target is not None)
             & F.col("_rebal_keep").isNull(),
@@ -443,10 +416,7 @@ def curate_corpus(
                 split_assignment(id_col, weights, salt=salt),
             ),
         )
-        .drop(
-            "_model_rej", "_bad_comp", "_ref_dup", "_exact_dup",
-            "_near_dup", "_contaminated", "_rebal_keep",
-        )
+        .drop("_drop_reason", "_rebal_keep")
     )
 
 

@@ -71,17 +71,20 @@ def segment_health_report(
     (persist=False + your own persist) when you need deterministic
     unpersist — same contract as corpus_report.
 
-    The completeness and freshness sections share ONE per-segment base
-    aggregate (row count + per-column non-null counts + latest ts in a
-    single groupBy, checkpointed at |segments| rows) and derive their
-    global comparison points FROM that base (global ratio = Σ non-null
-    / Σ rows; global latest = max of segment maxes — integer/max
+    The completeness, freshness AND uniqueness sections share ONE
+    per-segment base aggregate (row count + per-column non-null counts
+    + latest ts + count(distinct unique_keys struct) in a single
+    groupBy, cached at |segments| rows) and derive their global
+    comparison points FROM that base (global ratio = Σ non-null /
+    Σ rows; global latest = max of segment maxes — integer/max
     algebra, bit-identical to the standalone operators' full-scan
     averages), instead of calling completeness_by_group +
-    freshness_by_group, which would cost two extra source scans and
-    two extra global aggregates. Uniqueness needs its own two-level
-    distinct aggregation and PSI/KS their own cur-vs-ref shapes, so
-    those still delegate to their operators."""
+    freshness_by_group + dup_rate_by_group, which would cost extra
+    source scans and global aggregates (uniqueness folded in r16: the
+    distinct count plans as a two-phase aggregate over the SAME scan,
+    and count(distinct struct(keys)) counts NULL key values exactly
+    like dup_rate_by_group's groupBy). PSI/KS need their own
+    cur-vs-ref shapes, so those still delegate to their operators."""
     if (psi_cols or ks_col) and ref is None:
         raise ValueError(
             "segment_health_report: psi_cols/ks_col need a ref frame"
@@ -112,12 +115,15 @@ def segment_health_report(
     parts: list[DataFrame] = []
 
     base = glob = None
-    if completeness_cols or ts_col is not None:
-        # ONE per-segment pass for completeness + freshness: counts are
-        # integers and max is max, so the global points derive exactly
-        # from the per-segment rows — no second scan, no global agg
-        # over the source. Checkpointed: |segments| rows, 2 consumers
-        # (the 1-row global aggregate + the exploded long frame).
+    if completeness_cols or ts_col is not None or unique_keys:
+        # ONE per-segment pass for completeness + freshness +
+        # uniqueness: counts are integers, max is max, and the
+        # duplicate ratio needs only (rows, distinct keys) per segment,
+        # so all three sections derive exactly from one groupBy — no
+        # second scan, no global agg over the source. (r16: uniqueness
+        # folded in per the r15 verdict — count(distinct struct(keys))
+        # matches dup_rate_by_group's groupBy semantics bit-for-bit,
+        # NULL key values included, because a struct is never NULL.)
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in completeness_cols or []:
             aggs.append(
@@ -135,6 +141,12 @@ def segment_health_report(
                     F.col(ts_col).cast("timestamp").cast("double")
                 ).alias("_latest")
             )
+        if unique_keys:
+            aggs.append(
+                F.count_distinct(
+                    F.struct(*[F.col(k) for k in unique_keys])
+                ).alias("_nd")
+            )
         # maybe_persist, not localCheckpoint: base is a plain groupBy
         # with no load-bearing partition identity, so the cache
         # contract's lazy persist gives the same single-materialization
@@ -146,7 +158,8 @@ def segment_health_report(
         base = maybe_persist(cur.groupBy(group_col).agg(*aggs), persist)
         # ONE 1-row global frame serves both sections (fused sums +
         # max over the checkpointed base instead of one single-
-        # partition aggregate per section)
+        # partition aggregate per section); uniqueness is per-segment
+        # only and needs no global point
         gaggs = []
         if completeness_cols:
             gaggs.append(F.sum("_n").alias("_gn"))
@@ -156,7 +169,8 @@ def segment_health_report(
             ]
         if ts_col is not None:
             gaggs.append(F.max("_latest").alias("_gts"))
-        glob = base.agg(*gaggs)
+        if gaggs:
+            glob = base.agg(*gaggs)
 
     if base is not None:
         # completeness + freshness rows come out of ONE crossJoin +
@@ -192,8 +206,28 @@ def segment_health_report(
                     (lag > stale_after_seconds).alias("flag"),
                 )
             )
+        if unique_keys:
+            # same arithmetic as operators/uniqueness.dup_rate_by_group
+            # (pinned by test_segment_health_constituent_parity), read
+            # off the shared base instead of a second two-level
+            # aggregation pass over the source
+            dup = F.round(
+                F.lit(1.0) - F.col("_nd") / F.col("_n"), round_to
+            )
+            row_structs.append(
+                F.struct(
+                    F.lit("uniqueness").alias("check"),
+                    F.lit(",".join(unique_keys)).alias("column"),
+                    dup.alias("value"),
+                    F.lit(float(dup_tolerance)).alias("threshold"),
+                    (dup > float(dup_tolerance)).alias("flag"),
+                )
+            )
+        fused = (
+            base.crossJoin(F.broadcast(glob)) if glob is not None else base
+        )
         parts.append(
-            base.crossJoin(F.broadcast(glob))
+            fused
             .select(
                 seg.alias("segment"),
                 F.explode(F.array(*row_structs)).alias("_r"),
@@ -205,23 +239,6 @@ def segment_health_report(
                 F.col("_r.value").alias("value"),
                 F.col("_r.threshold").alias("threshold"),
                 F.col("_r.flag").alias("flag"),
-            )
-        )
-
-    if unique_keys:
-        from ..operators.uniqueness import dup_rate_by_group
-
-        dup = dup_rate_by_group(
-            cur, unique_keys, [group_col], round_to=round_to, sort=False
-        )
-        parts.append(
-            dup.select(
-                seg.alias("segment"),
-                F.lit("uniqueness").alias("check"),
-                F.lit(",".join(unique_keys)).alias("column"),
-                F.col("dup_ratio").alias("value"),
-                F.lit(float(dup_tolerance)).alias("threshold"),
-                (F.col("dup_ratio") > float(dup_tolerance)).alias("flag"),
             )
         )
 

@@ -86,8 +86,7 @@ def main() -> None:
         fn = queries[name]
         best = None
         for i in range(passes):
-            jobs_before = set(tracker.getJobIdsForGroup(None) or [])
-            # job ids are global-increasing; snapshot via a fresh group
+            # job ids are tracked via a fresh per-pass group
             sc.setJobGroup(f"profile-{name}-{i}", name)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -117,10 +116,9 @@ def main() -> None:
                     explain_dir, f"{name}_{explain_tag}.txt"
                 )
                 with open(path, "w") as f:
-                    f.write(df._sc._jvm.PythonSQLUtils.explainString(
-                        df._jdf.queryExecution(), "formatted"
-                    ) if False else df._jdf.queryExecution().explainString(
-                        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+                    f.write(df._jdf.queryExecution().explainString(
+                        spark._jvm.org.apache.spark.sql.execution
+                        .ExplainMode.fromString("formatted")
                     ))
                 print(f"  explain -> {path}", flush=True)
             try:

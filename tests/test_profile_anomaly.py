@@ -1048,6 +1048,17 @@ def test_metrics_regression_planted_drop(spark):
     assert out["new_metric"]["status"] == "insufficient_history"
     assert not out["new_metric"]["is_regression"]
 
+    # broadcast=False escape hatch (r16: high-cardinality key_cols must
+    # not be forced through a driver-side broadcast build): identical
+    # rows, no broadcast hint on the baseline side
+    no_bc = metrics_regression(
+        hist, cur, key_cols=["metric"], threshold=3.0, min_periods=3,
+        broadcast=False,
+    )
+    assert {tuple(r) for r in no_bc.collect()} == {
+        tuple(r) for r in out.values()
+    }
+
 
 def test_metrics_regression_direction_and_flat_baseline(spark):
     """direction='down' ignores upward spikes; a FLAT baseline flags any

@@ -112,6 +112,41 @@ def test_ensure_min_partitions(spark):
     assert ensure_min_partitions(wide, 8) is wide
 
 
+def test_ensure_min_partitions_never_executes_upstream(spark):
+    """r16: the guard sizes the plan WITHOUT executing it. The old
+    ``df.rdd`` probe materialized the adaptive plan, eagerly running
+    every upstream shuffle stage as real jobs — a caller passing a
+    frame with upstream joins/aggregations paid those stages twice
+    (r15 ADVICE). Pins: (a) zero Spark jobs are scheduled while the
+    guard decides, for a shuffle-bearing AND a broadcast-join frame;
+    (b) a frame that already passed through a shuffle is left alone;
+    (c) the stream side of a broadcast join is still sized from its
+    scan (the guard fires on a 1-split stream side)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_data_quality_spark.plans.parallelism import (
+        ensure_min_partitions,
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def n_jobs():
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    # parquet-backed so the aggregate keeps a real Exchange (a local
+    # relation would be constant-folded to another LocalRelation)
+    base = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    agg = base.groupBy("r_regionkey").agg(F.count(F.lit(1)).alias("n"))
+    before = n_jobs()
+    assert ensure_min_partitions(agg, 8) is agg  # shuffle upstream
+    small = spark.createDataFrame([(0, "a")], "r_regionkey bigint, lbl string")
+    joined = base.join(F.broadcast(small), "r_regionkey", "left")
+    boosted = ensure_min_partitions(joined, 8)
+    assert n_jobs() == before, "guard scheduled Spark jobs while sizing"
+    assert boosted is not joined  # 1-split stream side -> still boosts
+    assert boosted.rdd.getNumPartitions() == 8
+
+
 def _rows_set(df):
     return sorted(
         (tuple(r) for r in df.collect()),
