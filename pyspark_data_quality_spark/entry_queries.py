@@ -3015,8 +3015,7 @@ def dq_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return (
         weighted_sample(docs, "doc_id", "n_chars", 100)
-        .select("doc_id")
-        .orderBy("doc_id")
+        .select("doc_id")  # no final orderBy (r16, §2.4): cosmetic sort dropped
     )
 
 
@@ -4748,8 +4747,7 @@ def dq_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.filter(F.col("doc_id") < 250)
     return (
         dedup_against(batch, ref, "text")
-        .select("doc_id")
-        .orderBy("doc_id")
+        .select("doc_id")  # no final orderBy (r16, §2.4): cosmetic sort dropped
     )
 
 
@@ -4813,9 +4811,10 @@ def dq_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     model = train_nb_classifier(docs, "text", "lang")
     scored = score_nb_classifier(docs, model, "text", ["doc_id"])
+    # no final orderBy (r16, §2.4): cosmetic data-scale sort dropped
     return scored.select(
         "doc_id", "label", F.round("score", 6).alias("score")
-    ).orderBy("doc_id", "label")
+    )
 
 
 @query(
@@ -5524,7 +5523,7 @@ def dq_interval_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("prev_max_end", 6).alias("prev_max_end"),
         "is_overlap",
         F.round("overlap_amount", 6).alias("overlap_amount"),
-    ).orderBy("user_id", "s", "e")
+    )  # no final orderBy (r16, §2.4): cosmetic data-scale sort dropped
 
 
 @query(
@@ -5592,7 +5591,7 @@ def dq_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("span_end", 6).alias("span_end"),
         "n_intervals",
         F.round("span_length", 6).alias("span_length"),
-    ).orderBy("user_id", "span_start")
+    )  # no final orderBy (r16, §2.4): cosmetic data-scale sort dropped
 
 
 @query(
@@ -5833,7 +5832,7 @@ def dq_sess(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sec").alias("session_end"),
             (F.max("sec") - F.min("sec")).alias("duration"),
         )
-        .orderBy("user_id", "session_id")
+
     )
 
 
@@ -6482,7 +6481,7 @@ def dq_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         # row-position phase for the rest of the series
         phase_col=(F.col("window_epoch") / 3600).cast("long") % 24,
         lookback_cycles=4, threshold=3.0,
-    ).orderBy("event_type", "window_epoch")
+    )  # no final orderBy (r16, §2.4): cosmetic data-scale sort dropped
 
 
 @query(
@@ -6952,8 +6951,7 @@ def dq_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         redact_pii(cust, "text")
-        .select("c_custkey", "text_redacted")
-        .orderBy("c_custkey")
+        .select("c_custkey", "text_redacted")  # no final orderBy (r16, §2.4): cosmetic sort dropped
     )
 
 
@@ -7009,8 +7007,7 @@ def dq_segment_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return (
         strip_duplicate_segments(docs, "text", "doc_id", k=8, min_df=2)
-        .select("doc_id", "text_dedup")
-        .orderBy("doc_id")
+        .select("doc_id", "text_dedup")  # no final orderBy (r16, §2.4): cosmetic sort dropped
     )
 
 
@@ -7121,7 +7118,7 @@ def dq_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return chunk_documents(
         docs, "text", "doc_id", max_tokens=32, overlap=4
-    ).orderBy("doc_id", "chunk_id")
+    )  # no final orderBy (r16, §2.4): cosmetic sort dropped
 
 
 @query(
@@ -7217,8 +7214,8 @@ def dq_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         mahalanobis_outliers(li, ["x", "y"], threshold=3.0)
+        # no final orderBy (r16, §2.4): cosmetic data-scale sort dropped
         .select("l_orderkey", "l_linenumber", "mahalanobis", "is_outlier")
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -7321,8 +7318,7 @@ def dq_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("media_id").alias("doc_id"),
             F.md5("data").alias("digest"),
-        )
-        .orderBy("doc_id")
+        )  # no final orderBy (r16, §2.4): cosmetic sort dropped
     )
 
 
@@ -7425,8 +7421,7 @@ def dq_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return (
         cap_per_group(docs, ["source"], "doc_id", 20)
-        .select("doc_id")
-        .orderBy("doc_id")
+        .select("doc_id")  # no final orderBy (r16, §2.4): cosmetic sort dropped
     )
 
 
@@ -7510,7 +7505,7 @@ def dq_matched_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     target = {lg: 0.2 for lg in ("en", "de", "es", "fr", "zh")}
     out = matched_sample(docs, "doc_id", "lang", target)
-    return out.select("doc_id", "lang").orderBy("doc_id")
+    return out.select("doc_id", "lang")  # no final orderBy (r16, §2.4): cosmetic sort dropped
 
 
 @query(
@@ -7682,7 +7677,7 @@ def dq_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = lexicon_score(docs, lex, "text")
     return out.select(
         "doc_id", F.round("lexicon_score", 6).alias("score")
-    ).orderBy("doc_id")
+    )  # no final orderBy (r16, §2.4): cosmetic sort dropped
 
 
 @query(
@@ -7780,7 +7775,7 @@ def dq_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         F.col("l_quantity_norm").alias("q_norm"),
         F.col("l_extendedprice_norm").alias("p_norm"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )  # no final orderBy (r16, §2.4): cosmetic data-scale sort dropped
 
 
 @query(
@@ -7871,7 +7866,7 @@ def dq_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "fp", "doc_id", "n_records", "source",
         F.col("n_chars").alias("max_chars"), "lang",
-    ).orderBy("fp")
+    )  # no final orderBy (r16, §2.4): cosmetic sort dropped
 
 
 @query(
@@ -7932,7 +7927,7 @@ def dq_null_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_ts").cast("timestamp").cast("long").alias("start_epoch"),
         F.col("end_ts").cast("timestamp").cast("long").alias("end_epoch"),
         "run_length",
-    ).orderBy("event_type", "start_epoch")
+    )  # no final orderBy (r16, §2.4): cosmetic sort dropped
 
 
 @query(
@@ -8936,7 +8931,7 @@ def dq_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("\n", "text", "_btext").alias("mixed"),
         )
     )
-    return language_mix(paired, "mixed", "doc_id").orderBy("doc_id")
+    return language_mix(paired, "mixed", "doc_id")  # no final orderBy (r16, §2.4): cosmetic sort dropped
 
 
 
@@ -9013,8 +9008,7 @@ def _clean_lines_part(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("lines_md5"),
         )
-        .orderBy("doc_id")
-    )
+    )  # no orderBy (r16, §2.4): part/whole sort was cosmetic
 
 
 
@@ -9059,7 +9053,7 @@ def _readability_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import readability_profile
 
     docs = load_table(spark, "documents", sf_dir)
-    return readability_profile(docs).orderBy("doc_id")
+    return readability_profile(docs)  # no orderBy (r16, §2.4): part/whole sort was cosmetic
 
 
 @query(
@@ -9502,7 +9496,7 @@ def _encoding_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         encoding_artifact_count(_encoding_fixture_col()).alias("n_artifacts"),
-    ).orderBy("doc_id")
+    )  # no orderBy (r16, §2.4): part/whole sort was cosmetic
 
 
 
@@ -9587,7 +9581,7 @@ def _url_normalize_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         normalize_url(url).alias("norm_url"),
         url_host(url).alias("host"),
-    ).orderBy("doc_id")
+    )  # no orderBy (r16, §2.4): part/whole sort was cosmetic
 
 
 @query(
@@ -10001,9 +9995,10 @@ def dq_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value"
     )
     ref = ev.filter(F.col("ts") < split)
-    return quantile_normalize(cur, "value", ref, ["event_type"]).orderBy(
-        "event_id"
-    )
+    # no final orderBy (r16, guide §2.4): the sort was cosmetic — the
+    # driver's comparison is order-insensitive, and a global sort of the
+    # full per-row output is a data-scale exchange at 100 TB
+    return quantile_normalize(cur, "value", ref, ["event_type"])
 
 
 _KCORE_SQL = f"""
@@ -10502,8 +10497,7 @@ def dq_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("text_nfc") != t_ws).alias("changed"),
             F.length("text_nfc").cast("bigint").alias("n_chars"),
         )
-        .orderBy("doc_id")
-    )
+    )  # no orderBy (r16, §2.4): part/whole sort was cosmetic
 
 
 @query(
@@ -10625,7 +10619,7 @@ def dq_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "warc_date", "content_type", "text",
         F.length("text").cast("long").alias("n_chars"),
         F.md5("text").alias("text_md5"),
-    ).orderBy("url")
+    )  # no final orderBy (r16, §2.4): cosmetic sort dropped
 
 
 # ---------------------------------------------------------------------------
