@@ -3863,9 +3863,8 @@ def dq_curation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         reference=ref,
         num_hashes=32, num_bands=8, hash_family="md5",
     )
-    return out.select("doc_id", "curation_status", "split").orderBy(
-        "doc_id"
-    )
+    # no final orderBy (r16, §2.4): cosmetic sort dropped
+    return out.select("doc_id", "curation_status", "split")
 
 
 @query(
@@ -5628,7 +5627,7 @@ def dq_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_events"))
     return trend_fit(
         daily, "day", "n_events", group_cols=["event_type"]
-    ).orderBy("event_type")
+    )  # no final orderBy (r16, §2.4): cosmetic sort dropped
 
 
 @query(
@@ -5771,7 +5770,7 @@ def dq_tsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.max(F.col("ts").cast("timestamp")).cast("long"))
             .alias("last_epoch"),
         )
-        .orderBy("split")
+        # no final orderBy (r16, §2.4): cosmetic sort dropped
     )
 
 
@@ -6696,7 +6695,7 @@ def dq_file_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         report = file_layout_report(
             spark, [f"{sf_dir}/{t}.parquet" for t in TABLES]
         )
-    return report.orderBy("file")
+    return report  # no final orderBy (r16, §2.4): cosmetic sort dropped
 
 
 @query(
@@ -7163,7 +7162,7 @@ def dq_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", shingle_n=3, threshold=0.5,
         use_lsh_blocking=False,
     )
-    return dedup_components(pairs).orderBy("id")
+    return dedup_components(pairs)  # no final orderBy (r16, §2.4): cosmetic sort dropped
 
 
 @query(
@@ -7352,7 +7351,7 @@ def dq_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_l_quantity", 6).alias("sum_q"),
         F.col("min_l_quantity").alias("min_q"),
         F.col("max_l_quantity").alias("max_q"),
-    ).orderBy("l_returnflag")
+    )  # no final orderBy (r16, §2.4): cosmetic sort dropped
 
 
 @query(
@@ -7389,7 +7388,7 @@ def dq_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
-        .orderBy("mktsegment")
+        # no final orderBy (r16, §2.4): cosmetic sort dropped
     )
 
 
@@ -7458,7 +7457,7 @@ def dq_windowed_topv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window_start").cast("long").alias("window_epoch"),
         "value", "n", "rank",
-    ).orderBy("window_epoch", "rank")
+    )  # no final orderBy (r16, §2.4): cosmetic sort dropped
 
 
 @query(
@@ -8107,7 +8106,7 @@ def dq_group_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("latest_ts").cast("long").alias("latest_epoch"),
         F.round("lag_seconds", 3).alias("lag_seconds"),
-    ).orderBy("event_type")
+    )  # no final orderBy (r16, §2.4): cosmetic sort dropped
 
 
 
@@ -8518,7 +8517,7 @@ def _triangles_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 61).alias("src"),
         (F.col("o_custkey") % 61).alias("dst"),
     )
-    return triangle_counts(edges).orderBy("node")
+    return triangle_counts(edges)  # no final orderBy (r16, §2.4): cosmetic sort dropped
 
 
 @query(
@@ -8857,7 +8856,7 @@ def _gopher_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("symbol_word_ratio"), 6).alias("avg_symbol"),
             F.round(F.avg("p"), 6).alias("pass_rate"),
         )
-        .orderBy("source")
+        # no final orderBy (r16, §2.4): cosmetic sort dropped
     )
 
 
@@ -10148,7 +10147,7 @@ def dq_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pagerank(edges, iterations=8)
         .select("node", F.round("rank", 6).alias("rank"))
-        .orderBy("node")
+        # no final orderBy (r16, §2.4): cosmetic sort dropped
     )
 
 
